@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.FixedPoint._
+import graft.sources.Tables
+
+/** Relational analytics surface on the TPC-H-ish tables.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/customer at
+  * these ratios) are broadcast; fact-fact joins shuffle on the join key
+  * only, with AQE free to pick better at runtime. All money aggregates
+  * are integer cents ([[graft.functions.FixedPoint]]) so partial
+  * aggregation (map-side combine) is exact and order-independent.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: single scan, fully partial-aggregable, 2-col group key. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(cents($"l_quantity")).as("sum_qty_c"),
+        sum(cents($"l_extendedprice")).as("sum_base_c"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_c"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))).as("sum_charge_c"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  /** TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, broadcast the filtered
+    * customer side, aggregate revenue, top-10 by revenue.
+    */
+  def topkRevenue(spark: SparkSession, dir: String, segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === segment).select($"c_custkey")
+    val ord  = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li   = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+      .orderBy($"revenue_c".desc, $"l_orderkey".asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q5 shape: 6-way join; all dims broadcast, single fact shuffle. */
+  def regionRevenue(spark: SparkSession, dir: String, regionName: String = "ASIA"): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir).filter($"r_name" === regionName)
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val sup    = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val ord    = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val li     = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+
+    val dims = broadcast(
+      nation
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+    )
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(dims, $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+  }
+
+  /** Window rank: top-N orders per customer by price (deterministic
+    * tiebreak on orderkey). One shuffle on the partition key.
+    */
+  def topkPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables
+      .orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= k)
+      .select($"o_custkey", $"o_orderkey", cents($"o_totalprice").as("totalprice_c"), $"rnk")
+  }
+
+  /** Exact distinct counting per group (shuffle-expand then agg; Spark
+    * plans the two-phase distinct automatically).
+    */
+  def groupDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_events")
+      )
+  }
+}
