@@ -1,0 +1,326 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.FixedPoint._
+import graft.sources.Tables
+
+/** Time-series query surface — the Spark-native re-expression of the
+  * reference's timebox semantics (timebox/timebox.py and timebox/utils).
+  *
+  * The reference is a single-node columnar store whose format IS its
+  * query capability: delta-encoded timestamps, unit compression,
+  * integer downcasting, fixed-point floats, regular grids, and (its
+  * declared roadmap) range + tag-subset reads. Here each of those
+  * becomes a distributed operator over the `events` table:
+  *
+  *   - per-series work partitions by `user_id` (the series key) and is
+  *     one `Window.partitionBy(user_id)` pass — a single shuffle that
+  *     scales horizontally with series count, which is exactly the
+  *     axis that grows at 100 TB;
+  *   - timestamps are integer epoch-microseconds end-to-end (events
+  *     parquet stores TIMESTAMP(NANOS); we read them as nano longs and
+  *     `DIV 1000`), so all arithmetic is exact and cross-engine;
+  *   - values are fixed-point integer cents (the reference's own
+  *     round(x*10^d) trick, numpy_utils.py:266-275), so partial
+  *     aggregation is exact and order-independent.
+  */
+object TimeSeries {
+
+  private val HourUs = 3600L * 1000000L
+  private val DayUs  = 24L * HourUs
+
+  /** events with integer epoch-micro timestamps (ts arrives as nano
+    * longs via spark.sql.legacy.parquet.nanosAsLong).
+    */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).withColumn("ts_us", expr("ts DIV 1000"))
+
+  /** Per-series ordering used everywhere: time, then event_id as the
+    * deterministic tiebreak.
+    */
+  private def seriesW = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+
+  // -------------------------------------------------------------------
+  // 1. ts_range_read — time-range + tag-subset read.
+  // The reference's roadmap read path (timebox.py:102-106): a range +
+  // column-subset retrieval. Spark-native: both the time predicate and
+  // the 4-column projection push down to the parquet scan (verified:
+  // PushedFilters on ts/event_type, ReadSchema of 4 cols), so at 100 TB
+  // only matching row groups are read.
+  // -------------------------------------------------------------------
+  def rangeRead(
+      spark: SparkSession,
+      dir: String,
+      startUs: Long = 1704672000000000L, // 2024-01-08 00:00:00 UTC
+      endUs: Long = 1705276800000000L,   // 2024-01-15 00:00:00 UTC
+      eventType: String = "click"
+  ): DataFrame = {
+    Tables
+      .events(spark, dir)
+      // filter on the raw nano column so the predicate reaches parquet
+      .filter(col("ts") >= startUs * 1000 && col("ts") < endUs * 1000 && col("event_type") === eventType)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        cents(col("value")).as("value_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 2. ts_delta_encode — start + per-point differentials per series
+  // (timebox.py:363-376 _calculate_date_differentials). First point's
+  // delta is 0 (the reference stores the start separately).
+  // -------------------------------------------------------------------
+  def deltaEncode(spark: SparkSession, dir: String): DataFrame = {
+    val w = seriesW
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        (row_number().over(w) - 1).cast("long").as("seq"),
+        col("ts_us"),
+        coalesce(col("ts_us") - lag(col("ts_us"), 1).over(w), lit(0L)).as("delta_us")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 3. ts_delta_decode — reconstruct timestamps from start + cumulative
+  // deltas and prove the roundtrip is lossless (timebox.py:343-361).
+  // -------------------------------------------------------------------
+  def deltaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val w = seriesW
+    val cum = seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_us"),
+        coalesce(col("ts_us") - lag(col("ts_us"), 1).over(w), lit(0L)).as("delta_us"),
+        first(col("ts_us")).over(cum).as("start_us")
+      )
+      .withColumn("recon_us", col("start_us") + sum(col("delta_us")).over(cum))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("recon_us") =!= col("ts_us"), 1L).otherwise(0L)).as("n_mismatch"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 4. ts_unit_compress — coarsest time unit dividing all of a series'
+  // deltas (datetime_utils.py:118-142 compress_time_delta_array's
+  // ns→D ladder). Run on lineitem ship-dates per supplier, where the
+  // ladder lands on days; a second shuffle-free agg computes the
+  // scaled-delta max used for width planning downstream.
+  // -------------------------------------------------------------------
+  def unitCompress(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("ship_us"), col("l_orderkey"), col("l_linenumber"))
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_suppkey"),
+        col("l_orderkey"),
+        col("l_linenumber"),
+        // l_shipdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us")
+      )
+      .withColumn("delta_us", col("ship_us") - lag(col("ship_us"), 1).over(w))
+      .filter(col("delta_us").isNotNull)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        expr(s"""CASE WHEN bool_and(delta_us % ${DayUs}L = 0) THEN ${DayUs}L
+                 WHEN bool_and(delta_us % ${HourUs}L = 0) THEN ${HourUs}L
+                 WHEN bool_and(delta_us % 60000000 = 0) THEN 60000000L
+                 WHEN bool_and(delta_us % 1000000 = 0) THEN 1000000L
+                 WHEN bool_and(delta_us % 1000 = 0) THEN 1000L
+                 ELSE 1L END""").as("unit_us"),
+        max(col("delta_us")).as("max_delta_us")
+      )
+      .withColumn("max_scaled_delta", expr("max_delta_us DIV unit_us"))
+  }
+
+  // -------------------------------------------------------------------
+  // 8. ts_regular_grid — fixed-interval grid summary: how many
+  // `seconds_between_points` slots a series spans and how many are
+  // occupied (timebox.py:226-238 fixed-interval mode).
+  // -------------------------------------------------------------------
+  def regularGrid(spark: SparkSession, dir: String, intervalUs: Long = HourUs): DataFrame = {
+    eventsUs(spark, dir)
+      .withColumn("start_us", min(col("ts_us")).over(Window.partitionBy("user_id")))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(expr(s"(ts_us - start_us) DIV ${intervalUs}L")).as("n_filled_slots")
+      )
+      .withColumn("n_slots", expr(s"(end_us - start_us) DIV ${intervalUs}L + 1"))
+  }
+
+  // -------------------------------------------------------------------
+  // 9. ts_resample_1h — classic downsample: per-hour per-type
+  // count/sum/min/max. Single shuffle; integer-cents aggregates are
+  // fully partial-aggregable (map-side combine does most of the work
+  // at 100 TB).
+  // -------------------------------------------------------------------
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .groupBy(expr(s"ts_us DIV ${HourUs}L").as("hour_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_c"),
+        min(cents(col("value"))).as("min_c"),
+        max(cents(col("value"))).as("max_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 10. ts_ohlc_1d — OHLC bars per user per day. Open/close are picked
+  // by deterministic (ts, event_id) row-number rather than first/last
+  // aggregates, so results are stable under any partitioning.
+  // -------------------------------------------------------------------
+  def ohlcDaily(spark: SparkSession, dir: String): DataFrame = {
+    val asc = Window
+      .partitionBy(col("user_id"), col("day_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val desc = Window
+      .partitionBy(col("user_id"), col("day_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${DayUs}L").as("day_id"),
+        col("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("user_id"), col("day_id"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value_c"))).as("open_c"),
+        max(col("value_c")).as("high_c"),
+        min(col("value_c")).as("low_c"),
+        max(when(col("rn_d") === 1, col("value_c"))).as("close_c"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11. ts_moving_avg — trailing-5-row moving aggregate per series.
+  // Emitted as integer sum + count (avg = sum/n) so the result is
+  // exact; a single window pass, one shuffle on the series key.
+  // -------------------------------------------------------------------
+  def movingAgg(spark: SparkSession, dir: String, nRows: Int = 5): DataFrame = {
+    val w = seriesW.rowsBetween(-(nRows - 1), Window.currentRow)
+    eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), cents(col("value")).as("value_c"))
+      .withColumn("w5_sum_c", sum(col("value_c")).over(w))
+      .withColumn("w5_n", count(lit(1)).over(w).cast("long"))
+      .drop("value_c")
+  }
+
+  // -------------------------------------------------------------------
+  // 12. ts_sessionize — gap-based sessions (>30 min silence starts a
+  // new session). lag + running-sum windows share one partitioning
+  // with the final per-session agg (hash(user_id) satisfies the
+  // (user_id, session_seq) clustering), so the whole operator is a
+  // single shuffle.
+  // -------------------------------------------------------------------
+  def sessionize(spark: SparkSession, dir: String, gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    val w = seriesW
+    val cum = seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn(
+        "is_new",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs || lag(col("ts_us"), 1).over(w).isNull, 1L)
+          .otherwise(0L)
+      )
+      .withColumn("session_seq", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events")
+      )
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  // -------------------------------------------------------------------
+  // 13. ts_asof_join — latest click at-or-before each purchase, per
+  // user. Spark has no ASOF join; the scalable plan is the union
+  // trick: interleave both streams on one (user, time) ordering and
+  // carry the last click time forward with a running max — ONE shuffle
+  // total, versus a range-join's quadratic blowup. Clicks sort before
+  // purchases at equal timestamps, matching ASOF's >= semantics.
+  // -------------------------------------------------------------------
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsUs(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind")
+      )
+      .withColumn("click_ts_us", max(when(col("kind") === 0, col("ts_us"))).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        coalesce(col("click_ts_us"), lit(-1L)).as("click_ts_us")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 14. ts_gapfill_locf — dense hourly grid per user +
+  // last-observation-carried-forward. Grid generation is
+  // sequence+explode per series (no driver-side loop); LOCF is an
+  // ignore-nulls last() over the series ordering. Leading holes (before
+  // the first observation) stay at -1.
+  // -------------------------------------------------------------------
+  def gapfillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${HourUs}L").as("hour_id"),
+        col("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+    // last observation within each hour, deterministic by (ts, event_id)
+    val lastInHour = Window
+      .partitionBy(col("user_id"), col("hour_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(lastInHour))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour_id"), col("value_c"))
+    val grid = ev
+      .groupBy(col("user_id"))
+      .agg(min(col("hour_id")).as("h0"), max(col("hour_id")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour_id"))
+    val locf = Window
+      .partitionBy("user_id")
+      .orderBy("hour_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(hourly, Seq("user_id", "hour_id"), "left")
+      .withColumn("is_observed", when(col("value_c").isNotNull, 1L).otherwise(0L))
+      .withColumn("value_c", coalesce(last(col("value_c"), ignoreNulls = true).over(locf), lit(-1L)))
+      .select(col("user_id"), col("hour_id"), col("value_c"), col("is_observed"))
+  }
+}
