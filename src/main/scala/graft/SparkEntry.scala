@@ -32,7 +32,210 @@ object SparkEntry {
     "q3_topk_revenue"    -> ((s, d) => Relational.topkRevenue(s, d)),
     "q5_region_revenue"  -> ((s, d) => Relational.regionRevenue(s, d)),
     "topk_per_group"     -> ((s, d) => Relational.topkPerGroup(s, d)),
-    "group_distinct"     -> ((s, d) => Relational.groupDistinct(s, d))
+    "group_distinct"     -> ((s, d) => Relational.groupDistinct(s, d)),
+    // -- deduplication ---------------------------------------------------
+    "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
+    "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
+    // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
+    // keeps the semantics (default threshold is 0.95) with a non-empty
+    // verification set
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, threshold = 0.4)),
+    // -- similarity search ------------------------------------------------
+    "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
+    "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
+    // -- text analysis ----------------------------------------------------
+    "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // -- multimodal plumbing ------------------------------------------------
+    "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d))
+  )
+
+  /** DuckDB fragments shared by the text/dedup oracles — must mirror
+    * Dedup.normText exactly (note DuckDB regexp_replace needs 'g').
+    */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  /** shingle + minhash-band CTE chain reused by the LSH oracles */
+  private val shingleCtes =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+       |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |             FROM d WHERE len(toks) >= 3)),
+       |m AS (SELECT doc_id,
+       |        MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
+       |        MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3,
+       |        MIN(md5('4:' || shingle)) AS mh4, MIN(md5('5:' || shingle)) AS mh5,
+       |        MIN(md5('6:' || shingle)) AS mh6, MIN(md5('7:' || shingle)) AS mh7,
+       |        MIN(md5('8:' || shingle)) AS mh8, MIN(md5('9:' || shingle)) AS mh9,
+       |        MIN(md5('10:' || shingle)) AS mh10, MIN(md5('11:' || shingle)) AS mh11
+       |      FROM sh GROUP BY doc_id),
+       |bs AS (SELECT doc_id, band,
+       |         CASE band WHEN 0 THEN md5(mh0 || mh1 || mh2) WHEN 1 THEN md5(mh3 || mh4 || mh5)
+       |                   WHEN 2 THEN md5(mh6 || mh7 || mh8) ELSE md5(mh9 || mh10 || mh11) END AS sig
+       |       FROM (SELECT m.*, unnest([0, 1, 2, 3]) AS band FROM m)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** quantized-embedding CTEs reused by the similarity oracles */
+  private val quantCtes =
+    """q AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+      |      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+      |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM q GROUP BY 1)""".stripMargin
+
+  /** DuckDB oracle SQL for dedup / similarity / text / multimodal. */
+  private val mlOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT md5($normSql) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_exact_keep_first" ->
+      s"""WITH h AS (SELECT doc_id, md5($normSql) AS text_hash FROM documents),
+         |c AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text_hash) AS canonical_id FROM h)
+         |SELECT doc_id, canonical_id,
+         |  CAST(CASE WHEN doc_id != canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM c""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCtes,
+         |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
+         |i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+         |      FROM pairs p JOIN u x ON x.doc_id = p.doc_a
+         |      JOIN u y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |      GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, COALESCE(i.inter_n, 0) AS inter_n,
+         |  ca.n_sh + cb.n_sh - COALESCE(i.inter_n, 0) AS union_n,
+         |  CAST(CASE WHEN COALESCE(i.inter_n, 0) * 10 >= (ca.n_sh + cb.n_sh - COALESCE(i.inter_n, 0)) * 8
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+         |FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, tok, COUNT(*) AS c
+         |      FROM (SELECT doc_id, unnest(toks) AS tok FROM d) GROUP BY 1, 2),
+         |tb AS (SELECT doc_id, c, substr(md5(tok), 1, 16) AS h,
+         |              unnest(generate_series(0, 63)) AS b FROM t),
+         |sb AS (SELECT doc_id, b,
+         |         SUM(c * (2 * (((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+         |                        >> CAST(3 - b % 4 AS INTEGER)) & 1) - 1)) AS s
+         |       FROM tb GROUP BY 1, 2),
+         |bv AS (SELECT doc_id, b // 16 AS blk,
+         |         CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b % 16 AS INTEGER)) ELSE 0 END) AS BIGINT) AS v
+         |       FROM sb GROUP BY 1, 2),
+         |sg AS (SELECT doc_id,
+         |         MAX(CASE WHEN blk = 0 THEN v END) AS h0, MAX(CASE WHEN blk = 1 THEN v END) AS h1,
+         |         MAX(CASE WHEN blk = 2 THEN v END) AS h2, MAX(CASE WHEN blk = 3 THEN v END) AS h3
+         |       FROM bv GROUP BY 1),
+         |cd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM bv a JOIN bv b ON a.blk = b.blk AND a.v = b.v AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
+         |       bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) AS BIGINT) AS hamming
+         |FROM cd JOIN sg x ON x.doc_id = doc_a JOIN sg y ON y.doc_id = doc_b
+         |WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
+         |      bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) <= 3""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH qe AS (SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |            FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+         |nn AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qe GROUP BY 1),
+         |dd AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         |              CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM qe a JOIN qe b ON b.i = a.i AND b.label = a.label AND a.vec_id < b.vec_id
+         |       GROUP BY 1, 2, 3),
+         |cc AS (SELECT vec_a, vec_b, label,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dd JOIN nn na ON na.vec_id = vec_a JOIN nn nb ON nb.vec_id = vec_b)
+         |SELECT vec_a, vec_b, CAST(label AS BIGINT) AS label,
+         |       CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM cc WHERE cos >= 0.4""".stripMargin,
+    "ann_topk_bruteforce" ->
+      s"""WITH $quantCtes,
+         |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |      FROM (SELECT * FROM q WHERE vec_id < 5) a
+         |      JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+         |s AS (SELECT probe_id, neighbor_id,
+         |             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |      FROM d JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM s QUALIFY rnk <= 10""".stripMargin,
+    "ann_lsh_bucketed" ->
+      s"""WITH $quantCtes,
+         |pl AS (SELECT p, i,
+         |         2 * (instr('0123456789abcdef',
+         |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+         |       FROM (SELECT unnest(generate_series(0, 3)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+         |db AS (SELECT q.vec_id, pl.p, CAST(SUM(q.v * pl.w) AS BIGINT) AS dt
+         |       FROM q JOIN pl ON pl.i = q.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM db GROUP BY 1),
+         |cd AS (SELECT pr.vec_id AS probe_id, bk.vec_id AS neighbor_id, pr.bucket
+         |       FROM (SELECT * FROM bk WHERE vec_id < 5) pr
+         |       JOIN bk ON bk.bucket = pr.bucket AND bk.vec_id != pr.vec_id),
+         |dt AS (SELECT cd.probe_id, cd.neighbor_id, cd.bucket, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM cd JOIN q a ON a.vec_id = cd.probe_id
+         |       JOIN q b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT probe_id, neighbor_id, bucket,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, bucket,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM sc QUALIFY rnk <= 10""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+         |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_unique_tokens
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        CAST(length(text) AS BIGINT) AS n_chars_raw,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS BIGINT) AS n_stopwords,
+         |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct
+         |      FROM t)
+         |SELECT doc_id, n_chars_raw, n_tokens, n_stopwords, n_punct,
+         |  n_stopwords * 1000000 // n_tokens AS stop_ratio_micro,
+         |  CAST(CASE WHEN n_chars_raw >= 100 AND n_stopwords * 20 >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+         |FROM m""".stripMargin,
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','is'], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','es'], x))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et'], x))) AS BIGINT) AS s_fr
+         |  FROM t)
+         |SELECT doc_id, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |FROM s""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS h
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+         |            FROM d WHERE len(toks) >= 4))
+         |SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_windows FROM s GROUP BY 1""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+        |  (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_chunks,
+        |  sha256(substr(text, 1, 256)) AS first_chunk_sha
+        |FROM documents""".stripMargin
   )
 
   /** DuckDB oracle SQL for the time-series queries (§2 rows 1-14). */
@@ -208,7 +411,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = tsOracles ++ Map(
+  def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

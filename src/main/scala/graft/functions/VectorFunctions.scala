@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen-friendly higher-order functions (zip_with/aggregate) — no
+  * UDFs, so the whole pipeline stays inside whole-stage codegen.
+  *
+  * Everything works on *quantized* vectors: components are scaled to
+  * integer micro-units first (the same fixed-point trick the reference
+  * applies to floats, numpy_utils.py:266-275). Integer dot products
+  * are exact and order-independent, which makes similarity thresholds
+  * and top-k ranks deterministic across engines and across shuffle
+  * orders — a property float sums cannot give at 100 TB.
+  */
+object VectorFunctions {
+
+  /** float components -> integer micro-units (round(x * 1e6)) */
+  def quantizeMicro(v: Column): Column =
+    transform(v, x => round(x.cast("double") * lit(1000000)).cast("long"))
+
+  /** exact integer dot product of two quantized vectors */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** exact integer squared L2 norm of a quantized vector */
+  def norm2Q(a: Column): Column = dotQ(a, a)
+
+  /** cosine from exact integer dot + squared norms. The float division
+    * and sqrt are IEEE-deterministic given exact integer inputs, so
+    * the same expression evaluates bit-identically everywhere.
+    */
+  def cosineQ(dot: Column, na2: Column, nb2: Column): Column =
+    dot.cast("double") / sqrt(na2.cast("double") * nb2.cast("double"))
+}

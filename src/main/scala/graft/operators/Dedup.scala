@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Training-data deduplication over the `documents` corpus: exact
+  * (hash groups), MinHash+LSH candidates, n-gram Jaccard verification,
+  * SimHash near-dups, and embedding-cosine near-dups.
+  *
+  * Scale posture: nothing here is O(n²) over the corpus. Every
+  * all-pairs step is bucketed first — LSH band signatures for MinHash,
+  * 16-bit simhash blocks (pigeonhole: hamming<=3 ⇒ one of 4 blocks
+  * equal), label buckets for embeddings — so pair generation is a
+  * shuffle join on the bucket key and the quadratic blowup is confined
+  * to within-bucket groups. That is the only shape that survives a
+  * 100 TB corpus.
+  *
+  * Hashing discipline: all hashes are md5-hex over explicit strings
+  * (graft.functions.PortableHash), so signatures are engine-portable.
+  */
+object Dedup {
+
+  /** normalization every text operator shares: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private def docsNorm(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+
+  /** word 3-gram shingles per document (0-based transform over the
+    * token array — array work stays inside codegen, no explode until
+    * the shingle stream itself is needed).
+    */
+  private[operators] def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+    docsNorm(spark, dir)
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= n,
+            expr(
+              s"transform(sequence(0, size(toks) - $n), i -> " +
+                (0 until n).map(o => s"toks[i + $o]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+            )
+          ).otherwise(array())
+        ).as("shingle")
+      )
+
+  // -------------------------------------------------------------------
+  // 21. dedup_exact — hash groups over normalized text. One shuffle on
+  // the 128-bit content hash; group sizes and canonical representative
+  // fall out of the same agg.
+  // -------------------------------------------------------------------
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docsNorm(spark, dir)
+      .groupBy(md5(col("norm")).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+
+  // -------------------------------------------------------------------
+  // 22. dedup_exact_keep_first — canonical-representative selection:
+  // every doc mapped to the min doc_id of its hash group.
+  // -------------------------------------------------------------------
+  def exactKeepFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    docsNorm(spark, dir)
+      .withColumn("text_hash", md5(col("norm")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(
+        col("doc_id"),
+        col("canonical_id"),
+        when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L).as("is_dup")
+      )
+  }
+
+  /** MinHash signatures: K seeded md5 min-hashes over the shingle set.
+    * Computed as K conditional-min aggregates in ONE groupBy pass —
+    * partial aggregation reduces each partition to one signature row
+    * per doc before the shuffle.
+    */
+  private val K = 12
+  private val Bands = 4 // 4 bands x 3 rows
+
+  private def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val mins = (0 until K).map(j => min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+    val rows = K / Bands
+    val bandStructs = (0 until Bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
+      )
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  // -------------------------------------------------------------------
+  // 23. dedup_minhash_lsh — LSH candidate pairs: docs sharing any band
+  // signature. The self-join shuffles on (band, sig) — bucket-local
+  // pairing, never a corpus cross join.
+  // -------------------------------------------------------------------
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = bandSignatures(spark, dir)
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // -------------------------------------------------------------------
+  // 24. dedup_ngram_jaccard — verify LSH candidates with exact word
+  // 3-gram Jaccard. Duplicate verdict uses pure integer arithmetic
+  // (10*|A∩B| >= 8*|A∪B| ⇔ J >= 0.8): no float boundary anywhere.
+  // -------------------------------------------------------------------
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val cand = minhashLsh(spark, dir)
+    val uniq = shingles(spark, dir).distinct()
+    val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(uniq.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(uniq.as("y"), col("y.doc_id") === col("doc_b") && col("y.shingle") === col("x.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter_n"),
+        (col("na") + col("nb") - col("inter_n")).as("union_n"),
+        when(col("inter_n") * 10 >= (col("na") + col("nb") - col("inter_n")) * 8, 1L)
+          .otherwise(0L)
+          .as("is_dup")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 25. dedup_simhash — 64-bit SimHash held as 4x16-bit blocks
+  // (h0..h3). Token weights are occurrence counts; per-bit sign sums
+  // come from md5 nibbles. Near-dup pairing joins on equal blocks
+  // (pigeonhole: hamming<=3 forces >=1 of 4 blocks equal), then
+  // filters on exact Hamming distance.
+  // -------------------------------------------------------------------
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsNorm(spark, dir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("h", substring(md5(col("tok")), 1, 16))
+    val bitSums = toks
+      .select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
+      .withColumn("v", expr("instr('0123456789abcdef', substring(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("bit", expr("shiftright(CAST(v AS INT), CAST(3 - b % 4 AS INT)) & 1"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("c") * (col("bit") * 2 - 1)).as("s"))
+    val blocks = bitSums
+      .groupBy(col("doc_id"), expr("b DIV 16").as("blk"))
+      .agg(
+        sum(when(col("s") > 0, expr("shiftleft(1, CAST(b % 16 AS INT))")).otherwise(0))
+          .cast("long")
+          .as("v")
+      )
+    val sig = blocks
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("blk") === 0, col("v"))).as("h0"),
+        max(when(col("blk") === 1, col("v"))).as("h1"),
+        max(when(col("blk") === 2, col("v"))).as("h2"),
+        max(when(col("blk") === 3, col("v"))).as("h3")
+      )
+    val cand = blocks
+      .as("a")
+      .join(
+        blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sig.toDF("doc_a", "xa0", "xa1", "xa2", "xa3"), Seq("doc_a"))
+      .join(sig.toDF("doc_b", "xb0", "xb1", "xb2", "xb3"), Seq("doc_b"))
+      .withColumn(
+        "hamming",
+        expr(
+          "CAST(bit_count(xa0 ^ xb0) + bit_count(xa1 ^ xb1) + " +
+            "bit_count(xa2 ^ xb2) + bit_count(xa3 ^ xb3) AS BIGINT)"
+        )
+      )
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // -------------------------------------------------------------------
+  // 26. dedup_embedding — cosine near-dup pairs, bucketed by label so
+  // pairing shuffles on the bucket key (at 100 TB the bucket would be
+  // an LSH/IVF cell — see Similarity.annLshBucketed — but the plan
+  // shape is identical). Dot products are exact integer micro-units;
+  // the cosine itself is IEEE-deterministic from those integers.
+  // -------------------------------------------------------------------
+  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val q = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        col("label").cast("long").as("label"),
+        quantizeMicro(col("embedding")).as("q")
+      )
+      .withColumn("n2", norm2Q(col("q")))
+    val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
+    q.as("a")
+      .join(q.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        cos.as("cos")
+      )
+      .filter(col("cos") >= threshold)
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        col("label"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+}

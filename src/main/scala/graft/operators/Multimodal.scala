@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Multimodal plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata alongside.
+  *
+  * The Spark-side machinery — schema, batch shape, partition-parallel
+  * decode, chunk planning for object-store multipart layout — is real
+  * and tested. The codec itself is a clearly-marked deterministic STUB
+  * (this container has no image/audio libraries): swap
+  * [[stubDecode]] for a real decoder without touching any plumbing.
+  */
+object Multimodal {
+
+  // -------------------------------------------------------------------
+  // 33. mm_binary_stats — the metadata pass every multimodal pipeline
+  // starts with: byte length, content hashes, and a fixed-size chunk
+  // plan (256-byte chunks here; multi-MB parts against an object store
+  // in production). Row-local, zero shuffle.
+  // -------------------------------------------------------------------
+  def binaryStats(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("octet_length(text)").cast("long").as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha256_hex"),
+        md5(col("text")).as("md5_hex"),
+        expr(s"(octet_length(text) + ${chunkBytes - 1}) DIV $chunkBytes").cast("long").as("n_chunks"),
+        sha2(substring(col("text"), 1, chunkBytes).cast("binary"), 256).as("first_chunk_sha")
+      )
+
+  /** Decoded-asset schema a real decoder would emit per payload. */
+  val decodedSchema: StructType = StructType(
+    Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("feature", ArrayType(FloatType), nullable = false)
+    )
+  )
+
+  /** STUB decoder — deterministic fake standing in for the image/audio
+    * codec this container lacks. Derives "dimensions" and a 4-float
+    * "feature" from the payload bytes so the plumbing (schema, batch
+    * shape, per-partition parallelism) is fully exercised and
+    * reproducible. Replace the body with e.g. a JNI/FFmpeg call; the
+    * mapPartitions contract stays identical.
+    */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val n = payload.length
+    val checksum = payload.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0x7fffffff)
+    val width = 16 + (checksum % 64).toInt
+    val height = 16 + ((checksum / 64) % 64).toInt
+    val frames = 1 + (n % 4)
+    val feature = Array(n.toFloat, width.toFloat, height.toFloat, (checksum % 1000).toFloat)
+    (width, height, frames, feature)
+  }
+
+  /** Partition-parallel decode over an opaque binary column: the
+    * mapPartitions shape a real decoder plugs into (one codec init per
+    * partition, streamed rows, no driver involvement).
+    */
+  def decodeAll(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+    payloads
+      .select(col("doc_id").cast("long"), col("payload").cast("binary"))
+      .mapPartitions { rows =>
+        // real impl: initialize the codec ONCE here, per partition
+        rows.map { r =>
+          val (w, h, f, feat) = stubDecode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getAs[Long]("doc_id"), w, h, f, feat.toSeq)
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+import graft.functions.PortableHash
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two tiers, same contract:
+  *   - brute-force exact top-k: the correctness baseline. The probe
+  *     set broadcasts (it is tiny by construction) and candidates
+  *     stream through map-side — no shuffle of the corpus at all;
+  *     the only wide step is the per-probe top-k, which AQE keeps to
+  *     one small exchange because only k rows per probe survive.
+  *   - random-hyperplane LSH: the 100 TB path. Vectors bucket by the
+  *     sign pattern of md5-derived integer hyperplanes; search touches
+  *     one bucket instead of the corpus. Plane weights are odd
+  *     integers so an exact integer dot can never sit on the plane.
+  */
+object Similarity {
+
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
+      .withColumn("n2", norm2Q(col("q")))
+
+  // -------------------------------------------------------------------
+  // 27. ann_topk_bruteforce — exact top-k cosine for a probe set.
+  // -------------------------------------------------------------------
+  def annTopkBruteForce(spark: SparkSession, dir: String, nProbes: Int = 5, k: Int = 10): DataFrame = {
+    val q = quantized(spark, dir)
+    val probes = q.filter(col("vec_id") < nProbes).toDF("probe_id", "pq", "pn2")
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 28. ann_lsh_bucketed — hyperplane-LSH bucketing + in-bucket exact
+  // top-k. 4 planes -> 16 buckets here; at scale the plane count grows
+  // with corpus size (buckets ~ corpus/expected-bucket-size) and the
+  // in-bucket search stays constant-cost.
+  // -------------------------------------------------------------------
+  def annLshBucketed(spark: SparkSession, dir: String, nPlanes: Int = 4, nProbes: Int = 5, k: Int = 10): DataFrame = {
+    val planes = PortableHash.planeWeights(nPlanes, 64)
+    val bucket = planes.zipWithIndex
+      .map { case (wts, p) =>
+        when(dotQ(col("q"), typedlit(wts)) > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+      .cast("long")
+
+    val q = quantized(spark, dir).withColumn("bucket", bucket)
+    val probes = q
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("bucket"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("bucket"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+}

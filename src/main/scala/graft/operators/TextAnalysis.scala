@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup.normText
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All row-local (embarrassingly parallel — no shuffle at all except
+  * where an aggregate is the point), all built from codegen'd
+  * built-ins (split/transform/filter/regexp), and all scores emitted
+  * as integers (counts or micro-ratios via integer division) so
+  * results are exact.
+  */
+object TextAnalysis {
+
+  private def docsToks(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(normText(col("text")), " ").as("toks"))
+
+  // -------------------------------------------------------------------
+  // 29. text_tokens — whitespace tokens, alpha-run "BPE-ish" tokens,
+  // unique-token counts.
+  // -------------------------------------------------------------------
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    docsToks(spark, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))").cast("long").as("n_alpha_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens")
+    )
+
+  private val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  // -------------------------------------------------------------------
+  // 30. text_quality — length/stopword/punctuation sub-scores and an
+  // integer quality verdict (n_chars>=100 and stopword ratio >= 5%).
+  // -------------------------------------------------------------------
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long").as("n_stopwords"),
+        expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("long").as("n_punct")
+      )
+      .withColumn("stop_ratio_micro", expr("n_stopwords * 1000000 DIV n_tokens"))
+      .withColumn(
+        "is_quality",
+        when(col("n_chars_raw") >= 100 && col("n_stopwords") * 20 >= col("n_tokens"), 1L).otherwise(0L)
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 31. text_langid — stopword-marker language ID. Scores count marker
+  // hits per language; the argmax is a fixed-priority CASE so ties are
+  // deterministic.
+  // -------------------------------------------------------------------
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "is"),
+    "es" -> Seq("el", "la", "los", "es"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "des", "et")
+  )
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(docsToks(spark, dir)) { case (df, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"s_$lang", size(filter(col("toks"), t => array_contains(arr, t))).cast("long"))
+    }
+    scored
+      .withColumn(
+        "pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr")
+      )
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"), col("pred_lang"))
+  }
+
+  // -------------------------------------------------------------------
+  // 32. text_fingerprint — rolling-window fingerprint: md5 over each
+  // 4-token window, keep the minimum (winnowing-style stable id that
+  // survives small edits elsewhere in the doc).
+  // -------------------------------------------------------------------
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= 4,
+            expr(
+              "transform(sequence(0, size(toks) - 4), i -> " +
+                "md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3])))"
+            )
+          ).otherwise(array())
+        ).as("h")
+      )
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_windows"))
+}
