@@ -27,6 +27,7 @@ object SparkEntry {
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
+    "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     // -- relational analytics ------------------------------------------
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_topk_revenue"    -> ((s, d) => Relational.topkRevenue(s, d)),
@@ -382,6 +383,11 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "ts_ingest_stream" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "ts_gapfill_locf" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, epoch_us(ts) AS ts_us,

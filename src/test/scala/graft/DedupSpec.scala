@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("exact: group sizes sum to corpus size; canonical is in group") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val g = Dedup.exact(spark, sf)
+    assert(g.agg(sum("n_docs")).head.getLong(0) === docs)
+    assert(g.filter(col("n_docs") < 1).count() === 0)
+  }
+
+  test("keep-first: canonical_id <= doc_id, dups flagged consistently") {
+    val df = Dedup.exactKeepFirst(spark, sf)
+    assert(df.filter(col("canonical_id") > col("doc_id")).count() === 0)
+    assert(df.filter((col("doc_id") === col("canonical_id")) && col("is_dup") === 1).count() === 0)
+    assert(df.filter((col("doc_id") =!= col("canonical_id")) && col("is_dup") === 0).count() === 0)
+  }
+
+  test("minhash-lsh: pairs are ordered and unique") {
+    val df = Dedup.minhashLsh(spark, sf).cache()
+    try {
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() === 0)
+      assert(df.count() === df.distinct().count())
+    } finally df.unpersist()
+  }
+
+  test("minhash-lsh recall: exact duplicate texts are always candidates") {
+    // exact dup groups (same normalized text, >=3 tokens) must share all
+    // minhashes, hence all band signatures -> guaranteed candidate pair
+    val hashed = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+      .filter(size(split(col("norm"), " ")) >= 3)
+    val pairs = hashed
+      .as("a")
+      .join(hashed.as("b"), col("a.norm") === col("b.norm") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = Dedup.minhashLsh(spark, sf)
+    val missed = pairs.join(cand, Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(missed === 0, s"$missed exact-dup pairs missed by LSH")
+  }
+
+  test("jaccard: intersection <= union, verdict matches ratio") {
+    val df = Dedup.ngramJaccard(spark, sf).cache()
+    try {
+      assert(df.filter(col("inter_n") > col("union_n")).count() === 0)
+      assert(df.filter((col("inter_n") * 10 >= col("union_n") * 8) =!= (col("is_dup") === 1)).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("simhash: hamming distance within declared radius and symmetric-free") {
+    val df = Dedup.simhash(spark, sf).cache()
+    try {
+      assert(df.filter(col("hamming") > 3 || col("hamming") < 0).count() === 0)
+      assert(df.filter(col("doc_a") >= col("doc_b")).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("embedding near-dup: cosine above threshold, same-label only") {
+    val df = Dedup.embeddingNearDup(spark, sf, threshold = 0.4)
+    assert(df.filter(col("cos_micro") < 400000).count() === 0)
+    assert(df.filter(col("vec_a") >= col("vec_b")).count() === 0)
+  }
+}

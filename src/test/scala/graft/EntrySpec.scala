@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: every inventory query runs, returns
+  * rows, and (where SQL-expressible) has an oracle with matching intent.
+  */
+class EntrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query key has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("every oracle key has a query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  // one pass over the whole inventory: runs + rows>0 + no null-typed cols
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs with rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.functions.PortableHash
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("brute force: dense ranks 1..k per probe, cosine in [-1,1]") {
+    val df = Similarity.annTopkBruteForce(spark, sf).cache()
+    try {
+      val perProbe = df.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+      assert(perProbe.filter(col("n") =!= 10 || col("mx") =!= 10 || col("mn") =!= 1).count() === 0)
+      assert(df.filter(abs(col("cos_micro")) > 1000000).count() === 0)
+      assert(df.filter(col("probe_id") === col("neighbor_id")).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("brute force ranks descend with cosine") {
+    val df = Similarity.annTopkBruteForce(spark, sf)
+    val rows = df.orderBy("probe_id", "rnk").collect().groupBy(_.getAs[Long]("probe_id"))
+    rows.values.foreach { rs =>
+      val cos = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("cos_micro"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "cosine not non-increasing with rank")
+    }
+  }
+
+  test("lsh: in-bucket top-k is a subset of brute-force scores (same cosine)") {
+    val bf = Similarity
+      .annTopkBruteForce(spark, sf, k = Int.MaxValue - 1)
+    val lsh = Similarity.annLshBucketed(spark, sf)
+    // every LSH result's cosine must equal the brute-force cosine for that pair
+    val joined = lsh
+      .join(bf.select(col("probe_id"), col("neighbor_id"), col("cos_micro").as("bf_cos")), Seq("probe_id", "neighbor_id"), "left")
+    assert(joined.filter(col("bf_cos").isNull || col("bf_cos") =!= col("cos_micro")).count() === 0)
+  }
+
+  test("plane weights are odd, nonzero, engine-reproducible") {
+    val planes = PortableHash.planeWeights(4, 64)
+    assert(planes.size === 4 && planes.forall(_.size === 64))
+    assert(planes.flatten.forall(w => w % 2 != 0 && w >= -15 && w <= 15))
+    // first weight pinned: md5("plane:0:1") first nibble — regression guard
+    val expect = 2L * java.lang.Integer.parseInt(PortableHash.md5Hex("plane:0:1").substring(0, 1), 16) - 15L
+    assert(planes.head.head === expect)
+  }
+
+  test("md5Hex matches a known vector") {
+    assert(PortableHash.md5Hex("abc") === "900150983cd24fb0d6963f7d28e17f72")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("tokens: unique <= normalized token count, counts non-negative") {
+    val df = TextAnalysis.tokens(spark, sf)
+    assert(df.filter(col("n_ws_tokens") < 0 || col("n_alpha_tokens") < 0 || col("n_unique_tokens") < 0).count() === 0)
+    assert(df.filter(col("n_unique_tokens") > col("n_alpha_tokens") + 1).count() === 0)
+  }
+
+  test("quality: ratios bounded, verdict consistent with inputs") {
+    val df = TextAnalysis.quality(spark, sf).cache()
+    try {
+      assert(df.filter(col("n_stopwords") > col("n_tokens")).count() === 0)
+      assert(df.filter(col("stop_ratio_micro") > 1000000).count() === 0)
+      val bad = df.filter(
+        (col("is_quality") === 1) =!=
+          (col("n_chars_raw") >= 100 && col("n_stopwords") * 20 >= col("n_tokens"))
+      )
+      assert(bad.count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("langid: prediction is one of the supported languages and argmax-consistent") {
+    val df = TextAnalysis.langId(spark, sf).cache()
+    try {
+      assert(df.filter(!col("pred_lang").isin("en", "es", "de", "fr")).count() === 0)
+      val mx = greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+      val score = when(col("pred_lang") === "en", col("s_en"))
+        .when(col("pred_lang") === "es", col("s_es"))
+        .when(col("pred_lang") === "de", col("s_de"))
+        .otherwise(col("s_fr"))
+      assert(df.filter(score =!= mx).count() === 0, "prediction is not an argmax")
+    } finally df.unpersist()
+  }
+
+  test("fingerprint: stable across runs, 32-hex, n_windows = tokens-3") {
+    val a = TextAnalysis.fingerprint(spark, sf)
+    val b = TextAnalysis.fingerprint(spark, sf)
+    assert(a.exceptAll(b).count() === 0)
+    assert(a.filter(length(col("fingerprint")) =!= 32).count() === 0)
+  }
+
+  test("multimodal decode stub: deterministic, schema-true, partition-parallel") {
+    import spark.implicits._
+    val payloads = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(4)
+    val out = Multimodal.decodeAll(spark, payloads).cache()
+    try {
+      // nullability may widen through the Row encoder; names+types must hold
+      assert(
+        out.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+          Multimodal.decodedSchema.fields.map(f => (f.name, f.dataType)).toSeq
+      )
+      assert(out.count() === payloads.count())
+      assert(out.filter(col("width") < 16 || col("height") < 16 || col("n_frames") < 1).count() === 0)
+      // determinism: same payload -> same decode
+      val again = Multimodal.decodeAll(spark, payloads)
+      assert(out.exceptAll(again).count() === 0)
+    } finally out.unpersist()
+  }
+}

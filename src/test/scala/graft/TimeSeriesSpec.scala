@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TimeSeries
+
+/** Reference-semantics checks mirroring timebox's own test coverage
+  * (tests/test_timebox.py, utils/tests): delta roundtrip losslessness,
+  * unit-ladder divisibility, grid occupancy bounds, as-of ordering.
+  */
+class TimeSeriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("delta encode: first delta per series is 0, all deltas >= 0 (sorted order)") {
+    val df = TimeSeries.deltaEncode(spark, sf)
+    assert(df.filter(col("seq") === 0 && col("delta_us") =!= 0).count() === 0)
+    assert(df.filter(col("delta_us") < 0).count() === 0, "unsorted deltas — reference rejects these")
+  }
+
+  test("delta decode roundtrip is lossless for every series") {
+    val bad = TimeSeries.deltaDecode(spark, sf).filter(col("n_mismatch") =!= 0).count()
+    assert(bad === 0)
+  }
+
+  test("unit compress: unit is from the ns->D ladder and divides max delta") {
+    val ladder = Seq(1L, 1000L, 1000000L, 60000000L, 3600000000L, 86400000000L)
+    val df = TimeSeries.unitCompress(spark, sf)
+    assert(df.filter(!col("unit_us").isin(ladder: _*)).count() === 0)
+    assert(df.filter(col("max_delta_us") % col("unit_us") =!= 0).count() === 0)
+    assert(df.filter(col("max_scaled_delta") * col("unit_us") =!= col("max_delta_us")).count() === 0)
+  }
+
+  test("regular grid: filled slots never exceed total slots or events") {
+    val df = TimeSeries.regularGrid(spark, sf)
+    assert(df.filter(col("n_filled_slots") > col("n_slots")).count() === 0)
+    assert(df.filter(col("n_filled_slots") > col("n_events")).count() === 0)
+  }
+
+  test("ohlc: low <= open/close <= high") {
+    val df = TimeSeries.ohlcDaily(spark, sf)
+    val bad = df.filter(
+      col("low_c") > col("open_c") || col("low_c") > col("close_c") ||
+        col("high_c") < col("open_c") || col("high_c") < col("close_c")
+    )
+    assert(bad.count() === 0)
+  }
+
+  test("sessionize: session gaps respected (duration implies >=1 event)") {
+    val df = TimeSeries.sessionize(spark, sf)
+    assert(df.filter(col("n_events") < 1 || col("duration_us") < 0).count() === 0)
+    // session_seq starts at 1 per user
+    assert(df.groupBy("user_id").agg(min("session_seq").as("m")).filter(col("m") =!= 1).count() === 0)
+  }
+
+  test("asof join: matched click is at or before the purchase") {
+    val df = TimeSeries.asofJoin(spark, sf)
+    assert(df.filter(col("click_ts_us") =!= -1 && col("click_ts_us") > col("ts_us")).count() === 0)
+  }
+
+  test("gapfill: grid is dense per user and LOCF leaves no nulls") {
+    val df = TimeSeries.gapfillLocf(spark, sf).cache()
+    try {
+      val span = df
+        .groupBy("user_id")
+        .agg(min("hour_id").as("h0"), max("hour_id").as("h1"), count(lit(1)).as("n"))
+      assert(span.filter(col("n") =!= col("h1") - col("h0") + 1).count() === 0, "holes in grid")
+      assert(df.filter(col("value_c").isNull).count() === 0)
+      // every observed row's value is carried from a real observation
+      assert(df.filter(col("is_observed") === 1 && col("value_c") === -1).count() === 0)
+    } finally df.unpersist()
+  }
+}
