@@ -13,6 +13,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT/codegen machinery, parquet footers, shuffle
+    // service init — one-time JVM costs that would otherwise be charged
+    // to whichever query happens to run first.
+    SparkEntry.entry(spark).count()
+    Seq("events", "documents", "embeddings", "lineitem", "orders", "customer").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,83 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.GraftShims
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expression: exact integer dot product of two
+  * `array<bigint>` vectors.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * is semantically identical but is a `CodegenFallback` in Spark —
+  * every row pays interpreted-lambda and boxing costs, and it breaks
+  * the surrounding WholeStageCodegen span. This expression generates a
+  * tight primitive `long` loop inline in the stage, which is the
+  * difference between "works" and "fast" when similarity search
+  * evaluates millions of candidate pairs per executor at 100 TB.
+  *
+  * Mirrors the reference's integer-domain trick (fixed-point encode
+  * first, then exact integer arithmetic — numpy_utils.py:266-275).
+  */
+case class LongDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> inputs, got ${left.dataType.sql} and ${right.dataType.sql}"
+    )
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (x, y) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $x.getLong($i) * $y.getLong($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongDotProduct {
+  /** Column-API entry point. */
+  def apply(a: Column, b: Column): Column =
+    GraftShims.column(
+      LongDotProduct(GraftShims.expression(a), GraftShims.expression(b))
+    )
+}

@@ -20,9 +20,13 @@ object VectorFunctions {
   def quantizeMicro(v: Column): Column =
     transform(v, x => round(x.cast("double") * lit(1000000)).cast("long"))
 
-  /** exact integer dot product of two quantized vectors */
+  /** exact integer dot product of two quantized vectors — a native
+    * codegen'd Catalyst expression ([[graft.expressions.LongDotProduct]]);
+    * the equivalent `aggregate(zip_with(...))` is a CodegenFallback and
+    * ~4x slower on pair-heavy similarity plans.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.expressions.LongDotProduct(a, b)
 
   /** exact integer squared L2 norm of a quantized vector */
   def norm2Q(a: Column): Column = dotQ(a, a)

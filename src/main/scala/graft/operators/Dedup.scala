@@ -38,7 +38,7 @@ object Dedup {
     * token array — array work stays inside codegen, no explode until
     * the shingle stream itself is needed).
     */
-  private[operators] def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
+  private[graft] def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
     docsNorm(spark, dir)
       .select(col("doc_id"), split(col("norm"), " ").as("toks"))
       .select(
@@ -88,8 +88,14 @@ object Dedup {
   private val K = 12
   private val Bands = 4 // 4 bands x 3 rows
 
-  private def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+  /** distinct (doc, shingle) — the set both the MinHash signatures and
+    * the Jaccard verification are defined over (min over a multiset ==
+    * min over its set, so signatures are unaffected).
+    */
+  private def uniqShingles(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir).distinct()
+
+  private def bandSignaturesFrom(uniq: DataFrame): DataFrame = {
     val mins = (0 until K).map(j => min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
     val rows = K / Bands
     val bandStructs = (0 until Bands).map { b =>
@@ -98,19 +104,15 @@ object Dedup {
         md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
       )
     }
-    sh.groupBy(col("doc_id"))
+    uniq
+      .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  // -------------------------------------------------------------------
-  // 23. dedup_minhash_lsh — LSH candidate pairs: docs sharing any band
-  // signature. The self-join shuffles on (band, sig) — bucket-local
-  // pairing, never a corpus cross join.
-  // -------------------------------------------------------------------
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandSignatures(spark, dir)
+  private def lshPairsFrom(uniq: DataFrame): DataFrame = {
+    val bands = bandSignaturesFrom(uniq)
     bands
       .as("a")
       .join(
@@ -123,13 +125,28 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23. dedup_minhash_lsh — LSH candidate pairs: docs sharing any band
+  // signature. The self-join shuffles on (band, sig) — bucket-local
+  // pairing, never a corpus cross join.
+  // -------------------------------------------------------------------
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    lshPairsFrom(uniqShingles(spark, dir))
+
+  // -------------------------------------------------------------------
   // 24. dedup_ngram_jaccard — verify LSH candidates with exact word
   // 3-gram Jaccard. Duplicate verdict uses pure integer arithmetic
   // (10*|A∩B| >= 8*|A∪B| ⇔ J >= 0.8): no float boundary anywhere.
   // -------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val cand = minhashLsh(spark, dir)
-    val uniq = shingles(spark, dir).distinct()
+    // The shingle set feeds three consumers (signatures, intersection,
+    // per-doc counts) — materialize it once instead of recomputing the
+    // tokenize+md5 pipeline per consumer. Materialization is EAGER:
+    // lazy persist lets the consumers race partition computation inside
+    // one job and nobody hits the cache. At cluster scale this is the
+    // standard "materialize the shingle table" step of a dedup pass.
+    val uniq = uniqShingles(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshPairsFrom(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count() // one eager job fills BOTH caches for the three consumers below
     val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(uniq.as("x"), col("x.doc_id") === col("doc_a"))
@@ -165,27 +182,40 @@ object Dedup {
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .withColumn("h", substring(md5(col("tok")), 1, 16))
-    val bitSums = toks
-      .select(col("doc_id"), col("c"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("v", expr("instr('0123456789abcdef', substring(h, CAST(b DIV 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("bit", expr("shiftright(CAST(v AS INT), CAST(3 - b % 4 AS INT)) & 1"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("c") * (col("bit") * 2 - 1)).as("s"))
-    val blocks = bitSums
-      .groupBy(col("doc_id"), expr("b DIV 16").as("blk"))
-      .agg(
-        sum(when(col("s") > 0, expr("shiftleft(1, CAST(b % 16 AS INT))")).otherwise(0))
-          .cast("long")
-          .as("v")
-      )
-    val sig = blocks
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("blk") === 0, col("v"))).as("h0"),
-        max(when(col("blk") === 1, col("v"))).as("h1"),
-        max(when(col("blk") === 2, col("v"))).as("h2"),
-        max(when(col("blk") === 3, col("v"))).as("h3")
-      )
+    // All 64 weighted bit-sums in ONE aggregation pass over token rows —
+    // no per-bit explode (64x row blowup) and no per-bit shuffle; each
+    // bit is a conditional-sum column, fully partial-aggregable.
+    val bitSumCols = (0 until 64).map { b =>
+      val nibblePos = b / 4 + 1 // 1-based hex digit holding this bit
+      val shift = 3 - b % 4
+      sum(
+        col("c") * (expr(
+          s"shiftright(instr('0123456789abcdef', substring(h, $nibblePos, 1)) - 1, $shift) & 1"
+        ) * 2 - 1)
+      ).as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSumCols.head, bitSumCols.tail: _*)
+    // 4x16-bit signature blocks from the bit signs — pure projection
+    val blockCols = (0 until 4).map { blk =>
+      (0 until 16)
+        .map(j => when(col(s"s${blk * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+        .cast("long")
+        .as(s"h$blk")
+    }
+    // sig feeds pair generation (twice) and hamming scoring (twice);
+    // it is n_docs x 5 narrow columns — materialize instead of
+    // recomputing the token-hash aggregation per consumer.
+    val sig = sums
+      .select(col("doc_id") +: blockCols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count() // eager: see ngramJaccard — lazy persist races its consumers
+    val blocks = sig.select(
+      col("doc_id"),
+      explode(
+        array((0 until 4).map(blk => struct(lit(blk).as("blk"), col(s"h$blk").as("v"))): _*)
+      ).as("bv")
+    ).select(col("doc_id"), col("bv.blk").as("blk"), col("bv.v").as("v"))
     val cand = blocks
       .as("a")
       .join(

@@ -301,26 +301,33 @@ object TimeSeries {
         col("event_id"),
         cents(col("value")).as("value_c")
       )
-    // last observation within each hour, deterministic by (ts, event_id)
-    val lastInHour = Window
-      .partitionBy(col("user_id"), col("hour_id"))
-      .orderBy(col("ts_us").desc, col("event_id").desc)
+    // last observation within each hour — max_by over the deterministic
+    // (ts, event_id) order: a hash aggregate with map-side combine, not
+    // a window sort over the full event stream.
     val hourly = ev
-      .withColumn("rn", row_number().over(lastInHour))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("hour_id"), col("value_c"))
-    val grid = ev
-      .groupBy(col("user_id"))
-      .agg(min(col("hour_id")).as("h0"), max(col("hour_id")).as("h1"))
-      .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("hour_id"))
-    val locf = Window
-      .partitionBy("user_id")
-      .orderBy("hour_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid
-      .join(hourly, Seq("user_id", "hour_id"), "left")
-      .withColumn("is_observed", when(col("value_c").isNotNull, 1L).otherwise(0L))
-      .withColumn("value_c", coalesce(last(col("value_c"), ignoreNulls = true).over(locf), lit(-1L)))
-      .select(col("user_id"), col("hour_id"), col("value_c"), col("is_observed"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(max_by(col("value_c"), struct(col("ts_us"), col("event_id"))).as("value_c"))
+    // LOCF as span-explode: each observed hour is valid until the next
+    // observed hour. The window (lead) runs over OBSERVED hours only;
+    // dense grid rows are generated directly from the spans. The grid
+    // spans [min observed, max observed] hour, so every grid row falls
+    // inside exactly one span — no join against the dense grid, no
+    // window over the exploded rows. At 100 TB the shuffled/sorted
+    // volume is the observation count, never the (much larger) grid.
+    val w = Window.partitionBy("user_id").orderBy("hour_id")
+    hourly
+      .withColumn("next_h", lead(col("hour_id"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("hour_id").as("obs_hour"),
+        col("value_c"),
+        explode(sequence(col("hour_id"), coalesce(col("next_h") - 1, col("hour_id")))).as("hour_id")
+      )
+      .select(
+        col("user_id"),
+        col("hour_id"),
+        col("value_c"),
+        when(col("hour_id") === col("obs_hour"), 1L).otherwise(0L).as("is_observed")
+      )
   }
 }
