@@ -28,6 +28,7 @@ object SparkEntry {
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
+    "ts_store_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
     // -- relational analytics ------------------------------------------
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_topk_revenue"    -> ((s, d) => Relational.topkRevenue(s, d)),
@@ -383,6 +384,12 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "ts_store_roundtrip" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        |FROM events GROUP BY user_id""".stripMargin,
     "ts_ingest_stream" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
         |  COUNT(*) AS n,
