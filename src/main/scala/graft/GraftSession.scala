@@ -14,6 +14,7 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

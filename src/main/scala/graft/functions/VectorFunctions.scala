@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from
-  * codegen-friendly higher-order functions (zip_with/aggregate) — no
-  * UDFs, so the whole pipeline stays inside whole-stage codegen.
+/** Vector math over `array<float>` embedding columns — quantization
+  * via built-in `transform`, dot products via the codegen'd native
+  * expression [[graft.expressions.LongDotProduct]]; no UDFs, so the
+  * whole pipeline stays inside whole-stage codegen.
   *
   * Everything works on *quantized* vectors: components are scaled to
   * integer micro-units first (the same fixed-point trick the reference

@@ -10,7 +10,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val name = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val reps = if (args.length > 2) scala.util.Try(args(2).toInt).getOrElse(3) else 3
     val spark = GraftSession.get()
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -49,6 +49,13 @@ object Profile {
         .agg(count(lit(1)).as("inter_n"))
       time("inter.count")(inter.count())
       time("full op cold-ish")(graft.operators.Dedup.ngramJaccard(spark, sfDir).count())
+      spark.stop(); return
+    }
+    if (name == "_explain") {
+      args.drop(2).foreach { q =>
+        println(s"\n========== $q ==========")
+        SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      }
       spark.stop(); return
     }
     val fn = SparkEntry.queries(name)
