@@ -19,6 +19,8 @@ object SparkEntry {
     "ts_unit_compress"   -> ((s, d) => TimeSeries.unitCompress(s, d)),
     "ts_downcast_plan"   -> ((s, d) => Compression.downcastPlan(s, d)),
     "ts_compress_minref" -> ((s, d) => Compression.minRefCompress(s, d)),
+    "ts_value_delta"     -> ((s, d) => Compression.valueDelta(s, d)),
+    "ts_float_downcast"  -> ((s, d) => Compression.floatDowncast(s, d)),
     "ts_round_fixed"     -> ((s, d) => Compression.roundFixed(s, d)),
     "ts_regular_grid"    -> ((s, d) => TimeSeries.regularGrid(s, d)),
     "ts_resample_1h"     -> ((s, d) => TimeSeries.resampleHourly(s, d)),
@@ -343,6 +345,38 @@ object SparkEntry {
         |)
         |SELECT user_id, min_c, max_c - min_c AS max_offset_c,
         |       sum_c - n * min_c AS sum_offset_c, n
+        |FROM a""".stripMargin,
+    "ts_value_delta" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events
+        |), d AS (
+        |  SELECT user_id, ts_us, event_id, value_c,
+        |         value_c - lag(value_c) OVER w AS dv
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), l AS (
+        |  SELECT user_id, value_c AS last_c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), a AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    MIN(CASE WHEN dv IS NULL THEN value_c END) AS first_c,
+        |    MIN(dv) AS min_dv, MAX(dv) AS max_dv,
+        |    CAST(SUM(COALESCE(dv, 0)) AS BIGINT) AS sum_dv
+        |  FROM d GROUP BY user_id
+        |)
+        |SELECT a.user_id, a.n, a.first_c, l.last_c, a.min_dv, a.max_dv, a.sum_dv,
+        |  CAST(CASE WHEN a.first_c + a.sum_dv = l.last_c THEN 1 ELSE 0 END AS BIGINT) AS recon_ok
+        |FROM a JOIN l ON l.user_id = a.user_id""".stripMargin,
+    "ts_float_downcast" ->
+      """WITH a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN CAST(CAST(value AS REAL) AS DOUBLE) = value THEN 1 ELSE 0 END) AS BIGINT) AS n_f32_ok
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n, n_f32_ok,
+        |  CAST(CASE WHEN n_f32_ok = n THEN 4 ELSE 8 END AS BIGINT) AS float_bytes
         |FROM a""".stripMargin,
     "ts_round_fixed" ->
       """SELECT event_type, COUNT(*) AS n,

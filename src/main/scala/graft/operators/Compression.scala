@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.FixedPoint._
 import graft.operators.TimeSeries.eventsUs
@@ -92,4 +93,112 @@ object Compression {
         sum(when(roundtrip2 === enc2, 1L).otherwise(0L)).as("n_roundtrip_ok")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 6b. ts_value_delta — mode-'e' compression: store values as
+  // element-wise differences from the previous point per series
+  // (numpy_utils.py:187-241, compress_array mode 'e'). Emits the
+  // per-series diff-stream plan: first value (stored separately, like
+  // the reference's start date), the diff range for width planning,
+  // and a reconstruction check (first + sum(diffs) == last).
+  // -------------------------------------------------------------------
+  def valueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("dv", col("value_c") - lag(col("value_c"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(when(col("dv").isNull, col("value_c"))).as("first_c"),
+        max_by(col("value_c"), struct(col("ts_us"), col("event_id"))).as("last_c"),
+        min(col("dv")).as("min_dv"),
+        max(col("dv")).as("max_dv"),
+        sum(coalesce(col("dv"), lit(0L))).as("sum_dv")
+      )
+      .withColumn(
+        "recon_ok",
+        when(col("first_c") + col("sum_dv") === col("last_c"), 1L).otherwise(0L)
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 5b. ts_float_downcast — lossless float width planning
+  // (numpy_utils.py:103-184 compress_float_array): a tag can store as
+  // f32 iff every value survives the f64->f32->f64 roundtrip (IEEE
+  // round-to-nearest in both engines). The f16 leg of the reference's
+  // ladder is in FloatWidth.fitsF16 (JDK 17 has no float16 cast, and
+  // SQL oracles none), spec-verified against reference semantics.
+  // -------------------------------------------------------------------
+  def floatDowncast(spark: SparkSession, dir: String): DataFrame = {
+    val losslessF32 = col("value").cast("float").cast("double") === col("value")
+    eventsUs(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(losslessF32, 1L).otherwise(0L)).as("n_f32_ok")
+      )
+      .withColumn("float_bytes", when(col("n_f32_ok") === col("n"), 4L).otherwise(8L))
+  }
+}
+
+/** The reference's f64->f32->f16 ladder needs a float16 leg; JDK 17
+  * has no Float.floatToFloat16, so this is the IEEE 754 binary16
+  * conversion (round-to-nearest-even), matching numpy's astype
+  * semantics used by the reference (numpy_utils.py:103-184).
+  */
+object FloatWidth {
+
+  /** IEEE binary16 bits for a float (round-to-nearest-even). */
+  def floatToFloat16Bits(f: Float): Int = {
+    val bits = java.lang.Float.floatToIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val exp = (bits >>> 23) & 0xff
+    val mant = bits & 0x7fffff
+    if (exp == 0xff) return sign | 0x7c00 | (if (mant != 0) 0x200 | (mant >>> 13) else 0) // inf/nan
+    // re-bias 127 -> 15
+    val e16 = exp - 127 + 15
+    if (e16 >= 0x1f) return sign | 0x7c00 // overflow -> inf
+    if (e16 <= 0) {
+      // subnormal half (or zero): shift mantissa with the implicit bit
+      if (e16 < -10) return sign // underflows to zero
+      val m = (mant | 0x800000) >>> (1 - e16)
+      // round to nearest even on bit 13
+      val rounded = (m >>> 13) + (if ((m & 0x1fff) > 0x1000 || ((m & 0x3fff) == 0x3000)) 1 else 0)
+      return sign | rounded
+    }
+    val half = sign | (e16 << 10) | (mant >>> 13)
+    val rem = mant & 0x1fff
+    if (rem > 0x1000 || (rem == 0x1000 && (half & 1) == 1)) half + 1 else half
+  }
+
+  /** inverse: binary16 bits -> float */
+  def float16BitsToFloat(h: Int): Float = {
+    val sign = (h & 0x8000) << 16
+    val exp = (h >>> 10) & 0x1f
+    val mant = h & 0x3ff
+    val bits =
+      if (exp == 0) {
+        if (mant == 0) sign
+        else {
+          // subnormal half: normalize
+          var e = -1
+          var m = mant
+          while ((m & 0x400) == 0) { m <<= 1; e += 1 }
+          sign | ((127 - 15 - e) << 23) | ((m & 0x3ff) << 13)
+        }
+      } else if (exp == 0x1f) sign | 0x7f800000 | (mant << 13)
+      else sign | ((exp - 15 + 127) << 23) | (mant << 13)
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
+  /** true iff the double survives the full f64->f16->f64 roundtrip */
+  def fitsF16(x: Double): Boolean = {
+    val f = x.toFloat
+    f.toDouble == x && float16BitsToFloat(floatToFloat16Bits(f)).toDouble == x
+  }
+
+  /** the reference's ladder: smallest lossless float width in bytes */
+  def planFloatBytes(x: Double): Int =
+    if (fitsF16(x)) 2 else if (x.toFloat.toDouble == x) 4 else 8
 }

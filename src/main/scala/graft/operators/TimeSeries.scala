@@ -69,6 +69,23 @@ object TimeSeries {
       )
   }
 
+  /** Sorted-order enforcement (timebox.py:363-376 raises on negative
+    * date differentials): validates that a sequenced input is
+    * time-ordered within every series, rejecting the frame otherwise.
+    * One window pass; the count comes back to the driver, never rows.
+    */
+  def requireSorted(df: DataFrame, seriesCol: String, seqCol: String, tsCol: String): Unit = {
+    val w = Window.partitionBy(seriesCol).orderBy(seqCol)
+    val bad = df
+      .withColumn("__delta", col(tsCol) - lag(col(tsCol), 1).over(w))
+      .filter(col("__delta") < 0)
+      .count()
+    if (bad > 0)
+      throw new IllegalArgumentException(
+        s"$bad out-of-order points in $tsCol: dates must be sorted within each $seriesCol"
+      )
+  }
+
   // -------------------------------------------------------------------
   // 2. ts_delta_encode — start + per-point differentials per series
   // (timebox.py:363-376 _calculate_date_differentials). First point's

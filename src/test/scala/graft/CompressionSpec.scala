@@ -64,6 +64,39 @@ class CompressionSpec extends AnyFunSuite {
     }
   }
 
+  test("float16 ladder matches IEEE binary16 semantics (reference's f64->f32->f16 plan)") {
+    import graft.operators.FloatWidth._
+    // exactly representable in half precision
+    assert(planFloatBytes(0.0) === 2)
+    assert(planFloatBytes(1.0) === 2)
+    assert(planFloatBytes(-2.5) === 2)
+    assert(planFloatBytes(65504.0) === 2)          // max finite half
+    assert(planFloatBytes(1.0 + math.pow(2, -10)) === 2) // last mantissa bit of f16
+    assert(planFloatBytes(math.pow(2, -24)) === 2) // min subnormal half
+    // needs single precision
+    assert(planFloatBytes(1.0 + math.pow(2, -11)) === 4) // 11 mantissa bits
+    assert(planFloatBytes(65520.0) === 4)          // rounds to +inf in f16
+    assert(planFloatBytes(math.pow(2, -25)) === 4) // underflows f16
+    assert(planFloatBytes(math.pow(2, 60)) === 4)  // overflows f16, exact in f32
+    // needs double precision
+    assert(planFloatBytes(1.0 / 3.0) === 8)
+    assert(planFloatBytes(0.1) === 8)
+    // the f16 roundtrip is the identity on all 2^16 bit patterns that
+    // decode to finite values (total-function check, not samples)
+    (0 until 0x10000).foreach { h =>
+      val f = float16BitsToFloat(h)
+      if (!f.isNaN && !f.isInfinite) {
+        assert(floatToFloat16Bits(f) === h, s"f16 bits 0x${h.toHexString} did not roundtrip")
+      }
+    }
+  }
+
+  test("valueDelta: reconstruction identity holds for every series") {
+    val df = Compression.valueDelta(spark, sf)
+    assert(df.filter(col("recon_ok") =!= 1).count() === 0)
+    assert(df.filter(col("first_c").isNull || col("last_c").isNull).count() === 0)
+  }
+
   test("fixed() column matches scala rint on sample data") {
     import spark.implicits._
     val xs = Seq(1.005, -2.5, 3.345, 0.0, 99.994)

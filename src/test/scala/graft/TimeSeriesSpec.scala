@@ -17,6 +17,15 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(df.filter(col("delta_us") < 0).count() === 0, "unsorted deltas — reference rejects these")
   }
 
+  test("requireSorted accepts ordered series and rejects unsorted input") {
+    import spark.implicits._
+    val ok = Seq((1L, 0L, 100L), (1L, 1L, 150L), (2L, 0L, 90L)).toDF("series", "seq", "ts")
+    TimeSeries.requireSorted(ok, "series", "seq", "ts") // must not throw
+    val bad = Seq((1L, 0L, 100L), (1L, 1L, 50L)).toDF("series", "seq", "ts")
+    val e = intercept[IllegalArgumentException](TimeSeries.requireSorted(bad, "series", "seq", "ts"))
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
   test("delta decode roundtrip is lossless for every series") {
     val bad = TimeSeries.deltaDecode(spark, sf).filter(col("n_mismatch") =!= 0).count()
     assert(bad === 0)
