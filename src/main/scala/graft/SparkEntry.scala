@@ -31,6 +31,7 @@ object SparkEntry {
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     "ts_store_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
+    "ts_store_multitag"  -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     // -- relational analytics ------------------------------------------
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
@@ -453,6 +454,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
         |FROM events GROUP BY user_id""".stripMargin,
+    "ts_store_multitag" ->
+      """SELECT l_suppkey, COUNT(*) AS n_points,
+        |  MIN(epoch_us(l_shipdate)) AS min_ship_us, MAX(epoch_us(l_shipdate)) AS max_ship_us,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_c
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
     // same gap semantics as the batch ts_sessionize (> gap opens a
     // new session), aggregated to the deterministic (user, start) set
     "ts_sessionize_stream" ->

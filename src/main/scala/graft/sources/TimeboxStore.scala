@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.FixedPoint._
@@ -16,11 +16,13 @@ import graft.operators.TimeSeries
   *   - per block, timestamps are start + unit-compressed deltas
   *     (timebox.py:363-376 date differentials;
   *     datetime_utils.py:118-142 unit ladder);
-  *   - values are fixed-point cents, offset from the block min
-  *     (mode-'m' compression, numpy_utils.py:187-241), with the
-  *     reference's width plan (binary.py:5-43) recorded per block;
+  *   - each TAG column (the reference supports any number of numeric
+  *     tags per timebox, timebox_tag.py) is fixed-point encoded and
+  *     offset from the block min (mode-'m' compression,
+  *     numpy_utils.py:187-241), with the reference's width plan
+  *     (binary.py:5-43) recorded per block per tag;
   *   - decode reverses losslessly: cumulative-sum the deltas back to
-  *     absolute micros, add the value offsets back to the min.
+  *     absolute micros, add each tag's offsets back to its min.
   *
   * Parquet supplies the physical byte packing (dictionary/RLE/bit
   * width); the *semantic* compression — delta, unit, min-ref, width
@@ -31,94 +33,108 @@ object TimeboxStore {
   private val DayUs = 86400000000L
   private val UnitLadder = Seq(86400000000L, 3600000000L, 60000000L, 1000000L, 1000L)
 
-  /** Encode an events-shaped frame into block-columnar form (one row
-    * per (user_id, day) block). Pure DataFrame transform — call
-    * `.write.parquet(...)` on the result to persist.
+  private def widthOf(c: Column): Column =
+    when(c < 256L, 1).when(c < 65536L, 2).when(c < 4294967296L, 4).otherwise(8)
+
+  /** Encode a points frame into block-columnar form: one row per
+    * (series, day) block, any number of integer tag columns. Pure
+    * DataFrame transform — `.write.parquet(...)` the result to persist.
+    *
+    * @param points  frame with seriesCol, tsCol (epoch micros), seqCol
+    *                (unique within series — the deterministic tiebreak),
+    *                and one LongType column per tag
     */
-  def encode(events: DataFrame): DataFrame = {
-    val pts = sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value_c"))))
-    val blocks = events
+  def encode(
+      points: DataFrame,
+      seriesCol: String = "user_id",
+      tsCol: String = "ts_us",
+      seqCol: String = "event_id",
+      tagCols: Seq[String] = Seq("value_c")
+  ): DataFrame = {
+    val pts = sort_array(
+      collect_list(struct((Seq(tsCol, seqCol) ++ tagCols).map(col): _*))
+    )
+    val base = points
       .select(
-        col("user_id"),
-        expr(s"ts_us DIV ${DayUs}L").as("day_id"),
-        col("ts_us"),
-        col("event_id"),
-        col("value_c")
+        Seq(
+          col(seriesCol).as("series_id"),
+          expr(s"$tsCol DIV ${DayUs}L").as("day_id"),
+          col(tsCol),
+          col(seqCol)
+        ) ++ tagCols.map(col): _*
       )
-      .groupBy(col("user_id"), col("day_id"))
+      .groupBy(col("series_id"), col("day_id"))
       .agg(pts.as("pts"))
       .select(
-        col("user_id"),
-        col("day_id"),
-        expr("pts[0].ts_us").as("start_us"),
-        expr("transform(pts, (p, i) -> IF(i = 0, 0L, p.ts_us - pts[i-1].ts_us))").as("deltas_us"),
-        expr("transform(pts, p -> p.event_id)").as("event_ids"),
-        expr("transform(pts, p -> p.value_c)").as("values_c")
+        Seq(
+          col("series_id"),
+          col("day_id"),
+          expr(s"pts[0].$tsCol").as("start_us"),
+          expr(s"transform(pts, (p, i) -> IF(i = 0, 0L, p.$tsCol - pts[i-1].$tsCol))").as("deltas_us"),
+          expr(s"transform(pts, p -> p.$seqCol)").as("seqs")
+        ) ++ tagCols.map(t => expr(s"transform(pts, p -> p.$t)").as(s"vals_$t")): _*
       )
-      // coarsest ladder unit dividing every delta in the block
       .withColumn(
         "unit_us",
-        UnitLadder
-          .foldRight(lit(1L)) { (u, fallback) =>
-            when(forall(col("deltas_us"), d => d % u === 0), lit(u)).otherwise(fallback)
-          }
+        UnitLadder.foldRight(lit(1L)) { (u, fallback) =>
+          when(forall(col("deltas_us"), d => d % u === 0), lit(u)).otherwise(fallback)
+        }
       )
       .withColumn("deltas", expr("transform(deltas_us, d -> d DIV unit_us)"))
-      .withColumn("value_min_c", array_min(col("values_c")))
-      .withColumn("value_offs", expr("transform(values_c, v -> v - value_min_c)"))
-    // the reference's width plan, recorded per block (binary.py:5-43):
-    // deltas and offsets are unsigned post-encoding, so plan on the max
-    def widthOf(maxCol: String) =
-      when(col(maxCol) < 256L, 1).when(col(maxCol) < 65536L, 2).when(col(maxCol) < 4294967296L, 4).otherwise(8)
-    blocks
-      .withColumn("max_delta", coalesce(array_max(col("deltas")), lit(0L)))
-      .withColumn("max_off", coalesce(array_max(col("value_offs")), lit(0L)))
-      .select(
-        col("user_id"),
+      .withColumn("delta_bytes", widthOf(coalesce(array_max(col("deltas")), lit(0L))))
+    // per tag: block min, offsets from min, width plan for the offsets
+    val withTags = tagCols.foldLeft(base) { (df, t) =>
+      df.withColumn(s"min_$t", array_min(col(s"vals_$t")))
+        .withColumn(s"offs_$t", expr(s"transform(vals_$t, v -> v - min_$t)"))
+        .withColumn(s"bytes_$t", widthOf(coalesce(array_max(col(s"offs_$t")), lit(0L))))
+    }
+    withTags.select(
+      Seq(
+        col("series_id"),
         col("day_id"),
         col("start_us"),
         col("unit_us"),
         size(col("deltas")).cast("long").as("n_points"),
-        widthOf("max_delta").as("delta_bytes"),
-        widthOf("max_off").as("value_bytes"),
-        col("value_min_c"),
+        col("delta_bytes"),
         col("deltas"),
-        col("event_ids"),
-        col("value_offs")
-      )
+        col("seqs")
+      ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"offs_$t"), col(s"bytes_$t"))): _*
+    )
   }
 
-  /** Decode block-columnar rows back to (user_id, ts_us, event_id,
-    * value_c) points. Lossless inverse of [[encode]].
+  /** Decode block-columnar rows back to one row per point. Lossless
+    * inverse of [[encode]]: posexplode + running-sum of deltas per
+    * block. The cumulative window shuffles on the block key — the same
+    * key encode aggregated on, so with a bucketed block layout this is
+    * co-located; block size bounds the sort, not series length.
     */
-  def decode(blocks: DataFrame): DataFrame = {
-    // posexplode + running-sum of deltas per block. The cumulative
-    // window shuffles on the block key — the same key the encode
-    // aggregated on, so with a bucketed block layout this is co-located
-    // and shuffle-free; block size bounds the sort, not series length.
+  def decode(blocks: DataFrame, tagCols: Seq[String] = Seq("value_c")): DataFrame = {
+    val zipped = (Seq("deltas", "seqs") ++ tagCols.map(t => s"offs_$t")).mkString("arrays_zip(", ", ", ")")
     val w = Window
-      .partitionBy("user_id", "day_id")
+      .partitionBy("series_id", "day_id")
       .orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blocks
       .select(
-        col("user_id"),
-        col("day_id"),
-        col("start_us"),
-        col("unit_us"),
-        col("value_min_c"),
-        posexplode(expr("arrays_zip(deltas, event_ids, value_offs)")).as(Seq("pos", "p"))
+        Seq(
+          col("series_id"),
+          col("day_id"),
+          col("start_us"),
+          col("unit_us"),
+          posexplode(expr(zipped)).as(Seq("pos", "p"))
+        ) ++ tagCols.map(t => col(s"min_$t")): _*
       )
       .withColumn("ts_us", col("start_us") + sum(col("p.deltas")).over(w) * col("unit_us"))
       .select(
-        col("user_id"),
-        col("ts_us"),
-        col("p.event_ids").as("event_id"),
-        (col("value_min_c") + col("p.value_offs")).as("value_c")
+        Seq(
+          col("series_id"),
+          col("ts_us"),
+          col("p.seqs").as("seq")
+        ) ++ tagCols.map(t => (col(s"min_$t") + col(s"p.offs_$t")).as(t)): _*
       )
   }
 
-  /** Full write path from the raw events table. */
+  /** Full write path from the raw events table (single value tag). */
   def write(spark: SparkSession, dir: String, outPath: String): Unit =
     encode(
       TimeSeries
@@ -137,13 +153,50 @@ object TimeboxStore {
     val out = java.nio.file.Files.createTempDirectory("graft_store").toString
     write(spark, dir, out)
     read(spark, out)
-      .groupBy(col("user_id"))
+      .groupBy(col("series_id").as("user_id"))
       .agg(
         count(lit(1)).as("n_points"),
         min(col("ts_us")).as("min_ts_us"),
         max(col("ts_us")).as("max_ts_us"),
         sum(col("value_c")).as("sum_value_c"),
-        sum(col("event_id")).as("sum_event_id")
+        sum(col("seq")).as("sum_event_id")
+      )
+  }
+
+  private val LineitemTags = Seq("qty_c", "price_c", "disc_c")
+
+  /** Multi-tag points frame from lineitem: series = supplier, time =
+    * ship date, three fixed-point tag columns (the reference's
+    * many-tags-per-timebox shape, timebox_tag.py).
+    */
+  def lineitemPoints(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_suppkey").as("series_id"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ts_us"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("seq"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("disc_c")
+      )
+
+  /** Oracle-gated multi-tag roundtrip on lineitem (3 tags, per-tag
+    * min-ref + width plans), summarized per supplier.
+    */
+  def multitagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_mt").toString
+    encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags)
+      .write.mode("overwrite").parquet(out)
+    decode(spark.read.parquet(out), LineitemTags)
+      .groupBy(col("series_id").as("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ts_us")).as("min_ship_us"),
+        max(col("ts_us")).as("max_ship_us"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_price_c"),
+        sum(col("disc_c")).as("sum_disc_c")
       )
   }
 }

@@ -16,18 +16,32 @@ class StoreSpec extends AnyFunSuite {
     .eventsUs(spark, sf)
     .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
 
+  // decode emits canonical (series_id, ts_us, seq, tags...) names
+  private def asDecodedShape(df: org.apache.spark.sql.DataFrame) =
+    df.toDF("series_id", "ts_us", "seq", "value_c")
+
   test("encode/decode roundtrip is exactly lossless (multiset equality)") {
     val decoded = TimeboxStore.decode(TimeboxStore.encode(original))
-    assert(decoded.exceptAll(original).count() === 0)
-    assert(original.exceptAll(decoded).count() === 0)
+    val orig = asDecodedShape(original)
+    assert(decoded.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(decoded).count() === 0)
   }
 
   test("roundtrip survives parquet persistence") {
     val out = java.nio.file.Files.createTempDirectory("graft_store_spec").toString
     TimeboxStore.write(spark, sf, out)
     val decoded = TimeboxStore.read(spark, out)
-    assert(decoded.exceptAll(original).count() === 0)
-    assert(original.exceptAll(decoded).count() === 0)
+    val orig = asDecodedShape(original)
+    assert(decoded.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(decoded).count() === 0)
+  }
+
+  test("multi-tag roundtrip is exactly lossless (3 tags over lineitem)") {
+    val tags = Seq("qty_c", "price_c", "disc_c")
+    val pts = TimeboxStore.lineitemPoints(spark, sf)
+    val decoded = TimeboxStore.decode(TimeboxStore.encode(pts, "series_id", "ts_us", "seq", tags), tags)
+    assert(decoded.exceptAll(pts).count() === 0)
+    assert(pts.exceptAll(decoded).count() === 0)
   }
 
   test("blocks carry the reference's compression metadata invariants") {
@@ -36,9 +50,9 @@ class StoreSpec extends AnyFunSuite {
       // every block's unit divides every delta; widths planned from max
       assert(blocks.filter(!col("unit_us").isin(1L, 1000L, 1000000L, 60000000L, 3600000000L, 86400000000L)).count() === 0)
       assert(blocks.filter(size(col("deltas")) =!= col("n_points")).count() === 0)
-      assert(blocks.filter(!col("delta_bytes").isin(1, 2, 4, 8) || !col("value_bytes").isin(1, 2, 4, 8)).count() === 0)
+      assert(blocks.filter(!col("delta_bytes").isin(1, 2, 4, 8) || !col("bytes_value_c").isin(1, 2, 4, 8)).count() === 0)
       // offsets are mode-'m' (from min): min offset in each block is 0
-      assert(blocks.filter(array_min(col("value_offs")) =!= 0).count() === 0)
+      assert(blocks.filter(array_min(col("offs_value_c")) =!= 0).count() === 0)
       // first delta is always 0 (start stored separately)
       assert(blocks.filter(expr("deltas[0]") =!= 0).count() === 0)
     } finally blocks.unpersist()
