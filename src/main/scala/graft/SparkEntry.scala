@@ -26,6 +26,7 @@ object SparkEntry {
     "ts_resample_1h"     -> ((s, d) => TimeSeries.resampleHourly(s, d)),
     "ts_ohlc_1d"         -> ((s, d) => TimeSeries.ohlcDaily(s, d)),
     "ts_moving_avg"      -> ((s, d) => TimeSeries.movingAgg(s, d)),
+    "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
@@ -426,6 +427,17 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_percentiles" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |r AS (SELECT event_type, value_c,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value_c) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM e)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN value_c END) AS p50_c,
+        |  MAX(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN value_c END) AS p90_c,
+        |  MAX(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN value_c END) AS p99_c
+        |FROM r GROUP BY event_type""".stripMargin,
     "ts_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,

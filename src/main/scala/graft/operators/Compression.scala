@@ -192,8 +192,12 @@ object FloatWidth {
     java.lang.Float.intBitsToFloat(bits)
   }
 
-  /** true iff the double survives the full f64->f16->f64 roundtrip */
+  /** true iff the double survives the full f64->f16->f64 roundtrip.
+    * NaN is representable at every width (the reference's float
+    * compression carries NaN through all downcasts, numpy semantics).
+    */
   def fitsF16(x: Double): Boolean = {
+    if (x.isNaN) return true
     val f = x.toFloat
     f.toDouble == x && float16BitsToFloat(floatToFloat16Bits(f)).toDouble == x
   }

@@ -303,6 +303,27 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11b. ts_percentiles — exact p50/p90/p99 per event type by the
+  // rank formula (k-th smallest, k = ceil(p*n)): deterministic in any
+  // engine, no interpolation-convention ambiguity. One shuffle for the
+  // rank window; the per-group row picks are a map-side filter.
+  // -------------------------------------------------------------------
+  def percentiles(spark: SparkSession, dir: String, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value_c"))
+    val ranked = eventsUs(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val picks = ps.map { p =>
+      max(when(col("rnk") === ceil(lit(p) * col("n")), col("value_c")))
+        .as(s"p${(p * 100).toInt}_c")
+    }
+    ranked
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).as("n"), picks: _*)
+  }
+
+  // -------------------------------------------------------------------
   // 14. ts_gapfill_locf — dense hourly grid per user +
   // last-observation-carried-forward. Grid generation is
   // sequence+explode per series (no driver-side loop); LOCF is an

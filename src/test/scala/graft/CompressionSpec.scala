@@ -81,6 +81,8 @@ class CompressionSpec extends AnyFunSuite {
     // needs double precision
     assert(planFloatBytes(1.0 / 3.0) === 8)
     assert(planFloatBytes(0.1) === 8)
+    // NaN survives every downcast (reference carries NaN through)
+    assert(planFloatBytes(Double.NaN) === 2)
     // the f16 roundtrip is the identity on all 2^16 bit patterns that
     // decode to finite values (total-function check, not samples)
     (0 until 0x10000).foreach { h =>

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Relational, TimeSeries}
+
+/** Plan-shape regression guards: the properties that make these
+  * operators scale are asserted, not just claimed in comments.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("range read pushes time+type predicates and prunes columns at the scan") {
+    val scan = TimeSeries
+      .rangeRead(spark, sf)
+      .queryExecution
+      .executedPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), s"time lower bound not pushed: $pushed")
+    assert(pushed.contains("LessThan(ts"), s"time upper bound not pushed: $pushed")
+    assert(pushed.contains("EqualTo(event_type,click)"), s"tag predicate not pushed: $pushed")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("event_id", "ts", "user_id", "event_type", "value"), s"column pruning broken: $readCols")
+  }
+
+  test("q5 broadcasts every dimension and scans lineitem exactly once") {
+    val plan = planOf(Relational.regionRevenue(spark, sf))
+    assert("lineitem\\.parquet".r.findAllIn(plan).size >= 1)
+    assert(plan.contains("BroadcastHashJoin"), "dims not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "unexpected shuffle join of a dimension")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("as-of join is one shuffle (no range join, no cartesian)") {
+    val plan = planOf(TimeSeries.asofJoin(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("moving aggregate is one shuffle on the series key") {
+    val plan = planOf(TimeSeries.movingAgg(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges")
+  }
+}

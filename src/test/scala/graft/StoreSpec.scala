@@ -44,6 +44,15 @@ class StoreSpec extends AnyFunSuite {
     assert(pts.exceptAll(decoded).count() === 0)
   }
 
+  test("encode is stable across roundtrips (read-save-read-save)") {
+    val blocks1 = TimeboxStore.encode(original)
+    val blocks2 = TimeboxStore.encode(
+      TimeboxStore.decode(blocks1).toDF("user_id", "ts_us", "event_id", "value_c")
+    )
+    assert(blocks1.exceptAll(blocks2).count() === 0)
+    assert(blocks2.exceptAll(blocks1).count() === 0)
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
