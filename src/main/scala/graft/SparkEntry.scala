@@ -44,6 +44,7 @@ object SparkEntry {
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_clusters"         -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
@@ -111,6 +112,17 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |u AS (SELECT DISTINCT doc_id, shingle FROM sh),

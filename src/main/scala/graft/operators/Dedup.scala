@@ -133,6 +133,48 @@ object Dedup {
     lshPairsFrom(uniqShingles(spark, dir))
 
   // -------------------------------------------------------------------
+  // 23b. dedup_clusters — connected components over the LSH candidate
+  // graph: the canonical-cluster step every dedup pipeline runs after
+  // pair generation (keep one doc per component). Iterative min-label
+  // propagation — each round every node takes the min label in its
+  // neighborhood; converges in <= component-diameter rounds (dup
+  // clusters are shallow, so a handful of shuffles). Driver sees only
+  // the convergence counter, never rows.
+  // -------------------------------------------------------------------
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashLsh(spark, dir)
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(mem)
+    var labels = edges.select(col("src").as("doc_id")).distinct().withColumn("cluster_id", col("doc_id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(
+          labels("doc_id"),
+          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id")
+        )
+        .persist(mem)
+      changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  // -------------------------------------------------------------------
   // 24. dedup_ngram_jaccard — verify LSH candidates with exact word
   // 3-gram Jaccard. Duplicate verdict uses pure integer arithmetic
   // (10*|A∩B| >= 8*|A∪B| ⇔ J >= 0.8): no float boundary anywhere.

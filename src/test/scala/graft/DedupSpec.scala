@@ -45,6 +45,21 @@ class DedupSpec extends AnyFunSuite {
     assert(missed === 0, s"$missed exact-dup pairs missed by LSH")
   }
 
+  test("clusters: both endpoints of every candidate pair share a cluster") {
+    val labels = Dedup.clusters(spark, sf).cache()
+    try {
+      assert(labels.filter(col("cluster_id") > col("doc_id")).count() === 0)
+      // every cluster label is itself a member of that cluster
+      val members = labels.select(col("doc_id").as("m")).distinct()
+      assert(labels.join(members, labels("cluster_id") === members("m"), "left_anti").count() === 0)
+      val pairs = Dedup.minhashLsh(spark, sf)
+      val la = labels.toDF("doc_a", "ca")
+      val lb = labels.toDF("doc_b", "cb")
+      val split = pairs.join(la, "doc_a").join(lb, "doc_b").filter(col("ca") =!= col("cb"))
+      assert(split.count() === 0, "a candidate pair crosses two clusters")
+    } finally labels.unpersist()
+  }
+
   test("jaccard: intersection <= union, verdict matches ratio") {
     val df = Dedup.ngramJaccard(spark, sf).cache()
     try {
