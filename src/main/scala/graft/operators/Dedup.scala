@@ -148,7 +148,12 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(mem)
-    var labels = edges.select(col("src").as("doc_id")).distinct().withColumn("cluster_id", col("doc_id"))
+    edges.count() // eager: both loop consumers read the cache, not the lineage
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(mem)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -156,18 +161,19 @@ object Dedup {
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // carry the previous label through, so materializing the new
+      // labels and counting changes is ONE job per iteration
       val updated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(
           labels("doc_id"),
-          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id")
+          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id"))).as("cluster_id"),
+          labels("cluster_id").as("prev")
         )
         .persist(mem)
-      changed = updated
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev"))
-        .count()
-      labels = updated
+      changed = updated.filter(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = updated.drop("prev")
       iter += 1
     }
     edges.unpersist()
