@@ -38,13 +38,20 @@ case class LongDotProduct(left: Expression, right: Expression) extends BinaryExp
   override def dataType: DataType = LongType
   override def prettyName: String = "long_dot"
 
+  // Null semantics deliberately MATCH aggregate(zip_with(a, b, *), 0, +):
+  // unequal lengths or a null element yield null. That equivalence is
+  // what licenses DotProductRewrite to swap the formulations.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -60,10 +67,15 @@ case class LongDotProduct(left: Expression, right: Expression) extends BinaryExp
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-           |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+           |final int $n = $x.numElements();
            |long $s = 0L;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $x.getLong($i) * $y.getLong($i);
+           |if ($n != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += $x.getLong($i) * $y.getLong($i);
+           |  }
            |}
            |${ev.value} = $s;
          """.stripMargin

@@ -29,6 +29,50 @@ class ExpressionSpec extends AnyFunSuite {
     assert(n === 11L)
   }
 
+  test("DotProductRewrite: HOF formulation optimizes to long_dot and results match") {
+    import graft.functions.VectorFunctions._
+    val hof = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairs = e
+      .select(col("vec_id"), quantizeMicro(col("embedding")).as("qa"))
+      .crossJoin(
+        e.select(col("vec_id").as("vb"), quantizeMicro(col("embedding")).as("qb")).limit(3)
+      )
+      .limit(50)
+    val df = pairs.select(hof.as("d"))
+    assert(
+      df.queryExecution.optimizedPlan.toString.contains("long_dot"),
+      s"rewrite did not fire:\n${df.queryExecution.optimizedPlan}"
+    )
+    // results identical to the native expression
+    val direct = pairs.select(graft.expressions.LongDotProduct(col("qa"), col("qb")).as("d"))
+    assert(df.exceptAll(direct).count() === 0)
+  }
+
+  test("DotProductRewrite leaves non-dot aggregates alone") {
+    import graft.functions.VectorFunctions._
+    val notDot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(1L), (acc, x) => acc + x)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(5)
+    val df = e
+      .select(quantizeMicro(col("embedding")).as("qa"), quantizeMicro(col("embedding")).as("qb"))
+      .select(notDot.as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("long_dot"))
+  }
+
+  test("LongDotProduct null semantics match the HOF formulation") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L)),       // equal lengths -> 11
+      (Seq(1L, 2L, 3L), Seq(1L, 1L))    // length mismatch -> null
+    ).toDF("a", "b")
+    val native = df.select(graft.expressions.LongDotProduct(col("a"), col("b")).as("d")).collect()
+    val hof = df
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("d"))
+      .collect()
+    assert(native.map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq ===
+      hof.map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq)
+  }
+
   test("LongDotProduct rejects non-array-of-long inputs") {
     import spark.implicits._
     val df = Seq(("x", Seq(1L))).toDF("a", "b")
