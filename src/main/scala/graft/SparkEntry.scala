@@ -248,16 +248,27 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |w AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS win
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+         |            FROM t WHERE len(toks) >= 4)),
+         |wc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         |              CAST(COUNT(DISTINCT win) AS BIGINT) AS n_unique_windows
+         |       FROM w GROUP BY 1),
          |m AS (SELECT doc_id,
          |        CAST(length(text) AS BIGINT) AS n_chars_raw,
          |        CAST(len(toks) AS BIGINT) AS n_tokens,
          |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS BIGINT) AS n_stopwords,
          |        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS BIGINT) AS n_punct
          |      FROM t)
-         |SELECT doc_id, n_chars_raw, n_tokens, n_stopwords, n_punct,
+         |SELECT m.doc_id, n_chars_raw, n_tokens, n_stopwords, n_punct,
+         |  COALESCE(wc.n_windows, 0) AS n_windows,
+         |  COALESCE(wc.n_unique_windows, 0) AS n_unique_windows,
          |  n_stopwords * 1000000 // n_tokens AS stop_ratio_micro,
+         |  CASE WHEN COALESCE(wc.n_windows, 0) > 0
+         |       THEN (wc.n_windows - wc.n_unique_windows) * 1000000 // wc.n_windows
+         |       ELSE 0 END AS dup_win_micro,
          |  CAST(CASE WHEN n_chars_raw >= 100 AND n_stopwords * 20 >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS is_quality
-         |FROM m""".stripMargin,
+         |FROM m LEFT JOIN wc ON wc.doc_id = m.doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,

@@ -44,12 +44,33 @@ object TextAnalysis {
     docsToks(spark, dir)
       .select(
         col("doc_id"),
+        col("text"),
+        col("toks"),
+        // repetition signal: duplicate 4-token windows (the Gopher-style
+        // duplicate n-gram fraction) — row-local array work, no explode
+        when(
+          size(col("toks")) >= 4,
+          expr(
+            "transform(sequence(0, size(toks) - 4), i -> " +
+              "concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3]))"
+          )
+        ).otherwise(array()).as("wins")
+      )
+      .select(
+        col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long").as("n_stopwords"),
-        expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("long").as("n_punct")
+        expr("size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("long").as("n_punct"),
+        size(col("wins")).cast("long").as("n_windows"),
+        size(array_distinct(col("wins"))).cast("long").as("n_unique_windows")
       )
       .withColumn("stop_ratio_micro", expr("n_stopwords * 1000000 DIV n_tokens"))
+      .withColumn(
+        "dup_win_micro",
+        when(col("n_windows") > 0, expr("(n_windows - n_unique_windows) * 1000000 DIV n_windows"))
+          .otherwise(0L)
+      )
       .withColumn(
         "is_quality",
         when(col("n_chars_raw") >= 100 && col("n_stopwords") * 20 >= col("n_tokens"), 1L).otherwise(0L)

@@ -145,6 +145,19 @@ object TimeboxStore {
   def read(spark: SparkSession, path: String): DataFrame =
     decode(spark.read.parquet(path))
 
+  /** Production block layout: hive-partitioned by day, so time-range
+    * reads prune whole partition directories before any IO — at 100 TB
+    * the scan for a one-week query touches 7 directories, not the
+    * store. (Series-bucketing within each partition is the natural
+    * next axis on a warehouse deployment.)
+    */
+  def writePartitioned(spark: SparkSession, dir: String, outPath: String): Unit =
+    encode(
+      TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    ).write.mode("overwrite").partitionBy("day_id").parquet(outPath)
+
   /** Oracle-gated roundtrip query: encode -> persist -> decode -> per-
     * series summary. Any codec loss shows up against the DuckDB oracle
     * computed on the ORIGINAL events.

@@ -53,6 +53,24 @@ class StoreSpec extends AnyFunSuite {
     assert(blocks2.exceptAll(blocks1).count() === 0)
   }
 
+  test("day-partitioned layout prunes partitions on time-range reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_part").toString
+    TimeboxStore.writePartitioned(spark, sf, out)
+    val blocks = spark.read.parquet(out)
+    // hive partition columns come back as the narrowest inferred type
+    val someDay = blocks.select(col("day_id")).head().getAs[Number](0).longValue()
+    val filtered = blocks.filter(col("day_id") === someDay)
+    val scan = filtered.queryExecution.executedPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    assert(scan.partitionFilters.nonEmpty, "day predicate did not become a partition filter")
+    // the decoded partition roundtrips against the same day of originals
+    val decoded = TimeboxStore.decode(filtered)
+    val orig = asDecodedShape(original).filter(expr(s"ts_us DIV 86400000000L") === someDay)
+    assert(decoded.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(decoded).count() === 0)
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
