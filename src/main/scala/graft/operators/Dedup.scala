@@ -149,10 +149,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(mem)
     edges.count() // eager: both loop consumers read the cache, not the lineage
+    // init IS the first propagation round: label = min(self, neighbors)
     var labels = edges
-      .select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster_id"))
       .persist(mem)
     var changed = 1L
     var iter = 0

@@ -98,4 +98,22 @@ object Relational {
         count(lit(1)).as("n_events")
       )
   }
+
+  /** The 100 TB path for distinct counting: HyperLogLog++ sketches.
+    * Exact distinct shuffle-expands every (group, value) pair; the
+    * sketch is a fixed-size partial aggregate per group, so the shuffle
+    * volume is groups x sketch size regardless of cardinality. No SQL
+    * oracle (approximate results are engine-specific) — accuracy is
+    * spec-bound against the exact counts instead.
+    */
+  def groupDistinctApprox(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd).as("n_users_approx"),
+        count(lit(1)).as("n_events")
+      )
+  }
 }

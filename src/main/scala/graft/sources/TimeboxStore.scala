@@ -49,7 +49,8 @@ object TimeboxStore {
       seriesCol: String = "user_id",
       tsCol: String = "ts_us",
       seqCol: String = "event_id",
-      tagCols: Seq[String] = Seq("value_c")
+      tagCols: Seq[String] = Seq("value_c"),
+      blockUs: Long = DayUs
   ): DataFrame = {
     val pts = sort_array(
       collect_list(struct((Seq(tsCol, seqCol) ++ tagCols).map(col): _*))
@@ -58,7 +59,7 @@ object TimeboxStore {
       .select(
         Seq(
           col(seriesCol).as("series_id"),
-          expr(s"$tsCol DIV ${DayUs}L").as("day_id"),
+          expr(s"$tsCol DIV ${blockUs}L").as("day_id"),
           col(tsCol),
           col(seqCol)
         ) ++ tagCols.map(col): _*
@@ -199,7 +200,10 @@ object TimeboxStore {
     */
   def multitagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft_store_mt").toString
-    encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags)
+    // block granularity follows point density: ship dates are sparse
+    // per supplier (~1/day would leave 1-point blocks), so block by
+    // 32-day windows — the tuning knob a real deployment sets per table
+    encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags, blockUs = 32 * DayUs)
       .write.mode("overwrite").parquet(out)
     decode(spark.read.parquet(out), LineitemTags)
       .groupBy(col("series_id").as("l_suppkey"))
