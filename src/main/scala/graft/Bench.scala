@@ -20,7 +20,9 @@ object Bench {
     Seq("events", "documents", "embeddings", "lineitem", "orders", "customer").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // best-of-2: a query's time is min over two isolated passes, so a
+    // transient host-contention window doesn't distort one number
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -29,6 +31,8 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
