@@ -27,6 +27,7 @@ object SparkEntry {
     "ts_ohlc_1d"         -> ((s, d) => TimeSeries.ohlcDaily(s, d)),
     "ts_moving_avg"      -> ((s, d) => TimeSeries.movingAgg(s, d)),
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
+    "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
@@ -450,6 +451,17 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_twa_daily" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  epoch_us(ts) // 86400000000 AS day_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |h AS (SELECT user_id, day_id, ts_us, value_c,
+        |        COALESCE(lead(ts_us) OVER w, (day_id + 1) * 86400000000) - ts_us AS hold_us
+        |      FROM e WINDOW w AS (PARTITION BY user_id, day_id ORDER BY ts_us, event_id))
+        |SELECT user_id, day_id, COUNT(*) AS n,
+        |  CAST(SUM(value_c * hold_us) AS BIGINT) AS twa_num,
+        |  (day_id + 1) * 86400000000 - MIN(ts_us) AS twa_den
+        |FROM h GROUP BY user_id, day_id""".stripMargin,
     "ts_percentiles" ->
       """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS value_c FROM events),
         |r AS (SELECT event_type, value_c,

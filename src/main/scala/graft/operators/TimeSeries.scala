@@ -303,6 +303,39 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11c. ts_twa_daily — time-weighted average per user per day, the
+  // canonical irregular-sampling aggregate (a plain mean over-weights
+  // burst periods). Each observation holds its value until the next
+  // one (LOCF weighting); the last observation of a day holds to the
+  // day boundary. Emitted as exact integer numerator (value_c·µs) and
+  // denominator (µs) — division is the caller's choice, the stored
+  // form is lossless and re-aggregable.
+  // -------------------------------------------------------------------
+  def twaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), col("day_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${DayUs}L").as("day_id"),
+        col("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+      .withColumn(
+        "hold_us",
+        coalesce(lead(col("ts_us"), 1).over(w), (col("day_id") + 1) * DayUs) - col("ts_us")
+      )
+      .groupBy(col("user_id"), col("day_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value_c") * col("hold_us")).as("twa_num"),
+        ((col("day_id") + 1) * DayUs - min(col("ts_us"))).as("twa_den")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11b. ts_percentiles — exact p50/p90/p99 per event type by the
   // rank formula (k-th smallest, k = ceil(p*n)): deterministic in any
   // engine, no interpolation-convention ambiguity. One shuffle for the
