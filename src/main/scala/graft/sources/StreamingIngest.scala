@@ -113,6 +113,36 @@ object StreamingIngest {
     runToMemory(spark, sessions, "append")
   }
 
+  /** Durable ingest path: readStream → normalize (epoch-micro
+    * timestamps, fixed-point cents) → parquet sink with a checkpoint.
+    * This is the reference's locked-file write path as a streaming
+    * commit log: each micro-batch is an exactly-once atomic append
+    * (sink + checkpoint commit together), and concurrent readers never
+    * see partial data — no fcntl needed. Stateless, so append mode
+    * needs no watermark and every row lands regardless of event time.
+    */
+  def ingestRawToParquet(spark: SparkSession, dir: String, outPath: String): Unit = {
+    val schema = Tables.events(spark, dir).schema
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_type"),
+        cents(col("value")).as("value_c")
+      )
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
