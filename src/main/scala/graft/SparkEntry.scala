@@ -41,6 +41,9 @@ object SparkEntry {
     "q5_region_revenue"  -> ((s, d) => Relational.regionRevenue(s, d)),
     "topk_per_group"     -> ((s, d) => Relational.topkPerGroup(s, d)),
     "group_distinct"     -> ((s, d) => Relational.groupDistinct(s, d)),
+    "rel_antijoin"       -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "rel_semijoin"       -> ((s, d) => Relational.suppliersShippedInWindow(s, d)),
+    "rel_rollup"         -> ((s, d) => Relational.revenueRollup(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -604,6 +607,27 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
         |FROM events
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+    "rel_antijoin" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |                    AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')""".stripMargin,
+    "rel_semijoin" ->
+      """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey
+        |                AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |                AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00')""".stripMargin,
+    "rel_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
   )
 }

@@ -99,6 +99,66 @@ object Relational {
       )
   }
 
+  /** Anti-join: customers with no order in a given year. LeftAnti
+    * plans as a broadcast/shuffled hash join emitting only non-matches
+    * — no NOT-IN subquery materialization, no null-semantics trap, and
+    * the date filter pushes into the build side's scan.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ordersInYear = Tables
+      .orders(spark, dir)
+      .filter(
+        $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+      )
+      .select($"o_custkey")
+    Tables
+      .customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey".cast("long").as("c_nationkey"))
+      .join(ordersInYear, $"c_custkey" === $"o_custkey", "left_anti")
+  }
+
+  /** Semi-join: suppliers with at least one shipment in a date window.
+    * LeftSemi stops probing at the first match — no duplicate blowup,
+    * no distinct needed.
+    */
+  def suppliersShippedInWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shipped = Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00"))
+      )
+      .select($"l_suppkey")
+    Tables
+      .supplier(spark, dir)
+      .select($"s_suppkey", $"s_nationkey".cast("long").as("s_nationkey"))
+      .join(shipped, $"s_suppkey" === $"l_suppkey", "left_semi")
+  }
+
+  /** Rollup aggregation: revenue by (returnflag, linestatus) with
+    * subtotals and a grand total — one pass, Spark expands the
+    * grouping sets internally; integer cents keep every level exact.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"revenue_c",
+        $"n"
+      )
+  }
+
   /** The 100 TB path for distinct counting: HyperLogLog++ sketches.
     * Exact distinct shuffle-expands every (group, value) pair; the
     * sketch is a fixed-size partial aggregate per group, so the shuffle
