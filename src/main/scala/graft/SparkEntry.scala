@@ -31,6 +31,7 @@ object SparkEntry {
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
+    "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     "ts_store_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
     "ts_store_multitag"  -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
@@ -61,11 +62,13 @@ object SparkEntry {
     "ann_ivf_bucketed"    -> ((s, d) => Similarity.annIvfBucketed(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_ngram_freq"  -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // -- multimodal plumbing ------------------------------------------------
-    "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d))
+    "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
+    "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d))
   )
 
   /** DuckDB fragments shared by the text/dedup oracles — must mirror
@@ -250,6 +253,12 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
          |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_unique_tokens
          |FROM documents""".stripMargin,
+    "text_ngram_freq" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |a AS (SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY tok),
+         |r AS (SELECT tok, n_total, n_docs,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, tok ASC) AS BIGINT) AS rnk FROM a)
+         |SELECT tok, n_total, n_docs, rnk FROM r WHERE rnk <= 20""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |w AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS win
@@ -292,6 +301,16 @@ object SparkEntry {
          |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
          |            FROM d WHERE len(toks) >= 4))
          |SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_windows FROM s GROUP BY 1""".stripMargin,
+    "mm_chunk_table" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        unnest(generate_series(0, (n_bytes + 255) // 256 - 1)) AS chunk_idx
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 256 AS BIGINT) AS offset,
+        |  CAST(octet_length(encode(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256))) AS BIGINT) AS chunk_len,
+        |  sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha
+        |FROM c""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex, md5(text) AS md5_hex,
@@ -504,6 +523,32 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
         |FROM events GROUP BY user_id""".stripMargin,
+    "ts_interp_linear" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, epoch_us(ts) AS ts_us,
+        |         event_id, CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events
+        |), k AS (
+        |  SELECT user_id, hour_id, value_c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hour_id
+        |                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), s AS (
+        |  SELECT user_id, hour_id AS h0, value_c AS v0,
+        |         lead(hour_id) OVER w AS next_h, lead(value_c) OVER w AS next_v
+        |  FROM k WINDOW w AS (PARTITION BY user_id ORDER BY hour_id)
+        |), g AS (
+        |  SELECT user_id, h0, v0, next_h, next_v,
+        |         unnest(generate_series(h0, COALESCE(next_h - 1, h0))) AS hour_id
+        |  FROM s
+        |)
+        |SELECT user_id, hour_id,
+        |  CASE WHEN hour_id = h0 THEN v0
+        |       ELSE CAST(round(CAST(v0 AS DOUBLE) + CAST(next_v - v0 AS DOUBLE) *
+        |                       (CAST(hour_id - h0 AS DOUBLE) / CAST(next_h - h0 AS DOUBLE))) AS BIGINT)
+        |  END AS interp_c,
+        |  CAST(CASE WHEN hour_id = h0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+        |FROM g""".stripMargin,
     "ts_store_multitag" ->
       """SELECT l_suppkey, COUNT(*) AS n_points,
         |  MIN(epoch_us(l_shipdate)) AS min_ship_us, MAX(epoch_us(l_shipdate)) AS max_ship_us,

@@ -34,6 +34,34 @@ object Multimodal {
         sha2(substring(col("text"), 1, chunkBytes).cast("binary"), 256).as("first_chunk_sha")
       )
 
+  // -------------------------------------------------------------------
+  // 33b. mm_chunk_table — materialize the multipart chunk table: one
+  // row per fixed-size chunk with its offset and content hash, the
+  // layout an object-store upload (or a chunk-level dedup pass) works
+  // from. sequence+explode per doc — no driver involvement, chunk
+  // count bounded per row.
+  // -------------------------------------------------------------------
+  def chunkTable(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), expr("octet_length(text)").as("n_bytes"))
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(expr(s"sequence(0, CAST((n_bytes + ${chunkBytes - 1}) DIV $chunkBytes AS INT) - 1)"))
+          .as("chunk_idx")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).cast("long").as("offset"),
+        expr(s"octet_length(substring(text, chunk_idx * $chunkBytes + 1, $chunkBytes))")
+          .cast("long")
+          .as("chunk_len"),
+        sha2(expr(s"CAST(substring(text, chunk_idx * $chunkBytes + 1, $chunkBytes) AS BINARY)"), 256)
+          .as("chunk_sha")
+      )
+
   /** Decoded-asset schema a real decoder would emit per payload. */
   val decodedSchema: StructType = StructType(
     Seq(

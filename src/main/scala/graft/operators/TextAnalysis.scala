@@ -106,6 +106,26 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31b. text_ngram_freq — corpus-level token statistics: global top-k
+  // tokens by document frequency and total count. The classic
+  // vocabulary-building pass; one explode + one agg, fully
+  // partial-aggregable, then a driver-sized top-k.
+  // -------------------------------------------------------------------
+  def ngramFreq(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    // orderBy+limit plans as TakeOrderedAndProject: each partition
+    // keeps k rows, the driver merges — never a global sort of the
+    // vocabulary. The rank window then runs over k rows only.
+    val top = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_total"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_total").desc, col("tok").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_total").desc, col("tok").asc)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
+  // -------------------------------------------------------------------
   // 32. text_fingerprint — rolling-window fingerprint: md5 over each
   // 4-token window, keep the minimum (winnowing-style stable id that
   // survives small edits elsewhere in the doc).

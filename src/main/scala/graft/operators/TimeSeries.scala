@@ -303,6 +303,54 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 14b. ts_interp_linear — gap-fill by linear interpolation between
+  // observed hours (the other classic reconstruction next to LOCF).
+  // Same span-explode shape as gapfillLocf — the window runs over
+  // observed knots only, dense rows are generated from spans. The
+  // interpolated value rounds an IEEE double expression that both
+  // engines evaluate identically from exact integer inputs.
+  // -------------------------------------------------------------------
+  def interpLinear(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${HourUs}L").as("hour_id"),
+        col("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+    val knots = ev
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(max_by(col("value_c"), struct(col("ts_us"), col("event_id"))).as("value_c"))
+    val w = Window.partitionBy("user_id").orderBy("hour_id")
+    knots
+      .withColumn("next_h", lead(col("hour_id"), 1).over(w))
+      .withColumn("next_v", lead(col("value_c"), 1).over(w))
+      .select(
+        col("user_id"),
+        col("hour_id").as("h0"),
+        col("value_c").as("v0"),
+        col("next_h"),
+        col("next_v"),
+        explode(sequence(col("hour_id"), coalesce(col("next_h") - 1, col("hour_id")))).as("hour_id")
+      )
+      .select(
+        col("user_id"),
+        col("hour_id"),
+        when(col("hour_id") === col("h0"), col("v0"))
+          .otherwise(
+            round(
+              col("v0").cast("double") +
+                (col("next_v") - col("v0")).cast("double") *
+                ((col("hour_id") - col("h0")).cast("double") / (col("next_h") - col("h0")).cast("double"))
+            ).cast("long")
+          )
+          .as("interp_c"),
+        when(col("hour_id") === col("h0"), 1L).otherwise(0L).as("is_observed")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11c. ts_twa_daily — time-weighted average per user per day, the
   // canonical irregular-sampling aggregate (a plain mean over-weights
   // burst periods). Each observation holds its value until the next
