@@ -43,6 +43,7 @@ object SparkEntry {
     "topk_per_group"     -> ((s, d) => Relational.topkPerGroup(s, d)),
     "group_distinct"     -> ((s, d) => Relational.groupDistinct(s, d)),
     "rel_antijoin"       -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q14_promo_share"    -> ((s, d) => Relational.promoRevenueShare(s, d)),
     "rel_semijoin"       -> ((s, d) => Relational.suppliersShippedInWindow(s, d)),
     "rel_rollup"         -> ((s, d) => Relational.revenueRollup(s, d)),
     // -- deduplication ---------------------------------------------------
@@ -667,6 +668,18 @@ object SparkEntry {
         |              WHERE l_suppkey = s_suppkey
         |                AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |                AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00')""".stripMargin,
+    "q14_promo_share" ->
+      """WITH a AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |             THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS promo_c,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c,
+        |    COUNT(*) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |)
+        |SELECT promo_c, total_c, n, promo_c * 1000000 // total_c AS promo_share_micro
+        |FROM a""".stripMargin,
     "rel_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

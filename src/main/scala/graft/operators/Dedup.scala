@@ -112,7 +112,10 @@ object Dedup {
   }
 
   private def lshPairsFrom(uniq: DataFrame): DataFrame = {
-    val bands = bandSignaturesFrom(uniq)
+    // materialize the signature table once — a self-join would otherwise
+    // run the shingle+md5 pipeline for BOTH sides
+    val bands = bandSignaturesFrom(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()
     bands
       .as("a")
       .join(

@@ -99,6 +99,33 @@ object Relational {
       )
   }
 
+  /** TPC-H Q14 shape: conditional aggregation over a fact ⋈ dim join —
+    * promo revenue share per part type bucket. The dim broadcasts; the
+    * CASE folds into the partial aggregate, so the answer is one scan +
+    * one small exchange.
+    */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(
+          when($"p_type" === "PROMO", cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).otherwise(0L)
+        ).as("promo_c"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_c"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        $"promo_c",
+        $"total_c",
+        $"n",
+        expr("promo_c * 1000000 DIV total_c").as("promo_share_micro")
+      )
+  }
+
   /** Anti-join: customers with no order in a given year. LeftAnti
     * plans as a broadcast/shuffled hash join emitting only non-matches
     * — no NOT-IN subquery materialization, no null-semantics trap, and
