@@ -22,6 +22,22 @@ class EntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without query: $orphans")
   }
 
+  test("SURVEY §2 inventory and SparkEntry.queries agree line for line") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      "UTF-8"
+    )
+    val section = survey.substring(
+      survey.indexOf("## §2"),
+      survey.indexOf("Plus non-query library surface")
+    )
+    val surveyKeys = "`([a-z0-9_]+)`".r.findAllMatchIn(section).map(_.group(1)).toSet
+    val missingImpl = surveyKeys -- SparkEntry.queries.keySet
+    assert(missingImpl.isEmpty, s"SURVEY rows with no queries entry: $missingImpl")
+    val undocumented = SparkEntry.queries.keySet -- surveyKeys
+    assert(undocumented.isEmpty, s"queries not documented in SURVEY §2: $undocumented")
+  }
+
   // one pass over the whole inventory: runs + rows>0 + no null-typed cols
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs with rows at sf0.001") {

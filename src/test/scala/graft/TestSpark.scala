@@ -13,6 +13,7 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
