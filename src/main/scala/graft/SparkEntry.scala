@@ -28,6 +28,7 @@ object SparkEntry {
     "ts_moving_avg"      -> ((s, d) => TimeSeries.movingAgg(s, d)),
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
+    "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
@@ -474,6 +475,19 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_anomaly_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+        |v AS (SELECT event_id, user_id, ts_us, x,
+        |        COUNT(*) OVER w AS n,
+        |        CAST(SUM(x) OVER w AS BIGINT) AS s,
+        |        CAST(SUM(x * x) OVER w AS BIGINT) AS q
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, x AS value_c,
+        |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM v WHERE n >= 20""".stripMargin,
     "ts_twa_daily" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  epoch_us(ts) // 86400000000 AS day_id,

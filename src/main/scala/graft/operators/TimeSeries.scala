@@ -245,6 +245,32 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11d. ts_anomaly_zscore — trailing-window z-score outliers per
+  // series: flag points where (x - mean)² > z²·var over the previous
+  // W observations. The test is pure integer algebra on fixed-point
+  // cents — (n·x − S)² > z²·(n·Q − S²) with S=Σx, Q=Σx² — so the
+  // verdict is exact and engine-portable (no float variance drift),
+  // and the whole operator is one window pass / one shuffle.
+  // -------------------------------------------------------------------
+  def anomalyZscore(spark: SparkSession, dir: String, win: Int = 20, z: Int = 3): DataFrame = {
+    // trailing window EXCLUDING the current row: score x against its past
+    val w = seriesW.rowsBetween(-win, -1)
+    eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), cents(col("value")).as("x"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .filter(col("n") >= win) // need a full window of history
+      .withColumn("dev_n", col("n") * col("x") - col("s"))
+      .withColumn(
+        "is_anomaly",
+        when(col("dev_n") * col("dev_n") > lit(z.toLong * z) * (col("n") * col("q") - col("s") * col("s")), 1L)
+          .otherwise(0L)
+      )
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("x").as("value_c"), col("is_anomaly"))
+  }
+
+  // -------------------------------------------------------------------
   // 12. ts_sessionize — gap-based sessions (>30 min silence starts a
   // new session). lag + running-sum windows share one partitioning
   // with the final per-session agg (hash(user_id) satisfies the
