@@ -29,6 +29,7 @@ object SparkEntry {
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
+    "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
@@ -475,6 +476,25 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(v.view_us) AS view_us,
+        |        MIN(CASE WHEN e.event_type = 'click' AND v.view_us IS NOT NULL
+        |                  AND e.ts_us > v.view_us THEN e.ts_us END) AS click_us
+        |      FROM e JOIN v ON v.user_id = e.user_id GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(c.view_us) AS view_us, MIN(c.click_us) AS click_us,
+        |        MIN(CASE WHEN e.event_type = 'purchase' AND c.click_us IS NOT NULL
+        |                  AND e.ts_us > c.click_us THEN e.ts_us END) AS purchase_us
+        |      FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1)
+        |SELECT user_id, COALESCE(view_us, -1) AS view_us, COALESCE(click_us, -1) AS click_us,
+        |  COALESCE(purchase_us, -1) AS purchase_us,
+        |  CAST((CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS steps_completed
+        |FROM p""".stripMargin,
     "ts_anomaly_zscore" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |                  CAST(round(value*100) AS BIGINT) AS x FROM events),

@@ -298,6 +298,58 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 12b. ts_funnel — ordered funnel conversion per user:
+  // view -> click -> purchase, each step strictly after the previous.
+  // Computed as conditional step-completion timestamps in ONE
+  // aggregation pass: first view, then first click after that view,
+  // then first purchase after that click — the sequential dependency
+  // resolves via two chained conditional-min window/agg steps, never a
+  // self-join per step (the scalable funnel shape: O(events), one
+  // shuffle on the user key).
+  // -------------------------------------------------------------------
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val firstView = ev
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("view_us"))
+    // conditional mins AFTER the prior step land in one more pass over
+    // the same user partitioning (broadcast of the per-user step table)
+    val withView = ev.join(broadcast(firstView), Seq("user_id"))
+    val firstClick = withView
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("view_us")).as("view_us"),
+        min(
+          when(col("event_type") === "click" && col("view_us").isNotNull && col("ts_us") > col("view_us"), col("ts_us"))
+        ).as("click_us")
+      )
+    val withClick = ev.join(broadcast(firstClick), Seq("user_id"))
+    withClick
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("view_us")).as("view_us"),
+        min(col("click_us")).as("click_us"),
+        min(
+          when(
+            col("event_type") === "purchase" && col("click_us").isNotNull && col("ts_us") > col("click_us"),
+            col("ts_us")
+          )
+        ).as("purchase_us")
+      )
+      .select(
+        col("user_id"),
+        coalesce(col("view_us"), lit(-1L)).as("view_us"),
+        coalesce(col("click_us"), lit(-1L)).as("click_us"),
+        coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"),
+        (when(col("view_us").isNotNull, 1L).otherwise(0L) +
+          when(col("click_us").isNotNull, 1L).otherwise(0L) +
+          when(col("purchase_us").isNotNull, 1L).otherwise(0L)).as("steps_completed")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 13. ts_asof_join — latest click at-or-before each purchase, per
   // user. Spark has no ASOF join; the scalable plan is the union
   // trick: interleave both streams on one (user, time) ordering and
