@@ -66,6 +66,7 @@ object SparkEntry {
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_ngram_freq"  -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
+    "text_salient"     -> ((s, d) => TextAnalysis.salient(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -262,6 +263,15 @@ object SparkEntry {
          |r AS (SELECT tok, n_total, n_docs,
          |        CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, tok ASC) AS BIGINT) AS rnk FROM a)
          |SELECT tok, n_total, n_docs, rnk FROM r WHERE rnk <= 20""".stripMargin,
+    "text_salient" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.tok, tf.tf, df.df, tf.tf * 1000000 // df.df AS score_micro
+         |      FROM tf JOIN df ON df.tok = tf.tok),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score_micro DESC, tok ASC) AS rn FROM s)
+         |SELECT doc_id, tok AS salient_tok, tf, df, score_micro FROM r WHERE rn = 1""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |w AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS win

@@ -126,6 +126,29 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 29c. text_salient — TF-IDF-style salient token per document with a
+  // pure-integer score: tf·10^6 / df (document frequency from one
+  // corpus-wide agg, broadcast back). Integer scoring keeps the argmax
+  // deterministic across engines — float idf logs would not be. Two
+  // aggs + one broadcast join; the corpus-side df table is
+  // vocabulary-sized, not corpus-sized.
+  // -------------------------------------------------------------------
+  def salient(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("tok").asc)
+    tf.join(broadcast(df_), Seq("tok"))
+      .withColumn("score_micro", expr("tf * 1000000 DIV df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("salient_tok"), col("tf"), col("df"), col("score_micro"))
+  }
+
+  // -------------------------------------------------------------------
   // 32. text_fingerprint — rolling-window fingerprint: md5 over each
   // 4-token window, keep the minimum (winnowing-style stable id that
   // survives small edits elsewhere in the doc).
