@@ -67,6 +67,7 @@ object SparkEntry {
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_ngram_freq"  -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
     "text_salient"     -> ((s, d) => TextAnalysis.salient(s, d)),
+    "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -263,6 +264,23 @@ object SparkEntry {
          |r AS (SELECT tok, n_total, n_docs,
          |        CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, tok ASC) AS BIGINT) AS rnk FROM a)
          |SELECT tok, n_total, n_docs, rnk FROM r WHERE rnk <= 20""".stripMargin,
+    "sample_stratified" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','is'], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','es'], x))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et'], x))) AS BIGINT) AS s_fr
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  FROM s),
+         |h AS (SELECT doc_id, pred_lang, substr(md5('sample:' || doc_id), 1, 2) AS h2 FROM l)
+         |SELECT doc_id, pred_lang, h2 FROM h
+         |WHERE h2 < CASE pred_lang WHEN 'en' THEN '80' WHEN 'es' THEN '4d'
+         |                          WHEN 'de' THEN '33' ELSE '1a' END""".stripMargin,
     "text_salient" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),

@@ -126,6 +126,33 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31c. sample_stratified — deterministic stratified sampling, the
+  // data-mixing step of a training pipeline: per-language keep rates
+  // applied via an md5 hash threshold instead of rand(), so the sample
+  // is reproducible run-to-run, engine-portable, and stable under
+  // repartitioning. Hex strings compare lexicographically == numerically
+  // ('0'-'9' < 'a'-'f' in ASCII), so `substr(md5, 1, 2) < threshold`
+  // IS a uniform keep-with-probability test in 1/256 units.
+  // -------------------------------------------------------------------
+  private val StrataThresholds: Seq[(String, String)] = Seq(
+    "en" -> "80", // 128/256 = 50%
+    "es" -> "4d", //  77/256 ≈ 30%
+    "de" -> "33", //  51/256 ≈ 20%
+    "fr" -> "1a"  //  26/256 ≈ 10%
+  )
+
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val threshold = StrataThresholds.foldLeft(lit("00")) { case (acc, (lang, t)) =>
+      when(col("pred_lang") === lang, lit(t)).otherwise(acc)
+    }
+    langId(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+      .withColumn("h2", substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 2))
+      .filter(col("h2") < threshold)
+      .select(col("doc_id"), col("pred_lang"), col("h2"))
+  }
+
+  // -------------------------------------------------------------------
   // 29c. text_salient — TF-IDF-style salient token per document with a
   // pure-integer score: tf·10^6 / df (document frequency from one
   // corpus-wide agg, broadcast back). Integer scoring keeps the argmax
