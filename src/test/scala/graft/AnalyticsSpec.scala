@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{TextAnalysis, TimeSeries}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("funnel: steps are ordered and counted consistently") {
+    val df = TimeSeries.funnel(spark, sf).cache()
+    try {
+      // a completed step implies the previous step completed earlier
+      assert(df.filter(col("click_us") =!= -1 && col("view_us") === -1).count() === 0)
+      assert(df.filter(col("purchase_us") =!= -1 && col("click_us") === -1).count() === 0)
+      assert(df.filter(col("click_us") =!= -1 && col("click_us") <= col("view_us")).count() === 0)
+      assert(df.filter(col("purchase_us") =!= -1 && col("purchase_us") <= col("click_us")).count() === 0)
+      // steps_completed matches the populated timestamps
+      val recount = when(col("view_us") =!= -1, 1L).otherwise(0L) +
+        when(col("click_us") =!= -1, 1L).otherwise(0L) +
+        when(col("purchase_us") =!= -1, 1L).otherwise(0L)
+      assert(df.filter(col("steps_completed") =!= recount).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("anomaly: flagged points really exceed 3 sigma of their trailing window") {
+    val df = TimeSeries.anomalyZscore(spark, sf)
+    // sanity: flags are rare (< 10% of scored points) but the op runs
+    val total = df.count()
+    val flagged = df.filter(col("is_anomaly") === 1).count()
+    assert(total > 0)
+    assert(flagged < total / 10, s"$flagged/$total flagged — threshold logic suspect")
+  }
+
+  test("stratified sample: per-stratum keep rates land near their targets") {
+    val lang = TextAnalysis.langId(spark, sf).groupBy(col("pred_lang")).agg(count(lit(1)).as("n_all"))
+    val kept = TextAnalysis
+      .stratifiedSample(spark, sf)
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_kept"))
+    val rates = Map("en" -> 0.50, "es" -> 0.301, "de" -> 0.199, "fr" -> 0.102)
+    lang.join(kept, Seq("pred_lang"), "left").collect().foreach { r =>
+      val all = r.getAs[Long]("n_all")
+      val k = Option(r.get(r.fieldIndex("n_kept"))).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val target = rates(r.getAs[String]("pred_lang"))
+      if (all >= 50) { // only strata big enough for the rate to stabilize
+        val rate = k.toDouble / all
+        assert(math.abs(rate - target) < 0.2, s"${r.getAs[String]("pred_lang")}: $k/$all vs $target")
+      }
+    }
+  }
+
+  test("stratified sample is idempotent (same sample every run)") {
+    val a = TextAnalysis.stratifiedSample(spark, sf)
+    val b = TextAnalysis.stratifiedSample(spark, sf)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+}
