@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * Injected by [[GraftExtensions]] via injectOptimizerRule, so ANY query
   * in the session — Column API or SQL text — gets the fast path without
   * code changes.
+  *
+  * ANSI note: under ANSI mode the HOF's Multiply/Add RAISE on long
+  * overflow, where the bare loop would wrap. The rewrite therefore
+  * emits the overflow-CHECKING variant of [[LongDotProduct]]
+  * (failOnError = true) in ANSI sessions, so swapping formulations
+  * never silently removes an overflow error from a user query.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
@@ -39,6 +45,6 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           Set(mx.exprId, my.exprId) == zargs.map(_.exprId).toSet &&
           Set(aacc.exprId, avar.exprId) == margs.map(_.exprId).toSet &&
           fargs.headOption.exists(_.exprId == fin.exprId) =>
-      LongDotProduct(a, b)
+      LongDotProduct(a, b, failOnError = conf.ansiEnabled)
   }
 }

@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Mirrors the reference's integer-domain trick (fixed-point encode
   * first, then exact integer arithmetic — numpy_utils.py:266-275).
   */
-case class LongDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+case class LongDotProduct(left: Expression, right: Expression, failOnError: Boolean = false)
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -40,7 +41,9 @@ case class LongDotProduct(left: Expression, right: Expression) extends BinaryExp
 
   // Null semantics deliberately MATCH aggregate(zip_with(a, b, *), 0, +):
   // unequal lengths or a null element yield null. That equivalence is
-  // what licenses DotProductRewrite to swap the formulations.
+  // what licenses DotProductRewrite to swap the formulations. With
+  // failOnError (ANSI sessions) overflow RAISES like ANSI Multiply/Add
+  // would, so the rewrite stays behavior-preserving there too.
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -52,7 +55,8 @@ case class LongDotProduct(left: Expression, right: Expression) extends BinaryExp
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getLong(i) * y.getLong(i)
+      if (failOnError) s = Math.addExact(s, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      else s += x.getLong(i) * y.getLong(i)
       i += 1
     }
     s
@@ -66,6 +70,11 @@ case class LongDotProduct(left: Expression, right: Expression) extends BinaryExp
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
+        val step =
+          if (failOnError)
+            s"$s = java.lang.Math.addExact($s, java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));"
+          else
+            s"$s += $x.getLong($i) * $y.getLong($i);"
         s"""
            |final int $n = $x.numElements();
            |long $s = 0L;
@@ -74,7 +83,7 @@ case class LongDotProduct(left: Expression, right: Expression) extends BinaryExp
            |} else {
            |  for (int $i = 0; $i < $n; $i++) {
            |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-           |    $s += $x.getLong($i) * $y.getLong($i);
+           |    $step
            |  }
            |}
            |${ev.value} = $s;

@@ -20,6 +20,16 @@ import graft.sources.Tables
   *
   * Hashing discipline: all hashes are md5-hex over explicit strings
   * (graft.functions.PortableHash), so signatures are engine-portable.
+  *
+  * CACHING CONTRACT: the multi-consumer operators (minhashLsh,
+  * ngramJaccard, simhash, clusters) persist shared intermediates
+  * (shingle sets, band/simhash signatures, candidate pairs) because
+  * each feeds 2-3 downstream joins of the RETURNED lazy plan — the
+  * cache cannot be released before the caller materializes the result.
+  * Callers running many queries in one session (Bench/Verify do this)
+  * should `spark.catalog.clearCache()` between queries; a library user
+  * embedding one operator can simply leave the MEMORY_AND_DISK blocks
+  * to LRU eviction.
   */
 object Dedup {
 
@@ -181,6 +191,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedup_clusters did not converge after $maxIters rounds ($changed labels still changing): " +
+          "a component's diameter exceeds the round budget — raise maxIters"
+      )
     labels
   }
 

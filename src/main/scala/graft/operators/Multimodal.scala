@@ -48,8 +48,16 @@ object Multimodal {
       .select(
         col("doc_id"),
         col("text"),
-        explode(expr(s"sequence(0, CAST((n_bytes + ${chunkBytes - 1}) DIV $chunkBytes AS INT) - 1)"))
-          .as("chunk_idx")
+        // guard the empty payload: sequence(0, -1) would step BACKWARD
+        // ([0, -1]) instead of yielding no chunks, so an n_bytes=0 doc
+        // must map to an empty array explicitly (same pattern as
+        // Dedup.shingles)
+        explode(
+          when(
+            col("n_bytes") > 0,
+            expr(s"sequence(0, CAST((n_bytes + ${chunkBytes - 1}) DIV $chunkBytes AS INT) - 1)")
+          ).otherwise(expr("CAST(array() AS ARRAY<INT>)"))
+        ).as("chunk_idx")
       )
       .select(
         col("doc_id"),

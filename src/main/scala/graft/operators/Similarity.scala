@@ -69,33 +69,43 @@ object Similarity {
       k: Int = 10
   ): DataFrame = {
     val q = quantized(spark, dir)
-    // deterministic seed sample: vec_ids 100..100+nCells-1 (clear of the probe set)
+    // deterministic seed sample: vec_ids 100..100+nCells-1 (clear of the
+    // probe set). Centroids STAY a DataFrame — never collected to the
+    // driver, never unrolled into per-row literal expressions — so the
+    // plan is the same size at nCells=8 and nCells=64k.
     val seeds = q
       .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
-      .select(col("vec_id"), col("q"), col("n2"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .zipWithIndex
-      .map { case (r, c) => (c.toLong, r.getSeq[Long](1), r.getLong(2)) }
-
-    // per-vector distance struct to every cell; struct ordering (d2, c)
-    // makes array_min/sort_array the deterministic argmin
-    val distStructs = seeds.map { case (c, vec, c2) =>
-      struct(
-        (col("n2") + lit(c2) - lit(2L) * dotQ(col("q"), typedlit(vec))).as("d2"),
-        lit(c).as("c")
-      )
-    }.toSeq
-    val assigned = q
-      .withColumn("cell", array_min(array(distStructs: _*)).getField("c"))
-    val probes = assigned
-      .filter(col("vec_id") < nProbes)
+      .select((col("vec_id") - 100).as("c"), col("q").as("cq"), col("n2").as("c2"))
+    // exact integer distance of every vector to every centroid:
+    // map-side broadcast expand (centroids are small relative to the
+    // corpus — broadcasting THEM is legitimate), d2 = n2 + c2 - 2*dot
+    val dist = q
+      .crossJoin(broadcast(seeds))
       .select(
-        col("vec_id").as("probe_id"),
-        col("q").as("pq"),
-        col("n2").as("pn2"),
-        explode(slice(sort_array(array(distStructs: _*)), 1, probeCells).getField("c")).as("cell")
+        col("vec_id"),
+        col("q"),
+        col("n2"),
+        col("c"),
+        (col("n2") + col("c2") - lit(2L) * dotQ(col("q"), col("cq"))).as("d2")
       )
+    // argmin by (d2, c): min_by with a struct ordering key — partial
+    // aggregation collapses the nCells-expanded rows back to one per
+    // vector before any shuffle
+    val assigned = dist
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("c"), struct(col("d2"), col("c"))).as("cell"),
+        first(col("q")).as("q"),
+        first(col("n2")).as("n2")
+      )
+    // probes rank all cells and search the probeCells nearest; the
+    // window runs over nProbes*nCells rows — trivially small
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("c").asc)
+    val probes = dist
+      .filter(col("vec_id") < nProbes)
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= probeCells)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("c").as("cell"))
     val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned

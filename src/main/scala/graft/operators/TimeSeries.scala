@@ -300,52 +300,53 @@ object TimeSeries {
   // -------------------------------------------------------------------
   // 12b. ts_funnel — ordered funnel conversion per user:
   // view -> click -> purchase, each step strictly after the previous.
-  // Computed as conditional step-completion timestamps in ONE
-  // aggregation pass: first view, then first click after that view,
-  // then first purchase after that click — the sequential dependency
-  // resolves via two chained conditional-min window/agg steps, never a
-  // self-join per step (the scalable funnel shape: O(events), one
-  // shuffle on the user key).
+  // ONE window pass over the user's time-ordered events: a running
+  // min(view ts) marks each click that strictly follows some view, a
+  // running min over those qualifying clicks marks each purchase that
+  // strictly follows a qualifying click, and a final conditional-min
+  // aggregate (same user partitioning — no second exchange) picks the
+  // step timestamps. One shuffle, one scan, O(events) state; per-user
+  // step tables never materialize, so series cardinality (the axis
+  // that explodes at 100 TB) costs nothing extra.
+  //
+  // Equivalence with the "first click after the FIRST view" spec: the
+  // running view-min at a click equals the user's global first-view ts
+  // whenever that first view precedes the click (smaller ts sorts
+  // first), and the strict `<` comparison fails in exactly the same
+  // tie cases the global formulation's `>` does.
   // -------------------------------------------------------------------
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = eventsUs(spark, dir)
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsUs(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .select(col("user_id"), col("event_type"), col("ts_us"))
-    val firstView = ev
-      .groupBy(col("user_id"))
-      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("view_us"))
-    // conditional mins AFTER the prior step land in one more pass over
-    // the same user partitioning (broadcast of the per-user step table)
-    val withView = ev.join(broadcast(firstView), Seq("user_id"))
-    val firstClick = withView
-      .groupBy(col("user_id"))
-      .agg(
-        min(col("view_us")).as("view_us"),
-        min(
-          when(col("event_type") === "click" && col("view_us").isNotNull && col("ts_us") > col("view_us"), col("ts_us"))
-        ).as("click_us")
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+      .withColumn("run_view", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn(
+        "click_ok",
+        when(col("event_type") === "click" && col("run_view") < col("ts_us"), col("ts_us"))
       )
-    val withClick = ev.join(broadcast(firstClick), Seq("user_id"))
-    withClick
+      .withColumn("run_click", min(col("click_ok")).over(w))
+      .withColumn(
+        "purchase_ok",
+        when(col("event_type") === "purchase" && col("run_click") < col("ts_us"), col("ts_us"))
+      )
       .groupBy(col("user_id"))
       .agg(
-        min(col("view_us")).as("view_us"),
-        min(col("click_us")).as("click_us"),
-        min(
-          when(
-            col("event_type") === "purchase" && col("click_us").isNotNull && col("ts_us") > col("click_us"),
-            col("ts_us")
-          )
-        ).as("purchase_us")
+        min(when(col("event_type") === "view", col("ts_us"))).as("view_raw"),
+        min(col("click_ok")).as("click_raw"),
+        min(col("purchase_ok")).as("purchase_raw")
       )
       .select(
         col("user_id"),
-        coalesce(col("view_us"), lit(-1L)).as("view_us"),
-        coalesce(col("click_us"), lit(-1L)).as("click_us"),
-        coalesce(col("purchase_us"), lit(-1L)).as("purchase_us"),
-        (when(col("view_us").isNotNull, 1L).otherwise(0L) +
-          when(col("click_us").isNotNull, 1L).otherwise(0L) +
-          when(col("purchase_us").isNotNull, 1L).otherwise(0L)).as("steps_completed")
+        coalesce(col("view_raw"), lit(-1L)).as("view_us"),
+        coalesce(col("click_raw"), lit(-1L)).as("click_us"),
+        coalesce(col("purchase_raw"), lit(-1L)).as("purchase_us"),
+        (when(col("view_raw").isNotNull, 1L).otherwise(0L) +
+          when(col("click_raw").isNotNull, 1L).otherwise(0L) +
+          when(col("purchase_raw").isNotNull, 1L).otherwise(0L)).as("steps_completed")
       )
   }
 
@@ -464,20 +465,36 @@ object TimeSeries {
   // -------------------------------------------------------------------
   // 11b. ts_percentiles — exact p50/p90/p99 per event type by the
   // rank formula (k-th smallest, k = ceil(p*n)): deterministic in any
-  // engine, no interpolation-convention ambiguity. One shuffle for the
-  // rank window; the per-group row picks are a map-side filter.
+  // engine, no interpolation-convention ambiguity.
+  //
+  // Scale shape: values are fixed-point integer cents, so the exact
+  // rank comes from a VALUE HISTOGRAM — groupBy(event_type, value_c)
+  // is fully partial-aggregable (map-side combine collapses each
+  // partition to its distinct values before the shuffle), and the only
+  // sort is the cumulative-count window over the tiny per-group
+  // histogram (bounded by distinct values, not row count). The k-th
+  // smallest is the histogram bin whose cumulative count first reaches
+  // k. The raw event stream is never sorted and never funnels through
+  // one partition per group — the failure mode of a rank window over
+  // 100 TB with 5 event types.
   // -------------------------------------------------------------------
   def percentiles(spark: SparkSession, dir: String, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("value_c"))
-    val ranked = eventsUs(spark, dir)
-      .select(col("event_type"), cents(col("value")).as("value_c"))
-      .withColumn("rnk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val hist = eventsUs(spark, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("value_c"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy("event_type")
+      .orderBy(col("value_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("event_type")))
     val picks = ps.map { p =>
-      max(when(col("rnk") === ceil(lit(p) * col("n")), col("value_c")))
+      val k = ceil(lit(p) * col("n"))
+      max(when(k > col("cum") - col("cnt") && k <= col("cum"), col("value_c")))
         .as(s"p${(p * 100).toInt}_c")
     }
-    ranked
+    cum
       .groupBy(col("event_type"))
       .agg(first(col("n")).as("n"), picks: _*)
   }

@@ -164,7 +164,10 @@ object TimeboxStore {
     * computed on the ORIGINAL events.
     */
   def roundtripSummary(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_store").toString
+    // fixed per-(tmpdir, sf) path + overwrite mode: repeated invocations
+    // (Bench runs each query twice per pass) REUSE the location instead
+    // of leaking a fresh encoded copy of the table per call
+    val out = scratchPath("graft_store", dir)
     write(spark, dir, out)
     read(spark, out)
       .groupBy(col("series_id").as("user_id"))
@@ -175,6 +178,15 @@ object TimeboxStore {
         sum(col("value_c")).as("sum_value_c"),
         sum(col("seq")).as("sum_event_id")
       )
+  }
+
+  /** Deterministic scratch location under java.io.tmpdir, keyed by the
+    * input dir so different scale factors don't collide; writers use
+    * overwrite mode, so the path is reused — not leaked — across runs.
+    */
+  private def scratchPath(prefix: String, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/${prefix}_$key"
   }
 
   private val LineitemTags = Seq("qty_c", "price_c", "disc_c")
@@ -199,7 +211,7 @@ object TimeboxStore {
     * min-ref + width plans), summarized per supplier.
     */
   def multitagRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_store_mt").toString
+    val out = scratchPath("graft_store_mt", dir)
     // block granularity follows point density: ship dates are sparse
     // per supplier (~1/day would leave 1-point blocks), so block by
     // 32-day windows — the tuning knob a real deployment sets per table

@@ -59,6 +59,26 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!df.queryExecution.optimizedPlan.toString.contains("long_dot"))
   }
 
+  test("DotProductRewrite preserves ANSI overflow errors (no silent wrap)") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // non-foldable input (parquet round-trip): literal arrays would be
+      // constant-folded — and raise — before the rewrite even runs
+      val dir = java.nio.file.Files.createTempDirectory("graft_ansi").toString
+      Seq((Seq(Long.MaxValue, Long.MaxValue), Seq(2L, 2L))).toDF("a", "b")
+        .write.mode("overwrite").parquet(dir)
+      val big = spark.read.parquet(dir)
+      val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      val df = big.select(hof.as("d"))
+      // the rewrite still fires under ANSI...
+      assert(df.queryExecution.optimizedPlan.toString.contains("long_dot"))
+      // ...and overflow still raises, exactly as the ANSI HOF would
+      intercept[Exception](df.head())
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("LongDotProduct null semantics match the HOF formulation") {
     import spark.implicits._
     val df = Seq(

@@ -47,4 +47,29 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges")
   }
+
+  test("funnel is one shuffle on the user key — no per-user broadcast") {
+    val plan = planOf(TimeSeries.funnel(spark, sf))
+    // the scale-killer shape is a BroadcastExchange whose build side is a
+    // per-user aggregate: at 10^9 users that broadcast OOMs the driver
+    assert(!plan.contains("BroadcastExchange"), s"per-user table broadcast resurfaced:\n$plan")
+    assert(!plan.contains("Join"), s"funnel should be window+agg, not self-joins:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("percentiles sorts a value histogram, never the raw event stream") {
+    val exec = TimeSeries.percentiles(spark, sf).queryExecution.sparkPlan
+    val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected the cumulative-count window")
+    // every window must run over the (event_type, value_c) histogram —
+    // i.e. a hash aggregate below it — not the raw scan: a rank window
+    // straight over events funnels 100 TB through one partition per group
+    windows.foreach { w =>
+      val aggsBelow = w.child.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggsBelow.nonEmpty, s"window runs over the raw event stream:\n$exec")
+    }
+  }
 }

@@ -37,6 +37,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.filter(col("bf_cos").isNull || col("bf_cos") =!= col("cos_micro")).count() === 0)
   }
 
+  test("ivf: in-cell results carry brute-force cosines and the plan stays constant-size at nCells=256") {
+    val ivf = Similarity.annIvfBucketed(spark, sf, nCells = 256)
+    // centroid assignment must not unroll into per-cell literal
+    // expressions: the dot-product count in the plan is O(1), not
+    // O(nCells), and nothing is collected to the driver
+    val plan = ivf.queryExecution.sparkPlan.toString
+    val dots = "long_dot".r.findAllIn(plan).size
+    assert(dots <= 12, s"plan embeds O(nCells) dot products ($dots) — centroids leaked into literals")
+    val rows = ivf.cache()
+    try {
+      assert(rows.count() > 0)
+      // cosines must agree with brute force for the surviving pairs
+      val bf = Similarity.annTopkBruteForce(spark, sf, k = Int.MaxValue - 1)
+      val joined = rows.join(
+        bf.select(col("probe_id"), col("neighbor_id"), col("cos_micro").as("bf_cos")),
+        Seq("probe_id", "neighbor_id"),
+        "left"
+      )
+      assert(joined.filter(col("bf_cos").isNull || col("bf_cos") =!= col("cos_micro")).count() === 0)
+    } finally rows.unpersist()
+  }
+
   test("plane weights are odd, nonzero, engine-reproducible") {
     val planes = PortableHash.planeWeights(4, 64)
     assert(planes.size === 4 && planes.forall(_.size === 64))

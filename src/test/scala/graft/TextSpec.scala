@@ -46,6 +46,18 @@ class TextSpec extends AnyFunSuite {
     assert(a.filter(length(col("fingerprint")) =!= 32).count() === 0)
   }
 
+  test("chunk table: empty payload yields zero chunks, not a backwards sequence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm_empty").toString
+    Seq((1L, "", "en", "t", 0L), (2L, "abc", "en", "t", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = Multimodal.chunkTable(spark, dir).collect()
+    assert(!chunks.exists(_.getAs[Long]("doc_id") == 1L), "empty doc emitted bogus chunk rows")
+    val c2 = chunks.filter(_.getAs[Long]("doc_id") == 2L)
+    assert(c2.length === 1 && c2.head.getAs[Long]("chunk_len") === 3L && c2.head.getAs[Long]("offset") === 0L)
+  }
+
   test("multimodal decode stub: deterministic, schema-true, partition-parallel") {
     import spark.implicits._
     val payloads = spark.read
