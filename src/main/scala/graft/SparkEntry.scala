@@ -57,7 +57,7 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
-    // verification set
+    // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
@@ -174,20 +174,36 @@ object SparkEntry {
          |FROM cd JOIN sg x ON x.doc_id = doc_a JOIN sg y ON y.doc_id = doc_b
          |WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
          |      bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) <= 3""".stripMargin,
+    // hyperplane-LSH OR-construction: 8 tables x 4 sign bits; candidate
+    // pairs share a bucket in ANY table, verified by exact cosine.
+    // plane p (0..31) belongs to table p//4, bit p%4 — mirrors
+    // PortableHash.planeWeights(32, 64) exactly.
     "dedup_embedding" ->
       s"""WITH qe AS (SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
          |            FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
          |nn AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qe GROUP BY 1),
-         |dd AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-         |              CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-         |       FROM qe a JOIN qe b ON b.i = a.i AND b.label = a.label AND a.vec_id < b.vec_id
-         |       GROUP BY 1, 2, 3),
-         |cc AS (SELECT vec_a, vec_b, label,
+         |pl AS (SELECT p, i,
+         |         2 * (instr('0123456789abcdef',
+         |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+         |       FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+         |db AS (SELECT qe.vec_id, pl.p, CAST(SUM(qe.v * pl.w) AS BIGINT) AS dt
+         |       FROM qe JOIN pl ON pl.i = qe.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, p // 4 AS tbl,
+         |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p % 4 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM db GROUP BY 1, 2),
+         |cd AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |       FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+         |dt AS (SELECT cd.vec_a, cd.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM cd JOIN qe a ON a.vec_id = cd.vec_a
+         |       JOIN qe b ON b.vec_id = cd.vec_b AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |cc AS (SELECT vec_a, vec_b,
          |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-         |       FROM dd JOIN nn na ON na.vec_id = vec_a JOIN nn nb ON nb.vec_id = vec_b)
-         |SELECT vec_a, vec_b, CAST(label AS BIGINT) AS label,
+         |       FROM dt JOIN nn na ON na.vec_id = vec_a JOIN nn nb ON nb.vec_id = vec_b)
+         |SELECT cc.vec_a, cc.vec_b, CAST(e.label AS BIGINT) AS label,
          |       CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
-         |FROM cc WHERE cos >= 0.4""".stripMargin,
+         |FROM cc JOIN embeddings e ON e.vec_id = cc.vec_a
+         |WHERE cos >= 0.4""".stripMargin,
     "ann_topk_bruteforce" ->
       s"""WITH $quantCtes,
          |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot

@@ -307,13 +307,27 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // 26. dedup_embedding — cosine near-dup pairs, bucketed by label so
-  // pairing shuffles on the bucket key (at 100 TB the bucket would be
-  // an LSH/IVF cell — see Similarity.annLshBucketed — but the plan
-  // shape is identical). Dot products are exact integer micro-units;
-  // the cosine itself is IEEE-deterministic from those integers.
+  // 26. dedup_embedding — cosine near-dup pairs, bucketed by
+  // random-hyperplane LSH (nTables independent tables of nPlanes sign
+  // bits each — the classic OR-construction): candidates are pairs
+  // sharing a bucket in ANY table, then verified with the exact
+  // integer cosine. Pair generation shuffles on (table, bucket) —
+  // bucket-local pairing over content-derived keys, the same shape as
+  // minhashLsh's band join — and the quadratic step never sees the
+  // corpus, only bucket-mates. Recall at the semantic threshold
+  // (cos >= 0.95) is 1-(1-p^nPlanes)^nTables with p = 1-theta/pi ≈
+  // 0.9998 at the defaults; DedupSpec asserts it empirically against
+  // planted near-duplicates. Dot products are exact integer
+  // micro-units; the cosine is IEEE-deterministic from those integers.
   // -------------------------------------------------------------------
-  def embeddingNearDup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+  def embeddingNearDup(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.95,
+      nTables: Int = 8,
+      nPlanes: Int = 4
+  ): DataFrame = {
+    val allPlanes = graft.functions.PortableHash.planeWeights(nTables * nPlanes, 64)
     val q = Tables
       .embeddings(spark, dir)
       .select(
@@ -322,15 +336,35 @@ object Dedup {
         quantizeMicro(col("embedding")).as("q")
       )
       .withColumn("n2", norm2Q(col("q")))
-    val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
-    q.as("a")
-      .join(q.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(
-        col("a.vec_id").as("vec_a"),
-        col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
-        cos.as("cos")
+    // per-table bucket: sign pattern of that table's planes (plane
+    // index p = tbl*nPlanes + bit, matching the oracle's p//4 / p%4)
+    val tableStructs = (0 until nTables).map { t =>
+      val b = (0 until nPlanes)
+        .map(j => when(dotQ(col("q"), typedlit(allPlanes(t * nPlanes + j))) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), b.as("bucket"))
+    }
+    // bucket table feeds both sides of the pairing self-join —
+    // materialize once (see the caching contract in the header)
+    val bk = q
+      .select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bk.count()
+    val cand = bk
+      .as("x")
+      .join(
+        bk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id")
       )
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
+    cand
+      .join(q.as("a"), col("a.vec_id") === col("vec_a"))
+      .join(q.as("b"), col("b.vec_id") === col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("a.label").as("label"), cos.as("cos"))
       .filter(col("cos") >= threshold)
       .select(
         col("vec_a"),

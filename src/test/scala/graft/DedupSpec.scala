@@ -76,9 +76,38 @@ class DedupSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
-  test("embedding near-dup: cosine above threshold, same-label only") {
+  test("embedding near-dup: cosine above threshold, pairs ordered") {
     val df = Dedup.embeddingNearDup(spark, sf, threshold = 0.4)
     assert(df.filter(col("cos_micro") < 400000).count() === 0)
     assert(df.filter(col("vec_a") >= col("vec_b")).count() === 0)
+  }
+
+  test("embedding near-dup: LSH recall >= 0.9 on planted near-duplicates at cos 0.95") {
+    import spark.implicits._
+    // plant 25 near-duplicate pairs (cos > 0.99) among 150 random
+    // vectors; deterministic seed so the bound is a regression guard,
+    // not a flake
+    val rnd = new scala.util.Random(42)
+    def randVec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 150).map(i => (i.toLong, randVec()))
+    val dups = (0 until 25).map { i =>
+      val (_, v) = base(i)
+      (1000L + i, v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_embed_recall").toString
+    (base ++ dups)
+      .map { case (id, v) => (id, v.toSeq, (id % 10).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val found = Dedup
+      .embeddingNearDup(spark, dir, threshold = 0.95)
+      .select("vec_a", "vec_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val planted = (0 until 25).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = planted.count(found.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"LSH recall $recall below bound; found ${found.size} pairs")
   }
 }
