@@ -180,6 +180,33 @@ object TimeboxStore {
       )
   }
 
+  /** Bucketed block layout — the distributed analogue of the
+    * reference's one-file-per-timebox locality (timebox.py:102-106):
+    * blocks land in a metastore table bucketed AND sorted by
+    * (series_id, day_id), so decode's per-block cumulative window and
+    * any per-series aggregation read pre-clustered data with ZERO
+    * exchanges (StoreSpec asserts it). At 100 TB this is the
+    * difference between "every decode shuffles the store" and "the
+    * scan IS the shuffle, paid once at write time".
+    */
+  def writeBucketedStore(spark: SparkSession, dir: String, table: String, buckets: Int = 8): Unit =
+    encode(
+      TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    ).write
+      .mode("overwrite")
+      .bucketBy(buckets, "series_id")
+      .sortBy("series_id", "day_id")
+      .saveAsTable(table)
+
+  /** Decode straight off the bucketed table: the scan's bucket
+    * partitioning satisfies the window's and any downstream per-series
+    * aggregation's clustering, so the whole read path is exchange-free.
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    decode(spark.table(table))
+
   /** Deterministic scratch location under java.io.tmpdir, keyed by the
     * input dir so different scale factors don't collide; writers use
     * overwrite mode, so the path is reused — not leaked — across runs.

@@ -71,6 +71,24 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded).count() === 0)
   }
 
+  test("bucketed store: decode-then-aggregate-per-series runs with ZERO exchanges") {
+    TimeboxStore.writeBucketedStore(spark, sf, "graft_blocks_bucketed")
+    try {
+      val perSeries = TimeboxStore
+        .readBucketed(spark, "graft_blocks_bucketed")
+        .groupBy(col("series_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("value_c")).as("sum_c"))
+      val plan = perSeries.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed decode still shuffles:\n$plan")
+      // and the exchange-free path is still exactly right
+      val direct = original
+        .groupBy(col("user_id").as("series_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("value_c")).as("sum_c"))
+      assert(perSeries.exceptAll(direct).count() === 0)
+      assert(direct.exceptAll(perSeries).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_blocks_bucketed")
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
