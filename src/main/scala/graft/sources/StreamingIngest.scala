@@ -58,6 +58,40 @@ object StreamingIngest {
     runToMemory(spark, agg, "complete")
   }
 
+  /** Production shape of [[ingestHourly]]: APPEND mode. Each window is
+    * emitted exactly once — when the 1-hour watermark passes its end —
+    * and its state is dropped, so state-store memory is bounded by the
+    * watermark horizon, not stream length (the `complete`-mode variant
+    * above re-emits everything and never drops state; it exists because
+    * the oracle compares the full result set). Windows still open when
+    * the stream drains are never emitted — correct append semantics.
+    *
+    * @param filesPerTrigger cap files per micro-batch so a replay has
+    *        multiple batches to advance the watermark across
+    */
+  def ingestHourlyAppend(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val agg = reader
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"),
+        col("n"),
+        col("sum_c")
+      )
+    runToMemory(spark, agg, "append")
+  }
+
   /** Gap-based sessionization as CUSTOM STREAMING STATE
     * (`flatMapGroupsWithState`): per-user state carries the open
     * session across micro-batches; a >30-minute silence closes it.
@@ -68,49 +102,97 @@ object StreamingIngest {
     * one (start, end, count) triple per live user — bounded by active
     * series, not stream length.
     *
-    * Each batch emits every session it touched (closed sessions final,
-    * the open session as its end-of-batch snapshot). Under
-    * `Trigger.AvailableNow` on a static file set everything lands in
-    * one batch, so the emitted set IS the exact final sessionization —
-    * which is what the oracle checks. A production deployment adds an
-    * event-time timeout to flush idle open sessions instead.
+    * Production hardening: the stream carries a 30-minute watermark and
+    * the state an EVENT-TIME TIMEOUT at session end + gap, so an idle
+    * user's open session is flushed (emitted + state dropped) as soon
+    * as the watermark passes it — state never accumulates dead users.
+    *
+    * Emission contract: each batch emits every session it touched
+    * (closed and timed-out sessions final, the still-open session as
+    * its end-of-batch snapshot), and the returned table dedupes by
+    * (user_id, start_us) keeping the latest extent — a session's start
+    * never changes, so this is exact for any batch split of an
+    * in-order replay. Under single-batch `Trigger.AvailableNow` the
+    * dedupe is the identity and the result IS the batch
+    * sessionization, which is what the oracle checks;
+    * StreamingSpec additionally replays file-by-file and asserts the
+    * multi-batch result matches batch exactly.
+    *
+    * @param filesPerTrigger cap files per micro-batch (None = drain in
+    *        one batch) — the multi-batch replay knob for tests
     */
-  def sessionizeStream(spark: SparkSession, dir: String, gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+  def sessionizeStream(
+      spark: SparkSession,
+      dir: String,
+      gapUs: Long = 30L * 60 * 1000000L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
     val schema = Tables.events(spark, dir).schema
-    val stream = spark.readStream
-      .schema(schema)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    // the watermarked column must flow into the grouped Dataset's
+    // output — Spark's streaming checker looks for the watermark
+    // metadata on the flatMapGroupsWithState child's attributes
+    val stream = reader
       .parquet(s"$dir/events.parque[t]")
-      .select(col("user_id").as[Long], expr("ts DIV 1000").as("ts_us").as[Long])
-      .as[(Long, Long)]
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "30 minutes")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("ts_t").as[java.sql.Timestamp]
+      )
+      .as[(Long, Long, java.sql.Timestamp)]
 
+    val gapMs = gapUs / 1000L
     val sessions = stream
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
         OutputMode.Append,
-        GroupStateTimeout.NoTimeout
-      ) { (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
-        val ts = rows.map(_._2).toArray
-        java.util.Arrays.sort(ts)
-        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
-        // (start, end, n) of the session currently open
-        var cur = state.getOption.orNull
-        ts.foreach { t =>
-          cur match {
-            case null => cur = (t, t, 1L)
-            case (s, e, n) =>
-              if (t - e > gapUs) { out += ((uid, s, e, n)); cur = (t, t, 1L) }
-              else cur = (s, t, n + 1)
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[(Long, Long, Long)]) =>
+        if (state.hasTimedOut) {
+          // watermark passed session end + gap: the session can never
+          // be extended — final-emit it and DROP the state
+          val (s, e, n) = state.get
+          state.remove()
+          Iterator.single((uid, s, e, n))
+        } else {
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long)]
+          // (start, end, n) of the session currently open
+          var cur = state.getOption.orNull
+          ts.foreach { t =>
+            cur match {
+              case null => cur = (t, t, 1L)
+              case (s, e, n) =>
+                if (t - e > gapUs) { out += ((uid, s, e, n)); cur = (t, t, 1L) }
+                else cur = (s, math.max(e, t), n + 1)
+            }
           }
+          if (cur != null) {
+            state.update(cur)
+            // flush when the watermark passes session end + gap; clamp
+            // above the current watermark (a late row within the
+            // allowance could otherwise compute a timeout in the past,
+            // which Spark rejects)
+            state.setTimeoutTimestamp(math.max(cur._2 / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+            out += ((uid, cur._1, cur._2, cur._3))
+          }
+          out.iterator
         }
-        if (cur != null) { state.update(cur); out += ((uid, cur._1, cur._2, cur._3)) }
-        out.iterator
       }
       .toDF("user_id", "start_us", "end_us", "n_events")
 
+    // exact-final-set view over the append log: latest extent per
+    // (user, session start). Identity for a single-batch replay.
     runToMemory(spark, sessions, "append")
+      .groupBy(col("user_id"), col("start_us"))
+      .agg(max(col("end_us")).as("end_us"), max(col("n_events")).as("n_events"))
   }
 
   /** Durable ingest path: readStream → normalize (epoch-micro

@@ -29,6 +29,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === batch.count())
   }
 
+  /** Replay fixture: the sf events split at the median timestamp into
+    * two time-ordered files inside an events.parquet directory, so
+    * maxFilesPerTrigger=1 drives a genuine two-batch replay where the
+    * watermark advances between batches.
+    */
+  private def twoBatchDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val ev = Tables.events(spark, sf)
+    val cut = ev.selectExpr("approx_percentile(ts, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/events.parquet"
+    ev.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100) // file source orders batches by mod time
+    ev.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    dir
+  }
+
+  test("sessionize stream: two-batch replay flushes idle state and matches batch exactly") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.sessionizeStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries
+      .sessionize(spark, dir)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    assert(streamed.exceptAll(batch).count() === 0, "streamed sessions not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch sessions missing from stream")
+  }
+
+  test("append-mode windowed ingest emits closed windows once, each exactly the batch value") {
+    val dir = twoBatchDir()
+    val emitted = StreamingIngest.ingestHourlyAppend(spark, dir, Some(1)).cache()
+    try {
+      val batch = Tables
+        .events(spark, dir)
+        .groupBy(
+          (expr("ts DIV 1000") - pmod(expr("ts DIV 1000"), lit(3600000000L))).as("window_start_us"),
+          col("event_type")
+        )
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+      // watermark advanced once (batch 1 -> 2), so batch-1 windows closed
+      assert(emitted.count() > 0, "append mode emitted nothing across the two-batch replay")
+      // no duplicate emissions
+      assert(
+        emitted.groupBy("window_start_us", "event_type").count().filter(col("count") > 1).count() === 0
+      )
+      // every emitted window carries the exact final batch aggregate
+      assert(emitted.exceptAll(batch).count() === 0, "an emitted window disagrees with the batch value")
+    } finally emitted.unpersist()
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
