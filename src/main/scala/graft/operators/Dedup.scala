@@ -148,21 +148,32 @@ object Dedup {
   // -------------------------------------------------------------------
   // 23b. dedup_clusters — connected components over the LSH candidate
   // graph: the canonical-cluster step every dedup pipeline runs after
-  // pair generation (keep one doc per component). Iterative min-label
-  // propagation — each round every node takes the min label in its
-  // neighborhood; converges in <= component-diameter rounds (dup
-  // clusters are shallow, so a handful of shuffles). Driver sees only
-  // the convergence counter, never rows.
+  // pair generation (keep one doc per component).
   // -------------------------------------------------------------------
-  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    connectedComponents(minhashLsh(spark, dir), maxIters)
+
+  /** Distributed connected components over a (doc_a, doc_b) pair set.
+    *
+    * Each round combines MIN-LABEL RELAXATION (every node takes the
+    * min label in its neighborhood — one shuffle join + agg) with
+    * POINTER JUMPING (label(u) <- label(label(u)) — labels always
+    * point at a smaller component member, so chasing one hop per
+    * round doubles the contraction): the label chain contracts
+    * geometrically and convergence is O(log diameter) rounds, not
+    * O(diameter) — a 300-hop chain graph lands in <= 9 rounds where
+    * pure propagation needs 300 (DedupSpec drives exactly that
+    * adversarial shape). Driver sees only the convergence counter,
+    * never rows; each round is two bounded jobs.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = minhashLsh(spark, dir)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(mem)
     edges.count() // eager: both loop consumers read the cache, not the lineage
-    // init IS the first propagation round: label = min(self, neighbors)
+    // init IS the first relaxation round: label = min(self, neighbors)
     var labels = edges
       .groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("nmin"))
@@ -175,9 +186,10 @@ object Dedup {
         .join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("cluster_id")).as("nmin"))
-      // carry the previous label through, so materializing the new
-      // labels and counting changes is ONE job per iteration
-      val updated = labels
+      // relax: carry the previous label through for the change count.
+      // Materialized eagerly — it feeds BOTH sides of the pointer-jump
+      // join below, and a lazy persist would let them race.
+      val relaxed = labels
         .join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(
           labels("doc_id"),
@@ -185,16 +197,33 @@ object Dedup {
           labels("cluster_id").as("prev")
         )
         .persist(mem)
-      changed = updated.filter(col("cluster_id") =!= col("prev")).count()
+      relaxed.count()
+      // pointer jump: label(u) <- label(label(u)). Every label IS a
+      // node of the same component with label <= itself, so the jump
+      // is sound and monotone.
+      val parents = relaxed.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster"))
+      val jumped = relaxed
+        .join(parents, relaxed("cluster_id") === col("p_id"), "left")
+        .select(
+          relaxed("doc_id"),
+          coalesce(col("p_cluster"), relaxed("cluster_id")).as("cluster_id"),
+          relaxed("prev")
+        )
+      // localCheckpoint TRUNCATES the logical plan: the self-join above
+      // doubles the lineage every round, so without a per-round cut the
+      // plan tree (and every explain/codegen of it) grows 2^rounds
+      val snap = jumped.localCheckpoint(true)
+      changed = snap.filter(col("cluster_id") =!= col("prev")).count()
       labels.unpersist()
-      labels = updated.drop("prev")
+      relaxed.unpersist()
+      labels = snap.drop("prev")
       iter += 1
     }
     edges.unpersist()
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedup_clusters did not converge after $maxIters rounds ($changed labels still changing): " +
-          "a component's diameter exceeds the round budget — raise maxIters"
+        s"connectedComponents did not converge after $maxIters rounds ($changed labels still " +
+          "changing): a component's diameter exceeds the round budget — raise maxIters"
       )
     labels
   }

@@ -76,6 +76,17 @@ class DedupSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("connected components: 300-hop chain converges within a logarithmic round budget") {
+    import spark.implicits._
+    // adversarial path graph 0-1-2-...-299: diameter 299 >> 20, where
+    // pure min propagation needs one round per hop; relax+pointer-jump
+    // must land it in <= 12 rounds (throws if the budget is exceeded)
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs, maxIters = 12)
+    assert(labels.count() === 300)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() === 0, "not all nodes reached the component min")
+  }
+
   test("embedding near-dup: cosine above threshold, pairs ordered") {
     val df = Dedup.embeddingNearDup(spark, sf, threshold = 0.4)
     assert(df.filter(col("cos_micro") < 400000).count() === 0)
