@@ -29,6 +29,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(n === 11L)
   }
 
+  test("scalar surface reachable from SQL text and identical to the Column API") {
+    // graft_cents / graft_norm_text / vector kernel registered by GraftExtensions
+    val r = spark
+      .sql(
+        "SELECT graft_cents(12.345) AS c, graft_micro(0.5) AS m, " +
+          "graft_norm_text('  Hello,  World!! 42 ') AS t, " +
+          "graft_norm2(graft_quantize_micro(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)))) AS n2, " +
+          "graft_cos_q(long_dot(array(1L, 0L), array(1L, 0L)), 1L, 1L) AS cos"
+      )
+      .head()
+    assert(r.getAs[Long]("c") === 1235L)
+    assert(r.getAs[Long]("m") === 500000L)
+    assert(r.getAs[String]("t") === "hello world 42")
+    assert(r.getAs[Long]("n2") === 500000L * 500000L * 2)
+    assert(r.getAs[Double]("cos") === 1.0)
+  }
+
   test("DotProductRewrite: HOF formulation optimizes to long_dot and results match") {
     import graft.functions.VectorFunctions._
     val hof = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
