@@ -29,6 +29,8 @@ object SparkEntry {
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
+    "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
+    "ts_gap_stats"       -> ((s, d) => TimeSeries.gapStats(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -48,6 +50,7 @@ object SparkEntry {
     "q14_promo_share"    -> ((s, d) => Relational.promoRevenueShare(s, d)),
     "rel_semijoin"       -> ((s, d) => Relational.suppliersShippedInWindow(s, d)),
     "rel_rollup"         -> ((s, d) => Relational.revenueRollup(s, d)),
+    "q18_large_orders"   -> ((s, d) => Relational.largeOrders(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -552,6 +555,24 @@ object SparkEntry {
         |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM v WHERE n >= 20""".stripMargin,
+    "ts_rate_increase" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |d AS (SELECT user_id, ts_us, value_c - lag(value_c) OVER w AS dv
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, ts_us // 3600000000 AS hour_id, COUNT(*) AS n_deltas,
+        |  CAST(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT) AS increase_c,
+        |  CAST(SUM(dv) AS BIGINT) AS net_delta_c
+        |FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "ts_gap_stats" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS delta
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CASE WHEN delta > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |  MAX(delta) AS max_delta_us, MIN(delta) AS min_delta_us
+        |FROM d GROUP BY user_id""".stripMargin,
     "ts_twa_daily" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  epoch_us(ts) // 86400000000 AS day_id,
@@ -758,6 +779,15 @@ object SparkEntry {
         |)
         |SELECT promo_c, total_c, n, promo_c * 1000000 // total_c AS promo_share_micro
         |FROM a""".stripMargin,
+    "q18_large_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty_c > 25000
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, q.sum_qty_c
+        |FROM q JOIN orders ON o_orderkey = q.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
     "rel_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

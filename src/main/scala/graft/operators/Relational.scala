@@ -186,6 +186,30 @@ object Relational {
       )
   }
 
+  /** TPC-H Q18 shape: large-quantity orders — aggregate the fact table
+    * FIRST, filter the groups (HAVING), then join only the few
+    * survivors to orders/customer. The aggregate-then-join ordering is
+    * the scale-critical choice: the join input shrinks from the fact
+    * table to the filtered group set, which AQE then broadcasts at
+    * runtime.
+    */
+  def largeOrders(spark: SparkSession, dir: String, minQtyC: Long = 25000L): DataFrame = {
+    import spark.implicits._
+    val qty = Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(cents($"l_quantity")).as("sum_qty_c"))
+      .filter($"sum_qty_c" > minQtyC)
+    val ord = Tables
+      .orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("totalprice_c"))
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_name")
+    qty
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"totalprice_c", $"sum_qty_c")
+  }
+
   /** The 100 TB path for distinct counting: HyperLogLog++ sketches.
     * Exact distinct shuffle-expands every (group, value) pair; the
     * sketch is a fixed-size partial aggregate per group, so the shuffle

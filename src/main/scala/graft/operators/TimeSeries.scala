@@ -271,6 +271,48 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11e. ts_rate_increase — counter-rate per series per hour (the
+  // PromQL `increase` shape): sum of positive value deltas between
+  // consecutive observations, negative deltas (counter resets)
+  // contributing zero, attributed to the hour of the later point. One
+  // window pass; the per-hour aggregation reuses the series hash
+  // partitioning, so the whole operator is a single shuffle.
+  // -------------------------------------------------------------------
+  def rateIncrease(spark: SparkSession, dir: String): DataFrame = {
+    val w = seriesW
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("dv", col("value_c") - lag(col("value_c"), 1).over(w))
+      .filter(col("dv").isNotNull)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("dv") > 0, col("dv")).otherwise(0L)).as("increase_c"),
+        sum(col("dv")).as("net_delta_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 12c. ts_gap_stats — per-series sampling-health summary: how many
+  // silent gaps (> threshold) a series has and its inter-arrival
+  // extremes — the "is this series healthy / does it need gap-fill"
+  // companion to ts_gapfill_locf. One window pass, one shuffle.
+  // -------------------------------------------------------------------
+  def gapStats(spark: SparkSession, dir: String, gapUs: Long = 30L * 60 * 1000000L): DataFrame = {
+    val w = seriesW
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("delta", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("delta") > gapUs, 1L).otherwise(0L)).as("n_gaps"),
+        max(col("delta")).as("max_delta_us"),
+        min(col("delta")).as("min_delta_us")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 12. ts_sessionize — gap-based sessions (>30 min silence starts a
   // new session). lag + running-sum windows share one partitioning
   // with the final per-session agg (hash(user_id) satisfies the
