@@ -58,6 +58,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
   }
 
+  test("rate-increase and gap-stats are one shuffle on the series key") {
+    for (df <- Seq(TimeSeries.rateIncrease(spark, sf), TimeSeries.gapStats(spark, sf))) {
+      val plan = planOf(df)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+    }
+  }
+
   test("percentiles sorts a value histogram, never the raw event stream") {
     val exec = TimeSeries.percentiles(spark, sf).queryExecution.sparkPlan
     val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
