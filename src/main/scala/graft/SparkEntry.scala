@@ -31,6 +31,7 @@ object SparkEntry {
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
     "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
     "ts_gap_stats"       -> ((s, d) => TimeSeries.gapStats(s, d)),
+    "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -76,7 +77,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
-    "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d))
+    "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
+    "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d))
   )
 
   /** DuckDB fragments shared by the text/dedup oracles — must mirror
@@ -361,6 +363,15 @@ object SparkEntry {
         |  CAST(octet_length(encode(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256))) AS BIGINT) AS chunk_len,
         |  sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha
         |FROM c""".stripMargin,
+    "mm_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        unnest(generate_series(0, (n_bytes + 255) // 256 - 1)) AS chunk_idx
+        |      FROM d WHERE n_bytes > 0),
+        |h AS (SELECT doc_id, sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha FROM c)
+        |SELECT chunk_sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
+        |FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex, md5(text) AS md5_hex,
@@ -573,6 +584,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN delta > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
         |  MAX(delta) AS max_delta_us, MIN(delta) AS min_delta_us
         |FROM d GROUP BY user_id""".stripMargin,
+    "ts_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
+        |c AS (SELECT user_id, day_id, MIN(day_id) OVER (PARTITION BY user_id) AS cohort_day FROM e)
+        |SELECT cohort_day, day_id - cohort_day AS day_offset,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2""".stripMargin,
     "ts_twa_daily" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  epoch_us(ts) // 86400000000 AS day_id,

@@ -70,6 +70,24 @@ object Multimodal {
           .as("chunk_sha")
       )
 
+  // -------------------------------------------------------------------
+  // 33c. mm_chunk_dedup — content-defined storage dedup over the chunk
+  // table: chunks whose hash appears in more than one document, with
+  // occurrence counts and a canonical holder — what an object store
+  // dedupes uploads against, and the binary-payload analogue of
+  // dedup_exact. One shuffle on the chunk hash; counts are fully
+  // partial-aggregable.
+  // -------------------------------------------------------------------
+  def chunkDedup(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame =
+    chunkTable(spark, dir, chunkBytes)
+      .groupBy(col("chunk_sha"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("canonical_doc")
+      )
+      .filter(col("n_docs") > 1)
+
   /** Decoded-asset schema a real decoder would emit per payload. */
   val decodedSchema: StructType = StructType(
     Seq(

@@ -313,6 +313,23 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 12d. ts_retention — cohort retention: users grouped by first-seen
+  // day, counted distinct on each later active day (the product-
+  // analytics triangle). Cohort assignment is a min-over-series window
+  // (one shuffle on user); the (cohort, offset) distinct-count is a
+  // second shuffle whose volume is active (user, day) pairs — already
+  // collapsed from raw events by the window pass's projection.
+  // -------------------------------------------------------------------
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${DayUs}L").as("day_id"))
+      .withColumn("cohort_day", min(col("day_id")).over(w))
+      .groupBy(col("cohort_day"), (col("day_id") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  // -------------------------------------------------------------------
   // 12. ts_sessionize — gap-based sessions (>30 min silence starts a
   // new session). lag + running-sum windows share one partitioning
   // with the final per-session agg (hash(user_id) satisfies the
