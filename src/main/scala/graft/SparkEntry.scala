@@ -41,6 +41,7 @@ object SparkEntry {
     "ts_store_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
     "ts_store_multitag"  -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
+    "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     // -- relational analytics ------------------------------------------
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_topk_revenue"    -> ((s, d) => Relational.topkRevenue(s, d)),
@@ -590,6 +591,21 @@ object SparkEntry {
         |SELECT cohort_day, day_id - cohort_day AS day_offset,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // identical semantics (and SQL) to the batch ts_anomaly_zscore —
+    // the streamed ring-buffer scoring must reproduce it exactly
+    "ts_anomaly_stream" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+        |v AS (SELECT event_id, user_id, ts_us, x,
+        |        COUNT(*) OVER w AS n,
+        |        CAST(SUM(x) OVER w AS BIGINT) AS s,
+        |        CAST(SUM(x * x) OVER w AS BIGINT) AS q
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, x AS value_c,
+        |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM v WHERE n >= 20""".stripMargin,
     "ts_twa_daily" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  epoch_us(ts) // 86400000000 AS day_id,

@@ -195,6 +195,70 @@ object StreamingIngest {
       .agg(max(col("end_us")).as("end_us"), max(col("n_events")).as("n_events"))
   }
 
+  /** Streaming anomaly detection: the batch trailing-window z-score
+    * ([[graft.operators.TimeSeries.anomalyZscore]]) as CUSTOM STREAMING
+    * STATE — per-series state is a ring buffer of the last `win`
+    * fixed-point values, so each arriving point is scored against its
+    * own past immediately (the alerting path; re-scoring history per
+    * query is not an option at 100 TB). State is `win` longs per live
+    * series — bounded by active series count, not stream length. The
+    * integer variance test (n·x−S)² > z²·(n·Q−S²) is exact, so the
+    * streamed verdicts equal the batch operator's bit-for-bit — which
+    * is what the oracle (the same SQL as ts_anomaly_zscore) checks.
+    */
+  def anomalyStream(
+      spark: SparkSession,
+      dir: String,
+      win: Int = 20,
+      z: Int = 3,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long]
+      )
+      .as[(Long, Long, Long, Long)]
+    val zz = z.toLong * z
+    val scored = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is a fixed-size ring buffer by design
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[Array[Long]]) =>
+        // (ts, event_id) ordering within the batch; across batches an
+        // in-order replay (time-split files) preserves it, as in the
+        // sessionization path
+        val pts = rows.toArray.sortBy(r => (r._2, r._3))
+        var ring = state.getOption.getOrElse(Array.empty[Long])
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        pts.foreach { case (_, ts, eid, x) =>
+          if (ring.length >= win) {
+            val past = ring.takeRight(win)
+            val n = past.length.toLong
+            val s = past.sum
+            val q = past.map(v => v * v).sum
+            val devN = n * x - s
+            val isAnom = if (devN * devN > zz * (n * q - s * s)) 1L else 0L
+            out += ((eid, uid, ts, x, isAnom))
+          }
+          ring = (ring :+ x).takeRight(win)
+        }
+        state.update(ring)
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_us", "value_c", "is_anomaly")
+    runToMemory(spark, scored, "append")
+  }
+
   /** Durable ingest path: readStream → normalize (epoch-micro
     * timestamps, fixed-point cents) → parquet sink with a checkpoint.
     * This is the reference's locked-file write path as a streaming

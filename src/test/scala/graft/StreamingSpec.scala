@@ -77,6 +77,14 @@ class StreamingSpec extends AnyFunSuite {
     } finally emitted.unpersist()
   }
 
+  test("streaming anomaly scoring: two-batch replay equals the batch z-score exactly") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.anomalyStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.anomalyZscore(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed verdicts not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch verdicts missing from stream")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
