@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
     "ann_ivf_bucketed"    -> ((s, d) => Similarity.annIvfBucketed(s, d)),
+    "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_ngram_freq"  -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
@@ -255,6 +256,54 @@ object SparkEntry {
          |       FROM q JOIN seed s ON s.i = q.i GROUP BY 1, 2),
          |dist AS (SELECT ad.vec_id, ad.c, n.n2 + sn.c2 - 2 * ad.dot AS d2
          |         FROM ad JOIN n ON n.vec_id = ad.vec_id JOIN sn ON sn.c = ad.c),
+         |asg AS (SELECT vec_id, c AS cell FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |          FROM dist) WHERE r = 1),
+         |pcells AS (SELECT vec_id AS probe_id, c AS cell FROM (
+         |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |             FROM dist WHERE vec_id < 5) WHERE r <= 2),
+         |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id, p.cell
+         |         FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+         |dt AS (SELECT cand.probe_id, cand.neighbor_id, cand.cell, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+         |       FROM cand JOIN q x ON x.vec_id = cand.probe_id
+         |       JOIN q y ON y.vec_id = cand.neighbor_id AND y.i = x.i
+         |       GROUP BY 1, 2, 3),
+         |sc AS (SELECT probe_id, neighbor_id, cell,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, CAST(cell AS BIGINT) AS cell,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM sc QUALIFY rnk <= 10""".stripMargin,
+    // two Lloyd iterations from the same seeds, floor-averaged integer
+    // centroids (// == Spark's (sv - pmod(sv, n)) DIV n), then the
+    // same probe/search tail as ann_ivf_bucketed
+    "ann_ivf_kmeans" ->
+      s"""WITH $quantCtes,
+         |c0 AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),
+         |c0n AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM c0 GROUP BY 1),
+         |d0 AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN c0 s ON s.i = q.i GROUP BY 1, 2),
+         |a0 AS (SELECT vec_id, c AS cell FROM (
+         |         SELECT d0.vec_id, d0.c, ROW_NUMBER() OVER (PARTITION BY d0.vec_id
+         |                ORDER BY n.n2 + cn.c2 - 2 * d0.dot ASC, d0.c ASC) AS r
+         |         FROM d0 JOIN n ON n.vec_id = d0.vec_id JOIN c0n cn ON cn.c = d0.c) WHERE r = 1),
+         |c1 AS (SELECT a0.cell AS c, q.i, CAST(CAST(SUM(q.v) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+         |       FROM q JOIN a0 ON a0.vec_id = q.vec_id GROUP BY 1, 2),
+         |c1n AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM c1 GROUP BY 1),
+         |d1 AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN c1 s ON s.i = q.i GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, c AS cell FROM (
+         |         SELECT d1.vec_id, d1.c, ROW_NUMBER() OVER (PARTITION BY d1.vec_id
+         |                ORDER BY n.n2 + cn.c2 - 2 * d1.dot ASC, d1.c ASC) AS r
+         |         FROM d1 JOIN n ON n.vec_id = d1.vec_id JOIN c1n cn ON cn.c = d1.c) WHERE r = 1),
+         |cf AS (SELECT a1.cell AS c, q.i, CAST(CAST(SUM(q.v) AS BIGINT) // COUNT(*) AS BIGINT) AS v
+         |       FROM q JOIN a1 ON a1.vec_id = q.vec_id GROUP BY 1, 2),
+         |cfn AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM cf GROUP BY 1),
+         |df AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN cf s ON s.i = q.i GROUP BY 1, 2),
+         |dist AS (SELECT df.vec_id, df.c, n.n2 + cn.c2 - 2 * df.dot AS d2
+         |         FROM df JOIN n ON n.vec_id = df.vec_id JOIN cfn cn ON cn.c = df.c),
          |asg AS (SELECT vec_id, c AS cell FROM (
          |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
          |          FROM dist) WHERE r = 1),

@@ -69,18 +69,24 @@ object Similarity {
       k: Int = 10
   ): DataFrame = {
     val q = quantized(spark, dir)
-    // deterministic seed sample: vec_ids 100..100+nCells-1 (clear of the
-    // probe set). Centroids STAY a DataFrame — never collected to the
-    // driver, never unrolled into per-row literal expressions — so the
-    // plan is the same size at nCells=8 and nCells=64k.
-    val seeds = q
-      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
+    ivfSearch(q, seedCentroids(q, nCells), probeCells, nProbes, k)
+  }
+
+  /** Deterministic seed sample: vec_ids 100..100+nCells-1 (clear of the
+    * probe set). Centroids STAY a DataFrame — never collected to the
+    * driver, never unrolled into per-row literal expressions — so the
+    * plan is the same size at nCells=8 and nCells=64k.
+    */
+  private def seedCentroids(q: DataFrame, nCells: Int): DataFrame =
+    q.filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
       .select((col("vec_id") - 100).as("c"), col("q").as("cq"), col("n2").as("c2"))
-    // exact integer distance of every vector to every centroid:
-    // map-side broadcast expand (centroids are small relative to the
-    // corpus — broadcasting THEM is legitimate), d2 = n2 + c2 - 2*dot
-    val dist = q
-      .crossJoin(broadcast(seeds))
+
+  /** exact integer distance of every vector to every centroid:
+    * map-side broadcast expand (centroids are small relative to the
+    * corpus — broadcasting THEM is legitimate), d2 = n2 + c2 - 2*dot
+    */
+  private def centroidDist(q: DataFrame, cen: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cen))
       .select(
         col("vec_id"),
         col("q"),
@@ -88,9 +94,14 @@ object Similarity {
         col("c"),
         (col("n2") + col("c2") - lit(2L) * dotQ(col("q"), col("cq"))).as("d2")
       )
-    // argmin by (d2, c): min_by with a struct ordering key — partial
-    // aggregation collapses the nCells-expanded rows back to one per
-    // vector before any shuffle
+
+  /** IVF search against a centroid table: assign cells (argmin via
+    * min_by — partial aggregation collapses the nCells-expanded rows
+    * back to one per vector before any shuffle), probe the
+    * `probeCells` nearest cells, exact in-cell top-k.
+    */
+  private def ivfSearch(q: DataFrame, cen: DataFrame, probeCells: Int, nProbes: Int, k: Int): DataFrame = {
+    val dist = centroidDist(q, cen)
     val assigned = dist
       .groupBy(col("vec_id"))
       .agg(
@@ -121,6 +132,46 @@ object Similarity {
         col("rnk"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
+  }
+
+  // -------------------------------------------------------------------
+  // 28c. ann_ivf_kmeans — IVF with a TRAINED coarse quantizer:
+  // distributed Lloyd iterations refine the seed centroids before the
+  // bucketed search. Each iteration is two shuffles (cell assignment
+  // via broadcast argmin, then element-wise centroid means via
+  // posexplode + partial-aggregable groupBy(cell, dim)); centroid
+  // components are FLOOR-averaged integers ((sv - pmod(sv, n)) DIV n ==
+  // SQL's floor division for any sign), so every iteration — and
+  // therefore the final cell layout — is exactly reproducible in the
+  // DuckDB oracle. Refinement tightens cells around the data, which is
+  // what makes probeCells search recall hold as the corpus grows.
+  // -------------------------------------------------------------------
+  def annIvfKmeans(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int = 8,
+      iters: Int = 2,
+      probeCells: Int = 2,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val q = quantized(spark, dir)
+    var cen = seedCentroids(q, nCells)
+    for (_ <- 0 until iters) {
+      val assigned = centroidDist(q, cen)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("cell"))
+      cen = q
+        .join(assigned, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(sv - pmod(sv, n)) DIV n")) // floor(sv / n), any sign
+        .groupBy(col("cell").as("c"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cv")))), p => p.getField("cv")).as("cq"))
+        .withColumn("c2", norm2Q(col("cq")))
+    }
+    ivfSearch(q, cen, probeCells, nProbes, k)
   }
 
   // -------------------------------------------------------------------

@@ -59,6 +59,20 @@ class SimilaritySpec extends AnyFunSuite {
     } finally rows.unpersist()
   }
 
+  test("ivf k-means: trained-quantizer results carry exact brute-force cosines") {
+    val km = Similarity.annIvfKmeans(spark, sf).cache()
+    try {
+      assert(km.count() > 0)
+      val bf = Similarity.annTopkBruteForce(spark, sf, k = Int.MaxValue - 1)
+      val joined = km.join(
+        bf.select(col("probe_id"), col("neighbor_id"), col("cos_micro").as("bf_cos")),
+        Seq("probe_id", "neighbor_id"),
+        "left"
+      )
+      assert(joined.filter(col("bf_cos").isNull || col("bf_cos") =!= col("cos_micro")).count() === 0)
+    } finally km.unpersist()
+  }
+
   test("plane weights are odd, nonzero, engine-reproducible") {
     val planes = PortableHash.planeWeights(4, 64)
     assert(planes.size === 4 && planes.forall(_.size === 64))
