@@ -32,6 +32,7 @@ object SparkEntry {
     "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
     "ts_gap_stats"       -> ((s, d) => TimeSeries.gapStats(s, d)),
     "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
+    "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_bigram_pmi"  -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
     "text_ngram_freq"  -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
     "text_salient"     -> ((s, d) => TextAnalysis.salient(s, d)),
     "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
@@ -329,6 +331,22 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
          |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_unique_tokens
          |FROM documents""".stripMargin,
+    "text_bigram_pmi" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
+         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t WHERE len(toks) >= 2)),
+         |nab AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+         |u AS (SELECT unnest(toks) AS tok FROM t),
+         |un AS (SELECT tok, COUNT(*) AS n_tok FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM u),
+         |top AS (SELECT a, b, n_ab,
+         |          CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, a ASC, b ASC) AS BIGINT) AS rnk
+         |        FROM nab QUALIFY rnk <= 20)
+         |SELECT top.a, top.b, top.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |  CAST(top.n_ab * tot.n_total * 1000000 // (ua.n_tok * ub.n_tok) AS BIGINT) AS lift_micro,
+         |  top.rnk
+         |FROM top JOIN un ua ON ua.tok = top.a JOIN un ub ON ub.tok = top.b, tot""".stripMargin,
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |a AS (SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs FROM t GROUP BY tok),
@@ -655,6 +673,15 @@ object SparkEntry {
         |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM v WHERE n >= 20""".stripMargin,
+    "ts_seasonal_profile" ->
+      """SELECT event_type,
+        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  MIN(CAST(round(value*100) AS BIGINT)) AS min_c,
+        |  MAX(CAST(round(value*100) AS BIGINT)) AS max_c
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "ts_twa_daily" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  epoch_us(ts) // 86400000000 AS day_id,

@@ -126,6 +126,47 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31d. text_bigram_pmi — collocation extraction: top-k adjacent
+  // token pairs by frequency, each scored with an integer PMI-style
+  // lift (n_ab·N·10^6 / (n_a·n_b) — the pointwise-mutual-information
+  // ratio without the log, so the score is exact integer math and
+  // cross-engine deterministic). One explode per doc for bigrams, one
+  // for unigrams; both aggs are fully partial-aggregable; the unigram
+  // count table joins in twice (vocabulary-sized, broadcast-friendly).
+  // -------------------------------------------------------------------
+  def bigramPmi(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = docsToks(spark, dir)
+    val bigrams = toks
+      .select(
+        explode(
+          when(
+            size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))")
+          ).otherwise(array())
+        ).as("bg")
+      )
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = toks
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_tok"))
+    val total = uni.agg(sum(col("n_tok")).as("n_total"))
+    val top = bigrams
+      .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+      .limit(k) // TakeOrderedAndProject — never a global sort
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+    top
+      .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a")), Seq("a"))
+      .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b")), Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_micro", expr("n_ab * n_total * 1000000 DIV (n_a * n_b)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"), col("lift_micro"), col("rnk"))
+  }
+
+  // -------------------------------------------------------------------
   // 31c. sample_stratified — deterministic stratified sampling, the
   // data-mixing step of a training pipeline: per-language keep rates
   // applied via an md5 hash threshold instead of rand(), so the sample

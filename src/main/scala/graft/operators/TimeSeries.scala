@@ -313,6 +313,29 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11f. ts_seasonal_profile — seasonal baseline table: per event type,
+  // activity profile by (day-of-week, hour-of-day) — what anomaly
+  // detection compares against when "normal" is periodic. Epoch-day 0
+  // is a Thursday, so dow = (epoch_day + 4) % 7 puts Sunday at 0; all
+  // UTC, all integers. Single partial-aggregable shuffle on a 7×24×
+  // types key space.
+  // -------------------------------------------------------------------
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .groupBy(
+        col("event_type"),
+        expr(s"(ts_us DIV ${DayUs}L + 4) % 7").as("day_of_week"),
+        expr(s"(ts_us DIV ${HourUs}L) % 24").as("hour_of_day")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("value"))).as("sum_c"),
+        min(cents(col("value"))).as("min_c"),
+        max(cents(col("value"))).as("max_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 12d. ts_retention — cohort retention: users grouped by first-seen
   // day, counted distinct on each later active day (the product-
   // analytics triangle). Cohort assignment is a min-over-series window
