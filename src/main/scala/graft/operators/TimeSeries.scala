@@ -581,6 +581,31 @@ object TimeSeries {
       .agg(first(col("n")).as("n"), picks: _*)
   }
 
+  /** The continuous-value 100 TB path behind [[percentiles]]: when
+    * values are not fixed-point (unbounded distinct values, so the
+    * exact histogram can't stay small), `approx_percentile` keeps a
+    * bounded Greenwald-Khanna sketch per group — fixed-size partial
+    * aggregate, no sort anywhere. Rank error is bounded by
+    * n/accuracy; no SQL oracle (sketch results are engine-specific) —
+    * the rank-error bound is spec-asserted against the exact answer
+    * instead, mirroring groupDistinctApprox.
+    */
+  def percentilesApprox(
+      spark: SparkSession,
+      dir: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000
+  ): DataFrame = {
+    val pArr = ps.map(p => lit(p))
+    eventsUs(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("value_c"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile_approx(col("value_c"), array(pArr: _*), lit(accuracy)).as("approx_c")
+      )
+  }
+
   // -------------------------------------------------------------------
   // 14. ts_gapfill_locf — dense hourly grid per user +
   // last-observation-carried-forward. Grid generation is

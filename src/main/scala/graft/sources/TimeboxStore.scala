@@ -180,6 +180,29 @@ object TimeboxStore {
       )
   }
 
+  /** Range + tag-subset read FROM THE ENCODED STORE — the reference's
+    * roadmap read path (timebox.py:102-106) against our block layout:
+    * the day-partition predicate prunes whole directories before any
+    * IO (spec-asserted via partitionFilters), a block-level
+    * `start_us < end` filter skips late blocks before decode, and only
+    * the surviving blocks pay the decode cost; the exact point-level
+    * range filter runs last. At 100 TB a one-week query touches 7
+    * directories of a store this layout keeps sorted by time.
+    */
+  def rangeRead(
+      spark: SparkSession,
+      path: String,
+      startUs: Long,
+      endUs: Long,
+      tagCols: Seq[String] = Seq("value_c")
+  ): DataFrame = {
+    val blocks = spark.read
+      .parquet(path)
+      .filter(col("day_id") >= startUs / DayUs && col("day_id") <= (endUs - 1) / DayUs)
+      .filter(col("start_us") < endUs)
+    decode(blocks, tagCols).filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+  }
+
   /** Bucketed block layout — the distributed analogue of the
     * reference's one-file-per-timebox locality (timebox.py:102-106):
     * blocks land in a metastore table bucketed AND sorted by

@@ -89,6 +89,25 @@ class StoreSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_blocks_bucketed")
   }
 
+  test("store range read prunes day partitions and matches the raw-events range exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_range").toString
+    TimeboxStore.writePartitioned(spark, sf, out)
+    val startUs = 1704672000000000L // 2024-01-08
+    val endUs   = 1705276800000000L // 2024-01-15
+    val read = TimeboxStore.rangeRead(spark, out, startUs, endUs)
+    // the day predicate must become a partition filter (pruned before
+    // IO); sparkPlan, because the AQE wrapper hides unfinalized subtrees
+    val scan = read.queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    assert(scan.partitionFilters.nonEmpty, "day range did not prune partitions")
+    // exact content equality with the same range over the raw events
+    val orig = asDecodedShape(original)
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+    assert(read.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(read).count() === 0)
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {

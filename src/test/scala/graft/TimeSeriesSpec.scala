@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+
 import graft.operators.TimeSeries
 
 /** Reference-semantics checks mirroring timebox's own test coverage
@@ -64,6 +65,34 @@ class TimeSeriesSpec extends AnyFunSuite {
   test("asof join: matched click is at or before the purchase") {
     val df = TimeSeries.asofJoin(spark, sf)
     assert(df.filter(col("click_ts_us") =!= -1 && col("click_ts_us") > col("ts_us")).count() === 0)
+  }
+
+  test("approx percentiles: every sketch value is within the GK rank-error bound of exact") {
+    val accuracy = 10000
+    val ps = Seq(0.5, 0.9, 0.99)
+    val approx = TimeSeries
+      .percentilesApprox(spark, sf, ps, accuracy)
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> (r.getAs[Long]("n"), r.getAs[scala.collection.Seq[Long]]("approx_c").toSeq))
+      .toMap
+    val values = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("event_type"), graft.functions.FixedPoint.cents(col("value")).as("v"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view
+      .mapValues(_.map(_.getLong(1)).sorted)
+      .toMap
+    for ((et, (n, apx)) <- approx; (p, v) <- ps.zip(apx)) {
+      val sortedV = values(et)
+      val rankOfV = sortedV.count(_ <= v).toLong // upper rank of the sketch's answer
+      val k = math.ceil(p * n).toLong
+      val slack = n / accuracy + 1
+      assert(
+        rankOfV >= k - slack && sortedV.count(_ < v) < k + slack,
+        s"$et p$p: approx $v sits at rank ~$rankOfV, exact k=$k, slack $slack"
+      )
+    }
   }
 
   test("gapfill: grid is dense per user and LOCF leaves no nulls") {
