@@ -26,6 +26,7 @@ object SparkEntry {
     "ts_resample_1h"     -> ((s, d) => TimeSeries.resampleHourly(s, d)),
     "ts_ohlc_1d"         -> ((s, d) => TimeSeries.ohlcDaily(s, d)),
     "ts_moving_avg"      -> ((s, d) => TimeSeries.movingAgg(s, d)),
+    "ts_downsample_m4"   -> ((s, d) => TimeSeries.downsampleM4(s, d)),
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
@@ -602,6 +603,29 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "ts_downsample_m4" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CAST(round(value*100) AS BIGINT) AS value_c,
+        |         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0,
+        |         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS t1
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, ts_us, event_id, value_c,
+        |         LEAST(99, (ts_us - t0) * 100 // (t1 - t0 + 1)) AS bucket
+        |  FROM e
+        |), r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY ts_us DESC, event_id DESC) AS rn_d
+        |  FROM b
+        |)
+        |SELECT user_id, bucket,
+        |  MIN(value_c) AS min_c, MAX(value_c) AS max_c,
+        |  MAX(CASE WHEN rn_a = 1 THEN value_c END) AS first_c,
+        |  MAX(CASE WHEN rn_d = 1 THEN value_c END) AS last_c,
+        |  MIN(ts_us) AS t_start_us, MAX(ts_us) AS t_end_us, COUNT(*) AS n
+        |FROM r GROUP BY user_id, bucket""".stripMargin,
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),

@@ -231,6 +231,41 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 10b. ts_downsample_m4 — M4 visualization downsampling (Jugel et
+  // al., VLDB'14): per series, split its own time extent into nBuckets
+  // equal pixels and keep min/max/first/last per pixel — the four
+  // points that make the downsampled line render pixel-identically.
+  // Bucket assignment, the first/last row-numbers, and the final agg
+  // all share the series hash partitioning: ONE shuffle end-to-end.
+  // -------------------------------------------------------------------
+  def downsampleM4(spark: SparkSession, dir: String, nBuckets: Int = 100): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val base = eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("t0", min(col("ts_us")).over(wu))
+      .withColumn("t1", max(col("ts_us")).over(wu))
+      .withColumn(
+        "bucket",
+        least(lit(nBuckets - 1L), expr(s"(ts_us - t0) * $nBuckets DIV (t1 - t0 + 1)"))
+      )
+    val asc = Window.partitionBy(col("user_id"), col("bucket")).orderBy(col("ts_us").asc, col("event_id").asc)
+    val desc = Window.partitionBy(col("user_id"), col("bucket")).orderBy(col("ts_us").desc, col("event_id").desc)
+    base
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        min(col("value_c")).as("min_c"),
+        max(col("value_c")).as("max_c"),
+        max(when(col("rn_a") === 1, col("value_c"))).as("first_c"),
+        max(when(col("rn_d") === 1, col("value_c"))).as("last_c"),
+        min(col("ts_us")).as("t_start_us"),
+        max(col("ts_us")).as("t_end_us"),
+        count(lit(1)).as("n")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11. ts_moving_avg — trailing-5-row moving aggregate per series.
   // Emitted as integer sum + count (avg = sum/n) so the result is
   // exact; a single window pass, one shuffle on the series key.

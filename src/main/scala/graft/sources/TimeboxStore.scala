@@ -203,6 +203,31 @@ object TimeboxStore {
     decode(blocks, tagCols).filter(col("ts_us") >= startUs && col("ts_us") < endUs)
   }
 
+  /** Compaction: re-block an encoded store at a coarser granularity —
+    * the reference's whole-file rewrite on update (timebox.py:57-88)
+    * as a distributed decode→re-encode. Small blocks (sparse series,
+    * streaming appends) coalesce into fewer, fuller blocks, which is
+    * what keeps per-block metadata overhead and task counts bounded as
+    * a store ages. Lossless by construction (codec roundtrip), spec-
+    * asserted.
+    */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      blockUs: Long = 7 * DayUs,
+      tagCols: Seq[String] = Seq("value_c")
+  ): Unit =
+    encode(
+      decode(spark.read.parquet(inPath), tagCols)
+        .toDF(Seq("series_id", "ts_us", "seq") ++ tagCols: _*),
+      "series_id",
+      "ts_us",
+      "seq",
+      tagCols,
+      blockUs
+    ).write.mode("overwrite").parquet(outPath)
+
   /** Bucketed block layout — the distributed analogue of the
     * reference's one-file-per-timebox locality (timebox.py:102-106):
     * blocks land in a metastore table bucketed AND sorted by

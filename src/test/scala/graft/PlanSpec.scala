@@ -59,7 +59,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("rate-increase and gap-stats are one shuffle on the series key") {
-    for (df <- Seq(TimeSeries.rateIncrease(spark, sf), TimeSeries.gapStats(spark, sf))) {
+    for (
+      df <- Seq(
+        TimeSeries.rateIncrease(spark, sf),
+        TimeSeries.gapStats(spark, sf),
+        TimeSeries.downsampleM4(spark, sf)
+      )
+    ) {
       val plan = planOf(df)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
       assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")

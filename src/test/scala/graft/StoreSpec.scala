@@ -108,6 +108,20 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(read).count() === 0)
   }
 
+  test("compaction coalesces blocks at coarser granularity, losslessly") {
+    val a = java.nio.file.Files.createTempDirectory("graft_store_cpt_a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_store_cpt_b").toString
+    TimeboxStore.write(spark, sf, a) // daily blocks
+    TimeboxStore.compact(spark, a, b) // re-blocked to 7-day windows
+    val blocksBefore = spark.read.parquet(a).count()
+    val blocksAfter = spark.read.parquet(b).count()
+    assert(blocksAfter < blocksBefore, s"compaction did not coalesce ($blocksBefore -> $blocksAfter)")
+    val decoded = TimeboxStore.read(spark, b)
+    val orig = asDecodedShape(original)
+    assert(decoded.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(decoded).count() === 0)
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
