@@ -289,6 +289,50 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** Streaming ingest INTO THE ENCODED STORE: each micro-batch is
+    * block-encoded (delta + unit + min-ref + width plans) and appended
+    * to the day-partitioned block layout — the reference's
+    * from_pandas→file update loop (timebox.py:57-88) as a continuous
+    * pipeline. A batch boundary can split a (series, day) into two
+    * partial blocks; decode handles that (per-block cumulative
+    * windows), and [[TimeboxStore.compact]] re-blocks an aged store.
+    * The checkpoint makes replay exactly-once in normal operation;
+    * foreachBatch output is at-least-once across crash recovery (the
+    * standard custom-sink contract) — dedupe on (series, seq) if the
+    * downstream needs it.
+    */
+  def ingestToStore(
+      spark: SparkSession,
+      dir: String,
+      outPath: String,
+      filesPerTrigger: Option[Int] = None
+  ): Unit = {
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TimeboxStore
+          .encode(batch)
+          .write
+          .mode("append")
+          .partitionBy("day_id")
+          .parquet(outPath)
+      }
+      .option("checkpointLocation", s"$outPath/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

@@ -111,15 +111,25 @@ object TimeboxStore {
     */
   def decode(blocks: DataFrame, tagCols: Seq[String] = Seq("value_c")): DataFrame = {
     val zipped = (Seq("deltas", "seqs") ++ tagCols.map(t => s"offs_$t")).mkString("arrays_zip(", ", ", ")")
+    // the cumulative window runs per BLOCK, not per (series, day): an
+    // append-mode store (streaming ingest, micro-batch boundaries) can
+    // legally hold several partial blocks for one (series, day), and
+    // their pos sequences must not interleave. block_id is a content
+    // hash of the block row — stable, shuffle-safe, never stored.
     val w = Window
-      .partitionBy("series_id", "day_id")
+      .partitionBy("series_id", "day_id", "block_id")
       .orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blocks
+      .withColumn(
+        "block_id",
+        xxhash64(col("series_id"), col("day_id"), col("start_us"), col("unit_us"), col("deltas"), col("seqs"))
+      )
       .select(
         Seq(
           col("series_id"),
           col("day_id"),
+          col("block_id"),
           col("start_us"),
           col("unit_us"),
           posexplode(expr(zipped)).as(Seq("pos", "p"))

@@ -85,6 +85,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch verdicts missing from stream")
   }
 
+  test("streaming ingest into the block store: two-batch replay decodes to the exact event set") {
+    val dir = twoBatchDir()
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_store").toString + "/blocks"
+    StreamingIngest.ingestToStore(spark, dir, out, filesPerTrigger = Some(1))
+    // a (series, day) straddling the batch cut now has TWO partial
+    // blocks — decode must keep their positions separate
+    val decoded = graft.sources.TimeboxStore.read(spark, out)
+    val orig = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    assert(decoded.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(decoded).count() === 0)
+    // drained checkpoint: replay appends nothing
+    StreamingIngest.ingestToStore(spark, dir, out, filesPerTrigger = Some(1))
+    assert(graft.sources.TimeboxStore.read(spark, out).count() === orig.count())
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
