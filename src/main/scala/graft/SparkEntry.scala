@@ -55,6 +55,7 @@ object SparkEntry {
     "rel_semijoin"       -> ((s, d) => Relational.suppliersShippedInWindow(s, d)),
     "rel_rollup"         -> ((s, d) => Relational.revenueRollup(s, d)),
     "q18_large_orders"   -> ((s, d) => Relational.largeOrders(s, d)),
+    "rel_argmax"         -> ((s, d) => Relational.topCustomerPerNation(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -921,6 +922,16 @@ object SparkEntry {
         |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, q.sum_qty_c
         |FROM q JOIN orders ON o_orderkey = q.l_orderkey
         |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "rel_argmax" ->
+      """WITH b AS (SELECT c_nationkey, c_custkey,
+        |                  CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                                   ORDER BY bal_c DESC, c_custkey ASC) AS rn FROM b),
+        |n AS (SELECT c_nationkey, COUNT(*) AS n_customers, MAX(bal_c) AS top_acctbal_c
+        |      FROM b GROUP BY 1)
+        |SELECT CAST(r.c_nationkey AS BIGINT) AS nationkey, r.c_custkey AS top_custkey,
+        |  n.top_acctbal_c, n.n_customers
+        |FROM r JOIN n ON n.c_nationkey = r.c_nationkey WHERE r.rn = 1""".stripMargin,
     "rel_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -210,6 +210,26 @@ object Relational {
       .select($"c_name", $"c_custkey", $"o_orderkey", $"totalprice_c", $"sum_qty_c")
   }
 
+  /** Per-group argmax WITHOUT a window: the top customer by balance in
+    * each nation via max_by over an ordering struct — one
+    * partial-aggregable pass (each partition keeps one candidate per
+    * group before the shuffle), versus a rank window's full per-group
+    * sort. The tiebreak (max balance, then MIN custkey) rides in the
+    * struct: negating the key makes lexicographic max pick the
+    * smallest id.
+    */
+  def topCustomerPerNation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .customer(spark, dir)
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(
+        max_by($"c_custkey", struct(cents($"c_acctbal"), -$"c_custkey")).as("top_custkey"),
+        max(cents($"c_acctbal")).as("top_acctbal_c"),
+        count(lit(1)).as("n_customers")
+      )
+  }
+
   /** The 100 TB path for distinct counting: HyperLogLog++ sketches.
     * Exact distinct shuffle-expands every (group, value) pair; the
     * sketch is a fixed-size partial aggregate per group, so the shuffle
