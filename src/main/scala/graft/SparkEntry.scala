@@ -34,6 +34,7 @@ object SparkEntry {
     "ts_gap_stats"       -> ((s, d) => TimeSeries.gapStats(s, d)),
     "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
+    "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -698,6 +699,24 @@ object SparkEntry {
         |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM v WHERE n >= 20""".stripMargin,
+    "ts_cross_corr" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM h GROUP BY 1
+        |)
+        |SELECT user_id, n, sx, sy,
+        |  n * sxy - sx * sy AS cov_num,
+        |  n * sxx - sx * sx AS varx_num,
+        |  n * syy - sy * sy AS vary_num
+        |FROM m""".stripMargin,
     "ts_seasonal_profile" ->
       """SELECT event_type,
         |  (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,

@@ -371,6 +371,49 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11g. ts_cross_corr — cross-series correlation per user: do clicks
+  // and views move together hour-to-hour? Aggregates the two series
+  // onto a shared hourly grid (hours where the user was active), then
+  // emits EXACT INTEGER moment sums and the Pearson numerators
+  // (n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)²) — the caller divides;
+  // the stored form is lossless, re-aggregable, and engine-exact
+  // (float r would drift under partial aggregation). Two
+  // partial-aggregable shuffles, no window.
+  // -------------------------------------------------------------------
+  def crossCorr(
+      spark: SparkSession,
+      dir: String,
+      typeX: String = "click",
+      typeY: String = "view"
+  ): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(
+        sum(when(col("event_type") === typeX, 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeY, 1L).otherwise(0L)).as("y")
+      )
+    hourly
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy")
+      )
+      .select(
+        col("user_id"),
+        col("n"),
+        col("sx"),
+        col("sy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 12d. ts_retention — cohort retention: users grouped by first-seen
   // day, counted distinct on each later active day (the product-
   // analytics triangle). Cohort assignment is a min-over-series window
