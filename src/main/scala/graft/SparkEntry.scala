@@ -35,6 +35,7 @@ object SparkEntry {
     "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
+    "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -57,6 +58,7 @@ object SparkEntry {
     "rel_rollup"         -> ((s, d) => Relational.revenueRollup(s, d)),
     "q18_large_orders"   -> ((s, d) => Relational.largeOrders(s, d)),
     "rel_argmax"         -> ((s, d) => Relational.topCustomerPerNation(s, d)),
+    "rel_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -699,6 +701,11 @@ object SparkEntry {
         |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM v WHERE n >= 20""".stripMargin,
+    "ts_value_histogram" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events)
+        |SELECT event_type, v // 500 AS bucket, COUNT(*) AS n,
+        |  MIN(v) AS min_c, MAX(v) AS max_c
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "ts_cross_corr" ->
       """WITH h AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
@@ -941,6 +948,14 @@ object SparkEntry {
         |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c, q.sum_qty_c
         |FROM q JOIN orders ON o_orderkey = q.l_orderkey
         |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "rel_running_total" ->
+      """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_us,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_c,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) AS cum_c,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "rel_argmax" ->
       """WITH b AS (SELECT c_nationkey, c_custkey,
         |                  CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),

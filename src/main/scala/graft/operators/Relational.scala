@@ -230,6 +230,30 @@ object Relational {
       )
   }
 
+  /** Running total per customer over order history — the canonical
+    * cumulative window (account balance / lifetime-value shape). One
+    * shuffle on the customer key; the frame is rows-unbounded-
+    * preceding over the deterministic (date, orderkey) order, so the
+    * cumulative sum is exact integer cents at any parallelism.
+    */
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window
+      .partitionBy($"o_custkey")
+      .orderBy($"order_us", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(spark, dir)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("order_us"),
+        cents($"o_totalprice").as("totalprice_c")
+      )
+      .withColumn("cum_c", sum($"totalprice_c").over(w))
+      .withColumn("order_seq", row_number().over(w).cast("long"))
+  }
+
   /** The 100 TB path for distinct counting: HyperLogLog++ sketches.
     * Exact distinct shuffle-expands every (group, value) pair; the
     * sketch is a fixed-size partial aggregate per group, so the shuffle

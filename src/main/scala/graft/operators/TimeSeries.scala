@@ -371,6 +371,28 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11h. ts_value_histogram — fixed-width value histogram per event
+  // type (the Prometheus-histogram shape percentile sketches and SLO
+  // math consume). Bucketing is exact floor division on fixed-point
+  // cents ((v - pmod(v, w)) DIV w == SQL floor for any sign), so bucket
+  // edges are engine-identical; one fully partial-aggregable shuffle
+  // with output bounded by buckets × types, not rows.
+  // -------------------------------------------------------------------
+  def valueHistogram(spark: SparkSession, dir: String, bucketC: Long = 500L): DataFrame = {
+    eventsUs(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy(
+        col("event_type"),
+        expr(s"(v - pmod(v, ${bucketC}L)) DIV ${bucketC}L").as("bucket")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("v")).as("min_c"),
+        max(col("v")).as("max_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11g. ts_cross_corr — cross-series correlation per user: do clicks
   // and views move together hour-to-hour? Aggregates the two series
   // onto a shared hourly grid (hours where the user was active), then
