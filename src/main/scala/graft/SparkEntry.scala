@@ -36,6 +36,7 @@ object SparkEntry {
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
+    "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -701,6 +702,13 @@ object SparkEntry {
         |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM v WHERE n >= 20""".stripMargin,
+    "ts_json_props" ->
+      """WITH e AS (SELECT event_type,
+        |                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
     "ts_value_histogram" ->
       """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events)
         |SELECT event_type, v // 500 AS bucket, COUNT(*) AS n,

@@ -371,6 +371,34 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11i. ts_json_props — semi-structured extraction: parse the events
+  // JSON props column with a TYPED schema (from_json → struct, not
+  // string-hacking) and aggregate the extracted field per type. At
+  // 100 TB the win is the schema: typed extraction happens once per
+  // row inside the scan stage, and everything downstream is integer
+  // arithmetic — the standard "JSON at the edge, columns inside"
+  // pipeline shape.
+  // -------------------------------------------------------------------
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))
+        )).getField("k").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11h. ts_value_histogram — fixed-width value histogram per event
   // type (the Prometheus-histogram shape percentile sketches and SLO
   // math consume). Bucketing is exact floor division on fixed-point
