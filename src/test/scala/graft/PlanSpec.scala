@@ -72,6 +72,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q18 aggregates the fact BEFORE any join (group-filter, then enrich)") {
+    val exec = Relational.largeOrders(spark, sf).queryExecution.sparkPlan
+    val joins = exec.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty)
+    // the lineitem aggregate must sit BELOW the joins: joining the raw
+    // fact first would drag the full table through the join at 100 TB
+    val aggUnderJoin = joins.exists(_.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }.nonEmpty)
+    assert(aggUnderJoin, s"fact aggregate is not below the joins:\n$exec")
+  }
+
   test("percentiles sorts a value histogram, never the raw event stream") {
     val exec = TimeSeries.percentiles(spark, sf).queryExecution.sparkPlan
     val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
