@@ -67,6 +67,7 @@ object SparkEntry {
     "dedup_clusters"         -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
@@ -189,6 +190,17 @@ object SparkEntry {
          |FROM cd JOIN sg x ON x.doc_id = doc_a JOIN sg y ON y.doc_id = doc_b
          |WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
          |      bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) <= 3""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $shingleCtes,
+         |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
+         |ex AS (SELECT i.doc_id AS new_doc_id, c.doc_id AS match_doc_id, 'exact' AS kind
+         |       FROM h i JOIN h c ON c.th = i.th
+         |       WHERE i.doc_id >= 400 AND c.doc_id < 400),
+         |nr AS (SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS match_doc_id, 'near' AS kind
+         |       FROM bs a JOIN bs b ON b.band = a.band AND b.sig = a.sig
+         |       WHERE b.doc_id >= 400 AND a.doc_id < 400)
+         |SELECT new_doc_id, match_doc_id, MIN(kind) AS kind
+         |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr) GROUP BY 1, 2""".stripMargin,
     // hyperplane-LSH OR-construction: 8 tables x 4 sign bits; candidate
     // pairs share a bucket in ANY table, verified by exact cosine.
     // plane p (0..31) belongs to table p//4, bit p%4 — mirrors

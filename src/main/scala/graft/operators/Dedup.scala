@@ -336,6 +336,48 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23c. dedup_incremental — dedupe an INCOMING batch against the
+  // existing corpus (the production ingest shape: new crawl data vs
+  // everything already collected). Asymmetric by design: the corpus
+  // side streams — at 100 TB it is never re-shuffled, only its
+  // signature table is scanned — while the small delta BROADCASTS to
+  // every executor. Exact matches via the content hash; near matches
+  // via shared LSH band signatures; a pair matched both ways reports
+  // 'exact' (min over the kind column).
+  // -------------------------------------------------------------------
+  def incrementalDedup(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
+    val h = docsNorm(spark, dir).select(col("doc_id"), md5(col("norm")).as("th"))
+    val exact = h
+      .filter(col("doc_id") < splitId)
+      .select(col("doc_id").as("match_doc_id"), col("th"))
+      .join(
+        broadcast(h.filter(col("doc_id") >= splitId).select(col("doc_id").as("new_doc_id"), col("th"))),
+        Seq("th")
+      )
+      .select(col("new_doc_id"), col("match_doc_id"), lit("exact").as("kind"))
+    // band signatures computed ONCE for both sides of the asymmetric
+    // join (see the caching contract in the header)
+    val bands = bandSignaturesFrom(uniqShingles(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()
+    val near = bands
+      .filter(col("doc_id") < splitId)
+      .select(col("doc_id").as("match_doc_id"), col("band"), col("sig"))
+      .join(
+        broadcast(
+          bands.filter(col("doc_id") >= splitId).select(col("doc_id").as("new_doc_id"), col("band"), col("sig"))
+        ),
+        Seq("band", "sig")
+      )
+      .select(col("new_doc_id"), col("match_doc_id"), lit("near").as("kind"))
+      .distinct()
+    exact
+      .union(near)
+      .groupBy(col("new_doc_id"), col("match_doc_id"))
+      .agg(min(col("kind")).as("kind"))
+  }
+
+  // -------------------------------------------------------------------
   // 26. dedup_embedding — cosine near-dup pairs, bucketed by
   // random-hyperplane LSH (nTables independent tables of nPlanes sign
   // bits each — the classic OR-construction): candidates are pairs
