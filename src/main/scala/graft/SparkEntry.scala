@@ -86,6 +86,7 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
@@ -449,6 +450,32 @@ object SparkEntry {
         |  CAST(octet_length(encode(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256))) AS BIGINT) AS chunk_len,
         |  sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha
         |FROM c""".stripMargin,
+    // composition of the quality, keep-first, and stratified-sample
+    // oracles — the end-to-end keep set
+    "pipeline_keep_set" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |qf AS (SELECT doc_id FROM t WHERE length(text) >= 100
+         |       AND len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) * 20 >= len(toks)),
+         |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
+         |cn AS (SELECT doc_id FROM (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY th) AS c FROM h)
+         |       WHERE doc_id = c),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','is'], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','es'], x))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et'], x))) AS BIGINT) AS s_fr
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  FROM s),
+         |sm AS (SELECT doc_id, pred_lang FROM (
+         |         SELECT doc_id, pred_lang, substr(md5('sample:' || doc_id), 1, 2) AS h2 FROM l)
+         |       WHERE h2 < CASE pred_lang WHEN 'en' THEN '80' WHEN 'es' THEN '4d'
+         |                                 WHEN 'de' THEN '33' ELSE '1a' END)
+         |SELECT sm.doc_id, sm.pred_lang
+         |FROM sm JOIN qf USING (doc_id) JOIN cn USING (doc_id)""".stripMargin,
     "mm_chunk_dedup" ->
       """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
         |c AS (SELECT doc_id, text,

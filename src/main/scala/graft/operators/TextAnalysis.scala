@@ -194,6 +194,26 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31e. pipeline_keep_set — the training-data pipeline END-TO-END:
+  // quality filter → canonical exact-dedup → deterministic stratified
+  // sample, composed from the same operators users call individually.
+  // The md5-threshold sample commutes with the filters (the keep test
+  // is per-doc and content-independent), so filter-then-sample and
+  // sample-then-intersect give the same set — the property that lets a
+  // 100 TB pipeline re-order stages for cheapest-first execution. The
+  // joins are keep-set semi-joins over doc ids: tiny against the
+  // corpus scan that produced them.
+  // -------------------------------------------------------------------
+  def pipelineKeepSet(spark: SparkSession, dir: String): DataFrame = {
+    val qualityIds = quality(spark, dir).filter(col("is_quality") === 1).select("doc_id")
+    val canonicalIds = Dedup.exactKeepFirst(spark, dir).filter(col("is_dup") === 0).select("doc_id")
+    stratifiedSample(spark, dir)
+      .join(qualityIds, Seq("doc_id"), "left_semi")
+      .join(canonicalIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("pred_lang"))
+  }
+
+  // -------------------------------------------------------------------
   // 29c. text_salient — TF-IDF-style salient token per document with a
   // pure-integer score: tf·10^6 / df (document frequency from one
   // corpus-wide agg, broadcast back). Integer scoring keeps the argmax
