@@ -47,6 +47,7 @@ object SparkEntry {
     "ts_store_multitag"  -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
+    "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
     // -- relational analytics ------------------------------------------
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_topk_revenue"    -> ((s, d) => Relational.topkRevenue(s, d)),
@@ -726,6 +727,13 @@ object SparkEntry {
         |SELECT cohort_day, day_id - cohort_day AS day_offset,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "ts_stream_join" ->
+      """SELECT p.event_id AS p_event_id, c.event_id AS c_event_id,
+        |  epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""".stripMargin,
     // identical semantics (and SQL) to the batch ts_anomaly_zscore —
     // the streamed ring-buffer scoring must reproduce it exactly
     "ts_anomaly_stream" ->

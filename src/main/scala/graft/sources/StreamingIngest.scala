@@ -259,6 +259,59 @@ object StreamingIngest {
     runToMemory(spark, scored, "append")
   }
 
+  /** STREAM-STREAM interval join: purchases joined to the clicks that
+    * preceded them within the attribution window — both sides are
+    * unbounded streams, so this is the stateful two-stream join
+    * Structured Streaming exists for. The time-interval condition on
+    * the two watermarked event-time columns is what lets Spark DROP
+    * join state once the watermark passes a row's window (state is
+    * bounded by the window horizon, not stream length); an
+    * equality-only condition would buffer both streams forever. Under
+    * `Trigger.AvailableNow` replay the emitted pair set equals the
+    * batch join — which is what the oracle checks.
+    */
+  def attributionJoin(
+      spark: SparkSession,
+      dir: String,
+      windowUs: Long = 3600L * 1000000L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    def src = {
+      val r = spark.readStream.schema(schema)
+      filesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(s"$dir/events.parque[t]")
+    }
+    val purchases = src
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user_id"),
+        col("event_id").as("p_event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("p_ts"),
+        expr("ts DIV 1000").as("p_ts_us")
+      )
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user_id"),
+        col("event_id").as("c_event_id"),
+        timestamp_micros(expr("ts DIV 1000")).as("c_ts"),
+        expr("ts DIV 1000").as("c_ts_us")
+      )
+      .withWatermark("c_ts", "1 hour")
+    val windowSec = windowUs / 1000000L
+    val joined = purchases
+      .join(
+        clicks,
+        expr(
+          s"p_user_id = c_user_id AND c_ts BETWEEN p_ts - INTERVAL $windowSec SECONDS AND p_ts"
+        )
+      )
+      .select(col("p_event_id"), col("c_event_id"), col("p_ts_us"), col("c_ts_us"))
+    runToMemory(spark, joined, "append")
+  }
+
   /** Durable ingest path: readStream → normalize (epoch-micro
     * timestamps, fixed-point cents) → parquet sink with a checkpoint.
     * This is the reference's locked-file write path as a streaming

@@ -107,6 +107,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.sources.TimeboxStore.read(spark, out).count() === orig.count())
   }
 
+  test("stream-stream interval join: two-batch replay emits exactly the batch pair set") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.attributionJoin(spark, dir, filesPerTrigger = Some(1))
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event_id"), expr("ts DIV 1000").as("p_ts_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_event_id"), expr("ts DIV 1000").as("c_ts_us"))
+    val batch = p
+      .join(c, Seq("user_id"))
+      .filter(col("c_ts_us") >= col("p_ts_us") - 3600000000L && col("c_ts_us") <= col("p_ts_us"))
+      .select(col("p_event_id"), col("c_event_id"), col("p_ts_us"), col("c_ts_us"))
+    assert(streamed.exceptAll(batch).count() === 0, "streamed pairs not in batch join")
+    assert(batch.exceptAll(streamed).count() === 0, "batch pairs missing from stream (state dropped too early?)")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
