@@ -67,6 +67,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(df.filter(col("click_ts_us") =!= -1 && col("click_ts_us") > col("ts_us")).count() === 0)
   }
 
+  test("funnel: each step strictly after the previous — timestamp ties do not advance") {
+    import spark.implicits._
+    val s = 1000000000L // 1s in nanos
+    // (event_id, ts_nanos, user_id, type): crafted tie cases
+    val rows = Seq(
+      (1L, 1 * s, 1L, "view"), (2L, 1 * s, 1L, "click"),                      // tie: click NOT after view
+      (3L, 1 * s, 2L, "view"), (4L, 2 * s, 2L, "click"), (5L, 2 * s, 2L, "purchase"), // purchase ties click
+      (6L, 1 * s, 3L, "view"), (7L, 2 * s, 3L, "click"), (8L, 3 * s, 3L, "purchase"), // full conversion
+      (9L, 1 * s, 4L, "click"), (10L, 2 * s, 4L, "view"), (11L, 3 * s, 4L, "click")   // click before view ignored
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_edge").toString
+    rows
+      .map { case (e, t, u, ty) => (e, t, u, ty, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries
+      .funnel(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("steps_completed"))
+      .toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
+  }
+
   test("approx percentiles: every sketch value is within the GK rank-error bound of exact") {
     val accuracy = 10000
     val ps = Seq(0.5, 0.9, 0.99)
