@@ -196,20 +196,42 @@ object TextAnalysis {
   // -------------------------------------------------------------------
   // 31e. pipeline_keep_set — the training-data pipeline END-TO-END:
   // quality filter → canonical exact-dedup → deterministic stratified
-  // sample, composed from the same operators users call individually.
-  // The md5-threshold sample commutes with the filters (the keep test
-  // is per-doc and content-independent), so filter-then-sample and
-  // sample-then-intersect give the same set — the property that lets a
-  // 100 TB pipeline re-order stages for cheapest-first execution. The
-  // joins are keep-set semi-joins over doc ids: tiny against the
-  // corpus scan that produced them.
+  // sample. Semantically the composition of the three operators users
+  // call individually (the md5-threshold sample is per-doc and
+  // content-independent, so it commutes with the filters), but planned
+  // as ONE corpus scan: every per-doc predicate (quality, language,
+  // sample hash) computes in the scan stage, and the only shuffle is
+  // the content-hash window that picks canonical representatives. A
+  // naive stage-by-stage composition would scan the corpus three
+  // times — at 100 TB the scan IS the cost.
   // -------------------------------------------------------------------
   def pipelineKeepSet(spark: SparkSession, dir: String): DataFrame = {
-    val qualityIds = quality(spark, dir).filter(col("is_quality") === 1).select("doc_id")
-    val canonicalIds = Dedup.exactKeepFirst(spark, dir).filter(col("is_dup") === 0).select("doc_id")
-    stratifiedSample(spark, dir)
-      .join(qualityIds, Seq("doc_id"), "left_semi")
-      .join(canonicalIds, Seq("doc_id"), "left_semi")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val base = docsToks(spark, dir)
+      .withColumn(
+        "is_quality",
+        length(col("text")) >= 100 &&
+          size(filter(col("toks"), t => array_contains(stopArr, t))) * 20 >= size(col("toks"))
+      )
+      .withColumn("th", md5(normText(col("text"))))
+      .withColumn("h2", substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 2))
+    val scored = LangMarkers.foldLeft(base) { case (df, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      df.withColumn(s"s_$lang", size(filter(col("toks"), t => array_contains(arr, t))).cast("long"))
+    }
+    val threshold = StrataThresholds.foldLeft(lit("00")) { case (acc, (lang, t)) =>
+      when(col("pred_lang") === lang, lit(t)).otherwise(acc)
+    }
+    scored
+      .withColumn(
+        "pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr")
+      )
+      .withColumn("canonical_id", min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("th")))
+      .filter(col("is_quality") && col("doc_id") === col("canonical_id") && col("h2") < threshold)
       .select(col("doc_id"), col("pred_lang"))
   }
 

@@ -84,6 +84,16 @@ class PlanSpec extends AnyFunSuite {
     assert(aggUnderJoin, s"fact aggregate is not below the joins:\n$exec")
   }
 
+  test("pipeline keep-set is ONE corpus scan and one shuffle") {
+    val df = graft.operators.TextAnalysis.pipelineKeepSet(spark, sf)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.length === 1, s"pipeline re-scans the corpus (${scans.length} scans)")
+    // exchanges exist only after EnsureRequirements — count on executedPlan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(planOf(df)).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges")
+  }
+
   test("percentiles sorts a value histogram, never the raw event stream") {
     val exec = TimeSeries.percentiles(spark, sf).queryExecution.sparkPlan
     val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
