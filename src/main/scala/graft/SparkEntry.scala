@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
@@ -192,6 +193,14 @@ object SparkEntry {
          |FROM cd JOIN sg x ON x.doc_id = doc_a JOIN sg y ON y.doc_id = doc_b
          |WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
          |      bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) <= 3""".stripMargin,
+    "dedup_contamination" ->
+      s"""WITH $shingleCtes,
+         |ps AS (SELECT LEAST(da.source, db.source) AS source_a,
+         |              GREATEST(da.source, db.source) AS source_b
+         |       FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+         |       JOIN documents db ON db.doc_id = p.doc_b
+         |       WHERE da.source != db.source)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs FROM ps GROUP BY 1, 2""".stripMargin,
     "dedup_incremental" ->
       s"""WITH $shingleCtes,
          |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),

@@ -336,6 +336,29 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23d. dedup_contamination — cross-source overlap audit: how many
+  // near-duplicate document pairs STRADDLE two sources (the train/test
+  // contamination question — "does src A leak into src B?"),
+  // aggregated to a per-source-pair matrix. The candidate pair set is
+  // orders of magnitude smaller than the corpus, so the source lookups
+  // are joins AQE broadcasts at runtime; the corpus itself is touched
+  // only by the (bucketed) LSH pair generation.
+  // -------------------------------------------------------------------
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir)
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b")
+      )
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // -------------------------------------------------------------------
   // 23c. dedup_incremental — dedupe an INCOMING batch against the
   // existing corpus (the production ingest shape: new crawl data vs
   // everything already collected). Asymmetric by design: the corpus
