@@ -37,6 +37,7 @@ object SparkEntry {
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
+    "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -765,6 +766,22 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY 1""".stripMargin,
+    "ts_changepoint" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |p AS (SELECT user_id, ts_us,
+        |        CAST(ROW_NUMBER() OVER w AS BIGINT) AS k,
+        |        CAST(SUM(value_c) OVER w AS BIGINT) AS prefix,
+        |        CAST(COUNT(*) OVER v AS BIGINT) AS n,
+        |        CAST(SUM(value_c) OVER v AS BIGINT) AS total
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING),
+        |             v AS (PARTITION BY user_id)),
+        |d AS (SELECT user_id, ts_us, k, n, abs(n * prefix - k * total) AS dev FROM p),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev DESC, k ASC) AS rn FROM d),
+        |m AS (SELECT user_id, MAX(dev) AS max_dev FROM d GROUP BY 1)
+        |SELECT r.user_id, r.n, m.max_dev, r.k AS cp_k, r.ts_us AS cp_ts_us
+        |FROM r JOIN m ON m.user_id = r.user_id WHERE r.rn = 1""".stripMargin,
     "ts_value_histogram" ->
       """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events)
         |SELECT event_type, v // 500 AS bucket, COUNT(*) AS n,

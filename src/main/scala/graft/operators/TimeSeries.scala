@@ -399,6 +399,34 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11j. ts_changepoint — CUSUM changepoint per series, in EXACT
+  // integer arithmetic: the classic statistic max_k |prefix_k − k·μ|
+  // is scaled by n (μ = total/n) to n·prefix_k − k·total, which is an
+  // integer — no float mean, no drift, the argmax is engine-exact.
+  // Two window passes sharing one series shuffle (prefix sums + the
+  // per-series totals), then an argmax aggregate with a deterministic
+  // (dev desc, k asc) tiebreak riding in a max_by struct.
+  // -------------------------------------------------------------------
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val cum = seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("user_id")
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("k", row_number().over(seriesW).cast("long"))
+      .withColumn("prefix", sum(col("value_c")).over(cum))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("value_c")).over(whole))
+      .withColumn("dev", abs(col("n") * col("prefix") - col("k") * col("total")))
+      .groupBy(col("user_id"))
+      .agg(
+        first(col("n")).as("n"),
+        max(col("dev")).as("max_dev"),
+        min_by(col("k"), struct(-col("dev"), col("k"))).as("cp_k"),
+        min_by(col("ts_us"), struct(-col("dev"), col("k"))).as("cp_ts_us")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11h. ts_value_histogram — fixed-width value histogram per event
   // type (the Prometheus-histogram shape percentile sketches and SLO
   // math consume). Bucketing is exact floor division on fixed-point
