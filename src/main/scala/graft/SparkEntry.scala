@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
+    "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
@@ -194,6 +195,24 @@ object SparkEntry {
          |FROM cd JOIN sg x ON x.doc_id = doc_a JOIN sg y ON y.doc_id = doc_b
          |WHERE bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
          |      bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3)) <= 3""".stripMargin,
+    "dedup_minhash_estimate" ->
+      s"""WITH $shingleCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_agree,
+         |  CAST(((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) +
+         |        (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END))
+         |       * 1000000 // 12 AS BIGINT) AS est_jaccard_micro
+         |FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCtes,
          |ps AS (SELECT LEAST(da.source, db.source) AS source_a,

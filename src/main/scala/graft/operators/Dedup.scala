@@ -105,8 +105,15 @@ object Dedup {
   private def uniqShingles(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir).distinct()
 
-  private def bandSignaturesFrom(uniq: DataFrame): DataFrame = {
+  /** per-doc MinHash signature row: doc_id, mh0..mh{K-1} — K seeded
+    * conditional mins in ONE groupBy pass.
+    */
+  private def minhashSignatures(uniq: DataFrame): DataFrame = {
     val mins = (0 until K).map(j => min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
+    uniq.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  private def bandSignaturesFrom(uniq: DataFrame): DataFrame = {
     val rows = K / Bands
     val bandStructs = (0 until Bands).map { b =>
       struct(
@@ -114,9 +121,7 @@ object Dedup {
         md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
       )
     }
-    uniq
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+    minhashSignatures(uniq)
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -333,6 +338,33 @@ object Dedup {
       )
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // -------------------------------------------------------------------
+  // 23e. dedup_minhash_estimate — SKETCH-based similarity for the LSH
+  // candidates: Jaccard estimated as the fraction of agreeing MinHash
+  // slots (n_agree/K), never touching the shingle sets again. At
+  // 100 TB this replaces ngramJaccard's exact verification when the
+  // shingle join is the bottleneck: the signatures are K small strings
+  // per doc, the estimate is unbiased, and the integer micro-score is
+  // engine-exact. Pair scoring joins the fixed-width signature table
+  // twice — candidate-sized, not corpus-sized.
+  // -------------------------------------------------------------------
+  def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = uniqShingles(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // eager: pairs and both scoring joins read the caches
+    val pairs = lshPairsFrom(uniq)
+    val sigA = sigs.toDF("doc_a" +: (0 until K).map(j => s"a$j"): _*)
+    val sigB = sigs.toDF("doc_b" +: (0 until K).map(j => s"b$j"): _*)
+    val agree = (0 until K)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    pairs
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard_micro", expr(s"n_agree * 1000000 DIV $K"))
   }
 
   // -------------------------------------------------------------------
