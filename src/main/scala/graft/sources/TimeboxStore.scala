@@ -83,9 +83,11 @@ object TimeboxStore {
       )
       .withColumn("deltas", expr("transform(deltas_us, d -> d DIV unit_us)"))
       .withColumn("delta_bytes", widthOf(coalesce(array_max(col("deltas")), lit(0L))))
-    // per tag: block min, offsets from min, width plan for the offsets
+    // per tag: block min/max (the ZONE MAP value-skipping reads prune
+    // on), offsets from min, width plan for the offsets
     val withTags = tagCols.foldLeft(base) { (df, t) =>
       df.withColumn(s"min_$t", array_min(col(s"vals_$t")))
+        .withColumn(s"max_$t", array_max(col(s"vals_$t")))
         .withColumn(s"offs_$t", expr(s"transform(vals_$t, v -> v - min_$t)"))
         .withColumn(s"bytes_$t", widthOf(coalesce(array_max(col(s"offs_$t")), lit(0L))))
     }
@@ -99,7 +101,7 @@ object TimeboxStore {
         col("delta_bytes"),
         col("deltas"),
         col("seqs")
-      ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"offs_$t"), col(s"bytes_$t"))): _*
+      ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"max_$t"), col(s"offs_$t"), col(s"bytes_$t"))): _*
     )
   }
 
@@ -211,6 +213,35 @@ object TimeboxStore {
       .filter(col("day_id") >= startUs / DayUs && col("day_id") <= (endUs - 1) / DayUs)
       .filter(col("start_us") < endUs)
     decode(blocks, tagCols).filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+  }
+
+  /** Value-predicate read via ZONE MAPS: blocks whose [min, max]
+    * envelope for the tag misses the requested value range are skipped
+    * BEFORE decode — the storage-side analogue of parquet row-group
+    * statistics, on top of [[rangeRead]]'s day-partition pruning. At
+    * 100 TB a selective value predicate (threshold alerts, outlier
+    * scans) touches only the blocks that can possibly match; the exact
+    * point-level filter runs after decode.
+    */
+  def rangeReadValueFiltered(
+      spark: SparkSession,
+      path: String,
+      startUs: Long,
+      endUs: Long,
+      tag: String,
+      loC: Long,
+      hiC: Long
+  ): DataFrame = {
+    val blocks = spark.read
+      .parquet(path)
+      .filter(col("day_id") >= startUs / DayUs && col("day_id") <= (endUs - 1) / DayUs)
+      .filter(col("start_us") < endUs)
+      // zone-map skip: the block can hold a matching value only if the
+      // envelopes overlap
+      .filter(col(s"min_$tag") <= hiC && col(s"max_$tag") >= loC)
+    decode(blocks, Seq(tag))
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+      .filter(col(tag) >= loC && col(tag) <= hiC)
   }
 
   /** Compaction: re-block an encoded store at a coarser granularity —

@@ -108,6 +108,26 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(read).count() === 0)
   }
 
+  test("zone-map value read: skips non-matching blocks and equals decode-then-filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_zone").toString
+    TimeboxStore.writePartitioned(spark, sf, out)
+    val startUs = 1704067200000000L // 2024-01-01
+    val endUs   = 1706745600000000L // 2024-02-01
+    // a selective high-value band
+    val (lo, hi) = (90000L, 100000L)
+    val pruned = TimeboxStore.rangeReadValueFiltered(spark, out, startUs, endUs, "value_c", lo, hi)
+    val full = TimeboxStore
+      .rangeRead(spark, out, startUs, endUs)
+      .filter(col("value_c") >= lo && col("value_c") <= hi)
+    assert(pruned.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pruned).count() === 0)
+    // the zone maps must actually skip blocks
+    val blocks = spark.read.parquet(out).filter(col("start_us") < endUs)
+    val total = blocks.count()
+    val surviving = blocks.filter(col("min_value_c") <= hi && col("max_value_c") >= lo).count()
+    assert(surviving < total, s"zone maps skipped nothing ($surviving of $total blocks)")
+  }
+
   test("compaction coalesces blocks at coarser granularity, losslessly") {
     val a = java.nio.file.Files.createTempDirectory("graft_store_cpt_a").toString
     val b = java.nio.file.Files.createTempDirectory("graft_store_cpt_b").toString
