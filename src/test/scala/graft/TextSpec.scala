@@ -58,6 +58,35 @@ class TextSpec extends AnyFunSuite {
     assert(c2.length === 1 && c2.head.getAs[Long]("chunk_len") === 3L && c2.head.getAs[Long]("offset") === 0L)
   }
 
+  test("multimodal decode-then-index: stub features quantize and LSH-bucket deterministically") {
+    import graft.functions.{PortableHash, VectorFunctions}
+    val payloads = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    // decode (stub codec, real plumbing) -> quantized feature vector ->
+    // hyperplane LSH bucket: the multimodal indexing pipeline end-to-end
+    def bucketed() = {
+      val feats = Multimodal
+        .decodeAll(spark, payloads)
+        .select(col("doc_id"), VectorFunctions.quantizeMicro(col("feature")).as("q"))
+      val planes = PortableHash.planeWeights(4, 4)
+      val bucket = planes.zipWithIndex
+        .map { case (w, p) =>
+          when(VectorFunctions.dotQ(col("q"), typedlit(w)) > 0, lit(1 << p)).otherwise(lit(0))
+        }
+        .reduce(_ + _)
+      feats.select(col("doc_id"), bucket.cast("long").as("bucket"))
+    }
+    val a = bucketed().cache()
+    try {
+      assert(a.filter(col("bucket") < 0 || col("bucket") > 15).count() === 0)
+      assert(a.select("doc_id").distinct().count() === payloads.count())
+      // fully deterministic: decode + quantize + bucket reproduce exactly
+      val b = bucketed()
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    } finally a.unpersist()
+  }
+
   test("multimodal decode stub: deterministic, schema-true, partition-parallel") {
     import spark.implicits._
     val payloads = spark.read
