@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
+    "dedup_skewed_corpus"    -> ((s, d) => Dedup.skewedCorpus(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
@@ -213,6 +214,44 @@ object SparkEntry {
          |        (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END))
          |       * 1000000 // 12 AS BIGINT) AS est_jaccard_micro
          |FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b""".stripMargin,
+    // the skew drill: 10k exact clones of doc 0 collapse to one rep
+    // BEFORE shingling; the band pipeline then runs over reps only and
+    // the O(n) per-rep summary (group size, candidate partners) is the
+    // output — mirrors Dedup.skewedCorpus exactly.
+    "dedup_skewed_corpus" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT 1000000 + s AS doc_id, d0.text
+         |  FROM (SELECT unnest(generate_series(0, 9999)) AS s),
+         |       (SELECT text FROM documents WHERE doc_id = 0) d0
+         |),
+         |nm AS (SELECT doc_id, $normSql AS norm FROM corpus),
+         |g AS (SELECT doc_id, norm, MIN(doc_id) OVER (PARTITION BY md5(norm)) AS rep_id FROM nm),
+         |sizes AS (SELECT rep_id, COUNT(*) AS group_n FROM g GROUP BY 1),
+         |reps AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM g WHERE doc_id = rep_id),
+         |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |             FROM reps WHERE len(toks) >= 3)),
+         |m AS (SELECT doc_id,
+         |        MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
+         |        MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3,
+         |        MIN(md5('4:' || shingle)) AS mh4, MIN(md5('5:' || shingle)) AS mh5,
+         |        MIN(md5('6:' || shingle)) AS mh6, MIN(md5('7:' || shingle)) AS mh7,
+         |        MIN(md5('8:' || shingle)) AS mh8, MIN(md5('9:' || shingle)) AS mh9,
+         |        MIN(md5('10:' || shingle)) AS mh10, MIN(md5('11:' || shingle)) AS mh11
+         |      FROM sh GROUP BY doc_id),
+         |bs AS (SELECT doc_id, band,
+         |         CASE band WHEN 0 THEN md5(mh0 || mh1 || mh2) WHEN 1 THEN md5(mh3 || mh4 || mh5)
+         |                   WHEN 2 THEN md5(mh6 || mh7 || mh8) ELSE md5(mh9 || mh10 || mh11) END AS sig
+         |       FROM (SELECT m.*, unnest([0, 1, 2, 3]) AS band FROM m)),
+         |rp AS (SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+         |       FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+         |        FROM (SELECT rep_a AS rep_id FROM rp UNION ALL SELECT rep_b FROM rp) GROUP BY 1)
+         |SELECT s.rep_id, s.group_n, COALESCE(c.n_cand, 0) AS n_cand
+         |FROM sizes s LEFT JOIN cnt c ON c.rep_id = s.rep_id
+         |WHERE s.group_n > 1 OR COALESCE(c.n_cand, 0) > 0""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCtes,
          |ps AS (SELECT LEAST(da.source, db.source) AS source_a,

@@ -44,12 +44,29 @@ object Dedup {
       .documents(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Default per-bucket cap for LSH pair generation. Within-bucket
+    * pairing is O(b²) on one reducer; the cap bounds that to cap²/2
+    * pairs (~5×10^7 at the default) no matter how degenerate the
+    * corpus. Post-collapse buckets only reach this size when a huge
+    * NEAR-duplicate (not exact) family collides — the drop is logged
+    * so the pipeline owner sees what was skipped.
+    */
+  private[graft] val DefaultBucketCap = 10000
+
   /** word 3-gram shingles per document (0-based transform over the
     * token array — array work stays inside codegen, no explode until
     * the shingle stream itself is needed).
     */
   private[graft] def shingles(spark: SparkSession, dir: String, n: Int = 3): DataFrame =
-    docsNorm(spark, dir)
+    shinglesOf(docsNorm(spark, dir), n)
+
+  /** shingles over an arbitrary (doc_id, norm) frame — the rep-level
+    * pipelines shingle only canonical representatives.
+    */
+  private def shinglesOf(normed: DataFrame, n: Int = 3): DataFrame =
+    normed
       .select(col("doc_id"), split(col("norm"), " ").as("toks"))
       .select(
         col("doc_id"),
@@ -90,6 +107,127 @@ object Dedup {
       )
   }
 
+  // -------------------------------------------------------------------
+  // Skew-safe LSH core. Real crawl corpora carry 10^4-10^6-copy EXACT
+  // duplicate clusters (boilerplate, license text); every copy lands in
+  // the same band bucket, so naive within-bucket pairing emits ~b²/2
+  // pairs from ONE reducer key. The fix (every pair family below uses
+  // it): (1) collapse exact-dup groups to their canonical
+  // representative BEFORE shingling/banding — clones never even reach
+  // the signature pipeline; (2) cap any bucket that still survives
+  // oversized, with a logged drop; (3) re-expand rep-level pairs to
+  // member pairs afterward, where the output contract needs them.
+  // -------------------------------------------------------------------
+
+  /** Exact-duplicate collapse: `groups` maps every doc to the min
+    * doc_id of its md5(norm) group; `reps` holds one (doc_id, norm)
+    * row per distinct text. One shuffle on the content hash — the same
+    * shuffle dedup_exact already pays.
+    */
+  private[graft] case class ExactCollapse(groups: DataFrame, reps: DataFrame)
+
+  private[graft] def collapseExact(normed: DataFrame): ExactCollapse = {
+    val g = normed.withColumn(
+      "rep_id",
+      min(col("doc_id")).over(Window.partitionBy(md5(col("norm"))))
+    )
+    ExactCollapse(
+      g.select(col("doc_id"), col("rep_id")),
+      g.filter(col("doc_id") === col("rep_id")).select(col("doc_id"), col("norm"))
+    )
+  }
+
+  /** Drop buckets larger than `cap` from a bucketed signature table
+    * (keys = the bucket columns). The common case — no oversized
+    * buckets — costs one aggregation over the (persisted) input and
+    * keeps the plan untouched; the drop path logs how many buckets
+    * were skipped so the loss is observable, and broadcasts the tiny
+    * oversized-key set into an anti-join.
+    */
+  private[graft] def dropOversizedBuckets(
+      bucketed: DataFrame,
+      keys: Seq[String],
+      cap: Int,
+      what: String
+  ): DataFrame = {
+    val over = bucketed
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+    val nOver = over.count()
+    if (nOver == 0) bucketed
+    else {
+      log.warn(
+        s"$what: dropping $nOver oversized LSH bucket(s) (> $cap members) from pair generation"
+      )
+      bucketed.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+    }
+  }
+
+  /** Rep-level LSH pair generation: band signatures over canonical
+    * representatives only, oversized buckets capped, bucket-local
+    * self-join. `banded` is the set of reps that produced ≥1 band
+    * (i.e. had ≥1 shingle) — the member expansion needs it to decide
+    * which exact-dup groups pair among themselves.
+    */
+  private[graft] case class RepLsh(pairs: DataFrame, banded: DataFrame)
+
+  private[graft] def lshRepPairsFrom(repUniq: DataFrame, bucketCap: Int = DefaultBucketCap): RepLsh = {
+    val bands = bandSignaturesFrom(repUniq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bands.count()
+    val safe = dropOversizedBuckets(bands, Seq("band", "sig"), bucketCap, "minhash-lsh")
+    val pairs = safe
+      .as("a")
+      .join(
+        safe.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    RepLsh(pairs, bands.select(col("doc_id")).distinct())
+  }
+
+  /** Expand rep-level pairs (doc_a, doc_b = canonical ids, plus any
+    * carried score columns) to member-level pairs: cross-group pairs
+    * via two joins on the group table, within-group pairs (exact
+    * clones of a rep that has ≥1 band — identical text shares ALL
+    * bands, so the un-collapsed pipeline would emit them) via a
+    * rep_id-bucketed self-join. Output ids are (least, greatest)
+    * ordered, matching the a<b contract. `withinValues` supplies the
+    * carried columns for within-group pairs (identical docs: J = 1,
+    * hamming = 0, all signature slots agree — known without scoring).
+    */
+  private def expandMemberPairs(
+      repPairs: DataFrame,
+      groups: DataFrame,
+      banded: DataFrame,
+      carried: Seq[String] = Nil,
+      withinValues: Seq[Column] = Nil
+  ): DataFrame = {
+    val carry = carried.map(col)
+    val cross = repPairs
+      .join(groups.select(col("rep_id").as("doc_a"), col("doc_id").as("m_a")), Seq("doc_a"))
+      .join(groups.select(col("rep_id").as("doc_b"), col("doc_id").as("m_b")), Seq("doc_b"))
+      .select(
+        least(col("m_a"), col("m_b")).as("doc_a") +:
+          greatest(col("m_a"), col("m_b")).as("doc_b") +: carry: _*
+      )
+    // banded is unique per rep (one row per canonical doc), so the
+    // inner join is a semi-join that additionally exposes any
+    // rep-level value columns `withinValues` wants to carry.
+    val within = groups
+      .as("x")
+      .join(groups.as("y"), col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .join(banded.withColumnRenamed("doc_id", "b_rep"), col("x.rep_id") === col("b_rep"))
+      .select(
+        col("x.doc_id").as("doc_a") +: col("y.doc_id").as("doc_b") +:
+          withinValues.zip(carried).map { case (c, n) => c.as(n) }: _*
+      )
+    cross.union(within)
+  }
+
   /** MinHash signatures: K seeded md5 min-hashes over the shingle set.
     * Computed as K conditional-min aggregates in ONE groupBy pass —
     * partial aggregation reduces each partition to one signature row
@@ -126,29 +264,21 @@ object Dedup {
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  private def lshPairsFrom(uniq: DataFrame): DataFrame = {
-    // materialize the signature table once — a self-join would otherwise
-    // run the shingle+md5 pipeline for BOTH sides
-    val bands = bandSignaturesFrom(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.count()
-    bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id")
-      )
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
-
   // -------------------------------------------------------------------
   // 23. dedup_minhash_lsh — LSH candidate pairs: docs sharing any band
-  // signature. The self-join shuffles on (band, sig) — bucket-local
-  // pairing, never a corpus cross join.
+  // signature. Skew-safe: exact-dup groups collapse to their canonical
+  // rep BEFORE shingling (clones never reach the signature pipeline),
+  // the rep-level self-join shuffles on (band, sig) with oversized
+  // buckets capped, and rep pairs re-expand to the member-level
+  // contract afterward. Output is identical to the naive per-doc band
+  // join — identical texts share ALL bands, so within-group pairs are
+  // exactly the groups whose rep has ≥1 band.
   // -------------------------------------------------------------------
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    lshPairsFrom(uniqShingles(spark, dir))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapseExact(docsNorm(spark, dir))
+    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    expandMemberPairs(lsh.pairs, c.groups, lsh.banded)
+  }
 
   // -------------------------------------------------------------------
   // 23b. dedup_clusters — connected components over the LSH candidate
@@ -239,22 +369,26 @@ object Dedup {
   // (10*|A∩B| >= 8*|A∪B| ⇔ J >= 0.8): no float boundary anywhere.
   // -------------------------------------------------------------------
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // The shingle set feeds three consumers (signatures, intersection,
-    // per-doc counts) — materialize it once instead of recomputing the
-    // tokenize+md5 pipeline per consumer. Materialization is EAGER:
-    // lazy persist lets the consumers race partition computation inside
-    // one job and nobody hits the cache. At cluster scale this is the
-    // standard "materialize the shingle table" step of a dedup pass.
-    val uniq = uniqShingles(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = lshPairsFrom(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cand.count() // one eager job fills BOTH caches for the three consumers below
+    // Rep-level end to end: a member's shingle set IS its rep's, so
+    // intersection/union/verdict computed once per rep pair are exact
+    // for every member pair they expand to — the expensive shingle
+    // join scales with DISTINCT texts, not corpus size. The rep
+    // shingle set feeds three consumers (signatures, intersection,
+    // per-rep counts) — materialize it once, EAGERLY: lazy persist
+    // lets the consumers race partition computation inside one job
+    // and nobody hits the cache.
+    val c = collapseExact(docsNorm(spark, dir))
+    val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshRepPairsFrom(uniq) // its eager bands.count() fills the uniq cache too
+    val cand = lsh.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
     val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cand
       .join(uniq.as("x"), col("x.doc_id") === col("doc_a"))
       .join(uniq.as("y"), col("y.doc_id") === col("doc_b") && col("y.shingle") === col("x.shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_n"))
-    cand
+    val repScores = cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
@@ -268,6 +402,15 @@ object Dedup {
           .otherwise(0L)
           .as("is_dup")
       )
+    // within-group pairs are identical texts: inter = union = |rep's
+    // shingle set|, J = 1 ⇒ is_dup = 1
+    expandMemberPairs(
+      repScores,
+      c.groups,
+      counts, // unique per rep; carries n_sh for the within values
+      carried = Seq("inter_n", "union_n", "is_dup"),
+      withinValues = Seq(col("n_sh"), col("n_sh"), lit(1L))
+    )
   }
 
   // -------------------------------------------------------------------
@@ -278,7 +421,11 @@ object Dedup {
   // filters on exact Hamming distance.
   // -------------------------------------------------------------------
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docsNorm(spark, dir)
+    // skew-safe: signatures only for canonical reps (identical text ⇒
+    // identical simhash), block buckets capped, rep pairs expanded to
+    // members with hamming inherited (0 within a group).
+    val cx = collapseExact(docsNorm(spark, dir))
+    val toks = cx.reps
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
@@ -317,16 +464,17 @@ object Dedup {
         array((0 until 4).map(blk => struct(lit(blk).as("blk"), col(s"h$blk").as("v"))): _*)
       ).as("bv")
     ).select(col("doc_id"), col("bv.blk").as("blk"), col("bv.v").as("v"))
-    val cand = blocks
+    val safeBlocks = dropOversizedBuckets(blocks, Seq("blk", "v"), DefaultBucketCap, "simhash")
+    val cand = safeBlocks
       .as("a")
       .join(
-        blocks.as("b"),
+        safeBlocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id")
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
+    val repNear = cand
       .join(sig.toDF("doc_a", "xa0", "xa1", "xa2", "xa3"), Seq("doc_a"))
       .join(sig.toDF("doc_b", "xb0", "xb1", "xb2", "xb3"), Seq("doc_b"))
       .withColumn(
@@ -338,6 +486,16 @@ object Dedup {
       )
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+    // every doc tokenizes to ≥1 token (empty norm still yields one ""
+    // token), so every rep has a signature and every multi-member
+    // group self-pairs at hamming 0
+    expandMemberPairs(
+      repNear,
+      cx.groups,
+      sig.select(col("doc_id")),
+      carried = Seq("hamming"),
+      withinValues = Seq(lit(0L))
+    )
   }
 
   // -------------------------------------------------------------------
@@ -351,20 +509,32 @@ object Dedup {
   // twice — candidate-sized, not corpus-sized.
   // -------------------------------------------------------------------
   def minhashEstimate(spark: SparkSession, dir: String): DataFrame = {
-    val uniq = uniqShingles(spark, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rep-level signatures + pairs (see the skew-safe core): member
+    // signatures equal their rep's, so rep-pair slot agreement is
+    // exact for every expanded member pair; within-group pairs agree
+    // on all K slots by construction.
+    val c = collapseExact(docsNorm(spark, dir))
+    val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count() // eager: pairs and both scoring joins read the caches
-    val pairs = lshPairsFrom(uniq)
+    val lsh = lshRepPairsFrom(uniq)
     val sigA = sigs.toDF("doc_a" +: (0 until K).map(j => s"a$j"): _*)
     val sigB = sigs.toDF("doc_b" +: (0 until K).map(j => s"b$j"): _*)
     val agree = (0 until K)
       .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    pairs
+    val repScored = lsh.pairs
       .join(sigA, Seq("doc_a"))
       .join(sigB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
       .withColumn("est_jaccard_micro", expr(s"n_agree * 1000000 DIV $K"))
+    expandMemberPairs(
+      repScored,
+      c.groups,
+      lsh.banded,
+      carried = Seq("n_agree", "est_jaccard_micro"),
+      withinValues = Seq(lit(K.toLong), lit(1000000L * K / K))
+    )
   }
 
   // -------------------------------------------------------------------
@@ -462,6 +632,13 @@ object Dedup {
         quantizeMicro(col("embedding")).as("q")
       )
       .withColumn("n2", norm2Q(col("q")))
+    // skew-safe collapse: byte-identical quantized vectors (the
+    // embedding analogue of exact text dups — re-crawled pages embed
+    // identically) share every bucket in every table, so only their
+    // canonical rep is bucketed; groups re-expand candidates after.
+    val grp = q.withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("q"))))
+    val groups = grp.select(col("vec_id").as("doc_id"), col("rep_id"))
+    val reps = grp.filter(col("vec_id") === col("rep_id"))
     // per-table bucket: sign pattern of that table's planes (plane
     // index p = tbl*nPlanes + bit, matching the oracle's p//4 / p%4)
     val tableStructs = (0 until nTables).map { t =>
@@ -470,22 +647,28 @@ object Dedup {
         .reduce(_ + _)
       struct(lit(t).as("tbl"), b.as("bucket"))
     }
-    // bucket table feeds both sides of the pairing self-join —
-    // materialize once (see the caching contract in the header)
-    val bk = q
+    // bucket table (REPS ONLY) feeds both sides of the pairing
+    // self-join — materialize once (see the caching contract in the
+    // header)
+    val bk = reps
       .select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bk.count()
-    val cand = bk
+    val safeBk = dropOversizedBuckets(bk, Seq("tbl", "bucket"), DefaultBucketCap, "embedding-lsh")
+    val repCand = safeBk
       .as("x")
       .join(
-        bk.as("y"),
+        safeBk.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id")
       )
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
       .distinct()
+    // expand to member candidates, then score member-level exactly as
+    // before (labels are per-member, so scoring cannot stay rep-level)
+    val cand = expandMemberPairs(repCand, groups, reps.select(col("vec_id").as("doc_id")))
+      .toDF("vec_a", "vec_b")
     val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
     cand
       .join(q.as("a"), col("a.vec_id") === col("vec_a"))
@@ -498,5 +681,41 @@ object Dedup {
         col("label"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
+  }
+
+  // -------------------------------------------------------------------
+  // 23f. dedup_skewed_corpus — the adversarial-skew drill: the corpus
+  // plus a synthetic 10k-copy clone cluster of one document (the
+  // boilerplate/license-text shape real crawls contain). The skew-safe
+  // pipeline collapses the cluster to ONE representative before any
+  // shingle is computed, so band buckets stay clone-free and the
+  // rep-level candidate pair count is INDEPENDENT of the clone count
+  // (DedupSpec asserts that invariance). Output is the O(n) per-rep
+  // dedup summary — group size + number of near-dup candidate
+  // partners — never the quadratic member-pair expansion.
+  // -------------------------------------------------------------------
+  def skewedCorpus(spark: SparkSession, dir: String, nClones: Int = 10000): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val clones = docs
+      .filter(col("doc_id") === 0L)
+      .select(
+        explode(sequence(lit(1000000L), lit(1000000L + nClones - 1))).as("doc_id"),
+        col("text")
+      )
+    val norm = docs
+      .union(clones)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    val c = collapseExact(norm)
+    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val sizes = c.groups.groupBy(col("rep_id")).agg(count(lit(1)).as("group_n"))
+    val partners = lsh.pairs
+      .select(col("doc_a").as("rep_id"))
+      .union(lsh.pairs.select(col("doc_b").as("rep_id")))
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    sizes
+      .join(partners, Seq("rep_id"), "left")
+      .select(col("rep_id"), col("group_n"), coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+      .filter(col("group_n") > 1 || col("n_cand") > 0)
   }
 }

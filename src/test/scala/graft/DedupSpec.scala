@@ -121,4 +121,38 @@ class DedupSpec extends AnyFunSuite {
     val recall = planted.count(found.contains).toDouble / planted.size
     assert(recall >= 0.9, s"LSH recall $recall below bound; found ${found.size} pairs")
   }
+
+  test("skewed corpus: rep-level candidate count is independent of the clone count") {
+    // a b-copy exact-dup cluster must collapse to ONE banded rep, so
+    // the rep-level pair structure — and hence the output row count —
+    // cannot grow with b; only the cluster's own group_n does.
+    val a = Dedup.skewedCorpus(spark, sf, nClones = 50).cache()
+    val b = Dedup.skewedCorpus(spark, sf, nClones = 500).cache()
+    try {
+      assert(a.count() === b.count(), "output rows grew with the clone count")
+      assert(
+        a.select("rep_id", "n_cand").except(b.select("rep_id", "n_cand")).count() === 0,
+        "candidate-partner structure changed with the clone count"
+      )
+      assert(a.filter(col("rep_id") === 0L).head.getAs[Long]("group_n") === 51L)
+      assert(b.filter(col("rep_id") === 0L).head.getAs[Long]("group_n") === 501L)
+    } finally { a.unpersist(); b.unpersist() }
+  }
+
+  test("bucket cap: oversized LSH buckets are dropped from pair generation") {
+    import spark.implicits._
+    val bands = Seq(
+      // one bucket of 4 members (oversized at cap 3), one of 2
+      (1L, 0, "sigA"), (2L, 0, "sigA"), (3L, 0, "sigA"), (4L, 0, "sigA"),
+      (5L, 1, "sigB"), (6L, 1, "sigB")
+    ).toDF("doc_id", "band", "sig")
+    val kept = Dedup.dropOversizedBuckets(bands, Seq("band", "sig"), cap = 3, what = "spec")
+    assert(kept.select("sig").distinct().as[String].collect().toSet === Set("sigB"))
+    // cap=1 kills every pairable bucket -> zero pairs; default cap is a no-op
+    val uniq = Dedup.shingles(spark, sf).distinct().cache()
+    try {
+      assert(Dedup.lshRepPairsFrom(uniq, bucketCap = 1).pairs.count() === 0L)
+      assert(Dedup.lshRepPairsFrom(uniq).pairs.count() > 0L)
+    } finally uniq.unpersist()
+  }
 }
