@@ -65,7 +65,7 @@ object Dedup {
   /** shingles over an arbitrary (doc_id, norm) frame — the rep-level
     * pipelines shingle only canonical representatives.
     */
-  private def shinglesOf(normed: DataFrame, n: Int = 3): DataFrame =
+  private[graft] def shinglesOf(normed: DataFrame, n: Int = 3): DataFrame =
     normed
       .select(col("doc_id"), split(col("norm"), " ").as("toks"))
       .select(
@@ -251,7 +251,7 @@ object Dedup {
     uniq.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  private def bandSignaturesFrom(uniq: DataFrame): DataFrame = {
+  private[graft] def bandSignaturesFrom(uniq: DataFrame): DataFrame = {
     val rows = K / Bands
     val bandStructs = (0 until Bands).map { b =>
       struct(
@@ -571,35 +571,14 @@ object Dedup {
   // 'exact' (min over the kind column).
   // -------------------------------------------------------------------
   def incrementalDedup(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
-    val h = docsNorm(spark, dir).select(col("doc_id"), md5(col("norm")).as("th"))
-    val exact = h
-      .filter(col("doc_id") < splitId)
-      .select(col("doc_id").as("match_doc_id"), col("th"))
-      .join(
-        broadcast(h.filter(col("doc_id") >= splitId).select(col("doc_id").as("new_doc_id"), col("th"))),
-        Seq("th")
-      )
-      .select(col("new_doc_id"), col("match_doc_id"), lit("exact").as("kind"))
-    // band signatures computed ONCE for both sides of the asymmetric
-    // join (see the caching contract in the header)
-    val bands = bandSignaturesFrom(uniqShingles(spark, dir))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.count()
-    val near = bands
-      .filter(col("doc_id") < splitId)
-      .select(col("doc_id").as("match_doc_id"), col("band"), col("sig"))
-      .join(
-        broadcast(
-          bands.filter(col("doc_id") >= splitId).select(col("doc_id").as("new_doc_id"), col("band"), col("sig"))
-        ),
-        Seq("band", "sig")
-      )
-      .select(col("new_doc_id"), col("match_doc_id"), lit("near").as("kind"))
-      .distinct()
-    exact
-      .union(near)
-      .groupBy(col("new_doc_id"), col("match_doc_id"))
-      .agg(min(col("kind")).as("kind"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = graft.sources.SignatureStore.scratchPath(dir)
+    // the corpus side's signatures live ON DISK between batches — at
+    // 100 TB this write happened at ingest time; re-materializing it
+    // here keeps the oracle query self-contained. The match itself
+    // never touches corpus text (PlanSpec asserts it).
+    graft.sources.SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    graft.sources.SignatureStore.matchDelta(spark, store, docs.filter(col("doc_id") >= splitId))
   }
 
   // -------------------------------------------------------------------

@@ -300,7 +300,7 @@ object TimeboxStore {
     * input dir so different scale factors don't collide; writers use
     * overwrite mode, so the path is reused — not leaked — across runs.
     */
-  private def scratchPath(prefix: String, dir: String): String = {
+  private[sources] def scratchPath(prefix: String, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${sys.props("java.io.tmpdir")}/${prefix}_$key"
   }

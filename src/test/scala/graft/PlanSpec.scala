@@ -94,6 +94,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges")
   }
 
+  test("incremental dedup matches against the signature STORE — corpus text is never re-read") {
+    val df = graft.operators.Dedup.incrementalDedup(spark, sf, splitId = 400L)
+    // sparkPlan, not executedPlan: AQE wraps the adaptive plan in a
+    // childless node that collect() cannot see into
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val docScans = scans.filter(_.metadata("Location").contains("documents.parquet"))
+    assert(docScans.nonEmpty, "expected the delta-side documents scan")
+    // every documents scan must be the DELTA side (doc_id >= 400 pushed
+    // to parquet) — an unfiltered scan means the corpus text is being
+    // re-shingled, which at 100 TB is the cost the store exists to kill
+    docScans.foreach { s =>
+      val pushed = s.metadata("PushedFilters")
+      assert(
+        pushed.contains("GreaterThanOrEqual(doc_id,400"),
+        s"corpus-side documents scan leaked into the match plan: $pushed"
+      )
+    }
+    assert(
+      scans.exists(_.metadata("Location").contains("graft_sigstore")),
+      "match plan does not read the signature store"
+    )
+  }
+
   test("percentiles sorts a value histogram, never the raw event stream") {
     val exec = TimeSeries.percentiles(spark, sf).queryExecution.sparkPlan
     val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
