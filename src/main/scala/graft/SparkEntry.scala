@@ -62,6 +62,7 @@ object SparkEntry {
     "q18_large_orders"   -> ((s, d) => Relational.largeOrders(s, d)),
     "rel_argmax"         -> ((s, d) => Relational.topCustomerPerNation(s, d)),
     "rel_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
+    "rel_skew_join"      -> ((s, d) => Relational.skewJoin(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -1105,6 +1106,15 @@ object SparkEntry {
         |SELECT CAST(r.c_nationkey AS BIGINT) AS nationkey, r.c_custkey AS top_custkey,
         |  n.top_acctbal_c, n.n_customers
         |FROM r JOIN n ON n.c_nationkey = r.c_nationkey WHERE r.rn = 1""".stripMargin,
+    // the salted-join drill: the oracle is the PLAIN join — salting is
+    // an execution detail that must not change results
+    "rel_skew_join" ->
+      """WITH f AS (SELECT CASE WHEN user_id % 10 != 0 THEN 0 ELSE user_id END AS k,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |d AS (SELECT DISTINCT k, 'u' || CAST(k AS VARCHAR) AS user_tag FROM f)
+        |SELECT f.k, d.user_tag, COUNT(*) AS n_rows,
+        |  CAST(SUM(f.value_c) AS BIGINT) AS sum_value_c
+        |FROM f JOIN d ON d.k = f.k GROUP BY 1, 2""".stripMargin,
     "rel_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

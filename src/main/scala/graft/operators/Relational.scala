@@ -271,4 +271,33 @@ object Relational {
         count(lit(1)).as("n_events")
       )
   }
+
+  /** Pathological-key join drill (rel_skew_join): ~90% of the fact
+    * collapses onto ONE join key (the null-user/"unknown-device" shape
+    * that melts a plain hash-partitioned join at 100 TB — every row of
+    * the hot key lands on one reducer). The join runs through
+    * [[SkewJoin.saltedJoin]]: the shuffle key becomes (key, salt) so
+    * the hot key spreads over nSalts tasks, while results stay exactly
+    * the plain join's (the DuckDB oracle IS the plain join;
+    * SkewJoinSpec additionally pins the AQE skew-split plan shape for
+    * the unsalted path).
+    */
+  def skewJoin(spark: SparkSession, dir: String, nSalts: Int = 16): DataFrame = {
+    import spark.implicits._
+    val fact = Tables
+      .events(spark, dir)
+      .select(
+        when($"user_id" % 10 =!= 0, lit(0L)).otherwise($"user_id").as("k"),
+        $"event_id",
+        cents($"value").as("value_c")
+      )
+    val dim = fact
+      .select($"k")
+      .distinct()
+      .withColumn("user_tag", concat(lit("u"), $"k"))
+    SkewJoin
+      .saltedJoin(fact, dim, "k", Seq($"event_id"), nSalts)
+      .groupBy($"k", $"user_tag")
+      .agg(count(lit(1)).as("n_rows"), sum($"value_c").as("sum_value_c"))
+  }
 }

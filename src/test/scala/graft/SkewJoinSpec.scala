@@ -22,6 +22,42 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("AQE splits the hot-key partition (skew=true in the finalized plan)") {
+    // the unsalted path: a runtime-skewed shuffle join must come out of
+    // AQE with the skewed partition split. Thresholds are lowered to
+    // make the 1k-row fixture register as skewed; the assertion is on
+    // the FINAL adaptive plan, after materialization.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    )
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      import spark.implicits._
+      val fact = spark.read
+        .parquet(s"$sf/events.parquet")
+        // one small file = one map task, and AQE can only split a skewed
+        // reduce partition on MAPPER boundaries — spread the map side first
+        .repartition(8, col("event_id"))
+        .select(
+          when(col("user_id") % 10 =!= 0, lit(0L)).otherwise(col("user_id")).as("k"),
+          col("event_id")
+        )
+      val dim = (0 until 15).map(i => (i.toLong, s"u$i")).toDF("k", "user_tag")
+      val joined = fact.join(dim, Seq("k"))
+      joined.collect() // materialize THIS frame — count() would plan a separate query
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the hot partition:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("salt values actually spread (more than one distinct salt)") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val n = events
