@@ -24,6 +24,15 @@ object GraftSession {
       // reader rejects; read as epoch-nano longs (oracle side uses
       // duckdb epoch_ns() for the same integer domain).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state on RocksDB: state size is bounded by native
+      // memory + local disk instead of executor heap, and changelog
+      // checkpointing ships per-batch deltas (not full SST snapshots)
+      // to the checkpoint — the production posture for large state
+      .config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      )
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -73,11 +73,22 @@ object StreamingIngest {
       spark: SparkSession,
       dir: String,
       filesPerTrigger: Option[Int] = None
+  ): DataFrame =
+    runToMemory(spark, hourlyAppendStream(spark, dir, filesPerTrigger), "append")
+
+  /** The un-sunk append-mode hourly aggregation stream — exposed so
+    * recovery tests can drive their own sink/checkpoint lifecycle
+    * (kill between micro-batches, restart from the checkpoint).
+    */
+  private[graft] def hourlyAppendStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
   ): DataFrame = {
     val schema = Tables.events(spark, dir).schema
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val agg = reader
+    reader
       .parquet(s"$dir/events.parque[t]")
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "1 hour")
@@ -89,7 +100,6 @@ object StreamingIngest {
         col("n"),
         col("sum_c")
       )
-    runToMemory(spark, agg, "append")
   }
 
   /** Gap-based sessionization as CUSTOM STREAMING STATE
