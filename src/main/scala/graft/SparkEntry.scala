@@ -96,7 +96,8 @@ object SparkEntry {
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
-    "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d))
+    "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d)),
+    "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d))
   )
 
   /** DuckDB fragments shared by the text/dedup oracles — must mirror
@@ -560,7 +561,41 @@ object SparkEntry {
         |  sha256(text) AS sha256_hex, md5(text) AS md5_hex,
         |  (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_chunks,
         |  sha256(substr(text, 1, 256)) AS first_chunk_sha
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // reproduces Multimodal.stubDecode byte-for-byte: the checksum is a
+    // left fold (a*31+b)&0x7fffffff over the utf-8 payload bytes
+    // (hex-decoded two chars at a time), then the quantized 4-float
+    // feature [n, width, height, checksum%1000] is hyperplane-LSH
+    // bucketed with the same md5-derived planes as dedup_embedding.
+    "mm_decode_index" ->
+      """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |cs AS (SELECT doc_id, n,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST((strpos('0123456789abcdef', h[2*i-1:2*i-1]) - 1) * 16
+        |           + (strpos('0123456789abcdef', h[2*i:2*i]) - 1) AS BIGINT)
+        |       FOR i IN generate_series(1, CAST(n AS INTEGER))]),
+        |    (a, b) -> (a * 31 + b) & 2147483647) AS checksum
+        |  FROM p),
+        |f AS (SELECT doc_id, n, checksum, 16 + checksum % 64 AS width,
+        |             16 + (checksum // 64) % 64 AS height, 1 + n % 4 AS n_frames FROM cs),
+        |q AS (SELECT doc_id, width, height, n_frames,
+        |        [CAST(n * 1000000 AS BIGINT), CAST(width * 1000000 AS BIGINT),
+        |         CAST(height * 1000000 AS BIGINT), CAST((checksum % 1000) * 1000000 AS BIGINT)] AS qv
+        |      FROM f),
+        |pl AS (SELECT p, i,
+        |         2 * (instr('0123456789abcdef',
+        |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+        |       FROM (SELECT unnest(generate_series(0, 3)) AS p), (SELECT unnest(generate_series(1, 4)) AS i)),
+        |d AS (SELECT q.doc_id, pl.p, CAST(SUM(qv[CAST(pl.i AS INTEGER)] * pl.w) AS BIGINT) AS dt
+        |      FROM q, pl GROUP BY 1, 2),
+        |b AS (SELECT doc_id,
+        |        CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+        |      FROM d GROUP BY 1)
+        |SELECT q.doc_id, CAST(q.width AS BIGINT) AS width, CAST(q.height AS BIGINT) AS height,
+        |  CAST(q.n_frames AS BIGINT) AS n_frames, b.bucket
+        |FROM q JOIN b USING (doc_id)""".stripMargin
   )
 
   /** DuckDB oracle SQL for the time-series queries (§2 rows 1-14). */

@@ -116,6 +116,38 @@ object Multimodal {
     (width, height, frames, feature)
   }
 
+  // -------------------------------------------------------------------
+  // 33d. mm_decode_index — the multimodal indexing pipeline end to
+  // end: partition-parallel decode (stub codec, real mapPartitions
+  // plumbing) → quantized feature vector → hyperplane-LSH bucket.
+  // The stub's byte-fold checksum is deterministic, so the whole
+  // decode→quantize→bucket chain is oracle-reproducible; swap the stub
+  // for a real codec and only the feature values change, never the
+  // indexing machinery. Decode is embarrassingly parallel; the bucket
+  // assignment is row-local (broadcast-free) — zero shuffles.
+  // -------------------------------------------------------------------
+  def decodeIndex(spark: SparkSession, dir: String, nPlanes: Int = 4): DataFrame = {
+    import graft.functions.{PortableHash, VectorFunctions}
+    val payloads = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val planes = PortableHash.planeWeights(nPlanes, 4)
+    val bucket = planes.zipWithIndex
+      .map { case (w, p) =>
+        when(VectorFunctions.dotQ(col("q"), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    decodeAll(spark, payloads)
+      .withColumn("q", VectorFunctions.quantizeMicro(col("feature")))
+      .select(
+        col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        bucket.cast("long").as("bucket")
+      )
+  }
+
   /** Partition-parallel decode over an opaque binary column: the
     * mapPartitions shape a real decoder plugs into (one codec init per
     * partition, streamed rows, no driver involvement).
