@@ -44,8 +44,9 @@ object SparkEntry {
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
-    "ts_store_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
-    "ts_store_multitag"  -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
+    "ts_store_roundtrip"  -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
+    "ts_store_multitag"   -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
+    "ts_store_value_read" -> ((s, d) => graft.sources.TimeboxStore.valueReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -958,6 +959,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
         |FROM events GROUP BY user_id""".stripMargin,
+    // the zone-map read: the oracle filters the RAW events with the
+    // same time range + value band the store read prunes blocks for
+    "ts_store_value_read" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND CAST(round(value*100) AS BIGINT) BETWEEN 9000 AND 12000
+        |GROUP BY user_id""".stripMargin,
     "ts_interp_linear" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, epoch_us(ts) AS ts_us,

@@ -95,6 +95,10 @@ object TimeboxStore {
       Seq(
         col("series_id"),
         col("day_id"),
+        // block granularity is LAYOUT METADATA: readers derive their
+        // day_id pruning bounds from it, so a compacted (7-day) or
+        // coarse-block (32-day multitag) store range-reads correctly
+        lit(blockUs).as("block_us"),
         col("start_us"),
         col("unit_us"),
         size(col("deltas")).cast("long").as("n_points"),
@@ -103,6 +107,19 @@ object TimeboxStore {
         col("seqs")
       ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"max_$t"), col(s"offs_$t"), col(s"bytes_$t"))): _*
     )
+  }
+
+  /** Read the store's block granularity from its layout metadata — a
+    * tiny aggregate over one column (parquet stats make it near-free).
+    * A store must be single-granularity; mixing blockUs in one path
+    * would make day_id ranges ambiguous, so it throws loudly instead
+    * of silently dropping blocks.
+    */
+  private def storedBlockUs(store: DataFrame): Long = {
+    val r = store.agg(min(col("block_us")), max(col("block_us"))).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    require(lo == hi, s"mixed block granularities in one store path: $lo vs $hi")
+    lo
   }
 
   /** Decode block-columnar rows back to one row per point. Lossless
@@ -123,10 +140,15 @@ object TimeboxStore {
       .orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blocks
-      .withColumn(
-        "block_id",
-        xxhash64(col("series_id"), col("day_id"), col("start_us"), col("unit_us"), col("deltas"), col("seqs"))
-      )
+      // block_id must be unique PER PHYSICAL ROW, not a content hash:
+      // at-least-once replay (crash-recovered foreachBatch ingest) can
+      // leave two byte-identical block rows, and a shared id would
+      // interleave their cumulative delta sums into corrupt timestamps.
+      // monotonically_increasing_id is stable per (partition, position),
+      // unique across rows, and never stored; duplicate blocks then
+      // decode into clean duplicate POINTS a downstream (series, seq)
+      // dedupe can drop.
+      .withColumn("block_id", monotonically_increasing_id())
       .select(
         Seq(
           col("series_id"),
@@ -208,9 +230,10 @@ object TimeboxStore {
       endUs: Long,
       tagCols: Seq[String] = Seq("value_c")
   ): DataFrame = {
-    val blocks = spark.read
-      .parquet(path)
-      .filter(col("day_id") >= startUs / DayUs && col("day_id") <= (endUs - 1) / DayUs)
+    val store = spark.read.parquet(path)
+    val blockUs = storedBlockUs(store)
+    val blocks = store
+      .filter(col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs)
       .filter(col("start_us") < endUs)
     decode(blocks, tagCols).filter(col("ts_us") >= startUs && col("ts_us") < endUs)
   }
@@ -232,9 +255,10 @@ object TimeboxStore {
       loC: Long,
       hiC: Long
   ): DataFrame = {
-    val blocks = spark.read
-      .parquet(path)
-      .filter(col("day_id") >= startUs / DayUs && col("day_id") <= (endUs - 1) / DayUs)
+    val store = spark.read.parquet(path)
+    val blockUs = storedBlockUs(store)
+    val blocks = store
+      .filter(col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs)
       .filter(col("start_us") < endUs)
       // zone-map skip: the block can hold a matching value only if the
       // envelopes overlap
@@ -242,6 +266,31 @@ object TimeboxStore {
     decode(blocks, Seq(tag))
       .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
       .filter(col(tag) >= loC && col(tag) <= hiC)
+  }
+
+  /** Oracle-gated zone-map read (ts_store_value_read): encode → persist
+    * → value-filtered range read → per-series summary. The oracle is
+    * the same filter over the RAW events, so a block skipped wrongly
+    * (or a min/max envelope off by one) fails the hash compare.
+    */
+  def valueReadSummary(
+      spark: SparkSession,
+      dir: String,
+      startUs: Long = 1704672000000000L, // 2024-01-08
+      endUs: Long = 1705276800000000L,   // 2024-01-15
+      loC: Long = 9000L,
+      hiC: Long = 12000L
+  ): DataFrame = {
+    val out = scratchPath("graft_store", dir) // same content as roundtripSummary — reuse
+    write(spark, dir, out)
+    rangeReadValueFiltered(spark, out, startUs, endUs, "value_c", loC, hiC)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        sum(col("value_c")).as("sum_value_c")
+      )
   }
 
   /** Compaction: re-block an encoded store at a coarser granularity —

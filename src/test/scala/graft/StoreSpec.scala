@@ -142,6 +142,38 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded).count() === 0)
   }
 
+  test("range read derives pruning bounds from the STORED block granularity") {
+    // a compacted store holds 7-day blocks; pruning with hardcoded
+    // day-granularity bounds would silently drop nearly all of them
+    val a = java.nio.file.Files.createTempDirectory("graft_store_gran_a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_store_gran_b").toString
+    TimeboxStore.write(spark, sf, a)
+    TimeboxStore.compact(spark, a, b) // 7-day blocks
+    val startUs = 1704672000000000L // 2024-01-08
+    val endUs   = 1705276800000000L // 2024-01-15
+    val read = TimeboxStore.rangeRead(spark, b, startUs, endUs)
+    val orig = asDecodedShape(original)
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+    assert(read.count() > 0, "compacted store range read returned nothing")
+    assert(read.exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(read).count() === 0)
+  }
+
+  test("decode is replay-safe: byte-identical duplicate block rows stay separate points") {
+    // at-least-once foreachBatch replay can append the same block row
+    // twice; a content-hash block id would interleave both copies in
+    // one cumulative window and corrupt every timestamp after pos 0
+    val blocks = TimeboxStore.encode(original)
+    val decoded = TimeboxStore.decode(blocks.union(blocks))
+    val orig = asDecodedShape(original)
+    val doubled = orig.union(orig)
+    assert(decoded.exceptAll(doubled).count() === 0, "duplicate blocks decoded to corrupt points")
+    assert(doubled.exceptAll(decoded).count() === 0)
+    // the documented downstream repair — (series, seq) dedupe — now works
+    assert(decoded.distinct().exceptAll(orig).count() === 0)
+    assert(orig.exceptAll(decoded.distinct()).count() === 0)
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
