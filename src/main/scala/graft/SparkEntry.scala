@@ -435,7 +435,8 @@ object SparkEntry {
          |          CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, a ASC, b ASC) AS BIGINT) AS rnk
          |        FROM nab QUALIFY rnk <= 20)
          |SELECT top.a, top.b, top.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
-         |  CAST(top.n_ab * tot.n_total * 1000000 // (ua.n_tok * ub.n_tok) AS BIGINT) AS lift_micro,
+         |  CAST(CAST(top.n_ab AS HUGEINT) * tot.n_total * 1000000
+         |       // (CAST(ua.n_tok AS HUGEINT) * ub.n_tok) AS BIGINT) AS lift_micro,
          |  top.rnk
          |FROM top JOIN un ua ON ua.tok = top.a JOIN un ub ON ub.tok = top.b, tot""".stripMargin,
     "text_ngram_freq" ->

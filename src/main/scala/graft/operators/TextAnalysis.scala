@@ -161,7 +161,18 @@ object TextAnalysis {
       .join(broadcast(uni.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a")), Seq("a"))
       .join(broadcast(uni.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b")), Seq("b"))
       .crossJoin(broadcast(total))
-      .withColumn("lift_micro", expr("n_ab * n_total * 1000000 DIV (n_a * n_b)"))
+      // the numerator overflows BIGINT once the corpus passes a few
+      // million tokens (n_ab·N·10^6 ~ 10^19); DECIMAL(38,0) keeps the
+      // intermediate exact to 10^38 and DIV truncates back to a long —
+      // identical floor semantics (operands non-negative) to the
+      // oracle's HUGEINT arithmetic
+      .withColumn(
+        "lift_micro",
+        expr(
+          "CAST(n_ab AS DECIMAL(19,0)) * CAST(n_total AS DECIMAL(19,0)) * 1000000" +
+            " DIV (CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))"
+        )
+      )
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"), col("lift_micro"), col("rnk"))
   }

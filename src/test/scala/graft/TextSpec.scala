@@ -107,4 +107,32 @@ class TextSpec extends AnyFunSuite {
       assert(out.exceptAll(again).count() === 0)
     } finally out.unpersist()
   }
+
+  test("bigram lift survives corpora whose n_ab·N·10^6 product overflows a long") {
+    import spark.implicits._
+    // 200 docs of "x y" * 21500: N = 8.6e6 tokens, n_ab(x,y) = 4.3e6,
+    // so n_ab·N·10^6 ≈ 3.7e19 > Long.MaxValue — the old BIGINT product
+    // wrapped negative in Spark and raised in DuckDB
+    val dir = java.nio.file.Files.createTempDirectory("graft_pmi_big").toString
+    val body = ("x y " * 21500).trim
+    spark
+      .range(200)
+      .select(
+        col("id").as("doc_id"),
+        lit(body).as("text"),
+        lit("en").as("lang"),
+        lit("synthetic").as("source"),
+        lit(body.length.toLong).as("n_chars")
+      )
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top = graft.operators.TextAnalysis.bigramPmi(spark, dir).cache()
+    try {
+      assert(top.filter(col("lift_micro") <= 0).count() === 0, "lift overflowed")
+      val xy = top.filter(col("a") === "x" && col("b") === "y").head()
+      val (nAb, nA, nB) = (xy.getAs[Long]("n_ab"), xy.getAs[Long]("n_a"), xy.getAs[Long]("n_b"))
+      val nTotal = 200L * 43000L
+      val expected = (BigInt(nAb) * nTotal * 1000000 / (BigInt(nA) * nB)).toLong
+      assert(xy.getAs[Long]("lift_micro") === expected)
+    } finally top.unpersist()
+  }
 }
