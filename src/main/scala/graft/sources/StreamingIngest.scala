@@ -215,6 +215,18 @@ object StreamingIngest {
     * integer variance test (n·x−S)² > z²·(n·Q−S²) is exact, so the
     * streamed verdicts equal the batch operator's bit-for-bit — which
     * is what the oracle (the same SQL as ts_anomaly_zscore) checks.
+    *
+    * PRECONDITION (enforced, not assumed): the source must deliver each
+    * series in event-time order ACROSS micro-batches (an ingest-ordered
+    * log / time-split replay). Scoring is order-sensitive, so a point
+    * older than one already scored cannot be repaired retroactively —
+    * the state carries the last scored (ts, seq) per series and the
+    * query FAILS LOUDLY on a cross-batch regression instead of silently
+    * scoring against the wrong history. Buffering to full event-time
+    * order behind a watermark is deliberately not done here: it would
+    * hold back (and at drain, never emit) every point inside the
+    * watermark horizon, breaking the alerting contract that each point
+    * is scored on arrival.
     */
   def anomalyStream(
       spark: SparkSession,
@@ -238,17 +250,27 @@ object StreamingIngest {
       )
       .as[(Long, Long, Long, Long)]
     val zz = z.toLong * z
+    // state = (ring of last `win` values, last scored ts, last scored seq)
     val scored = stream
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Long], (Long, Long, Long, Long, Long)](
+      .flatMapGroupsWithState[(Array[Long], Long, Long), (Long, Long, Long, Long, Long)](
         OutputMode.Append,
         GroupStateTimeout.NoTimeout // state is a fixed-size ring buffer by design
-      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[Array[Long]]) =>
-        // (ts, event_id) ordering within the batch; across batches an
-        // in-order replay (time-split files) preserves it, as in the
-        // sessionization path
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[(Array[Long], Long, Long)]) =>
         val pts = rows.toArray.sortBy(r => (r._2, r._3))
-        var ring = state.getOption.getOrElse(Array.empty[Long])
+        var (ring, lastTs, lastSeq) =
+          state.getOption.getOrElse((Array.empty[Long], Long.MinValue, Long.MinValue))
+        // enforce the cross-batch in-order precondition (see Scaladoc):
+        // a regression means the source violated its ordering contract
+        // and every later score for this series would be wrong
+        pts.headOption.foreach { case (_, ts, eid, _) =>
+          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+            throw new IllegalStateException(
+              s"anomalyStream: out-of-order arrival for series $uid — point (ts=$ts, seq=$eid) " +
+                s"after already-scored (ts=$lastTs, seq=$lastSeq); the source must deliver each " +
+                "series in event-time order across micro-batches"
+            )
+        }
         val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
         pts.foreach { case (_, ts, eid, x) =>
           if (ring.length >= win) {
@@ -261,8 +283,10 @@ object StreamingIngest {
             out += ((eid, uid, ts, x, isAnom))
           }
           ring = (ring :+ x).takeRight(win)
+          lastTs = ts
+          lastSeq = eid
         }
-        state.update(ring)
+        state.update((ring, lastTs, lastSeq))
         out.iterator
       }
       .toDF("event_id", "user_id", "ts_us", "value_c", "is_anomaly")

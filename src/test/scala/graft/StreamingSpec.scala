@@ -136,6 +136,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch verdicts missing from stream")
   }
 
+  test("streaming anomaly scoring REJECTS out-of-order cross-batch arrival loudly") {
+    // reversed replay: the LATE half arrives in batch 0, the early half
+    // in batch 1 — silent mis-scoring before; a loud contract error now
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_rev").toString
+    val ev = Tables.events(spark, sf)
+    val cut = ev.selectExpr("approx_percentile(ts, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/events.parquet"
+    ev.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    ev.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    val e = intercept[Exception] {
+      StreamingIngest.anomalyStream(spark, dir, filesPerTrigger = Some(1))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(
+      messages(e).exists(_.contains("out-of-order arrival")),
+      s"expected the ordering-contract error, got: ${messages(e).mkString(" | ")}"
+    )
+  }
+
   test("streaming ingest into the block store: two-batch replay decodes to the exact event set") {
     val dir = twoBatchDir()
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_store").toString + "/blocks"
