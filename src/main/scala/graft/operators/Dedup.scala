@@ -21,15 +21,17 @@ import graft.sources.Tables
   * Hashing discipline: all hashes are md5-hex over explicit strings
   * (graft.functions.PortableHash), so signatures are engine-portable.
   *
-  * CACHING CONTRACT: the multi-consumer operators (minhashLsh,
-  * ngramJaccard, simhash, clusters) persist shared intermediates
-  * (shingle sets, band/simhash signatures, candidate pairs) because
-  * each feeds 2-3 downstream joins of the RETURNED lazy plan — the
-  * cache cannot be released before the caller materializes the result.
-  * Callers running many queries in one session (Bench/Verify do this)
-  * should `spark.catalog.clearCache()` between queries; a library user
-  * embedding one operator can simply leave the MEMORY_AND_DISK blocks
-  * to LRU eviction.
+  * CACHING CONTRACT (enforced in code): the multi-consumer operators
+  * (minhashLsh, ngramJaccard, simhash, clusters, …) persist shared
+  * intermediates (shingle sets, band/simhash signatures, candidate
+  * pairs) because each feeds 2-3 downstream joins of the RETURNED lazy
+  * plan — the cache cannot be released before the caller materializes
+  * the result. Each operator therefore registers a one-shot
+  * QueryExecutionListener ([[releaseAfterRun]]) that unpersists its
+  * intermediates as soon as ANY query touching them completes — i.e.
+  * right after the caller's first action on the returned frame — so a
+  * library consumer never accumulates stale cache blocks (DedupSpec
+  * asserts the cache manager drains).
   */
 object Dedup {
 
@@ -45,6 +47,37 @@ object Dedup {
       .select(col("doc_id"), normText(col("text")).as("norm"))
 
   private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** The caching contract as code: register a one-shot listener that
+    * unpersists `cached` once any completed query's plan contains one
+    * of them — in the normal flow, the caller's first action on
+    * `result` (whose plan reads every cached frame). Firing on a
+    * different query that happens to share the subtree only releases
+    * the cache early, which costs recompute, never correctness. The
+    * listener deregisters itself after firing.
+    */
+  private def releaseAfterRun(
+      spark: SparkSession,
+      result: DataFrame,
+      cached: Seq[DataFrame]
+  ): DataFrame = {
+    val plans = cached.map(_.queryExecution.analyzed)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def touches(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.exists(node => plans.exists(p => node.sameResult(p)))
+      private def release(): Unit = if (fired.compareAndSet(false, true)) {
+        cached.foreach(_.unpersist(false))
+        spark.listenerManager.unregister(this)
+      }
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        if (!fired.get() && touches(qe)) release()
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+        if (!fired.get() && touches(qe)) release()
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
 
   /** Default per-bucket cap for LSH pair generation. Within-bucket
     * pairing is O(b²) on one reducer; the cap bounds that to cap²/2
@@ -170,7 +203,7 @@ object Dedup {
     * (i.e. had ≥1 shingle) — the member expansion needs it to decide
     * which exact-dup groups pair among themselves.
     */
-  private[graft] case class RepLsh(pairs: DataFrame, banded: DataFrame)
+  private[graft] case class RepLsh(pairs: DataFrame, banded: DataFrame, bands: DataFrame)
 
   private[graft] def lshRepPairsFrom(repUniq: DataFrame, bucketCap: Int = DefaultBucketCap): RepLsh = {
     val bands = bandSignaturesFrom(repUniq)
@@ -186,7 +219,7 @@ object Dedup {
       )
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    RepLsh(pairs, bands.select(col("doc_id")).distinct())
+    RepLsh(pairs, bands.select(col("doc_id")).distinct(), bands)
   }
 
   /** Expand rep-level pairs (doc_a, doc_b = canonical ids, plus any
@@ -277,7 +310,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val c = collapseExact(docsNorm(spark, dir))
     val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
-    expandMemberPairs(lsh.pairs, c.groups, lsh.banded)
+    releaseAfterRun(spark, expandMemberPairs(lsh.pairs, c.groups, lsh.banded), Seq(lsh.bands))
   }
 
   // -------------------------------------------------------------------
@@ -285,8 +318,12 @@ object Dedup {
   // graph: the canonical-cluster step every dedup pipeline runs after
   // pair generation (keep one doc per component).
   // -------------------------------------------------------------------
-  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
-    connectedComponents(minhashLsh(spark, dir), maxIters)
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
+    // the returned labels frame is itself persisted (the CC loop built
+    // it); release it too once the caller has materialized
+    val labels = connectedComponents(minhashLsh(spark, dir), maxIters)
+    releaseAfterRun(spark, labels, Seq(labels))
+  }
 
   /** Distributed connected components over a (doc_a, doc_b) pair set.
     *
@@ -404,13 +441,14 @@ object Dedup {
       )
     // within-group pairs are identical texts: inter = union = |rep's
     // shingle set|, J = 1 ⇒ is_dup = 1
-    expandMemberPairs(
+    val out = expandMemberPairs(
       repScores,
       c.groups,
       counts, // unique per rep; carries n_sh for the within values
       carried = Seq("inter_n", "union_n", "is_dup"),
       withinValues = Seq(col("n_sh"), col("n_sh"), lit(1L))
     )
+    releaseAfterRun(spark, out, Seq(uniq, lsh.bands, cand))
   }
 
   // -------------------------------------------------------------------
@@ -489,13 +527,14 @@ object Dedup {
     // every doc tokenizes to ≥1 token (empty norm still yields one ""
     // token), so every rep has a signature and every multi-member
     // group self-pairs at hamming 0
-    expandMemberPairs(
+    val out = expandMemberPairs(
       repNear,
       cx.groups,
       sig.select(col("doc_id")),
       carried = Seq("hamming"),
       withinValues = Seq(lit(0L))
     )
+    releaseAfterRun(spark, out, Seq(sig))
   }
 
   // -------------------------------------------------------------------
@@ -528,13 +567,14 @@ object Dedup {
       .join(sigB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), agree.as("n_agree"))
       .withColumn("est_jaccard_micro", expr(s"n_agree * 1000000 DIV $K"))
-    expandMemberPairs(
+    val out = expandMemberPairs(
       repScored,
       c.groups,
       lsh.banded,
       carried = Seq("n_agree", "est_jaccard_micro"),
       withinValues = Seq(lit(K.toLong), lit(1000000L * K / K))
     )
+    releaseAfterRun(spark, out, Seq(uniq, sigs, lsh.bands))
   }
 
   // -------------------------------------------------------------------
@@ -649,7 +689,7 @@ object Dedup {
     val cand = expandMemberPairs(repCand, groups, reps.select(col("vec_id").as("doc_id")))
       .toDF("vec_a", "vec_b")
     val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
-    cand
+    val out = cand
       .join(q.as("a"), col("a.vec_id") === col("vec_a"))
       .join(q.as("b"), col("b.vec_id") === col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("a.label").as("label"), cos.as("cos"))
@@ -660,6 +700,7 @@ object Dedup {
         col("label"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
+    releaseAfterRun(spark, out, Seq(bk))
   }
 
   // -------------------------------------------------------------------
@@ -692,9 +733,10 @@ object Dedup {
       .union(lsh.pairs.select(col("doc_b").as("rep_id")))
       .groupBy(col("rep_id"))
       .agg(count(lit(1)).as("n_cand"))
-    sizes
+    val out = sizes
       .join(partners, Seq("rep_id"), "left")
       .select(col("rep_id"), col("group_n"), coalesce(col("n_cand"), lit(0L)).as("n_cand"))
       .filter(col("group_n") > 1 || col("n_cand") > 0)
+    releaseAfterRun(spark, out, Seq(lsh.bands))
   }
 }

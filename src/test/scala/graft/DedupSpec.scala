@@ -122,6 +122,18 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below bound; found ${found.size} pairs")
   }
 
+  test("caching contract: intermediates are unpersisted once the caller materializes") {
+    spark.catalog.clearCache() // known-clean baseline (suites run sequentially)
+    val df = Dedup.ngramJaccard(spark, sf)
+    assert(!spark.sharedState.cacheManager.isEmpty, "operator registered no caches to manage")
+    df.count() // the caller's one materialization
+    // the release listener runs on the async listener bus — wait for it
+    val deadline = System.currentTimeMillis() + 30000
+    while (!spark.sharedState.cacheManager.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(spark.sharedState.cacheManager.isEmpty, "cached intermediates leaked after the run")
+  }
+
   test("skewed corpus: rep-level candidate count is independent of the clone count") {
     // a b-copy exact-dup cluster must collapse to ONE banded rep, so
     // the rep-level pair structure — and hence the output row count —
