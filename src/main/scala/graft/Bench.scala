@@ -41,7 +41,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the stdout line can be truncated by log-tail capture; the file is
+    // the machine-readable artifact of record for every per-query number
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
     spark.stop()
   }
 }

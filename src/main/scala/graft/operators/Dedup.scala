@@ -309,8 +309,9 @@ object Dedup {
   // -------------------------------------------------------------------
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
-    releaseAfterRun(spark, expandMemberPairs(lsh.pairs, c.groups, lsh.banded), Seq(lsh.bands))
+    releaseAfterRun(spark, expandMemberPairs(lsh.pairs, groups, lsh.banded), Seq(lsh.bands, groups))
   }
 
   // -------------------------------------------------------------------
@@ -415,6 +416,7 @@ object Dedup {
     // lets the consumers race partition computation inside one job
     // and nobody hits the cache.
     val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = lshRepPairsFrom(uniq) // its eager bands.count() fills the uniq cache too
     val cand = lsh.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -443,12 +445,12 @@ object Dedup {
     // shingle set|, J = 1 ⇒ is_dup = 1
     val out = expandMemberPairs(
       repScores,
-      c.groups,
+      groups,
       counts, // unique per rep; carries n_sh for the within values
       carried = Seq("inter_n", "union_n", "is_dup"),
       withinValues = Seq(col("n_sh"), col("n_sh"), lit(1L))
     )
-    releaseAfterRun(spark, out, Seq(uniq, lsh.bands, cand))
+    releaseAfterRun(spark, out, Seq(uniq, lsh.bands, cand, groups))
   }
 
   // -------------------------------------------------------------------
@@ -463,6 +465,7 @@ object Dedup {
     // identical simhash), block buckets capped, rep pairs expanded to
     // members with hamming inherited (0 within a group).
     val cx = collapseExact(docsNorm(spark, dir))
+    val groups = cx.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val toks = cx.reps
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
@@ -529,12 +532,12 @@ object Dedup {
     // group self-pairs at hamming 0
     val out = expandMemberPairs(
       repNear,
-      cx.groups,
+      groups,
       sig.select(col("doc_id")),
       carried = Seq("hamming"),
       withinValues = Seq(lit(0L))
     )
-    releaseAfterRun(spark, out, Seq(sig))
+    releaseAfterRun(spark, out, Seq(sig, groups))
   }
 
   // -------------------------------------------------------------------
@@ -553,6 +556,7 @@ object Dedup {
     // exact for every expanded member pair; within-group pairs agree
     // on all K slots by construction.
     val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count() // eager: pairs and both scoring joins read the caches
@@ -569,12 +573,12 @@ object Dedup {
       .withColumn("est_jaccard_micro", expr(s"n_agree * 1000000 DIV $K"))
     val out = expandMemberPairs(
       repScored,
-      c.groups,
+      groups,
       lsh.banded,
       carried = Seq("n_agree", "est_jaccard_micro"),
       withinValues = Seq(lit(K.toLong), lit(1000000L * K / K))
     )
-    releaseAfterRun(spark, out, Seq(uniq, sigs, lsh.bands))
+    releaseAfterRun(spark, out, Seq(uniq, sigs, lsh.bands, groups))
   }
 
   // -------------------------------------------------------------------
@@ -656,7 +660,9 @@ object Dedup {
     // identically) share every bucket in every table, so only their
     // canonical rep is bucketed; groups re-expand candidates after.
     val grp = q.withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("q"))))
-    val groups = grp.select(col("vec_id").as("doc_id"), col("rep_id"))
+    val groups = grp
+      .select(col("vec_id").as("doc_id"), col("rep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = grp.filter(col("vec_id") === col("rep_id"))
     // per-table bucket: sign pattern of that table's planes (plane
     // index p = tbl*nPlanes + bit, matching the oracle's p//4 / p%4)
@@ -700,7 +706,7 @@ object Dedup {
         col("label"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
-    releaseAfterRun(spark, out, Seq(bk))
+    releaseAfterRun(spark, out, Seq(bk, groups))
   }
 
   // -------------------------------------------------------------------
