@@ -38,6 +38,8 @@ object SparkEntry {
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
+    "ts_histogram_quantile" -> ((s, d) => TimeSeries.histogramQuantile(s, d)),
+    "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -75,6 +77,7 @@ object SparkEntry {
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "dedup_skewed_corpus"    -> ((s, d) => Dedup.skewedCorpus(s, d)),
+    "contamination_ngram"    -> ((s, d) => Dedup.contaminationNgram(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
@@ -255,6 +258,20 @@ object SparkEntry {
          |SELECT s.rep_id, s.group_n, COALESCE(c.n_cand, 0) AS n_cand
          |FROM sizes s LEFT JOIN cnt c ON c.rep_id = s.rep_id
          |WHERE s.group_n > 1 OR COALESCE(c.n_cand, 0) > 0""".stripMargin,
+    // phrase-level contamination: distinct shingle sets per SOURCE,
+    // pairwise shared counts + integer containment micro-ratios
+    "contamination_ngram" ->
+      s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+         |sh AS (SELECT DISTINCT source, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+         |       FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |             FROM d WHERE len(toks) >= 3)),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+         |sp AS (SELECT x.source AS source_a, y.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM sh x JOIN sh y ON y.shingle = x.shingle AND x.source < y.source GROUP BY 1, 2)
+         |SELECT sp.source_a, sp.source_b, sp.n_shared, a.n_sh AS n_a, b.n_sh AS n_b,
+         |  CAST(sp.n_shared * 1000000 // a.n_sh AS BIGINT) AS contain_a_micro,
+         |  CAST(sp.n_shared * 1000000 // b.n_sh AS BIGINT) AS contain_b_micro
+         |FROM sp JOIN sz a ON a.source = sp.source_a JOIN sz b ON b.source = sp.source_b""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCtes,
          |ps AS (SELECT LEAST(da.source, db.source) AS source_a,
@@ -883,6 +900,27 @@ object SparkEntry {
         |SELECT event_type, v // 500 AS bucket, COUNT(*) AS n,
         |  MIN(v) AS min_c, MAX(v) AS max_c
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // PromQL histogram_quantile: walk cumulative bucket counts to the
+    // ceil(q·total) rank, interpolate linearly inside the landing bucket
+    "ts_histogram_quantile" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, v // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, n,
+        |        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+        |        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total_n
+        |      FROM h),
+        |k AS (SELECT *, (total_n * 900000 + 999999) // 1000000 AS rank_k FROM c),
+        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |      FROM k WHERE cum >= rank_k)
+        |SELECT event_type, total_n, rank_k, bucket,
+        |  CAST(bucket * 500 * 1000000 + (500 * (rank_k - (cum - n)) * 1000000) // n AS BIGINT) AS est_microc
+        |FROM f WHERE rn = 1""".stripMargin,
+    "ts_topk_per_window" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_id, user_id, COUNT(*) AS n_events
+        |           FROM events GROUP BY 1, 2)
+        |SELECT hour_id, user_id, n_events,
+        |  CAST(RANK() OVER (PARTITION BY hour_id ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rnk
+        |FROM h QUALIFY rnk <= 3""".stripMargin,
     "ts_cross_corr" ->
       """WITH h AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,

@@ -710,6 +710,49 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23g. contamination_ngram — n-gram-level cross-source overlap: for
+  // every source pair, how much of each side's DISTINCT shingle set
+  // appears in the other (the standard train/eval contamination audit
+  // an LLM pipeline runs before training — pair-level LSH finds copied
+  // DOCUMENTS, this finds copied PHRASES). Scale shape: the self-join
+  // shuffles on the shingle hash and a shingle shared by k sources
+  // emits k²/2 pairs — bounded by the SOURCE count squared, never the
+  // corpus; containments are exact integer micro-ratios.
+  // -------------------------------------------------------------------
+  def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val srcShingles = Tables
+      .documents(spark, dir)
+      .select(col("source"), normText(col("text")).as("norm"))
+      .select(col("source").as("doc_id"), col("norm")) // shinglesOf keys on doc_id
+      .transform(shinglesOf(_))
+      .select(col("doc_id").as("source"), col("shingle"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = srcShingles.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = srcShingles
+      .as("x")
+      .join(
+        srcShingles.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source")
+      )
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(sizes.select(col("source").as("source_a"), col("n_sh").as("n_a")), Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("n_sh").as("n_b")), Seq("source_b"))
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_shared"),
+        col("n_a"),
+        col("n_b"),
+        expr("n_shared * 1000000 DIV n_a").as("contain_a_micro"),
+        expr("n_shared * 1000000 DIV n_b").as("contain_b_micro")
+      )
+    releaseAfterRun(spark, out, Seq(srcShingles))
+  }
+
+  // -------------------------------------------------------------------
   // 23f. dedup_skewed_corpus — the adversarial-skew drill: the corpus
   // plus a synthetic 10k-copy clone cluster of one document (the
   // boilerplate/license-text shape real crawls contain). The skew-safe

@@ -449,6 +449,59 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11k. ts_histogram_quantile — the PromQL histogram_quantile shape:
+  // estimate a quantile FROM the fixed-width value histogram (never
+  // the raw stream) by walking the cumulative bucket counts to the
+  // target rank and interpolating linearly inside the landing bucket.
+  // All integer micro-cents: rank k = ceil(q·total), estimate =
+  // bucket_lo·10^6 + width·(k − cum_before)·10^6 DIV n. The histogram
+  // is tiny per group (values DIV width), so the window runs over
+  // buckets, not events — the same 100 TB posture as ts_percentiles.
+  // -------------------------------------------------------------------
+  def histogramQuantile(
+      spark: SparkSession,
+      dir: String,
+      qMicro: Long = 900000L,
+      bucketC: Long = 500L
+  ): DataFrame = {
+    val hist = valueHistogram(spark, dir, bucketC).select(col("event_type"), col("bucket"), col("n"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("cum", sum(col("n")).over(wOrd))
+      .withColumn("total_n", sum(col("n")).over(wAll))
+      .withColumn("rank_k", expr(s"(total_n * ${qMicro}L + 999999L) DIV 1000000L"))
+      .filter(col("cum") >= col("rank_k"))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("total_n"),
+        col("rank_k"),
+        col("bucket"),
+        expr(s"bucket * ${bucketC}L * 1000000L + (${bucketC}L * (rank_k - (cum - n)) * 1000000L) DIV n")
+          .as("est_microc")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11l. ts_topk_per_window — top-3 most active users per hour: the
+  // per-window leaderboard every ops dashboard runs. rank() over
+  // (hour, count desc) with the filter pushed into WindowGroupLimit,
+  // so each shuffle partition keeps only its top candidates — never a
+  // full per-hour sort of all users at 100 TB.
+  // -------------------------------------------------------------------
+  def topkPerWindow(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(expr(s"ts_us DIV ${HourUs}L").as("hour_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("hour_id")).orderBy(col("n_events").desc, col("user_id").asc)
+    hourly
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  // -------------------------------------------------------------------
   // 11g. ts_cross_corr — cross-series correlation per user: do clicks
   // and views move together hour-to-hour? Aggregates the two series
   // onto a shared hourly grid (hours where the user was active), then
