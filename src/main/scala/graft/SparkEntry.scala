@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "dedup_skewed_corpus"    -> ((s, d) => Dedup.skewedCorpus(s, d)),
     "contamination_ngram"    -> ((s, d) => Dedup.contaminationNgram(s, d)),
+    "dedup_stream"           -> ((s, d) => graft.sources.StreamingIngest.dedupStream(s, d)),
     // synthetic embeddings are near-orthogonal (max cos ~0.51); 0.4
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
@@ -137,6 +138,21 @@ object SparkEntry {
     """q AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
       |      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
       |n AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM q GROUP BY 1)""".stripMargin
+
+  /** incremental-dedup oracle, shared by the batch operator and the
+    * streaming loop (whose single-batch drain emits the same set)
+    */
+  private val incrementalOracleSql: String =
+    s"""WITH $shingleCtes,
+       |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
+       |ex AS (SELECT i.doc_id AS new_doc_id, c.doc_id AS match_doc_id, 'exact' AS kind
+       |       FROM h i JOIN h c ON c.th = i.th
+       |       WHERE i.doc_id >= 400 AND c.doc_id < 400),
+       |nr AS (SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS match_doc_id, 'near' AS kind
+       |       FROM bs a JOIN bs b ON b.band = a.band AND b.sig = a.sig
+       |       WHERE b.doc_id >= 400 AND a.doc_id < 400)
+       |SELECT new_doc_id, match_doc_id, MIN(kind) AS kind
+       |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr) GROUP BY 1, 2""".stripMargin
 
   /** DuckDB oracle SQL for dedup / similarity / text / multimodal. */
   private val mlOracles: Map[String, String] = Map(
@@ -280,17 +296,11 @@ object SparkEntry {
          |       JOIN documents db ON db.doc_id = p.doc_b
          |       WHERE da.source != db.source)
          |SELECT source_a, source_b, COUNT(*) AS n_pairs FROM ps GROUP BY 1, 2""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH $shingleCtes,
-         |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
-         |ex AS (SELECT i.doc_id AS new_doc_id, c.doc_id AS match_doc_id, 'exact' AS kind
-         |       FROM h i JOIN h c ON c.th = i.th
-         |       WHERE i.doc_id >= 400 AND c.doc_id < 400),
-         |nr AS (SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS match_doc_id, 'near' AS kind
-         |       FROM bs a JOIN bs b ON b.band = a.band AND b.sig = a.sig
-         |       WHERE b.doc_id >= 400 AND a.doc_id < 400)
-         |SELECT new_doc_id, match_doc_id, MIN(kind) AS kind
-         |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr) GROUP BY 1, 2""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
+    // the streaming loop drains the whole delta in one AvailableNow
+    // batch under Verify, so its match set equals the batch incremental
+    // dedup — same oracle; the intra-stream append path is spec-bound
+    "dedup_stream" -> incrementalOracleSql,
     // hyperplane-LSH OR-construction: 8 tables x 4 sign bits; candidate
     // pairs share a bucket in ANY table, verified by exact cosine.
     // plane p (0..31) belongs to table p//4, bit p%4 — mirrors

@@ -420,6 +420,53 @@ object StreamingIngest {
     q.awaitTermination()
   }
 
+  /** STREAMING DEDUP — the production ingest-dedup loop: each arriving
+    * micro-batch of documents is (1) matched against the persisted
+    * [[SignatureStore]] (exact via content hash, near via LSH bands),
+    * then (2) appended to the store, so later batches dedupe against
+    * everything that came before — corpus AND earlier stream batches —
+    * without ever re-reading corpus text. foreachBatch is the right
+    * sink shape: the match result is a per-batch side output while the
+    * store append is the state mutation; the checkpoint makes the loop
+    * exactly-once per batch in normal operation.
+    *
+    * Under a single-batch `AvailableNow` drain the emitted match set
+    * equals the batch [[graft.operators.Dedup.incrementalDedup]] — the
+    * oracle contract; StreamingSpec replays a two-file delta and
+    * asserts a batch-2 document matches a batch-1 document (the
+    * intra-stream append path no batch operator covers).
+    */
+  def dedupStream(
+      spark: SparkSession,
+      dir: String,
+      splitId: Long = 400L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = TimeboxStore.scratchPath("graft_sigstream", dir)
+    SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    val matchesPath = s"$store/matches"
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/documents.parque[t]")
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("text"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SignatureStore
+          .matchDelta(spark, store, batch)
+          .write.mode("append").parquet(matchesPath)
+        SignatureStore.append(spark, batch, store)
+      }
+      .option("checkpointLocation", s"$store/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(matchesPath)
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

@@ -216,6 +216,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.select("event_id").distinct().count() === ev.count(), "duplicate event ids after resume")
   }
 
+  test("streaming dedup: a batch-2 doc matches a batch-1 doc via the appended store") {
+    import spark.implicits._
+    // corpus doc 0 (text A); batch 1 brings doc 1000 (text B, new);
+    // batch 2 brings doc 2000 (text B again) — its only match is the
+    // batch-1 doc, which exists ONLY through the store append loop
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream").toString
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows
+        .toDF("doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("text"),
+          lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars")
+        )
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about distributed stream processing engines"
+    val evdir = s"$dir/documents.parquet"
+    docsDf(Seq((0L, textA))).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docsDf(Seq((1000L, textB))).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docsDf(Seq((2000L, textB))).coalesce(1).write.mode("append").parquet(evdir)
+    val matches = StreamingIngest
+      .dedupStream(spark, dir, splitId = 400L, filesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("match_doc_id"), r.getAs[String]("kind")))
+      .toSet
+    assert(
+      matches.contains((2000L, 1000L, "exact")),
+      s"intra-stream match missing — the store append loop is broken: $matches"
+    )
+    assert(!matches.exists(_._2 == 0L), s"unexpected corpus match for unrelated texts: $matches")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
