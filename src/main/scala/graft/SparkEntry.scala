@@ -88,6 +88,7 @@ object SparkEntry {
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
     "ann_ivf_bucketed"    -> ((s, d) => Similarity.annIvfBucketed(s, d)),
     "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
+    "ann_pq_search"       -> ((s, d) => Similarity.annPqSearch(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_bigram_pmi"  -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
@@ -395,6 +396,41 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 10""".stripMargin,
+    // product quantization + exact re-rank: unit-normalize from the
+    // exact integer norm, 8 subspaces × 8 dims, codebook = sub-vectors
+    // of seed vecs 100..131, codes by integer L2 argmin, ADC shortlist
+    // of 100 by summed probe-to-codebook lookups, exact cosine re-rank
+    "ann_pq_search" ->
+      s"""WITH $quantCtes,
+         |qn AS (SELECT q.vec_id, q.i,
+         |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
+         |       FROM q JOIN n ON n.vec_id = q.vec_id),
+         |sv AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM qn),
+         |cb AS (SELECT vec_id - 100 AS code, mi, i, v FROM sv WHERE vec_id BETWEEN 100 AND 131),
+         |ad AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
+         |       FROM sv s JOIN cb c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, mi, code FROM
+         |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
+         |           FROM ad) WHERE rn = 1),
+         |pd AS (SELECT vec_id AS probe_id, mi, code, d2 FROM ad WHERE vec_id < 5),
+         |ac AS (SELECT pd.probe_id, codes.vec_id AS neighbor_id, CAST(SUM(pd.d2) AS BIGINT) AS adist
+         |       FROM codes JOIN pd ON pd.mi = codes.mi AND pd.code = codes.code
+         |       WHERE codes.vec_id != pd.probe_id
+         |       GROUP BY 1, 2),
+         |sl AS (SELECT probe_id, neighbor_id FROM
+         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id ASC) AS srnk
+         |         FROM ac) WHERE srnk <= 100),
+         |dt AS (SELECT sl.probe_id, sl.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM sl JOIN q a ON a.vec_id = sl.probe_id
+         |       JOIN q b ON b.vec_id = sl.neighbor_id AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |cc AS (SELECT dt.probe_id, dt.neighbor_id,
+         |         CAST(dt.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = dt.probe_id JOIN n nb ON nb.vec_id = dt.neighbor_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM cc QUALIFY rnk <= 10""".stripMargin,
     // two Lloyd iterations from the same seeds, floor-averaged integer
     // centroids (// == Spark's (sv - pmod(sv, n)) DIV n), then the
     // same probe/search tail as ann_ivf_bucketed

@@ -175,6 +175,101 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // 28d. ann_pq_search — PRODUCT QUANTIZATION + exact re-rank: the
+  // memory-compression scale path. Vectors are unit-normalized (from
+  // the exact integer norm, so normalization is order-free and
+  // engine-reproducible), split into m=8 subspaces of 8 dims, and each
+  // subspace quantizes to its nearest codebook entry (exact integer L2
+  // argmin, codebook = deterministic corpus sample) — a 256-byte
+  // vector becomes an 8-byte code. Search is the production two-stage
+  // shape: (1) ASYMMETRIC DISTANCE COMPUTATION — the probe precomputes
+  // its distance to every codebook entry (a tiny lookup table that
+  // BROADCASTS) and shortlists the corpus by summed table lookups over
+  // the codes alone; (2) EXACT cosine re-rank of the shortlist against
+  // the full vectors. At 100 TB stage 1 scans 800 GB of codes instead
+  // of 25 TB of floats, and stage 2 gathers only shortlist×probes
+  // vectors. Normalized L2² = 2·(1−cos), so the shortlist chases the
+  // same ordering the re-rank finalizes. Everything is integer-exact
+  // (the one sqrt is IEEE-deterministic from an exact integer), so the
+  // DuckDB oracle reproduces codes, lookup tables, and ranks
+  // bit-for-bit; SimilaritySpec pins shortlist recall vs brute force.
+  // -------------------------------------------------------------------
+  def annPqSearch(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 8,
+      kCode: Int = 32,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val sub = 64 / m
+    val q = quantized(spark, dir)
+    // unit-normalize in micro units from the EXACT integer norm
+    val qn = q
+      .withColumn("sn", sqrt(col("n2").cast("double")))
+      .select(
+        col("vec_id"),
+        transform(col("q"), x => round(x.cast("double") * lit(1000000.0) / col("sn")).cast("long"))
+          .as("qn")
+      )
+    // (vec_id, mi, sv): the m sub-vectors of every normalized vector
+    val subvecs = qn.select(
+      col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(qn, j * $sub + 1, $sub))"))
+        .as(Seq("mi", "sv"))
+    )
+    // codebook: sub-vectors of the deterministic seed sample (clear of
+    // the probe set), one K-entry table per subspace
+    val codebook = subvecs
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + kCode)
+      .select((col("vec_id") - 100).as("code"), col("mi"), col("sv").as("cv"))
+      .withColumn("c2", norm2Q(col("cv")))
+    val subDist =
+      (norm2Q(col("sv")) + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
+    // PQ encode: per (vector, subspace) the nearest codebook entry by
+    // exact integer L2 — min_by collapses the K-expanded rows map-side
+    val codes = subvecs
+      .join(broadcast(codebook), Seq("mi"))
+      .select(col("vec_id"), col("mi"), col("code"), subDist)
+      .groupBy(col("vec_id"), col("mi"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // ADC lookup table: probe-to-codebook distances (nProbes × m × K rows)
+    val pd = subvecs
+      .filter(col("vec_id") < nProbes)
+      .join(broadcast(codebook), Seq("mi"))
+      .select(col("vec_id").as("probe_id"), col("mi"), col("code"), subDist)
+    val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = codes
+      .join(broadcast(pd), Seq("mi", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("d2"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist on the ORIGINAL quantized vectors
+    val probes = q
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(q.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 28. ann_lsh_bucketed — hyperplane-LSH bucketing + in-bucket exact
   // top-k. 4 planes -> 16 buckets here; at scale the plane count grows
   // with corpus size (buckets ~ corpus/expected-bucket-size) and the

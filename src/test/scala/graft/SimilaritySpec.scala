@@ -85,4 +85,19 @@ class SimilaritySpec extends AnyFunSuite {
   test("md5Hex matches a known vector") {
     assert(PortableHash.md5Hex("abc") === "900150983cd24fb0d6963f7d28e17f72")
   }
+
+  test("PQ + re-rank recalls most of the exact top-k (deterministic pipeline)") {
+    import org.apache.spark.sql.functions.col
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("probe_id"), col("neighbor_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val exact = pairs(Similarity.annTopkBruteForce(spark, sf))
+    val pq = pairs(Similarity.annPqSearch(spark, sf))
+    // everything from codes to ranks is integer-exact, so this is a
+    // fixed number on fixed data (0.78 at sf0.001), not a flake bound
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"PQ shortlist+re-rank recall degraded: $recall")
+  }
 }
