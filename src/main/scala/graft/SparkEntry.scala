@@ -96,6 +96,8 @@ object SparkEntry {
     "text_salient"     -> ((s, d) => TextAnalysis.salient(s, d)),
     "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
+    "quality_rules_by_source" -> ((s, d) => TextAnalysis.qualityRulesBySource(s, d)),
+    "sample_temperature" -> ((s, d) => TextAnalysis.sampleTemperature(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
@@ -557,6 +559,44 @@ object SparkEntry {
          |       ELSE 0 END AS dup_win_micro,
          |  CAST(CASE WHEN n_chars_raw >= 100 AND n_stopwords * 20 >= n_tokens THEN 1 ELSE 0 END AS BIGINT) AS is_quality
          |FROM m LEFT JOIN wc ON wc.doc_id = m.doc_id""".stripMargin,
+    // corpus-health audit: the hard-filter rule set aggregated per
+    // source; sum_len = len(norm) - (n_toks - 1) over single-spaced norm
+    "quality_rules_by_source" ->
+      s"""WITH t AS (SELECT source, $normSql AS nrm, $toksSql AS toks FROM documents),
+         |m AS (SELECT source,
+         |        CAST(len(toks) AS BIGINT) AS n_toks,
+         |        CAST(length(nrm) - (len(toks) - 1) AS BIGINT) AS sum_len,
+         |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS BIGINT) AS n_stop
+         |      FROM t),
+         |r AS (SELECT source,
+         |        CASE WHEN n_toks < 25 THEN 1 ELSE 0 END AS fail_short,
+         |        CASE WHEN n_toks > 80 THEN 1 ELSE 0 END AS fail_long,
+         |        CASE WHEN sum_len * 1000000 // n_toks < 4000000
+         |               OR sum_len * 1000000 // n_toks > 5000000 THEN 1 ELSE 0 END AS fail_wordlen,
+         |        CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fail_stop
+         |      FROM m)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(fail_short) AS BIGINT) AS n_fail_short,
+         |  CAST(SUM(fail_long) AS BIGINT) AS n_fail_long,
+         |  CAST(SUM(fail_wordlen) AS BIGINT) AS n_fail_wordlen,
+         |  CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
+         |  CAST(SUM(CASE WHEN fail_short + fail_long + fail_wordlen + fail_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM r GROUP BY 1""".stripMargin,
+    // temperature mixing (T=2): threshold = floor(256·sqrt(min_n/n)),
+    // kept iff first two md5 hex digits of 'mix:'||doc_id are below it
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_docs) AS min_n FROM c),
+        |t AS (SELECT lang, n_docs,
+        |        CAST(floor(256 * sqrt(CAST(min_n AS DOUBLE) / CAST(n_docs AS DOUBLE))) AS BIGINT) AS thresh
+        |      FROM c, m),
+        |d AS (SELECT lang,
+        |        CAST((instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |           + (instr('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS hv
+        |      FROM documents)
+        |SELECT t.lang, t.n_docs, t.thresh,
+        |  CAST(SUM(CASE WHEN d.hv < t.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM d JOIN t ON t.lang = d.lang GROUP BY 1, 2, 3""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,

@@ -78,6 +78,94 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 30b. quality_rules_by_source — the corpus-health dashboard: the
+  // Gopher-style hard-filter rule set (too short / too long / mean
+  // word length out of band / too few stopwords) evaluated per doc and
+  // AGGREGATED PER SOURCE, so a pipeline owner sees which ingest feed
+  // is rotting before anything trains on it. One corpus scan, fully
+  // partial-aggregable (rule verdicts are row-local 0/1 longs); mean
+  // word length uses the exact identity sum_len = len(norm) − (n−1)
+  // over the single-spaced normalized text — no HOF, no float.
+  // -------------------------------------------------------------------
+  def qualityRulesBySource(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        split(normText(col("text")), " ").as("toks"),
+        normText(col("text")).as("nrm")
+      )
+      .select(
+        col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (length(col("nrm")) - size(col("toks")) + 1).cast("long").as("sum_len"),
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long").as("n_stop")
+      )
+      .withColumn("mean_len_micro", expr("sum_len * 1000000 DIV n_toks"))
+      .select(
+        col("source"),
+        when(col("n_toks") < 25, 1L).otherwise(0L).as("fail_short"),
+        when(col("n_toks") > 80, 1L).otherwise(0L).as("fail_long"),
+        when(col("mean_len_micro") < 4000000L || col("mean_len_micro") > 5000000L, 1L)
+          .otherwise(0L)
+          .as("fail_wordlen"),
+        when(col("n_stop") < 2, 1L).otherwise(0L).as("fail_stop")
+      )
+      .withColumn(
+        "keep",
+        when(col("fail_short") + col("fail_long") + col("fail_wordlen") + col("fail_stop") === 0L, 1L)
+          .otherwise(0L)
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("fail_short")).as("n_fail_short"),
+        sum(col("fail_long")).as("n_fail_long"),
+        sum(col("fail_wordlen")).as("n_fail_wordlen"),
+        sum(col("fail_stop")).as("n_fail_stop"),
+        sum(col("keep")).as("n_keep")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 31d. sample_temperature — temperature-based data mixing (T = 2):
+  // per-language keep probability ∝ sqrt(min_lang_count / lang_count),
+  // so over-represented languages downsample toward balance while the
+  // rarest keeps everything — the standard multilingual mixing step.
+  // The keep test is the deterministic md5-threshold trick (no rand()):
+  // threshold = floor(256·sqrt(min_n/n)) in 1/256 units, compared to
+  // the first two hex digits of md5('mix:'||doc_id). The sqrt is
+  // IEEE-deterministic from exact integer counts, so the kept SET —
+  // not just its size — is engine-reproducible.
+  // -------------------------------------------------------------------
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("min_n"))
+    val thresh = counts
+      .crossJoin(broadcast(minN))
+      .withColumn(
+        "thresh",
+        floor(lit(256.0) * sqrt(col("min_n").cast("double") / col("n_docs").cast("double"))).cast("long")
+      )
+    val hexVal = expr(
+      "(instr('0123456789abcdef', substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5(concat('mix:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    )
+    docs
+      .withColumn("hv", hexVal.cast("long"))
+      .join(thresh, Seq("lang"))
+      .withColumn("kept", when(col("hv") < col("thresh"), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        first(col("thresh")).as("thresh"),
+        sum(col("kept")).as("n_kept")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 31. text_langid — stopword-marker language ID. Scores count marker
   // hits per language; the argmax is a fixed-priority CASE so ties are
   // deterministic.
