@@ -40,6 +40,7 @@ object SparkEntry {
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
     "ts_histogram_quantile" -> ((s, d) => TimeSeries.histogramQuantile(s, d)),
     "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
+    "ts_ewma"            -> ((s, d) => TimeSeries.ewma(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -105,7 +106,8 @@ object SparkEntry {
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
     "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d)),
-    "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d))
+    "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
+    "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
   )
 
   /** DuckDB fragments shared by the text/dedup oracles — must mirror
@@ -667,6 +669,13 @@ object SparkEntry {
         |  (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS n_chunks,
         |  sha256(substr(text, 1, 256)) AS first_chunk_sha
         |FROM documents""".stripMargin,
+    // upload batching: bin = exclusive running byte total DIV capacity
+    "mm_upload_plan" ->
+      """SELECT doc_id, source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(octet_length(encode(text))) OVER w AS BIGINT) AS cum_bytes,
+        |  CAST((SUM(octet_length(encode(text))) OVER w - octet_length(encode(text))) // 4096 AS BIGINT) AS bin_id
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
     // reproduces Multimodal.stubDecode byte-for-byte: the checksum is a
     // left fold (a*31+b)&0x7fffffff over the utf-8 payload bytes
     // (hex-decoded two chars at a time), then the quantized 4-float
@@ -1007,6 +1016,21 @@ object SparkEntry {
         |SELECT hour_id, user_id, n_events,
         |  CAST(RANK() OVER (PARTITION BY hour_id ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rnk
         |FROM h QUALIFY rnk <= 3""".stripMargin,
+    // α=1/2 EWMA truncated at 16 points: power-of-two weights as 16
+    // explicit lag terms; denominator counts only present terms
+    "ts_ewma" -> {
+      val num = (0 until 16)
+        .map(j => s"COALESCE(lag(value_c, $j) OVER w, 0) * ${1L << (15 - j)}")
+        .mkString(" + ")
+      val den = (0 until 16)
+        .map(j => s"CASE WHEN lag(value_c, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |             CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+         |SELECT event_id, user_id, ts_us, value_c,
+         |  CAST(($num) // ($den) AS BIGINT) AS ewma_c
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+    },
     "ts_cross_corr" ->
       """WITH h AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,

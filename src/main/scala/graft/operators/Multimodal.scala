@@ -88,6 +88,31 @@ object Multimodal {
       )
       .filter(col("n_docs") > 1)
 
+  // -------------------------------------------------------------------
+  // 33e. mm_upload_plan — object-store upload batching: assign each
+  // payload to a fixed-capacity upload bin per source by its exclusive
+  // running byte total (bin = prefix_bytes DIV binBytes), so millions
+  // of small payloads become bounded-size multipart batches. One
+  // window pass per source; all integer.
+  // -------------------------------------------------------------------
+  def uploadPlan(spark: SparkSession, dir: String, binBytes: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), expr("octet_length(text)").cast("long").as("n_bytes"))
+      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_bytes"),
+        col("cum_bytes"),
+        expr(s"(cum_bytes - n_bytes) DIV ${binBytes}L").as("bin_id")
+      )
+  }
+
   /** Decoded-asset schema a real decoder would emit per payload. */
   val decodedSchema: StructType = StructType(
     Seq(

@@ -485,6 +485,36 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11m. ts_ewma — exponentially weighted moving average (α = 1/2,
+  // truncated at 16 points) in EXACT integers: weights are powers of
+  // two, so ewma = Σ v_{n-j}·2^(15-j) DIV Σ 2^(15-j) needs no floats
+  // and partial windows are exact (the denominator only counts present
+  // terms). Expressed as 16 lag() terms inside ONE window pass per
+  // series — the same single-shuffle shape as ts_moving_avg, and the
+  // formulation DuckDB reproduces verbatim.
+  // -------------------------------------------------------------------
+  def ewma(spark: SparkSession, dir: String, span: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val base = eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), cents(col("value")).as("value_c"))
+    val lagged = (0 until span).foldLeft(base) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("value_c"), j).over(w))
+    }
+    val num = (0 until span)
+      .map(j => coalesce(col(s"l$j"), lit(0L)) * lit(1L << (span - 1 - j)))
+      .reduce(_ + _)
+    val den = (0 until span)
+      .map(j => when(col(s"l$j").isNotNull, lit(1L << (span - 1 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged
+      .withColumn("num", num)
+      .withColumn("den", den)
+      // operands are non-negative, so truncating DIV == DuckDB's floor //
+      .withColumn("ewma_c", expr("num DIV den"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value_c"), col("ewma_c"))
+  }
+
+  // -------------------------------------------------------------------
   // 11l. ts_topk_per_window — top-3 most active users per hour: the
   // per-window leaderboard every ops dashboard runs. rank() over
   // (hour, count desc) with the filter pushed into WindowGroupLimit,

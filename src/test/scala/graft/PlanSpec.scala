@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("EWMA's 16 lag terms run in one window pass, one shuffle on the series key") {
+    val df = TimeSeries.ewma(spark, sf)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(planOf(df)).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges")
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size === 1, s"lags split into ${windows.size} window passes")
+  }
+
   test("percentiles sorts a value histogram, never the raw event stream") {
     val exec = TimeSeries.percentiles(spark, sf).queryExecution.sparkPlan
     val windows = exec.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
