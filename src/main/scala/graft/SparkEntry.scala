@@ -67,6 +67,8 @@ object SparkEntry {
     "rel_argmax"         -> ((s, d) => Relational.topCustomerPerNation(s, d)),
     "rel_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
     "rel_skew_join"      -> ((s, d) => Relational.skewJoin(s, d)),
+    "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
+    "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -1310,6 +1312,22 @@ object SparkEntry {
         |SELECT f.k, d.user_tag, COUNT(*) AS n_rows,
         |  CAST(SUM(f.value_c) AS BIGINT) AS sum_value_c
         |FROM f JOIN d ON d.k = f.k GROUP BY 1, 2""".stripMargin,
+    "rel_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_q10_returns" ->
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue_c,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY revenue_c DESC, c_custkey ASC) AS BIGINT) AS rnk
+        |FROM r JOIN customer ON c_custkey = o_custkey
+        |QUALIFY rnk <= 20""".stripMargin,
     "rel_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -186,6 +186,55 @@ object Relational {
       )
   }
 
+  /** CUBE aggregation (rel_cube): revenue across every combination of
+    * (returnflag, linestatus) marginals — rollup's sibling that also
+    * produces the per-linestatus totals. Same one-pass grouping-set
+    * expansion; integer cents keep all 2^k levels exact.
+    */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"revenue_c",
+        $"n"
+      )
+  }
+
+  /** TPC-H Q10 shape (rel_q10_returns): revenue lost to returned items
+    * per customer — fact filtered and aggregated FIRST (pushed
+    * returnflag filter + partial aggregation), then the small survivor
+    * set joins the customer dimension; top 20 via TakeOrdered, never a
+    * global sort.
+    */
+  def returnedRevenue(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val returned = Tables
+      .lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .join(
+        Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey"
+      )
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+    returned
+      .join(Tables.customer(spark, dir).select($"c_custkey", $"c_name"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"revenue_c")
+      .orderBy($"revenue_c".desc, $"c_custkey".asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"revenue_c".desc, $"c_custkey".asc)
+      ).cast("long"))
+  }
+
   /** TPC-H Q18 shape: large-quantity orders — aggregate the fact table
     * FIRST, filter the groups (HAVING), then join only the few
     * survivors to orders/customer. The aggregate-then-join ordering is
