@@ -199,6 +199,7 @@ object Similarity {
       dir: String,
       m: Int = 8,
       kCode: Int = 32,
+      iters: Int = 1,
       shortlist: Int = 100,
       nProbes: Int = 5,
       k: Int = 10
@@ -219,21 +220,41 @@ object Similarity {
       posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(qn, j * $sub + 1, $sub))"))
         .as(Seq("mi", "sv"))
     )
-    // codebook: sub-vectors of the deterministic seed sample (clear of
+    // seed codebook: sub-vectors of the deterministic sample (clear of
     // the probe set), one K-entry table per subspace
-    val codebook = subvecs
+    val seedCb = subvecs
       .filter(col("vec_id") >= 100 && col("vec_id") < 100 + kCode)
       .select((col("vec_id") - 100).as("code"), col("mi"), col("sv").as("cv"))
       .withColumn("c2", norm2Q(col("cv")))
     val subDist =
       (norm2Q(col("sv")) + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
-    // PQ encode: per (vector, subspace) the nearest codebook entry by
-    // exact integer L2 — min_by collapses the K-expanded rows map-side
-    val codes = subvecs
-      .join(broadcast(codebook), Seq("mi"))
+    def assign(cb: DataFrame): DataFrame = subvecs
+      .join(broadcast(cb), Seq("mi"))
       .select(col("vec_id"), col("mi"), col("code"), subDist)
       .groupBy(col("vec_id"), col("mi"))
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+    // TRAIN the codebook: per-subspace Lloyd iterations with
+    // floor-averaged integer components ((s - pmod(s, n)) DIV n ==
+    // SQL's floor //), exactly as ann_ivf_kmeans trains its coarse
+    // quantizer — so the refined codebook reproduces in the oracle.
+    // Cells that attract no members drop out (both engines agree).
+    val codebook = (0 until iters).foldLeft(seedCb) { (cb, _) =>
+      assign(cb)
+        .join(subvecs, Seq("vec_id", "mi"))
+        .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+        .groupBy(col("mi"), col("code"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cvi", expr("(s - pmod(s, n)) DIV n"))
+        .groupBy(col("mi"), col("code"))
+        .agg(
+          transform(sort_array(collect_list(struct(col("i"), col("cvi")))), p => p.getField("cvi"))
+            .as("cv")
+        )
+        .withColumn("c2", norm2Q(col("cv")))
+    }
+    // PQ encode: per (vector, subspace) the nearest codebook entry by
+    // exact integer L2 — min_by collapses the K-expanded rows map-side
+    val codes = assign(codebook)
     // ADC lookup table: probe-to-codebook distances (nProbes × m × K rows)
     val pd = subvecs
       .filter(col("vec_id") < nProbes)
