@@ -41,6 +41,7 @@ object SparkEntry {
     "ts_histogram_quantile" -> ((s, d) => TimeSeries.histogramQuantile(s, d)),
     "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
     "ts_ewma"            -> ((s, d) => TimeSeries.ewma(s, d)),
+    "ts_ewma_stream"     -> ((s, d) => graft.sources.StreamingIngest.ewmaStream(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "ts_store_roundtrip"  -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
     "ts_store_multitag"   -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_store_value_read" -> ((s, d) => graft.sources.TimeboxStore.valueReadSummary(s, d)),
+    "ts_store_multitag_read" -> ((s, d) => graft.sources.TimeboxStore.multitagValueReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -724,6 +726,20 @@ object SparkEntry {
         |FROM q JOIN b USING (doc_id)""".stripMargin
   )
 
+  private val ewmaOracleSql: String = {
+    val num = (0 until 16)
+      .map(j => s"COALESCE(lag(value_c, $j) OVER w, 0) * ${1L << (15 - j)}")
+      .mkString(" + ")
+    val den = (0 until 16)
+      .map(j => s"CASE WHEN lag(value_c, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |             CAST(round(value*100) AS BIGINT) AS value_c FROM events)
+       |SELECT event_id, user_id, ts_us, value_c,
+       |  CAST(($num) // ($den) AS BIGINT) AS ewma_c
+       |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+  }
+
   /** DuckDB oracle SQL for the time-series queries (§2 rows 1-14). */
   private val tsOracles: Map[String, String] = Map(
     "ts_range_read" ->
@@ -1029,20 +1045,11 @@ object SparkEntry {
         |  CAST(RANK() OVER (PARTITION BY hour_id ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rnk
         |FROM h QUALIFY rnk <= 3""".stripMargin,
     // α=1/2 EWMA truncated at 16 points: power-of-two weights as 16
-    // explicit lag terms; denominator counts only present terms
-    "ts_ewma" -> {
-      val num = (0 until 16)
-        .map(j => s"COALESCE(lag(value_c, $j) OVER w, 0) * ${1L << (15 - j)}")
-        .mkString(" + ")
-      val den = (0 until 16)
-        .map(j => s"CASE WHEN lag(value_c, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-         |             CAST(round(value*100) AS BIGINT) AS value_c FROM events)
-         |SELECT event_id, user_id, ts_us, value_c,
-         |  CAST(($num) // ($den) AS BIGINT) AS ewma_c
-         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
-    },
+    // explicit lag terms; denominator counts only present terms. The
+    // streaming dual emits identical integers (ring-buffer state),
+    // so both share the oracle.
+    "ts_ewma" -> ewmaOracleSql,
+    "ts_ewma_stream" -> ewmaOracleSql,
     "ts_cross_corr" ->
       """WITH h AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
@@ -1156,6 +1163,18 @@ object SparkEntry {
         |  END AS interp_c,
         |  CAST(CASE WHEN hour_id = h0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
         |FROM g""".stripMargin,
+    // multi-tag zone-map read: same time range + two value bands over
+    // the raw fact — block skipping and tag-subset decode must be
+    // invisible in the result
+    "ts_store_multitag_read" ->
+      """SELECT l_suppkey, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND CAST(round(l_extendedprice*100) AS BIGINT) BETWEEN 9500000 AND 11000000
+        |  AND CAST(round(l_quantity*100) AS BIGINT) BETWEEN 1000 AND 4000
+        |GROUP BY 1""".stripMargin,
     "ts_store_multitag" ->
       """SELECT l_suppkey, COUNT(*) AS n_points,
         |  MIN(epoch_us(l_shipdate)) AS min_ship_us, MAX(epoch_us(l_shipdate)) AS max_ship_us,

@@ -293,6 +293,73 @@ object StreamingIngest {
     runToMemory(spark, scored, "append")
   }
 
+  /** Streaming EWMA: the batch [[graft.operators.TimeSeries.ewma]]
+    * (α = 1/2, 16-point truncation, exact power-of-two integer
+    * weights) as per-series ring-buffer state — each arriving point is
+    * smoothed on arrival against the last 15 values, the live-metrics
+    * shape of the batch operator. Same enforced cross-batch
+    * event-time-order contract as [[anomalyStream]]; because weights
+    * and divisions are exact integers, the streamed estimates equal
+    * the batch operator's bit-for-bit (shared oracle).
+    */
+  def ewmaStream(
+      spark: SparkSession,
+      dir: String,
+      span: Int = 16,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long]
+      )
+      .as[(Long, Long, Long, Long)]
+    val smoothed = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is a fixed-size ring buffer by design
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[(Array[Long], Long, Long)]) =>
+        val pts = rows.toArray.sortBy(r => (r._2, r._3))
+        var (ring, lastTs, lastSeq) =
+          state.getOption.getOrElse((Array.empty[Long], Long.MinValue, Long.MinValue))
+        pts.headOption.foreach { case (_, ts, eid, _) =>
+          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+            throw new IllegalStateException(
+              s"ewmaStream: out-of-order arrival for series $uid — point (ts=$ts, seq=$eid) " +
+                s"after already-smoothed (ts=$lastTs, seq=$lastSeq); the source must deliver each " +
+                "series in event-time order across micro-batches"
+            )
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        pts.foreach { case (_, ts, eid, x) =>
+          // terms oldest→newest over (ring :+ x), weights 2^(span-s)..2^(span-1)
+          val vals = (ring :+ x).takeRight(span)
+          val s = vals.length
+          var num = 0L
+          var den = 0L
+          var wgt = 1L << (span - s)
+          vals.foreach { v => num += v * wgt; den += wgt; wgt <<= 1 }
+          out += ((eid, uid, ts, x, num / den)) // non-negative: / == floor DIV
+          ring = (ring :+ x).takeRight(span - 1)
+          lastTs = ts
+          lastSeq = eid
+        }
+        state.update((ring, lastTs, lastSeq))
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_us", "value_c", "ewma_c")
+    runToMemory(spark, smoothed, "append")
+  }
+
   /** STREAM-STREAM interval join: purchases joined to the clicks that
     * preceded them within the attribution window — both sides are
     * unbounded streams, so this is the stateful two-stream join

@@ -293,6 +293,64 @@ object TimeboxStore {
       )
   }
 
+  /** Multi-tag zone-map read: block pruning on SEVERAL tag envelopes
+    * at once (AND of per-tag [min, max] overlaps) plus tag-subset
+    * decode — only the requested tags' offset arrays are touched.
+    * The conjunctive skip matters at 100 TB: each selective predicate
+    * multiplies the block-skip rate before any decode work happens.
+    */
+  def rangeReadMultiFiltered(
+      spark: SparkSession,
+      path: String,
+      startUs: Long,
+      endUs: Long,
+      preds: Seq[(String, Long, Long)]
+  ): DataFrame = {
+    val store = spark.read.parquet(path)
+    val blockUs = storedBlockUs(store)
+    val blocks = preds.foldLeft(
+      store
+        .filter(col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs)
+        .filter(col("start_us") < endUs)
+    ) { case (df, (tag, lo, hi)) => df.filter(col(s"min_$tag") <= hi && col(s"max_$tag") >= lo) }
+    preds.foldLeft(
+      decode(blocks, preds.map(_._1)).filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+    ) { case (df, (tag, lo, hi)) => df.filter(col(tag) >= lo && col(tag) <= hi) }
+  }
+
+  /** Oracle-gated multi-tag zone-map read (ts_store_multitag_read):
+    * the 32-day-block lineitem store read with a time range AND two
+    * value bands, decoding only the two requested tags; oracle = the
+    * same filters over raw lineitem.
+    */
+  def multitagValueReadSummary(
+      spark: SparkSession,
+      dir: String,
+      startUs: Long = 820454400000000L, // 1996-01-01
+      endUs: Long = 883612800000000L,   // 1998-01-01
+      priceLoC: Long = 9500000L,
+      priceHiC: Long = 11000000L,
+      qtyLoC: Long = 1000L,
+      qtyHiC: Long = 4000L
+  ): DataFrame = {
+    val out = scratchPath("graft_store_mt", dir) // same content as multitagRoundtrip — reuse
+    encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags, blockUs = 32 * DayUs)
+      .write.mode("overwrite").parquet(out)
+    rangeReadMultiFiltered(
+      spark,
+      out,
+      startUs,
+      endUs,
+      Seq(("price_c", priceLoC, priceHiC), ("qty_c", qtyLoC, qtyHiC))
+    )
+      .groupBy(col("series_id").as("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_price_c")
+      )
+  }
+
   /** Compaction: re-block an encoded store at a coarser granularity —
     * the reference's whole-file rewrite on update (timebox.py:57-88)
     * as a distributed decode→re-encode. Small blocks (sparse series,

@@ -142,6 +142,30 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded).count() === 0)
   }
 
+  test("multi-tag zone maps: conjunctive envelopes skip blocks, result equals decode-then-filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_mtz").toString + "/blocks"
+    val tags = Seq("qty_c", "price_c", "disc_c")
+    TimeboxStore
+      .encode(TimeboxStore.lineitemPoints(spark, sf), "series_id", "ts_us", "seq", tags, blockUs = 32L * 86400000000L)
+      .write.mode("overwrite").parquet(out)
+    val (startUs, endUs) = (820454400000000L, 883612800000000L)
+    val preds = Seq(("price_c", 9500000L, 11000000L), ("qty_c", 1000L, 4000L))
+    val pruned = TimeboxStore.rangeReadMultiFiltered(spark, out, startUs, endUs, preds)
+    val full = TimeboxStore
+      .decode(spark.read.parquet(out), preds.map(_._1))
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+      .filter(col("price_c").between(9500000L, 11000000L) && col("qty_c").between(1000L, 4000L))
+    assert(pruned.exceptAll(full).count() === 0)
+    assert(full.exceptAll(pruned).count() === 0)
+    // the conjunctive envelope must skip blocks the time range alone keeps
+    val inRange = spark.read.parquet(out).filter(col("start_us") < endUs)
+    val surviving = inRange.filter(
+      col("min_price_c") <= 11000000L && col("max_price_c") >= 9500000L &&
+        col("min_qty_c") <= 4000L && col("max_qty_c") >= 1000L
+    )
+    assert(surviving.count() < inRange.count(), "multi-tag envelopes skipped nothing")
+  }
+
   test("range read derives pruning bounds from the STORED block granularity") {
     // a compacted store holds 7-day blocks; pruning with hardcoded
     // day-granularity bounds would silently drop nearly all of them

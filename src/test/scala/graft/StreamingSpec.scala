@@ -136,6 +136,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch verdicts missing from stream")
   }
 
+  test("streaming EWMA: two-batch replay equals the batch smoothing exactly") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.ewmaStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.ewma(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed estimates not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch estimates missing from stream")
+  }
+
   test("streaming anomaly scoring REJECTS out-of-order cross-batch arrival loudly") {
     // reversed replay: the LATE half arrives in batch 0, the early half
     // in batch 1 — silent mis-scoring before; a loud contract error now
