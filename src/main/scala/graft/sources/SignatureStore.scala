@@ -69,6 +69,39 @@ object SignatureStore {
       .write.mode("append").parquet(s"$path/bands")
   }
 
+  /** Bucketed band table: a corpus' rep-level band signatures written
+    * as a sig-bucketed, sig-sorted metastore table. Two corpora stored
+    * this way match with a CO-LOCATED band join — no exchange on
+    * either side — which is the batch-vs-batch shape (contamination
+    * audits between two stored corpora) where neither side is small
+    * enough to broadcast. The scan IS the shuffle, paid at write time.
+    */
+  def writeBucketedBands(spark: SparkSession, docs: DataFrame, table: String, buckets: Int = 8): Unit = {
+    val c = Dedup.collapseExact(normed(docs))
+    Dedup
+      .bandSignaturesFrom(Dedup.shinglesOf(c.reps).distinct())
+      .write.mode("overwrite")
+      .bucketBy(buckets, "sig")
+      .sortBy("sig")
+      .saveAsTable(table)
+  }
+
+  /** Rep-level near matches between two bucketed band tables. The join
+    * key is exactly the bucket key (sig) — a band signature is the md5
+    * of that band's minhash triple, so sig equality alone IS the
+    * banded-LSH match (the band index adds nothing) — and both scans
+    * come in pre-partitioned, so the join itself needs NO exchange.
+    * BucketingSpec asserts the only shuffle left is the final
+    * candidate dedup, which is match-sized, not corpus-sized.
+    */
+  def crossStoreMatches(spark: SparkSession, tableA: String, tableB: String): DataFrame =
+    spark
+      .table(tableA)
+      .select(col("doc_id").as("doc_a"), col("sig"))
+      .join(spark.table(tableB).select(col("doc_id").as("doc_b"), col("sig")), Seq("sig"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
   /** Match an incoming batch against the stored signatures: exact
     * matches via the content hash, near matches via shared LSH band
     * signatures; a pair matched both ways reports 'exact'. The corpus

@@ -376,6 +376,20 @@ object TimeboxStore {
       blockUs
     ).write.mode("overwrite").parquet(outPath)
 
+  /** Retention vacuum: drop whole blocks that end before `cutUs` and
+    * rewrite the store — the aged-data deletion a retention policy
+    * runs. Blocks are dropped by their id alone (no decode); the block
+    * containing the cut survives whole (retention is block-granular,
+    * like the reference's whole-file deletes).
+    */
+  def vacuum(spark: SparkSession, inPath: String, outPath: String, cutUs: Long): Unit = {
+    val store = spark.read.parquet(inPath)
+    val blockUs = storedBlockUs(store)
+    store
+      .filter(col("day_id") >= cutUs / blockUs)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Bucketed block layout — the distributed analogue of the
     * reference's one-file-per-timebox locality (timebox.py:102-106):
     * blocks land in a metastore table bucketed AND sorted by

@@ -30,4 +30,35 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS sup_bucketed")
     }
   }
+
+  test("bucketed signature stores cross-match with NO shuffle exchange") {
+    import graft.sources.SignatureStore
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    SignatureStore.writeBucketedBands(spark, docs.filter(col("doc_id") < 250), "sig_a")
+    SignatureStore.writeBucketedBands(spark, docs.filter(col("doc_id") >= 250), "sig_b")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val matches = SignatureStore.crossStoreMatches(spark, "sig_a", "sig_b")
+      val plan = matches.queryExecution.executedPlan.toString
+      // exactly ONE exchange survives: the match-sized candidate dedup
+      // ABOVE the join — the corpus-sized join inputs stay bucket-local
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"cross-store band join shuffles its inputs:\n$plan")
+      assert(
+        plan.split("SortMergeJoin").last.indexOf("Exchange hashpartitioning") < 0,
+        s"exchange below the join:\n$plan"
+      )
+      // correctness: equals the plain (unbucketed) signature join
+      val a = spark.table("sig_a").select(col("doc_id").as("doc_a"), col("sig"))
+      val b = spark.table("sig_b").select(col("doc_id").as("doc_b"), col("sig"))
+      val expected = a.join(b, Seq("sig")).select(col("doc_a"), col("doc_b")).distinct()
+      assert(matches.exceptAll(expected).count() === 0 && expected.exceptAll(matches).count() === 0)
+      assert(matches.count() > 0, "fixture produced no cross-store band matches")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS sig_a")
+      spark.sql("DROP TABLE IF EXISTS sig_b")
+    }
+  }
 }

@@ -198,6 +198,20 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded.distinct()).count() === 0)
   }
 
+  test("vacuum drops whole aged blocks; survivors decode byte-identically") {
+    val a = java.nio.file.Files.createTempDirectory("graft_store_vac_a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_store_vac_b").toString
+    TimeboxStore.write(spark, sf, a)
+    val cutUs = 1705276800000000L // 2024-01-15: retention = drop the first two weeks
+    TimeboxStore.vacuum(spark, a, b, cutUs)
+    assert(spark.read.parquet(b).count() < spark.read.parquet(a).count(), "vacuum dropped nothing")
+    val aligned = (cutUs / 86400000000L) * 86400000000L // block-granular retention
+    val expected = TimeboxStore.read(spark, a).filter(col("ts_us") >= aligned)
+    val got = TimeboxStore.read(spark, b)
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
