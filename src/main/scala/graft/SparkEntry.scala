@@ -42,6 +42,7 @@ object SparkEntry {
     "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
     "ts_ewma"            -> ((s, d) => TimeSeries.ewma(s, d)),
     "ts_ewma_stream"     -> ((s, d) => graft.sources.StreamingIngest.ewmaStream(s, d)),
+    "ts_histquant_stream" -> ((s, d) => graft.sources.StreamingIngest.histogramQuantileStream(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
@@ -726,6 +727,20 @@ object SparkEntry {
         |FROM q JOIN b USING (doc_id)""".stripMargin
   )
 
+  private val histQuantOracleSql: String =
+    """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |h AS (SELECT event_type, v // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |c AS (SELECT event_type, bucket, n,
+      |        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+      |        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total_n
+      |      FROM h),
+      |k AS (SELECT *, (total_n * 900000 + 999999) // 1000000 AS rank_k FROM c),
+      |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+      |      FROM k WHERE cum >= rank_k)
+      |SELECT event_type, total_n, rank_k, bucket,
+      |  CAST(bucket * 500 * 1000000 + (500 * (rank_k - (cum - n)) * 1000000) // n AS BIGINT) AS est_microc
+      |FROM f WHERE rn = 1""".stripMargin
+
   private val ewmaOracleSql: String = {
     val num = (0 until 16)
       .map(j => s"COALESCE(lag(value_c, $j) OVER w, 0) * ${1L << (15 - j)}")
@@ -1024,20 +1039,11 @@ object SparkEntry {
         |  MIN(v) AS min_c, MAX(v) AS max_c
         |FROM e GROUP BY 1, 2""".stripMargin,
     // PromQL histogram_quantile: walk cumulative bucket counts to the
-    // ceil(q·total) rank, interpolate linearly inside the landing bucket
-    "ts_histogram_quantile" ->
-      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
-        |h AS (SELECT event_type, v // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
-        |c AS (SELECT event_type, bucket, n,
-        |        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
-        |        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total_n
-        |      FROM h),
-        |k AS (SELECT *, (total_n * 900000 + 999999) // 1000000 AS rank_k FROM c),
-        |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
-        |      FROM k WHERE cum >= rank_k)
-        |SELECT event_type, total_n, rank_k, bucket,
-        |  CAST(bucket * 500 * 1000000 + (500 * (rank_k - (cum - n)) * 1000000) // n AS BIGINT) AS est_microc
-        |FROM f WHERE rn = 1""".stripMargin,
+    // ceil(q·total) rank, interpolate linearly inside the landing
+    // bucket. The streaming variant aggregates the same histogram as
+    // streaming state, so both share the oracle.
+    "ts_histogram_quantile" -> histQuantOracleSql,
+    "ts_histquant_stream" -> histQuantOracleSql,
     "ts_topk_per_window" ->
       """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_id, user_id, COUNT(*) AS n_events
         |           FROM events GROUP BY 1, 2)

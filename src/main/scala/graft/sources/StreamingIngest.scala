@@ -293,6 +293,52 @@ object StreamingIngest {
     runToMemory(spark, scored, "append")
   }
 
+  /** Streaming histogram quantile: the PromQL-style
+    * [[graft.operators.TimeSeries.histogramQuantile]] over a LIVE
+    * stream. The trick is that the fixed-width value histogram IS the
+    * streaming state — a (type, bucket) counter map bounded by the
+    * bucket count, not the stream — so the aggregation runs as a
+    * streaming groupBy and the quantile walk happens over the tiny
+    * materialized histogram after each drain. Equals the batch
+    * operator exactly (shared oracle): counts are exact integers
+    * regardless of arrival order.
+    */
+  def histogramQuantileStream(
+      spark: SparkSession,
+      dir: String,
+      qMicro: Long = 900000L,
+      bucketC: Long = 500L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val hist = reader
+      .parquet(s"$dir/events.parque[t]")
+      .select(col("event_type"), cents(col("value")).as("v"))
+      .groupBy(col("event_type"), expr(s"(v - pmod(v, ${bucketC}L)) DIV ${bucketC}L").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val table = runToMemory(spark, hist, "complete")
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(col("event_type"))
+    table
+      .withColumn("cum", sum(col("n")).over(wOrd))
+      .withColumn("total_n", sum(col("n")).over(wAll))
+      .withColumn("rank_k", expr(s"(total_n * ${qMicro}L + 999999L) DIV 1000000L"))
+      .filter(col("cum") >= col("rank_k"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wOrd))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        col("total_n"),
+        col("rank_k"),
+        col("bucket"),
+        expr(s"bucket * ${bucketC}L * 1000000L + (${bucketC}L * (rank_k - (cum - n)) * 1000000L) DIV n")
+          .as("est_microc")
+      )
+  }
+
   /** Streaming EWMA: the batch [[graft.operators.TimeSeries.ewma]]
     * (α = 1/2, 16-point truncation, exact power-of-two integer
     * weights) as per-series ring-buffer state — each arriving point is
