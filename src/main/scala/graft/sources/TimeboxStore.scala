@@ -376,6 +376,36 @@ object TimeboxStore {
       blockUs
     ).write.mode("overwrite").parquet(outPath)
 
+  /** Incremental compaction: re-block ONLY the (series, day) groups
+    * that streaming appends fragmented into multiple partial blocks;
+    * intact blocks pass through byte-identically, untouched by the
+    * decode→re-encode cycle. On an aged 100 TB store this is the
+    * difference between rewriting everything and rewriting the few
+    * percent the last ingest window touched.
+    */
+  def compactFragmented(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      tagCols: Seq[String] = Seq("value_c")
+  ): Unit = {
+    val store = spark.read.parquet(inPath)
+    val blockUs = storedBlockUs(store)
+    val w = Window.partitionBy(col("series_id"), col("day_id"))
+    val marked = store.withColumn("n_blocks", count(lit(1)).over(w))
+    val intact = marked.filter(col("n_blocks") === 1).drop("n_blocks")
+    val frag = marked.filter(col("n_blocks") > 1).drop("n_blocks")
+    val recompacted = encode(
+      decode(frag, tagCols).toDF(Seq("series_id", "ts_us", "seq") ++ tagCols: _*),
+      "series_id",
+      "ts_us",
+      "seq",
+      tagCols,
+      blockUs
+    )
+    intact.unionByName(recompacted).write.mode("overwrite").parquet(outPath)
+  }
+
   /** Retention vacuum: drop whole blocks that end before `cutUs` and
     * rewrite the store — the aged-data deletion a retention policy
     * runs. Blocks are dropped by their id alone (no decode); the block

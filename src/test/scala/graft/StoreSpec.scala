@@ -198,6 +198,37 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded.distinct()).count() === 0)
   }
 
+  test("incremental compaction re-blocks only fragmented groups, intact blocks pass through") {
+    // a two-batch streaming ingest fragments (series, day) groups that
+    // straddle the batch cut into partial blocks
+    val dir = {
+      val d = java.nio.file.Files.createTempDirectory("graft_frag").toString
+      val ev = graft.sources.Tables.events(spark, sf)
+      val cut = ev.selectExpr("approx_percentile(ts, 0.5)").head().getAs[Number](0).longValue()
+      ev.filter(col("ts") <= cut).coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+      Thread.sleep(1100)
+      ev.filter(col("ts") > cut).coalesce(1).write.mode("append").parquet(s"$d/events.parquet")
+      d
+    }
+    val in = java.nio.file.Files.createTempDirectory("graft_frag_in").toString + "/blocks"
+    val out = java.nio.file.Files.createTempDirectory("graft_frag_out").toString + "/blocks"
+    graft.sources.StreamingIngest.ingestToStore(spark, dir, in, filesPerTrigger = Some(1))
+    val before = spark.read.parquet(in)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("series_id"), col("day_id"))
+    val nFrag = before.withColumn("nb", count(lit(1)).over(w)).filter(col("nb") > 1).count()
+    assert(nFrag > 0, "fixture produced no fragmented groups")
+    TimeboxStore.compactFragmented(spark, in, out)
+    val after = spark.read.parquet(out)
+    // compacted: exactly one block per (series, day), content lossless
+    assert(after.withColumn("nb", count(lit(1)).over(w)).filter(col("nb") > 1).count() === 0)
+    val a = TimeboxStore.read(spark, in)
+    val b = TimeboxStore.read(spark, out)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // intact blocks were passed through verbatim, not re-encoded
+    val intact = before.withColumn("nb", count(lit(1)).over(w)).filter(col("nb") === 1).drop("nb")
+    assert(intact.exceptAll(after).count() === 0, "an intact block was rewritten")
+  }
+
   test("vacuum drops whole aged blocks; survivors decode byte-identically") {
     val a = java.nio.file.Files.createTempDirectory("graft_store_vac_a").toString
     val b = java.nio.file.Files.createTempDirectory("graft_store_vac_b").toString
