@@ -38,11 +38,28 @@ class EntrySpec extends AnyFunSuite {
     assert(undocumented.isEmpty, s"queries not documented in SURVEY §2: $undocumented")
   }
 
-  // one pass over the whole inventory: runs + rows>0 + no null-typed cols
+  // queries whose plans legitimately contain a broadcast nested-loop
+  // join: a crossJoin of a PROVABLY tiny broadcast side (5 probes, ≤8
+  // centroids, a 1-row total/min) — everything else is banned
+  private val tinyBroadcastCrossJoins = Set(
+    "ann_topk_bruteforce",
+    "ann_ivf_bucketed",
+    "ann_ivf_kmeans",
+    "text_bigram_pmi",
+    "sample_temperature"
+  )
+
+  // one pass over the whole inventory: runs + rows>0 + plan hygiene —
+  // NO query may plan a cartesian product, and nested-loop broadcast
+  // joins are allowed only on the whitelisted tiny-side cross joins
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs with rows at sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+      if (!tinyBroadcastCrossJoins(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
