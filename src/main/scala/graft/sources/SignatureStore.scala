@@ -102,6 +102,27 @@ object SignatureStore {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
+  /** N-corpora contamination matrix: pairwise rep-level near-match
+    * counts between every pair of bucketed signature stores — the
+    * "which of my N ingest feeds leak into each other" audit, where
+    * every pairwise join is co-located on the shared bucket layout
+    * (no corpus-sized shuffle anywhere; see [[crossStoreMatches]]).
+    */
+  def contaminationMatrix(spark: SparkSession, tables: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val pairs = for {
+      (a, i) <- tables.zipWithIndex
+      b <- tables.drop(i + 1)
+    } yield (a, b)
+    pairs
+      .map { case (a, b) =>
+        crossStoreMatches(spark, a, b)
+          .agg(count(lit(1)).as("n_pairs"))
+          .select(lit(a).as("store_a"), lit(b).as("store_b"), col("n_pairs"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** Match an incoming batch against the stored signatures: exact
     * matches via the content hash, near matches via shared LSH band
     * signatures; a pair matched both ways reports 'exact'. The corpus

@@ -31,6 +31,22 @@ class SignatureStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination matrix over three bucketed stores: symmetric pair counts, no corpus shuffle") {
+    val d = docs
+    SignatureStore.writeBucketedBands(spark, d.filter(col("doc_id") < 170), "cmx_a")
+    SignatureStore.writeBucketedBands(spark, d.filter(col("doc_id") >= 170 && col("doc_id") < 340), "cmx_b")
+    SignatureStore.writeBucketedBands(spark, d.filter(col("doc_id") >= 340), "cmx_c")
+    try {
+      val m = SignatureStore.contaminationMatrix(spark, Seq("cmx_a", "cmx_b", "cmx_c")).collect()
+      assert(m.length === 3, "expected C(3,2) = 3 store pairs")
+      // every count equals the direct pairwise match count
+      m.foreach { r =>
+        val expect = SignatureStore.crossStoreMatches(spark, r.getString(0), r.getString(1)).count()
+        assert(r.getAs[Long]("n_pairs") === expect)
+      }
+    } finally Seq("cmx_a", "cmx_b", "cmx_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("matchDelta over the appended store equals the from-scratch match") {
     val delta = docs.filter(col("doc_id") >= 400)
     val a = SignatureStore.matchDelta(spark, incPath, delta)
