@@ -84,10 +84,23 @@ object TimeboxStore {
       .withColumn("deltas", expr("transform(deltas_us, d -> d DIV unit_us)"))
       .withColumn("delta_bytes", widthOf(coalesce(array_max(col("deltas")), lit(0L))))
     // per tag: block min/max (the ZONE MAP value-skipping reads prune
-    // on), offsets from min, width plan for the offsets
+    // on), a 256-bit / 2-hash BLOOM filter over the block's values
+    // (equality predicates skip blocks zone maps can't — a wide
+    // [min, max] says nothing about one missing value), offsets from
+    // min, width plan for the offsets
     val withTags = tagCols.foldLeft(base) { (df, t) =>
       df.withColumn(s"min_$t", array_min(col(s"vals_$t")))
         .withColumn(s"max_$t", array_max(col(s"vals_$t")))
+        .withColumn(
+          s"bloom_$t",
+          expr(
+            s"""aggregate(vals_$t, array(0L, 0L, 0L, 0L), (acc, v) -> transform(acc, (a, i) ->
+               |  a | IF(pmod(xxhash64('b1', v), 256) DIV 64 = i,
+               |         shiftleft(1L, CAST(pmod(xxhash64('b1', v), 256) % 64 AS INT)), 0L)
+               |    | IF(pmod(xxhash64('b2', v), 256) DIV 64 = i,
+               |         shiftleft(1L, CAST(pmod(xxhash64('b2', v), 256) % 64 AS INT)), 0L)))""".stripMargin
+          )
+        )
         .withColumn(s"offs_$t", expr(s"transform(vals_$t, v -> v - min_$t)"))
         .withColumn(s"bytes_$t", widthOf(coalesce(array_max(col(s"offs_$t")), lit(0L))))
     }
@@ -105,7 +118,9 @@ object TimeboxStore {
         col("delta_bytes"),
         col("deltas"),
         col("seqs")
-      ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"max_$t"), col(s"offs_$t"), col(s"bytes_$t"))): _*
+      ) ++ tagCols.flatMap(t =>
+        Seq(col(s"min_$t"), col(s"max_$t"), col(s"bloom_$t"), col(s"offs_$t"), col(s"bytes_$t"))
+      ): _*
     )
   }
 
@@ -375,6 +390,40 @@ object TimeboxStore {
       tagCols,
       blockUs
     ).write.mode("overwrite").parquet(outPath)
+
+  /** Equality read via block BLOOM filters: for `tag = value` probes,
+    * a block is decoded only if BOTH bloom bits for the probe value
+    * are set (plus the zone-map envelope check) — the skip path zone
+    * maps cannot provide when the block's [min, max] is wide but the
+    * one probed value is absent. The bit tests are literal expressions
+    * over the stored words, so Catalyst folds the probe's hash at
+    * optimize time; ~18% false-positive rate at 256 bits / 2 hashes /
+    * ~70 values per block, and a false positive only costs a decode,
+    * never correctness (the exact filter runs after).
+    */
+  def rangeReadValueEquals(
+      spark: SparkSession,
+      path: String,
+      startUs: Long,
+      endUs: Long,
+      tag: String,
+      valueC: Long
+  ): DataFrame = {
+    val store = spark.read.parquet(path)
+    val blockUs = storedBlockUs(store)
+    def bitSet(seed: String) = expr(
+      s"(element_at(bloom_$tag, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) DIV 64 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) % 64 AS INT))) != 0L"
+    )
+    val blocks = store
+      .filter(col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs)
+      .filter(col("start_us") < endUs)
+      .filter(col(s"min_$tag") <= valueC && col(s"max_$tag") >= valueC)
+      .filter(bitSet("b1") && bitSet("b2"))
+    decode(blocks, Seq(tag))
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+      .filter(col(tag) === valueC)
+  }
 
   /** Incremental compaction: re-block ONLY the (series, day) groups
     * that streaming appends fragmented into multiple partial blocks;

@@ -229,6 +229,33 @@ class StoreSpec extends AnyFunSuite {
     assert(intact.exceptAll(after).count() === 0, "an intact block was rewritten")
   }
 
+  test("bloom equality read: skips blocks zone maps keep, equals decode-then-filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_bloom").toString + "/blocks"
+    TimeboxStore.write(spark, sf, out)
+    val (startUs, endUs) = (1704067200000000L, 1706745600000000L) // whole month
+    // probe a value that actually exists, so the result is non-empty
+    val probe = TimeboxStore
+      .read(spark, out)
+      .groupBy(col("value_c")).count().orderBy(col("count").desc, col("value_c").asc)
+      .head().getLong(0)
+    val pruned = TimeboxStore.rangeReadValueEquals(spark, out, startUs, endUs, "value_c", probe)
+    val full = TimeboxStore.read(spark, out).filter(col("value_c") === probe)
+    assert(pruned.count() > 0)
+    assert(pruned.exceptAll(full).count() === 0 && full.exceptAll(pruned).count() === 0)
+    // the bloom must skip blocks the zone-map envelope alone keeps
+    val blocks = spark.read.parquet(out)
+    val zoneKept = blocks.filter(col("min_value_c") <= probe && col("max_value_c") >= probe).count()
+    def bit(seed: String) = expr(
+      s"(element_at(bloom_value_c, CAST(pmod(xxhash64('$seed', ${probe}L), 256) DIV 64 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(pmod(xxhash64('$seed', ${probe}L), 256) % 64 AS INT))) != 0L"
+    )
+    val bloomKept = blocks
+      .filter(col("min_value_c") <= probe && col("max_value_c") >= probe)
+      .filter(bit("b1") && bit("b2"))
+      .count()
+    assert(bloomKept < zoneKept, s"bloom skipped nothing ($bloomKept of $zoneKept zone-kept blocks)")
+  }
+
   test("vacuum drops whole aged blocks; survivors decode byte-identically") {
     val a = java.nio.file.Files.createTempDirectory("graft_store_vac_a").toString
     val b = java.nio.file.Files.createTempDirectory("graft_store_vac_b").toString
