@@ -318,12 +318,46 @@ object Dedup {
   // 23b. dedup_clusters — connected components over the LSH candidate
   // graph: the canonical-cluster step every dedup pipeline runs after
   // pair generation (keep one doc per component).
+  //
+  // CC runs REP-LEVEL: member-level expansion of a k-copy exact-dup
+  // group funnels ~k²/2 edges through one join key (the reducer-skew
+  // shape the collapse exists to kill) while carrying zero extra
+  // connectivity — a member pair (m_a, m_b) connects exactly what the
+  // rep pair (rep_a, rep_b) already connects. So the component loop
+  // eats only rep pairs (edge count independent of exact-dup group
+  // sizes — DedupSpec pins that invariance on a 10k-clone corpus) and
+  // members inherit their rep's label by a STAR EXPANSION join at the
+  // end. Labels agree with member-level CC exactly: rep_id is the min
+  // doc_id of its group, so the min reachable member id IS the min
+  // reachable rep id.
   // -------------------------------------------------------------------
-  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame = {
-    // the returned labels frame is itself persisted (the CC loop built
-    // it); release it too once the caller has materialized
-    val labels = connectedComponents(minhashLsh(spark, dir), maxIters)
-    releaseAfterRun(spark, labels, Seq(labels))
+  def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
+    clustersFromNorm(spark, docsNorm(spark, dir), maxIters)
+
+  private[graft] def clustersFromNorm(spark: SparkSession, norm: DataFrame, maxIters: Int = 20): DataFrame = {
+    val c = collapseExact(norm)
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val repLabels = connectedComponents(lsh.pairs, maxIters)
+    // groups whose members pair only among themselves (exact clones of
+    // a banded rep with no near-dup partner): their own component,
+    // labelled by the rep
+    val lone = groups
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .join(lsh.banded.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .join(repLabels.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"), "left_anti")
+      .select(col("rep_id").as("doc_id"), col("rep_id").as("cluster_id"))
+    // star expansion: one join on the O(n) groups table — never a pair
+    // blowup — maps every member to its rep's component label
+    val out = groups
+      .join(
+        repLabels.union(lone).withColumnRenamed("doc_id", "rep_id"),
+        Seq("rep_id")
+      )
+      .select(col("doc_id"), col("cluster_id"))
+    releaseAfterRun(spark, out, Seq(lsh.bands, groups, repLabels))
   }
 
   /** Distributed connected components over a (doc_a, doc_b) pair set.
@@ -590,18 +624,51 @@ object Dedup {
   // are joins AQE broadcasts at runtime; the corpus itself is touched
   // only by the (bucketed) LSH pair generation.
   // -------------------------------------------------------------------
+  // Rep-level: the member-pair count between two exact-dup groups is a
+  // PRODUCT of per-source member counts, so the expansion never has to
+  // be materialized. Cross-group pairs contribute c_a(s1)·c_b(s2) per
+  // rep pair and source pair; within-group pairs (clones of one banded
+  // rep split across sources) contribute c(s1)·c(s2) per group. Edge
+  // volume is O(rep pairs × sources-per-group), independent of clone
+  // counts — same invariance DedupSpec pins for clusters.
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    minhashLsh(spark, dir)
-      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
-      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val docs = Tables.documents(spark, dir)
+    val c = collapseExact(docs.select(col("doc_id"), normText(col("text")).as("norm")))
+    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    // per-group per-source member counts: one O(n) join + agg
+    val srcCnt = c.groups
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("rep_id"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(mem)
+    srcCnt.count() // eager: feeds three joins below
+    val cross = lsh.pairs
+      .join(srcCnt.toDF("doc_a", "src_a", "c_a"), Seq("doc_a"))
+      .join(srcCnt.toDF("doc_b", "src_b", "c_b"), Seq("doc_b"))
       .filter(col("src_a") =!= col("src_b"))
       .select(
         least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b")
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        (col("c_a") * col("c_b")).as("n")
       )
+    val within = srcCnt
+      .as("x")
+      .join(
+        srcCnt.as("y"),
+        col("x.rep_id") === col("y.rep_id") && col("x.source") < col("y.source")
+      )
+      .join(lsh.banded.withColumnRenamed("doc_id", "b_rep"), col("x.rep_id") === col("b_rep"))
+      .select(
+        col("x.source").as("source_a"),
+        col("y.source").as("source_b"),
+        (col("x.cnt") * col("y.cnt")).as("n")
+      )
+    val out = cross
+      .union(within)
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n")).as("n_pairs"))
+    releaseAfterRun(spark, out, Seq(lsh.bands, srcCnt))
   }
 
   // -------------------------------------------------------------------

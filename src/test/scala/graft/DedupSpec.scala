@@ -151,6 +151,49 @@ class DedupSpec extends AnyFunSuite {
     } finally { a.unpersist(); b.unpersist() }
   }
 
+  test("clusters: CC eats rep-level edges — count invariant to clone count; labels star-expand") {
+    // member-level expansion of a k-clone group would push ~k²/2 edges
+    // through one join key; the rep-level CC input must not grow with k
+    val docs = spark.read
+      .parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+    def cloned(n: Int) = docs.union(
+      docs
+        .filter(col("doc_id") === 0L)
+        .select(explode(sequence(lit(1000000L), lit(1000000L + n - 1))).as("doc_id"), col("norm"))
+    )
+    def ccEdges(n: Int): Long =
+      Dedup.lshRepPairsFrom(Dedup.shinglesOf(Dedup.collapseExact(cloned(n)).reps).distinct()).pairs.count()
+    assert(ccEdges(10) === ccEdges(10000), "CC edge count grew with the clone count")
+    // end-to-end: every clone inherits the rep's component label (0 is
+    // the corpus-wide min, so doc 0's component is labelled 0)
+    val labels = Dedup.clustersFromNorm(spark, cloned(1000)).cache()
+    try {
+      assert(labels.filter(col("doc_id") >= 1000000L).count() === 1000)
+      assert(labels.filter(col("doc_id") >= 1000000L && col("cluster_id") =!= 0L).count() === 0)
+    } finally labels.unpersist()
+  }
+
+  test("contamination: rep-level product formula equals member-pair counting") {
+    val src = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("source"))
+    val naive = Dedup
+      .minhashLsh(spark, sf)
+      .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+      .join(src.toDF("doc_b", "src_b"), Seq("doc_b"))
+      .filter(col("src_a") =!= col("src_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b")
+      )
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .cache()
+    val rep = Dedup.contamination(spark, sf).cache()
+    try {
+      assert(rep.except(naive).count() === 0 && naive.except(rep).count() === 0)
+    } finally { naive.unpersist(); rep.unpersist() }
+  }
+
   test("bucket cap: oversized LSH buckets are dropped from pair generation") {
     import spark.implicits._
     val bands = Seq(
