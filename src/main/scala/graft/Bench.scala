@@ -38,18 +38,31 @@ object Bench {
     }
     val (p1, p2) = (pass(), pass())
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // the stdout line can be truncated by log-tail capture; the file is
-    // the machine-readable artifact of record for every per-query number
+    def lineOf(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    // FULL table -> the artifact file (the machine-readable record of
+    // every per-query number, full precision)
+    val all = results.toSeq.sortBy(-_._2)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (lineOf(all, 0) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
+    // stdout line: log-tail capture keeps only the LAST ~2000 chars, and
+    // a longer line is truncated mid-JSON and unparseable downstream. So
+    // emit the slowest queries that fit the window (the ones a
+    // round-over-round diff cares about), declare how many cheap ones
+    // were dropped, and leave the complete table to the file above.
+    val budget = 1950
+    var kept = all
+    while (kept.nonEmpty && lineOf(kept, all.size - kept.size).length > budget)
+      kept = kept.dropRight(1)
+    println(lineOf(kept, all.size - kept.size))
     spark.stop()
   }
 }

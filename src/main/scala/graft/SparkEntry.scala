@@ -152,6 +152,22 @@ object SparkEntry {
   /** incremental-dedup oracle, shared by the batch operator and the
     * streaming loop (whose single-batch drain emits the same set)
     */
+  /** one unrolled PQ Lloyd iteration: assign sub-vectors to cb{t},
+    * floor-average members into cb{t+1} (DuckDB // == Spark's
+    * (s - pmod(s, n)) DIV n on non-negative counts)
+    */
+  private def pqLloydCtes(iters: Int): String =
+    (0 until iters).map { t =>
+      s"""ad$t AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
+         |        FROM sv s JOIN cb$t c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
+         |as$t AS (SELECT vec_id, mi, code FROM
+         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
+         |         FROM ad$t) WHERE rn = 1),
+         |cb${t + 1} AS (SELECT a.code, a.mi, s.i, CAST(SUM(s.v) // COUNT(*) AS BIGINT) AS v
+         |       FROM as$t a JOIN sv s ON s.vec_id = a.vec_id AND s.mi = a.mi
+         |       GROUP BY 1, 2, s.i)""".stripMargin
+    }.mkString(",\n")
+
   private val incrementalOracleSql: String =
     s"""WITH $shingleCtes,
        |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
@@ -406,28 +422,21 @@ object SparkEntry {
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 10""".stripMargin,
     // product quantization + exact re-rank: unit-normalize from the
-    // exact integer norm, 8 subspaces × 8 dims, seed codebook =
-    // sub-vectors of vecs 100..131 refined by ONE Lloyd iteration
-    // (floor-averaged integer components, // == Spark's pmod formula),
-    // codes by integer L2 argmin, ADC shortlist of 100 by summed
-    // probe-to-codebook lookups, exact cosine re-rank
+    // exact integer norm, 8 subspaces × 8 dims, production-K codebook =
+    // sub-vectors of vecs 100..355 (256 entries) refined by THREE Lloyd
+    // iterations (floor-averaged integer components, // == Spark's pmod
+    // formula), codes by integer L2 argmin, ADC shortlist of 100 by
+    // summed probe-to-codebook lookups, exact cosine re-rank
     "ann_pq_search" ->
       s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,
          |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
          |       FROM q JOIN n ON n.vec_id = q.vec_id),
          |sv AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM qn),
-         |cb0 AS (SELECT vec_id - 100 AS code, mi, i, v FROM sv WHERE vec_id BETWEEN 100 AND 131),
-         |ad0 AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
-         |        FROM sv s JOIN cb0 c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
-         |as0 AS (SELECT vec_id, mi, code FROM
-         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
-         |         FROM ad0) WHERE rn = 1),
-         |cb AS (SELECT a.code, a.mi, s.i, CAST(SUM(s.v) // COUNT(*) AS BIGINT) AS v
-         |       FROM as0 a JOIN sv s ON s.vec_id = a.vec_id AND s.mi = a.mi
-         |       GROUP BY 1, 2, s.i),
+         |cb0 AS (SELECT vec_id - 100 AS code, mi, i, v FROM sv WHERE vec_id BETWEEN 100 AND 355),
+         |${pqLloydCtes(3)},
          |ad AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
-         |       FROM sv s JOIN cb c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
+         |       FROM sv s JOIN cb3 c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
          |codes AS (SELECT vec_id, mi, code FROM
          |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
          |           FROM ad) WHERE rn = 1),

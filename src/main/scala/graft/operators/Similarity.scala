@@ -198,8 +198,8 @@ object Similarity {
       spark: SparkSession,
       dir: String,
       m: Int = 8,
-      kCode: Int = 32,
-      iters: Int = 1,
+      kCode: Int = 256,
+      iters: Int = 3,
       shortlist: Int = 100,
       nProbes: Int = 5,
       k: Int = 10
