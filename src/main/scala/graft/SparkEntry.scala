@@ -53,6 +53,7 @@ object SparkEntry {
     "ts_store_multitag"   -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_store_value_read" -> ((s, d) => graft.sources.TimeboxStore.valueReadSummary(s, d)),
     "ts_store_multitag_read" -> ((s, d) => graft.sources.TimeboxStore.multitagValueReadSummary(s, d)),
+    "ts_store_dict_read"  -> ((s, d) => graft.sources.TimeboxStore.dictReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1151,6 +1152,17 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND CAST(round(value*100) AS BIGINT) BETWEEN 9000 AND 12000
+        |GROUP BY user_id""".stripMargin,
+    // the dictionary read: per-block distinct-value dictionaries skip
+    // blocks lacking the probed enum code; oracle = the same
+    // time-range + type-code filter over the raw events
+    "ts_store_dict_read" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND ascii(substr(event_type, 1, 1)) = 112
         |GROUP BY user_id""".stripMargin,
     "ts_interp_linear" ->
       """WITH e AS (

@@ -86,11 +86,21 @@ object TimeboxStore {
     // per tag: block min/max (the ZONE MAP value-skipping reads prune
     // on), a 256-bit / 2-hash BLOOM filter over the block's values
     // (equality predicates skip blocks zone maps can't — a wide
-    // [min, max] says nothing about one missing value), offsets from
-    // min, width plan for the offsets
+    // [min, max] says nothing about one missing value), a DISTINCT-
+    // VALUE DICTIONARY when the block is low-cardinality (<= 16
+    // distinct values: exact membership, zero false positives — the
+    // skip structure enum-like tags deserve; high-cardinality tags
+    // store NULL and fall back to the bloom), offsets from min, width
+    // plan for the offsets
     val withTags = tagCols.foldLeft(base) { (df, t) =>
       df.withColumn(s"min_$t", array_min(col(s"vals_$t")))
         .withColumn(s"max_$t", array_max(col(s"vals_$t")))
+        .withColumn(
+          s"dict_$t",
+          expr(
+            s"IF(size(array_distinct(vals_$t)) <= $DictMaxCard, sort_array(array_distinct(vals_$t)), NULL)"
+          )
+        )
         .withColumn(
           s"bloom_$t",
           expr(
@@ -119,10 +129,17 @@ object TimeboxStore {
         col("deltas"),
         col("seqs")
       ) ++ tagCols.flatMap(t =>
-        Seq(col(s"min_$t"), col(s"max_$t"), col(s"bloom_$t"), col(s"offs_$t"), col(s"bytes_$t"))
+        Seq(col(s"min_$t"), col(s"max_$t"), col(s"bloom_$t"), col(s"dict_$t"), col(s"offs_$t"), col(s"bytes_$t"))
       ): _*
     )
   }
+
+  /** Per-block dictionary cap: above this many distinct values a tag's
+    * dictionary is dropped (NULL) and equality probes fall back to the
+    * bloom. 16 longs ≈ the bloom's own 4-word footprint — the
+    * dictionary is never the bigger structure.
+    */
+  private[sources] val DictMaxCard = 16
 
   /** Read the store's block granularity from its layout metadata — a
     * tiny aggregate over one column (parquet stats make it near-free).
@@ -419,10 +436,57 @@ object TimeboxStore {
       .filter(col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs)
       .filter(col("start_us") < endUs)
       .filter(col(s"min_$tag") <= valueC && col(s"max_$tag") >= valueC)
+      // dictionary first: EXACT membership for low-cardinality blocks
+      // (no false positives — a miss skips the block outright); blocks
+      // without a dictionary fall through to the bloom bits
+      .filter(col(s"dict_$tag").isNull || array_contains(col(s"dict_$tag"), lit(valueC)))
       .filter(bitSet("b1") && bitSet("b2"))
     decode(blocks, Seq(tag))
       .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
       .filter(col(tag) === valueC)
+  }
+
+  /** Enum-tag points frame from events: series = user, plus the value
+    * tag and a LOW-CARDINALITY event-type code (first-letter ASCII —
+    * portable across engines, no value enumeration baked in).
+    */
+  def eventTypePoints(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c"),
+        ascii(substring(col("event_type"), 1, 1)).cast("long").as("etype_c")
+      )
+
+  /** Oracle-gated DICTIONARY equality read (ts_store_dict_read): encode
+    * events with a low-cardinality event-type tag, probe one type code
+    * over a week — per-block dictionaries skip every block that doesn't
+    * contain the probed type (exactly: dictionary membership has no
+    * false positives), composing with the day-range prune, the zone-map
+    * envelope, and the blooms. Oracle = the same filter over raw
+    * events, so a wrongly-skipped block fails the hash compare.
+    */
+  def dictReadSummary(
+      spark: SparkSession,
+      dir: String,
+      startUs: Long = 1704672000000000L, // 2024-01-08
+      endUs: Long = 1705276800000000L,   // 2024-01-15
+      typeCode: Long = 112L              // 'p' — purchase
+  ): DataFrame = {
+    val out = scratchPath("graft_store_dict", dir)
+    encode(eventTypePoints(spark, dir), tagCols = Seq("value_c", "etype_c"))
+      .write.mode("overwrite").parquet(out)
+    rangeReadValueEquals(spark, out, startUs, endUs, "etype_c", typeCode)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        sum(col("seq")).as("sum_event_id")
+      )
   }
 
   /** Incremental compaction: re-block ONLY the (series, day) groups

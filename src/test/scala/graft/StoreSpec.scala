@@ -27,6 +27,59 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded).count() === 0)
   }
 
+  test("dictionary equality read: exact block skip on a low-cardinality tag, before decode") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_dict_spec").toString + "/blocks"
+    TimeboxStore
+      .encode(TimeboxStore.eventTypePoints(spark, sf), tagCols = Seq("value_c", "etype_c"))
+      .write.mode("overwrite").parquet(out)
+    val blocks = spark.read.parquet(out).cache()
+    try {
+      // enum tag gets a dictionary on every block; any dictionary that
+      // exists respects the cardinality cap
+      assert(blocks.filter(col("dict_etype_c").isNull).count() === 0)
+      assert(blocks.filter(size(col("dict_value_c")) > 16).count() === 0)
+      // cap semantics pinned on a constructed block: 20 distinct values
+      // -> no dictionary (bloom fallback); 5 distinct -> dictionary
+      import spark.implicits._
+      val wide = (0 until 20).map(i => (1L, i.toLong * 1000000L, i.toLong, i.toLong * 7, (i % 5).toLong))
+      val enc = TimeboxStore
+        .encode(wide.toDF("user_id", "ts_us", "event_id", "hi_c", "lo_c"), tagCols = Seq("hi_c", "lo_c"))
+        .head()
+      assert(enc.isNullAt(enc.fieldIndex("dict_hi_c")), "20-distinct tag still grew a dictionary")
+      assert(enc.getAs[Seq[Long]]("dict_lo_c").toSet === Set(0L, 1L, 2L, 3L, 4L))
+      val probe = 112L // 'p' — purchase
+      // dictionary membership keeps EXACTLY the blocks whose points
+      // contain the probe: no false positives (vs the bloom's ~18%),
+      // no false negatives — ground truth from the raw points
+      val dictKept = blocks.filter(array_contains(col("dict_etype_c"), probe)).count()
+      val truth = TimeboxStore
+        .eventTypePoints(spark, sf)
+        .filter(col("etype_c") === probe)
+        .select(col("user_id"), expr("ts_us DIV 86400000000").as("day_id"))
+        .distinct()
+        .count()
+      assert(dictKept === truth, s"dictionary kept $dictKept blocks, $truth actually contain the value")
+      // and it must SKIP blocks the zone-map envelope keeps (most
+      // blocks span codes around 'p' without containing it)
+      val zoneKept = blocks.filter(col("min_etype_c") <= probe && col("max_etype_c") >= probe).count()
+      assert(dictKept < zoneKept, s"dictionary skipped nothing ($dictKept of $zoneKept zone-kept)")
+      // the read itself: block skip happens BEFORE decode — the filter
+      // on dict_etype_c sits under the scan, not above the posexplode
+      val (startUs, endUs) = (1704067200000000L, 1706745600000000L)
+      val read = TimeboxStore.rangeReadValueEquals(spark, out, startUs, endUs, "etype_c", probe)
+      val plan = read.queryExecution.optimizedPlan.toString
+      val genIdx = plan.indexOf("Generate")  // the posexplode
+      val dictIdx = plan.indexOf("dict_etype_c")
+      assert(genIdx >= 0 && dictIdx > genIdx, "dictionary filter did not push below the decode explode")
+      // exact result equality with decode-then-filter
+      val full = TimeboxStore
+        .decode(blocks, Seq("etype_c"))
+        .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+        .filter(col("etype_c") === probe)
+      assert(read.exceptAll(full).count() === 0 && full.exceptAll(read).count() === 0)
+    } finally blocks.unpersist()
+  }
+
   test("roundtrip survives parquet persistence") {
     val out = java.nio.file.Files.createTempDirectory("graft_store_spec").toString
     TimeboxStore.write(spark, sf, out)
