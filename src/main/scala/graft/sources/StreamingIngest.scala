@@ -557,7 +557,13 @@ object StreamingIngest {
   ): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val store = TimeboxStore.scratchPath("graft_sigstream", dir)
-    SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    // RESUME-SAFE: an existing checkpoint means this is a restart after
+    // a kill — the store already holds the corpus PLUS every signature
+    // appended by completed batches, and rebuilding it would silently
+    // erase those appends (later batches would stop matching earlier
+    // ones). Build from scratch only on a fresh start.
+    if (!new java.io.File(s"$store/_checkpoint").exists())
+      SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
     val matchesPath = s"$store/matches"
     val schema = Tables.documents(spark, dir).schema
     val reader = spark.readStream.schema(schema)

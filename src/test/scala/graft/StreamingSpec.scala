@@ -260,6 +260,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(!matches.exists(_._2 == 0L), s"unexpected corpus match for unrelated texts: $matches")
   }
 
+  test("streaming dedup: multi-batch replay, kill between batches, resume keeps appended signatures") {
+    import spark.implicits._
+    // corpus: doc 0 (text A). Stream files (one micro-batch each):
+    // f1 doc 1000 (text B, new), f2 doc 2000 (text B -> matches 1000
+    // cross-batch), then KILL (the stream drains and terminates — the
+    // same state a kill between micro-batches leaves: checkpoint +
+    // appended store). f3 arrives: doc 3000 (text A -> corpus match)
+    // and doc 3001 (text B -> must match BOTH pre-kill stream docs,
+    // which exist only if the resume did NOT rebuild the store).
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream_mb").toString
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows
+        .toDF("doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("text"),
+          lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars")
+        )
+    val textA = "the quick brown fox jumps over the lazy dog again and again"
+    val textB = "completely different content about distributed stream processing engines"
+    val evdir = s"$dir/documents.parquet"
+    docsDf(Seq((0L, textA))).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docsDf(Seq((1000L, textB))).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docsDf(Seq((2000L, textB))).coalesce(1).write.mode("append").parquet(evdir)
+    def collectMatches() = StreamingIngest
+      .dedupStream(spark, dir, splitId = 400L, filesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getAs[Long]("new_doc_id"), r.getAs[Long]("match_doc_id"), r.getAs[String]("kind")))
+    val run1 = collectMatches()
+    assert(run1.toSet === Set((2000L, 1000L, "exact")), s"pre-kill matches wrong: ${run1.toSet}")
+    // kill happened; new data lands; resume from the checkpoint
+    docsDf(Seq((3000L, textA), (3001L, textB))).coalesce(1).write.mode("append").parquet(evdir)
+    val run2 = collectMatches()
+    val expected = Set(
+      (2000L, 1000L, "exact"), // pre-kill history, not re-emitted twice
+      (3000L, 0L, "exact"),    // corpus match survives resume
+      (3001L, 1000L, "exact"), // pre-kill batch docs still in the store
+      (3001L, 2000L, "exact")
+    )
+    assert(run2.toSet === expected, s"post-resume matches wrong: ${run2.toSet}")
+    // exactly-once: completed batches were not replayed after the kill
+    assert(run2.length === run2.distinct.length, "a batch replayed — duplicate match rows")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
