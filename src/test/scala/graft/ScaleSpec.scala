@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-proportionality harness: the closest evidence local mode can
+  * give that a plan survives a scale-up. For a panel of headline
+  * queries it runs the SAME query at two scale factors (10× data) and
+  * asserts:
+  *
+  *   (a) the STRUCTURAL plan profile — scans, shuffle exchanges,
+  *       broadcast exchanges, join strategies — is identical. A plan
+  *       that grows an extra shuffle, loses a broadcast, or flips a
+  *       join strategy when the data grows 10× is exactly the plan
+  *       that falls over at 100×;
+  *   (b) wall-clock grows sub-linearly vs a generous band — a query
+  *       whose cost explodes superlinearly (quadratic pair blowup,
+  *       driver-side loop, skew-bound reducer) blows straight through
+  *       a 12× allowance on 10× data, while fixed-overhead-dominated
+  *       healthy queries land near 1-3×.
+  *
+  * The profile deliberately counts node CLASSES, not the whole tree:
+  * partition counts, AQE coalescing, and stats-dependent orderings
+  * may differ by SF; the invariants that matter at 100 TB are "how
+  * many shuffles, which join strategies, how many scans".
+  */
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sfSmall = "/root/testdata/sf0.01"
+  private val sfBig   = "/root/testdata/sf0.1"
+
+  /** queries with data-proportional batch work (streaming queries pay
+    * a fixed runtime floor and store queries re-encode scratch stores —
+    * both covered by their own specs)
+    */
+  private val panel: Seq[String] = Seq(
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "topk_per_group",
+    "rel_running_total",
+    "ts_resample_1h",
+    "ts_moving_avg",
+    "ts_sessionize",
+    "dedup_exact",
+    "text_tokens",
+    "pipeline_keep_set",
+    "ann_topk_bruteforce"
+  )
+
+  private def profile(plan: SparkPlan): Map[String, Int] =
+    plan
+      .collect {
+        case _: FileSourceScanExec          => "scan"
+        case _: ShuffleExchangeExec         => "shuffle"
+        case _: BroadcastExchangeExec       => "broadcast"
+        case _: SortMergeJoinExec           => "smj"
+        case _: ShuffledHashJoinExec        => "shj"
+        case _: BroadcastHashJoinExec       => "bhj"
+        case _: BroadcastNestedLoopJoinExec => "bnlj"
+      }
+      .groupBy(identity)
+      .view
+      .mapValues(_.size)
+      .toMap
+
+  private def timed(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.count()
+    spark.catalog.clearCache()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  test("plan profile is scale-invariant and cost stays within the 10x band") {
+    val failures = panel.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val small = fn(spark, sfSmall)
+      val big = fn(spark, sfBig)
+      val (ps, pb) = (profile(small.queryExecution.sparkPlan), profile(big.queryExecution.sparkPlan))
+      val shapeErr =
+        if (ps == pb) None
+        else Some(s"$name: plan profile changed with scale — sf0.01=$ps sf0.1=$pb")
+      val tSmall = timed(fn(spark, sfSmall))
+      val tBig = timed(fn(spark, sfBig))
+      val costErr =
+        if (tBig <= 12.0 * math.max(tSmall, 0.4)) None
+        else Some(f"$name: cost superlinear — $tSmall%.2fs -> $tBig%.2fs on 10x data")
+      shapeErr.toSeq ++ costErr.toSeq
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
