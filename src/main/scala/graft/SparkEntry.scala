@@ -46,6 +46,7 @@ object SparkEntry {
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
+    "ts_asof_tolerance"  -> ((s, d) => TimeSeries.asofJoinTolerance(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
@@ -1134,6 +1135,16 @@ object SparkEntry {
     "ts_asof_join" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
         |       COALESCE(epoch_us(c.ts), -1) AS click_ts_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // bounded as-of: DuckDB's ASOF finds the latest prior click; the
+    // tolerance is a post-condition on the matched timestamp (the
+    // latest prior click is in-window iff any admissible one is)
+    "ts_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  COALESCE(CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+        |                THEN epoch_us(c.ts) END, -1) AS click_ts_us
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,

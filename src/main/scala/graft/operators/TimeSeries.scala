@@ -703,6 +703,28 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 13b. ts_asof_tolerance — the BOUNDED as-of join: latest click
+  // at-or-before each purchase, but only within a tolerance window
+  // (stale matches are worthless to attribution — a click from last
+  // month did not drive today's purchase). Same single-shuffle
+  // union+running-max plan as ts_asof_join: the running max carries
+  // the LATEST prior click, and the latest prior click is inside the
+  // window iff ANY admissible click is, so the tolerance is one
+  // post-filter on the carried timestamp — never a range join.
+  // -------------------------------------------------------------------
+  def asofJoinTolerance(spark: SparkSession, dir: String, tolUs: Long = HourUs): DataFrame =
+    asofJoin(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        when(
+          col("click_ts_us") >= 0L && col("ts_us") - col("click_ts_us") <= tolUs,
+          col("click_ts_us")
+        ).otherwise(-1L).as("click_ts_us")
+      )
+
+  // -------------------------------------------------------------------
   // 14b. ts_interp_linear — gap-fill by linear interpolation between
   // observed hours (the other classic reconstruction next to LOCF).
   // Same span-explode shape as gapfillLocf — the window runs over
