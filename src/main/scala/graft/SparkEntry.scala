@@ -106,6 +106,8 @@ object SparkEntry {
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "quality_rules_by_source" -> ((s, d) => TextAnalysis.qualityRulesBySource(s, d)),
     "sample_temperature" -> ((s, d) => TextAnalysis.sampleTemperature(s, d)),
+    "sample_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
+    "text_dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
@@ -625,6 +627,22 @@ object SparkEntry {
         |SELECT t.lang, t.n_docs, t.thresh,
         |  CAST(SUM(CASE WHEN d.hv < t.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM d JOIN t ON t.lang = d.lang GROUP BY 1, 2, 3""".stripMargin,
+    // deterministic 80/10/10 split: band of the first two md5 hex
+    // digits of 'split:'||doc_id — content-independent, rerun-stable
+    "sample_hash_split" ->
+      """WITH h AS (SELECT source, n_chars,
+        |  (instr('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'valid' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    "text_dedup_rate_by_source" ->
+      s"""WITH h AS (SELECT source, md5($normSql) AS th FROM documents)
+         |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_distinct,
+         |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
+         |FROM h GROUP BY 1""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,

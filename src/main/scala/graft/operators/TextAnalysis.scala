@@ -129,6 +129,46 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31f. sample_hash_split — deterministic train/valid/test assignment
+  // (80/10/10) by content-independent hash threshold: the split a doc
+  // lands in is a pure function of its id, so re-runs, backfills, and
+  // incremental ingests all agree without any coordination — the
+  // property rand()-based splits lack. Pure map + one partial-
+  // aggregable groupBy: no shape that changes at 100 TB.
+  // -------------------------------------------------------------------
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val hv = expr(
+      "(instr('0123456789abcdef', substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5(concat('split:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    )
+    Tables
+      .documents(spark, dir)
+      .withColumn("hv", hv.cast("long"))
+      .withColumn(
+        "split",
+        when(col("hv") < 204, "train").when(col("hv") < 230, "valid").otherwise("test")
+      )
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  // -------------------------------------------------------------------
+  // 31g. text_dedup_rate_by_source — per-source duplication audit: doc
+  // count vs distinct-content count and the integer dup rate. The
+  // per-feed health metric a pipeline owner watches to catch a crawler
+  // re-fetching the same pages. One shuffle on (source, hash) worth of
+  // partial aggregation — countDistinct plans as the standard
+  // two-phase expand, never a pair join.
+  // -------------------------------------------------------------------
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), md5(normText(col("text"))).as("th"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("th")).as("n_distinct"))
+      .withColumn("dup_rate_micro", expr("(n_docs - n_distinct) * 1000000 DIV n_docs"))
+
+  // -------------------------------------------------------------------
   // 31d. sample_temperature — temperature-based data mixing (T = 2):
   // per-language keep probability ∝ sqrt(min_lang_count / lang_count),
   // so over-represented languages downsample toward balance while the
