@@ -156,19 +156,20 @@ object SparkEntry {
   /** incremental-dedup oracle, shared by the batch operator and the
     * streaming loop (whose single-batch drain emits the same set)
     */
-  /** one unrolled PQ Lloyd iteration: assign sub-vectors to cb{t},
-    * floor-average members into cb{t+1} (DuckDB // == Spark's
-    * (s - pmod(s, n)) DIV n on non-negative counts)
+  /** one unrolled PQ Lloyd iteration over the TRAINING SAMPLE svt:
+    * assign sub-vectors to cb{t}, floor-average members into cb{t+1}
+    * (DuckDB // == Spark's (s - pmod(s, n)) DIV n on non-negative
+    * counts)
     */
   private def pqLloydCtes(iters: Int): String =
     (0 until iters).map { t =>
       s"""ad$t AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
-         |        FROM sv s JOIN cb$t c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
+         |        FROM svt s JOIN cb$t c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
          |as$t AS (SELECT vec_id, mi, code FROM
          |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
          |         FROM ad$t) WHERE rn = 1),
          |cb${t + 1} AS (SELECT a.code, a.mi, s.i, CAST(SUM(s.v) // COUNT(*) AS BIGINT) AS v
-         |       FROM as$t a JOIN sv s ON s.vec_id = a.vec_id AND s.mi = a.mi
+         |       FROM as$t a JOIN svt s ON s.vec_id = a.vec_id AND s.mi = a.mi
          |       GROUP BY 1, 2, s.i)""".stripMargin
     }.mkString(",\n")
 
@@ -437,6 +438,7 @@ object SparkEntry {
          |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
          |       FROM q JOIN n ON n.vec_id = q.vec_id),
          |sv AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM qn),
+         |svt AS (SELECT * FROM sv WHERE vec_id < 1000),
          |cb0 AS (SELECT vec_id - 100 AS code, mi, i, v FROM sv WHERE vec_id BETWEEN 100 AND 355),
          |${pqLloydCtes(3)},
          |ad AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2

@@ -200,6 +200,7 @@ object Similarity {
       m: Int = 8,
       kCode: Int = 256,
       iters: Int = 3,
+      trainN: Long = 1000L,
       shortlist: Int = 100,
       nProbes: Int = 5,
       k: Int = 10
@@ -214,47 +215,82 @@ object Similarity {
         transform(col("q"), x => round(x.cast("double") * lit(1000000.0) / col("sn")).cast("long"))
           .as("qn")
       )
-    // (vec_id, mi, sv): the m sub-vectors of every normalized vector
-    val subvecs = qn.select(
-      col("vec_id"),
-      posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(qn, j * $sub + 1, $sub))"))
-        .as(Seq("mi", "sv"))
-    )
+    // (vec_id, mi, sv, sv2): the m sub-vectors of every normalized
+    // vector, with the sub-vector norm precomputed ONCE — the K-way
+    // expanded distance rows below must not each redo it. Repartition
+    // + eager checkpoint: this frame feeds every training assign, the
+    // encode pass, and the ADC table (≥5 consumers), and each consumer
+    // expands it K-fold — computed from a single parquet file it would
+    // expand inside ONE task per consumer; spread once, materialize
+    // once.
+    val subvecs = qn
+      .select(
+        col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(qn, j * $sub + 1, $sub))"))
+          .as(Seq("mi", "sv"))
+      )
+      .withColumn("sv2", norm2Q(col("sv")))
+      .repartition(col("vec_id"), col("mi"))
+      .localCheckpoint(true)
     // seed codebook: sub-vectors of the deterministic sample (clear of
     // the probe set), one K-entry table per subspace
     val seedCb = subvecs
       .filter(col("vec_id") >= 100 && col("vec_id") < 100 + kCode)
       .select((col("vec_id") - 100).as("code"), col("mi"), col("sv").as("cv"))
       .withColumn("c2", norm2Q(col("cv")))
+    // TRAINING SAMPLE: Lloyd refinement runs over the sub-vectors of a
+    // deterministic id prefix, not the corpus — the production PQ
+    // shape (train on a bounded sample once, encode everything). At
+    // 100 TB the training cost is a constant while the encode pass
+    // scales with the corpus; locally it keeps the K-way expanded
+    // training joins sample-sized.
+    val trainVecs = subvecs.filter(col("vec_id") < trainN)
     val subDist =
-      (norm2Q(col("sv")) + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
-    def assign(cb: DataFrame): DataFrame = subvecs
+      (col("sv2") + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
+    // assignment needs only the ARGMIN: d2 = sv2 + c2 - 2·dot and sv2
+    // is constant per (vector, subspace), so ranking by c2 - 2·dot is
+    // the same argmin (ties still break on code) with a third less
+    // per-row work on the K-way expanded join — the hot path here
+    def assign(over: DataFrame, cb: DataFrame): DataFrame = over
       .join(broadcast(cb), Seq("mi"))
-      .select(col("vec_id"), col("mi"), col("code"), subDist)
+      .select(
+        col("vec_id"),
+        col("mi"),
+        col("code"),
+        (col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("dk")
+      )
       .groupBy(col("vec_id"), col("mi"))
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .agg(min_by(col("code"), struct(col("dk"), col("code"))).as("code"))
     // TRAIN the codebook: per-subspace Lloyd iterations with
     // floor-averaged integer components ((s - pmod(s, n)) DIV n ==
     // SQL's floor //), exactly as ann_ivf_kmeans trains its coarse
     // quantizer — so the refined codebook reproduces in the oracle.
     // Cells that attract no members drop out (both engines agree).
-    val codebook = (0 until iters).foldLeft(seedCb) { (cb, _) =>
-      assign(cb)
-        .join(subvecs, Seq("vec_id", "mi"))
-        .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
-        .groupBy(col("mi"), col("code"), col("i"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cvi", expr("(s - pmod(s, n)) DIV n"))
-        .groupBy(col("mi"), col("code"))
-        .agg(
-          transform(sort_array(collect_list(struct(col("i"), col("cvi")))), p => p.getField("cvi"))
-            .as("cv")
-        )
-        .withColumn("c2", norm2Q(col("cv")))
-    }
+    // The trained codebook is localCheckpoint'd ONCE: its lineage
+    // nests every iteration's sample-wide assign join, and the two
+    // downstream consumers (the encode pass AND the ADC table) would
+    // each re-execute the whole training chain without the cut. The
+    // iterations themselves stay lazy inside one DAG — no per-round
+    // job boundary.
+    val codebook = (0 until iters)
+      .foldLeft(seedCb) { (cb, _) =>
+        assign(trainVecs, cb)
+          .join(trainVecs, Seq("vec_id", "mi"))
+          .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+          .groupBy(col("mi"), col("code"), col("i"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("cvi", expr("(s - pmod(s, n)) DIV n"))
+          .groupBy(col("mi"), col("code"))
+          .agg(
+            transform(sort_array(collect_list(struct(col("i"), col("cvi")))), p => p.getField("cvi"))
+              .as("cv")
+          )
+          .withColumn("c2", norm2Q(col("cv")))
+      }
+      .localCheckpoint(true)
     // PQ encode: per (vector, subspace) the nearest codebook entry by
     // exact integer L2 — min_by collapses the K-expanded rows map-side
-    val codes = assign(codebook)
+    val codes = assign(subvecs, codebook)
     // ADC lookup table: probe-to-codebook distances (nProbes × m × K rows)
     val pd = subvecs
       .filter(col("vec_id") < nProbes)
