@@ -360,6 +360,21 @@ object Dedup {
     releaseAfterRun(spark, out, Seq(lsh.bands, groups, repLabels))
   }
 
+  // -------------------------------------------------------------------
+  // 23h. dedup_cluster_stats — cluster-size distribution: how many
+  // near-dup clusters of each size the corpus holds, the one-page
+  // report a dedup pipeline publishes after clustering ("408 pairs,
+  // 12 triples, one 40k-copy boilerplate family"). Two tiny
+  // aggregations over the O(n) label table — the expensive part is
+  // [[clusters]], shared.
+  // -------------------------------------------------------------------
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    clusters(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Distributed connected components over a (doc_a, doc_b) pair set.
     *
     * Each round combines MIN-LABEL RELAXATION (every node takes the

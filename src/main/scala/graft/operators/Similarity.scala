@@ -327,6 +327,46 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // 28e. ann_range_search — RANGE query: every neighbor above a cosine
+  // threshold, not a fixed top-k (the dedup/link-discovery shape:
+  // "give me all matches", unknown result size). Same bucketed plan as
+  // ann_lsh_bucketed — probes broadcast, search touches bucket-mates
+  // only — but the window/top-k stage disappears entirely: the
+  // threshold is a scan-stage filter, so the plan has ZERO wide
+  // operators after the bucket join. At 100 TB the result streams out
+  // without ever ranking.
+  // -------------------------------------------------------------------
+  def annRangeSearch(
+      spark: SparkSession,
+      dir: String,
+      nPlanes: Int = 4,
+      nProbes: Int = 5,
+      thresholdMicro: Long = 150000L
+  ): DataFrame = {
+    val planes = PortableHash.planeWeights(nPlanes, 64)
+    val bucket = planes.zipWithIndex
+      .map { case (wts, p) =>
+        when(dotQ(col("q"), typedlit(wts)) > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+      .cast("long")
+    val q = quantized(spark, dir).withColumn("bucket", bucket)
+    val probes = q
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("bucket"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    q.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        col("bucket"),
+        round(cos * lit(1000000)).cast("long").as("cos_micro")
+      )
+      .filter(col("cos_micro") >= thresholdMicro)
+  }
+
+  // -------------------------------------------------------------------
   // 28. ann_lsh_bucketed — hyperplane-LSH bucketing + in-bucket exact
   // top-k. 4 planes -> 16 buckets here; at scale the plane count grows
   // with corpus size (buckets ~ corpus/expected-bucket-size) and the
