@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "ann_pq_search"       -> ((s, d) => Similarity.annPqSearch(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
+    "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_bigram_pmi"  -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
@@ -174,6 +175,34 @@ object SparkEntry {
          |       FROM as$t a JOIN svt s ON s.vec_id = a.vec_id AND s.mi = a.mi
          |       GROUP BY 1, 2, s.i)""".stripMargin
     }.mkString(",\n")
+
+  /** bucketed cosine range search (all neighbors >= threshold) —
+    * shared by ann_range_search and its streaming dual
+    */
+  private lazy val rangeSearchOracleSql: String =
+    s"""WITH $quantCtes,
+       |pl AS (SELECT p, i,
+       |         2 * (instr('0123456789abcdef',
+       |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+       |       FROM (SELECT unnest(generate_series(0, 3)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+       |db AS (SELECT q.vec_id, pl.p, CAST(SUM(q.v * pl.w) AS BIGINT) AS dt
+       |       FROM q JOIN pl ON pl.i = q.i GROUP BY 1, 2),
+       |bk AS (SELECT vec_id,
+       |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM db GROUP BY 1),
+       |cd AS (SELECT pr.vec_id AS probe_id, bk.vec_id AS neighbor_id, pr.bucket
+       |       FROM (SELECT * FROM bk WHERE vec_id < 5) pr
+       |       JOIN bk ON bk.bucket = pr.bucket AND bk.vec_id != pr.vec_id),
+       |dt AS (SELECT cd.probe_id, cd.neighbor_id, cd.bucket, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |       FROM cd JOIN q a ON a.vec_id = cd.probe_id
+       |       JOIN q b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+       |       GROUP BY 1, 2, 3),
+       |sc AS (SELECT probe_id, neighbor_id, bucket,
+       |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+       |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+       |SELECT probe_id, neighbor_id, bucket,
+       |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+       |FROM sc WHERE CAST(round(cos * 1000000) AS BIGINT) >= 150000""".stripMargin
 
   private val incrementalOracleSql: String =
     s"""WITH $shingleCtes,
@@ -415,31 +444,11 @@ object SparkEntry {
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 10""".stripMargin,
     // range search: same bucketed candidate generation as
-    // ann_lsh_bucketed, threshold filter instead of top-k ranking
-    "ann_range_search" ->
-      s"""WITH $quantCtes,
-         |pl AS (SELECT p, i,
-         |         2 * (instr('0123456789abcdef',
-         |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
-         |       FROM (SELECT unnest(generate_series(0, 3)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
-         |db AS (SELECT q.vec_id, pl.p, CAST(SUM(q.v * pl.w) AS BIGINT) AS dt
-         |       FROM q JOIN pl ON pl.i = q.i GROUP BY 1, 2),
-         |bk AS (SELECT vec_id,
-         |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
-         |       FROM db GROUP BY 1),
-         |cd AS (SELECT pr.vec_id AS probe_id, bk.vec_id AS neighbor_id, pr.bucket
-         |       FROM (SELECT * FROM bk WHERE vec_id < 5) pr
-         |       JOIN bk ON bk.bucket = pr.bucket AND bk.vec_id != pr.vec_id),
-         |dt AS (SELECT cd.probe_id, cd.neighbor_id, cd.bucket, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-         |       FROM cd JOIN q a ON a.vec_id = cd.probe_id
-         |       JOIN q b ON b.vec_id = cd.neighbor_id AND b.i = a.i
-         |       GROUP BY 1, 2, 3),
-         |sc AS (SELECT probe_id, neighbor_id, bucket,
-         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
-         |SELECT probe_id, neighbor_id, bucket,
-         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
-         |FROM sc WHERE CAST(round(cos * 1000000) AS BIGINT) >= 150000""".stripMargin,
+    // ann_lsh_bucketed, threshold filter instead of top-k ranking.
+    // ann_stream_search shares it: the stream-static bucket join over
+    // an AvailableNow drain emits exactly the batch range search.
+    "ann_range_search" -> rangeSearchOracleSql,
+    "ann_stream_search" -> rangeSearchOracleSql,
     "ann_ivf_bucketed" ->
       s"""WITH $quantCtes,
          |seed AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),

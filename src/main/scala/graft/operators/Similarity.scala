@@ -22,11 +22,24 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
       .withColumn("n2", norm2Q(col("q")))
+
+  /** hyperplane-LSH bucket id over a quantized vector column `q` —
+    * shared by the batch bucketed searches and the streaming dual
+    */
+  private[graft] def bucketExpr(nPlanes: Int): org.apache.spark.sql.Column =
+    PortableHash
+      .planeWeights(nPlanes, 64)
+      .zipWithIndex
+      .map { case (wts, p) =>
+        when(dotQ(col("q"), typedlit(wts)) > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+      .cast("long")
 
   // -------------------------------------------------------------------
   // 27. ann_topk_bruteforce — exact top-k cosine for a probe set.
@@ -343,14 +356,7 @@ object Similarity {
       nProbes: Int = 5,
       thresholdMicro: Long = 150000L
   ): DataFrame = {
-    val planes = PortableHash.planeWeights(nPlanes, 64)
-    val bucket = planes.zipWithIndex
-      .map { case (wts, p) =>
-        when(dotQ(col("q"), typedlit(wts)) > 0, lit(1 << p)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
-      .cast("long")
-    val q = quantized(spark, dir).withColumn("bucket", bucket)
+    val q = quantized(spark, dir).withColumn("bucket", bucketExpr(nPlanes))
     val probes = q
       .filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("bucket"))
@@ -373,15 +379,7 @@ object Similarity {
   // in-bucket search stays constant-cost.
   // -------------------------------------------------------------------
   def annLshBucketed(spark: SparkSession, dir: String, nPlanes: Int = 4, nProbes: Int = 5, k: Int = 10): DataFrame = {
-    val planes = PortableHash.planeWeights(nPlanes, 64)
-    val bucket = planes.zipWithIndex
-      .map { case (wts, p) =>
-        when(dotQ(col("q"), typedlit(wts)) > 0, lit(1 << p)).otherwise(lit(0))
-      }
-      .reduce(_ + _)
-      .cast("long")
-
-    val q = quantized(spark, dir).withColumn("bucket", bucket)
+    val q = quantized(spark, dir).withColumn("bucket", bucketExpr(nPlanes))
     val probes = q
       .filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("bucket"))

@@ -586,6 +586,50 @@ object StreamingIngest {
     spark.read.parquet(matchesPath)
   }
 
+  /** STREAMING ANN — probe vectors arrive as a stream and range-search
+    * a STATIC bucketed corpus (the online-serving shape: a 100 TB
+    * corpus indexed once, queries joined against it as they arrive).
+    * Stateless stream-static inner join on the LSH bucket key — no
+    * watermark, no state store: each micro-batch of probes touches its
+    * buckets and streams results out. Under an AvailableNow drain the
+    * emitted set equals the batch [[graft.operators.Similarity.annRangeSearch]]
+    * — the shared oracle.
+    */
+  def annStreamSearch(
+      spark: SparkSession,
+      dir: String,
+      nPlanes: Int = 4,
+      nProbes: Int = 5,
+      thresholdMicro: Long = 150000L
+  ): DataFrame = {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions._
+    val corpus = Similarity
+      .quantized(spark, dir)
+      .withColumn("bucket", Similarity.bucketExpr(nPlanes))
+    val schema = Tables.embeddings(spark, dir).schema
+    val probes = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/embeddings.parque[t]")
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), quantizeMicro(col("embedding")).as("q"))
+      .withColumn("pn2", norm2Q(col("q")))
+      .withColumn("bucket", Similarity.bucketExpr(nPlanes))
+      .select(col("probe_id"), col("q").as("pq"), col("pn2"), col("bucket"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val joined = probes
+      .join(corpus, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        col("bucket"),
+        round(cos * lit(1000000)).cast("long").as("cos_micro")
+      )
+      .filter(col("cos_micro") >= thresholdMicro)
+    runToMemory(spark, joined, "append")
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

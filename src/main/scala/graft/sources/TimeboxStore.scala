@@ -560,6 +560,41 @@ object TimeboxStore {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     decode(spark.table(table))
 
+  /** HYBRID layout: day-PARTITIONED directories × series-BUCKETED
+    * files — the two prunes composed. A time-range read drops whole
+    * day directories before any IO (partition pruning) and the
+    * surviving scan still carries the series bucket partitioning, so
+    * decode's per-block window and every per-series aggregation run
+    * with ZERO exchanges (HashPartitioning(series) satisfies any
+    * clustering that contains series). This is the production layout
+    * for "last week, these series" reads on a 100 TB store: both
+    * dominant predicates resolve before a byte of block data moves.
+    */
+  def writeHybridStore(spark: SparkSession, dir: String, table: String, buckets: Int = 8): Unit =
+    encode(
+      TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    ).write
+      .mode("overwrite")
+      .partitionBy("day_id")
+      .bucketBy(buckets, "series_id")
+      .sortBy("series_id")
+      .saveAsTable(table)
+
+  /** Range read off the hybrid table: day predicate prunes partitions,
+    * decode stays exchange-free on the bucket layout (StoreSpec
+    * asserts both on the same plan).
+    */
+  def readHybrid(spark: SparkSession, table: String, startUs: Long, endUs: Long): DataFrame = {
+    val store = spark.table(table)
+    val blockUs = storedBlockUs(store)
+    val blocks = store
+      .filter(col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs)
+      .filter(col("start_us") < endUs)
+    decode(blocks).filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+  }
+
   /** Deterministic scratch location under java.io.tmpdir, keyed by the
     * input dir so different scale factors don't collide; writers use
     * overwrite mode, so the path is reused — not leaked — across runs.

@@ -142,6 +142,33 @@ class StoreSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_blocks_bucketed")
   }
 
+  test("hybrid store: day partitions prune AND per-series aggregation stays exchange-free, one plan") {
+    TimeboxStore.writeHybridStore(spark, sf, "graft_blocks_hybrid")
+    try {
+      val (startUs, endUs) = (1704672000000000L, 1705276800000000L) // 2024-01-08 .. 01-15
+      val perSeries = TimeboxStore
+        .readHybrid(spark, "graft_blocks_hybrid", startUs, endUs)
+        .groupBy(col("series_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("value_c")).as("sum_c"))
+      // (a) the day range reached the scan as a partition filter
+      val scan = perSeries.queryExecution.sparkPlan
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .head
+      assert(scan.partitionFilters.nonEmpty, "day range did not become a partition filter")
+      // (b) the same plan runs the window + per-series agg with zero
+      // exchanges off the bucket layout
+      val plan = perSeries.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"hybrid decode still shuffles:\n$plan")
+      // (c) and it is exactly the raw-events range aggregation
+      val direct = original
+        .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+        .groupBy(col("user_id").as("series_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("value_c")).as("sum_c"))
+      assert(perSeries.exceptAll(direct).count() === 0)
+      assert(direct.exceptAll(perSeries).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_blocks_hybrid")
+  }
+
   test("store range read prunes day partitions and matches the raw-events range exactly") {
     val out = java.nio.file.Files.createTempDirectory("graft_store_range").toString
     TimeboxStore.writePartitioned(spark, sf, out)
