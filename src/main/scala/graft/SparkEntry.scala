@@ -55,6 +55,7 @@ object SparkEntry {
     "ts_store_value_read" -> ((s, d) => graft.sources.TimeboxStore.valueReadSummary(s, d)),
     "ts_store_multitag_read" -> ((s, d) => graft.sources.TimeboxStore.multitagValueReadSummary(s, d)),
     "ts_store_dict_read"  -> ((s, d) => graft.sources.TimeboxStore.dictReadSummary(s, d)),
+    "ts_store_counter_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.counterRoundtrip(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1234,6 +1235,18 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |  AND CAST(round(value*100) AS BIGINT) BETWEEN 9000 AND 12000
         |GROUP BY user_id""".stripMargin,
+    // mode-select roundtrip: the running-total tag exercises the
+    // zigzag-delta decode path; the oracle recomputes both tags from
+    // raw events, so loss in either mode fails the hash
+    "ts_store_counter_roundtrip" ->
+      """WITH c AS (SELECT user_id, value_c,
+        |  SUM(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS counter_c
+        |  FROM (SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS value_c FROM events))
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(counter_c) AS BIGINT) AS sum_counter_c,
+        |  CAST(MAX(counter_c) AS BIGINT) AS max_counter_c
+        |FROM c GROUP BY 1""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same
     // time-range + type-code filter over the raw events

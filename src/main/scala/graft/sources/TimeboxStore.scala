@@ -90,8 +90,13 @@ object TimeboxStore {
     // VALUE DICTIONARY when the block is low-cardinality (<= 16
     // distinct values: exact membership, zero false positives — the
     // skip structure enum-like tags deserve; high-cardinality tags
-    // store NULL and fall back to the bloom), offsets from min, width
-    // plan for the offsets
+    // store NULL and fall back to the bloom), then the ENCODING-MODE
+    // CHOICE: min-ref offsets ('m') vs zigzag deltas ('d'), whichever
+    // width plan prices the block narrower. Slow-moving tags
+    // (counters, drifting gauges) delta-pack to 1-2 bytes where
+    // min-ref pays the full block range; noisy tags keep min-ref. The
+    // choice is per block per tag, recorded in the layout, so decode
+    // needs no global knowledge.
     val withTags = tagCols.foldLeft(base) { (df, t) =>
       df.withColumn(s"min_$t", array_min(col(s"vals_$t")))
         .withColumn(s"max_$t", array_max(col(s"vals_$t")))
@@ -111,8 +116,23 @@ object TimeboxStore {
                |         shiftleft(1L, CAST(pmod(xxhash64('b2', v), 256) % 64 AS INT)), 0L)))""".stripMargin
           )
         )
-        .withColumn(s"offs_$t", expr(s"transform(vals_$t, v -> v - min_$t)"))
-        .withColumn(s"bytes_$t", widthOf(coalesce(array_max(col(s"offs_$t")), lit(0L))))
+        .withColumn(s"offs_m_$t", expr(s"transform(vals_$t, v -> v - min_$t)"))
+        // deltas: first element from the block min, then value-to-value;
+        // zigzag ((d << 1) ^ (d >> 63)) maps signed deltas to small
+        // unsigned codes the shared width plan can price
+        .withColumn(
+          s"offs_d_$t",
+          expr(s"transform(vals_$t, (v, i) -> IF(i = 0, v - min_$t, v - vals_$t[i - 1]))")
+        )
+        .withColumn(s"offs_d_$t", expr(s"transform(offs_d_$t, d -> shiftleft(d, 1) ^ shiftright(d, 63))"))
+        .withColumn(s"bytes_m_$t", widthOf(coalesce(array_max(col(s"offs_m_$t")), lit(0L))))
+        .withColumn(s"bytes_d_$t", widthOf(coalesce(array_max(col(s"offs_d_$t")), lit(0L))))
+        .withColumn(s"mode_$t", when(col(s"bytes_d_$t") < col(s"bytes_m_$t"), lit("d")).otherwise(lit("m")))
+        .withColumn(
+          s"offs_$t",
+          when(col(s"mode_$t") === "d", col(s"offs_d_$t")).otherwise(col(s"offs_m_$t"))
+        )
+        .withColumn(s"bytes_$t", least(col(s"bytes_m_$t"), col(s"bytes_d_$t")))
     }
     withTags.select(
       Seq(
@@ -129,7 +149,15 @@ object TimeboxStore {
         col("deltas"),
         col("seqs")
       ) ++ tagCols.flatMap(t =>
-        Seq(col(s"min_$t"), col(s"max_$t"), col(s"bloom_$t"), col(s"dict_$t"), col(s"offs_$t"), col(s"bytes_$t"))
+        Seq(
+          col(s"min_$t"),
+          col(s"max_$t"),
+          col(s"bloom_$t"),
+          col(s"dict_$t"),
+          col(s"mode_$t"),
+          col(s"offs_$t"),
+          col(s"bytes_$t")
+        )
       ): _*
     )
   }
@@ -189,15 +217,26 @@ object TimeboxStore {
           col("start_us"),
           col("unit_us"),
           posexplode(expr(zipped)).as(Seq("pos", "p"))
-        ) ++ tagCols.map(t => col(s"min_$t")): _*
+        ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"mode_$t"))): _*
       )
       .withColumn("ts_us", col("start_us") + sum(col("p.deltas")).over(w) * col("unit_us"))
+      // mode-'d' tags: un-zigzag ((zz >> 1) ^ -(zz & 1)) and running-sum
+      // the deltas over the same block window the timestamps use
+      .transform(df =>
+        tagCols.foldLeft(df) { (d, t) =>
+          d.withColumn(s"cum_$t", sum(expr(s"shiftright(p.offs_$t, 1) ^ -(p.offs_$t & 1)")).over(w))
+        }
+      )
       .select(
         Seq(
           col("series_id"),
           col("ts_us"),
           col("p.seqs").as("seq")
-        ) ++ tagCols.map(t => (col(s"min_$t") + col(s"p.offs_$t")).as(t)): _*
+        ) ++ tagCols.map(t =>
+          when(col(s"mode_$t") === "d", col(s"min_$t") + col(s"cum_$t"))
+            .otherwise(col(s"min_$t") + col(s"p.offs_$t"))
+            .as(t)
+        ): _*
       )
   }
 
@@ -380,6 +419,42 @@ object TimeboxStore {
         count(lit(1)).as("n_points"),
         sum(col("qty_c")).as("sum_qty_c"),
         sum(col("price_c")).as("sum_price_c")
+      )
+  }
+
+  /** Counter points: value_c plus a per-series RUNNING-TOTAL tag — the
+    * monotone, wide-range shape where the zigzag-delta mode's width
+    * plan beats min-ref (deltas are one observation, the range is the
+    * whole block's drift).
+    */
+  def counterPoints(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("counter_c", sum(col("value_c")).over(w))
+  }
+
+  /** Oracle-gated mode-select roundtrip (ts_store_counter_roundtrip):
+    * 32-day blocks over (noisy value, monotone counter) — the counter
+    * tag picks the delta mode, the noisy tag keeps min-ref (StoreSpec
+    * asserts the split), and the oracle over raw events catches any
+    * loss in EITHER decode path.
+    */
+  def counterRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_ctr", dir)
+    encode(counterPoints(spark, dir), tagCols = Seq("value_c", "counter_c"), blockUs = 32 * DayUs)
+      .write.mode("overwrite").parquet(out)
+    decode(spark.read.parquet(out), Seq("value_c", "counter_c"))
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(col("counter_c")).as("sum_counter_c"),
+        max(col("counter_c")).as("max_counter_c")
       )
   }
 

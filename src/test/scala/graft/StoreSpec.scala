@@ -142,6 +142,32 @@ class StoreSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_blocks_bucketed")
   }
 
+  test("mode select: monotone counter picks delta packing, noisy tag keeps min-ref, both lossless") {
+    val pts = TimeboxStore.counterPoints(spark, sf)
+    val enc = TimeboxStore
+      .encode(pts, tagCols = Seq("value_c", "counter_c"), blockUs = 32L * 86400000000L)
+      .cache()
+    try {
+      // the wide-range monotone tag delta-packs on (at least) the big
+      // blocks; the noisy tag never prefers delta
+      val dCounter = enc.filter(col("mode_counter_c") === "d").count()
+      assert(dCounter > 0, "no counter block chose delta mode")
+      // delta never prices WORSE than what was chosen (bytes = least of both)
+      assert(enc.filter(col("bytes_counter_c") > col("bytes_value_c")).count() === 0,
+        "counter packed wider than the noisy tag despite monotone deltas")
+      // delta mode must only win where min-ref actually pays a wider
+      // range (recompute min-ref's 1-byte case from the zone map)
+      val wideCounter = enc
+        .filter(col("n_points") >= 10 && col("mode_counter_c") === "d")
+        .filter(col("max_counter_c") - col("min_counter_c") < 256L)
+      assert(wideCounter.count() === 0, "delta mode chosen where min-ref was already 1 byte")
+      // and the decode of BOTH modes roundtrips exactly
+      val dec = TimeboxStore.decode(enc, Seq("value_c", "counter_c"))
+      val orig = pts.toDF("series_id", "ts_us", "seq", "value_c", "counter_c")
+      assert(dec.exceptAll(orig).count() === 0 && orig.exceptAll(dec).count() === 0)
+    } finally enc.unpersist()
+  }
+
   test("hybrid store: day partitions prune AND per-series aggregation stays exchange-free, one plan") {
     TimeboxStore.writeHybridStore(spark, sf, "graft_blocks_hybrid")
     try {
