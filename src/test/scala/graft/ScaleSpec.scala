@@ -47,6 +47,8 @@ class ScaleSpec extends AnyFunSuite {
     "ts_moving_avg",
     "ts_sessionize",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "q3_topk_revenue",
     "text_tokens",
     "pipeline_keep_set",
     "ann_topk_bruteforce"
