@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_cluster_stats"    -> ((s, d) => Dedup.clusterStats(s, d)),
+    "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -364,6 +365,27 @@ object SparkEntry {
          |  CAST(sp.n_shared * 1000000 // a.n_sh AS BIGINT) AS contain_a_micro,
          |  CAST(sp.n_shared * 1000000 // b.n_sh AS BIGINT) AS contain_b_micro
          |FROM sp JOIN sz a ON a.source = sp.source_a JOIN sz b ON b.source = sp.source_b""".stripMargin,
+    // per-doc decontamination: 8-token anchors of the MIN-source docs
+    // vs the distinct anchor set of every other source
+    "contamination_doc_overlap" ->
+      s"""WITH m AS (SELECT MIN(source) AS es FROM documents),
+         |d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |esh AS (SELECT DISTINCT doc_id,
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS sh
+         |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |              FROM d, m WHERE d.source = m.es AND len(toks) >= 8)),
+         |tsh AS (SELECT DISTINCT
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS sh
+         |        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |              FROM d, m WHERE d.source != m.es AND len(toks) >= 8)),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM esh GROUP BY 1),
+         |hit AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |        FROM esh e JOIN tsh t ON t.sh = e.sh GROUP BY 1)
+         |SELECT c.doc_id, c.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) * 1000000 // c.n_sh AS BIGINT) AS overlap_micro
+         |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCtes,
          |ps AS (SELECT LEAST(da.source, db.source) AS source_a,

@@ -835,6 +835,51 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23j. contamination_doc_overlap — per-DOCUMENT decontamination
+  // verdict: for every doc of the eval source (deterministically the
+  // MIN source id), the fraction of its distinct 8-token shingles that
+  // appear verbatim anywhere in the OTHER sources. Source-level
+  // matrices say "feed A leaks into B"; this is the per-doc number a
+  // decontamination pass actually thresholds on ("drop eval docs >50%
+  // covered by training text"). Scale shape: one shuffle join on the
+  // shingle — the train side is a corpus-wide DISTINCT shingle set
+  // (vocabulary-sized after dedup), the eval side is per-doc shingles;
+  // the join emits at most the eval side's row count. Long anchors
+  // (8 tokens) make a hit mean an exact phrase copy, not topical
+  // similarity.
+  // -------------------------------------------------------------------
+  def contaminationDocOverlap(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+    val evalSrc = docs.agg(min(col("source")).as("eval_src"))
+    val tagged = docs.crossJoin(broadcast(evalSrc))
+    val evalSh = shinglesOf(
+      tagged.filter(col("source") === col("eval_src")).select(col("doc_id"), col("norm")),
+      n
+    ).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainSh = shinglesOf(
+      tagged.filter(col("source") =!= col("eval_src")).select(col("doc_id"), col("norm")),
+      n
+    ).select(col("shingle")).distinct()
+    val counts = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = evalSh
+      .join(trainSh, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val out = counts
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0) * 1000000 DIV n_sh").as("overlap_micro")
+      )
+    releaseAfterRun(spark, out, Seq(evalSh))
+  }
+
+  // -------------------------------------------------------------------
   // 23f. dedup_skewed_corpus — the adversarial-skew drill: the corpus
   // plus a synthetic 10k-copy clone cluster of one document (the
   // boilerplate/license-text shape real crawls contain). The skew-safe
