@@ -46,7 +46,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_bucketed",
     "ann_ivf_kmeans",
     "text_bigram_pmi",
-    "sample_temperature"
+    "sample_temperature",
+    "contamination_doc_overlap" // 1-row MIN(source) broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
