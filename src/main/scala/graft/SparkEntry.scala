@@ -80,8 +80,10 @@ object SparkEntry {
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_clusters_star"    -> ((s, d) => Dedup.clustersStar(s, d)),
     "dedup_cluster_stats"    -> ((s, d) => Dedup.clusterStats(s, d)),
     "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
+    "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -243,6 +245,19 @@ object SparkEntry {
          |)
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // the star-contraction CC must land on the SAME min-label
+    // components as relax+jump — one oracle, two distributed cores
+    "dedup_clusters_star" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE $shingleCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -386,6 +401,33 @@ object SparkEntry {
          |SELECT c.doc_id, c.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
          |  CAST(COALESCE(h.n_hit, 0) * 1000000 // c.n_sh AS BIGINT) AS overlap_micro
          |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+    // longest shared token run per eval doc: consecutive same-diagonal
+    // anchor streaks + (n-1); 1-based vs 0-based positions cancel in
+    // the diagonal arithmetic
+    "contamination_long_match" ->
+      s"""WITH m AS (SELECT MIN(source) AS es FROM documents),
+         |d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |esh AS (SELECT doc_id, i AS pos,
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS sh
+         |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |              FROM d, m WHERE d.source = m.es AND len(toks) >= 8)),
+         |tsh AS (SELECT doc_id AS t_doc, i AS t_pos,
+         |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS sh
+         |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |              FROM d, m WHERE d.source != m.es AND len(toks) >= 8)),
+         |isl AS (SELECT e.doc_id, t.t_doc, e.pos - t.t_pos AS diag, e.pos,
+         |          e.pos - ROW_NUMBER() OVER (PARTITION BY e.doc_id, t.t_doc, e.pos - t.t_pos
+         |                                     ORDER BY e.pos) AS island
+         |        FROM esh e JOIN tsh t ON t.sh = e.sh),
+         |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS streak
+         |       FROM isl GROUP BY doc_id, t_doc, diag, island),
+         |mr AS (SELECT doc_id, MAX(streak) + 7 AS max_run FROM st GROUP BY 1),
+         |cnt AS (SELECT doc_id, CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_sh FROM esh GROUP BY 1)
+         |SELECT c.doc_id, c.n_sh,
+         |  CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run_tokens
+         |FROM cnt c LEFT JOIN mr ON mr.doc_id = c.doc_id""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCtes,
          |ps AS (SELECT LEAST(da.source, db.source) AS source_a,
@@ -1258,16 +1300,20 @@ object SparkEntry {
         |  AND CAST(round(value*100) AS BIGINT) BETWEEN 9000 AND 12000
         |GROUP BY user_id""".stripMargin,
     // mode-select roundtrip: the running-total tag exercises the
-    // zigzag-delta decode path; the oracle recomputes both tags from
-    // raw events, so loss in either mode fails the hash
+    // zigzag-delta decode path, the jittery ramp tag the
+    // delta-of-delta path; the oracle recomputes all three tags from
+    // raw events, so loss in any mode fails the hash
     "ts_store_counter_roundtrip" ->
       """WITH c AS (SELECT user_id, value_c,
-        |  SUM(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS counter_c
+        |  SUM(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS counter_c,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 1000 + event_id % 7 AS trend_c
         |  FROM (SELECT user_id, ts, event_id, CAST(round(value*100) AS BIGINT) AS value_c FROM events))
         |SELECT user_id, COUNT(*) AS n_points,
         |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(counter_c) AS BIGINT) AS sum_counter_c,
-        |  CAST(MAX(counter_c) AS BIGINT) AS max_counter_c
+        |  CAST(MAX(counter_c) AS BIGINT) AS max_counter_c,
+        |  CAST(SUM(trend_c) AS BIGINT) AS sum_trend_c,
+        |  CAST(MAX(trend_c) AS BIGINT) AS max_trend_c
         |FROM c GROUP BY 1""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same

@@ -140,6 +140,56 @@ object Compression {
       )
       .withColumn("float_bytes", when(col("n_f32_ok") === col("n"), 4L).otherwise(8L))
   }
+
+  // -------------------------------------------------------------------
+  // 5c. ts_float_xor — Gorilla-style XOR float packing (Pelkonen et
+  // al., VLDB'15; the reference's float path stores raw f64/f32,
+  // numpy_utils.py:103-184 — XOR packing is the lossless upgrade for
+  // floats the fixed-point ladder can't take). Per (series, day) block,
+  // ordered by (ts, seq): xd[i] = bits(v[i]) XOR bits(v[i-1]) (first
+  // element keeps its raw bits). Consecutive gauge samples share
+  // sign/exponent/high-mantissa bits, so xd packs into the few
+  // MEANINGFUL bytes the width plan prices — and the decode is a
+  // running bit_xor over the same block window the timestamp decode
+  // already pays, reconstructing every bit pattern EXACTLY (NaN
+  // payloads included; cents-rounding never enters the codec).
+  //
+  // Scale shape: one shuffle on the block key for the lag, the same
+  // window for the cumulative XOR, partial-aggregable per-series
+  // summary on top. The bit view is a codegen'd native expression
+  // ([[graft.expressions.FloatBits]]) — no UDF, no codegen break.
+  //
+  // The oracle pins the roundtrip: n_bits_exact must equal n_points
+  // (DuckDB asserts COUNT(*) twice) and the reconstructed values'
+  // fixed-point sum must match the raw table's.
+  // -------------------------------------------------------------------
+  def floatXorRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.expressions.FloatBits._
+    val day = expr("ts_us DIV 86400000000")
+    val w = Window.partitionBy(col("user_id"), col("day_id")).orderBy(col("ts_us"), col("event_id"))
+    val encoded = eventsUs(spark, dir)
+      .select(col("user_id"), day.as("day_id"), col("ts_us"), col("event_id"), col("value"))
+      .withColumn("bits", doubleBits(col("value")))
+      .withColumn("xd", coalesce(col("bits").bitwiseXOR(lag(col("bits"), 1).over(w)), col("bits")))
+      // the codec's stored column is xd alone; `bits` stays only as
+      // the co-located roundtrip witness (no re-scan, no join)
+      .select(col("user_id"), col("day_id"), col("ts_us"), col("event_id"), col("xd"), col("bits"))
+    encoded
+      .withColumn(
+        "rec_bits",
+        expr(
+          "bit_xor(xd) OVER (PARTITION BY user_id, day_id ORDER BY ts_us, event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+      )
+      .withColumn("recon", bitsDouble(col("rec_bits")))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("rec_bits") === col("bits"), 1L).otherwise(0L)).as("n_bits_exact"),
+        sum(cents(col("recon"))).as("sum_value_c")
+      )
+  }
 }
 
 /** The reference's f64->f32->f16 ladder needs a float16 leg; JDK 17

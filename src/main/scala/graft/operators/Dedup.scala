@@ -334,11 +334,24 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String, maxIters: Int = 20): DataFrame =
     clustersFromNorm(spark, docsNorm(spark, dir), maxIters)
 
-  private[graft] def clustersFromNorm(spark: SparkSession, norm: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** [[clusters]] with the star-contraction CC core — identical labels
+    * (both converge to the component min), different scaling trade:
+    * see [[connectedComponentsStar]]. Oracle-gated by the same
+    * recursive-reachability SQL as dedup_clusters.
+    */
+  def clustersStar(spark: SparkSession, dir: String, maxIters: Int = 30): DataFrame =
+    clustersFromNorm(spark, docsNorm(spark, dir), maxIters, connectedComponentsStar)
+
+  private[graft] def clustersFromNorm(
+      spark: SparkSession,
+      norm: DataFrame,
+      maxIters: Int = 20,
+      ccCore: (DataFrame, Int) => DataFrame = connectedComponents
+  ): DataFrame = {
     val c = collapseExact(norm)
     val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
-    val repLabels = connectedComponents(lsh.pairs, maxIters)
+    val repLabels = ccCore(lsh.pairs, maxIters)
     // groups whose members pair only among themselves (exact clones of
     // a banded rep with no near-dup partner): their own component,
     // labelled by the rep
@@ -448,6 +461,99 @@ object Dedup {
           "changing): a component's diameter exceeds the round budget — raise maxIters"
       )
     labels
+  }
+
+  /** Alternating LARGE-STAR / SMALL-STAR connected components (the
+    * MapReduce CC of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the alternative to
+    * [[connectedComponents]] for adversarially DEEP components. Both
+    * are O(log) rounds, but the star operations rewrite the EDGE SET
+    * itself (every round reattaches nodes directly to their
+    * neighborhood minimum) instead of keeping the original edges and
+    * relaxing a label table against them, so each round's join cost
+    * SHRINKS with the contracting edge set where relax+jump re-scans
+    * every original edge each round — the better trade once
+    * components are long chains of millions of edges rather than LSH's
+    * shallow near-clique blobs.
+    *
+    *   - large-star: every node's strictly-LARGER neighbors reattach
+    *     to its neighborhood min (never creates self-loops, halves
+    *     long chains);
+    *   - small-star: every node's smaller-or-equal neighbors compact
+    *     onto the local min (turns the halved chains into stars).
+    *
+    * Convergence = the canonical undirected edge set reaches a
+    * fixpoint; at that point every component IS a star around its
+    * min node (asserted structurally: each leaf has exactly one
+    * edge), and labels read off the edge list with no final
+    * aggregation. Same contract as [[connectedComponents]]: one
+    * (doc_id, cluster_id = component min) row per node that appears
+    * in `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var und = pairs
+      .select(
+        least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi")
+      )
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(mem)
+    var undCount = und.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val sym = und
+        .select(col("lo").as("src"), col("hi").as("dst"))
+        .union(und.select(col("hi").as("src"), col("lo").as("dst")))
+      // large-star: m(u) = min(N(u) ∪ {u}); every neighbor v > u
+      // re-attaches as (m(u), v). m <= u < v, so no self-loops.
+      val mins = sym
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("src").as("u"), least(col("src"), col("nmin")).as("m"))
+      val ls = sym
+        .filter(col("dst") > col("src"))
+        .join(mins, col("src") === col("u"))
+        .select(col("m").as("lo"), col("dst").as("hi"))
+        .distinct()
+      // small-star over the large-star output: every node u with
+      // below-neighbors compacts them (and itself) onto their min.
+      val sym2 = ls
+        .select(col("lo").as("src"), col("hi").as("dst"))
+        .union(ls.select(col("hi").as("src"), col("lo").as("dst")))
+      val below = sym2.filter(col("dst") < col("src"))
+      val mins2 = below.groupBy(col("src").as("u2")).agg(min(col("dst")).as("m2"))
+      val ss = below
+        .join(mins2, col("src") === col("u2"))
+        .select(col("m2").as("lo"), col("dst").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+        .union(below.join(mins2, col("src") === col("u2")).select(col("m2").as("lo"), col("src").as("hi")))
+        .distinct()
+      // fixpoint check + the per-round lineage cut (the edge set is
+      // rewritten every round; without the cut the plan doubles)
+      val next = ss.localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == undCount && next.exceptAll(und).isEmpty
+      und.unpersist()
+      und = next.persist(mem)
+      undCount = nextCount
+      iter += 1
+    }
+    // structural star check: a fixpoint of both operations must leave
+    // every leaf exactly one edge (to its component min) — if not, the
+    // round budget was too small for the component depth
+    val nonStar = und.groupBy(col("hi")).agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    if (!converged || nonStar > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not reach a star fixpoint after $maxIters rounds " +
+          s"($nonStar leaves with >1 edge): raise maxIters"
+      )
+    val out = und
+      .select(col("hi").as("doc_id"), col("lo").as("cluster_id"))
+      .union(und.select(col("lo"), col("lo")).distinct())
+    releaseAfterRun(und.sparkSession, out, Seq(und))
   }
 
   // -------------------------------------------------------------------
@@ -878,6 +984,82 @@ object Dedup {
       )
     releaseAfterRun(spark, out, Seq(evalSh))
   }
+
+  // -------------------------------------------------------------------
+  // 23l. contamination_long_match — LONGEST exact token run each eval
+  // doc shares with any training-source doc, the "50-consecutive-token"
+  // rule decontamination pipelines enforce. Anchor-and-extend, no
+  // suffix structure: every common run of L >= n tokens shows up as
+  // L-n+1 consecutive n-token anchors on ONE (eval_pos - train_pos)
+  // diagonal of one doc pair, so the longest run is the longest
+  // same-diagonal anchor streak plus n-1 — exact for runs >= n, and
+  // runs < n are below the audit threshold by construction. Scale
+  // shape: the join is anchor-keyed (8-token anchors are phrase-
+  // specific, so fan-out stays near 1); streaks are a gaps-and-islands
+  // window per (pair, diagonal) — partition keys are fine-grained, no
+  // skew pile-up; output is one row per eval doc.
+  // -------------------------------------------------------------------
+  def contaminationLongMatch(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+    val evalSrc = docs.agg(min(col("source")).as("eval_src"))
+    val tagged = docs.crossJoin(broadcast(evalSrc))
+    val evalSh = shinglePositionsOf(
+      tagged.filter(col("source") === col("eval_src")).select(col("doc_id"), col("norm")),
+      n
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainSh = shinglePositionsOf(
+      tagged.filter(col("source") =!= col("eval_src")).select(col("doc_id"), col("norm")),
+      n
+    ).withColumnRenamed("doc_id", "t_doc").withColumnRenamed("pos", "t_pos")
+    val streaks = evalSh
+      .join(trainSh, Seq("shingle"))
+      .select(col("doc_id"), col("t_doc"), (col("pos") - col("t_pos")).as("diag"), col("pos"))
+      // same diagonal => same aligned run; consecutive pos values chain.
+      // pos is unique per (pair, diag), so pos - row_number is the
+      // classic island id
+      .withColumn(
+        "island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id"), col("t_doc"), col("diag")).orderBy(col("pos"))
+        )
+      )
+      .groupBy(col("doc_id"), col("t_doc"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("streak"))
+    val runs = streaks
+      .groupBy(col("doc_id"))
+      .agg((max(col("streak")) + lit(n - 1)).as("max_run"))
+    val out = evalSh
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_sh"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        coalesce(col("max_run"), lit(0L)).as("max_run_tokens")
+      )
+    releaseAfterRun(spark, out, Seq(evalSh))
+  }
+
+  /** [[shinglesOf]] with the anchor's starting TOKEN POSITION — the
+    * coordinate the long-match diagonal chaining needs.
+    */
+  private[graft] def shinglePositionsOf(normed: DataFrame, n: Int): DataFrame =
+    normed
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(
+            size(col("toks")) >= n,
+            expr(
+              s"transform(sequence(0, size(toks) - $n), i -> " +
+                (0 until n).map(o => s"toks[i + $o]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+            )
+          ).otherwise(array())
+        ).as(Seq("pos", "shingle"))
+      )
 
   // -------------------------------------------------------------------
   // 23f. dedup_skewed_corpus — the adversarial-skew drill: the corpus

@@ -91,12 +91,16 @@ object TimeboxStore {
     // distinct values: exact membership, zero false positives — the
     // skip structure enum-like tags deserve; high-cardinality tags
     // store NULL and fall back to the bloom), then the ENCODING-MODE
-    // CHOICE: min-ref offsets ('m') vs zigzag deltas ('d'), whichever
-    // width plan prices the block narrower. Slow-moving tags
-    // (counters, drifting gauges) delta-pack to 1-2 bytes where
-    // min-ref pays the full block range; noisy tags keep min-ref. The
-    // choice is per block per tag, recorded in the layout, so decode
-    // needs no global knowledge.
+    // CHOICE: min-ref offsets ('m') vs zigzag deltas ('d') vs
+    // DELTA-OF-DELTA ('D', Gorilla-style: per-block header carries the
+    // first value and first delta, the payload is zigzagged SECOND
+    // differences), whichever width plan prices the block narrower.
+    // Slow-moving tags (counters, drifting gauges) delta-pack to 1-2
+    // bytes where min-ref pays the full block range; near-LINEAR tags
+    // (regular counters, ramps, row-indexed sequences) second-diff to
+    // ~0 where even the delta mode pays the slope every element; noisy
+    // tags keep min-ref. The choice is per block per tag, recorded in
+    // the layout, so decode needs no global knowledge.
     val withTags = tagCols.foldLeft(base) { (df, t) =>
       df.withColumn(s"min_$t", array_min(col(s"vals_$t")))
         .withColumn(s"max_$t", array_max(col(s"vals_$t")))
@@ -125,14 +129,36 @@ object TimeboxStore {
           expr(s"transform(vals_$t, (v, i) -> IF(i = 0, v - min_$t, v - vals_$t[i - 1]))")
         )
         .withColumn(s"offs_d_$t", expr(s"transform(offs_d_$t, d -> shiftleft(d, 1) ^ shiftright(d, 63))"))
+        // delta-of-delta: header = (v[0]-min, d1 = v[1]-v[0]); payload
+        // positions 0 and 1 are structural zeros (the header carries
+        // them) so the width plan prices only the true second diffs —
+        // without the header split, d1 alone would push a jittery ramp
+        // back to the delta mode's width
+        .withColumn(s"hdr0_$t", expr(s"vals_$t[0] - min_$t"))
+        .withColumn(s"hdr1_$t", expr(s"IF(size(vals_$t) > 1, vals_$t[1] - vals_$t[0], 0L)"))
+        .withColumn(
+          s"offs_dd_$t",
+          expr(
+            s"transform(vals_$t, (v, i) -> IF(i <= 1, 0L, (v - vals_$t[i-1]) - (vals_$t[i-1] - vals_$t[i-2])))"
+          )
+        )
+        .withColumn(s"offs_dd_$t", expr(s"transform(offs_dd_$t, d -> shiftleft(d, 1) ^ shiftright(d, 63))"))
         .withColumn(s"bytes_m_$t", widthOf(coalesce(array_max(col(s"offs_m_$t")), lit(0L))))
         .withColumn(s"bytes_d_$t", widthOf(coalesce(array_max(col(s"offs_d_$t")), lit(0L))))
-        .withColumn(s"mode_$t", when(col(s"bytes_d_$t") < col(s"bytes_m_$t"), lit("d")).otherwise(lit("m")))
+        .withColumn(s"bytes_dd_$t", widthOf(coalesce(array_max(col(s"offs_dd_$t")), lit(0L))))
+        .withColumn(
+          s"mode_$t",
+          when(col(s"bytes_dd_$t") < least(col(s"bytes_m_$t"), col(s"bytes_d_$t")), lit("D"))
+            .when(col(s"bytes_d_$t") < col(s"bytes_m_$t"), lit("d"))
+            .otherwise(lit("m"))
+        )
         .withColumn(
           s"offs_$t",
-          when(col(s"mode_$t") === "d", col(s"offs_d_$t")).otherwise(col(s"offs_m_$t"))
+          when(col(s"mode_$t") === "D", col(s"offs_dd_$t"))
+            .when(col(s"mode_$t") === "d", col(s"offs_d_$t"))
+            .otherwise(col(s"offs_m_$t"))
         )
-        .withColumn(s"bytes_$t", least(col(s"bytes_m_$t"), col(s"bytes_d_$t")))
+        .withColumn(s"bytes_$t", least(col(s"bytes_m_$t"), col(s"bytes_d_$t"), col(s"bytes_dd_$t")))
     }
     withTags.select(
       Seq(
@@ -155,6 +181,8 @@ object TimeboxStore {
           col(s"bloom_$t"),
           col(s"dict_$t"),
           col(s"mode_$t"),
+          col(s"hdr0_$t"),
+          col(s"hdr1_$t"),
           col(s"offs_$t"),
           col(s"bytes_$t")
         )
@@ -217,14 +245,24 @@ object TimeboxStore {
           col("start_us"),
           col("unit_us"),
           posexplode(expr(zipped)).as(Seq("pos", "p"))
-        ) ++ tagCols.flatMap(t => Seq(col(s"min_$t"), col(s"mode_$t"))): _*
+        ) ++ tagCols.flatMap(t =>
+          Seq(col(s"min_$t"), col(s"mode_$t"), col(s"hdr0_$t"), col(s"hdr1_$t"))
+        ): _*
       )
       .withColumn("ts_us", col("start_us") + sum(col("p.deltas")).over(w) * col("unit_us"))
       // mode-'d' tags: un-zigzag ((zz >> 1) ^ -(zz & 1)) and running-sum
-      // the deltas over the same block window the timestamps use
+      // the deltas over the same block window the timestamps use.
+      // mode-'D' tags need a SECOND running sum (sum of sums turns
+      // second diffs back into value offsets); both windows share the
+      // block partitioning, so the sort is paid once.
       .transform(df =>
         tagCols.foldLeft(df) { (d, t) =>
           d.withColumn(s"cum_$t", sum(expr(s"shiftright(p.offs_$t, 1) ^ -(p.offs_$t & 1)")).over(w))
+        }
+      )
+      .transform(df =>
+        tagCols.foldLeft(df) { (d, t) =>
+          d.withColumn(s"cum2_$t", sum(col(s"cum_$t")).over(w))
         }
       )
       .select(
@@ -233,7 +271,14 @@ object TimeboxStore {
           col("ts_us"),
           col("p.seqs").as("seq")
         ) ++ tagCols.map(t =>
-          when(col(s"mode_$t") === "d", col(s"min_$t") + col(s"cum_$t"))
+          // 'D': v[i] = min + hdr0 + i*hdr1 + ΣΣ dd (positions 0/1 of
+          // the payload are structural zeros, so the double sum starts
+          // contributing exactly at i = 2 — see encode)
+          when(
+            col(s"mode_$t") === "D",
+            col(s"min_$t") + col(s"hdr0_$t") + col("pos") * col(s"hdr1_$t") + col(s"cum2_$t")
+          )
+            .when(col(s"mode_$t") === "d", col(s"min_$t") + col(s"cum_$t"))
             .otherwise(col(s"min_$t") + col(s"p.offs_$t"))
             .as(t)
         ): _*
@@ -425,36 +470,46 @@ object TimeboxStore {
   /** Counter points: value_c plus a per-series RUNNING-TOTAL tag — the
     * monotone, wide-range shape where the zigzag-delta mode's width
     * plan beats min-ref (deltas are one observation, the range is the
-    * whole block's drift).
+    * whole block's drift) — plus a near-LINEAR ramp tag (a row-indexed
+    * sequence with small jitter: a steady sampled counter), the shape
+    * where only DELTA-OF-DELTA collapses the width: min-ref pays the
+    * block range, delta pays the slope every element, second diffs pay
+    * just the jitter.
     */
   def counterPoints(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rn = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     TimeSeries
       .eventsUs(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
       .withColumn("counter_c", sum(col("value_c")).over(w))
+      .withColumn("trend_c", row_number().over(rn).cast("long") * 1000L + col("event_id") % 7L)
   }
 
   /** Oracle-gated mode-select roundtrip (ts_store_counter_roundtrip):
-    * 32-day blocks over (noisy value, monotone counter) — the counter
-    * tag picks the delta mode, the noisy tag keeps min-ref (StoreSpec
-    * asserts the split), and the oracle over raw events catches any
-    * loss in EITHER decode path.
+    * 32-day blocks over (noisy value, monotone counter, jittery ramp)
+    * — the counter tag picks the delta mode, the ramp picks
+    * delta-of-delta, the noisy tag keeps min-ref (StoreSpec asserts
+    * the three-way split), and the oracle over raw events catches any
+    * loss in ANY decode path.
     */
   def counterRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = scratchPath("graft_store_ctr", dir)
-    encode(counterPoints(spark, dir), tagCols = Seq("value_c", "counter_c"), blockUs = 32 * DayUs)
+    val tags = Seq("value_c", "counter_c", "trend_c")
+    encode(counterPoints(spark, dir), tagCols = tags, blockUs = 32 * DayUs)
       .write.mode("overwrite").parquet(out)
-    decode(spark.read.parquet(out), Seq("value_c", "counter_c"))
+    decode(spark.read.parquet(out), tags)
       .groupBy(col("series_id").as("user_id"))
       .agg(
         count(lit(1)).as("n_points"),
         sum(col("value_c")).as("sum_value_c"),
         sum(col("counter_c")).as("sum_counter_c"),
-        max(col("counter_c")).as("max_counter_c")
+        max(col("counter_c")).as("max_counter_c"),
+        sum(col("trend_c")).as("sum_trend_c"),
+        max(col("trend_c")).as("max_trend_c")
       )
   }
 

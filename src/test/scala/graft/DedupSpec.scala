@@ -87,6 +87,27 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.filter(col("cluster_id") =!= 0L).count() === 0, "not all nodes reached the component min")
   }
 
+  test("star-contraction CC: same chain lands in the log budget and agrees with relax+jump everywhere") {
+    import spark.implicits._
+    // the same adversarial 300-hop path, through the edge-rewriting
+    // core: large-star/small-star must reach the star fixpoint in a
+    // logarithmic round count (throws otherwise)
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val starLabels = Dedup.connectedComponentsStar(chain, maxIters = 12)
+    assert(starLabels.count() === 300)
+    assert(starLabels.filter(col("cluster_id") =!= 0L).count() === 0)
+    // and on a multi-component mixed graph (two cliques, a chain, an
+    // isolated pair) both cores produce IDENTICAL label tables
+    val mixed = (
+      (10L until 14L).flatMap(a => (a + 1 to 14L).map(b => (a, b))) ++ // clique 10..14
+        Seq((100L, 101L), (101L, 102L), (102L, 103L)) ++               // chain
+        Seq((200L, 201L))                                              // pair
+    ).toDF("doc_a", "doc_b")
+    val a = Dedup.connectedComponents(mixed).select("doc_id", "cluster_id")
+    val b = Dedup.connectedComponentsStar(mixed).select("doc_id", "cluster_id")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("embedding near-dup: cosine above threshold, pairs ordered") {
     val df = Dedup.embeddingNearDup(spark, sf, threshold = 0.4)
     assert(df.filter(col("cos_micro") < 400000).count() === 0)

@@ -142,10 +142,11 @@ class StoreSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_blocks_bucketed")
   }
 
-  test("mode select: monotone counter picks delta packing, noisy tag keeps min-ref, both lossless") {
+  test("mode select: counter picks delta, ramp picks delta-of-delta, noisy tag keeps min-ref, all lossless") {
     val pts = TimeboxStore.counterPoints(spark, sf)
+    val tags = Seq("value_c", "counter_c", "trend_c")
     val enc = TimeboxStore
-      .encode(pts, tagCols = Seq("value_c", "counter_c"), blockUs = 32L * 86400000000L)
+      .encode(pts, tagCols = tags, blockUs = 32L * 86400000000L)
       .cache()
     try {
       // the wide-range monotone tag delta-packs on (at least) the big
@@ -161,9 +162,19 @@ class StoreSpec extends AnyFunSuite {
         .filter(col("n_points") >= 10 && col("mode_counter_c") === "d")
         .filter(col("max_counter_c") - col("min_counter_c") < 256L)
       assert(wideCounter.count() === 0, "delta mode chosen where min-ref was already 1 byte")
-      // and the decode of BOTH modes roundtrips exactly
-      val dec = TimeboxStore.decode(enc, Seq("value_c", "counter_c"))
-      val orig = pts.toDF("series_id", "ts_us", "seq", "value_c", "counter_c")
+      // the jittery ramp second-diffs to the jitter band: on blocks
+      // big enough that min-ref AND delta both pay >= 2 bytes,
+      // delta-of-delta must win with its 1-byte payload
+      val bigRamp = enc.filter(col("n_points") >= 10)
+      val ddTrend = bigRamp.filter(col("mode_trend_c") === "D").count()
+      assert(ddTrend > 0, "no ramp block chose delta-of-delta mode")
+      assert(
+        bigRamp.filter(col("mode_trend_c") === "D" && col("bytes_trend_c") =!= 1).count() === 0,
+        "delta-of-delta payload priced wider than the jitter band"
+      )
+      // and the decode of ALL THREE modes roundtrips exactly
+      val dec = TimeboxStore.decode(enc, tags)
+      val orig = pts.toDF(Seq("series_id", "ts_us", "seq") ++ tags: _*)
       assert(dec.exceptAll(orig).count() === 0 && orig.exceptAll(dec).count() === 0)
     } finally enc.unpersist()
   }
