@@ -21,6 +21,7 @@ object SparkEntry {
     "ts_compress_minref" -> ((s, d) => Compression.minRefCompress(s, d)),
     "ts_value_delta"     -> ((s, d) => Compression.valueDelta(s, d)),
     "ts_float_downcast"  -> ((s, d) => Compression.floatDowncast(s, d)),
+    "ts_float_xor"       -> ((s, d) => Compression.floatXorRoundtrip(s, d)),
     "ts_round_fixed"     -> ((s, d) => Compression.roundFixed(s, d)),
     "ts_regular_grid"    -> ((s, d) => TimeSeries.regularGrid(s, d)),
     "ts_resample_1h"     -> ((s, d) => TimeSeries.resampleHourly(s, d)),
@@ -1008,6 +1009,14 @@ object SparkEntry {
         |SELECT event_type, n, n_f32_ok,
         |  CAST(CASE WHEN n_f32_ok = n THEN 4 ELSE 8 END AS BIGINT) AS float_bytes
         |FROM a""".stripMargin,
+    // XOR packing is bit-exact by construction: the oracle demands
+    // n_bits_exact == n_points (COUNT(*) twice) and the reconstructed
+    // values' fixed-point sum equal to the raw table's — any bit the
+    // XOR chain loses breaks one of the three columns
+    "ts_float_xor" ->
+      """SELECT user_id, COUNT(*) AS n_points, COUNT(*) AS n_bits_exact,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY user_id""".stripMargin,
     "ts_round_fixed" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_enc2,

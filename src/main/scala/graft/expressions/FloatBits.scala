@@ -1,10 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.GraftShims
-import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** IEEE-754 bit view of a double (`Double.doubleToRawLongBits`) — the
   * primitive Gorilla-style XOR float compression needs: consecutive
@@ -20,8 +21,10 @@ import org.apache.spark.sql.types.{AbstractDataType, DataType, DoubleType, LongT
   * float compression carrying NaN through unchanged
   * (numpy_utils.py:103-184).
   */
-case class DoubleToBits(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+case class DoubleToBits(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires double input, got ${child.dataType.sql}")
   override def dataType: DataType = LongType
   override def prettyName: String = "double_bits"
 
@@ -36,8 +39,10 @@ case class DoubleToBits(child: Expression) extends UnaryExpression with ExpectsI
 }
 
 /** Inverse of [[DoubleToBits]]: `Double.longBitsToDouble`. */
-case class BitsToDouble(child: Expression) extends UnaryExpression with ExpectsInputTypes {
-  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+case class BitsToDouble(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires bigint input, got ${child.dataType.sql}")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "bits_double"
 

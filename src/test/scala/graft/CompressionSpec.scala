@@ -108,4 +108,49 @@ class CompressionSpec extends AnyFunSuite {
     // which is exactly the cross-engine property the oracles rely on
     assert(got.toSeq === Seq(100L, -250L, 335L, 0L, 9999L))
   }
+
+  test("XOR float packing: bit-exact on NaN payloads and subnormals, narrow on a slow gauge") {
+    import spark.implicits._
+    import graft.expressions.FloatBits._
+    // adversarial doubles the cents-rounded oracle could never see:
+    // quiet/signaling-style NaN payloads, ±0.0, subnormals, infinities
+    val weird = Seq(
+      java.lang.Double.longBitsToDouble(0x7ff8000000000001L),
+      java.lang.Double.longBitsToDouble(0x7ff0000000000002L),
+      0.0, -0.0, Double.MinPositiveValue, Double.PositiveInfinity, Double.NegativeInfinity, 1.0e300
+    )
+    val df = weird.zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("user_id", "day_id", "event_id", "value")
+    // same chain floatXorRoundtrip runs, block = one partition here
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val rec = df
+      .withColumn("bits", doubleBits(col("value")))
+      .withColumn("xd", coalesce(col("bits").bitwiseXOR(lag(col("bits"), 1).over(w)), col("bits")))
+      .withColumn(
+        "rec_bits",
+        expr(
+          "bit_xor(xd) OVER (PARTITION BY user_id ORDER BY event_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+      )
+    assert(rec.filter(col("rec_bits") =!= col("bits")).count() === 0, "XOR chain lost bits")
+    // a slowly-moving gauge XORs into few meaningful bytes: a 0.25-
+    // stepping series (binary-representable, the Gorilla-friendly
+    // shape) cancels sign/exponent/high-mantissa AND the low mantissa
+    // — every delta spans <= 2 bytes (computed: 492× 1-byte, 19× 2)
+    val gauge = (0 until 512).map(i => (1L, i.toLong, 100.0 + i * 0.25)).toDF("user_id", "event_id", "value")
+    val xw = gauge
+      .withColumn("bits", doubleBits(col("value")))
+      .withColumn("xd", coalesce(col("bits").bitwiseXOR(lag(col("bits"), 1).over(w)), col("bits")))
+      .filter(col("event_id") > 0)
+      // meaningful width = bytes from highest set bit down to lowest
+      // set bit (Gorilla prices leading+trailing zero runs)
+      .select(
+        (floor(log2(col("xd").cast("double")) / 8.0) -
+          floor(log2(col("xd").bitwiseAND(-col("xd")).cast("double")) / 8.0) + 1).as("mbytes")
+      )
+    val narrow = xw.filter(col("mbytes") <= 2).count()
+    assert(narrow === 511, s"only $narrow/511 XOR deltas packed to <= 2 meaningful bytes")
+  }
 }
