@@ -36,6 +36,7 @@ object SparkEntry {
     "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
+    "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
@@ -74,6 +75,12 @@ object SparkEntry {
     "rel_argmax"         -> ((s, d) => Relational.topCustomerPerNation(s, d)),
     "rel_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
     "rel_skew_join"      -> ((s, d) => Relational.skewJoin(s, d)),
+    "q6_revenue"         -> ((s, d) => Relational.q6Revenue(s, d)),
+    "q4_order_priority"  -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    "q17_small_qty"      -> ((s, d) => Relational.q17SmallQuantity(s, d)),
+    "q19_disjunctive"    -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
+    "q15_top_supplier"   -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
@@ -1229,6 +1236,21 @@ object SparkEntry {
         |  n * sxx - sx * sx AS varx_num,
         |  n * syy - sy * sy AS vary_num
         |FROM m""".stripMargin,
+    // lag-1 autocorrelation over observed hourly samples, integer
+    // numerators only (the sqrt stays with the caller)
+    "ts_autocorr" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, v, lag(v) OVER (PARTITION BY user_id ORDER BY hour_id) AS x FROM h
+        |)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(*) * SUM(x*v) - SUM(x) * SUM(v) AS BIGINT) AS cov_num,
+        |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS varx_num,
+        |  CAST(COUNT(*) * SUM(v*v) - SUM(v) * SUM(v) AS BIGINT) AS vary_num
+        |FROM p WHERE x IS NOT NULL GROUP BY 1""".stripMargin,
     "ts_seasonal_profile" ->
       """SELECT event_type,
         |  (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,
@@ -1539,6 +1561,62 @@ object SparkEntry {
         |SELECT f.k, d.user_tag, COUNT(*) AS n_rows,
         |  CAST(SUM(f.value_c) AS BIGINT) AS sum_value_c
         |FROM f JOIN d ON d.k = f.k GROUP BY 1, 2""".stripMargin,
+    // Q6: pure scan-aggregate; revenue in cents × discount-points
+    "q6_revenue" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |               * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cpct,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    // Q4: EXISTS with a correlated date comparison
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    // Q17: correlated per-part average, cross-multiplied to integers
+    "q17_small_qty" ->
+      """WITH li AS (SELECT l_partkey, CAST(round(l_quantity*100) AS BIGINT) AS qty_c,
+        |                   CAST(round(l_extendedprice*100) AS BIGINT) AS price_c FROM lineitem),
+        |a AS (SELECT l_partkey AS ap_key, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+        |             COUNT(*) AS n_li FROM li GROUP BY 1)
+        |SELECT p_brand, CAST(SUM(price_c) AS BIGINT) AS sum_price_c, COUNT(*) AS n_small
+        |FROM li JOIN a ON ap_key = l_partkey JOIN part ON p_partkey = l_partkey
+        |WHERE qty_c * n_li * 5 < sum_qty_c
+        |GROUP BY 1""".stripMargin,
+    // Q19: OR-of-ANDs over the fact ⋈ dim join
+    "q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // Q22: scalar-subquery threshold + NOT EXISTS, integer-exact
+    "q22_idle_customers" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |                  CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+        |a AS (SELECT CAST(SUM(bal_c) AS BIGINT) AS sum_pos, COUNT(*) AS n_pos
+        |      FROM c WHERE bal_c > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust, CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
+        |FROM c, a
+        |WHERE bal_c * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
+    // Q15: argmax over the quarterly supplier revenue aggregate (ties kept)
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |             CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_rev_c
+        |           FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |           GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM r JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM r)""".stripMargin,
     "rel_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -349,4 +349,150 @@ object Relational {
       .groupBy($"k", $"user_tag")
       .agg(count(lit(1)).as("n_rows"), sum($"value_c").as("sum_value_c"))
   }
+
+  /** TPC-H Q6 shape: the pure SCAN query — conjunctive range filters +
+    * one global aggregate, zero joins. Every predicate (shipdate
+    * window, discount band, quantity cap) must reach the parquet
+    * scan's PushedFilters; at 100 TB this query IS its scan, and the
+    * row-group/zone pruning those filters buy is the whole cost model
+    * (PlanSpec pins the pushdown). Revenue stays in the exact integer
+    * domain: cents × discount-percent points.
+    */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24
+      )
+      .agg(
+        sum(cents($"l_extendedprice") * fixed($"l_discount", 2)).as("revenue_cpct"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** TPC-H Q4 shape: EXISTS decorrelated to a left-semi join — orders
+    * in a quarter with at least one line shipped after the order date,
+    * counted per priority. The semi join ships only o_orderkey +
+    * the join bit, never multiplies rows, and both date filters push
+    * to their scans; the agg runs on the (small) filtered orders side.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables
+      .orders(spark, dir)
+      .filter(
+        $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+      )
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val late = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord
+      .join(late, $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q17 shape: correlated scalar subquery decorrelated to an
+    * AGGREGATE-BELOW-JOIN — revenue from lineitems whose quantity is
+    * below 20% of their part's average. The per-part average joins
+    * back as a pre-aggregated frame (one row per part, broadcastable);
+    * the threshold comparison stays in the exact integer domain by
+    * cross-multiplying (5·qty·n < Σqty) instead of dividing.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables
+      .lineitem(spark, dir)
+      .select($"l_partkey", cents($"l_quantity").as("qty_c"), cents($"l_extendedprice").as("price_c"))
+    val avgQty = li
+      .groupBy($"l_partkey".as("ap_key"))
+      .agg(sum($"qty_c").as("sum_qty_c"), count(lit(1)).as("n_li"))
+    val brands = Tables.part(spark, dir).select($"p_partkey", $"p_brand")
+    li.join(avgQty, $"l_partkey" === $"ap_key")
+      .filter($"qty_c" * $"n_li" * 5 < $"sum_qty_c")
+      .join(broadcast(brands), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(sum($"price_c").as("sum_price_c"), count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q19 shape: DISJUNCTIVE predicate over a fact ⋈ dim join —
+    * three (brand, size-band, quantity-band) OR-blocks. The partkey
+    * equality stays the join key; the OR lands as a post-join filter
+    * whose part-side conjuncts (brand ∈ …, size bands) still prune the
+    * broadcast build side, because each disjunct's part predicate is
+    * OR-able into one scan filter.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_brand", $"p_size")
+    val li = Tables
+      .lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+    li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#13" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#20" && $"p_size".between(1, 35) && $"l_quantity".between(20, 30))
+      )
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** TPC-H Q22 shape: anti-join + scalar-subquery threshold — LAPSED
+    * customers with above-average positive balance and no order since
+    * a cutoff, profiled per market segment. The global average is a
+    * 2-value aggregate that BROADCASTS into the filter
+    * (cross-multiplied: bal·n > Σbal, exact integers); the anti join
+    * prunes to customers only, never materializing a NOT IN list, and
+    * the cutoff pushes into the orders scan so the build side is the
+    * recent slice, not the table.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables
+      .customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", cents($"c_acctbal").as("bal_c"))
+    val avgPos = cust
+      .filter($"bal_c" > 0)
+      .agg(sum($"bal_c").as("sum_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables
+      .orders(spark, dir)
+      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .select($"o_custkey")
+    cust
+      .crossJoin(broadcast(avgPos))
+      .filter($"bal_c" * $"n_pos" > $"sum_pos")
+      .join(recent, $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum($"bal_c").as("sum_bal_c"))
+  }
+
+  /** TPC-H Q15 shape: argmax over an aggregate — the top supplier(s)
+    * by shipped revenue in a quarter. One fact-side partial agg, then
+    * a window max over the (supplier-sized, tiny) aggregate — never a
+    * second fact scan like the view-based original; ties all surface,
+    * matching Q15's spec.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00"))
+      )
+      .groupBy($"l_suppkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_rev_c"))
+    val w = Window.partitionBy()
+    rev
+      .withColumn("max_rev_c", max($"total_rev_c").over(w))
+      .filter($"total_rev_c" === $"max_rev_c")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")), $"s_suppkey" === $"l_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev_c")
+  }
 }

@@ -574,6 +574,40 @@ object TimeSeries {
       )
   }
 
+  /** Lag-1 AUTOCORRELATION of each series' hourly sums — "does this
+    * metric remember its last hour", the stationarity probe run before
+    * any forecasting model. Same exact-integer discipline as
+    * [[crossCorr]]: the (x[t-1], x[t]) pairs come from ONE window lag
+    * over the hourly aggregate (tiny vs raw events), and the output is
+    * the integer numerators of the Pearson formula — the caller (or
+    * spec) does the one float sqrt at the very end.
+    */
+  def autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+    hourly
+      .withColumn("x", lag(col("v"), 1).over(w))
+      .filter(col("x").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"),
+        sum(col("v")).as("sy"),
+        sum(col("x") * col("v")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("v") * col("v")).as("syy")
+      )
+      .select(
+        col("user_id"),
+        col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("vary_num")
+      )
+  }
+
   // -------------------------------------------------------------------
   // 12d. ts_retention — cohort retention: users grouped by first-seen
   // day, counted distinct on each later active day (the product-

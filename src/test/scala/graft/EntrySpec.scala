@@ -47,7 +47,9 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_kmeans",
     "text_bigram_pmi",
     "sample_temperature",
-    "contamination_doc_overlap" // 1-row MIN(source) broadcast
+    "contamination_doc_overlap", // 1-row MIN(source) broadcast
+    "contamination_long_match",  // 1-row MIN(source) broadcast
+    "q22_idle_customers"         // 1-row global-average broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

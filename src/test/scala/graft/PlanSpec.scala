@@ -143,4 +143,23 @@ class PlanSpec extends AnyFunSuite {
       assert(aggsBelow.nonEmpty, s"window runs over the raw event stream:\n$exec")
     }
   }
+
+  test("q6 pushes every conjunct to the lineitem scan and reads only the needed columns") {
+    val scan = Relational
+      .q6Revenue(spark, sf)
+      .queryExecution
+      .sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), s"date lower bound not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_shipdate"), s"date upper bound not pushed: $pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount band not pushed: $pushed")
+    assert(pushed.contains("LessThan(l_quantity,24.0)"), s"quantity cap not pushed: $pushed")
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(
+      readCols === Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"column pruning broken: $readCols"
+    )
+  }
 }
