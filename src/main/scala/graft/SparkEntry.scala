@@ -58,6 +58,7 @@ object SparkEntry {
     "ts_store_multitag_read" -> ((s, d) => graft.sources.TimeboxStore.multitagValueReadSummary(s, d)),
     "ts_store_dict_read"  -> ((s, d) => graft.sources.TimeboxStore.dictReadSummary(s, d)),
     "ts_store_counter_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.counterRoundtrip(s, d)),
+    "ts_store_agg_pushdown" -> ((s, d) => graft.sources.TimeboxStore.aggPushdownSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -81,6 +82,9 @@ object SparkEntry {
     "q19_disjunctive"    -> ((s, d) => Relational.q19Disjunctive(s, d)),
     "q22_idle_customers" -> ((s, d) => Relational.q22IdleCustomers(s, d)),
     "q15_top_supplier"   -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q7_nation_volume"   -> ((s, d) => Relational.q7NationVolume(s, d)),
+    "q8_market_share"    -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "rel_median_order"   -> ((s, d) => Relational.medianOrderValue(s, d)),
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
@@ -1346,6 +1350,27 @@ object SparkEntry {
         |  CAST(SUM(trend_c) AS BIGINT) AS sum_trend_c,
         |  CAST(MAX(trend_c) AS BIGINT) AS max_trend_c
         |FROM c GROUP BY 1""".stripMargin,
+    // the pushdown aggregate must equal the raw-events aggregate for
+    // all three tags — i.e. for all three encoding modes' closed-form
+    // block sums — without ever decoding a point
+    "ts_store_agg_pushdown" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |             CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |w AS (SELECT user_id, value_c,
+        |        SUM(value_c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS counter_c,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 1000 + event_id % 7 AS trend_c
+        |      FROM c)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  CAST(MIN(value_c) AS BIGINT) AS min_value_c,
+        |  CAST(MAX(value_c) AS BIGINT) AS max_value_c,
+        |  CAST(SUM(counter_c) AS BIGINT) AS sum_counter_c,
+        |  CAST(MIN(counter_c) AS BIGINT) AS min_counter_c,
+        |  CAST(MAX(counter_c) AS BIGINT) AS max_counter_c,
+        |  CAST(SUM(trend_c) AS BIGINT) AS sum_trend_c,
+        |  CAST(MIN(trend_c) AS BIGINT) AS min_trend_c,
+        |  CAST(MAX(trend_c) AS BIGINT) AS max_trend_c
+        |FROM w GROUP BY 1""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same
     // time-range + type-code filter over the raw events
@@ -1617,6 +1642,55 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, total_rev_c
         |FROM r JOIN supplier ON s_suppkey = l_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM r)""".stripMargin,
+    // Q7: bidirectional nation-pair trade volume per ship year
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation cn ON cn.n_nationkey = c_nationkey
+        |WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |  AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+        |  AND sn.n_name != cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Q8: one brand's share of a region's yearly revenue, single pass
+    "q8_market_share" ->
+      """WITH rc AS (SELECT c_custkey FROM customer
+        |            JOIN nation ON n_nationkey = c_nationkey
+        |            JOIN region ON r_regionkey = n_regionkey
+        |            WHERE r_name = 'ASIA'),
+        |y AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |        CAST(SUM(CASE WHEN p_brand = 'Brand#1'
+        |                 THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |                 ELSE 0 END) AS BIGINT) AS brand_c,
+        |        CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_c
+        |      FROM lineitem
+        |      JOIN part ON p_partkey = l_partkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      WHERE o_custkey IN (SELECT c_custkey FROM rc)
+        |      GROUP BY 1)
+        |SELECT o_year, brand_c, total_c,
+        |  CAST(brand_c * 1000000 // total_c AS BIGINT) AS share_micro
+        |FROM y""".stripMargin,
+    // exact lower median via histogram rank; both engines use RANGE
+    // frames, and (segment, price) histogram rows have no peers, so
+    // tie semantics align by construction
+    "rel_median_order" ->
+      """WITH h AS (SELECT c_mktsegment, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+        |                  COUNT(*) AS cnt
+        |           FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2),
+        |c AS (SELECT c_mktsegment, price_c,
+        |        SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY price_c) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY c_mktsegment) AS total
+        |      FROM h)
+        |SELECT c_mktsegment, CAST(MAX(total) AS BIGINT) AS n_orders,
+        |  CAST(MIN(price_c) AS BIGINT) AS p50_price_c
+        |FROM c WHERE cum >= (total + 1) // 2 GROUP BY 1""".stripMargin,
     "rel_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -472,10 +472,126 @@ object Relational {
       .agg(count(lit(1)).as("n_cust"), sum($"bal_c").as("sum_bal_c"))
   }
 
+  /** Exact median order value per market segment via VALUE-HISTOGRAM
+    * rank — the relational twin of ts_percentiles' scale story: the
+    * sort runs over the (segment, price) histogram (distinct prices
+    * per segment), never the raw orders stream, so no single partition
+    * ever holds a segment's full order list. Lower median (smallest
+    * value whose cumulative count reaches ceil(n/2)) keeps the answer
+    * in the exact integer domain.
+    */
+  def medianOrderValue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    val hist = Tables
+      .orders(spark, dir)
+      .select($"o_custkey", cents($"o_totalprice").as("price_c"))
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"price_c")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"price_c")
+    hist
+      .withColumn("cum", sum($"cnt").over(w))
+      .withColumn("total", sum($"cnt").over(Window.partitionBy($"c_mktsegment")))
+      .filter($"cum" >= expr("(total + 1) DIV 2"))
+      .groupBy($"c_mktsegment")
+      .agg(max($"total").as("n_orders"), min($"price_c").as("p50_price_c"))
+  }
+
+  /** TPC-H Q7 shape: bidirectional trade volume between two nations
+    * per ship year. Both nation lookups ride BROADCAST dims on the two
+    * fact keys (supplier side onto lineitem, customer side onto
+    * orders); the one real shuffle is the orderkey fact-fact join, and
+    * the symmetric nation-pair disjunction prunes each broadcast
+    * build side before the join.
+    */
+  def q7NationVolume(
+      spark: SparkSession,
+      dir: String,
+      tradeBloc: Seq[String] = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+  ): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, dir).select($"n_nationkey", $"n_name")
+    val supp = Tables
+      .supplier(spark, dir)
+      .join(nations, $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin(tradeBloc: _*))
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables
+      .customer(spark, dir)
+      .join(nations, $"c_nationkey" === $"n_nationkey")
+      .filter($"n_name".isin(tradeBloc: _*))
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val ord = Tables
+      .orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("long").as("l_year"))
+      .agg(
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** TPC-H Q8 shape: market share — one brand's slice of a region's
+    * yearly revenue. The share is a conditional-sum ratio inside ONE
+    * aggregation pass (brand flag folded into the partial aggregate),
+    * never two scans; region membership broadcasts through
+    * nation ⋈ customer onto orders.
+    */
+  def q8MarketShare(
+      spark: SparkSession,
+      dir: String,
+      regionName: String = "ASIA",
+      brand: String = "Brand#1"
+  ): DataFrame = {
+    import spark.implicits._
+    val regionCust = Tables
+      .customer(spark, dir)
+      .join(
+        Tables.nation(spark, dir).join(
+          Tables.region(spark, dir).filter($"r_name" === regionName),
+          $"n_regionkey" === $"r_regionkey"
+        ),
+        $"c_nationkey" === $"n_nationkey"
+      )
+      .select($"c_custkey")
+    val ord = Tables
+      .orders(spark, dir)
+      .join(broadcast(regionCust), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+    val parts = Tables.part(spark, dir).select($"p_partkey", ($"p_brand" === brand).as("is_brand"))
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"is_brand", cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).otherwise(0L))
+          .as("brand_c"),
+        sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_c")
+      )
+      .select(
+        $"o_year",
+        $"brand_c",
+        $"total_c",
+        expr("brand_c * 1000000 DIV total_c").as("share_micro")
+      )
+  }
+
   /** TPC-H Q15 shape: argmax over an aggregate — the top supplier(s)
-    * by shipped revenue in a quarter. One fact-side partial agg, then
-    * a window max over the (supplier-sized, tiny) aggregate — never a
-    * second fact scan like the view-based original; ties all surface,
+    * by shipped revenue in a quarter. One fact-side partial agg; the
+    * global max is a 1-row tree-reduced aggregate that BROADCASTS back
+    * as the filter (an empty-partition window would drag the whole
+    * supplier aggregate onto one partition instead). Never a second
+    * fact scan like the view-based original; ties all surface,
     * matching Q15's spec.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
@@ -488,9 +604,9 @@ object Relational {
       )
       .groupBy($"l_suppkey")
       .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_rev_c"))
-    val w = Window.partitionBy()
+    val mx = rev.agg(max($"total_rev_c").as("max_rev_c"))
     rev
-      .withColumn("max_rev_c", max($"total_rev_c").over(w))
+      .crossJoin(broadcast(mx))
       .filter($"total_rev_c" === $"max_rev_c")
       .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")), $"s_suppkey" === $"l_suppkey")
       .select($"s_suppkey", $"s_name", $"total_rev_c")

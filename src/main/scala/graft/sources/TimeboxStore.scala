@@ -285,6 +285,80 @@ object TimeboxStore {
       )
   }
 
+  /** AGGREGATE PUSHDOWN into the encoded store: per-series COUNT / SUM
+    * / MIN / MAX computed from block rows ALONE — no posexplode, no
+    * cumulative window, no point materialization. This is the read
+    * path that makes the block layout pay at 100 TB: a fleet-wide
+    * "sum per series over six months" touches each block row once,
+    * does closed-form array math on the encoded payload, and ships one
+    * partial aggregate per block.
+    *
+    *   - count: Σ n_points;  min/max: the zone maps, free;
+    *   - sum, per encoding mode (exact integer algebra, never decode):
+    *     'm'  Σv = n·min + Σ offs
+    *     'd'  v_i - min is the prefix sum of deltas, so
+    *          Σv = n·min + Σ_j (n-j)·d_j   (one indexed transform)
+    *     'D'  v_i = min + hdr0 + i·hdr1 + ΣΣdd, so
+    *          Σv = n·(min+hdr0) + hdr1·n(n-1)/2
+    *               + Σ_k T(n-k)·dd_k  with T(m)=m(m+1)/2
+    */
+  def aggregateEncoded(blocks: DataFrame, tag: String = "value_c"): DataFrame = {
+    val t = tag
+    val unzig = (z: String) => s"(shiftright($z, 1) ^ -($z & 1))"
+    blocks
+      .withColumn(
+        "block_sum",
+        when(
+          col(s"mode_$t") === "m",
+          col("n_points") * col(s"min_$t") + expr(s"aggregate(offs_$t, 0L, (a, x) -> a + x)")
+        ).when(
+          col(s"mode_$t") === "d",
+          col("n_points") * col(s"min_$t") +
+            expr(
+              s"aggregate(transform(offs_$t, (z, i) -> (n_points - i) * ${unzig("z")}), 0L, (a, x) -> a + x)"
+            )
+        ).otherwise(
+          col("n_points") * (col(s"min_$t") + col(s"hdr0_$t")) +
+            col(s"hdr1_$t") * expr("(n_points * (n_points - 1)) DIV 2") +
+            expr(
+              s"aggregate(transform(offs_$t, (z, i) -> " +
+                s"(((n_points - i) * (n_points - i + 1)) DIV 2) * ${unzig("z")}), 0L, (a, x) -> a + x)"
+            )
+        )
+      )
+      .groupBy(col("series_id"))
+      .agg(
+        sum(col("n_points")).as("n_points"),
+        sum(col("block_sum")).as(s"sum_$t"),
+        min(col(s"min_$t")).as(s"min_$t"),
+        max(col(s"max_$t")).as(s"max_$t")
+      )
+  }
+
+  /** Oracle-gated pushdown aggregate (ts_store_agg_pushdown): encode →
+    * persist → per-series summary straight off the block rows. The
+    * oracle recomputes from raw events; StoreSpec additionally pins
+    * that the plan contains NO generate/explode and NO window — the
+    * proof the aggregate never decoded a point.
+    */
+  def aggPushdownSummary(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_aggp", dir)
+    val tags = Seq("value_c", "counter_c", "trend_c")
+    encode(counterPoints(spark, dir), tagCols = tags, blockUs = 32 * DayUs)
+      .write.mode("overwrite").parquet(out)
+    val blocks = spark.read.parquet(out)
+    // all three encoding modes feed the same closed-form sum: value_c
+    // stays min-ref, counter_c picks zigzag-delta, trend_c picks
+    // delta-of-delta (StoreSpec pins the split) — one pass, no decode
+    val perTag = tags.map(t => aggregateEncoded(blocks, t))
+    perTag
+      .reduce((a, b) => a.join(b.drop("n_points"), Seq("series_id")))
+      .select(
+        Seq(col("series_id").as("user_id"), col("n_points")) ++
+          tags.flatMap(t => Seq(col(s"sum_$t"), col(s"min_$t"), col(s"max_$t"))): _*
+      )
+  }
+
   /** Full write path from the raw events table (single value tag). */
   def write(spark: SparkSession, dir: String, outPath: String): Unit =
     encode(

@@ -49,7 +49,8 @@ class EntrySpec extends AnyFunSuite {
     "sample_temperature",
     "contamination_doc_overlap", // 1-row MIN(source) broadcast
     "contamination_long_match",  // 1-row MIN(source) broadcast
-    "q22_idle_customers"         // 1-row global-average broadcast
+    "q22_idle_customers",        // 1-row global-average broadcast
+    "q15_top_supplier"           // 1-row global-max broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

@@ -51,7 +51,10 @@ class ScaleSpec extends AnyFunSuite {
     "q3_topk_revenue",
     "text_tokens",
     "pipeline_keep_set",
-    "ann_topk_bruteforce"
+    "ann_topk_bruteforce",
+    "q6_revenue",
+    "q17_small_qty",
+    "ts_autocorr"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -179,6 +179,38 @@ class StoreSpec extends AnyFunSuite {
     } finally enc.unpersist()
   }
 
+  test("aggregate pushdown: per-series sums off block rows match decode, with NO explode/window in the plan") {
+    val pts = TimeboxStore.counterPoints(spark, sf)
+    val tags = Seq("value_c", "counter_c", "trend_c")
+    val enc = TimeboxStore.encode(pts, tagCols = tags, blockUs = 32L * 86400000000L).cache()
+    try {
+      val pushed = TimeboxStore.aggregateEncoded(enc, "counter_c")
+      // the plan must stay in block-land: no point materialization
+      val plan = pushed.queryExecution.sparkPlan
+      val generates = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      val windows = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(generates.isEmpty, "pushdown aggregate exploded the payload")
+      assert(windows.isEmpty, "pushdown aggregate ran a window decode")
+      // and every mode's closed-form sum equals the decoded truth
+      for (t <- tags) {
+        val viaBlocks = TimeboxStore.aggregateEncoded(enc, t)
+        val viaDecode = TimeboxStore
+          .decode(enc, tags)
+          .groupBy(col("series_id"))
+          .agg(
+            count(lit(1)).as("n_points"),
+            sum(col(t)).as(s"sum_$t"),
+            min(col(t)).as(s"min_$t"),
+            max(col(t)).as(s"max_$t")
+          )
+        assert(
+          viaBlocks.exceptAll(viaDecode).count() === 0 && viaDecode.exceptAll(viaBlocks).count() === 0,
+          s"pushdown sum diverges from decode for tag $t"
+        )
+      }
+    } finally enc.unpersist()
+  }
+
   test("hybrid store: day partitions prune AND per-series aggregation stays exchange-free, one plan") {
     TimeboxStore.writeHybridStore(spark, sf, "graft_blocks_hybrid")
     try {
