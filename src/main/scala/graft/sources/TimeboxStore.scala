@@ -302,12 +302,19 @@ object TimeboxStore {
     *          Σv = n·(min+hdr0) + hdr1·n(n-1)/2
     *               + Σ_k T(n-k)·dd_k  with T(m)=m(m+1)/2
     */
-  def aggregateEncoded(blocks: DataFrame, tag: String = "value_c"): DataFrame = {
-    val t = tag
+  def aggregateEncoded(blocks: DataFrame, tag: String = "value_c"): DataFrame =
+    aggregateEncodedMulti(blocks, Seq(tag))
+
+  /** Multi-tag [[aggregateEncoded]]: ONE scan of the block store and
+    * ONE shuffle produce every tag's pushdown aggregate — the shape a
+    * dashboard's "all metrics per series" query wants (per-tag calls
+    * would re-scan the store once per metric).
+    */
+  def aggregateEncodedMulti(blocks: DataFrame, tags: Seq[String]): DataFrame = {
     val unzig = (z: String) => s"(shiftright($z, 1) ^ -($z & 1))"
-    blocks
-      .withColumn(
-        "block_sum",
+    val withSums = tags.foldLeft(blocks) { (df, t) =>
+      df.withColumn(
+        s"block_sum_$t",
         when(
           col(s"mode_$t") === "m",
           col("n_points") * col(s"min_$t") + expr(s"aggregate(offs_$t, 0L, (a, x) -> a + x)")
@@ -326,12 +333,18 @@ object TimeboxStore {
             )
         )
       )
+    }
+    withSums
       .groupBy(col("series_id"))
       .agg(
         sum(col("n_points")).as("n_points"),
-        sum(col("block_sum")).as(s"sum_$t"),
-        min(col(s"min_$t")).as(s"min_$t"),
-        max(col(s"max_$t")).as(s"max_$t")
+        tags.flatMap(t =>
+          Seq(
+            sum(col(s"block_sum_$t")).as(s"sum_$t"),
+            min(col(s"min_$t")).as(s"min_$t"),
+            max(col(s"max_$t")).as(s"max_$t")
+          )
+        ): _*
       )
   }
 
@@ -349,10 +362,9 @@ object TimeboxStore {
     val blocks = spark.read.parquet(out)
     // all three encoding modes feed the same closed-form sum: value_c
     // stays min-ref, counter_c picks zigzag-delta, trend_c picks
-    // delta-of-delta (StoreSpec pins the split) — one pass, no decode
-    val perTag = tags.map(t => aggregateEncoded(blocks, t))
-    perTag
-      .reduce((a, b) => a.join(b.drop("n_points"), Seq("series_id")))
+    // delta-of-delta (StoreSpec pins the split) — ONE scan, ONE
+    // shuffle, no decode
+    aggregateEncodedMulti(blocks, tags)
       .select(
         Seq(col("series_id").as("user_id"), col("n_points")) ++
           tags.flatMap(t => Seq(col(s"sum_$t"), col(s"min_$t"), col(s"max_$t"))): _*
