@@ -144,6 +144,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q7 broadcasts both nation-tagged sides; the orderkey fact-fact join is the only shuffle join") {
+    val plan = Relational.q7NationVolume(spark, sf).queryExecution.sparkPlan
+    val shuffleJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffleJoins.size === 1, s"expected exactly the orderkey shuffle join, got ${shuffleJoins.size}")
+    val bhj = plan.collect { case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, "nation-tagged supplier/customer sides not broadcast")
+  }
+
+  test("q8 semi-joins region membership and keeps one fact-fact shuffle join") {
+    val plan = Relational.q8MarketShare(spark, sf).queryExecution.sparkPlan
+    val shuffleJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    // at test SF the orders side is small enough to broadcast too —
+    // the scale property is that AT MOST the orderkey join shuffles
+    assert(shuffleJoins.size <= 1, s"more than the orderkey join shuffles: ${shuffleJoins.size}")
+    assert(
+      plan.toString.contains("LeftSemi"),
+      "region membership should reach orders as a semi join"
+    )
+  }
+
   test("q6 pushes every conjunct to the lineitem scan and reads only the needed columns") {
     val scan = Relational
       .q6Revenue(spark, sf)
