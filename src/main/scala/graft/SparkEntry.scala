@@ -59,6 +59,7 @@ object SparkEntry {
     "ts_store_dict_read"  -> ((s, d) => graft.sources.TimeboxStore.dictReadSummary(s, d)),
     "ts_store_counter_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.counterRoundtrip(s, d)),
     "ts_store_agg_pushdown" -> ((s, d) => graft.sources.TimeboxStore.aggPushdownSummary(s, d)),
+    "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1371,6 +1372,18 @@ object SparkEntry {
         |  CAST(MIN(trend_c) AS BIGINT) AS min_trend_c,
         |  CAST(MAX(trend_c) AS BIGINT) AS max_trend_c
         |FROM w GROUP BY 1""".stripMargin,
+    // upsert: the oracle applies the same +1000 correction to the
+    // raw week-2 events — lost updates, duplicates, or corrupted
+    // untouched blocks all break count or sum
+    "ts_store_upsert" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)
+        |    + CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |            AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |           THEN 1000 ELSE 0 END) AS BIGINT) AS sum_value_c,
+        |  MIN(epoch_us(ts)) AS min_ts_us,
+        |  MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events GROUP BY 1""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same
     // time-range + type-code filter over the raw events

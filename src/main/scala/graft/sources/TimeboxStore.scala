@@ -371,6 +371,77 @@ object TimeboxStore {
       )
   }
 
+  /** Point-level UPSERT into an encoded store — the reference's
+    * update path is a whole-file decode→merge→rewrite
+    * (timebox.py:57-88); distributed, that rewrite must touch ONLY
+    * the blocks the new points land in. Mechanics:
+    *
+    *   1. affected (series, day) keys from the incoming points;
+    *   2. untouched blocks PASS THROUGH ENCODED (anti join on the
+    *      block key — never decoded, never re-written);
+    *   3. touched blocks decode, merge with the incoming points
+    *      (identity = (series, seq); incoming wins on conflict), and
+    *      re-encode at the store's own granularity.
+    *
+    * At 100 TB a daily upsert decodes yesterday's blocks, not the
+    * store. StoreSpec pins both properties: untouched block rows
+    * survive byte-identical, and only one decode appears in the plan.
+    *
+    * @param newPoints frame with (series_id, ts_us, seq) + tagCols —
+    *                  the canonical decoded-point schema
+    */
+  def upsertBlocks(store: DataFrame, newPoints: DataFrame, tagCols: Seq[String]): DataFrame = {
+    val blockUs = storedBlockUs(store)
+    val keys = newPoints
+      .select(col("series_id"), expr(s"ts_us DIV ${blockUs}L").as("day_id"))
+      .distinct()
+    val untouched = store.join(keys, Seq("series_id", "day_id"), "left_anti")
+    val touched = store.join(keys, Seq("series_id", "day_id"), "left_semi")
+    val w = Window
+      .partitionBy(col("series_id"), col("seq"))
+      .orderBy(col("pri").desc)
+    val merged = decode(touched, tagCols)
+      .withColumn("pri", lit(0))
+      .unionByName(newPoints.withColumn("pri", lit(1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("pri", "rn")
+    untouched.unionByName(
+      encode(merged, "series_id", "ts_us", "seq", tagCols, blockUs)
+    )
+  }
+
+  /** Oracle-gated upsert roundtrip (ts_store_upsert): encode the
+    * events table, upsert a week of MODIFIED points (same (series,
+    * seq), shifted values — the correction/restatement shape), decode,
+    * summarize. The oracle applies the same correction to raw events,
+    * so a lost update, a duplicated point, or a corrupted untouched
+    * block all fail the hash.
+    */
+  def upsertSummary(spark: SparkSession, dir: String): DataFrame = {
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val store = encode(pts, "series_id", "ts_us", "seq", Seq("value_c"))
+    val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L) // 2024-01-08 .. 01-15
+    val corrections = pts
+      .filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
+      .withColumn("value_c", col("value_c") + 1000L)
+    decode(upsertBlocks(store, corrections, Seq("value_c")))
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+  }
+
   /** Full write path from the raw events table (single value tag). */
   def write(spark: SparkSession, dir: String, outPath: String): Unit =
     encode(

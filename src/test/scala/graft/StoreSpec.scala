@@ -179,6 +179,68 @@ class StoreSpec extends AnyFunSuite {
     } finally enc.unpersist()
   }
 
+  test("upsert: untouched blocks pass through encoded, merges win on (series, seq), one decode in the plan") {
+    import spark.implicits._
+    val pts = original
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c")
+      )
+    val store = TimeboxStore.encode(pts, "series_id", "ts_us", "seq", Seq("value_c")).cache()
+    try {
+      val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L)
+      // corrections: every week-2 point shifted (update path), plus one
+      // brand-new point per series with an unused seq (insert path)
+      val week2 = pts.filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
+      val wIns = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("series_id"))
+        .orderBy(col("ts_us"), col("seq"))
+      val inserts = week2
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(wIns))
+        .filter(col("rn") === 1)
+        .select(col("series_id"), col("ts_us"), (col("seq") + 10000000L).as("seq"), lit(555L).as("value_c"))
+      val corrections = week2.withColumn("value_c", col("value_c") + 1000L).unionByName(inserts)
+      // (a) exactly one decode (Generate) in the whole upsert plan —
+      // the untouched branch never explodes a payload (inspect BEFORE
+      // caching: cache() collapses the plan to an in-memory scan)
+      val generates = TimeboxStore
+        .upsertBlocks(store, corrections, Seq("value_c"))
+        .queryExecution
+        .sparkPlan
+        .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(generates.size === 1, s"expected 1 decode, found ${generates.size} explodes")
+      val upserted = TimeboxStore.upsertBlocks(store, corrections, Seq("value_c")).cache()
+      try {
+        // (b) untouched block rows survive byte-identical
+        val keys = corrections
+          .select(col("series_id"), expr("ts_us DIV 86400000000").as("day_id"))
+          .distinct()
+        val beforeUntouched = store.join(keys, Seq("series_id", "day_id"), "left_anti")
+        val afterUntouched = upserted.join(keys, Seq("series_id", "day_id"), "left_anti")
+        assert(
+          afterUntouched.exceptAll(beforeUntouched).count() === 0 &&
+            beforeUntouched.exceptAll(afterUntouched).count() === 0,
+          "untouched blocks were rewritten or lost"
+        )
+        // (c) the decoded store equals the corrected point set exactly
+        val expected = pts
+          .withColumn(
+            "value_c",
+            when(col("ts_us") >= w2lo && col("ts_us") < w2hi, col("value_c") + 1000L)
+              .otherwise(col("value_c"))
+          )
+          .unionByName(inserts)
+        val got = TimeboxStore.decode(upserted)
+        assert(
+          got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0,
+          "upserted store does not decode to the corrected point set"
+        )
+      } finally upserted.unpersist()
+    } finally store.unpersist()
+  }
+
   test("aggregate pushdown: per-series sums off block rows match decode, with NO explode/window in the plan") {
     val pts = TimeboxStore.counterPoints(spark, sf)
     val tags = Seq("value_c", "counter_c", "trend_c")
