@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
+    "dedup_minhash_bbit"     -> ((s, d) => Dedup.minhashBbit(s, d)),
     "dedup_skewed_corpus"    -> ((s, d) => Dedup.skewedCorpus(s, d)),
     "contamination_ngram"    -> ((s, d) => Dedup.contaminationNgram(s, d)),
     "dedup_stream"           -> ((s, d) => graft.sources.StreamingIngest.dedupStream(s, d)),
@@ -145,6 +146,16 @@ object SparkEntry {
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
+
+  /** per-slot b-bit agreement: parity of each md5's last nibble,
+    * spelled as a hex-digit set so both engines compute the same bit
+    */
+  private val bbitAgreeSql = (0 until 12)
+    .map(j =>
+      s"(CASE WHEN (substr(a.mh$j,32,1) IN ('1','3','5','7','9','b','d','f')) = " +
+        s"(substr(b.mh$j,32,1) IN ('1','3','5','7','9','b','d','f')) THEN 1 ELSE 0 END)"
+    )
+    .mkString(" + ")
 
   /** shingle + minhash-band CTE chain reused by the LSH oracles */
   private val shingleCtes =
@@ -340,6 +351,13 @@ object SparkEntry {
          |        (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) +
          |        (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END))
          |       * 1000000 // 12 AS BIGINT) AS est_jaccard_micro
+         |FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b""".stripMargin,
+    // b-bit estimator: debiased 2·(agree/K)−1, clamped at 0, exact ints
+    "dedup_minhash_bbit" ->
+      s"""WITH $shingleCtes
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST($bbitAgreeSql AS BIGINT) AS n_bit_agree,
+         |  CAST(GREATEST(0, (2 * ($bbitAgreeSql) - 12) * 1000000 // 12) AS BIGINT) AS est_jaccard_micro
          |FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b""".stripMargin,
     // the skew drill: 10k exact clones of doc 0 collapse to one rep
     // BEFORE shingling; the band pipeline then runs over reps only and

@@ -737,6 +737,53 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23m. dedup_minhash_bbit — b-BIT minhash (Li & König, WWW'10): keep
+  // only the LOWEST BIT of each of the K min-hashes. The signature
+  // store shrinks 128× vs full md5 slots (K bits vs K×128-bit hashes)
+  // — the difference between "signatures fit in executor memory for
+  // the whole corpus" and "they don't" at 100 TB. One bit agrees by
+  // chance half the time, so the estimator debiases:
+  //   J ≈ 2·(agree/K) − 1, clamped at 0
+  // (exact integers: GREATEST(0, (2·n_agree − K)·1e6 DIV K)). Same
+  // skew-safe rep-level pipeline as the full estimator; same oracle
+  // CTE chain scores the same pairs.
+  // -------------------------------------------------------------------
+  def minhashBbit(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val lsh = lshRepPairsFrom(uniq)
+    // lowest bit of an md5 hex string = parity of its last nibble —
+    // spelled as a portable hex-digit set so the DuckDB oracle computes
+    // the identical bit
+    def lowBit(c: Column): Column =
+      when(substring(c, 32, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L).otherwise(0L)
+    val sigA = sigs.toDF("doc_a" +: (0 until K).map(j => s"a$j"): _*)
+    val sigB = sigs.toDF("doc_b" +: (0 until K).map(j => s"b$j"): _*)
+    val agree = (0 until K)
+      .map(j => when(lowBit(col(s"a$j")) === lowBit(col(s"b$j")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val repScored = lsh.pairs
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), agree.as("n_bit_agree"))
+      .withColumn(
+        "est_jaccard_micro",
+        greatest(lit(0L), expr(s"(2 * n_bit_agree - $K) * 1000000 DIV $K"))
+      )
+    val out = expandMemberPairs(
+      repScored,
+      groups,
+      lsh.banded,
+      carried = Seq("n_bit_agree", "est_jaccard_micro"),
+      withinValues = Seq(lit(K.toLong), lit(1000000L))
+    )
+    releaseAfterRun(spark, out, Seq(uniq, sigs, lsh.bands, groups))
+  }
+
+  // -------------------------------------------------------------------
   // 23d. dedup_contamination — cross-source overlap audit: how many
   // near-duplicate document pairs STRADDLE two sources (the train/test
   // contamination question — "does src A leak into src B?"),
