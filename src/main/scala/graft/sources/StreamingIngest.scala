@@ -406,6 +406,73 @@ object StreamingIngest {
     runToMemory(spark, smoothed, "append")
   }
 
+  /** Streaming COUNTER RATE — the PromQL-increase shape as a 24/7
+    * pipeline: per-series state is ONE tuple (last value, last event
+    * coordinates); each micro-batch emits its points' deltas against
+    * that running state, so a counter's rate is continuous ACROSS
+    * micro-batch boundaries (the property a per-batch window lag
+    * cannot give). Per-hour aggregation runs over the emitted delta
+    * log; the oracle is the batch rate query — replaying the same
+    * files must land on identical hourly sums. Same in-order source
+    * contract as the other per-series stateful streams (enforced
+    * loudly, not assumed).
+    */
+  def rateStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long]
+      )
+      .as[(Long, Long, Long, Long)]
+    val deltas = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is one tuple per live series
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+        val pts = rows.toArray.sortBy(r => (r._2, r._3))
+        var (lastVal, lastTs, lastSeq) =
+          state.getOption.getOrElse((Long.MinValue, Long.MinValue, Long.MinValue))
+        pts.headOption.foreach { case (_, ts, eid, _) =>
+          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+            throw new IllegalStateException(
+              s"rateStream: out-of-order arrival for series $uid — point (ts=$ts, seq=$eid) " +
+                s"after already-rated (ts=$lastTs, seq=$lastSeq); the source must deliver each " +
+                "series in event-time order across micro-batches"
+            )
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        pts.foreach { case (_, ts, eid, v) =>
+          if (lastTs != Long.MinValue) out += ((uid, ts, v - lastVal))
+          lastVal = v
+          lastTs = ts
+          lastSeq = eid
+        }
+        state.update((lastVal, lastTs, lastSeq))
+        out.iterator
+      }
+      .toDF("user_id", "ts_us", "dv")
+    runToMemory(spark, deltas, "append")
+      .groupBy(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("dv") > 0, col("dv")).otherwise(0L)).as("increase_c"),
+        sum(col("dv")).as("net_delta_c")
+      )
+  }
+
   /** STREAM-STREAM interval join: purchases joined to the clicks that
     * preceded them within the attribution window — both sides are
     * unbounded streams, so this is the stateful two-stream join

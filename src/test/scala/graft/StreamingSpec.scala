@@ -144,6 +144,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch estimates missing from stream")
   }
 
+  test("streaming counter rate: two-batch replay equals the batch rate — deltas cross the batch boundary") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.rateStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.rateIncrease(spark, dir)
+    // the time-split replay guarantees every series has its first
+    // batch-2 point rated against batch-1 state: any per-batch lag
+    // shortcut would lose exactly those boundary deltas
+    assert(streamed.exceptAll(batch).count() === 0, "streamed hourly rates not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch hourly rates missing from stream")
+  }
+
   test("streaming anomaly scoring REJECTS out-of-order cross-batch arrival loudly") {
     // reversed replay: the LATE half arrives in batch 0, the early half
     // in batch 1 — silent mis-scoring before; a loud contract error now
