@@ -38,6 +38,7 @@ object SparkEntry {
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
+    "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
@@ -1159,6 +1160,19 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT) AS increase_c,
         |  CAST(SUM(dv) AS BIGINT) AS net_delta_c
         |FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // the reordering-buffer rate: identical to the batch rate up to
+    // the finalization cutoff — the final watermark (max event ms −
+    // 30 min), which the oracle recomputes exactly
+    "ts_rate_stream_ooo" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |c AS (SELECT ((MAX(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |d AS (SELECT user_id, ts_us, value_c - lag(value_c) OVER w AS dv
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, ts_us // 3600000000 AS hour_id, COUNT(*) AS n_deltas,
+        |  CAST(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT) AS increase_c,
+        |  CAST(SUM(dv) AS BIGINT) AS net_delta_c
+        |FROM d, c WHERE dv IS NOT NULL AND ts_us <= wm_us GROUP BY 1, 2""".stripMargin,
     // the streaming rate must replay to the batch answer exactly
     "ts_rate_stream" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

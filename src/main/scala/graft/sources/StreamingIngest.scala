@@ -473,6 +473,81 @@ object StreamingIngest {
       )
   }
 
+  /** [[rateStream]] WITHOUT the in-order source contract: a
+    * watermark-bounded REORDERING BUFFER in front of the same
+    * last-value state. Cross-batch disorder within the 30-minute
+    * allowance is absorbed — each invocation merges arrivals into the
+    * per-series buffer and FINALIZES (sorts + emits deltas for) only
+    * points at or below the current watermark, which no later arrival
+    * is allowed to precede; an event-time timeout flushes newly
+    * eligible points when the watermark advances without new data for
+    * the key. Points late beyond the allowance drop (the standard
+    * streaming contract), and the un-finalizable tail above the final
+    * watermark is EXCLUDED by construction — the oracle applies the
+    * identical cutoff (max event ms − 30 min), so replay equality is
+    * exact. State per series = one anchor tuple + the ≤allowance
+    * buffer, bounded by data rate × allowance, never stream length.
+    */
+  def rateStreamReordering(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "30 minutes")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long],
+        col("ts_t").as[java.sql.Timestamp]
+      )
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    // state: (anchorVal, anchorTs, anchorSeq, buffer of (ts, seq, v))
+    val deltas = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Array[(Long, Long, Long)]), (Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+           state: GroupState[(Long, Long, Long, Array[(Long, Long, Long)])]) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        var (aVal, aTs, aSeq, buf) =
+          state.getOption.getOrElse((Long.MinValue, Long.MinValue, Long.MinValue, Array.empty[(Long, Long, Long)]))
+        // merge arrivals; drop only what is late BEYOND the allowance
+        // (sorts before the already-finalized anchor)
+        val incoming = rows.map(r => (r._2, r._3, r._4)).filter { case (ts, seq, _) =>
+          aTs == Long.MinValue || ts > aTs || (ts == aTs && seq > aSeq)
+        }
+        buf = (buf ++ incoming).sortBy(p => (p._1, p._2))
+        val (eligible, rest) = buf.partition(_._1 <= wmUs)
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+        eligible.foreach { case (ts, seq, v) =>
+          if (aTs != Long.MinValue) out += ((uid, ts, v - aVal))
+          aVal = v; aTs = ts; aSeq = seq
+        }
+        state.update((aVal, aTs, aSeq, rest))
+        // flush the remaining buffer when the watermark passes it
+        if (rest.nonEmpty) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+        out.iterator
+      }
+      .toDF("user_id", "ts_us", "dv")
+    runToMemory(spark, deltas, "append")
+      .groupBy(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("dv") > 0, col("dv")).otherwise(0L)).as("increase_c"),
+        sum(col("dv")).as("net_delta_c")
+      )
+  }
+
   /** STREAM-STREAM interval join: purchases joined to the clicks that
     * preceded them within the attribution window — both sides are
     * unbounded streams, so this is the stateful two-stream join

@@ -144,6 +144,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch estimates missing from stream")
   }
 
+  test("reordering rate stream: out-of-order cross-batch arrival within the allowance still matches the oracle") {
+    import spark.implicits._
+    // dense synthetic series (2-min cadence) split with a jittered
+    // stripe: batch 1 takes everything below the cut PLUS even-index
+    // points for 24 min past it; batch 2 delivers that stripe's
+    // odd-index points LATE. The stripe sits inside batch 1's final 30
+    // event-minutes, so every late point is within the watermark
+    // allowance — disorder the strict rateStream rejects and the
+    // reordering buffer must absorb exactly.
+    val base = 1704672000000000000L // 2024-01-08, ns
+    val min = 60L * 1000000000L
+    val pts = for (u <- 1L to 3L; i <- 0L until 61L) yield (
+      u * 1000 + i,                       // event_id
+      base + i * 2 * min,                 // ts (plain long ns, like nanosAsLong reads)
+      u,                                  // user_id
+      "click",
+      (i * 7 % 13).toDouble + u,          // value
+      "{}"
+    )
+    val ev = pts.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo").toString
+    val evdir = s"$dir/events.parquet"
+    val cut = base + 90 * min
+    val stripe = 24 * min
+    val b1 = ev.filter(col("ts") <= cut || (col("ts") <= cut + stripe && (col("event_id") % 2 === 0)))
+    b1.coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    ev.exceptAll(b1).coalesce(1).write.mode("append").parquet(evdir)
+    // strict variant must reject this disorder loudly
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingIngest.rateStream(spark, dir, filesPerTrigger = Some(1)).count()
+    }
+    assert(e.getMessage.contains("out-of-order"), s"unexpected failure: ${e.getMessage.take(200)}")
+    // reordering variant must match the batch rate up to the
+    // final-watermark cutoff
+    val streamed = StreamingIngest.rateStreamReordering(spark, dir, filesPerTrigger = Some(1))
+    val maxUs = Tables.events(spark, dir).selectExpr("MAX(ts DIV 1000)").head().getLong(0)
+    val wmUs = (maxUs / 1000L - 1800000L) * 1000L
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      graft.operators.TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), graft.functions.FixedPoint.cents(col("value")).as("value_c"))
+        .withColumn("dv", col("value_c") - lag(col("value_c"), 1).over(w))
+        .filter(col("dv").isNotNull && col("ts_us") <= wmUs)
+        .groupBy(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"))
+        .agg(
+          count(lit(1)).as("n_deltas"),
+          sum(when(col("dv") > 0, col("dv")).otherwise(0L)).as("increase_c"),
+          sum(col("dv")).as("net_delta_c")
+        )
+    }
+    assert(streamed.exceptAll(batch).count() === 0, "streamed finalized rates not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch rates missing from the finalized stream")
+  }
+
   test("streaming counter rate: two-batch replay equals the batch rate — deltas cross the batch boundary") {
     val dir = twoBatchDir()
     val streamed = StreamingIngest.rateStream(spark, dir, filesPerTrigger = Some(1))
