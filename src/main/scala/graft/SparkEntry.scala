@@ -39,6 +39,7 @@ object SparkEntry {
     "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
     "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
+    "ts_anomaly_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.anomalyStreamReordering(s, d)),
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
@@ -1220,6 +1221,22 @@ object SparkEntry {
         |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
         |FROM v WHERE n >= 20""".stripMargin,
+    // reordering variant: identical verdicts up to the final-watermark
+    // finalization cutoff
+    "ts_anomaly_stream_ooo" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+        |c AS (SELECT ((MAX(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |v AS (SELECT event_id, user_id, ts_us, x,
+        |        COUNT(*) OVER w AS n,
+        |        CAST(SUM(x) OVER w AS BIGINT) AS s,
+        |        CAST(SUM(x * x) OVER w AS BIGINT) AS q
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, ts_us, x AS value_c,
+        |  CAST(CASE WHEN (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM v, c WHERE n >= 20 AND ts_us <= wm_us""".stripMargin,
     "ts_json_props" ->
       """WITH e AS (SELECT event_type,
         |                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

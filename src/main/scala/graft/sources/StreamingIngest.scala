@@ -548,6 +548,81 @@ object StreamingIngest {
       )
   }
 
+  /** Out-of-order-tolerant streaming anomaly scoring — the
+    * [[rateStreamReordering]] recipe applied to the trailing-window
+    * z-score: the per-series state carries the ring buffer AND a
+    * watermark-bounded reordering buffer; only at-or-below-watermark
+    * points are scored (in event-time order, so every point's ring is
+    * exactly its batch trailing window), an event-time timeout flushes
+    * as the watermark advances, and the oracle applies the same
+    * final-watermark cutoff. This lifts the in-order source contract
+    * [[anomalyStream]] enforces loudly — the 24/7 deployment answer to
+    * "my collectors deliver a few minutes late and shuffled".
+    */
+  def anomalyStreamReordering(
+      spark: SparkSession,
+      dir: String,
+      win: Int = 20,
+      z: Int = 3,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "30 minutes")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long],
+        col("ts_t").as[java.sql.Timestamp]
+      )
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    val zz = z.toLong * z
+    // state: (ring, lastTs, lastSeq, reordering buffer of (ts, seq, x))
+    val scored = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Long, Long, Array[(Long, Long, Long)]), (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+           state: GroupState[(Array[Long], Long, Long, Array[(Long, Long, Long)])]) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        var (ring, lastTs, lastSeq, buf) =
+          state.getOption.getOrElse((Array.empty[Long], Long.MinValue, Long.MinValue, Array.empty[(Long, Long, Long)]))
+        val incoming = rows.map(r => (r._2, r._3, r._4)).filter { case (ts, seq, _) =>
+          lastTs == Long.MinValue || ts > lastTs || (ts == lastTs && seq > lastSeq)
+        }
+        buf = (buf ++ incoming).sortBy(p => (p._1, p._2))
+        val (eligible, rest) = buf.partition(_._1 <= wmUs)
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        eligible.foreach { case (ts, seq, x) =>
+          if (ring.length >= win) {
+            val past = ring.takeRight(win)
+            val n = past.length.toLong
+            val s = past.sum
+            val q = past.map(v => v * v).sum
+            val devN = n * x - s
+            val isAnom = if (devN * devN > zz * (n * q - s * s)) 1L else 0L
+            out += ((seq, uid, ts, x, isAnom))
+          }
+          ring = (ring :+ x).takeRight(win)
+          lastTs = ts
+          lastSeq = seq
+        }
+        state.update((ring, lastTs, lastSeq, rest))
+        if (rest.nonEmpty) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_us", "value_c", "is_anomaly")
+    runToMemory(spark, scored, "append")
+  }
+
   /** STREAM-STREAM interval join: purchases joined to the clicks that
     * preceded them within the attribution window — both sides are
     * unbounded streams, so this is the stateful two-stream join

@@ -199,6 +199,30 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(streamed.exceptAll(batch).count() === 0, "streamed finalized rates not in batch answer")
     assert(batch.exceptAll(streamed).count() === 0, "batch rates missing from the finalized stream")
+    // the same disordered replay through the reordering z-score: every
+    // finalized point must score against exactly its batch trailing
+    // window (win=5 so the short synthetic series produces verdicts)
+    val scoredStream = StreamingIngest.anomalyStreamReordering(spark, dir, win = 5, filesPerTrigger = Some(1))
+    val scoredBatch = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id")).rowsBetween(-5, -1)
+      graft.operators.TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"), graft.functions.FixedPoint.cents(col("value")).as("x"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s", sum(col("x")).over(w))
+        .withColumn("q", sum(col("x") * col("x")).over(w))
+        .filter(col("n") >= 5 && col("ts_us") <= wmUs)
+        .withColumn("dev_n", col("n") * col("x") - col("s"))
+        .withColumn(
+          "is_anomaly",
+          when(col("dev_n") * col("dev_n") > lit(9L) * (col("n") * col("q") - col("s") * col("s")), 1L)
+            .otherwise(0L)
+        )
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("x").as("value_c"), col("is_anomaly"))
+    }
+    assert(scoredStream.exceptAll(scoredBatch).count() === 0, "streamed verdicts not in batch answer")
+    assert(scoredBatch.exceptAll(scoredStream).count() === 0, "batch verdicts missing from the finalized stream")
   }
 
   test("streaming counter rate: two-batch replay equals the batch rate — deltas cross the batch boundary") {
