@@ -371,6 +371,87 @@ object TimeboxStore {
       )
   }
 
+  /** TIME-RANGE aggregate pushdown — the warehouse query ("sum per
+    * series for these two weeks") composed from the two read paths:
+    * blocks FULLY INSIDE the range aggregate closed-form off their
+    * encoded rows ([[aggregateEncodedMulti]] — no decode), and only
+    * the (at most two per series-granularity) BOUNDARY blocks that
+    * straddle a range edge decode and filter point-wise. Day-id
+    * pruning drops everything else before IO. At 100 TB a quarter
+    * query touches ~90 interior block rows per series closed-form and
+    * decodes 2.
+    */
+  def aggregateEncodedRange(
+      store: DataFrame,
+      startUs: Long,
+      endUs: Long,
+      tags: Seq[String]
+  ): DataFrame = {
+    val blockUs = storedBlockUs(store)
+    val inRange = store.filter(
+      col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs
+    )
+    val interiorCond =
+      col("day_id") * blockUs >= startUs && (col("day_id") + 1) * blockUs <= endUs
+    val aggI = aggregateEncodedMulti(inRange.filter(interiorCond), tags)
+    val aggB = decode(inRange.filter(!interiorCond), tags)
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+      .groupBy(col("series_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        tags.flatMap(t =>
+          Seq(
+            sum(col(t)).as(s"sum_$t"),
+            min(col(t)).as(s"min_$t"),
+            max(col(t)).as(s"max_$t")
+          )
+        ): _*
+      )
+    aggI
+      .unionByName(aggB)
+      .groupBy(col("series_id"))
+      .agg(
+        sum(col("n_points")).as("n_points"),
+        tags.flatMap(t =>
+          Seq(
+            sum(col(s"sum_$t")).as(s"sum_$t"),
+            min(col(s"min_$t")).as(s"min_$t"),
+            max(col(s"max_$t")).as(s"max_$t")
+          )
+        ): _*
+      )
+  }
+
+  /** Oracle-gated range pushdown (ts_store_agg_range): a deliberately
+    * MISALIGNED two-week range over day blocks, so both edges force
+    * the boundary-decode path while the 12 interior days stay
+    * closed-form. The oracle is the same range aggregate over raw
+    * events.
+    */
+  def rangeAggSummary(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_rng", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    encode(pts, "series_id", "ts_us", "seq", Seq("value_c"))
+      .write.mode("overwrite").parquet(out)
+    // 2024-01-08 12:00 .. 2024-01-21 12:00 — half-day offsets on both ends
+    val (startUs, endUs) = (1704715200000000L, 1705838400000000L)
+    aggregateEncodedRange(spark.read.parquet(out), startUs, endUs, Seq("value_c"))
+      .select(
+        col("series_id").as("user_id"),
+        col("n_points"),
+        col("sum_value_c"),
+        col("min_value_c"),
+        col("max_value_c")
+      )
+  }
+
   /** Point-level UPSERT into an encoded store — the reference's
     * update path is a whole-file decode→merge→rewrite
     * (timebox.py:57-88); distributed, that rewrite must touch ONLY

@@ -241,6 +241,48 @@ class StoreSpec extends AnyFunSuite {
     } finally store.unpersist()
   }
 
+  test("range aggregate pushdown: interior blocks stay closed-form, only boundary blocks decode") {
+    val pts = original
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c")
+      )
+    val store = TimeboxStore.encode(pts, "series_id", "ts_us", "seq", Seq("value_c")).cache()
+    try {
+      // misaligned half-day edges: both boundary days decode
+      val (startUs, endUs) = (1704715200000000L, 1705838400000000L)
+      val ranged = TimeboxStore.aggregateEncodedRange(store, startUs, endUs, Seq("value_c"))
+      // (a) exactly one decode branch in the plan
+      val generates = ranged.queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(generates.size === 1, s"expected only the boundary decode, found ${generates.size} explodes")
+      // (b) the interior path actually engages (blocks fully inside)
+      val dayUs = 86400000000L
+      val interior = store.filter(
+        col("day_id") * dayUs >= startUs && (col("day_id") + 1) * dayUs <= endUs
+      )
+      assert(interior.count() > 0, "no interior blocks — the pushdown never engaged")
+      // (c) equality with the decode-everything reference
+      val reference = TimeboxStore
+        .decode(store)
+        .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+        .groupBy(col("series_id"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("value_c")).as("sum_value_c"),
+          min(col("value_c")).as("min_value_c"),
+          max(col("value_c")).as("max_value_c")
+        )
+      assert(
+        ranged.exceptAll(reference).count() === 0 && reference.exceptAll(ranged).count() === 0,
+        "range pushdown diverges from the full-decode range aggregate"
+      )
+    } finally store.unpersist()
+  }
+
   test("aggregate pushdown: per-series sums off block rows match decode, with NO explode/window in the plan") {
     val pts = TimeboxStore.counterPoints(spark, sf)
     val tags = Seq("value_c", "counter_c", "trend_c")
