@@ -64,6 +64,7 @@ object SparkEntry {
     "ts_store_agg_pushdown" -> ((s, d) => graft.sources.TimeboxStore.aggPushdownSummary(s, d)),
     "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
     "ts_store_agg_range" -> ((s, d) => graft.sources.TimeboxStore.rangeAggSummary(s, d)),
+    "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1455,6 +1456,35 @@ object SparkEntry {
         |  MIN(epoch_us(ts)) AS min_ts_us,
         |  MAX(epoch_us(ts)) AS max_ts_us
         |FROM events GROUP BY 1""".stripMargin,
+    // histogram-quantile pushdown: exact lower median recovered from
+    // per-block histograms + straddler-only decode; oracle = the
+    // discrete median over raw events (histogram-rank form, so tie
+    // semantics align with the engine's k-th-smallest by construction)
+    "ts_store_quantile_read" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c
+        |           FROM events),
+        |r AS (SELECT user_id, value_c,
+        |        SUM(value_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS counter_c
+        |      FROM e),
+        |hv AS (SELECT user_id, value_c AS v, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+        |cv AS (SELECT user_id, v,
+        |         SUM(cnt) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY user_id) AS total
+        |       FROM hv),
+        |mv AS (SELECT user_id, CAST(MAX(total) AS BIGINT) AS n_points,
+        |         CAST(MIN(v) AS BIGINT) AS p50_value_c
+        |       FROM cv WHERE cum >= (total + 1) // 2 GROUP BY 1),
+        |hc AS (SELECT user_id, counter_c AS v, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+        |cc AS (SELECT user_id, v,
+        |         SUM(cnt) OVER (PARTITION BY user_id ORDER BY v) AS cum,
+        |         SUM(cnt) OVER (PARTITION BY user_id) AS total
+        |       FROM hc),
+        |mc AS (SELECT user_id, CAST(MIN(v) AS BIGINT) AS p50_counter_c
+        |       FROM cc WHERE cum >= (total + 1) // 2 GROUP BY 1)
+        |SELECT user_id, n_points, p50_value_c, p50_counter_c
+        |FROM mv JOIN mc USING (user_id)""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same
     // time-range + type-code filter over the raw events

@@ -43,6 +43,10 @@ object TimeboxStore {
     * @param points  frame with seriesCol, tsCol (epoch micros), seqCol
     *                (unique within series — the deterministic tiebreak),
     *                and one LongType column per tag
+    * @param histBins when > 0, each tag additionally stores a per-block
+    *                equal-width VALUE HISTOGRAM (`hw_t` bin width,
+    *                `hist_t` counts) — the summary quantile reads
+    *                ([[kthSmallestEncoded]]) narrow on without decoding
     */
   def encode(
       points: DataFrame,
@@ -50,7 +54,8 @@ object TimeboxStore {
       tsCol: String = "ts_us",
       seqCol: String = "event_id",
       tagCols: Seq[String] = Seq("value_c"),
-      blockUs: Long = DayUs
+      blockUs: Long = DayUs,
+      histBins: Int = 0
   ): DataFrame = {
     val pts = sort_array(
       collect_list(struct((Seq(tsCol, seqCol) ++ tagCols).map(col): _*))
@@ -159,6 +164,22 @@ object TimeboxStore {
             .otherwise(col(s"offs_m_$t"))
         )
         .withColumn(s"bytes_$t", least(col(s"bytes_m_$t"), col(s"bytes_d_$t"), col(s"bytes_dd_$t")))
+        .transform(d =>
+          if (histBins <= 0) d
+          else
+            // equal-width bins over the block's own [min, max]; width
+            // `(range DIV nb) + 1` keeps every value's bin index in
+            // [0, nb) by integer math alone. 16 longs per block — the
+            // same footprint class as the bloom.
+            d.withColumn(s"hw_$t", expr(s"(max_$t - min_$t) DIV $histBins + 1"))
+              .withColumn(
+                s"hist_$t",
+                expr(
+                  s"transform(sequence(0, ${histBins - 1}), " +
+                    s"j -> CAST(size(filter(vals_$t, v -> (v - min_$t) DIV hw_$t = j)) AS BIGINT))"
+                )
+              )
+        )
     }
     withTags.select(
       Seq(
@@ -185,7 +206,7 @@ object TimeboxStore {
           col(s"hdr1_$t"),
           col(s"offs_$t"),
           col(s"bytes_$t")
-        )
+        ) ++ (if (histBins > 0) Seq(col(s"hw_$t"), col(s"hist_$t")) else Nil)
       ): _*
     )
   }
@@ -450,6 +471,148 @@ object TimeboxStore {
         col("min_value_c"),
         col("max_value_c")
       )
+  }
+
+  /** Phase 1 of the HISTOGRAM-QUANTILE pushdown: from block summary
+    * rows ALONE (per-block equal-width histograms written by
+    * [[encode]] with histBins > 0), narrow the k-th-smallest value of
+    * a tag to a guaranteed interval per series.
+    *
+    * Every bin contributes two rank events at its boundaries: a value
+    * in [lb, ub) is CERTAINLY below any v >= ub and POSSIBLY below any
+    * v > lb. Running sums over the merged boundary set give, at each
+    * candidate v, a lower bound (min_rank) and upper bound (max_rank)
+    * on count(values < v); then
+    *
+    *   lo = max v with max_rank < k   (the k-th value is >= lo)
+    *   hi = min v with min_rank >= k  (the k-th value is <  hi)
+    *
+    * min_rank <= max_rank at every v forces lo < hi, and both exist
+    * (the smallest lb has max_rank 0, the largest ub has min_rank n).
+    * Summary-level math only — bin rows are 16 ints per block, never
+    * points.
+    *
+    * @param kOf rank as a function of the series' total count, e.g.
+    *            `n => shiftright(n + 1, 1)` for the lower median
+    * @return one row per series: (series_id, lo, hi, k, n)
+    */
+  def quantileBounds(store: DataFrame, tag: String, kOf: Column => Column): DataFrame = {
+    val bins = store
+      .select(
+        col("series_id"),
+        col(s"min_$tag").as("bmin"),
+        col(s"hw_$tag").as("w"),
+        posexplode(col(s"hist_$tag")).as(Seq("j", "c"))
+      )
+      .filter(col("c") > 0)
+      .select(
+        col("series_id"),
+        (col("bmin") + col("j") * col("w")).as("lb"),
+        (col("bmin") + (col("j") + 1) * col("w")).as("ub"),
+        col("c")
+      )
+    val events = bins
+      .select(col("series_id"), col("lb").as("v"), lit(0L).as("certain"), col("c").as("possible"))
+      .unionByName(
+        bins.select(col("series_id"), col("ub").as("v"), col("c").as("certain"), lit(0L).as("possible"))
+      )
+      .groupBy(col("series_id"), col("v"))
+      .agg(sum("certain").as("certain"), sum("possible").as("possible"))
+    val byV = Window.partitionBy("series_id").orderBy(col("v"))
+    events
+      // count(< v) bounds: certain values sit in bins with ub <= v
+      // (frame through current row), possible ones in bins with lb < v
+      // (frame ends one BELOW current row — rangeBetween on the Long
+      // boundary value, so ties collapse correctly)
+      .withColumn(
+        "min_rank",
+        coalesce(sum(col("certain")).over(byV.rangeBetween(Window.unboundedPreceding, 0)), lit(0L))
+      )
+      .withColumn(
+        "max_rank",
+        coalesce(sum(col("possible")).over(byV.rangeBetween(Window.unboundedPreceding, -1)), lit(0L))
+      )
+      .withColumn("n", sum(col("possible")).over(Window.partitionBy("series_id")))
+      .withColumn("k", kOf(col("n")))
+      .groupBy(col("series_id"))
+      .agg(
+        max(when(col("max_rank") < col("k"), col("v"))).as("lo"),
+        min(when(col("min_rank") >= col("k"), col("v"))).as("hi"),
+        first(col("k")).as("k"),
+        first(col("n")).as("n")
+      )
+  }
+
+  /** EXACT k-th smallest tag value per series off the encoded store —
+    * the quantile member of the pushdown family. Phase 1
+    * ([[quantileBounds]]) pins the answer inside [lo, hi) from
+    * histogram summaries; phase 2 decodes ONLY the blocks whose
+    * [min, max] straddles that interval:
+    *
+    *   - blocks entirely below lo contribute their n_points to a
+    *     closed-form BELOW count (zone map, no decode);
+    *   - blocks entirely at/above hi cannot hold values < hi and are
+    *     skipped outright;
+    *   - the straddlers decode, and the answer is the
+    *     (k - below)-th smallest decoded value.
+    *
+    * At 100 TB a six-month per-series median reads every block's
+    * 16-int histogram once and decodes the handful of blocks whose
+    * value range crosses the pinned interval — the quantile analogue
+    * of [[aggregateEncodedRange]]'s interior/boundary split.
+    */
+  def kthSmallestEncoded(store: DataFrame, tag: String, kOf: Column => Column): DataFrame = {
+    val bounds = quantileBounds(store, tag, kOf)
+    val joined = store.join(bounds, "series_id")
+    val below = joined
+      .groupBy(col("series_id"))
+      .agg(sum(when(col(s"max_$tag") < col("lo"), col("n_points")).otherwise(lit(0L))).as("below"))
+    val straddlers = joined
+      .filter(col(s"max_$tag") >= col("lo") && col(s"min_$tag") < col("hi"))
+      .select(store.columns.map(col): _*)
+    val byValue = Window.partitionBy("series_id").orderBy(col(tag), col("seq"))
+    decode(straddlers, Seq(tag))
+      .withColumn("rn", row_number().over(byValue))
+      .join(below, "series_id")
+      .join(bounds.select(col("series_id"), col("k"), col("n")), "series_id")
+      .filter(col("rn") === col("k") - col("below"))
+      .select(col("series_id"), col("n").as("n_points"), col(tag).as(s"kth_$tag"))
+  }
+
+  /** Oracle-gated histogram-quantile read (ts_store_quantile_read):
+    * encode (noisy value, monotone counter) with 16-bin histograms →
+    * persist → exact per-series lower medians without a full decode.
+    * The two tags are the two regimes: counter_c is value-LOCALIZED
+    * per block (a running total), so the pinned interval straddles ~1
+    * block per series and everything else is skipped or counted
+    * closed-form; value_c is white noise whose blocks all span the
+    * domain — the adversarial case where nothing skips but the answer
+    * stays exact. The oracle recomputes both discrete medians from raw
+    * events; StoreSpec pins the straddler-set sizes.
+    */
+  def quantileReadSummary(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_qnt", dir)
+    val tags = Seq("value_c", "counter_c")
+    val pts = counterPoints(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c"),
+        col("counter_c")
+      )
+    encode(pts, "series_id", "ts_us", "seq", tags, histBins = 16)
+      .write.mode("overwrite").parquet(out)
+    val store = spark.read.parquet(out)
+    val lowerMedian: Column => Column = n => shiftright(n + 1, 1)
+    kthSmallestEncoded(store, "value_c", lowerMedian)
+      .select(col("series_id"), col("n_points"), col("kth_value_c").as("p50_value_c"))
+      .join(
+        kthSmallestEncoded(store, "counter_c", lowerMedian)
+          .select(col("series_id"), col("kth_counter_c").as("p50_counter_c")),
+        Seq("series_id")
+      )
+      .select(col("series_id").as("user_id"), col("n_points"), col("p50_value_c"), col("p50_counter_c"))
   }
 
   /** Point-level UPSERT into an encoded store — the reference's

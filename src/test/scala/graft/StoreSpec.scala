@@ -523,6 +523,61 @@ class StoreSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("histogram-quantile pushdown: localized tag decodes ~1 block/series, both medians exact") {
+    val pts = TimeboxStore
+      .counterPoints(spark, sf)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c"),
+        col("counter_c")
+      )
+    val store = TimeboxStore
+      .encode(pts, "series_id", "ts_us", "seq", Seq("value_c", "counter_c"), histBins = 16)
+      .cache()
+    try {
+      val lowerMedian: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        n => shiftright(n + 1, 1)
+      val nBlocks = store.count()
+      val nSeries = store.select("series_id").distinct().count()
+      // (a) counter_c is a running total: day blocks are value-localized,
+      // so the pinned median interval straddles a handful of blocks —
+      // everything else is skipped (above hi) or counted closed-form
+      // (below lo). Budget: 3 blocks per series, far under the store.
+      val cb = TimeboxStore.quantileBounds(store, "counter_c", lowerMedian)
+      val cStraddle = store
+        .join(cb, "series_id")
+        .filter(col("max_counter_c") >= col("lo") && col("min_counter_c") < col("hi"))
+        .count()
+      assert(
+        cStraddle <= 3 * nSeries && cStraddle < nBlocks / 4,
+        s"counter straddle set $cStraddle of $nBlocks blocks ($nSeries series) — histogram narrowing never engaged"
+      )
+      // (b) exactness on BOTH regimes: the localized tag (skips hard)
+      // and the white-noise tag (blocks span the domain, nothing skips,
+      // answer must still be exact)
+      for (t <- Seq("value_c", "counter_c")) {
+        val got = TimeboxStore
+          .kthSmallestEncoded(store, t, lowerMedian)
+          .select(col("series_id"), col(s"kth_$t"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("series_id")
+          .orderBy(col(t), col("seq"))
+        val ref = TimeboxStore
+          .decode(store, Seq("value_c", "counter_c"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("series_id")))
+          .filter(col("rn") === shiftright(col("n") + 1, 1))
+          .select(col("series_id"), col(t).as(s"kth_$t"))
+        assert(
+          got.exceptAll(ref).count() === 0 && ref.exceptAll(got).count() === 0,
+          s"histogram-quantile median of $t diverges from the full-decode median"
+        )
+      }
+    } finally store.unpersist()
+  }
+
   test("blocks carry the reference's compression metadata invariants") {
     val blocks = TimeboxStore.encode(original).cache()
     try {
