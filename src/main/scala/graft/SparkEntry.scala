@@ -47,6 +47,7 @@ object SparkEntry {
     "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
     "ts_ewma"            -> ((s, d) => TimeSeries.ewma(s, d)),
     "ts_ewma_stream"     -> ((s, d) => graft.sources.StreamingIngest.ewmaStream(s, d)),
+    "ts_ewma_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.ewmaStreamReordering(s, d)),
     "ts_histquant_stream" -> ((s, d) => graft.sources.StreamingIngest.histogramQuantileStream(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
@@ -937,6 +938,28 @@ object SparkEntry {
        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
   }
 
+  /** EWMA oracle with the reordering variant's final-watermark cutoff:
+    * the smoothing window computes over ALL events (the engine's ring
+    * sees full history), only the EMITTED set is truncated at the
+    * watermark — so the filter must sit outside the window CTE.
+    */
+  private val ewmaOooOracleSql: String = {
+    val num = (0 until 16)
+      .map(j => s"COALESCE(lag(value_c, $j) OVER w, 0) * ${1L << (15 - j)}")
+      .mkString(" + ")
+    val den = (0 until 16)
+      .map(j => s"CASE WHEN lag(value_c, $j) OVER w IS NOT NULL THEN ${1L << (15 - j)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       |             CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+       |c AS (SELECT ((MAX(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+       |v AS (SELECT event_id, user_id, ts_us, value_c,
+       |        CAST(($num) // ($den) AS BIGINT) AS ewma_c
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+       |SELECT event_id, user_id, ts_us, value_c, ewma_c
+       |FROM v, c WHERE ts_us <= wm_us""".stripMargin
+  }
+
   /** DuckDB oracle SQL for the time-series queries (§2 rows 1-14). */
   private val tsOracles: Map[String, String] = Map(
     "ts_range_read" ->
@@ -1285,6 +1308,7 @@ object SparkEntry {
     // so both share the oracle.
     "ts_ewma" -> ewmaOracleSql,
     "ts_ewma_stream" -> ewmaOracleSql,
+    "ts_ewma_stream_ooo" -> ewmaOooOracleSql,
     "ts_cross_corr" ->
       """WITH h AS (
         |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,

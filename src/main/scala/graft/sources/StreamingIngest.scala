@@ -623,6 +623,76 @@ object StreamingIngest {
     runToMemory(spark, scored, "append")
   }
 
+  /** Out-of-order-tolerant streaming EWMA — the reordering-buffer
+    * recipe ([[rateStreamReordering]]) applied to the third strict
+    * per-series stream: state carries the span-deep value ring AND a
+    * watermark-bounded buffer; only at-or-below-watermark points
+    * smooth (in event-time order, so every point sees exactly its
+    * batch trailing history), an event-time timeout flushes as the
+    * watermark advances, late-beyond-allowance points drop, and the
+    * oracle applies the same final-watermark cutoff. Completes the
+    * OOO story across rate / anomaly / ewma.
+    */
+  def ewmaStreamReordering(
+      spark: SparkSession,
+      dir: String,
+      span: Int = 16,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "30 minutes")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long],
+        col("ts_t").as[java.sql.Timestamp]
+      )
+      .as[(Long, Long, Long, Long, java.sql.Timestamp)]
+    // state: (ring, lastTs, lastSeq, reordering buffer of (ts, seq, x))
+    val smoothed = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Long, Long, Array[(Long, Long, Long)]), (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long, java.sql.Timestamp)],
+           state: GroupState[(Array[Long], Long, Long, Array[(Long, Long, Long)])]) =>
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        var (ring, lastTs, lastSeq, buf) =
+          state.getOption.getOrElse((Array.empty[Long], Long.MinValue, Long.MinValue, Array.empty[(Long, Long, Long)]))
+        val incoming = rows.map(r => (r._2, r._3, r._4)).filter { case (ts, seq, _) =>
+          lastTs == Long.MinValue || ts > lastTs || (ts == lastTs && seq > lastSeq)
+        }
+        buf = (buf ++ incoming).sortBy(p => (p._1, p._2))
+        val (eligible, rest) = buf.partition(_._1 <= wmUs)
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        eligible.foreach { case (ts, seq, x) =>
+          val vals = (ring :+ x).takeRight(span)
+          val s = vals.length
+          var num = 0L
+          var den = 0L
+          var wgt = 1L << (span - s)
+          vals.foreach { v => num += v * wgt; den += wgt; wgt <<= 1 }
+          out += ((seq, uid, ts, x, num / den))
+          ring = (ring :+ x).takeRight(span - 1)
+          lastTs = ts
+          lastSeq = seq
+        }
+        state.update((ring, lastTs, lastSeq, rest))
+        if (rest.nonEmpty) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
+        out.iterator
+      }
+      .toDF("event_id", "user_id", "ts_us", "value_c", "ewma_c")
+    runToMemory(spark, smoothed, "append")
+  }
+
   /** STREAM-STREAM interval join: purchases joined to the clicks that
     * preceded them within the attribution window — both sides are
     * unbounded streams, so this is the stateful two-stream join

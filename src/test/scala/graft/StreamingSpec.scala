@@ -223,6 +223,12 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(scoredStream.exceptAll(scoredBatch).count() === 0, "streamed verdicts not in batch answer")
     assert(scoredBatch.exceptAll(scoredStream).count() === 0, "batch verdicts missing from the finalized stream")
+    // and the same disorder through the reordering EWMA: every
+    // finalized point smooths over exactly its batch trailing history
+    val ewmaStreamed = StreamingIngest.ewmaStreamReordering(spark, dir, filesPerTrigger = Some(1))
+    val ewmaBatch = graft.operators.TimeSeries.ewma(spark, dir).filter(col("ts_us") <= wmUs)
+    assert(ewmaStreamed.exceptAll(ewmaBatch).count() === 0, "streamed estimates not in batch answer")
+    assert(ewmaBatch.exceptAll(ewmaStreamed).count() === 0, "batch estimates missing from the finalized stream")
   }
 
   test("streaming counter rate: two-batch replay equals the batch rate — deltas cross the batch boundary") {
