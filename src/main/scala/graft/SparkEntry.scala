@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "dedup_minhash_bbit"     -> ((s, d) => Dedup.minhashBbit(s, d)),
@@ -265,6 +266,19 @@ object SparkEntry {
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
     "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
+    // incremental label maintenance must converge to the from-scratch
+    // components: same reachability oracle as dedup_clusters
+    "dedup_incremental_cc" ->
       s"""WITH RECURSIVE $shingleCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),

@@ -861,6 +861,26 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 25c. dedup_incremental_cc — INCREMENTAL connected components over
+  // signature appends: the corpus' cluster labels live in the
+  // SignatureStore's label tier; a new batch appends its signatures and
+  // the labels refresh by contracting existing components to their
+  // label supernodes and running CC on the DELTA-SIZED graph only
+  // (SignatureStore.appendRelabel). The oracle is the from-scratch
+  // dedup_clusters reachability over the full corpus — equality proves
+  // the incremental maintenance converges to the same components, while
+  // the CC loop never iterates over corpus-sized data.
+  // -------------------------------------------------------------------
+  def incrementalClusters(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = graft.sources.SignatureStore.ccScratchPath(dir)
+    graft.sources.SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    graft.sources.SignatureStore.writeLabels(spark, store)
+    graft.sources.SignatureStore.appendRelabel(spark, docs.filter(col("doc_id") >= splitId), store)
+    graft.sources.SignatureStore.readClusters(spark, store)
+  }
+
+  // -------------------------------------------------------------------
   // 26. dedup_embedding — cosine near-dup pairs, bucketed by
   // random-hyperplane LSH (nTables independent tables of nPlanes sign
   // bits each — the classic OR-construction): candidates are pairs

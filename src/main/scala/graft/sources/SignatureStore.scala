@@ -30,6 +30,11 @@ object SignatureStore {
     */
   def scratchPath(dir: String): String = TimeboxStore.scratchPath("graft_sigstore", dir)
 
+  /** Separate scratch root for the incremental-CC drill, so it never
+    * collides with [[scratchPath]]'s store when both queries run.
+    */
+  def ccScratchPath(dir: String): String = TimeboxStore.scratchPath("graft_sigcc", dir)
+
   private def normed(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
 
@@ -121,6 +126,126 @@ object SignatureStore {
           .select(lit(a).as("store_a"), lit(b).as("store_b"), col("n_pairs"))
       }
       .reduce(_ unionByName _)
+  }
+
+  /** Rep-level LSH candidate pairs straight off stored band rows — the
+    * same capped bucket join [[Dedup.lshRepPairsFrom]] runs, but over
+    * the persisted `bands/` table instead of a freshly shingled corpus.
+    */
+  private def bandPairs(bands: DataFrame): DataFrame = {
+    val safe = Dedup.dropOversizedBuckets(bands, Seq("band", "sig"), Dedup.DefaultBucketCap, "sigstore-cc")
+    safe
+      .as("a")
+      .join(
+        safe.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Materialize the store's CLUSTER-LABEL tier: connected components
+    * over the stored rep-level band pairs, persisted as
+    * `labels/ (doc_id = rep, cluster_id = component-min rep)`. Built
+    * once at ingest time; [[appendRelabel]] maintains it per batch
+    * without ever re-running CC over the corpus.
+    */
+  def writeLabels(spark: SparkSession, path: String): Unit =
+    Dedup
+      .connectedComponents(bandPairs(spark.read.parquet(s"$path/bands")))
+      .write.mode("overwrite").parquet(s"$path/labels")
+
+  /** Append a batch AND maintain the label tier incrementally — the
+    * scale answer to "a new crawl arrived, refresh the dedup clusters"
+    * that does NOT re-run connected components over the corpus:
+    *
+    *   1. [[append]] the batch (groups/reps/bands grow as usual);
+    *   2. DELTA EDGES: the batch's fresh rep bands join the full band
+    *      table — every new candidate pair has a new rep on one side,
+    *      so the join is delta-keyed, never corpus × corpus;
+    *   3. CONTRACT + mini-CC: each existing component is already one
+    *      supernode (its stored label), so delta edges map through the
+    *      label table and connected components runs on a DELTA-SIZED
+    *      graph whose nodes are old labels and new reps. Component
+    *      mins stay canonical: an old label IS its component's min doc
+    *      id, so the min over merged supernodes is the min over the
+    *      merged membership.
+    *   4. RELABEL: one corpus-scan join rewrites labels through the
+    *      (tiny) old-label → new-label map; new reps take their mini
+    *      label. No CC iteration ever touches corpus-sized data.
+    *
+    * One accepted drift vs from-scratch: a bucket that crosses the
+    * oversize cap only AFTER this append stops producing NEW pairs,
+    * but pairs it produced in earlier batches keep their edges (a
+    * from-scratch run would drop the whole bucket).
+    */
+  def appendRelabel(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    // localCheckpoint, NOT cache: append writes to reps/, and Spark's
+    // recache-by-path would silently refresh a cached read to the
+    // post-append file set — the checkpoint pins the pre-append snapshot
+    val before = spark.read.parquet(s"$path/reps").select(col("rep_id")).localCheckpoint(true)
+    append(spark, docs, path)
+    val allBands = spark.read.parquet(s"$path/bands")
+    val safe = Dedup.dropOversizedBuckets(allBands, Seq("band", "sig"), Dedup.DefaultBucketCap, "sigstore-cc-delta")
+    val freshBands = safe.join(before.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"), "left_anti")
+    val deltaPairs = freshBands
+      .as("a")
+      .join(safe.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")
+      )
+      .distinct()
+    val old = spark.read.parquet(s"$path/labels").cache()
+    old.count()
+    // contract: endpoint → its component supernode (label), self if new
+    val lab = (side: String) =>
+      old.select(col("doc_id").as(side), col("cluster_id").as(s"l_$side"))
+    val mini = deltaPairs
+      .join(lab("doc_a"), Seq("doc_a"), "left")
+      .join(lab("doc_b"), Seq("doc_b"), "left")
+      .select(
+        coalesce(col("l_doc_a"), col("doc_a")).as("doc_a"),
+        coalesce(col("l_doc_b"), col("doc_b")).as("doc_b")
+      )
+      .filter(col("doc_a") =!= col("doc_b"))
+    val miniLabels = Dedup.connectedComponents(mini).cache()
+    miniLabels.count()
+    val remap = miniLabels.select(col("doc_id").as("node"), col("cluster_id").as("new_label"))
+    val relabeledOld = old
+      .join(remap, old("cluster_id") === col("node"), "left")
+      .select(old("doc_id"), coalesce(col("new_label"), old("cluster_id")).as("cluster_id"))
+    // mini nodes with no stored label row are previously-unlabeled reps
+    // (batch reps, or corpus reps isolated until now)
+    val freshLabels = miniLabels
+      .join(old.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    val staging = s"$path/labels_next"
+    relabeledOld.unionByName(freshLabels).write.mode("overwrite").parquet(staging)
+    old.unpersist(); miniLabels.unpersist()
+    spark.read.parquet(staging).write.mode("overwrite").parquet(s"$path/labels")
+  }
+
+  /** Per-doc cluster labels read off the store: star-expand the label
+    * tier through `groups/`, plus the lone-group rule (≥2 exact clones
+    * of a banded rep with no near-dup partner form their own
+    * component) — the same output contract as [[Dedup.clusters]].
+    */
+  def readClusters(spark: SparkSession, path: String): DataFrame = {
+    val groups = spark.read.parquet(s"$path/groups")
+    val labels = spark.read.parquet(s"$path/labels")
+    val banded = spark.read.parquet(s"$path/bands").select(col("doc_id").as("rep_id")).distinct()
+    val lone = groups
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .join(banded, Seq("rep_id"))
+      .join(labels.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"), "left_anti")
+      .select(col("rep_id"), col("rep_id").as("cluster_id"))
+    groups
+      .join(labels.withColumnRenamed("doc_id", "rep_id").unionByName(lone), Seq("rep_id"))
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   /** Match an incoming batch against the stored signatures: exact

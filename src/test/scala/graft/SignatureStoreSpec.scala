@@ -47,6 +47,45 @@ class SignatureStoreSpec extends AnyFunSuite {
     } finally Seq("cmx_a", "cmx_b", "cmx_c").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("incremental CC merges two existing components through one bridging delta doc") {
+    import spark.implicits._
+    // two disjoint near-dup components in the corpus (1≈2, 10≈11).
+    // Texts are PRE-SEARCHED against the engine's exact banding (K=12
+    // seeded md5 minhashes, 4 bands × 3) so that, deterministically:
+    // each pair shares ≥1 band, the pairs share none across, and the
+    // concatenated bridge shares ≥1 band with BOTH components.
+    val baseA = "mu alpha pi epsilon tau nu eta gamma zeta nu xi gamma beta lambda mu"
+    val baseB = "seven four ten one five eight sixteen eleven fifteen eight four four"
+    val corpus = Seq(
+      (1L, s"$baseA tail"),
+      (2L, s"$baseA tails"),
+      (10L, s"$baseB tail"),
+      (11L, s"$baseB tails")
+    ).toDF("doc_id", "text")
+    // the bridge shares enough shingles with BOTH bases to band-match
+    // both components (its first 12 tokens ≈ baseA, last 12 ≈ baseB)
+    val bridge = Seq((20L, s"$baseA $baseB")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_ccmerge").toString
+    SignatureStore.write(spark, corpus, path)
+    SignatureStore.writeLabels(spark, path)
+    val pre = SignatureStore.readClusters(spark, path).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assume(pre.get(2L).contains(1L) && pre.get(11L).contains(10L), s"corpus components not formed: $pre")
+    assert(pre.get(1L) !== pre.get(10L), "components must start disjoint")
+    SignatureStore.appendRelabel(spark, bridge, path)
+    val post = SignatureStore.readClusters(spark, path).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component, labelled by the global min (doc 1), covering both
+    // old components AND the bridge
+    for (d <- Seq(1L, 2L, 10L, 11L, 20L))
+      assert(post.get(d).contains(1L), s"doc $d not relabelled to the merged min: $post")
+  }
+
+  test("incremental CC label maintenance equals from-scratch clusters on the real corpus") {
+    val incCc = graft.operators.Dedup.incrementalClusters(spark, sf)
+    val scratch = graft.operators.Dedup.clusters(spark, sf)
+    assert(incCc.exceptAll(scratch).count() === 0, "incremental labels not in from-scratch answer")
+    assert(scratch.exceptAll(incCc).count() === 0, "from-scratch labels missing incrementally")
+  }
+
   test("matchDelta over the appended store equals the from-scratch match") {
     val delta = docs.filter(col("doc_id") >= 400)
     val a = SignatureStore.matchDelta(spark, incPath, delta)
