@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
+    "dedup_incremental_bbit" -> ((s, d) => Dedup.incrementalBbit(s, d)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "dedup_minhash_bbit"     -> ((s, d) => Dedup.minhashBbit(s, d)),
@@ -276,6 +277,19 @@ object SparkEntry {
          |)
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // the b-bit tier match: band candidates straddling the split,
+    // scored with the debiased low-bit estimator — recomputed by the
+    // oracle from raw shingles, so a stale or mis-packed stored tier
+    // breaks the integer hash equality
+    "dedup_incremental_bbit" ->
+      s"""WITH $shingleCtes,
+         |nr AS (SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS match_doc_id
+         |       FROM bs a JOIN bs b ON b.band = a.band AND b.sig = a.sig
+         |       WHERE b.doc_id >= 400 AND a.doc_id < 400)
+         |SELECT nr.new_doc_id, nr.match_doc_id,
+         |  CAST($bbitAgreeSql AS BIGINT) AS n_bit_agree,
+         |  CAST(GREATEST(0, (2 * ($bbitAgreeSql) - 12) * 1000000 // 12) AS BIGINT) AS est_jaccard_micro
+         |FROM nr JOIN m a ON a.doc_id = nr.match_doc_id JOIN m b ON b.doc_id = nr.new_doc_id""".stripMargin,
     // incremental label maintenance must converge to the from-scratch
     // components: same reachability oracle as dedup_clusters
     "dedup_incremental_cc" ->

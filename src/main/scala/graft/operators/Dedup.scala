@@ -56,7 +56,7 @@ object Dedup {
     * the cache early, which costs recompute, never correctness. The
     * listener deregisters itself after firing.
     */
-  private def releaseAfterRun(
+  private[graft] def releaseAfterRun(
       spark: SparkSession,
       result: DataFrame,
       cached: Seq[DataFrame]
@@ -266,7 +266,7 @@ object Dedup {
     * partial aggregation reduces each partition to one signature row
     * per doc before the shuffle.
     */
-  private val K = 12
+  private[graft] val K = 12
   private val Bands = 4 // 4 bands x 3 rows
 
   /** distinct (doc, shingle) — the set both the MinHash signatures and
@@ -279,12 +279,19 @@ object Dedup {
   /** per-doc MinHash signature row: doc_id, mh0..mh{K-1} — K seeded
     * conditional mins in ONE groupBy pass.
     */
-  private def minhashSignatures(uniq: DataFrame): DataFrame = {
+  private[graft] def minhashSignatures(uniq: DataFrame): DataFrame = {
     val mins = (0 until K).map(j => min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
     uniq.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  private[graft] def bandSignaturesFrom(uniq: DataFrame): DataFrame = {
+  private[graft] def bandSignaturesFrom(uniq: DataFrame): DataFrame =
+    bandSignaturesFromSigs(minhashSignatures(uniq))
+
+  /** Band signatures off an already-computed signature frame — lets a
+    * store writer derive bands AND the b-bit tier from ONE signature
+    * aggregation instead of re-shingling per artifact.
+    */
+  private[graft] def bandSignaturesFromSigs(sigs: DataFrame): DataFrame = {
     val rows = K / Bands
     val bandStructs = (0 until Bands).map { b =>
       struct(
@@ -292,9 +299,26 @@ object Dedup {
         md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
       )
     }
-    minhashSignatures(uniq)
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** b-bit signature tier: the LOWEST BIT of each of the K min-hashes
+    * (parity of the md5's last nibble — the same portable rule the
+    * b-bit estimator and its oracle use), packed LSB-first into one
+    * long. K bits per rep instead of K×128-bit hex strings — the
+    * 128× smaller verification tier a 100 TB signature store persists
+    * alongside its bands.
+    */
+  private[graft] def bbitsFromSigs(sigs: DataFrame): DataFrame = {
+    val bit = (j: Int) =>
+      when(substring(col(s"mh$j"), 32, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L)
+        .otherwise(0L)
+    sigs.select(
+      col("doc_id"),
+      (0 until K).map(j => shiftleft(bit(j), j)).reduce(_ bitwiseOR _).as("bits")
+    )
   }
 
   // -------------------------------------------------------------------
@@ -871,6 +895,21 @@ object Dedup {
   // the incremental maintenance converges to the same components, while
   // the CC loop never iterates over corpus-sized data.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // 25d. dedup_incremental_bbit — incremental matching against the
+  // PERSISTED b-bit tier: band candidates from the stored signatures,
+  // Jaccard estimates from the stored packed low bits (8 bytes/rep).
+  // The corpus contributes only its sketch tiers; its text is never
+  // re-read, and the full hex signatures stay cold. The oracle
+  // recomputes the same debiased estimator from raw shingles.
+  // -------------------------------------------------------------------
+  def incrementalBbit(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = graft.sources.SignatureStore.bbScratchPath(dir)
+    graft.sources.SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    graft.sources.SignatureStore.matchDeltaScored(spark, store, docs.filter(col("doc_id") >= splitId))
+  }
+
   def incrementalClusters(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val store = graft.sources.SignatureStore.ccScratchPath(dir)

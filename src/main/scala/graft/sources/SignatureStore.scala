@@ -35,19 +35,31 @@ object SignatureStore {
     */
   def ccScratchPath(dir: String): String = TimeboxStore.scratchPath("graft_sigcc", dir)
 
+  /** Scratch root for the b-bit scored-match drill (kept apart from
+    * the CC drill, whose store gets delta signatures appended).
+    */
+  def bbScratchPath(dir: String): String = TimeboxStore.scratchPath("graft_sigbb", dir)
+
   private def normed(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
 
-  /** Build the store from scratch for a corpus of (doc_id, text). */
+  /** Build the store from scratch for a corpus of (doc_id, text).
+    * Bands AND the b-bit verification tier (`bbits/ (doc_id, bits)`,
+    * K packed low bits per rep — see [[Dedup.bbitsFromSigs]]) derive
+    * from ONE signature aggregation over the rep shingles.
+    */
   def write(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val c = Dedup.collapseExact(normed(docs))
     c.groups.write.mode("overwrite").parquet(s"$path/groups")
     c.reps
       .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
       .write.mode("overwrite").parquet(s"$path/reps")
-    Dedup
-      .bandSignaturesFrom(Dedup.shinglesOf(c.reps).distinct())
-      .write.mode("overwrite").parquet(s"$path/bands")
+    val sigs = Dedup
+      .minhashSignatures(Dedup.shinglesOf(c.reps).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.bandSignaturesFromSigs(sigs).write.mode("overwrite").parquet(s"$path/bands")
+    Dedup.bbitsFromSigs(sigs).write.mode("overwrite").parquet(s"$path/bbits")
+    sigs.unpersist()
   }
 
   /** Append a new batch: docs whose content hash matches an existing
@@ -69,9 +81,12 @@ object SignatureStore {
     freshC.reps
       .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
       .write.mode("append").parquet(s"$path/reps")
-    Dedup
-      .bandSignaturesFrom(Dedup.shinglesOf(freshC.reps).distinct())
-      .write.mode("append").parquet(s"$path/bands")
+    val sigs = Dedup
+      .minhashSignatures(Dedup.shinglesOf(freshC.reps).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.bandSignaturesFromSigs(sigs).write.mode("append").parquet(s"$path/bands")
+    Dedup.bbitsFromSigs(sigs).write.mode("append").parquet(s"$path/bbits")
+    sigs.unpersist()
   }
 
   /** Bucketed band table: a corpus' rep-level band signatures written
@@ -277,5 +292,51 @@ object SignatureStore {
       .join(dc.groups.select(col("rep_id").as("d_rep"), col("doc_id").as("new_doc_id")), Seq("d_rep"))
       .groupBy(col("new_doc_id"), col("match_doc_id"))
       .agg(min(col("kind")).as("kind"))
+  }
+
+  /** [[matchDelta]]'s near matches SCORED from the persisted b-bit
+    * tier: candidates come from the stored bands, the Jaccard estimate
+    * from the stored K packed low bits — the corpus contributes 8
+    * bytes per rep to verification, and its text/shingles are never
+    * touched (the batch side computes its own signatures once). The
+    * debiased estimator is exact integer math on a XOR popcount:
+    *
+    *   agree = K − popcount(bits_a XOR bits_b)
+    *   Ĵ     = max(0, (2·agree − K) / K)
+    *
+    * This is what makes sketch verification affordable at 100 TB:
+    * the full-signature tier (12×32-char hex per rep) stays cold,
+    * the b-bit tier rides along with the band join.
+    */
+  def matchDeltaScored(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    val groups = spark.read.parquet(s"$path/groups")
+    val bands = spark.read.parquet(s"$path/bands")
+    val bbits = spark.read.parquet(s"$path/bbits")
+    val dc = Dedup.collapseExact(normed(delta))
+    val dSigs = Dedup
+      .minhashSignatures(Dedup.shinglesOf(dc.reps).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dBands = Dedup
+      .bandSignaturesFromSigs(dSigs)
+      .select(col("doc_id").as("d_rep"), col("band"), col("sig"))
+    val dBbits = Dedup.bbitsFromSigs(dSigs).select(col("doc_id").as("d_rep"), col("bits").as("d_bits"))
+    val k = Dedup.K
+    val near = bands
+      .join(broadcast(dBands), Seq("band", "sig"))
+      .select(col("doc_id").as("rep_id"), col("d_rep"))
+      .distinct()
+    val scored = near
+      .join(bbits.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
+      .join(broadcast(dBbits), Seq("d_rep"))
+      .withColumn("n_bit_agree", lit(k.toLong) - expr(s"bit_count((bits ^ d_bits) & ${(1L << k) - 1}L)"))
+      .withColumn(
+        "est_jaccard_micro",
+        greatest(lit(0L), expr(s"(2 * n_bit_agree - $k) * 1000000 DIV $k"))
+      )
+    val out = scored
+      .join(groups.select(col("rep_id"), col("doc_id").as("match_doc_id")), Seq("rep_id"))
+      .join(dc.groups.select(col("rep_id").as("d_rep"), col("doc_id").as("new_doc_id")), Seq("d_rep"))
+      .select(col("new_doc_id"), col("match_doc_id"), col("n_bit_agree"), col("est_jaccard_micro"))
+    Dedup.releaseAfterRun(spark, out, Seq(dSigs))
   }
 }

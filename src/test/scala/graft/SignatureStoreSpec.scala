@@ -22,7 +22,7 @@ class SignatureStoreSpec extends AnyFunSuite {
   }
 
   test("append equals rebuild: groups/reps/bands are set-identical for id-ordered batches") {
-    for (t <- Seq("groups", "reps", "bands")) {
+    for (t <- Seq("groups", "reps", "bands", "bbits")) {
       val x = spark.read.parquet(s"$incPath/$t")
       val y = spark.read.parquet(s"$fullPath/$t")
       assert(x.count() === y.count(), s"$t row count diverged")
