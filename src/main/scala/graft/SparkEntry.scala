@@ -91,6 +91,9 @@ object SparkEntry {
     "q15_top_supplier"   -> ((s, d) => Relational.q15TopSupplier(s, d)),
     "q7_nation_volume"   -> ((s, d) => Relational.q7NationVolume(s, d)),
     "q8_market_share"    -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q12_priority_class" -> ((s, d) => Relational.q12PriorityClass(s, d)),
+    "q13_order_counts"   -> ((s, d) => Relational.q13OrderCounts(s, d)),
+    "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
     "rel_median_order"   -> ((s, d) => Relational.medianOrderValue(s, d)),
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
@@ -1857,6 +1860,36 @@ object SparkEntry {
         |SELECT c_mktsegment, CAST(MAX(total) AS BIGINT) AS n_orders,
         |  CAST(MIN(price_c) AS BIGINT) AS p50_price_c
         |FROM c WHERE cum >= (total + 1) // 2 GROUP BY 1""".stripMargin,
+    // Q12 shape: conditional urgency classification over the orderkey join
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    // Q13 shape: the zero-order bucket only exists if the filter lives
+    // in the outer-join condition
+    "q13_order_counts" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY c_custkey)
+        |GROUP BY 1""".stripMargin,
+    // Q21 shape: EXISTS / NOT EXISTS double self-join on the order key
+    "q21_waiting_supplier" ->
+      """SELECT n_name, s_name, COUNT(*) AS numwait
+        |FROM lineitem l1
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY 1, 2""".stripMargin,
     "rel_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
         |  COALESCE(l_linestatus, 'ALL') AS linestatus,

@@ -611,4 +611,87 @@ object Relational {
       .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")), $"s_suppkey" === $"l_suppkey")
       .select($"s_suppkey", $"s_name", $"total_rev_c")
   }
+
+  /** TPC-H Q12 shape: conditional two-way classification over the
+    * lineitem ⋈ orders fact-fact join (the testdata ships no
+    * l_shipmode, so the return flag plays the mode and the order
+    * priority the urgency class — the plan shape is Q12's exactly).
+    * One orderkey shuffle join, the date filter pushed to the lineitem
+    * scan, both counts from one conditional aggregation pass.
+    */
+  def q12PriorityClass(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          $"l_shipdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+      )
+      .select($"l_orderkey", $"l_returnflag")
+    li.join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderpriority"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L)).as("low_line_count")
+      )
+  }
+
+  /** TPC-H Q13 shape: customer order-count DISTRIBUTION. The LEFT
+    * OUTER join is the load-bearing piece — customers with zero
+    * qualifying orders must survive into the c_count = 0 bucket (an
+    * inner join silently drops exactly the bucket the business
+    * question asks about). Two aggregations: per-customer counts on
+    * the custkey shuffle, then the tiny count-of-counts. The comment
+    * anti-pattern filter becomes a priority filter (no o_comment in
+    * the testdata); it lives in the JOIN CONDITION, not a WHERE — a
+    * post-join filter would also drop the zero-order customers.
+    */
+  def q13OrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables
+      .orders(spark, dir)
+      .filter($"o_orderpriority" =!= "5-LOW")
+      .select($"o_custkey", $"o_orderkey")
+    Tables
+      .customer(spark, dir)
+      .select($"c_custkey")
+      .join(ord, $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who BLOCKED multi-supplier finished
+    * orders — their line shipped strictly last (no commit/receipt
+    * dates in the testdata, so "kept waiting" = latest l_shipdate).
+    * The decorrelation is Q21's signature double self-join:
+    * EXISTS(other supplier in the order) → left-semi,
+    * NOT EXISTS(other supplier shipping LATER) → left-anti, both on
+    * the orderkey shuffle key; the order-status filter rides a semi
+    * join and the supplier/nation dims broadcast.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val finished = Tables
+      .orders(spark, dir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    val other = li.select($"l_orderkey".as("o2_key"), $"l_suppkey".as("o2_supp"), $"l_shipdate".as("o2_ship"))
+    val sup = Tables
+      .supplier(spark, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")), $"n_nationkey" === $"s_nationkey")
+    li.join(finished, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .join(other, $"o2_key" === $"l_orderkey" && $"o2_supp" =!= $"l_suppkey", "left_semi")
+      .join(
+        other,
+        $"o2_key" === $"l_orderkey" && $"o2_supp" =!= $"l_suppkey" && $"o2_ship" > $"l_shipdate",
+        "left_anti"
+      )
+      .join(broadcast(sup), $"s_suppkey" === $"l_suppkey")
+      .groupBy($"n_name", $"s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
 }

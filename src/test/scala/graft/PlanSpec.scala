@@ -170,6 +170,40 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("q13 keeps the zero-order bucket: outer join in the plan, priority filter below it") {
+    val df = Relational.q13OrderCounts(spark, sf)
+    // the contract itself: EVERY customer lands in some bucket — an
+    // inner join (or post-join filter) loses exactly the zero-order
+    // customers, so the distribution's total mass must equal the
+    // customer count
+    val mass = df
+      .agg(org.apache.spark.sql.functions.sum("custdist"))
+      .head()
+      .getLong(0)
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    assert(mass === nCust, s"distribution covers $mass of $nCust customers — outer join broken")
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j.joinType
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.joinType
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j.joinType
+    }
+    assert(
+      joins.exists(_.toString.contains("Outer")),
+      s"expected an outer join preserving customers, got $joins"
+    )
+  }
+
+  test("q21 runs the EXISTS/NOT-EXISTS pair as semi + anti joins on the orderkey — never a blowup join") {
+    val plan = Relational.q21WaitingSupplier(spark, sf).queryExecution.sparkPlan
+    val s = plan.toString
+    assert(s.contains("LeftSemi"), "multi-supplier EXISTS should be a left-semi join")
+    assert(s.contains("LeftAnti"), "ships-later NOT EXISTS should be a left-anti join")
+    assert(
+      !s.contains("CartesianProduct"),
+      "q21 decorrelation must not fall back to a cartesian product"
+    )
+  }
+
   test("q6 pushes every conjunct to the lineitem scan and reads only the needed columns") {
     val scan = Relational
       .q6Revenue(spark, sf)
