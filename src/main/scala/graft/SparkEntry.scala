@@ -45,6 +45,7 @@ object SparkEntry {
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
     "ts_histogram_quantile" -> ((s, d) => TimeSeries.histogramQuantile(s, d)),
     "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
+    "ts_topk_stream"     -> ((s, d) => graft.sources.StreamingIngest.topkStream(s, d)),
     "ts_ewma"            -> ((s, d) => TimeSeries.ewma(s, d)),
     "ts_ewma_stream"     -> ((s, d) => graft.sources.StreamingIngest.ewmaStream(s, d)),
     "ts_ewma_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.ewmaStreamReordering(s, d)),
@@ -1333,6 +1334,17 @@ object SparkEntry {
         |SELECT hour_id, user_id, n_events,
         |  CAST(RANK() OVER (PARTITION BY hour_id ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rnk
         |FROM h QUALIFY rnk <= 3""".stripMargin,
+    // append-mode leaderboard: only hours finalized by the final
+    // watermark (window end at or below it) may rank
+    "ts_topk_stream" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT ((MAX(ts_us) // 1000) - 1800000) * 1000 AS wm_us FROM e),
+        |h AS (SELECT ts_us // 3600000000 AS hour_id, user_id, COUNT(*) AS n_events
+        |      FROM e GROUP BY 1, 2),
+        |f AS (SELECT h.* FROM h, c WHERE (hour_id + 1) * 3600000000 <= wm_us)
+        |SELECT hour_id, user_id, n_events,
+        |  CAST(RANK() OVER (PARTITION BY hour_id ORDER BY n_events DESC, user_id ASC) AS BIGINT) AS rnk
+        |FROM f QUALIFY rnk <= 3""".stripMargin,
     // α=1/2 EWMA truncated at 16 points: power-of-two weights as 16
     // explicit lag terms; denominator counts only present terms. The
     // streaming dual emits identical integers (ring-buffer state),

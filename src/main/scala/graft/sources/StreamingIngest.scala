@@ -339,6 +339,44 @@ object StreamingIngest {
       )
   }
 
+  /** Streaming TOP-K per hour — the live-leaderboard shape: a
+    * watermarked event-time hourly window aggregates per-user counts
+    * in APPEND mode, so a (window, user) row emits exactly once, when
+    * the watermark passes the hour's end. State is bounded by the
+    * watermark horizon (the open hours × active users), never stream
+    * length — the 24/7 posture; complete-mode ranking over all history
+    * would not be. The final rank runs over the emitted (finalized)
+    * rows; the oracle applies the same finalization cutoff: only hours
+    * whose END is at or below the final watermark score.
+    */
+  def topkStream(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 3,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val counts = reader
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_t", "30 minutes")
+      .groupBy(window(col("ts_t"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        expr("unix_micros(window.start) DIV 3600000000").as("hour_id"),
+        col("user_id"),
+        col("n_events")
+      )
+    val finalized = runToMemory(spark, counts, "append")
+    val w = Window.partitionBy(col("hour_id")).orderBy(col("n_events").desc, col("user_id").asc)
+    finalized
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Streaming EWMA: the batch [[graft.operators.TimeSeries.ewma]]
     * (α = 1/2, 16-point truncation, exact power-of-two integer
     * weights) as per-series ring-buffer state — each arriving point is
