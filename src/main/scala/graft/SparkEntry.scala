@@ -149,6 +149,7 @@ object SparkEntry {
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
     "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d)),
     "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
   )
 
@@ -911,6 +912,32 @@ object SparkEntry {
     // (hex-decoded two chars at a time), then the quantized 4-float
     // feature [n, width, height, checksum%1000] is hyperplane-LSH
     // bucketed with the same md5-derived planes as dedup_embedding.
+    // frame-sample plan: clip length from the same deterministic byte
+    // fold ((checksum mod 4096) mod 120), uniform indices and byte seek
+    // ranges in exact integers
+    "mm_frame_sample" ->
+      """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |cs AS (SELECT doc_id, n,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST((strpos('0123456789abcdef', h[2*i-1:2*i-1]) - 1) * 16
+        |           + (strpos('0123456789abcdef', h[2*i:2*i]) - 1) AS BIGINT)
+        |       FOR i IN generate_series(1, CAST(n AS INTEGER))]),
+        |    (a, b) -> (a * 31 + b) & 2147483647) AS checksum
+        |  FROM p),
+        |f AS (SELECT doc_id, n, 1 + (checksum % 4096) % 120 AS vframes FROM cs),
+        |s AS (SELECT doc_id, n, vframes, LEAST(8, vframes) AS n_samples,
+        |             unnest(generate_series(0, CAST(LEAST(8, vframes) AS INTEGER) - 1)) AS sample_ord
+        |      FROM f)
+        |SELECT doc_id, CAST(sample_ord AS BIGINT) AS sample_ord,
+        |  CAST((sample_ord * vframes) // n_samples AS BIGINT) AS frame_idx,
+        |  CAST(vframes AS BIGINT) AS vframes,
+        |  CAST(((sample_ord * vframes) // n_samples) * (n // vframes) AS BIGINT) AS frame_offset,
+        |  CAST(n // vframes
+        |       + CASE WHEN (sample_ord * vframes) // n_samples = vframes - 1
+        |              THEN n % vframes ELSE 0 END AS BIGINT) AS frame_len
+        |FROM s""".stripMargin,
     "mm_decode_index" ->
       """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),

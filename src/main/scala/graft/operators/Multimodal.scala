@@ -117,6 +117,7 @@ object Multimodal {
   val decodedSchema: StructType = StructType(
     Seq(
       StructField("doc_id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
       StructField("n_frames", IntegerType, nullable = false),
@@ -184,9 +185,50 @@ object Multimodal {
       .mapPartitions { rows =>
         // real impl: initialize the codec ONCE here, per partition
         rows.map { r =>
-          val (w, h, f, feat) = stubDecode(r.getAs[Array[Byte]]("payload"))
-          Row(r.getAs[Long]("doc_id"), w, h, f, feat.toSeq)
+          val payload = r.getAs[Array[Byte]]("payload")
+          val (w, h, f, feat) = stubDecode(payload)
+          Row(r.getAs[Long]("doc_id"), payload.length.toLong, w, h, f, feat.toSeq)
         }
       }(enc)
+  }
+
+  // -------------------------------------------------------------------
+  // 33f. mm_frame_sample — the frame-sampling PLAN a video pipeline
+  // derives before touching pixels: per asset, a deterministic uniform
+  // sample of up to `samples` frame indices plus the byte seek range
+  // each sampled frame occupies. The clip length is demuxer METADATA —
+  // here derived from the stub decoder's deterministic dimensions
+  // ((width−16) + 64·(height−16) ≡ checksum mod 4096, so the oracle
+  // recomputes it from the same byte fold); a real demuxer would
+  // return it and nothing else changes. Uniform sampling in exact
+  // integers: j·v DIV min(S, v) for j < min(S, v) — strictly
+  // increasing when v ≥ S, the identity when v < S. One explode of a
+  // bounded sequence per asset; row-local, zero shuffle.
+  // -------------------------------------------------------------------
+  def frameSamplePlan(spark: SparkSession, dir: String, samples: Int = 8): DataFrame = {
+    val payloads = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    decodeAll(spark, payloads)
+      .withColumn("vframes", expr("CAST(1 + ((width - 16) + 64 * (height - 16)) % 120 AS BIGINT)"))
+      .withColumn("n_samples", least(lit(samples.toLong), col("vframes")))
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        col("vframes"),
+        col("n_samples"),
+        explode(expr("sequence(0L, n_samples - 1)")).as("sample_ord")
+      )
+      .withColumn("frame_idx", expr("(sample_ord * vframes) DIV n_samples"))
+      .withColumn("frame_bytes", expr("n_bytes DIV vframes"))
+      .select(
+        col("doc_id"),
+        col("sample_ord"),
+        col("frame_idx"),
+        col("vframes"),
+        (col("frame_idx") * col("frame_bytes")).as("frame_offset"),
+        // the last frame absorbs the remainder of the equal byte split
+        expr("frame_bytes + IF(frame_idx = vframes - 1, n_bytes % vframes, 0L)").as("frame_len")
+      )
   }
 }
