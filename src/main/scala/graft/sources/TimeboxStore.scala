@@ -562,7 +562,11 @@ object TimeboxStore {
     * of [[aggregateEncodedRange]]'s interior/boundary split.
     */
   def kthSmallestEncoded(store: DataFrame, tag: String, kOf: Column => Column): DataFrame = {
+    // one row per series, consumed by THREE joins of the returned lazy
+    // plan (below-count, straddler filter, final k lookup) — without
+    // the persist each join re-runs the whole histogram narrowing
     val bounds = quantileBounds(store, tag, kOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joined = store.join(bounds, "series_id")
     val below = joined
       .groupBy(col("series_id"))
@@ -571,12 +575,13 @@ object TimeboxStore {
       .filter(col(s"max_$tag") >= col("lo") && col(s"min_$tag") < col("hi"))
       .select(store.columns.map(col): _*)
     val byValue = Window.partitionBy("series_id").orderBy(col(tag), col("seq"))
-    decode(straddlers, Seq(tag))
+    val out = decode(straddlers, Seq(tag))
       .withColumn("rn", row_number().over(byValue))
       .join(below, "series_id")
       .join(bounds.select(col("series_id"), col("k"), col("n")), "series_id")
       .filter(col("rn") === col("k") - col("below"))
       .select(col("series_id"), col("n").as("n_points"), col(tag).as(s"kth_$tag"))
+    graft.operators.Dedup.releaseAfterRun(store.sparkSession, out, Seq(bounds))
   }
 
   /** Oracle-gated histogram-quantile read (ts_store_quantile_read):
