@@ -54,7 +54,10 @@ class ScaleSpec extends AnyFunSuite {
     "ann_topk_bruteforce",
     "q6_revenue",
     "q17_small_qty",
-    "ts_autocorr"
+    "ts_autocorr",
+    "q12_priority_class",
+    "q13_order_counts",
+    "q21_waiting_supplier"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
