@@ -67,6 +67,7 @@ object SparkEntry {
     "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
     "ts_store_agg_range" -> ((s, d) => graft.sources.TimeboxStore.rangeAggSummary(s, d)),
     "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
+    "ts_store_hybrid_agg" -> ((s, d) => graft.sources.TimeboxStore.hybridAggSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1528,6 +1529,17 @@ object SparkEntry {
         |  CAST(MIN(trend_c) AS BIGINT) AS min_trend_c,
         |  CAST(MAX(trend_c) AS BIGINT) AS max_trend_c
         |FROM w GROUP BY 1""".stripMargin,
+    // hybrid layout + block-ALIGNED range: pruning, closed-form
+    // aggregation, and bucket-colocated grouping compose to a
+    // zero-exchange plan; oracle = the raw whole-day range aggregate
+    "ts_store_hybrid_agg" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  MIN(CAST(round(value*100) AS BIGINT)) AS min_value_c,
+        |  MAX(CAST(round(value*100) AS BIGINT)) AS max_value_c
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // misaligned range: both edges exercise the boundary-decode path,
     // the interior stays closed-form; oracle = the raw range aggregate
     "ts_store_agg_range" ->

@@ -412,6 +412,13 @@ object TimeboxStore {
     val inRange = store.filter(
       col("day_id") >= startUs / blockUs && col("day_id") <= (endUs - 1) / blockUs
     )
+    // BLOCK-ALIGNED fast path: when both edges sit on block boundaries
+    // (the dashboard "last N whole days" case) every in-range block is
+    // interior — no boundary branch, no decode, no union; on a
+    // series-bucketed layout the whole aggregate then runs with zero
+    // exchanges
+    if (startUs % blockUs == 0 && endUs % blockUs == 0)
+      return aggregateEncodedMulti(inRange, tags)
     val interiorCond =
       col("day_id") * blockUs >= startUs && (col("day_id") + 1) * blockUs <= endUs
     val aggI = aggregateEncodedMulti(inRange.filter(interiorCond), tags)
@@ -464,6 +471,39 @@ object TimeboxStore {
     // 2024-01-08 12:00 .. 2024-01-21 12:00 — half-day offsets on both ends
     val (startUs, endUs) = (1704715200000000L, 1705838400000000L)
     aggregateEncodedRange(spark.read.parquet(out), startUs, endUs, Seq("value_c"))
+      .select(
+        col("series_id").as("user_id"),
+        col("n_points"),
+        col("sum_value_c"),
+        col("min_value_c"),
+        col("max_value_c")
+      )
+  }
+
+  /** Oracle-gated HYBRID-LAYOUT aggregate pushdown
+    * (ts_store_hybrid_agg): the three storage levers composed in ONE
+    * query — day partitions PRUNE the scan, the block-aligned range
+    * aggregates CLOSED-FORM off encoded rows (no decode branch at
+    * all), and the series-bucketed layout makes the per-series groupBy
+    * exchange-free. At 100 TB this is the "sum per series for two
+    * whole weeks" query: IO = the 14 matching day partitions, network
+    * = nothing. StoreSpec pins zero shuffle exchanges AND the
+    * partition-pruned scan on the same plan.
+    */
+  def hybridAggSummary(spark: SparkSession, dir: String): DataFrame = {
+    // a prior SESSION's run leaves the managed location behind with no
+    // entry in this session's in-memory catalog — drop both, or
+    // saveAsTable refuses with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS graft_hybrid_agg")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_hybrid_agg"
+    )
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeHybridStore(spark, dir, "graft_hybrid_agg")
+    // 2024-01-08 .. 2024-01-22, both edges day-aligned
+    val (startUs, endUs) = (1704672000000000L, 1705881600000000L)
+    aggregateEncodedRange(spark.table("graft_hybrid_agg"), startUs, endUs, Seq("value_c"))
       .select(
         col("series_id").as("user_id"),
         col("n_points"),

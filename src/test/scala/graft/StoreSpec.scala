@@ -523,6 +523,42 @@ class StoreSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).count() === 0)
   }
 
+  test("hybrid aggregate pushdown: aligned range = pruned scan + closed form + ZERO exchanges") {
+    TimeboxStore.writeHybridStore(spark, sf, "graft_hybrid_agg_spec")
+    try {
+      val (startUs, endUs) = (1704672000000000L, 1705881600000000L) // day-aligned
+      val agg = TimeboxStore.aggregateEncodedRange(
+        spark.table("graft_hybrid_agg_spec"),
+        startUs,
+        endUs,
+        Seq("value_c")
+      )
+      val plan = agg.queryExecution.executedPlan.toString
+      // the aligned fast path must skip the boundary branch entirely:
+      // no decode (Generate/Window) and, on the bucketed layout, no
+      // shuffle exchange anywhere — the partition filter prunes days
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"hybrid aligned aggregate still shuffles:\n$plan")
+      assert(!plan.contains("Generate"), s"aligned range should never decode:\n$plan")
+      val scan = agg.queryExecution.sparkPlan
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .head
+      assert(scan.partitionFilters.nonEmpty, "day range did not become a partition filter")
+      // and it equals the decode-everything reference
+      val reference = TimeboxStore
+        .decode(spark.table("graft_hybrid_agg_spec"))
+        .filter(col("ts_us") >= startUs && col("ts_us") < endUs)
+        .groupBy(col("series_id"))
+        .agg(
+          count(lit(1)).as("n_points"),
+          sum(col("value_c")).as("sum_value_c"),
+          min(col("value_c")).as("min_value_c"),
+          max(col("value_c")).as("max_value_c")
+        )
+      assert(agg.exceptAll(reference).count() === 0 && reference.exceptAll(agg).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_hybrid_agg_spec")
+  }
+
   test("histogram-quantile pushdown: localized tag decodes ~1 block/series, both medians exact") {
     val pts = TimeboxStore
       .counterPoints(spark, sf)
