@@ -32,6 +32,7 @@ object SparkEntry {
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
     "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
+    "ts_counter_resets"  -> ((s, d) => TimeSeries.counterResets(s, d)),
     "ts_gap_stats"       -> ((s, d) => TimeSeries.gapStats(s, d)),
     "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
@@ -1245,6 +1246,17 @@ object SparkEntry {
         |SELECT user_id, ts_us // 3600000000 AS hour_id, COUNT(*) AS n_deltas,
         |  CAST(SUM(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT) AS increase_c,
         |  CAST(SUM(dv) AS BIGINT) AS net_delta_c
+        |FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // reset compensation: a negative delta is a counter restart, and
+    // the post-reset value is the true increase since the restart
+    "ts_counter_resets" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |d AS (SELECT user_id, ts_us, value_c, value_c - lag(value_c) OVER w AS dv
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        |SELECT user_id, ts_us // 3600000000 AS hour_id, COUNT(*) AS n_deltas,
+        |  CAST(SUM(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+        |  CAST(SUM(CASE WHEN dv >= 0 THEN dv ELSE value_c END) AS BIGINT) AS adj_increase_c
         |FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""".stripMargin,
     // the reordering-buffer rate: identical to the batch rate up to
     // the finalization cutoff — the final watermark (max event ms −

@@ -328,6 +328,29 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11f2. ts_counter_resets — PromQL increase() with RESET
+  // compensation: a monotone counter that drops restarted, so a
+  // negative delta is a reset and the post-reset value is the true
+  // increase since the restart (increase = Σ max(dv, 0) + Σ v where
+  // dv < 0 — exactly Prometheus' extrapolation-free core). Per-hour
+  // reset counts ride the same pass; the plan is the one-window,
+  // one-shuffle shape of ts_rate_increase.
+  // -------------------------------------------------------------------
+  def counterResets(spark: SparkSession, dir: String): DataFrame = {
+    val w = seriesW
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      .withColumn("dv", col("value_c") - lag(col("value_c"), 1).over(w))
+      .filter(col("dv").isNotNull)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_deltas"),
+        sum(when(col("dv") < 0, 1L).otherwise(0L)).as("n_resets"),
+        sum(when(col("dv") >= 0, col("dv")).otherwise(col("value_c"))).as("adj_increase_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 12c. ts_gap_stats — per-series sampling-health summary: how many
   // silent gaps (> threshold) a series has and its inter-arrival
   // extremes — the "is this series healthy / does it need gap-fill"
