@@ -152,6 +152,8 @@ object SparkEntry {
     "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d)),
     "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
+    "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "rel_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
     "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
   )
 
@@ -914,6 +916,44 @@ object SparkEntry {
     // (hex-decoded two chars at a time), then the quantized 4-float
     // feature [n, width, height, checksum%1000] is hyperplane-LSH
     // bucketed with the same md5-derived planes as dedup_embedding.
+    // resize plan: aspect-preserving fit inside a 48-box, integer math
+    // (cross-multiplied limiting side, floor-div dims, micro ratio)
+    "mm_resize_plan" ->
+      """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |cs AS (SELECT doc_id, n,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST((strpos('0123456789abcdef', h[2*i-1:2*i-1]) - 1) * 16
+        |           + (strpos('0123456789abcdef', h[2*i:2*i]) - 1) AS BIGINT)
+        |       FOR i IN generate_series(1, CAST(n AS INTEGER))]),
+        |    (a, b) -> (a * 31 + b) & 2147483647) AS checksum
+        |  FROM p),
+        |f AS (SELECT doc_id, 16 + checksum % 64 AS width,
+        |             16 + (checksum // 64) % 64 AS height FROM cs)
+        |SELECT doc_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(CASE WHEN width <= 48 AND height <= 48 THEN width
+        |            WHEN width >= height THEN 48
+        |            ELSE (width * 48) // height END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN width <= 48 AND height <= 48 THEN height
+        |            WHEN height > width THEN 48
+        |            ELSE (height * 48) // width END AS BIGINT) AS out_h,
+        |  CAST(CASE WHEN width <= 48 AND height <= 48 THEN 1000000
+        |            WHEN width >= height THEN (48 * 1000000) // width
+        |            ELSE (48 * 1000000) // height END AS BIGINT) AS scale_micro
+        |FROM f""".stripMargin,
+    // ntile is rank-based (equal buckets, larger first) in both engines
+    "rel_ntile_quartiles" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |                  CAST(round(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+        |q AS (SELECT c_mktsegment, bal_c,
+        |        CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY bal_c ASC, c_custkey ASC) AS BIGINT) AS quartile
+        |      FROM c)
+        |SELECT c_mktsegment, quartile, COUNT(*) AS n_cust,
+        |  MIN(bal_c) AS min_bal_c, MAX(bal_c) AS max_bal_c,
+        |  CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
+        |FROM q GROUP BY 1, 2""".stripMargin,
     // frame-sample plan: clip length from the same deterministic byte
     // fold ((checksum mod 4096) mod 120), uniform indices and byte seek
     // ranges in exact integers

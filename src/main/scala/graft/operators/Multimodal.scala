@@ -193,6 +193,49 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
+  // 33g. mm_resize_plan — the RESIZE plan an image pipeline derives
+  // from decoded dimensions before touching pixels: fit each asset
+  // inside a target box preserving aspect ratio, all in exact integer
+  // math (scale chosen by cross-multiplied comparison, output dims by
+  // floor division, micro-scaled ratio recorded for the executor).
+  // Row-local over the stub decode's deterministic dimensions — a real
+  // decoder changes the numbers, never the plan.
+  // -------------------------------------------------------------------
+  def resizePlan(spark: SparkSession, dir: String, box: Int = 48): DataFrame = {
+    // box=48 sits inside the stub decoder's 16..79 dimension range, so
+    // the drill exercises fit, landscape-limited, and portrait-limited
+    // branches; a production 224 box works identically
+    val payloads = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    decodeAll(spark, payloads)
+      .select(col("doc_id"), col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+      // limiting side by cross-multiplication (no division): width
+      // limits iff width·box... both scale ratios are box/side; the
+      // smaller ratio (larger side) wins
+      .withColumn("fits", col("width") <= box && col("height") <= box)
+      .withColumn(
+        "out_w",
+        when(col("fits"), col("width"))
+          .when(col("width") >= col("height"), lit(box.toLong))
+          .otherwise(expr(s"(width * $box) DIV height"))
+      )
+      .withColumn(
+        "out_h",
+        when(col("fits"), col("height"))
+          .when(col("height") > col("width"), lit(box.toLong))
+          .otherwise(expr(s"(height * $box) DIV width"))
+      )
+      .withColumn(
+        "scale_micro",
+        when(col("fits"), lit(1000000L))
+          .when(col("width") >= col("height"), expr(s"(${box}L * 1000000) DIV width"))
+          .otherwise(expr(s"(${box}L * 1000000) DIV height"))
+      )
+      .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"), col("scale_micro"))
+  }
+
+  // -------------------------------------------------------------------
   // 33f. mm_frame_sample — the frame-sampling PLAN a video pipeline
   // derives before touching pixels: per asset, a deterministic uniform
   // sample of up to `samples` frame indices plus the byte seek range

@@ -612,6 +612,31 @@ object Relational {
       .select($"s_suppkey", $"s_name", $"total_rev_c")
   }
 
+  /** NTILE quartile report: customers split into 4 balance quartiles
+    * per market segment (deterministic (balance, custkey) order), with
+    * per-quartile count and balance envelope — the "who's in my top
+    * quartile" segmentation query. One window pass on the segment
+    * shuffle; ntile is rank-based, so the quartile split stays exact
+    * integer logic at any scale.
+    */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window
+      .partitionBy($"c_mktsegment")
+      .orderBy($"bal_c".asc, $"c_custkey".asc)
+    Tables
+      .customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", cents($"c_acctbal").as("bal_c"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy($"c_mktsegment", $"quartile")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        min($"bal_c").as("min_bal_c"),
+        max($"bal_c").as("max_bal_c"),
+        sum($"bal_c").as("sum_bal_c")
+      )
+  }
+
   /** TPC-H Q12 shape: conditional two-way classification over the
     * lineitem ⋈ orders fact-fact join (the testdata ships no
     * l_shipmode, so the return flag plays the mode and the order
