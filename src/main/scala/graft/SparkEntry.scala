@@ -69,6 +69,7 @@ object SparkEntry {
     "ts_store_agg_range" -> ((s, d) => graft.sources.TimeboxStore.rangeAggSummary(s, d)),
     "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
     "ts_store_hybrid_agg" -> ((s, d) => graft.sources.TimeboxStore.hybridAggSummary(s, d)),
+    "ts_store_delete_value" -> ((s, d) => graft.sources.TimeboxStore.deleteSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1643,6 +1644,15 @@ object SparkEntry {
         |       FROM cc WHERE cum >= (total + 1) // 2 GROUP BY 1)
         |SELECT user_id, n_points, p50_value_c, p50_counter_c
         |FROM mv JOIN mc USING (user_id)""".stripMargin,
+    // predicate delete: skip-structure-proven blocks pass through
+    // encoded; oracle = raw events minus the purged code
+    "ts_store_delete_value" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events
+        |WHERE ascii(substr(event_type, 1, 1)) <> 112
+        |GROUP BY 1""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same
     // time-range + type-code filter over the raw events

@@ -1022,6 +1022,56 @@ object TimeboxStore {
       .filter(col(tag) === valueC)
   }
 
+  /** Predicate DELETE on the encoded store — the missing letter of the
+    * store's CRUD, and a composition of the skip structures with the
+    * upsert machinery: a block whose dictionary/bloom/zone map PROVES
+    * the probed value absent passes through ENCODED, byte-identical
+    * (it cannot hold a doomed point); only blocks that might match
+    * decode, drop the matching points, and re-encode (a fully-emptied
+    * block simply vanishes — encode of zero points emits no row). At
+    * 100 TB a "purge this event code" job rewrites the few blocks the
+    * dictionaries admit, not the store.
+    */
+  def deleteWhereEquals(store: DataFrame, tag: String, valueC: Long, tagCols: Seq[String]): DataFrame = {
+    val blockUs = storedBlockUs(store)
+    def bitSet(seed: String) = expr(
+      s"(element_at(bloom_$tag, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) DIV 64 AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) % 64 AS INT))) != 0L"
+    )
+    val mayMatch =
+      col(s"min_$tag") <= valueC && col(s"max_$tag") >= valueC &&
+        (col(s"dict_$tag").isNull || array_contains(col(s"dict_$tag"), lit(valueC))) &&
+        bitSet("b1") && bitSet("b2")
+    val untouched = store.filter(!mayMatch)
+    val rewritten = decode(store.filter(mayMatch), tagCols)
+      .filter(col(tag) =!= valueC)
+      .transform(pts => encode(pts, "series_id", "ts_us", "seq", tagCols, blockUs))
+    untouched.unionByName(rewritten)
+  }
+
+  /** Oracle-gated predicate delete (ts_store_delete_value): encode the
+    * enum-tagged events, purge one event-type code store-wide, decode
+    * and summarize the survivors. The oracle filters the same code out
+    * of the raw events — a lost survivor, an undeleted point, or a
+    * corrupted pass-through block all break the hash.
+    */
+  def deleteSummary(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_del", dir)
+    val tags = Seq("value_c", "etype_c")
+    encode(eventTypePoints(spark, dir), tagCols = tags)
+      .write.mode("overwrite").parquet(out)
+    // purge 'p*' events (ascii 112) — the dictReadSummary probe code
+    val after = deleteWhereEquals(spark.read.parquet(out), "etype_c", 112L, tags)
+    decode(after, tags)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+  }
+
   /** Enum-tag points frame from events: series = user, plus the value
     * tag and a LOW-CARDINALITY event-type code (first-letter ASCII —
     * portable across engines, no value enumeration baked in).

@@ -559,6 +559,40 @@ class StoreSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_hybrid_agg_spec")
   }
 
+  test("predicate delete: skip-proven blocks pass through byte-identical, survivors exact") {
+    val tags = Seq("value_c", "etype_c")
+    val store = TimeboxStore.encode(TimeboxStore.eventTypePoints(spark, sf), tagCols = tags).cache()
+    try {
+      val after = TimeboxStore.deleteWhereEquals(store, "etype_c", 112L, tags).cache()
+      try {
+        // (a) blocks whose dictionary lacks the code survive BYTE-IDENTICAL
+        val proven = store.filter(
+          col("dict_etype_c").isNotNull && !array_contains(col("dict_etype_c"), lit(112L))
+        )
+        assert(proven.count() > 0, "no skip-proven blocks — the drill never exercises pass-through")
+        assert(
+          proven.exceptAll(after).count() === 0,
+          "a block the dictionary proves unaffected was rewritten or lost"
+        )
+        // (b) the decoded survivor set is exactly the raw minus the code
+        val survivors = TimeboxStore.decode(after, tags)
+        val expected = TimeboxStore
+          .eventTypePoints(spark, sf)
+          .filter(col("etype_c") =!= 112L)
+          .toDF("series_id", "ts_us", "seq", "value_c", "etype_c")
+        assert(survivors.exceptAll(expected).count() === 0, "delete left or invented points")
+        assert(expected.exceptAll(survivors).count() === 0, "delete dropped innocent points")
+        // (c) no surviving block admits the purged code in its dictionary
+        assert(
+          after
+            .filter(col("dict_etype_c").isNotNull && array_contains(col("dict_etype_c"), lit(112L)))
+            .count() === 0,
+          "a rewritten block still carries the purged code in its dictionary"
+        )
+      } finally after.unpersist()
+    } finally store.unpersist()
+  }
+
   test("histogram-quantile pushdown: localized tag decodes ~1 block/series, both medians exact") {
     val pts = TimeboxStore
       .counterPoints(spark, sf)
