@@ -125,6 +125,7 @@ object SparkEntry {
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, threshold = 0.4)),
+    "dedup_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
@@ -546,6 +547,39 @@ object SparkEntry {
          |       CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM cc JOIN embeddings e ON e.vec_id = cc.vec_a
          |WHERE cos >= 0.4""".stripMargin,
+    // semantic clusters: reachability over the member-level verified
+    // cosine pair set — rep-level CC + star expansion must reproduce it
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE qe AS (SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |            FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+         |nn AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qe GROUP BY 1),
+         |pl AS (SELECT p, i,
+         |         2 * (instr('0123456789abcdef',
+         |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+         |       FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+         |db AS (SELECT qe.vec_id, pl.p, CAST(SUM(qe.v * pl.w) AS BIGINT) AS dt
+         |       FROM qe JOIN pl ON pl.i = qe.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, p // 4 AS tbl,
+         |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p % 4 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM db GROUP BY 1, 2),
+         |cd AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |       FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+         |dt AS (SELECT cd.vec_a, cd.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM cd JOIN qe a ON a.vec_id = cd.vec_a
+         |       JOIN qe b ON b.vec_id = cd.vec_b AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT vec_a, vec_b FROM dt
+         |       JOIN nn na ON na.vec_id = vec_a JOIN nn nb ON nb.vec_id = vec_b
+         |       WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.4),
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pr
+         |          UNION ALL SELECT vec_b, vec_a FROM pr),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |)
+         |SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     "ann_topk_bruteforce" ->
       s"""WITH $quantCtes,
          |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot

@@ -1004,6 +1004,77 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 26b. dedup_embedding_clusters — SEMANTIC dedup clusters: connected
+  // components over the cosine near-dup graph (the embedding twin of
+  // dedup_clusters). Same skew discipline: byte-identical quantized
+  // vectors collapse to their canonical rep BEFORE bucketing (a
+  // re-crawled page embeds identically — the exact-dup family of the
+  // vector world), CC eats rep-level verified pairs only, members
+  // inherit labels by star expansion, and any ≥2-member identity group
+  // is its own component even without a near-dup partner (identical
+  // vectors have cosine 1 by definition — no band condition needed).
+  // The oracle runs recursive reachability over the member-level
+  // verified pair set.
+  // -------------------------------------------------------------------
+  def embeddingClusters(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double = 0.4,
+      nTables: Int = 8,
+      nPlanes: Int = 4,
+      maxIters: Int = 20
+  ): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val allPlanes = graft.functions.PortableHash.planeWeights(nTables * nPlanes, 64)
+    val q = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
+      .withColumn("n2", norm2Q(col("q")))
+    val grp = q.withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("q"))))
+    val groups = grp.select(col("vec_id").as("doc_id"), col("rep_id")).persist(mem)
+    groups.count()
+    val reps = grp.filter(col("vec_id") === col("rep_id")).select(col("vec_id"), col("q"), col("n2"))
+    val tableStructs = (0 until nTables).map { t =>
+      val b = (0 until nPlanes)
+        .map(j => when(dotQ(col("q"), typedlit(allPlanes(t * nPlanes + j))) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      struct(lit(t).as("tbl"), b.as("bucket"))
+    }
+    val bk = reps
+      .select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .persist(mem)
+    bk.count()
+    val safeBk = dropOversizedBuckets(bk, Seq("tbl", "bucket"), DefaultBucketCap, "embedding-cc")
+    val repCand = safeBk
+      .as("x")
+      .join(
+        safeBk.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id")
+      )
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
+    val repPairs = repCand
+      .join(q.as("a"), col("a.vec_id") === col("vec_a"))
+      .join(q.as("b"), col("b.vec_id") === col("vec_b"))
+      .filter(cos >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val repLabels = connectedComponents(repPairs, maxIters)
+    val lone = groups
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .join(repLabels.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"), "left_anti")
+      .select(col("rep_id"), col("rep_id").as("cluster_id"))
+    val out = groups
+      .join(repLabels.withColumnRenamed("doc_id", "rep_id").unionByName(lone), Seq("rep_id"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    releaseAfterRun(spark, out, Seq(bk, groups))
+  }
+
+  // -------------------------------------------------------------------
   // 23g. contamination_ngram — n-gram-level cross-source overlap: for
   // every source pair, how much of each side's DISTINCT shingle set
   // appears in the other (the standard train/eval contamination audit
