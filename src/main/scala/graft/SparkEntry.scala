@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
     "dedup_incremental_bbit" -> ((s, d) => Dedup.incrementalBbit(s, d)),
+    "dedup_stream_cc"        -> ((s, d) => graft.sources.StreamingIngest.dedupStreamClusters(s, d)),
     "dedup_contamination"    -> ((s, d) => Dedup.contamination(s, d)),
     "dedup_minhash_estimate" -> ((s, d) => Dedup.minhashEstimate(s, d)),
     "dedup_minhash_bbit"     -> ((s, d) => Dedup.minhashBbit(s, d)),
@@ -301,6 +302,19 @@ object SparkEntry {
          |  CAST($bbitAgreeSql AS BIGINT) AS n_bit_agree,
          |  CAST(GREATEST(0, (2 * ($bbitAgreeSql) - 12) * 1000000 // 12) AS BIGINT) AS est_jaccard_micro
          |FROM nr JOIN m a ON a.doc_id = nr.match_doc_id JOIN m b ON b.doc_id = nr.new_doc_id""".stripMargin,
+    // the streaming drain of label maintenance lands on the identical
+    // from-scratch components
+    "dedup_stream_cc" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |)
+         |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |FROM reach GROUP BY src""".stripMargin,
     // incremental label maintenance must converge to the from-scratch
     // components: same reachability oracle as dedup_clusters
     "dedup_incremental_cc" ->

@@ -911,6 +911,47 @@ object StreamingIngest {
     spark.read.parquet(matchesPath)
   }
 
+  /** STREAMING cluster maintenance — [[dedupStream]]'s 24/7 shape for
+    * the LABEL tier: every micro-batch appends its signatures AND
+    * refreshes the persisted cluster labels incrementally
+    * ([[SignatureStore.appendRelabel]] — CC runs on the delta-sized
+    * contracted graph, never the corpus). After the drain the store's
+    * labels equal the from-scratch components of everything ingested —
+    * the oracle is the same full-corpus reachability dedup_clusters
+    * uses. Same resume posture as dedupStream: an existing checkpoint
+    * means the store (and its labels) already carry completed batches'
+    * appends, so only a fresh start builds them.
+    */
+  def dedupStreamClusters(
+      spark: SparkSession,
+      dir: String,
+      splitId: Long = 400L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = TimeboxStore.scratchPath("graft_sigstrcc", dir)
+    if (!new java.io.File(s"$store/_checkpoint").exists()) {
+      SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+      SignatureStore.writeLabels(spark, store)
+    }
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/documents.parque[t]")
+      .filter(col("doc_id") >= splitId)
+      .select(col("doc_id"), col("text"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SignatureStore.appendRelabel(spark, batch, store)
+      }
+      .option("checkpointLocation", s"$store/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SignatureStore.readClusters(spark, store)
+  }
+
   /** STREAMING ANN — probe vectors arrive as a stream and range-search
     * a STATIC bucketed corpus (the online-serving shape: a 100 TB
     * corpus indexed once, queries joined against it as they arrive).

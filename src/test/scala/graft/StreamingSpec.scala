@@ -406,6 +406,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(run2.length === run2.distinct.length, "a batch replayed — duplicate match rows")
   }
 
+  test("streaming cluster maintenance: per-batch relabel converges, a late bridge merges old components") {
+    import spark.implicits._
+    // corpus: two disjoint near-dup components (pre-searched texts —
+    // same deterministic banding as the SignatureStoreSpec merge
+    // drill). Stream: batch 1 extends component A; batch 2 delivers
+    // the BRIDGE that merges A and B — the merge must happen through
+    // the per-batch incremental relabel, across micro-batches.
+    val baseA = "mu alpha pi epsilon tau nu eta gamma zeta nu xi gamma beta lambda mu"
+    val baseB = "seven four ten one five eight sixteen eleven fifteen eight four four"
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
+    def docsDf(rows: Seq[(Long, String)]) =
+      rows
+        .toDF("doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("text"),
+          lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars")
+        )
+    val evdir = s"$dir/documents.parquet"
+    docsDf(Seq((1L, s"$baseA tail"), (2L, s"$baseA tails"), (10L, s"$baseB tail"), (11L, s"$baseB tails")))
+      .coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docsDf(Seq((400L, s"$baseA tail"))).coalesce(1).write.mode("append").parquet(evdir) // exact clone joins A
+    Thread.sleep(1100)
+    docsDf(Seq((500L, s"$baseA $baseB"))).coalesce(1).write.mode("append").parquet(evdir) // the bridge
+    val labels = StreamingIngest
+      .dedupStreamClusters(spark, dir, splitId = 400L, filesPerTrigger = Some(1))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    for (d <- Seq(1L, 2L, 10L, 11L, 400L, 500L))
+      assert(labels.get(d).contains(1L), s"doc $d not in the merged component: $labels")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
