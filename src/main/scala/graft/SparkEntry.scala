@@ -33,6 +33,8 @@ object SparkEntry {
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
     "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
     "ts_counter_resets"  -> ((s, d) => TimeSeries.counterResets(s, d)),
+    "ts_linear_trend"    -> ((s, d) => TimeSeries.linearTrend(s, d)),
+    "ts_burn_rate"       -> ((s, d) => TimeSeries.burnRate(s, d)),
     "ts_gap_stats"       -> ((s, d) => TimeSeries.gapStats(s, d)),
     "ts_retention"       -> ((s, d) => TimeSeries.retention(s, d)),
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
@@ -1347,6 +1349,47 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
         |  CAST(SUM(CASE WHEN dv >= 0 THEN dv ELSE value_c END) AS BIGINT) AS adj_increase_c
         |FROM d WHERE dv IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // least-squares slope from the five classic sums; x is the
+    // series-relative hour index, cross products in HUGEINT, and both
+    // engines' integral division truncates toward zero
+    "ts_linear_trend" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
+        |x AS (SELECT user_id, hour_id - MIN(hour_id) OVER (PARTITION BY user_id) AS x,
+        |             value_c FROM e),
+        |s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(value_c) AS BIGINT) AS sy,
+        |             CAST(SUM(x*value_c) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |      FROM x GROUP BY 1),
+        |p AS (SELECT user_id, n_points,
+        |             CAST(n_points AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+        |             CAST(n_points AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS den
+        |      FROM s)
+        |SELECT user_id, n_points, CAST(num AS BIGINT) AS slope_num_c,
+        |  CAST(den AS BIGINT) AS slope_den,
+        |  CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST((num * 1000000) // den AS BIGINT) END AS slope_micro_c_per_hour
+        |FROM p""".stripMargin,
+    // multi-window SLO burn: rolling RANGE frames over the hourly
+    // counter table, budget comparison cross-multiplied (5% budget)
+    "ts_burn_rate" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(COUNT(*) AS BIGINT) AS n_total,
+        |                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, hour_id,
+        |  CAST(SUM(n_err) OVER w6 AS BIGINT) AS err_6h,
+        |  CAST(SUM(n_total) OVER w6 AS BIGINT) AS tot_6h,
+        |  CAST(SUM(n_err) OVER w24 AS BIGINT) AS err_24h,
+        |  CAST(SUM(n_total) OVER w24 AS BIGINT) AS tot_24h,
+        |  CASE WHEN SUM(n_err) OVER w6 * 20 > SUM(n_total) OVER w6
+        |        AND SUM(n_err) OVER w24 * 20 > SUM(n_total) OVER w24
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS alert
+        |FROM h
+        |WINDOW w6 AS (PARTITION BY user_id ORDER BY hour_id
+        |              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+        |       w24 AS (PARTITION BY user_id ORDER BY hour_id
+        |               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
     // the reordering-buffer rate: identical to the batch rate up to
     // the finalization cutoff — the final watermark (max event ms −
     // 30 min), which the oracle recomputes exactly

@@ -969,4 +969,105 @@ object TimeSeries {
         when(col("hour_id") === col("obs_hour"), 1L).otherwise(0L).as("is_observed")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 11n. ts_linear_trend — per-series least-squares trend (the PromQL
+  // deriv()/predict_linear() core): slope of value over time from the
+  // five classic sums (n, Σx, Σy, Σxy, Σx²), all exact integers.
+  //
+  // Numerics are the design point. x is the series-RELATIVE hour index
+  // (hour_id − min hour_id per series, a window min over the same
+  // partition key the aggregate uses — Catalyst reuses one shuffle), so
+  // the long sums stay small no matter where in epoch time the data
+  // lives; the two final cross products n·Σxy − Σx·Σy and n·Σx² − (Σx)²
+  // are DECIMAL(38,0) — at 10^9 points/series n·Σxy needs ~10^25, past
+  // long range but comfortably inside 38 digits (DuckDB mirrors with
+  // HUGEINT). Slope is published in micro-cents/hour via integral
+  // division; Spark DIV and DuckDB // both truncate toward zero, so
+  // negative slopes agree bit-for-bit. Flat or single-point series
+  // (den = 0) report slope 0 rather than NULL so the result stays a
+  // total function of the input.
+  //
+  // Scale shape: ONE shuffle on the series key; the window carries no
+  // ordering (partition min), the aggregate is partial-aggregable, and
+  // the output is one row per series.
+  // -------------------------------------------------------------------
+  def linearTrend(spark: SparkSession, dir: String): DataFrame = {
+    val wMin = Window.partitionBy("user_id")
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${HourUs}L").as("hour_id"),
+        cents(col("value")).as("value_c")
+      )
+      .withColumn("x", col("hour_id") - min(col("hour_id")).over(wMin))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("x")).as("sx"),
+        sum(col("value_c")).as("sy"),
+        sum(col("x") * col("value_c")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .select(
+        col("user_id"),
+        col("n_points"),
+        expr("CAST(n_points AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+          .as("num"),
+        expr("CAST(n_points AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx")
+          .as("den")
+      )
+      .select(
+        col("user_id"),
+        col("n_points"),
+        expr("CAST(num AS BIGINT)").as("slope_num_c"),
+        expr("CAST(den AS BIGINT)").as("slope_den"),
+        expr(
+          "CASE WHEN den = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE CAST((num * 1000000) DIV den AS BIGINT) END"
+        ).as("slope_micro_c_per_hour")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11o. ts_burn_rate — SLO error-budget burn rate with MULTI-WINDOW
+  // alerting (the SRE-workbook shape): per series, per active hour, the
+  // error fraction over a trailing short window (6 h) AND a trailing
+  // long window (24 h); the alert fires only when BOTH windows burn
+  // faster than the 5 % budget — short window for responsiveness, long
+  // window so a transient blip can't page.
+  //
+  // Scale shape: the rolling windows run over the per-(series, hour)
+  // COUNTER table (one partial-aggregable shuffle from raw events;
+  // ≤ 24·days rows per series), never the raw event stream — the same
+  // histogram-first discipline as ts_percentiles. RANGE frames on the
+  // integer hour index handle silent hours exactly (a series with gaps
+  // still gets true trailing-time windows). Budget comparisons are
+  // cross-multiplied (err·20 > total), so everything stays integer.
+  // -------------------------------------------------------------------
+  def burnRate(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err")
+      )
+    val ord = Window.partitionBy("user_id").orderBy(col("hour_id"))
+    val w6  = ord.rangeBetween(-5L, 0L)
+    val w24 = ord.rangeBetween(-23L, 0L)
+    hourly
+      .select(
+        col("user_id"),
+        col("hour_id"),
+        sum(col("n_err")).over(w6).as("err_6h"),
+        sum(col("n_total")).over(w6).as("tot_6h"),
+        sum(col("n_err")).over(w24).as("err_24h"),
+        sum(col("n_total")).over(w24).as("tot_24h")
+      )
+      .withColumn(
+        "alert",
+        when(col("err_6h") * 20L > col("tot_6h") && col("err_24h") * 20L > col("tot_24h"), 1L)
+          .otherwise(0L)
+      )
+  }
 }

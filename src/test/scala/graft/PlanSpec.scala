@@ -222,4 +222,26 @@ class PlanSpec extends AnyFunSuite {
       s"column pruning broken: $readCols"
     )
   }
+
+  test("linear trend is one shuffle: partition-min window and aggregate share the series key") {
+    val plan = planOf(TimeSeries.linearTrend(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("burn rate's rolling windows run over the hourly counter table, not raw events") {
+    val plan = planOf(TimeSeries.burnRate(spark, sf))
+    // two exchanges is the RIGHT shape here: the first carries map-side
+    // combined (user, hour) buckets (partial_count below it proves the
+    // combine), the second re-keys only the tiny hourly counter table for
+    // the window. One user-keyed shuffle instead would move raw events.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"expected bucket-agg + window re-key shuffles, saw $exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"hourly rollup not partial-aggregated below the first shuffle:\n$plan")
+    // the window must consume the aggregate, never the raw stream: a
+    // raw-events window would sort on (ts_us, event_id); here it's hour_id.
+    assert(!plan.contains("ts_us"), s"window consumes raw events:\n$plan")
+  }
 }
