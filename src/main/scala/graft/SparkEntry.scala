@@ -100,6 +100,8 @@ object SparkEntry {
     "q12_priority_class" -> ((s, d) => Relational.q12PriorityClass(s, d)),
     "q13_order_counts"   -> ((s, d) => Relational.q13OrderCounts(s, d)),
     "q21_waiting_supplier" -> ((s, d) => Relational.q21WaitingSupplier(s, d)),
+    "rel_pivot"          -> ((s, d) => Relational.pivotReturnflag(s, d)),
+    "rel_grouping_sets"  -> ((s, d) => Relational.groupingSetsReport(s, d)),
     "rel_median_order"   -> ((s, d) => Relational.medianOrderValue(s, d)),
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
@@ -150,6 +152,8 @@ object SparkEntry {
     "text_dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    "text_coverage_topk" -> ((s, d) => TextAnalysis.coverageTopk(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -904,6 +908,36 @@ object SparkEntry {
          |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
          |            FROM d WHERE len(toks) >= 4))
          |SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_windows FROM s GROUP BY 1""".stripMargin,
+    // Heaps-law curve: a token counts once, at its first (source,
+    // doc) occurrence; the running sum over the doc spine rebuilds
+    // the distinct-so-far size without any quadratic re-count
+    "text_vocab_growth" ->
+      s"""WITH d AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT source, doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+         |f AS (SELECT source, tok, MIN(doc_id) AS doc_id FROM t WHERE length(tok) > 0 GROUP BY 1, 2),
+         |np AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_tokens FROM f GROUP BY 1, 2)
+         |SELECT s.source, s.doc_id,
+         |  CAST(COALESCE(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+         |  CAST(SUM(COALESCE(np.n_new_tokens, 0))
+         |       OVER (PARTITION BY s.source ORDER BY s.doc_id) AS BIGINT) AS vocab_size
+         |FROM (SELECT source, doc_id FROM documents) s
+         |LEFT JOIN np ON np.source = s.source AND np.doc_id = s.doc_id""".stripMargin,
+    // smallest top-k vocabulary covering each occurrence-mass
+    // threshold; coverage compared cross-multiplied in integers
+    "text_coverage_topk" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM (SELECT unnest(toks) AS tok FROM d) WHERE length(tok) > 0 GROUP BY 1),
+         |r AS (SELECT tok, n,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk,
+         |        CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+         |      FROM c),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n FROM c),
+         |thr AS (SELECT CAST(unnest([5000, 9000, 9900]) AS BIGINT) AS threshold_bp)
+         |SELECT threshold_bp, CAST(MIN(rnk) AS BIGINT) AS k_tokens, CAST(MAX(total_n) AS BIGINT) AS total_n
+         |FROM r, tot, thr WHERE cum_n * 10000 >= threshold_bp * total_n
+         |GROUP BY 1""".stripMargin,
     "mm_chunk_table" ->
       """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
         |c AS (SELECT doc_id, text,
@@ -1005,6 +1039,27 @@ object SparkEntry {
         |  MIN(bal_c) AS min_bal_c, MAX(bal_c) AS max_bal_c,
         |  CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
         |FROM q GROUP BY 1, 2""".stripMargin,
+    // pivot = declared-values conditional aggregation; empty cells 0
+    "rel_pivot" ->
+      """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ship_month,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+        |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) END), 0) AS BIGINT) AS rev_a_c,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+        |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) END), 0) AS BIGINT) AS rev_n_c,
+        |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) END), 0) AS BIGINT) AS rev_r_c
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the two one-dim marginals + grand total, set id from the NULL
+    // pattern (engine-neutral, unlike grouping_id bit order)
+    "rel_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST((CASE WHEN l_returnflag IS NULL THEN 2 ELSE 0 END)
+        |     + (CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS set_id,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     // frame-sample plan: clip length from the same deterministic byte
     // fold ((checksum mod 4096) mod 120), uniform indices and byte seek
     // ranges in exact integers

@@ -719,4 +719,66 @@ object Relational {
       .groupBy($"n_name", $"s_name")
       .agg(count(lit(1)).as("numwait"))
   }
+
+  /** rel_pivot — monthly revenue PIVOTED by return flag: the
+    * wide-report shape (one row per month, one column per category).
+    * The pivot values are DECLARED (`Seq("A","N","R")`), so Spark
+    * compiles it to ONE conditional-aggregation pass — no
+    * distinct-values pre-query, no second scan, fully map-side
+    * partial-aggregable like any groupBy. Missing (month, flag)
+    * cells surface as NULL from the pivot and are pinned to 0 so the
+    * report is dense. At 100 TB this is exactly a Q1-class single
+    * scan + one 2-digit-cardinality shuffle.
+    */
+  def pivotReturnflag(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).cast("long").as("ship_month"),
+        $"l_returnflag",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c")
+      )
+      .groupBy($"ship_month")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum($"rev_c"))
+      .select(
+        $"ship_month",
+        coalesce($"A", lit(0L)).as("rev_a_c"),
+        coalesce($"N", lit(0L)).as("rev_n_c"),
+        coalesce($"R", lit(0L)).as("rev_r_c")
+      )
+  }
+
+  /** rel_grouping_sets — GROUPING SETS distinct from rollup/cube: the
+    * two one-dimension marginals plus the grand total, WITHOUT the
+    * (flag, status) cross cells cube would add or the asymmetric
+    * nesting rollup imposes. Uses the Dataset groupingSets API
+    * (Spark 4), which plans a single Expand + one aggregation —
+    * each input row fans to its 3 grouping-set copies map-side, so
+    * the cost is one scan and one shuffle regardless of how many
+    * sets are requested. The set id is derived from the NULL pattern
+    * (both engines agree) rather than grouping_id(), keeping the
+    * oracle engine-neutral.
+    */
+  def groupingSetsReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_returnflag", $"l_linestatus", cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c"))
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+        $"l_returnflag",
+        $"l_linestatus"
+      )
+      .agg(sum($"rev_c").as("revenue_c"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        (when($"l_returnflag".isNull, 2L).otherwise(0L) +
+          when($"l_linestatus".isNull, 1L).otherwise(0L)).as("set_id"),
+        $"revenue_c",
+        $"n"
+      )
+  }
 }

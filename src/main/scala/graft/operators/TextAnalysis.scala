@@ -418,4 +418,77 @@ object TextAnalysis {
       )
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_windows"))
+
+  // -------------------------------------------------------------------
+  // 34. text_vocab_growth — Heaps-law vocabulary growth per source:
+  // after each document (in doc_id order) how many DISTINCT tokens the
+  // source has accumulated. The naive shape (per-doc distinct-so-far)
+  // is quadratic; the linear plan keys on FIRST OCCURRENCE: a token
+  // contributes exactly once, at min(doc_id) per (source, token), so
+  // one vocabulary-sized aggregation + a left join back to the doc
+  // spine + one running sum per source gives the whole curve. At
+  // 100 TB the per-token agg shuffles vocabulary cardinality (not
+  // corpus tokens — array_distinct collapses within-doc repeats in
+  // the scan stage) and the window runs over doc counts, not tokens.
+  // -------------------------------------------------------------------
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = docsSourceToks(spark, dir)
+      .select(col("source"), col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .join(firstSeen, Seq("source", "doc_id"), "left")
+      .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
+      .withColumn("vocab_size", sum(col("n_new_tokens")).over(w))
+  }
+
+  private def docsSourceToks(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), split(normText(col("text")), " ").as("toks"))
+
+  // -------------------------------------------------------------------
+  // 35. text_coverage_topk — tokenizer-budget planning: the smallest
+  // top-k vocabulary (by corpus frequency) that covers 50% / 90% /
+  // 99% of all token occurrences. One corpus scan collapses to a
+  // vocabulary-sized count table; the rank + running-sum window runs
+  // over that AGGREGATED domain (tokens, not occurrences — at 100 TB
+  // the window input is the vocabulary, orders of magnitude smaller
+  // than the corpus; were the vocabulary itself huge, the running sum
+  // re-bands by count value first). Ties break on token text so both
+  // engines rank identically; coverage compares cross-multiplied in
+  // integers (cum·10⁴ ≥ thr·total), no float shares.
+  // -------------------------------------------------------------------
+  def coverageTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docsToks(spark, dir)
+      .select(explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("tok").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wr = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok").asc)
+    val ranked = counts
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+    val total = counts.agg(sum(col("n")).as("total_n"))
+    val thresholds = spark
+      .range(1)
+      .select(explode(array(lit(5000L), lit(9000L), lit(9900L))).as("threshold_bp"))
+    ranked
+      .crossJoin(broadcast(total))
+      .crossJoin(broadcast(thresholds))
+      .filter(col("cum_n") * 10000 >= col("threshold_bp") * col("total_n"))
+      .groupBy(col("threshold_bp"))
+      .agg(min(col("rnk")).as("k_tokens"), max(col("total_n")).as("total_n"))
+  }
 }

@@ -56,4 +56,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
   }
+
+  test("pivot: per-flag columns re-sum to the unpivoted revenue total") {
+    import graft.operators.Relational
+    val piv = Relational
+      .pivotReturnflag(spark, sf)
+      .agg(sum(col("rev_a_c") + col("rev_n_c") + col("rev_r_c")).as("t"))
+      .head()
+      .getLong(0)
+    val flat = spark.read
+      .parquet(s"$sf/lineitem.parquet")
+      .agg(sum(expr("CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)")))
+      .head()
+      .getLong(0)
+    assert(piv === flat, "pivoted cells lost or double-counted revenue")
+  }
+
+  test("grouping sets: both marginals and the grand total agree") {
+    import graft.operators.Relational
+    val df = Relational.groupingSetsReport(spark, sf).cache()
+    try {
+      val grand = df.filter(col("set_id") === 3L).select(col("revenue_c"), col("n")).head()
+      for (sid <- Seq(1L, 2L)) {
+        val m = df.filter(col("set_id") === sid).agg(sum(col("revenue_c")), sum(col("n"))).head()
+        assert(m.getLong(0) === grand.getLong(0) && m.getLong(1) === grand.getLong(1),
+          s"marginal set $sid does not re-aggregate to the grand total")
+      }
+      // exactly the requested sets: two marginals + one grand total, no cross cells
+      assert(df.filter(col("set_id") === 0L).count() === 0, "unexpected (flag,status) cross cells")
+    } finally df.unpersist()
+  }
 }

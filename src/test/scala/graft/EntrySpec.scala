@@ -50,7 +50,8 @@ class EntrySpec extends AnyFunSuite {
     "contamination_doc_overlap", // 1-row MIN(source) broadcast
     "contamination_long_match",  // 1-row MIN(source) broadcast
     "q22_idle_customers",        // 1-row global-average broadcast
-    "q15_top_supplier"           // 1-row global-max broadcast
+    "q15_top_supplier",          // 1-row global-max broadcast
+    "text_coverage_topk"         // 1-row total + 3-row threshold broadcasts
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

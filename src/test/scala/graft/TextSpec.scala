@@ -46,6 +46,38 @@ class TextSpec extends AnyFunSuite {
     assert(a.filter(length(col("fingerprint")) =!= 32).count() === 0)
   }
 
+  test("vocab growth: monotone per source, final size = true distinct vocabulary") {
+    val df = TextAnalysis.vocabGrowth(spark, sf).cache()
+    try {
+      // running vocab never shrinks and grows by exactly n_new_tokens
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val bad = df
+        .withColumn("prev", lag(col("vocab_size"), 1, 0L).over(w))
+        .filter(col("vocab_size") =!= col("prev") + col("n_new_tokens"))
+      assert(bad.count() === 0, "vocab_size is not the running sum of n_new_tokens")
+      // the curve's endpoint must equal an independent exact distinct count
+      val finalSize = df
+        .groupBy(col("source"))
+        .agg(max(col("vocab_size")).as("vs"))
+      val exact = spark.read
+        .parquet(s"$sf/documents.parquet")
+        .select(col("source"), explode(array_distinct(split(graft.operators.Dedup.normText(col("text")), " "))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("truth"))
+      assert(finalSize.join(exact, "source").filter(col("vs") =!= col("truth")).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("coverage topk: k monotone in threshold and minimal at each threshold") {
+    val rows = TextAnalysis.coverageTopk(spark, sf).orderBy(col("threshold_bp")).collect()
+    assert(rows.map(_.getAs[Long]("threshold_bp")).toSeq === Seq(5000L, 9000L, 9900L))
+    val ks = rows.map(_.getAs[Long]("k_tokens"))
+    assert(ks.sorted.toSeq === ks.toSeq, "a higher coverage target cannot need fewer tokens")
+    assert(ks.head >= 1L)
+  }
+
   test("chunk table: empty payload yields zero chunks, not a backwards sequence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_mm_empty").toString
