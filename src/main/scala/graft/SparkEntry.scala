@@ -31,6 +31,7 @@ object SparkEntry {
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
+    "ts_mad_outlier"     -> ((s, d) => TimeSeries.madOutlier(s, d)),
     "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
     "ts_counter_resets"  -> ((s, d) => TimeSeries.counterResets(s, d)),
     "ts_linear_trend"    -> ((s, d) => TimeSeries.linearTrend(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
     "ts_store_hybrid_agg" -> ((s, d) => graft.sources.TimeboxStore.hybridAggSummary(s, d)),
     "ts_store_delete_value" -> ((s, d) => graft.sources.TimeboxStore.deleteSummary(s, d)),
+    "ts_store_cdc"       -> ((s, d) => graft.sources.TimeboxStore.cdcSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -1371,6 +1373,33 @@ object SparkEntry {
         |       (CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END) +
         |       (CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS steps_completed
         |FROM p""".stripMargin,
+    // exact rank-selected medians kept doubled (med2 = the two middle
+    // values summed); flag cross-multiplied: dev·20000 > 44478·mad2
+    "ts_mad_outlier" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT user_id, event_id, v,
+        |        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v, event_id) AS BIGINT) AS rv
+        |      FROM e),
+        |m AS (SELECT user_id, event_id, v, n,
+        |        CAST(SUM(CASE WHEN rv = (n + 1) // 2 THEN v ELSE 0 END) OVER (PARTITION BY user_id)
+        |           + SUM(CASE WHEN rv = (n + 2) // 2 THEN v ELSE 0 END) OVER (PARTITION BY user_id)
+        |          AS BIGINT) AS med2
+        |      FROM r),
+        |d AS (SELECT user_id, event_id, v, n, med2, abs(v * 2 - med2) AS dev FROM m),
+        |r2 AS (SELECT user_id, v, n, med2, dev,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS BIGINT) AS rd
+        |      FROM d),
+        |m2 AS (SELECT user_id, v, n, med2, dev,
+        |        CAST(SUM(CASE WHEN rd = (n + 1) // 2 THEN dev ELSE 0 END) OVER (PARTITION BY user_id)
+        |           + SUM(CASE WHEN rd = (n + 2) // 2 THEN dev ELSE 0 END) OVER (PARTITION BY user_id)
+        |          AS BIGINT) AS mad2
+        |      FROM r2)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(MAX(med2) AS BIGINT) AS med2_c, CAST(MAX(mad2) AS BIGINT) AS mad2_c,
+        |  CAST(SUM(CASE WHEN dev * 20000 > mad2 * 44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM m2 GROUP BY 1""".stripMargin,
     "ts_anomaly_zscore" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |                  CAST(round(value*100) AS BIGINT) AS x FROM events),
@@ -1799,6 +1828,33 @@ object SparkEntry {
         |FROM events
         |WHERE ascii(substr(event_type, 1, 1)) <> 112
         |GROUP BY 1""".stripMargin,
+    // the CDC drill replayed relationally: v2 = corrections (week 2,
+    // +1000) + late-arrival clones (week 3, fresh seq) minus the
+    // purged type code; the diff joins v1 to v2 on (user, seq)
+    "ts_store_cdc" ->
+      """WITH e AS (SELECT user_id, event_id AS seq, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value*100) AS BIGINT) AS v,
+        |                  CAST(ascii(substr(event_type, 1, 1)) AS BIGINT) AS et FROM events),
+        |f0 AS (SELECT user_id, seq, ts_us,
+        |              v + CASE WHEN ts_us >= 1704672000000000 AND ts_us < 1705276800000000
+        |                       THEN 1000 ELSE 0 END AS v, et
+        |       FROM e
+        |       UNION ALL
+        |       SELECT user_id, seq + 100000000, ts_us + 1, v, et FROM e
+        |       WHERE ts_us >= 1705276800000000 AND ts_us < 1705881600000000),
+        |f AS (SELECT * FROM f0 WHERE et <> 112),
+        |d AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |             a.seq AS aseq, b.seq AS bseq, a.v AS av, b.v AS bv
+        |      FROM e a FULL OUTER JOIN f b ON a.user_id = b.user_id AND a.seq = b.seq),
+        |s AS (SELECT user_id,
+        |        CAST(SUM(CASE WHEN aseq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+        |        CAST(SUM(CASE WHEN bseq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        |        CAST(SUM(CASE WHEN aseq IS NOT NULL AND bseq IS NOT NULL AND av <> bv
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+        |        CAST(SUM(CASE WHEN aseq IS NULL OR bseq IS NULL OR av <> bv
+        |                 THEN COALESCE(bv, 0) - COALESCE(av, 0) ELSE 0 END) AS BIGINT) AS net_delta_c
+        |      FROM d GROUP BY 1)
+        |SELECT * FROM s WHERE n_inserts + n_deletes + n_updates > 0""".stripMargin,
     // the dictionary read: per-block distinct-value dictionaries skip
     // blocks lacking the probed enum code; oracle = the same
     // time-range + type-code filter over the raw events

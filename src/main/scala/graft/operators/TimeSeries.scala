@@ -306,6 +306,54 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11d2. ts_mad_outlier — ROBUST per-series outlier summary via the
+  // median absolute deviation. The z-score baseline (11d) is itself
+  // pulled by outliers; MAD is not — the production-grade robust
+  // detector. Exact medians come from rank selection (row_number +
+  // conditional sum of the two middle ranks, kept DOUBLED so even
+  // counts stay integer), never an approximate percentile: med2 =
+  // v⌈n/2⌉ + v⌈(n+1)/2⌉. Deviations |2v − med2| rank the same way for
+  // mad2, and the flag compares cross-multiplied integers —
+  // |x−med| > 3·1.4826·MAD ⟺ dev·10⁴ > 44478·mad2 — so the verdict
+  // is engine-exact. Both ranking windows and the final aggregate
+  // share ONE user_id hash partitioning: a single shuffle end to end.
+  // At 100 TB the per-series sort is the irreducible cost of an exact
+  // median; a sketch tier (GK, as ts_percentiles) is the approximate
+  // escape hatch when series stop fitting a partition.
+  // -------------------------------------------------------------------
+  def madOutlier(spark: SparkSession, dir: String): DataFrame = {
+    val wv   = Window.partitionBy("user_id").orderBy(col("v"), col("event_id"))
+    val wd   = Window.partitionBy("user_id").orderBy(col("dev"), col("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("event_id"), cents(col("value")).as("v"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("rv", row_number().over(wv).cast("long"))
+      .withColumn(
+        "med2",
+        sum(when(col("rv") === expr("(n + 1) DIV 2"), col("v")).otherwise(0L)).over(wAll) +
+          sum(when(col("rv") === expr("(n + 2) DIV 2"), col("v")).otherwise(0L)).over(wAll)
+      )
+      // dev = 2·|x − med| (doubled-median units); mad2 below = 4·MAD
+      .withColumn("dev", abs(col("v") * 2 - col("med2")))
+      .withColumn("rd", row_number().over(wd).cast("long"))
+      .withColumn(
+        "mad2",
+        sum(when(col("rd") === expr("(n + 1) DIV 2"), col("dev")).otherwise(0L)).over(wAll) +
+          sum(when(col("rd") === expr("(n + 2) DIV 2"), col("dev")).otherwise(0L)).over(wAll)
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        max(col("med2")).as("med2_c"),
+        max(col("mad2")).as("mad2_c"),
+        // |x−med| > 3·1.4826·MAD ⟺ (dev/2)·10⁴ > 44478·(mad2/4)
+        //                        ⟺ dev·20000 > 44478·mad2
+        sum(when(col("dev") * 20000 > col("mad2") * 44478, 1L).otherwise(0L)).as("n_outliers")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11e. ts_rate_increase — counter-rate per series per hour (the
   // PromQL `increase` shape): sum of positive value deltas between
   // consecutive observations, negative deltas (counter resets)

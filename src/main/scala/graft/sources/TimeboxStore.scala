@@ -731,6 +731,112 @@ object TimeboxStore {
       )
   }
 
+  /** CHANGE DATA FEED between two snapshots of an encoded store — the
+    * incremental-consumer primitive (downstream jobs re-process only
+    * what changed between versions, never the store). Two stages:
+    *
+    *   1. BLOCK fingerprint diff: full-outer join the block rows on
+    *      (series, day) and compare the entire block payload as one
+    *      struct (null-safe). A block unchanged between snapshots is
+    *      proven identical WITHOUT decoding — at 100 TB a daily
+    *      increment leaves >99% of blocks byte-identical, so the
+    *      feed's cost scales with the delta, not the store.
+    *   2. Point diff of changed blocks only: decode both sides,
+    *      full-outer join on the point identity (series, seq), and
+    *      classify insert / delete / update (any tag or timestamp
+    *      differing). Points that moved across block boundaries still
+    *      diff correctly: both their old and new blocks fingerprint
+    *      as changed.
+    *
+    * Returns the row-level feed: (series_id, seq, ts_us,
+    * change_type 'I'|'D'|'U', old_/new_ per tag).
+    */
+  def changeFeed(storeA: DataFrame, storeB: DataFrame, tagCols: Seq[String]): DataFrame = {
+    val keyCols = Seq("series_id", "day_id")
+    val contentCols = storeA.columns.filterNot(keyCols.contains)
+    def blocks(s: DataFrame, as: String) =
+      s.select(keyCols.map(col) :+ struct(contentCols.map(col): _*).as(as): _*)
+    val changedKeys = blocks(storeA, "blk_a")
+      .join(blocks(storeB, "blk_b"), keyCols, "full_outer")
+      .filter(!(col("blk_a") <=> col("blk_b")))
+      .select(keyCols.map(col): _*)
+    def pts(s: DataFrame, pfx: String) =
+      decode(s.join(changedKeys, keyCols, "left_semi"), tagCols)
+        .select(
+          Seq(col("series_id"), col("seq"), col("ts_us").as(s"${pfx}ts_us")) ++
+            tagCols.map(t => col(t).as(s"$pfx$t")): _*
+        )
+    val a = pts(storeA, "old_")
+    val b = pts(storeB, "new_")
+    val tagDiffers = tagCols
+      .map(t => !(col(s"old_$t") <=> col(s"new_$t")))
+      .reduce(_ || _)
+    a.join(b, Seq("series_id", "seq"), "full_outer")
+      .withColumn(
+        "change_type",
+        when(col("old_ts_us").isNull, "I")
+          .when(col("new_ts_us").isNull, "D")
+          .when(tagDiffers || col("old_ts_us") =!= col("new_ts_us"), "U")
+      )
+      .filter(col("change_type").isNotNull)
+      .withColumn("ts_us", coalesce(col("new_ts_us"), col("old_ts_us")))
+  }
+
+  /** Oracle-gated CDC drill (ts_store_cdc): snapshot v1 = the encoded
+    * enum-tagged events; v2 = v1 + a week of value corrections
+    * (updates) + a week of cloned late arrivals (inserts, fresh seq)
+    * + a store-wide purge of one event-type code (deletes), all
+    * applied through the store's own upsert/delete operators and
+    * PERSISTED — the feed then diffs the two on-disk snapshots. The
+    * oracle replays the same edits over raw events and diffs
+    * relationally, so a phantom change (false positive from the block
+    * diff) or a missed one (skipped block) breaks the compare.
+    */
+  def cdcSummary(spark: SparkSession, dir: String): DataFrame = {
+    val tags = Seq("value_c", "etype_c")
+    val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L) // 2024-01-08 .. 01-15
+    val (w3lo, w3hi) = (1705276800000000L, 1705881600000000L) // 2024-01-15 .. 01-22
+    val outA = scratchPath("graft_store_cdc_a", dir)
+    val outB = scratchPath("graft_store_cdc_b", dir)
+    encode(eventTypePoints(spark, dir), tagCols = tags)
+      .write.mode("overwrite").parquet(outA)
+    val v1 = spark.read.parquet(outA)
+    val p = eventTypePoints(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c"),
+        col("etype_c")
+      )
+    val corrections = p
+      .filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
+      .withColumn("value_c", col("value_c") + 1000L)
+    // late-arrival clones: fresh point identity (seq offset clears the
+    // event_id range at any tested SF), +1us so the clone is a new
+    // instant, not a seq collision
+    val lateArrivals = p
+      .filter(col("ts_us") >= w3lo && col("ts_us") < w3hi)
+      .withColumn("seq", col("seq") + 100000000L)
+      .withColumn("ts_us", col("ts_us") + 1L)
+    val v2 = deleteWhereEquals(
+      upsertBlocks(v1, corrections.unionByName(lateArrivals), tags),
+      "etype_c",
+      112L,
+      tags
+    )
+    v2.write.mode("overwrite").parquet(outB)
+    changeFeed(v1, spark.read.parquet(outB), tags)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        sum(when(col("change_type") === "I", 1L).otherwise(0L)).as("n_inserts"),
+        sum(when(col("change_type") === "D", 1L).otherwise(0L)).as("n_deletes"),
+        sum(when(col("change_type") === "U", 1L).otherwise(0L)).as("n_updates"),
+        sum(coalesce(col("new_value_c"), lit(0L)) - coalesce(col("old_value_c"), lit(0L)))
+          .as("net_delta_c")
+      )
+  }
+
   /** Full write path from the raw events table (single value tag). */
   def write(spark: SparkSession, dir: String, outPath: String): Unit =
     encode(

@@ -241,6 +241,36 @@ class StoreSpec extends AnyFunSuite {
     } finally store.unpersist()
   }
 
+  test("change feed: identical snapshots diff empty, a point edit feeds exactly its changes") {
+    val pts = original
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+    val store = TimeboxStore.encode(pts, "series_id", "ts_us", "seq", Seq("value_c")).cache()
+    try {
+      // (a) no changes between identical snapshots — the block
+      // fingerprint diff must prove every block unchanged
+      assert(TimeboxStore.changeFeed(store, store, Seq("value_c")).count() === 0)
+      // (b) one corrected point + one fresh point on a single series:
+      // the feed carries exactly one U and one I with the right values
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts_us"), col("seq"))
+      val one = pts.limit(500).withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      val edits = one
+        .withColumn("value_c", col("value_c") + 7L)
+        .unionByName(
+          one.select(col("series_id"), (col("ts_us") + 1).as("ts_us"), (col("seq") + 10000000L).as("seq"), lit(42L).as("value_c"))
+        )
+      val v2 = TimeboxStore.upsertBlocks(store, edits, Seq("value_c"))
+      val feed = TimeboxStore.changeFeed(store, v2, Seq("value_c")).cache()
+      try {
+        assert(feed.count() === 2)
+        val u = feed.filter(col("change_type") === "U").head()
+        assert(u.getAs[Long]("new_value_c") === u.getAs[Long]("old_value_c") + 7L)
+        val i = feed.filter(col("change_type") === "I").head()
+        assert(i.getAs[Long]("new_value_c") === 42L && i.isNullAt(i.fieldIndex("old_value_c")))
+      } finally feed.unpersist()
+    } finally store.unpersist()
+  }
+
   test("range aggregate pushdown: interior blocks stay closed-form, only boundary blocks decode") {
     val pts = original
       .select(

@@ -130,4 +130,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(df.filter(col("is_observed") === 1 && col("value_c") === -1).count() === 0)
     } finally df.unpersist()
   }
+
+  test("mad outlier: doubled medians match interpolated percentile, flags bounded") {
+    val df = graft.operators.TimeSeries.madOutlier(spark, sf).cache()
+    try {
+      // independent exact check: Spark's percentile (linear interpolation)
+      // at 0.5 equals the rank-selected doubled median halved, for both
+      // the value median and the deviation median's input domain
+      val truth = spark.read
+        .parquet(s"$sf/events.parquet")
+        .select(col("user_id"), expr("CAST(round(value*100) AS BIGINT)").as("v"))
+        .groupBy(col("user_id"))
+        .agg(expr("percentile(v, 0.5D)").as("p50"))
+      val joined = df.join(truth, "user_id")
+      assert(
+        joined.filter(col("med2_c").cast("double") =!= col("p50") * 2.0).count() === 0,
+        "rank-selected median disagrees with percentile interpolation"
+      )
+      assert(df.filter(col("n_outliers") > col("n_points")).count() === 0)
+      assert(df.filter(col("mad2_c") < 0).count() === 0)
+    } finally df.unpersist()
+  }
 }
