@@ -398,4 +398,173 @@ object Similarity {
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 28f. ann_ivfpq_search — IVF-PQ, the production vector-index
+  // LAYOUT: a coarse quantizer partitions the corpus into cells, and
+  // each vector stores only its cell id + the PQ code of its RESIDUAL
+  // (vector − cell centroid). Residuals concentrate near zero, so the
+  // same codebook budget quantizes them far tighter than raw vectors —
+  // this is why every serious ANN system (IVF-ADC lineage) composes
+  // the two stages rather than running PQ flat. Search: (1) rank cells
+  // by centroid distance, probe the top few; (2) build the per-cell
+  // ADC lookup table from the PROBE'S residual against the shared
+  // codebook (nProbes × probeCells × m × K rows — broadcasts); (3)
+  // score only vectors IN probed cells by summed table lookups over
+  // their codes; (4) exact cosine re-rank of the shortlist. At 100 TB
+  // the scan reads 9 bytes/vector (cell + code) for 1/nCells of the
+  // corpus, the centroids and LUT are broadcast constants, and the
+  // full-width vectors surface only for shortlist×probes rows. All
+  // integer (micro-unit normalization, exact L2 argmins, ties on
+  // code/cell), so the DuckDB oracle reproduces cells, residuals,
+  // codes, tables, and ranks exactly; SimilaritySpec pins recall.
+  // -------------------------------------------------------------------
+  def annIvfPqSearch(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int = 8,
+      probeCells: Int = 4,
+      m: Int = 8,
+      kCode: Int = 64,
+      iters: Int = 3,
+      trainN: Long = 500L,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val sub = 64 / m
+    val q = quantized(spark, dir)
+    // unit-normalize in micro units (exact integer norm) — L2² on the
+    // normalized vectors tracks cosine, so the ADC shortlist chases
+    // the ordering the re-rank finalizes
+    val qn = q
+      .withColumn("sn", sqrt(col("n2").cast("double")))
+      .select(
+        col("vec_id"),
+        transform(col("q"), x => round(x.cast("double") * lit(1000000.0) / col("sn")).cast("long"))
+          .as("qn")
+      )
+      .withColumn("qn2", norm2Q(col("qn")))
+    // coarse quantizer: deterministic-sample centroids (the trained
+    // variant is ann_ivf_kmeans's axis; here the new machinery is the
+    // residual composition)
+    val cen = qn
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
+      .select((col("vec_id") - 100).as("cell"), col("qn").as("cq"), col("qn2").as("c2"))
+    val cellDist = qn
+      .crossJoin(broadcast(cen))
+      .withColumn("d2", col("qn2") + col("c2") - lit(2L) * dotQ(col("qn"), col("cq")))
+    // nearest cell + its centroid (needed for the residual) in one
+    // map-side argmin — no window over the corpus
+    val asg = cellDist
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("cq")), struct(col("d2"), col("cell"))).as("a"))
+      .join(qn, Seq("vec_id"))
+      .select(
+        col("vec_id"),
+        col("a.cell").as("cell"),
+        zip_with(col("qn"), col("a.cq"), (x, c) => x - c).as("r")
+      )
+    val subvecs = asg.select(
+      col("vec_id"),
+      col("cell"),
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(r, j * $sub + 1, $sub))"))
+        .as(Seq("mi", "sv"))
+    )
+    // shared residual codebook: seeded from a deterministic sample
+    // clear of both the probe set and the centroid seeds, then
+    // Lloyd-REFINED over a bounded training sample (floor-averaged
+    // integer components, exactly as ann_pq_search trains) — an
+    // untrained residual codebook quantizes too coarsely for the ADC
+    // shortlist to hold its recall. localCheckpoint cuts the
+    // training lineage out of the encode and LUT consumers.
+    val seedCb = subvecs
+      .filter(col("vec_id") >= 200 && col("vec_id") < 200 + kCode)
+      .select((col("vec_id") - 200).as("code"), col("mi"), col("sv").as("cv"))
+    val trainVecs = subvecs.filter(col("vec_id") < trainN)
+    val cb = (0 until iters)
+      .foldLeft(seedCb) { (c, _) =>
+        trainVecs
+          .join(broadcast(c), Seq("mi"))
+          .withColumn("d2", norm2Q(zip_with(col("sv"), col("cv"), (a, b) => a - b)))
+          .groupBy(col("vec_id"), col("mi"))
+          .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+          .join(trainVecs, Seq("vec_id", "mi"))
+          .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("i", "v")))
+          .groupBy(col("mi"), col("code"), col("i"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .withColumn("cvi", expr("(s - pmod(s, n)) DIV n"))
+          .groupBy(col("mi"), col("code"))
+          .agg(
+            transform(sort_array(collect_list(struct(col("i"), col("cvi")))), p => p.getField("cvi"))
+              .as("cv")
+          )
+      }
+      .localCheckpoint(true)
+    // PQ-encode every residual: exact integer L2 argmin per subspace
+    val codes = subvecs
+      .join(broadcast(cb), Seq("mi"))
+      .withColumn("d2", norm2Q(zip_with(col("sv"), col("cv"), (a, b) => a - b)))
+      .groupBy(col("vec_id"), col("mi"))
+      .agg(
+        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+        first(col("cell")).as("cell")
+      )
+    // probed cells per probe + the probe's residual w.r.t. EACH
+    // probed cell (the residual differs per cell — the per-cell LUT
+    // is the IVF-PQ-specific piece)
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+    val probeCellsDf = cellDist
+      .filter(col("vec_id") < nProbes)
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= probeCells)
+      .select(
+        col("vec_id").as("probe_id"),
+        col("cell"),
+        zip_with(col("qn"), col("cq"), (x, c) => x - c).as("pr")
+      )
+    val lut = probeCellsDf
+      .select(
+        col("probe_id"),
+        col("cell"),
+        posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(pr, j * $sub + 1, $sub))"))
+          .as(Seq("mi", "psv"))
+      )
+      .join(broadcast(cb), Seq("mi"))
+      .select(
+        col("probe_id"),
+        col("cell"),
+        col("mi"),
+        col("code"),
+        norm2Q(zip_with(col("psv"), col("cv"), (a, b) => a - b)).as("d2")
+      )
+    // ADC over probed cells only: the cell key in the join IS the
+    // inverted-file restriction
+    val wShort = Window.partitionBy(col("probe_id")).orderBy(col("adist").asc, col("neighbor_id").asc)
+    val short = codes
+      .join(broadcast(lut), Seq("cell", "mi", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adist"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val probes = q
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    short
+      .join(q.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
 }

@@ -837,6 +837,61 @@ object TimeboxStore {
       )
   }
 
+  /** POINT-EXACT retention expiry (TTL) — vacuum's exact sibling.
+    * [[vacuum]] drops aged blocks at block granularity and keeps a
+    * boundary block whole; production retention ("keep 90 days,
+    * exactly") must also trim the straddler. Three-way split, zero
+    * decode except at the boundary:
+    *
+    *   - wholly aged  ((day_id+1)·blockUs ≤ cut): dropped without
+    *     decode — at 100 TB, one day's expiry discards whole block
+    *     rows by metadata alone;
+    *   - wholly live  (start_us ≥ cut, from the block header): pass
+    *     through ENCODED, byte-identical;
+    *   - straddlers (at most one block per series per expiry run):
+    *     decode → drop below-cutoff points → re-encode.
+    */
+  def ttlExpire(store: DataFrame, cutUs: Long, tagCols: Seq[String]): DataFrame = {
+    val blockUs = storedBlockUs(store)
+    val wholeAged = (col("day_id") + 1) * blockUs <= cutUs
+    val wholeLive = col("start_us") >= cutUs
+    val live = store.filter(!wholeAged && wholeLive)
+    val straddlers = decode(store.filter(!wholeAged && !wholeLive), tagCols)
+      .filter(col("ts_us") >= cutUs)
+      .transform(pts => encode(pts, "series_id", "ts_us", "seq", tagCols, blockUs))
+    live.unionByName(straddlers)
+  }
+
+  /** Oracle-gated TTL drill (ts_store_ttl): encode events, expire
+    * everything before a mid-corpus cutoff, decode, summarize per
+    * series. The oracle filters raw events at the same cutoff, so an
+    * over-eager block drop, a kept aged point, or a corrupted
+    * pass-through block all fail the hash.
+    */
+  def ttlSummary(
+      spark: SparkSession,
+      dir: String,
+      cutUs: Long = 1705276800000000L // 2024-01-15 00:00:00 UTC
+  ): DataFrame = {
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val store = encode(pts, "series_id", "ts_us", "seq", Seq("value_c"))
+    decode(ttlExpire(store, cutUs, Seq("value_c")))
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+  }
+
   /** Full write path from the raw events table (single value tag). */
   def write(spark: SparkSession, dir: String, outPath: String): Unit =
     encode(

@@ -45,6 +45,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_topk_bruteforce",
     "ann_ivf_bucketed",
     "ann_ivf_kmeans",
+    "ann_ivfpq_search",          // ≤8-row centroid broadcast
     "text_bigram_pmi",
     "sample_temperature",
     "contamination_doc_overlap", // 1-row MIN(source) broadcast

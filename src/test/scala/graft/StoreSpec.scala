@@ -271,6 +271,45 @@ class StoreSpec extends AnyFunSuite {
     } finally store.unpersist()
   }
 
+  test("ttl expire: aged blocks vanish undecoded, live blocks byte-identical, straddler trimmed exactly") {
+    val pts = original
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+    val store = TimeboxStore.encode(pts, "series_id", "ts_us", "seq", Seq("value_c")).cache()
+    try {
+      // cutoff mid-day so every series has a straddler block
+      val cut = 1705276800000000L + 43200000000L // 2024-01-15 12:00 UTC
+      // (a) exactly one decode branch in the plan: aged + live blocks
+      // must never explode a payload
+      val generates = TimeboxStore
+        .ttlExpire(store, cut, Seq("value_c"))
+        .queryExecution
+        .sparkPlan
+        .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(generates.size === 1, s"expected 1 decode, found ${generates.size} explodes")
+      val after = TimeboxStore.ttlExpire(store, cut, Seq("value_c")).cache()
+      try {
+        // (b) no wholly-aged block survives, live blocks byte-identical
+        val dayUs = 86400000000L
+        assert(after.filter((col("day_id") + 1) * dayUs <= cut).count() === 0)
+        // (days strictly after the cut day are wholly live by
+        // construction; the cut day itself may legitimately rewrite)
+        val liveBefore = store.filter(col("day_id") > cut / dayUs)
+        val liveAfter = after.filter(col("day_id") > cut / dayUs)
+        assert(
+          liveBefore.exceptAll(liveAfter).count() === 0 && liveAfter.exceptAll(liveBefore).count() === 0,
+          "wholly-live blocks were rewritten"
+        )
+        // (c) survivors decode to exactly the at-or-after-cutoff points
+        val got = TimeboxStore.decode(after)
+        val expected = pts.filter(col("ts_us") >= cut)
+        assert(
+          got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0,
+          "ttl survivors do not match the exact cutoff filter"
+        )
+      } finally after.unpersist()
+    } finally store.unpersist()
+  }
+
   test("range aggregate pushdown: interior blocks stay closed-form, only boundary blocks decode") {
     val pts = original
       .select(
