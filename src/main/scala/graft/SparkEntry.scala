@@ -55,6 +55,7 @@ object SparkEntry {
     "ts_ewma_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.ewmaStreamReordering(s, d)),
     "ts_histquant_stream" -> ((s, d) => graft.sources.StreamingIngest.histogramQuantileStream(s, d)),
     "ts_funnel"          -> ((s, d) => TimeSeries.funnel(s, d)),
+    "ts_funnel_stream"   -> ((s, d) => graft.sources.StreamingIngest.funnelStream(s, d)),
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_asof_tolerance"  -> ((s, d) => TimeSeries.asofJoinTolerance(s, d)),
@@ -118,6 +119,7 @@ object SparkEntry {
     "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
@@ -141,6 +143,7 @@ object SparkEntry {
     "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "ann_pq_search"       -> ((s, d) => Similarity.annPqSearch(s, d)),
     "ann_ivfpq_search"    -> ((s, d) => Similarity.annIvfPqSearch(s, d)),
+    "ann_label_knn"       -> ((s, d) => Similarity.annLabelKnn(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -364,6 +367,23 @@ object SparkEntry {
          |        FROM reach GROUP BY src),
          |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
          |SELECT cluster_size, COUNT(*) AS n_clusters FROM cs GROUP BY 1""".stripMargin,
+    // containment of the smaller shingle set (quote/subset leak
+    // detection) — orientation-invariant verdict, same candidates
+    "dedup_containment" ->
+      s"""WITH $shingleCtes,
+         |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
+         |i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+         |      FROM pairs p JOIN u x ON x.doc_id = p.doc_a
+         |      JOIN u y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |      GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, COALESCE(i.inter_n, 0) AS inter_n,
+         |  CAST(LEAST(ca.n_sh, cb.n_sh) AS BIGINT) AS n_small,
+         |  CAST(GREATEST(ca.n_sh, cb.n_sh) AS BIGINT) AS n_big,
+         |  CAST(CASE WHEN COALESCE(i.inter_n, 0) * 10 >= LEAST(ca.n_sh, cb.n_sh) * 9
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_contained
+         |FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -680,6 +700,25 @@ object SparkEntry {
     // iterations (floor-averaged integer components, // == Spark's pmod
     // formula), codes by integer L2 argmin, ADC shortlist of 100 by
     // summed probe-to-codebook lookups, exact cosine re-rank
+    // filtered search: the label predicate is the join key, so the
+    // candidate set is the matching class, exact at any selectivity
+    "ann_label_knn" ->
+      s"""WITH $quantCtes,
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, label FROM lb WHERE vec_id < 5),
+         |cand AS (SELECT p.probe_id, p.label, lb.vec_id AS neighbor_id
+         |         FROM p JOIN lb ON lb.label = p.label AND lb.vec_id != p.probe_id),
+         |dt AS (SELECT c.probe_id, c.label, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM cand c JOIN q a ON a.vec_id = c.probe_id
+         |       JOIN q b ON b.vec_id = c.neighbor_id AND b.i = a.i
+         |       GROUP BY 1, 2, 3),
+         |cc AS (SELECT dt.probe_id, dt.label, dt.neighbor_id,
+         |         CAST(dt.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = dt.probe_id JOIN n nb ON nb.vec_id = dt.neighbor_id)
+         |SELECT probe_id, label, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM cc QUALIFY rnk <= 10""".stripMargin,
     // IVF-PQ: seeded cells over the normalized vectors, residual
     // codebook from a deterministic sample, per-cell probe-residual
     // LUT, ADC over probed cells only, exact cosine re-rank
@@ -1416,6 +1455,27 @@ object SparkEntry {
         |  MIN(ts_us) AS t_start_us, MAX(ts_us) AS t_end_us, COUNT(*) AS n
         |FROM r GROUP BY user_id, bucket""".stripMargin,
     "ts_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(v.view_us) AS view_us,
+        |        MIN(CASE WHEN e.event_type = 'click' AND v.view_us IS NOT NULL
+        |                  AND e.ts_us > v.view_us THEN e.ts_us END) AS click_us
+        |      FROM e JOIN v ON v.user_id = e.user_id GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(c.view_us) AS view_us, MIN(c.click_us) AS click_us,
+        |        MIN(CASE WHEN e.event_type = 'purchase' AND c.click_us IS NOT NULL
+        |                  AND e.ts_us > c.click_us THEN e.ts_us END) AS purchase_us
+        |      FROM e JOIN c ON c.user_id = e.user_id GROUP BY 1)
+        |SELECT user_id, COALESCE(view_us, -1) AS view_us, COALESCE(click_us, -1) AS click_us,
+        |  COALESCE(purchase_us, -1) AS purchase_us,
+        |  CAST((CASE WHEN view_us IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS steps_completed
+        |FROM p""".stripMargin,
+    // the streaming funnel replayed over the same files must land on
+    // the batch funnel exactly
+    "ts_funnel_stream" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),
         |v AS (SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS view_us

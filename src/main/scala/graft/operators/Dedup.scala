@@ -633,6 +633,54 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 24b. dedup_containment — CONTAINMENT scoring over the same banded
+  // candidates: is the smaller document's shingle set (nearly) inside
+  // the larger's? Jaccard misses exactly this case — a short doc
+  // quoted whole inside a long one has tiny |∩|/|∪| but containment
+  // ≈ 1 — and quote/subset duplication is a first-class training-data
+  // leak. Verdict is orientation-invariant (containment of the
+  // SMALLER set: inter·10 ≥ 9·min(na,nb)), so member expansion's
+  // least/greatest reorientation cannot flip it. Same rep-level
+  // skeleton as dedup_ngram_jaccard: shingle join scales with
+  // distinct texts, candidates stay banded, never all-pairs.
+  // -------------------------------------------------------------------
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lsh = lshRepPairsFrom(uniq)
+    val cand = lsh.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(uniq.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(uniq.as("y"), col("y.doc_id") === col("doc_b") && col("y.shingle") === col("x.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    val repScores = cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter_n"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big"),
+        when(col("inter_n") * 10 >= least(col("na"), col("nb")) * 9, 1L).otherwise(0L).as("is_contained")
+      )
+    val out = expandMemberPairs(
+      repScores,
+      groups,
+      counts,
+      carried = Seq("inter_n", "n_small", "n_big", "is_contained"),
+      withinValues = Seq(col("n_sh"), col("n_sh"), col("n_sh"), lit(1L))
+    )
+    releaseAfterRun(spark, out, Seq(uniq, lsh.bands, cand, groups))
+  }
+
+  // -------------------------------------------------------------------
   // 25. dedup_simhash — 64-bit SimHash held as 4x16-bit blocks
   // (h0..h3). Token weights are occurrence counts; per-bit sign sums
   // come from md5 nibbles. Near-dup pairing joins on equal blocks

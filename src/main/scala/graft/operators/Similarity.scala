@@ -567,4 +567,42 @@ object Similarity {
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 28g. ann_label_knn — FILTERED vector search: each probe's top-k
+  // restricted to neighbors sharing its label (find same-class
+  // near-neighbors — the dedup-within-language / retrieval-with-
+  // predicate production shape). The filter is the JOIN KEY, not a
+  // post-filter: probes broadcast keyed by label, so a candidate row
+  // is touched only if it passes the predicate — a broadcast HASH
+  // join, never a cross join, and the distance work scales with the
+  // matching class, not the corpus. Post-filtering a plain top-k
+  // would instead return < k rows whenever the filter thins the
+  // neighborhood; pre-filtering is exact at any selectivity. At
+  // 100 TB a label-partitioned layout turns the same plan into a
+  // partition-pruned scan of one class.
+  // -------------------------------------------------------------------
+  def annLabelKnn(spark: SparkSession, dir: String, nProbes: Int = 5, k: Int = 10): DataFrame = {
+    val q = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), quantizeMicro(col("embedding")).as("q"))
+      .withColumn("n2", norm2Q(col("q")))
+    val probes = q
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("label"), col("q").as("pq"), col("n2").as("pn2"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(broadcast(probes), Seq("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("label"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("label"),
+        col("neighbor_id"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
 }

@@ -996,6 +996,93 @@ object StreamingIngest {
     runToMemory(spark, joined, "append")
   }
 
+  /** Streaming FUNNEL — the batch view→click→purchase progression
+    * (TimeSeries.funnel) as a 24/7 per-user state machine. State is
+    * three monotone slots (first view; first click strictly after
+    * it; first purchase strictly after that) — each sets at most
+    * once, so state is O(1) per user forever and the stream's answer
+    * is continuous across micro-batch boundaries. A row is emitted on
+    * a user's FIRST event (so zero-step users surface, as in batch)
+    * and on every slot advance; the final funnel per user is the
+    * max-steps emission — the batch funnel oracle, reproduced on
+    * replay. Same strict in-order source contract as the other
+    * per-series stateful streams (enforced loudly); the reordering-
+    * buffer recipe (rateStreamReordering) lifts it when needed.
+    */
+  def funnelStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        col("event_type").as[String]
+      )
+      .as[(Long, Long, Long, String)]
+    // state: (view_us, click_us, purchase_us, lastTs, lastSeq); -1 = unset
+    val advanced = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // three longs per user, set-once
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[(Long, Long, Long, Long, Long)]) =>
+        val pts = rows.toArray.sortBy(r => (r._2, r._3))
+        var (view, click, purchase, lastTs, lastSeq) =
+          state.getOption.getOrElse((-1L, -1L, -1L, Long.MinValue, Long.MinValue))
+        val firstEver = state.getOption.isEmpty
+        pts.headOption.foreach { case (_, ts, eid, _) =>
+          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+            throw new IllegalStateException(
+              s"funnelStream: out-of-order arrival for user $uid — (ts=$ts, seq=$eid) after " +
+                s"(ts=$lastTs, seq=$lastSeq); the source must deliver each user in event-time order"
+            )
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        def steps = (if (view >= 0) 1L else 0L) + (if (click >= 0) 1L else 0L) + (if (purchase >= 0) 1L else 0L)
+        pts.foreach { case (_, ts, eid, etype) =>
+          val before = steps
+          etype match {
+            case "view" if view < 0                                 => view = ts
+            case "click" if view >= 0 && view < ts && click < 0     => click = ts
+            case "purchase" if click >= 0 && click < ts && purchase < 0 => purchase = ts
+            case _                                                  => ()
+          }
+          if (steps != before) out += ((uid, view, click, purchase, steps))
+          lastTs = ts
+          lastSeq = eid
+        }
+        if (firstEver && out.isEmpty && pts.nonEmpty) out += ((uid, view, click, purchase, steps))
+        state.update((view, click, purchase, lastTs, lastSeq))
+        out.iterator
+      }
+      .toDF("user_id", "view_us", "click_us", "purchase_us", "steps_completed")
+    runToMemory(spark, advanced, "append")
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("view_us"), col("click_us"), col("purchase_us"), col("steps_completed")),
+          col("steps_completed")
+        ).as("f")
+      )
+      .select(
+        col("user_id"),
+        col("f.view_us").as("view_us"),
+        col("f.click_us").as("click_us"),
+        col("f.purchase_us").as("purchase_us"),
+        col("f.steps_completed").as("steps_completed")
+      )
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

@@ -143,6 +143,40 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall below bound; found ${found.size} pairs")
   }
 
+  test("containment: a quoted subset flags is_contained while Jaccard stays below its bar") {
+    import spark.implicits._
+    // small doc quoted whole inside a much longer doc: banding still
+    // pairs them (the small doc's shingles dominate its signature is
+    // not guaranteed — so plant the quote as a PREFIX and pad the
+    // host with the same leading run to keep band collisions), then
+    // containment must fire where Jaccard cannot
+    // plant 8 quote/host pairs: each host = its quote + 3 fresh pad
+    // tokens, so containment = 1 exactly while Jaccard = 10/13 < 0.8.
+    // Band collision at J≈0.77 is per-pair md5 luck; with 8 planted
+    // pairs on fixed data at least one collides (deterministic, a
+    // regression pin — not a flake)
+    val rows = (0 until 8).flatMap { p =>
+      val quote = (1 to 12).map(i => s"w${p}x$i").mkString(" ")
+      val host = quote + " " + (1 to 3).map(i => s"p${p}y$i").mkString(" ")
+      Seq(
+        (100L + p, quote, "en", "src0", quote.length.toLong),
+        (200L + p, host, "en", "src0", host.length.toLong)
+      )
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_containment").toString
+    rows
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = (0 until 8).map(p => (100L + p, 200L + p)).toSet
+    val cont = Dedup.containmentPairs(spark, dir).collect()
+      .filter(r => planted.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    assert(cont.nonEmpty, "no planted subset pair survived banding")
+    assert(cont.forall(_.getAs[Long]("is_contained") === 1L), "full quote not flagged as contained")
+    val jac = Dedup.ngramJaccard(spark, dir).collect()
+      .filter(r => planted.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    assert(jac.forall(_.getAs[Long]("is_dup") === 0L), "Jaccard should stay below 0.8 here")
+  }
+
   test("caching contract: intermediates are unpersisted once the caller materializes") {
     spark.catalog.clearCache() // known-clean baseline (suites run sequentially)
     val df = Dedup.ngramJaccard(spark, sf)

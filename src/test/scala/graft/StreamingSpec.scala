@@ -144,6 +144,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch estimates missing from stream")
   }
 
+  test("streaming funnel: two-batch replay equals the batch funnel — steps advance across the boundary") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.funnelStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.funnel(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed funnels not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch funnels missing from stream")
+  }
+
   test("reordering rate stream: out-of-order cross-batch arrival within the allowance still matches the oracle") {
     import spark.implicits._
     // dense synthetic series (2-min cadence) split with a jittered
