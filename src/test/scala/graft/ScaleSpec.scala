@@ -57,7 +57,11 @@ class ScaleSpec extends AnyFunSuite {
     "ts_autocorr",
     "q12_priority_class",
     "q13_order_counts",
-    "q21_waiting_supplier"
+    "q21_waiting_supplier",
+    "ts_mad_outlier",
+    "rel_pivot",
+    "text_vocab_growth",
+    "ann_label_knn"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
