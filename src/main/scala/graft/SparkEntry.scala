@@ -32,6 +32,7 @@ object SparkEntry {
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
     "ts_mad_outlier"     -> ((s, d) => TimeSeries.madOutlier(s, d)),
+    "ts_sax"             -> ((s, d) => TimeSeries.sax(s, d)),
     "ts_rate_increase"   -> ((s, d) => TimeSeries.rateIncrease(s, d)),
     "ts_counter_resets"  -> ((s, d) => TimeSeries.counterResets(s, d)),
     "ts_linear_trend"    -> ((s, d) => TimeSeries.linearTrend(s, d)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "text_coverage_topk" -> ((s, d) => TextAnalysis.coverageTopk(s, d)),
+    "text_oov_rate"     -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1040,6 +1042,18 @@ object SparkEntry {
          |SELECT threshold_bp, CAST(MIN(rnk) AS BIGINT) AS k_tokens, CAST(MAX(total_n) AS BIGINT) AS total_n
          |FROM r, tot, thr WHERE cum_n * 10000 >= threshold_bp * total_n
          |GROUP BY 1""".stripMargin,
+    // per-doc OOV vs the corpus top-32 vocabulary; left-join null
+    // pattern scores each occurrence, rates in basis points
+    "text_oov_rate" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, tok FROM (SELECT doc_id, unnest(toks) AS tok FROM d) WHERE length(tok) > 0),
+         |c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY 1),
+         |v AS (SELECT tok FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM c)
+         |      WHERE rnk <= 32)
+         |SELECT t.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS oov_bp
+         |FROM t LEFT JOIN v ON v.tok = t.tok GROUP BY 1""".stripMargin,
     "mm_chunk_table" ->
       """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
         |c AS (SELECT doc_id, text,
@@ -1494,6 +1508,29 @@ object SparkEntry {
         |       (CASE WHEN click_us IS NOT NULL THEN 1 ELSE 0 END) +
         |       (CASE WHEN purchase_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS steps_completed
         |FROM p""".stripMargin,
+    // SAX: hourly floor-div PAA, rank-based quartile symbols, ordered
+    // symbol string + duplicated-3-gram motif count
+    "ts_sax" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) AS BIGINT) AS s,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |p AS (SELECT user_id, hour_id, CAST(s // n AS BIGINT) AS paa FROM h),
+        |q AS (SELECT user_id, hour_id, paa,
+        |        NTILE(4) OVER (PARTITION BY user_id ORDER BY paa ASC, hour_id ASC) AS qt FROM p),
+        |sy AS (SELECT user_id, hour_id,
+        |         CASE qt WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' ELSE 'd' END AS sym FROM q),
+        |ag AS (SELECT user_id, COUNT(*) AS n_hours,
+        |         string_agg(sym, '' ORDER BY hour_id) AS sax FROM sy GROUP BY 1),
+        |w AS (SELECT user_id, n_hours, sax,
+        |        CASE WHEN length(sax) >= 3
+        |             THEN list_transform(generate_series(1, CAST(length(sax) AS BIGINT) - 2),
+        |                                 i -> substr(sax, CAST(i AS INTEGER), 3))
+        |             ELSE [] END AS wins
+        |      FROM ag)
+        |SELECT user_id, n_hours, sax,
+        |  CAST(len(wins) - len(list_distinct(wins)) AS BIGINT) AS n_dup_motifs
+        |FROM w""".stripMargin,
     // exact rank-selected medians kept doubled (med2 = the two middle
     // values summed); flag cross-multiplied: dev·20000 > 44478·mad2
     "ts_mad_outlier" ->

@@ -467,6 +467,37 @@ object TextAnalysis {
   // engines rank identically; coverage compares cross-multiplied in
   // integers (cum·10⁴ ≥ thr·total), no float shares.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // 36. text_oov_rate — per-document OUT-OF-VOCABULARY rate against
+  // the corpus top-K vocabulary: the per-doc face of the coverage
+  // question (a doc full of tokens the tokenizer budget excludes is
+  // exactly the doc that fragments into byte-level pieces). The
+  // vocabulary is one aggregated rank (tokens, not occurrences) that
+  // BROADCASTS; each doc then scores in the scan stage via the left
+  // join's null pattern — one corpus scan, one vocabulary-sized
+  // shuffle, rates in integer basis points.
+  // -------------------------------------------------------------------
+  def oovRate(spark: SparkSession, dir: String, topK: Int = 32): DataFrame = {
+    val occurrences = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val wr = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok").asc)
+    val vocab = occurrences
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= topK)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    occurrences
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov")
+      )
+      .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+  }
+
   def coverageTopk(spark: SparkSession, dir: String): DataFrame = {
     val counts = docsToks(spark, dir)
       .select(explode(col("toks")).as("tok"))

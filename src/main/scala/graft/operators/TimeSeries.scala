@@ -354,6 +354,54 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11d3. ts_sax — SAX symbolic approximation per series: hourly PAA
+  // means (floor-div exact for any sign) → per-series value-QUARTILE
+  // symbols a..d (rank-based NTILE, deterministic tiebreak — the
+  // data-adaptive breakpoint choice that stays integer-exact where
+  // Gaussian breakpoints would drag in floats) → the symbol STRING in
+  // time order plus a duplicated-3-symbol-motif count (the classic
+  // SAX motif-mining primitive). Everything after the hourly rollup
+  // runs on the per-series hour table (quartile window + one ordered
+  // collect), so the sort is hours-per-series, never raw events; the
+  // rollup itself is one partial-aggregable shuffle.
+  // -------------------------------------------------------------------
+  def sax(spark: SparkSession, dir: String): DataFrame = {
+    val paa = eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("paa_c", expr("(s - pmod(s, n)) DIV n")) // floor(s/n), any sign
+    val wq = Window.partitionBy(col("user_id")).orderBy(col("paa_c").asc, col("hour_id").asc)
+    paa
+      .withColumn("qt", ntile(4).over(wq))
+      .withColumn(
+        "sym",
+        when(col("qt") === 1, "a").when(col("qt") === 2, "b").when(col("qt") === 3, "c").otherwise("d")
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("hour_id"), col("sym")))), p => p.getField("sym")),
+          ""
+        ).as("sax")
+      )
+      .withColumn(
+        "wins",
+        when(
+          length(col("sax")) >= 3,
+          expr("transform(sequence(1, length(sax) - 2), i -> substring(sax, i, 3))")
+        ).otherwise(array())
+      )
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("sax"),
+        (size(col("wins")) - size(array_distinct(col("wins")))).cast("long").as("n_dup_motifs")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11e. ts_rate_increase — counter-rate per series per hour (the
   // PromQL `increase` shape): sum of positive value deltas between
   // consecutive observations, negative deltas (counter resets)

@@ -244,4 +244,44 @@ class PlanSpec extends AnyFunSuite {
     // raw-events window would sort on (ts_us, event_id); here it's hour_id.
     assert(!plan.contains("ts_us"), s"window consumes raw events:\n$plan")
   }
+
+  test("pivot compiles to ONE aggregation pass — no distinct-values pre-query, no Expand") {
+    val plan = planOf(Relational.pivotReturnflag(spark, sf))
+    assert(!plan.contains("Expand"), s"pivot expanded rows — declared values should not:\n$plan")
+    // one scan of lineitem, one shuffle carrying the partial aggregates
+    assert("lineitem\\.parquet".r.findAllIn(plan).size === 1, "pivot re-scanned the fact table")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"pivot cells not map-side combined:\n$plan")
+  }
+
+  test("grouping sets is one Expand + one aggregation — cost independent of the set count") {
+    val plan = planOf(Relational.groupingSetsReport(spark, sf))
+    assert("Expand".r.findAllIn(plan).size === 1, s"expected exactly one Expand:\n$plan")
+    assert("lineitem\\.parquet".r.findAllIn(plan).size === 1, "grouping sets re-scanned the fact table")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+  }
+
+  test("label kNN joins on the predicate key: broadcast HASH join, never a nested loop") {
+    val plan = planOf(graft.operators.Similarity.annLabelKnn(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"label filter not a hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"filtered search degenerated to an unkeyed join:\n$plan")
+  }
+
+  test("vocab growth reads only (source, doc_id, text) and shuffles the vocabulary, not tokens") {
+    val qe = graft.operators.TextAnalysis.vocabGrowth(spark, sf).queryExecution
+    val scans = qe.executedPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("source", "doc_id", "text")),
+        s"vocab growth reads extra columns: ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+    // within-doc repeats collapse in the scan stage: the per-token agg
+    // must see array_distinct'ed tokens (partial agg below the shuffle)
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("array_distinct"), s"within-doc dedup not in the scan stage:\n$plan")
+  }
 }
