@@ -722,16 +722,18 @@ object Relational {
 
   /** rel_pivot — monthly revenue PIVOTED by return flag: the
     * wide-report shape (one row per month, one column per category).
-    * The pivot values are DECLARED (`Seq("A","N","R")`), so Spark
-    * compiles it to ONE conditional-aggregation pass — no
-    * distinct-values pre-query, no second scan, fully map-side
-    * partial-aggregable like any groupBy. Missing (month, flag)
-    * cells surface as NULL from the pivot and are pinned to 0 so the
-    * report is dense. At 100 TB this is exactly a Q1-class single
-    * scan + one 2-digit-cardinality shuffle.
+    * Spelled as DECLARED-category conditional aggregation — one
+    * sum(when(flag = c)) per category in a single groupBy — rather
+    * than `Dataset.pivot`, which (even with declared values) plans a
+    * two-phase pivotfirst aggregation with a second shuffle. This
+    * shape is ONE scan + ONE 2-digit-cardinality shuffle, fully
+    * map-side partial-aggregable (PlanSpec pins all three). Missing
+    * (month, flag) cells are pinned to 0 so the report is dense.
     */
   def pivotReturnflag(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    def cell(flag: String) =
+      coalesce(sum(when($"l_returnflag" === flag, $"rev_c")), lit(0L))
     Tables
       .lineitem(spark, dir)
       .select(
@@ -740,14 +742,7 @@ object Relational {
         cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c")
       )
       .groupBy($"ship_month")
-      .pivot("l_returnflag", Seq("A", "N", "R"))
-      .agg(sum($"rev_c"))
-      .select(
-        $"ship_month",
-        coalesce($"A", lit(0L)).as("rev_a_c"),
-        coalesce($"N", lit(0L)).as("rev_n_c"),
-        coalesce($"R", lit(0L)).as("rev_r_c")
-      )
+      .agg(cell("A").as("rev_a_c"), cell("N").as("rev_n_c"), cell("R").as("rev_r_c"))
   }
 
   /** rel_grouping_sets — GROUPING SETS distinct from rollup/cube: the

@@ -273,7 +273,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("vocab growth reads only (source, doc_id, text) and shuffles the vocabulary, not tokens") {
     val qe = graft.operators.TextAnalysis.vocabGrowth(spark, sf).queryExecution
-    val scans = qe.executedPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    // sparkPlan, not executedPlan: AQE wraps the executed tree and
+    // hides the scans from collect until the query actually runs
+    val scans = qe.sparkPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
     assert(scans.nonEmpty)
     scans.foreach { s =>
       assert(s.requiredSchema.fieldNames.toSet.subsetOf(Set("source", "doc_id", "text")),
