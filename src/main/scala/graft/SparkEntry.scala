@@ -121,6 +121,7 @@ object SparkEntry {
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_containment_estimate" -> ((s, d) => Dedup.containmentEstimate(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
@@ -443,6 +444,27 @@ object SparkEntry {
          |        (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END))
          |       * 1000000 // 12 AS BIGINT) AS est_jaccard_micro
          |FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b""".stripMargin,
+    // signature-only containment: I ≈ agree·(na+nb)/(K+agree) over
+    // exact shingle counts; containment of the smaller set, micro ints
+    "dedup_containment_estimate" ->
+      s"""WITH $shingleCtes,
+         |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM u GROUP BY 1),
+         |ag AS (SELECT p.doc_a, p.doc_b,
+         |  CAST((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) + (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) + (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) + (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) + (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) + (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) +
+         |       (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) + (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_agree
+         |  FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b)
+         |SELECT ag.doc_a, ag.doc_b, ag.n_agree,
+         |  CAST(LEAST(ca.n_sh, cb.n_sh) AS BIGINT) AS n_small,
+         |  CAST(GREATEST(ca.n_sh, cb.n_sh) AS BIGINT) AS n_big,
+         |  CAST(ag.n_agree * (ca.n_sh + cb.n_sh) * 1000000
+         |       // ((12 + ag.n_agree) * LEAST(ca.n_sh, cb.n_sh)) AS BIGINT) AS est_containment_micro
+         |FROM ag JOIN cnt ca ON ca.doc_id = ag.doc_a JOIN cnt cb ON cb.doc_id = ag.doc_b""".stripMargin,
     // b-bit estimator: debiased 2·(agree/K)−1, clamped at 0, exact ints
     "dedup_minhash_bbit" ->
       s"""WITH $shingleCtes

@@ -809,6 +809,55 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23l2. dedup_containment_estimate — SIGNATURE-ONLY containment:
+  // the scale path for dedup_containment exactly as minhashEstimate
+  // is for ngramJaccard. Estimated intersection from slot agreement
+  // (J = agree/K ⇒ I = J·(na+nb)/(1+J) = agree·(na+nb)/(K+agree))
+  // over the cheap EXACT per-doc shingle counts; containment of the
+  // smaller set in micro units, all integer. At 100 TB the shingle
+  // intersection join disappears — pairs score from K signature
+  // slots + two counters.
+  // -------------------------------------------------------------------
+  def containmentEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val lsh = lshRepPairsFrom(uniq)
+    val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sigA = sigs.toDF("doc_a" +: (0 until K).map(j => s"a$j"): _*)
+    val sigB = sigs.toDF("doc_b" +: (0 until K).map(j => s"b$j"): _*)
+    val agree = (0 until K)
+      .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val repScored = lsh.pairs
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        agree.as("n_agree"),
+        least(col("na"), col("nb")).as("n_small"),
+        greatest(col("na"), col("nb")).as("n_big")
+      )
+      .withColumn(
+        "est_containment_micro",
+        expr(s"n_agree * (n_small + n_big) * 1000000 DIV (($K + n_agree) * n_small)")
+      )
+    val out = expandMemberPairs(
+      repScored,
+      groups,
+      counts,
+      carried = Seq("n_agree", "n_small", "n_big", "est_containment_micro"),
+      withinValues = Seq(lit(K.toLong), col("n_sh"), col("n_sh"), lit(1000000L))
+    )
+    releaseAfterRun(spark, out, Seq(uniq, sigs, lsh.bands, groups))
+  }
+
+  // -------------------------------------------------------------------
   // 23m. dedup_minhash_bbit — b-BIT minhash (Li & König, WWW'10): keep
   // only the LOWEST BIT of each of the K min-hashes. The signature
   // store shrinks 128× vs full md5 slots (K bits vs K×128-bit hashes)

@@ -175,6 +175,13 @@ class DedupSpec extends AnyFunSuite {
     val jac = Dedup.ngramJaccard(spark, dir).collect()
       .filter(r => planted.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
     assert(jac.forall(_.getAs[Long]("is_dup") === 0L), "Jaccard should stay below 0.8 here")
+    // the signature-only estimator must land near the exact answer
+    // (containment = 1) on the same pairs — deterministic on fixed data
+    val est = Dedup.containmentEstimate(spark, dir).collect()
+      .filter(r => planted.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    assert(est.nonEmpty)
+    assert(est.forall(_.getAs[Long]("est_containment_micro") >= 800000L),
+      "signature estimate far below the exact containment of 1")
   }
 
   test("caching contract: intermediates are unpersisted once the caller materializes") {
