@@ -146,6 +146,7 @@ object SparkEntry {
     "ann_pq_search"       -> ((s, d) => Similarity.annPqSearch(s, d)),
     "ann_ivfpq_search"    -> ((s, d) => Similarity.annIvfPqSearch(s, d)),
     "ann_label_knn"       -> ((s, d) => Similarity.annLabelKnn(s, d)),
+    "ann_index_search"    -> ((s, d) => Similarity.annIndexSearch(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -243,6 +244,67 @@ object SparkEntry {
   /** bucketed cosine range search (all neighbors >= threshold) —
     * shared by ann_range_search and its streaming dual
     */
+  /** IVF-PQ oracle — shared verbatim by the in-memory search and
+    * the persisted-index search (the index roundtrip must be
+    * byte-identical)
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH $quantCtes,
+         |qn AS (SELECT q.vec_id, q.i,
+         |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
+         |       FROM q JOIN n ON n.vec_id = q.vec_id),
+         |qn2 AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qn GROUP BY 1),
+         |cen AS (SELECT vec_id - 100 AS cell, i, v FROM qn WHERE vec_id BETWEEN 100 AND 107),
+         |cn AS (SELECT cell, CAST(SUM(v * v) AS BIGINT) AS c2 FROM cen GROUP BY 1),
+         |cd AS (SELECT qn.vec_id, cen.cell, CAST(SUM(qn.v * cen.v) AS BIGINT) AS dot
+         |       FROM qn JOIN cen ON cen.i = qn.i GROUP BY 1, 2),
+         |dist AS (SELECT cd.vec_id, cd.cell, q2.n2 + cn.c2 - 2 * cd.dot AS d2
+         |         FROM cd JOIN qn2 q2 ON q2.vec_id = cd.vec_id JOIN cn ON cn.cell = cd.cell),
+         |asg AS (SELECT vec_id, cell FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS r
+         |          FROM dist) WHERE r = 1),
+         |resid AS (SELECT qn.vec_id, asg.cell, qn.i, qn.v - cen.v AS v
+         |          FROM qn JOIN asg ON asg.vec_id = qn.vec_id
+         |          JOIN cen ON cen.cell = asg.cell AND cen.i = qn.i),
+         |rs AS (SELECT vec_id, cell, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM resid),
+         |svt AS (SELECT vec_id, mi, i, v FROM rs WHERE vec_id < 500),
+         |cb0 AS (SELECT vec_id - 200 AS code, mi, i, v FROM rs WHERE vec_id BETWEEN 200 AND 263),
+         |${pqLloydCtes(3)},
+         |cb AS (SELECT code, mi, i, v FROM cb3),
+         |ad AS (SELECT s.vec_id, s.mi, s.cell, c.code,
+         |         CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
+         |       FROM rs s JOIN cb c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3, 4),
+         |codes AS (SELECT vec_id, mi, cell, code FROM
+         |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
+         |           FROM ad) WHERE rn = 1),
+         |pc AS (SELECT vec_id AS probe_id, cell FROM (
+         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS r
+         |         FROM dist WHERE vec_id < 5) WHERE r <= 4),
+         |presid AS (SELECT pc.probe_id, pc.cell, qn.i, qn.v - cen.v AS v
+         |           FROM pc JOIN qn ON qn.vec_id = pc.probe_id
+         |           JOIN cen ON cen.cell = pc.cell AND cen.i = qn.i),
+         |prs AS (SELECT probe_id, cell, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM presid),
+         |lut AS (SELECT p.probe_id, p.cell, p.mi, c.code,
+         |          CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS d2
+         |        FROM prs p JOIN cb c ON c.mi = p.mi AND c.i = p.i GROUP BY 1, 2, 3, 4),
+         |ac AS (SELECT l.probe_id, co.vec_id AS neighbor_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+         |       FROM codes co JOIN lut l ON l.cell = co.cell AND l.mi = co.mi AND l.code = co.code
+         |       WHERE co.vec_id != l.probe_id GROUP BY 1, 2),
+         |sl AS (SELECT probe_id, neighbor_id FROM
+         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id ASC) AS srnk
+         |         FROM ac) WHERE srnk <= 100),
+         |dt AS (SELECT sl.probe_id, sl.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM sl JOIN q a ON a.vec_id = sl.probe_id
+         |       JOIN q b ON b.vec_id = sl.neighbor_id AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |cc AS (SELECT dt.probe_id, dt.neighbor_id,
+         |         CAST(dt.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = dt.probe_id JOIN n nb ON nb.vec_id = dt.neighbor_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM cc QUALIFY rnk <= 10""".stripMargin
+
   private lazy val rangeSearchOracleSql: String =
     s"""WITH $quantCtes,
        |pl AS (SELECT p, i,
@@ -746,62 +808,8 @@ object SparkEntry {
     // IVF-PQ: seeded cells over the normalized vectors, residual
     // codebook from a deterministic sample, per-cell probe-residual
     // LUT, ADC over probed cells only, exact cosine re-rank
-    "ann_ivfpq_search" ->
-      s"""WITH $quantCtes,
-         |qn AS (SELECT q.vec_id, q.i,
-         |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
-         |       FROM q JOIN n ON n.vec_id = q.vec_id),
-         |qn2 AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qn GROUP BY 1),
-         |cen AS (SELECT vec_id - 100 AS cell, i, v FROM qn WHERE vec_id BETWEEN 100 AND 107),
-         |cn AS (SELECT cell, CAST(SUM(v * v) AS BIGINT) AS c2 FROM cen GROUP BY 1),
-         |cd AS (SELECT qn.vec_id, cen.cell, CAST(SUM(qn.v * cen.v) AS BIGINT) AS dot
-         |       FROM qn JOIN cen ON cen.i = qn.i GROUP BY 1, 2),
-         |dist AS (SELECT cd.vec_id, cd.cell, q2.n2 + cn.c2 - 2 * cd.dot AS d2
-         |         FROM cd JOIN qn2 q2 ON q2.vec_id = cd.vec_id JOIN cn ON cn.cell = cd.cell),
-         |asg AS (SELECT vec_id, cell FROM (
-         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS r
-         |          FROM dist) WHERE r = 1),
-         |resid AS (SELECT qn.vec_id, asg.cell, qn.i, qn.v - cen.v AS v
-         |          FROM qn JOIN asg ON asg.vec_id = qn.vec_id
-         |          JOIN cen ON cen.cell = asg.cell AND cen.i = qn.i),
-         |rs AS (SELECT vec_id, cell, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM resid),
-         |svt AS (SELECT vec_id, mi, i, v FROM rs WHERE vec_id < 500),
-         |cb0 AS (SELECT vec_id - 200 AS code, mi, i, v FROM rs WHERE vec_id BETWEEN 200 AND 263),
-         |${pqLloydCtes(3)},
-         |cb AS (SELECT code, mi, i, v FROM cb3),
-         |ad AS (SELECT s.vec_id, s.mi, s.cell, c.code,
-         |         CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
-         |       FROM rs s JOIN cb c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3, 4),
-         |codes AS (SELECT vec_id, mi, cell, code FROM
-         |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
-         |           FROM ad) WHERE rn = 1),
-         |pc AS (SELECT vec_id AS probe_id, cell FROM (
-         |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS r
-         |         FROM dist WHERE vec_id < 5) WHERE r <= 4),
-         |presid AS (SELECT pc.probe_id, pc.cell, qn.i, qn.v - cen.v AS v
-         |           FROM pc JOIN qn ON qn.vec_id = pc.probe_id
-         |           JOIN cen ON cen.cell = pc.cell AND cen.i = qn.i),
-         |prs AS (SELECT probe_id, cell, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM presid),
-         |lut AS (SELECT p.probe_id, p.cell, p.mi, c.code,
-         |          CAST(SUM((p.v - c.v) * (p.v - c.v)) AS BIGINT) AS d2
-         |        FROM prs p JOIN cb c ON c.mi = p.mi AND c.i = p.i GROUP BY 1, 2, 3, 4),
-         |ac AS (SELECT l.probe_id, co.vec_id AS neighbor_id, CAST(SUM(l.d2) AS BIGINT) AS adist
-         |       FROM codes co JOIN lut l ON l.cell = co.cell AND l.mi = co.mi AND l.code = co.code
-         |       WHERE co.vec_id != l.probe_id GROUP BY 1, 2),
-         |sl AS (SELECT probe_id, neighbor_id FROM
-         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id ASC) AS srnk
-         |         FROM ac) WHERE srnk <= 100),
-         |dt AS (SELECT sl.probe_id, sl.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-         |       FROM sl JOIN q a ON a.vec_id = sl.probe_id
-         |       JOIN q b ON b.vec_id = sl.neighbor_id AND b.i = a.i
-         |       GROUP BY 1, 2),
-         |cc AS (SELECT dt.probe_id, dt.neighbor_id,
-         |         CAST(dt.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-         |       FROM dt JOIN n na ON na.vec_id = dt.probe_id JOIN n nb ON nb.vec_id = dt.neighbor_id)
-         |SELECT probe_id, neighbor_id,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
-         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
-         |FROM cc QUALIFY rnk <= 10""".stripMargin,
+    "ann_ivfpq_search" -> ivfPqOracleSql,
+    "ann_index_search" -> ivfPqOracleSql,
     "ann_pq_search" ->
       s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,

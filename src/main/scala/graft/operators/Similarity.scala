@@ -432,12 +432,18 @@ object Similarity {
       nProbes: Int = 5,
       k: Int = 10
   ): DataFrame = {
-    val sub = 64 / m
-    val q = quantized(spark, dir)
-    // unit-normalize in micro units (exact integer norm) — L2² on the
-    // normalized vectors tracks cosine, so the ADC shortlist chases
-    // the ordering the re-rank finalizes
-    val qn = q
+    val mdl = ivfPqModel(spark, dir, nCells, m, kCode, iters, trainN)
+    ivfPqSearchTail(spark, dir, mdl, probeCells, m, shortlist, nProbes, k)
+  }
+
+  /** The three persistable artifacts of an IVF-PQ index. */
+  private[graft] case class IvfPqModel(cen: DataFrame, cb: DataFrame, codes: DataFrame)
+
+  /** micro-unit normalized vectors (exact integer norm): L2² on these
+    * tracks cosine, so the ADC shortlist chases the re-rank's order
+    */
+  private def normalized(spark: SparkSession, dir: String): DataFrame =
+    quantized(spark, dir)
       .withColumn("sn", sqrt(col("n2").cast("double")))
       .select(
         col("vec_id"),
@@ -445,9 +451,23 @@ object Similarity {
           .as("qn")
       )
       .withColumn("qn2", norm2Q(col("qn")))
-    // coarse quantizer: deterministic-sample centroids (the trained
-    // variant is ann_ivf_kmeans's axis; here the new machinery is the
-    // residual composition)
+
+  /** INDEX BUILD: coarse cells (deterministic-sample centroids — the
+    * trained variant is ann_ivf_kmeans's axis; the new machinery here
+    * is the residual composition), Lloyd-refined residual codebook,
+    * and the per-vector (cell, code⃗) assignment.
+    */
+  private def ivfPqModel(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int,
+      m: Int,
+      kCode: Int,
+      iters: Int,
+      trainN: Long
+  ): IvfPqModel = {
+    val sub = 64 / m
+    val qn = normalized(spark, dir)
     val cen = qn
       .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
       .select((col("vec_id") - 100).as("cell"), col("qn").as("cq"), col("qn2").as("c2"))
@@ -510,12 +530,36 @@ object Similarity {
         min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
         first(col("cell")).as("cell")
       )
+    IvfPqModel(cen, cb, codes)
+  }
+
+  /** SEARCH over an IVF-PQ model (in-memory or read back from a
+    * persisted index — the two paths are byte-identical).
+    */
+  private def ivfPqSearchTail(
+      spark: SparkSession,
+      dir: String,
+      mdl: IvfPqModel,
+      probeCells: Int,
+      m: Int,
+      shortlist: Int,
+      nProbes: Int,
+      k: Int
+  ): DataFrame = {
+    val sub = 64 / m
+    val q = quantized(spark, dir)
+    val qn = normalized(spark, dir)
+    val cb = mdl.cb
+    val codes = mdl.codes
     // probed cells per probe + the probe's residual w.r.t. EACH
     // probed cell (the residual differs per cell — the per-cell LUT
     // is the IVF-PQ-specific piece)
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
-    val probeCellsDf = cellDist
+    val probeDist = qn
       .filter(col("vec_id") < nProbes)
+      .crossJoin(broadcast(mdl.cen))
+      .withColumn("d2", col("qn2") + col("c2") - lit(2L) * dotQ(col("qn"), col("cq")))
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)
+    val probeCellsDf = probeDist
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= probeCells)
       .select(
@@ -566,6 +610,61 @@ object Similarity {
         col("rnk"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
+  }
+
+  /** Persist the IVF-PQ index: three parquet tables — centroids
+    * (nCells rows), codebook (m×K rows), codes (9 bytes/vector of
+    * information). This is the production build/search SPLIT: the
+    * expensive model (training + corpus encode) is built once at
+    * ingest and every query after it touches only the index tables.
+    */
+  def buildVectorIndex(
+      spark: SparkSession,
+      dir: String,
+      outPath: String,
+      nCells: Int = 8,
+      m: Int = 8,
+      kCode: Int = 64,
+      iters: Int = 3,
+      trainN: Long = 500L
+  ): Unit = {
+    val mdl = ivfPqModel(spark, dir, nCells, m, kCode, iters, trainN)
+    mdl.cen.write.mode("overwrite").parquet(s"$outPath/centroids")
+    mdl.cb.write.mode("overwrite").parquet(s"$outPath/codebook")
+    // cell is the natural partition key: a probe reads probeCells
+    // directories of codes, not the corpus
+    mdl.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$outPath/codes")
+  }
+
+  // -------------------------------------------------------------------
+  // 28h. ann_index_search — search the PERSISTED index: build writes
+  // centroids/codebook/codes to parquet (codes hive-partitioned BY
+  // CELL, so the probed-cell restriction becomes partition pruning at
+  // the file level), search reads ONLY the index tables + the
+  // shortlist's full vectors. Must return byte-identical results to
+  // the in-memory ann_ivfpq_search — same oracle — proving the index
+  // roundtrip loses nothing. At 100 TB this split is the difference
+  // between "every query pays training + encode" and "queries read a
+  // few hundred MB of codes".
+  // -------------------------------------------------------------------
+  def annIndexSearch(
+      spark: SparkSession,
+      dir: String,
+      probeCells: Int = 4,
+      m: Int = 8,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_vecidx_$key"
+    buildVectorIndex(spark, dir, out)
+    val mdl = IvfPqModel(
+      spark.read.parquet(s"$out/centroids"),
+      spark.read.parquet(s"$out/codebook"),
+      spark.read.parquet(s"$out/codes")
+    )
+    ivfPqSearchTail(spark, dir, mdl, probeCells, m, shortlist, nProbes, k)
   }
 
   // -------------------------------------------------------------------

@@ -46,6 +46,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_bucketed",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
+    "ann_index_search",          // same tail over the persisted index
     "text_bigram_pmi",
     "sample_temperature",
     "contamination_doc_overlap", // 1-row MIN(source) broadcast

@@ -154,4 +154,11 @@ class SimilaritySpec extends AnyFunSuite {
     // deterministic pipeline on fixed data: a fixed number, not a flake
     assert(recall >= 0.9, s"residual-PQ shortlist lost probed-cell neighbors: $recall")
   }
+
+  test("persisted-index search is byte-identical to the in-memory IVF-PQ search") {
+    val mem = Similarity.annIvfPqSearch(spark, sf)
+    val idx = Similarity.annIndexSearch(spark, sf)
+    assert(mem.exceptAll(idx).count() === 0 && idx.exceptAll(mem).count() === 0,
+      "index roundtrip changed the search result")
+  }
 }
