@@ -61,6 +61,7 @@ object SparkEntry {
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_asof_tolerance"  -> ((s, d) => TimeSeries.asofJoinTolerance(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
+    "ts_gapfill_stream"  -> ((s, d) => graft.sources.StreamingIngest.gapfillStream(s, d)),
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     "ts_store_roundtrip"  -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
@@ -304,6 +305,34 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM cc QUALIFY rnk <= 10""".stripMargin
+
+  /** LOCF grid oracle — shared by the batch gapfill and its
+    * streaming dual (replay must reproduce the batch grid)
+    */
+  private lazy val gapfillOracleSql: String =
+    """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, epoch_us(ts) AS ts_us,
+        |         event_id, CAST(round(value*100) AS BIGINT) AS value_c
+        |  FROM events
+        |), h AS (
+        |  SELECT user_id, hour_id, value_c FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hour_id
+        |                                 ORDER BY ts_us DESC, event_id DESC) AS rn
+        |    FROM e
+        |  ) WHERE rn = 1
+        |), g AS (
+        |  SELECT user_id, unnest(generate_series(MIN(hour_id), MAX(hour_id))) AS hour_id
+        |  FROM e GROUP BY user_id
+        |), j AS (
+        |  SELECT g.user_id, g.hour_id, h.value_c,
+        |         CASE WHEN h.value_c IS NULL THEN 0 ELSE 1 END AS is_observed
+        |  FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour_id = h.hour_id
+        |)
+        |SELECT user_id, hour_id,
+        |  COALESCE(last_value(value_c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_id
+        |                                                  ROWS UNBOUNDED PRECEDING), -1) AS value_c,
+        |  CAST(is_observed AS BIGINT) AS is_observed
+        |FROM j""".stripMargin
 
   private lazy val rangeSearchOracleSql: String =
     s"""WITH $quantCtes,
@@ -2129,30 +2158,9 @@ object SparkEntry {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "ts_gapfill_locf" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, epoch_us(ts) AS ts_us,
-        |         event_id, CAST(round(value*100) AS BIGINT) AS value_c
-        |  FROM events
-        |), h AS (
-        |  SELECT user_id, hour_id, value_c FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, hour_id
-        |                                 ORDER BY ts_us DESC, event_id DESC) AS rn
-        |    FROM e
-        |  ) WHERE rn = 1
-        |), g AS (
-        |  SELECT user_id, unnest(generate_series(MIN(hour_id), MAX(hour_id))) AS hour_id
-        |  FROM e GROUP BY user_id
-        |), j AS (
-        |  SELECT g.user_id, g.hour_id, h.value_c,
-        |         CASE WHEN h.value_c IS NULL THEN 0 ELSE 1 END AS is_observed
-        |  FROM g LEFT JOIN h ON g.user_id = h.user_id AND g.hour_id = h.hour_id
-        |)
-        |SELECT user_id, hour_id,
-        |  COALESCE(last_value(value_c IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour_id
-        |                                                  ROWS UNBOUNDED PRECEDING), -1) AS value_c,
-        |  CAST(is_observed AS BIGINT) AS is_observed
-        |FROM j""".stripMargin
+    // the streaming LOCF grid replayed == the batch gapfill exactly
+    "ts_gapfill_stream" -> gapfillOracleSql,
+    "ts_gapfill_locf" -> gapfillOracleSql
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

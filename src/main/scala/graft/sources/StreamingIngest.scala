@@ -1083,6 +1083,87 @@ object StreamingIngest {
       )
   }
 
+  /** Streaming GAP-FILL — the batch LOCF grid
+    * (TimeSeries.gapfillLocf) maintained continuously: per-series
+    * state is ONE (current hour, running last value) pair; when an
+    * event closes an hour, the hours between it and the next
+    * observation emit exactly once as carried-forward fill rows, and
+    * the open hour re-emits on every in-hour update (its last update
+    * wins at reconciliation, the same emit-and-reconcile shape
+    * sessionizeStream uses for its open session). State is O(1) per
+    * series forever; emitted volume is the grid, shuffled volume at
+    * reconciliation is the grid too — never more. Same strict
+    * in-order source contract as the other per-series streams
+    * (enforced loudly); replay == the batch gapfill oracle exactly.
+    */
+  def gapfillStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val hourUs = 3600000000L
+    val schema = Tables.events(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        cents(col("value")).as("value_c").as[Long]
+      )
+      .as[(Long, Long, Long, Long)]
+    // state: (curHour, curValue, lastTs, lastSeq)
+    val grid = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // one (hour, value) pair per series
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[(Long, Long, Long, Long)]) =>
+        val pts = rows.toArray.sortBy(r => (r._2, r._3))
+        var (curHour, curValue, lastTs, lastSeq) =
+          state.getOption.getOrElse((Long.MinValue, 0L, Long.MinValue, Long.MinValue))
+        pts.headOption.foreach { case (_, ts, eid, _) =>
+          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+            throw new IllegalStateException(
+              s"gapfillStream: out-of-order arrival for series $uid — (ts=$ts, seq=$eid) after " +
+                s"(ts=$lastTs, seq=$lastSeq); the source must deliver each series in event-time order"
+            )
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
+        pts.foreach { case (_, ts, eid, v) =>
+          val h = ts / hourUs
+          if (curHour == Long.MinValue) {
+            curHour = h; curValue = v
+            out += ((uid, h, v, 1L, eid))
+          } else if (h == curHour) {
+            curValue = v
+            out += ((uid, h, v, 1L, eid)) // open-hour update; last wins
+          } else {
+            var f = curHour + 1
+            while (f < h) { out += ((uid, f, curValue, 0L, Long.MinValue)); f += 1 }
+            curHour = h; curValue = v
+            out += ((uid, h, v, 1L, eid))
+          }
+          lastTs = ts
+          lastSeq = eid
+        }
+        state.update((curHour, curValue, lastTs, lastSeq))
+        out.iterator
+      }
+      .toDF("user_id", "hour_id", "value_c", "is_observed", "upd_seq")
+    // reconcile the append log: the open hour's LAST update wins
+    runToMemory(spark, grid, "append")
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(
+        max_by(struct(col("value_c"), col("is_observed")), col("upd_seq")).as("g")
+      )
+      .select(col("user_id"), col("hour_id"), col("g.value_c").as("value_c"), col("g.is_observed").as("is_observed"))
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

@@ -152,6 +152,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch funnels missing from stream")
   }
 
+  test("streaming gapfill: two-batch replay equals the batch LOCF grid — fills cross the boundary") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.gapfillStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.gapfillLocf(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed grid rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch grid rows missing from stream")
+  }
+
   test("reordering rate stream: out-of-order cross-batch arrival within the allowance still matches the oracle") {
     import spark.implicits._
     // dense synthetic series (2-min cadence) split with a jittered
