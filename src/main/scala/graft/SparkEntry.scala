@@ -122,6 +122,7 @@ object SparkEntry {
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_keep_best"        -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_containment_estimate" -> ((s, d) => Dedup.containmentEstimate(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
@@ -385,6 +386,23 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // the keep/drop verdict: longest copy wins per cluster, doc_id ties
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |),
+         |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |       FROM reach GROUP BY src)
+         |SELECT cl.doc_id, cl.cluster_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+         |  CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |                                    ORDER BY d.n_chars DESC, cl.doc_id ASC) = 1
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM cl JOIN documents d ON d.doc_id = cl.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -412,6 +412,28 @@ object Dedup {
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
 
+  // -------------------------------------------------------------------
+  // 23h2. dedup_keep_best — the dedup DECISION: per near-dup cluster,
+  // keep the best copy and drop the rest. "Best" = the longest
+  // version (fullest copy — the standard keep heuristic when near-dups
+  // are truncations/excerpts of each other), doc_id as the
+  // deterministic tiebreak. One cheap window over the O(n) label
+  // table (partitioned by cluster — cluster sizes bound the sort)
+  // joined to per-doc metadata; the expensive part is [[clusters]],
+  // shared. The keep/drop verdict column is what the filter stage of
+  // a training pipeline actually consumes.
+  // -------------------------------------------------------------------
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id").asc)
+    clusters(spark, dir)
+      .join(docs, Seq("doc_id"))
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+  }
+
   /** Distributed connected components over a (doc_a, doc_b) pair set.
     *
     * Each round combines MIN-LABEL RELAXATION (every node takes the

@@ -184,6 +184,22 @@ class DedupSpec extends AnyFunSuite {
       "signature estimate far below the exact containment of 1")
   }
 
+  test("keep-best: exactly one kept doc per cluster, and it is a longest member") {
+    val df = Dedup.keepBest(spark, sf).cache()
+    try {
+      val perCluster = df
+        .groupBy(col("cluster_id"))
+        .agg(
+          sum(col("keep")).as("n_keep"),
+          max(col("n_chars")).as("max_chars"),
+          max(when(col("keep") === 1L, col("n_chars"))).as("kept_chars")
+        )
+      assert(perCluster.filter(col("n_keep") =!= 1L).count() === 0, "clusters without exactly one keeper")
+      assert(perCluster.filter(col("kept_chars") =!= col("max_chars")).count() === 0,
+        "a kept doc is not a longest member")
+    } finally df.unpersist()
+  }
+
   test("caching contract: intermediates are unpersisted once the caller materializes") {
     spark.catalog.clearCache() // known-clean baseline (suites run sequentially)
     val df = Dedup.ngramJaccard(spark, sf)
