@@ -167,6 +167,7 @@ object SparkEntry {
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "text_coverage_topk" -> ((s, d) => TextAnalysis.coverageTopk(s, d)),
     "text_oov_rate"     -> ((s, d) => TextAnalysis.oovRate(s, d)),
+    "text_source_terms" -> ((s, d) => TextAnalysis.sourceTerms(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1119,6 +1120,24 @@ object SparkEntry {
          |SELECT threshold_bp, CAST(MIN(rnk) AS BIGINT) AS k_tokens, CAST(MAX(total_n) AS BIGINT) AS total_n
          |FROM r, tot, thr WHERE cum_n * 10000 >= threshold_bp * total_n
          |GROUP BY 1""".stripMargin,
+    // smoothed contrastive lift through HUGEINT (mirrors the Spark
+    // DECIMAL(38,0) path), top-3 per source deterministic
+    "text_source_terms" ->
+      s"""WITH d AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+         |t AS (SELECT source, tok FROM (SELECT source, unnest(toks) AS tok FROM d)
+         |      WHERE length(tok) > 0),
+         |bs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf_src FROM t GROUP BY 1, 2),
+         |bt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_all FROM t GROUP BY 1),
+         |st AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_total FROM t GROUP BY 1),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS all_total FROM t),
+         |l AS (SELECT bs.source, bs.tok, bs.tf_src,
+         |        CAST(CAST(bs.tf_src AS HUGEINT) * (g.all_total - st.src_total) * 1000000
+         |             // (CAST(bt.tf_all - bs.tf_src + 1 AS HUGEINT) * st.src_total) AS BIGINT) AS lift_micro
+         |      FROM bs JOIN bt ON bt.tok = bs.tok JOIN st ON st.source = bs.source, g)
+         |SELECT source,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY lift_micro DESC, tok ASC) AS BIGINT) AS rnk,
+         |  tok, tf_src, lift_micro
+         |FROM l QUALIFY rnk <= 3""".stripMargin,
     // per-doc OOV vs the corpus top-32 vocabulary; left-join null
     // pattern scores each occurrence, rates in basis points
     "text_oov_rate" ->

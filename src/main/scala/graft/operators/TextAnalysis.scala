@@ -468,6 +468,44 @@ object TextAnalysis {
   // integers (cum·10⁴ ≥ thr·total), no float shares.
   // -------------------------------------------------------------------
   // -------------------------------------------------------------------
+  // 37. text_source_terms — per-source DISTINCTIVE vocabulary: which
+  // tokens a feed over-uses relative to the rest of the corpus (the
+  // contrastive fingerprint that spots a crawler pulling one template,
+  // or a source drifting off-domain). Smoothed rate-ratio lift in
+  // micro units: tf_src·rest_total·10⁶ / ((tf_rest+1)·src_total),
+  // computed through DECIMAL(38,0) like the PMI lift so the cross
+  // products stay exact past BIGINT scale; top-3 per source by
+  // (lift, token) — deterministic. The contrast table is
+  // vocabulary×sources sized (aggregated domain), never corpus-sized.
+  // -------------------------------------------------------------------
+  def sourceTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val occ = docsSourceToks(spark, dir)
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bySrc = occ.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf_src"))
+    val byTok = occ.groupBy(col("tok")).agg(count(lit(1)).as("tf_all"))
+    val srcTotals = occ.groupBy(col("source")).agg(count(lit(1)).as("src_total"))
+    val grand = occ.agg(count(lit(1)).as("all_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("lift_micro").desc, col("tok").asc)
+    bySrc
+      .join(broadcast(byTok), Seq("tok"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn(
+        "lift_micro",
+        expr(
+          "CAST(tf_src AS DECIMAL(19,0)) * CAST(all_total - src_total AS DECIMAL(19,0)) * 1000000" +
+            " DIV (CAST(tf_all - tf_src + 1 AS DECIMAL(19,0)) * CAST(src_total AS DECIMAL(19,0)))"
+        ).cast("long")
+      )
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("tok"), col("tf_src"), col("lift_micro"))
+  }
+
+  // -------------------------------------------------------------------
   // 36. text_oov_rate — per-document OUT-OF-VOCABULARY rate against
   // the corpus top-K vocabulary: the per-doc face of the coverage
   // question (a doc full of tokens the tokenizer budget excludes is

@@ -53,7 +53,8 @@ class EntrySpec extends AnyFunSuite {
     "contamination_long_match",  // 1-row MIN(source) broadcast
     "q22_idle_customers",        // 1-row global-average broadcast
     "q15_top_supplier",          // 1-row global-max broadcast
-    "text_coverage_topk"         // 1-row total + 3-row threshold broadcasts
+    "text_coverage_topk",        // 1-row total + 3-row threshold broadcasts
+    "text_source_terms"          // 1-row grand-total broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
