@@ -78,6 +78,7 @@ object SparkEntry {
     "ts_store_delete_value" -> ((s, d) => graft.sources.TimeboxStore.deleteSummary(s, d)),
     "ts_store_cdc"       -> ((s, d) => graft.sources.TimeboxStore.cdcSummary(s, d)),
     "ts_store_ttl"       -> ((s, d) => graft.sources.TimeboxStore.ttlSummary(s, d)),
+    "ts_store_merge"     -> ((s, d) => graft.sources.TimeboxStore.mergeSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -2109,6 +2110,15 @@ object SparkEntry {
         |                 THEN COALESCE(bv, 0) - COALESCE(av, 0) ELSE 0 END) AS BIGINT) AS net_delta_c
         |      FROM d GROUP BY 1)
         |SELECT * FROM s WHERE n_inserts + n_deletes + n_updates > 0""".stripMargin,
+    // backfill merge: B (the re-statement, +500 from its start) wins
+    // wherever it covers; A supplies the older history
+    "ts_store_merge" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT) +
+        |           CASE WHEN epoch_us(ts) >= 1704672000000000 THEN 500 ELSE 0 END) AS BIGINT) AS sum_value_c,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events
+        |GROUP BY 1""".stripMargin,
     // point-exact retention: survivors = raw events at/after the cutoff
     "ts_store_ttl" ->
       """SELECT user_id, COUNT(*) AS n_points,

@@ -892,6 +892,75 @@ object TimeboxStore {
       )
   }
 
+  /** MERGE two independently-written store snapshots — the
+    * backfill-merge shape: a live-ingest store meets a batch
+    * re-statement covering an overlapping time range. Three-way key
+    * split on (series, day):
+    *
+    *   - keys only in A or only in B: blocks pass through ENCODED,
+    *     byte-identical (never decoded);
+    *   - keys in both: decode both sides, resolve point conflicts by
+    *     identity (series, seq) with B — the backfill — winning, and
+    *     re-encode at the shared granularity.
+    *
+    * At 100 TB a one-week backfill decodes one week of overlapping
+    * blocks; the rest of both stores moves as opaque rows.
+    */
+  def mergeStores(storeA: DataFrame, storeB: DataFrame, tagCols: Seq[String]): DataFrame = {
+    val blockUs = storedBlockUs(storeA)
+    require(storedBlockUs(storeB) == blockUs, "stores must share a block granularity to merge")
+    val keyCols = Seq("series_id", "day_id")
+    val keysA = storeA.select(keyCols.map(col): _*).distinct()
+    val keysB = storeB.select(keyCols.map(col): _*).distinct()
+    val onlyA = storeA.join(keysB, keyCols, "left_anti")
+    val onlyB = storeB.join(keysA, keyCols, "left_anti")
+    val w = Window.partitionBy(col("series_id"), col("seq")).orderBy(col("pri").desc)
+    val merged = decode(storeA.join(keysB, keyCols, "left_semi"), tagCols)
+      .withColumn("pri", lit(0))
+      .unionByName(decode(storeB.join(keysA, keyCols, "left_semi"), tagCols).withColumn("pri", lit(1)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("pri", "rn")
+    onlyA.unionByName(onlyB).unionByName(
+      encode(merged, "series_id", "ts_us", "seq", tagCols, blockUs)
+    )
+  }
+
+  /** Oracle-gated merge drill (ts_store_merge): snapshot A = weeks up
+    * to the backfill horizon, snapshot B = a corrected re-statement
+    * from the overlap start onward (+500 on every value, same point
+    * identities). The merged store must decode to "B wins wherever B
+    * covers" — which the oracle recomputes directly from raw events.
+    */
+  def mergeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val aHi = 1705881600000000L // 2024-01-22: A covers history up to here
+    val bLo = 1704672000000000L // 2024-01-08: B re-states from here on
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val a = encode(pts.filter(col("ts_us") < aHi), "series_id", "ts_us", "seq", Seq("value_c"))
+    val b = encode(
+      pts.filter(col("ts_us") >= bLo).withColumn("value_c", col("value_c") + 500L),
+      "series_id",
+      "ts_us",
+      "seq",
+      Seq("value_c")
+    )
+    decode(mergeStores(a, b, Seq("value_c")))
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+  }
+
   /** Full write path from the raw events table (single value tag). */
   def write(spark: SparkSession, dir: String, outPath: String): Unit =
     encode(

@@ -310,6 +310,47 @@ class StoreSpec extends AnyFunSuite {
     } finally store.unpersist()
   }
 
+  test("merge: disjoint-key blocks pass through byte-identical, overlap resolves backfill-first") {
+    val pts = original
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+    val cut = 1705276800000000L // 2024-01-15
+    val a = TimeboxStore.encode(pts.filter(col("ts_us") < cut), "series_id", "ts_us", "seq", Seq("value_c")).cache()
+    val b = TimeboxStore.encode(
+      pts.filter(col("ts_us") >= cut - 86400000000L).withColumn("value_c", col("value_c") + 9L),
+      "series_id", "ts_us", "seq", Seq("value_c")
+    ).cache()
+    try {
+      // exactly two decode branches: the disjoint sides never explode
+      val generates = TimeboxStore
+        .mergeStores(a, b, Seq("value_c"))
+        .queryExecution
+        .sparkPlan
+        .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(generates.size === 2, s"expected 2 decodes (one per overlap side), found ${generates.size}")
+      val merged = TimeboxStore.mergeStores(a, b, Seq("value_c")).cache()
+      try {
+        // A-only days (before the overlap day) survive byte-identical
+        val dayCut = (cut - 86400000000L) / 86400000000L
+        val aOnlyBefore = a.filter(col("day_id") < dayCut)
+        val aOnlyAfter = merged.filter(col("day_id") < dayCut)
+        assert(
+          aOnlyBefore.exceptAll(aOnlyAfter).count() === 0 && aOnlyAfter.exceptAll(aOnlyBefore).count() === 0,
+          "A-only blocks were rewritten"
+        )
+        // decode equality: backfill wins wherever it covers
+        val expected = pts.withColumn(
+          "value_c",
+          when(col("ts_us") >= cut - 86400000000L, col("value_c") + 9L).otherwise(col("value_c"))
+        )
+        val got = TimeboxStore.decode(merged)
+        assert(
+          got.exceptAll(expected).count() === 0 && expected.exceptAll(got).count() === 0,
+          "merged store does not decode to backfill-wins"
+        )
+      } finally merged.unpersist()
+    } finally { a.unpersist(); b.unpersist() }
+  }
+
   test("range aggregate pushdown: interior blocks stay closed-form, only boundary blocks decode") {
     val pts = original
       .select(
