@@ -111,6 +111,7 @@ object SparkEntry {
     "rel_grouping_sets"  -> ((s, d) => Relational.groupingSetsReport(s, d)),
     "rel_median_order"   -> ((s, d) => Relational.medianOrderValue(s, d)),
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
+    "rel_top_movers"     -> ((s, d) => Relational.topMovers(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
@@ -1273,6 +1274,23 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // weekly rollup first, lag over observed weeks, top-10 by |swing|
+    // with full tie-break; epoch-week floor-division matches Spark's
+    // truncating cast on positive epoch seconds
+    "rel_top_movers" ->
+      """WITH w AS (
+        |  SELECT l_suppkey, epoch_us(l_shipdate) // 604800000000 AS week_id,
+        |    CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |l AS (
+        |  SELECT l_suppkey, week_id, rev_c,
+        |    lag(rev_c) OVER (PARTITION BY l_suppkey ORDER BY week_id) AS prev_rev_c
+        |  FROM w)
+        |SELECT l_suppkey, week_id, rev_c, prev_rev_c,
+        |  rev_c - prev_rev_c AS delta_c
+        |FROM l WHERE prev_rev_c IS NOT NULL
+        |ORDER BY abs(rev_c - prev_rev_c) DESC, l_suppkey ASC, week_id ASC
+        |LIMIT 10""".stripMargin,
     // frame-sample plan: clip length from the same deterministic byte
     // fold ((checksum mod 4096) mod 120), uniform indices and byte seek
     // ranges in exact integers

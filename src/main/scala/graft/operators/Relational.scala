@@ -720,6 +720,34 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** rel_top_movers — biggest week-over-week revenue swings per
+    * supplier: the ops-report shape ("which accounts moved most this
+    * week"). Weekly rollup (one partial-aggregable shuffle on the
+    * supplier key), lag over each supplier's OBSERVED weeks (the
+    * window input is the weekly aggregate, never raw lineitem), then
+    * a global top-10 by absolute swing — planned as TakeOrdered, so
+    * no global sort materializes. Week ids are epoch-week integers,
+    * identical in both engines under the UTC session.
+    */
+  def topMovers(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_suppkey").orderBy($"week_id")
+    Tables
+      .lineitem(spark, dir)
+      .select(
+        $"l_suppkey",
+        (unix_timestamp($"l_shipdate") / 604800L).cast("long").as("week_id"),
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c")
+      )
+      .groupBy($"l_suppkey", $"week_id")
+      .agg(sum($"rev_c").as("rev_c"))
+      .withColumn("prev_rev_c", lag($"rev_c", 1).over(w))
+      .filter($"prev_rev_c".isNotNull)
+      .withColumn("delta_c", $"rev_c" - $"prev_rev_c")
+      .orderBy(abs($"delta_c").desc, $"l_suppkey".asc, $"week_id".asc)
+      .limit(k)
+  }
+
   /** rel_pivot — monthly revenue PIVOTED by return flag: the
     * wide-report shape (one row per month, one column per category).
     * Spelled as DECLARED-category conditional aggregation — one
