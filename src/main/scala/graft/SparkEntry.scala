@@ -170,6 +170,7 @@ object SparkEntry {
     "text_coverage_topk" -> ((s, d) => TextAnalysis.coverageTopk(s, d)),
     "text_oov_rate"     -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "text_source_terms" -> ((s, d) => TextAnalysis.sourceTerms(s, d)),
+    "text_domain_mix"   -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
+    "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
     "rel_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
     "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
   )
@@ -1073,6 +1075,17 @@ object SparkEntry {
          |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_distinct,
          |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
          |FROM h GROUP BY 1""".stripMargin,
+    // mixture table: per-source token share (bp) + uniform-target
+    // reweight factor (micro); DuckDB HUGEINT mirrors the DECIMAL path
+    "text_domain_mix" ->
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens * 10000 // SUM(n_tokens) OVER () AS BIGINT) AS share_bp,
+         |  CAST(SUM(n_tokens) OVER () * 1000000
+         |       // (COUNT(*) OVER () * n_tokens) AS BIGINT) AS weight_micro
+         |FROM s""".stripMargin,
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,
@@ -1210,6 +1223,33 @@ object SparkEntry {
         |  CAST((SUM(octet_length(encode(text))) OVER w - octet_length(encode(text))) // 4096 AS BIGINT) AS bin_id
         |FROM documents
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    // magic-byte sniff in hex-string space; the stub header (one of four
+    // real container signatures, or none) is chosen by md5 first nibble
+    // mod 5 — the router CASE reads only the synthesized bytes
+    "mm_modality_route" ->
+      """WITH p AS (SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 5 AS k,
+        |    lower(hex(encode(text))) AS body_hex FROM documents),
+        |h AS (SELECT doc_id,
+        |    ['ffd8ffe000104a464946','89504e470d0a1a0a',
+        |     '52494646aabbccdd57415645','000000186674797069736f6d',
+        |     ''][CAST(k + 1 AS INTEGER)] || body_hex AS ph FROM p),
+        |c AS (SELECT doc_id, ph,
+        |    CASE WHEN ph LIKE 'ffd8ff%' THEN 'jpeg'
+        |         WHEN ph LIKE '89504e47%' THEN 'png'
+        |         WHEN ph LIKE '52494646%' AND substr(ph, 17, 8) = '57415645' THEN 'wav'
+        |         WHEN substr(ph, 9, 8) = '66747970' THEN 'mp4'
+        |         ELSE 'raw_text' END AS container FROM h)
+        |SELECT doc_id, CAST(length(ph) // 2 AS BIGINT) AS n_bytes, container,
+        |  CASE WHEN container IN ('jpeg','png') THEN 'image'
+        |       WHEN container = 'wav' THEN 'audio'
+        |       WHEN container = 'mp4' THEN 'video'
+        |       ELSE 'text' END AS modality,
+        |  CASE WHEN container IN ('jpeg','png') THEN 'img-decode'
+        |       WHEN container = 'wav' THEN 'audio-decode'
+        |       WHEN container = 'mp4' THEN 'frame-sample'
+        |       ELSE 'tokenize' END AS queue
+        |FROM c""".stripMargin,
     // reproduces Multimodal.stubDecode byte-for-byte: the checksum is a
     // left fold (a*31+b)&0x7fffffff over the utf-8 payload bytes
     // (hex-decoded two chars at a time), then the quantized 4-float

@@ -274,4 +274,68 @@ object Multimodal {
         expr("frame_bytes + IF(frame_idx = vframes - 1, n_bytes % vframes, 0L)").as("frame_len")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 33h. mm_modality_route — container sniffing: route each opaque
+  // payload to its decode queue by MAGIC BYTES (the first thing any
+  // mixed-modality ingest does — upstream content-type headers lie).
+  // The sniff inspects the payload's leading bytes for real container
+  // signatures: JPEG (ff d8 ff), PNG (89 50 4e 47), RIFF/WAVE (52 49
+  // 46 46 .. 57 41 56 45 at byte 8), ISO-BMFF/MP4 (66 74 79 70 'ftyp'
+  // at byte 4); anything unsigned falls through to the text queue.
+  // Header synthesis is the deterministic STUB (this container ships
+  // no media files): each doc is prefixed with one of four REAL magic
+  // headers — or none — chosen by a content hash. The router below
+  // never looks at that choice, only at the bytes. The whole pass is
+  // row-local in hex-string space (byte-exact across engines), zero
+  // shuffles, codegen-friendly.
+  // -------------------------------------------------------------------
+  def modalityRoute(spark: SparkSession, dir: String): DataFrame = {
+    // real signatures: JPEG/JFIF, PNG, RIFF....WAVE, MP4 ftyp isom
+    val magics = Seq(
+      "ffd8ffe000104a464946",
+      "89504e470d0a1a0a",
+      "52494646aabbccdd57415645",
+      "000000186674797069736f6d",
+      "" // bare payload, no container
+    )
+    val magicArr = array(magics.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(conv(substring(md5(text), 1, 1), 16, 10) AS BIGINT) % 5").as("k"),
+        lower(hex(col("text").cast("binary"))).as("body_hex")
+      )
+      .select(
+        col("doc_id"),
+        concat(element_at(magicArr, (col("k") + 1).cast("int")), col("body_hex")).as("ph")
+      )
+      .withColumn(
+        "container",
+        when(col("ph").startsWith("ffd8ff"), "jpeg")
+          .when(col("ph").startsWith("89504e47"), "png")
+          .when(col("ph").startsWith("52494646") && substring(col("ph"), 17, 8) === "57415645", "wav")
+          .when(substring(col("ph"), 9, 8) === "66747970", "mp4")
+          .otherwise("raw_text")
+      )
+      .withColumn(
+        "modality",
+        when(col("container").isin("jpeg", "png"), "image")
+          .when(col("container") === "wav", "audio")
+          .when(col("container") === "mp4", "video")
+          .otherwise("text")
+      )
+      .select(
+        col("doc_id"),
+        (length(col("ph")) / 2).cast("long").as("n_bytes"),
+        col("container"),
+        col("modality"),
+        when(col("modality") === "image", "img-decode")
+          .when(col("modality") === "audio", "audio-decode")
+          .when(col("modality") === "video", "frame-sample")
+          .otherwise("tokenize")
+          .as("queue")
+      )
+  }
 }

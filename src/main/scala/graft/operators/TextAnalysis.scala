@@ -560,4 +560,40 @@ object TextAnalysis {
       .groupBy(col("threshold_bp"))
       .agg(min(col("rnk")).as("k_tokens"), max(col("total_n")).as("total_n"))
   }
+
+  // -------------------------------------------------------------------
+  // 31i. text_domain_mix — the data-mixture table a training run is
+  // configured from: per source, document and token counts, the
+  // source's share of the corpus (basis points), and the REWEIGHT
+  // factor that would equalize the mix to a uniform target (micro
+  // units) — the static form of domain-mixture balancing (DoReMi-style
+  // weights plug into the same column). One corpus scan into a
+  // partial-aggregable groupBy on the (bounded, ~dozens) source key;
+  // the global total rides a window over the per-source AGGREGATE, so
+  // the single-partition exchange touches |sources| rows, never the
+  // corpus. Reweight arithmetic goes through DECIMAL(38,0): at 10^14
+  // corpus tokens total·10^6 overflows BIGINT, the DECIMAL DIV
+  // truncates back to a long with oracle-identical floor semantics.
+  // -------------------------------------------------------------------
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), size(split(normText(col("text")), " ")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("n_sources", count(lit(1)).over(w))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr("n_tokens * 10000 DIV total_tokens").as("share_bp"),
+        expr(
+          "CAST(total_tokens AS DECIMAL(19,0)) * 1000000" +
+            " DIV (CAST(n_sources AS DECIMAL(19,0)) * CAST(n_tokens AS DECIMAL(19,0)))"
+        ).as("weight_micro")
+      )
+  }
 }
