@@ -42,6 +42,9 @@ object SparkEntry {
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
+    "ts_step_detect"     -> ((s, d) => TimeSeries.stepDetect(s, d)),
+    "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
+    "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
     "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
     "ts_anomaly_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.anomalyStreamReordering(s, d)),
@@ -1787,6 +1790,55 @@ object SparkEntry {
         |              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
         |       w24 AS (PARTITION BY user_id ORDER BY hour_id
         |               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // two-sided level-shift filter: full 8-point windows either side,
+    // means compared cross-multiplied in cents
+    "ts_step_detect" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        |w AS (SELECT user_id, ts_us, event_id,
+        |        SUM(v_c) OVER wl AS l_sum, COUNT(*) OVER wl AS l_n,
+        |        SUM(v_c) OVER wr AS r_sum, COUNT(*) OVER wr AS r_n
+        |      FROM e
+        |      WINDOW wl AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING),
+        |             wr AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING))
+        |SELECT user_id, ts_us, event_id,
+        |  CAST(l_sum AS BIGINT) AS l_sum, CAST(r_sum AS BIGINT) AS r_sum,
+        |  CAST(r_sum - l_sum AS BIGINT) AS shift_sum_c
+        |FROM w WHERE l_n = 8 AND r_n = 8
+        |  AND abs(r_sum * l_n - l_sum * r_n) > 300 * 8 * 8""".stripMargin,
+    // event-type transition matrix with per-origin probabilities (bp)
+    "ts_path_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |nx AS (SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |       FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_bp
+        |FROM c""".stripMargin,
+    // seasonal-naive backtest: hourly floor-div means, lag over each
+    // (series, hour-of-day) day sequence, consecutive days only
+    "ts_forecast_snaive" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |                  CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        |h AS (SELECT user_id, day_id, hour_of_day,
+        |        CAST(SUM(v_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2, 3),
+        |m AS (SELECT user_id, day_id, hour_of_day, CAST(s // n AS BIGINT) AS mean_c FROM h),
+        |l AS (SELECT user_id, day_id, mean_c,
+        |        lag(mean_c) OVER wd AS prev_mean_c,
+        |        lag(day_id) OVER wd AS prev_day
+        |      FROM m
+        |      WINDOW wd AS (PARTITION BY user_id, hour_of_day ORDER BY day_id))
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(abs(mean_c - prev_mean_c)) AS BIGINT) AS mae_num_c,
+        |  CAST(SUM(abs(mean_c - prev_mean_c)) * 1000000 // COUNT(*) AS BIGINT) AS mae_micro
+        |FROM l WHERE prev_day = day_id - 1
+        |GROUP BY 1""".stripMargin,
     // the reordering-buffer rate: identical to the batch rate up to
     // the finalization cutoff — the final watermark (max event ms −
     // 30 min), which the oracle recomputes exactly

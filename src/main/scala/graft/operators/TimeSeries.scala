@@ -1166,4 +1166,93 @@ object TimeSeries {
           .otherwise(0L)
       )
   }
+
+  // -------------------------------------------------------------------
+  // 11p. ts_step_detect — sustained LEVEL-SHIFT detection per series:
+  // the two-sided edge filter (mean of the W points before vs the W
+  // points at-and-after each position) that finds deploys/config flips
+  // `ts_changepoint` (single global argmax) and `ts_anomaly_zscore`
+  // (point outliers vs trailing window) don't. Full two-sided windows
+  // only (no edge effects), shift fires when the means differ by more
+  // than the threshold — compared CROSS-MULTIPLIED in cents so the
+  // whole pass is integer-exact. One window pass sharing the one
+  // series shuffle; emits only flagged rows.
+  // -------------------------------------------------------------------
+  def stepDetect(spark: SparkSession, dir: String, w: Int = 8, threshC: Long = 300L): DataFrame = {
+    val left  = seriesW.rowsBetween(-w, -1)
+    val right = seriesW.rowsBetween(0, w - 1)
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("v_c"))
+      .withColumn("l_sum", sum(col("v_c")).over(left))
+      .withColumn("l_n", count(lit(1)).over(left))
+      .withColumn("r_sum", sum(col("v_c")).over(right))
+      .withColumn("r_n", count(lit(1)).over(right))
+      .filter(col("l_n") === w && col("r_n") === w)
+      // |r_mean − l_mean| > thresh ⟺ |r_sum·l_n − l_sum·r_n| > thresh·l_n·r_n
+      .filter(abs(col("r_sum") * col("l_n") - col("l_sum") * col("r_n")) > threshC * w.toLong * w.toLong)
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        col("l_sum"),
+        col("r_sum"),
+        (col("r_sum") - col("l_sum")).as("shift_sum_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11q. ts_path_transitions — behavioral path analysis: the
+  // event-type TRANSITION MATRIX (from → next-within-series) with
+  // per-origin probabilities in basis points — the "what do users do
+  // next" primitive funnels are built from. One lead() over the
+  // series order (shared series shuffle), then a partial-aggregable
+  // groupBy on a |types|² key space; probabilities by integer division
+  // against a window over the tiny aggregate.
+  // -------------------------------------------------------------------
+  def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(seriesW))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_bp", expr("n * 10000 DIV sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_bp"))
+  }
+
+  // -------------------------------------------------------------------
+  // 11r. ts_forecast_snaive — seasonal-naive forecast BACKTEST: the
+  // sanity baseline every forecasting system is judged against
+  // (predict each hour's level by the same hour yesterday) scored as
+  // per-series MAE. Hourly floor-div means in cents (deterministic),
+  // self-aligned by lag over each (series, hour-of-day) day sequence,
+  // consecutive-day pairs only; error stays an integer numerator with
+  // a micro-scaled mean. Two shuffles total: the hourly rollup and
+  // the (series, hour-of-day) window — both on aggregates, never raw
+  // events twice.
+  // -------------------------------------------------------------------
+  def forecastSnaive(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Window
+      .partitionBy(col("user_id"), col("hour_of_day"))
+      .orderBy(col("day_id"))
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${DayUs}L").as("day_id"),
+        expr(s"(ts_us DIV ${HourUs}L) % 24").as("hour_of_day"),
+        cents(col("value")).as("v_c")
+      )
+      .groupBy(col("user_id"), col("day_id"), col("hour_of_day"))
+      .agg(sum(col("v_c")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("(s - pmod(s, n)) DIV n")) // floor(s/n), any sign
+      .withColumn("prev_mean_c", lag(col("mean_c"), 1).over(wd))
+      .withColumn("prev_day", lag(col("day_id"), 1).over(wd))
+      .filter(col("prev_day") === col("day_id") - 1)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(abs(col("mean_c") - col("prev_mean_c"))).as("mae_num_c")
+      )
+      .withColumn("mae_micro", expr("mae_num_c * 1000000 DIV n_pairs"))
+  }
 }
