@@ -45,6 +45,8 @@ object SparkEntry {
     "ts_step_detect"     -> ((s, d) => TimeSeries.stepDetect(s, d)),
     "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
+    "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
+    "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
     "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
     "ts_anomaly_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.anomalyStreamReordering(s, d)),
@@ -82,6 +84,7 @@ object SparkEntry {
     "ts_store_cdc"       -> ((s, d) => graft.sources.TimeboxStore.cdcSummary(s, d)),
     "ts_store_ttl"       -> ((s, d) => graft.sources.TimeboxStore.ttlSummary(s, d)),
     "ts_store_merge"     -> ((s, d) => graft.sources.TimeboxStore.mergeSummary(s, d)),
+    "ts_store_schema_evolve" -> ((s, d) => graft.sources.TimeboxStore.schemaEvolveRoundtrip(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -166,6 +169,7 @@ object SparkEntry {
     "quality_rules_by_source" -> ((s, d) => TextAnalysis.qualityRulesBySource(s, d)),
     "sample_temperature" -> ((s, d) => TextAnalysis.sampleTemperature(s, d)),
     "sample_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
+    "sample_quality_weighted" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d)),
     "text_dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
@@ -1001,6 +1005,26 @@ object SparkEntry {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |                                   ORDER BY score_micro DESC, tok ASC) AS rn FROM s)
          |SELECT doc_id, tok AS salient_tok, tf, df, score_micro FROM r WHERE rn = 1""".stripMargin,
+    // doc-level importance sampling: 16-bit md5 threshold against the
+    // token-ramp/stopword-halved quality score, all integer
+    "sample_quality_weighted" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS BIGINT) AS n_stop,
+         |    md5('qw:' || doc_id) AS h FROM t),
+         |x AS (SELECT doc_id, source, n_toks, n_stop,
+         |    CAST((strpos('0123456789abcdef', substr(h,1,1))-1)*4096
+         |       + (strpos('0123456789abcdef', substr(h,2,1))-1)*256
+         |       + (strpos('0123456789abcdef', substr(h,3,1))-1)*16
+         |       + (strpos('0123456789abcdef', substr(h,4,1))-1) AS BIGINT) AS hash16 FROM s),
+         |q AS (SELECT doc_id, source, n_toks, hash16,
+         |    CASE WHEN n_stop * 40 < n_toks THEN least(10000, n_toks*250) // 2
+         |         ELSE least(10000, n_toks*250) END AS quality_bp FROM x)
+         |SELECT doc_id, source, n_toks, CAST(quality_bp AS BIGINT) AS quality_bp, hash16,
+         |  CASE WHEN hash16 * 10000 < quality_bp * 65536
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+         |FROM q""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |w AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS win
@@ -1790,6 +1814,39 @@ object SparkEntry {
         |              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
         |       w24 AS (PARTITION BY user_id ORDER BY hour_id
         |               RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // seasonal-residual anomaly: floor-div (type, dow, hod) profile
+    // mean joined back, flagged where |residual| > 800 cents
+    "ts_anomaly_seasonal" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |    CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        |p AS (SELECT event_type, day_of_week, hour_of_day,
+        |    CAST(SUM(v_c) // COUNT(*) AS BIGINT) AS base_mean_c
+        |  FROM e GROUP BY 1, 2, 3)
+        |SELECT event_id, user_id, ts_us, e.event_type, v_c, base_mean_c,
+        |  v_c - base_mean_c AS resid_c
+        |FROM e JOIN p USING (event_type, day_of_week, hour_of_day)
+        |WHERE abs(v_c - base_mean_c) > 800""".stripMargin,
+    // minute/hour/day cascade, each level from the previous
+    "ts_rollup_cascade" ->
+      """WITH m AS (SELECT user_id, epoch_us(ts) // 60000000 AS b1m,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |    MIN(CAST(round(value*100) AS BIGINT)) AS min_c,
+        |    MAX(CAST(round(value*100) AS BIGINT)) AS max_c
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT user_id, b1m // 60 AS b1h, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(sum_c) AS BIGINT) AS sum_c, MIN(min_c) AS min_c, MAX(max_c) AS max_c
+        |  FROM m GROUP BY 1, 2),
+        |d AS (SELECT user_id, b1h // 24 AS b1d, CAST(SUM(n) AS BIGINT) AS n,
+        |    CAST(SUM(sum_c) AS BIGINT) AS sum_c, MIN(min_c) AS min_c, MAX(max_c) AS max_c
+        |  FROM h GROUP BY 1, 2)
+        |SELECT '1m' AS level, user_id, b1m * 60000000 AS bucket_start_us, n, sum_c, min_c, max_c FROM m
+        |UNION ALL
+        |SELECT '1h', user_id, b1h * 3600000000, n, sum_c, min_c, max_c FROM h
+        |UNION ALL
+        |SELECT '1d', user_id, b1d * 86400000000, n, sum_c, min_c, max_c FROM d""".stripMargin,
     // two-sided level-shift filter: full 8-point windows either side,
     // means compared cross-multiplied in cents
     "ts_step_detect" ->
@@ -2229,6 +2286,18 @@ object SparkEntry {
         |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
         |FROM events
         |GROUP BY 1""".stripMargin,
+    // evolved read: old half NULL for the added tag; split day is the
+    // same (min+max+1)/2 scalar both engines compute
+    "ts_store_schema_evolve" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id,
+        |    CAST(round(value*100) AS BIGINT) AS value_c,
+        |    CAST(length(props) AS BIGINT) AS plen_c FROM events),
+        |s AS (SELECT (MIN(day_id) + MAX(day_id) + 1) // 2 AS split_day FROM e)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(CASE WHEN day_id >= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+        |  CAST(SUM(CASE WHEN day_id >= split_day THEN plen_c ELSE 0 END) AS BIGINT) AS sum_plen_c
+        |FROM e, s GROUP BY 1""".stripMargin,
     // point-exact retention: survivors = raw events at/after the cutoff
     "ts_store_ttl" ->
       """SELECT user_id, COUNT(*) AS n_points,

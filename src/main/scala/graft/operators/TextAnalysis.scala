@@ -575,6 +575,38 @@ object TextAnalysis {
   // corpus tokens total·10^6 overflows BIGINT, the DECIMAL DIV
   // truncates back to a long with oracle-identical floor semantics.
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // 31j. sample_quality_weighted — importance sampling by DOCUMENT
+  // quality: each doc's keep probability scales with its own signals
+  // (token count ramp, halved when stopword-poor), decided by a
+  // content-independent 16-bit hash threshold — deterministic, so
+  // re-runs and backfills agree with no coordination, and the kept
+  // set is reproducible from doc_id alone (the property rand() can't
+  // give). Pure row-local map over one corpus scan, zero shuffles;
+  // keep iff hash16·10⁴ < quality_bp·2¹⁶, all integer.
+  // -------------------------------------------------------------------
+  def qualityWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(normText(col("text")), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(filter(col("toks"), t => array_contains(stopArr, t))).cast("long").as("n_stop"),
+        expr("CAST(conv(substring(md5(concat('qw:', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS BIGINT)")
+          .as("hash16")
+      )
+      .withColumn("base_bp", least(lit(10000L), col("n_toks") * 250L))
+      .withColumn(
+        "quality_bp",
+        when(col("n_stop") * 40 < col("n_toks"), expr("base_bp DIV 2")).otherwise(col("base_bp"))
+      )
+      .withColumn("kept", when(col("hash16") * 10000L < col("quality_bp") * 65536L, 1L).otherwise(0L))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("quality_bp"), col("hash16"), col("kept"))
+  }
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)

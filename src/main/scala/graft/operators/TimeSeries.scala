@@ -1255,4 +1255,99 @@ object TimeSeries {
       )
       .withColumn("mae_micro", expr("mae_num_c * 1000000 DIV n_pairs"))
   }
+
+  // -------------------------------------------------------------------
+  // 11s. ts_anomaly_seasonal — anomaly vs the SEASONAL baseline: score
+  // each point against its (event_type, day-of-week, hour-of-day)
+  // profile mean instead of a trailing window — the detector that
+  // catches "normal for 3am, anomalous for 3pm" which rolling z-score
+  // structurally cannot. Two scans by design (the profile is built
+  // from history; in production it's a materialized table), profile
+  // joined back as a BROADCAST (7·24·|types| rows at any corpus
+  // size); floor-div baseline mean, integer residual, emits flagged
+  // rows only.
+  // -------------------------------------------------------------------
+  def anomalySeasonal(spark: SparkSession, dir: String, threshC: Long = 800L): DataFrame = {
+    val e = eventsUs(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        col("event_type"),
+        expr(s"(ts_us DIV ${DayUs}L + 4) % 7").as("day_of_week"),
+        expr(s"(ts_us DIV ${HourUs}L) % 24").as("hour_of_day"),
+        cents(col("value")).as("v_c")
+      )
+    val prof = e
+      .groupBy(col("event_type"), col("day_of_week"), col("hour_of_day"))
+      .agg(sum(col("v_c")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("event_type"),
+        col("day_of_week"),
+        col("hour_of_day"),
+        expr("(s - pmod(s, n)) DIV n").as("base_mean_c")
+      )
+    e.join(broadcast(prof), Seq("event_type", "day_of_week", "hour_of_day"))
+      .withColumn("resid_c", col("v_c") - col("base_mean_c"))
+      .filter(abs(col("resid_c")) > threshC)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        col("event_type"),
+        col("v_c"),
+        col("base_mean_c"),
+        col("resid_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11t. ts_rollup_cascade — the continuous-aggregate CASCADE every
+  // production TSDB materializes: minute → hour → day rollups where
+  // each level aggregates the PREVIOUS level, never raw points (count/
+  // sum/min/max all re-aggregate losslessly). The minute and hour
+  // tables are persisted so the cascade computes each level exactly
+  // once — one raw scan total; the coarser levels shuffle aggregate
+  // rows, orders of magnitude below point count. At 100 TB these are
+  // incremental materialized tables; the operator is the batch seed.
+  // -------------------------------------------------------------------
+  def rollupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val MinUs = 60L * 1000000L
+    val m1 = eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${MinUs}L").as("b1m"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("b1m"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_c"), min(col("v")).as("min_c"), max(col("v")).as("max_c"))
+      .persist()
+    val h1 = m1
+      .groupBy(col("user_id"), expr("b1m DIV 60").as("b1h"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"), min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+      .persist()
+    val d1 = h1
+      .groupBy(col("user_id"), expr("b1h DIV 24").as("b1d"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_c")).as("sum_c"), min(col("min_c")).as("min_c"), max(col("max_c")).as("max_c"))
+    val out = m1
+      .select(
+        lit("1m").as("level"),
+        col("user_id"),
+        (col("b1m") * MinUs).as("bucket_start_us"),
+        col("n"), col("sum_c"), col("min_c"), col("max_c")
+      )
+      .unionByName(
+        h1.select(
+          lit("1h").as("level"),
+          col("user_id"),
+          (col("b1h") * HourUs).as("bucket_start_us"),
+          col("n"), col("sum_c"), col("min_c"), col("max_c")
+        )
+      )
+      .unionByName(
+        d1.select(
+          lit("1d").as("level"),
+          col("user_id"),
+          (col("b1d") * DayUs).as("bucket_start_us"),
+          col("n"), col("sum_c"), col("min_c"), col("max_c")
+        )
+      )
+    Dedup.releaseAfterRun(spark, out, Seq(m1, h1))
+  }
 }

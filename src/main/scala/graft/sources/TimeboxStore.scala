@@ -972,6 +972,70 @@ object TimeboxStore {
   def read(spark: SparkSession, path: String): DataFrame =
     decode(spark.read.parquet(path))
 
+  /** SCHEMA-EVOLVED read: decode a store whose snapshots were written
+    * with different tag sets (a tag added later — the evolution every
+    * long-lived store goes through; rewriting history at 100 TB is not
+    * an option). `mergeSchema` surfaces a tag family absent from a
+    * snapshot's write-time schema as NULL block columns; those are
+    * normalized to per-point NULL values (offsets become a NULL-filled
+    * array so the positional zip keeps every point; header columns
+    * stay NULL so every mode branch yields NULL), and decode proceeds
+    * unchanged — old points carry NULL for the new tag, new points the
+    * real values. No block is rewritten, no extra pass.
+    */
+  def readEvolved(spark: SparkSession, paths: Seq[String], tagCols: Seq[String]): DataFrame = {
+    var b = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val have = b.columns.toSet
+    tagCols.foreach { t =>
+      if (!have(s"offs_$t")) b = b.withColumn(s"offs_$t", expr("CAST(NULL AS ARRAY<BIGINT>)"))
+      Seq(s"min_$t" -> "BIGINT", s"mode_$t" -> "STRING", s"hdr0_$t" -> "BIGINT", s"hdr1_$t" -> "BIGINT")
+        .foreach { case (c, ty) => if (!b.columns.contains(c)) b = b.withColumn(c, expr(s"CAST(NULL AS $ty)")) }
+      b = b.withColumn(
+        s"offs_$t",
+        coalesce(col(s"offs_$t"), expr("transform(deltas, d -> CAST(NULL AS BIGINT))"))
+      )
+    }
+    decode(b, tagCols)
+  }
+
+  /** ts_store_schema_evolve — the evolution drill end to end: the first
+    * half of history is encoded with ONE tag, the second half with two
+    * (a props-length tag added mid-stream), and the evolved read
+    * decodes both snapshots in one pass — old points NULL for the new
+    * tag, byte-identical old blocks untouched. The half-way split is a
+    * 2-value scalar aggregate (same driver-side pattern as
+    * storedBlockUs). Summary aggregates pin point counts, the old-tag
+    * sum over ALL history, and the new tag's coverage + sum over the
+    * evolved half only.
+    */
+  def schemaEvolveRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_evolve", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        expr(s"ts_us DIV ${DayUs}L").as("day_id"),
+        cents(col("value")).as("value_c"),
+        length(col("props")).cast("long").as("plen_c")
+      )
+    val mm = pts.agg(min(col("day_id")), max(col("day_id"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    encode(pts.filter(col("day_id") < splitDay), tagCols = Seq("value_c"))
+      .write.mode("overwrite").parquet(s"$out/v1")
+    encode(pts.filter(col("day_id") >= splitDay), tagCols = Seq("value_c", "plen_c"))
+      .write.mode("overwrite").parquet(s"$out/v2")
+    readEvolved(spark, Seq(s"$out/v1", s"$out/v2"), Seq("value_c", "plen_c"))
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        count(col("plen_c")).as("n_evolved"),
+        sum(coalesce(col("plen_c"), lit(0L))).as("sum_plen_c")
+      )
+  }
+
   /** Production block layout: hive-partitioned by day, so time-range
     * reads prune whole partition directories before any IO — at 100 TB
     * the scan for a one-week query touches 7 directories, not the

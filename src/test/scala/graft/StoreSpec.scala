@@ -771,4 +771,43 @@ class StoreSpec extends AnyFunSuite {
       assert(blocks.filter(expr("deltas[0]") =!= 0).count() === 0)
     } finally blocks.unpersist()
   }
+
+  test("schema-evolved read: old snapshot decodes identically, added tag NULL exactly on the old half") {
+    val base = java.nio.file.Files.createTempDirectory("graft_store_evolve_spec").toString
+    val pts = TimeSeries
+      .eventsUs(spark, sf)
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        expr("ts_us DIV 86400000000L").as("day_id"),
+        cents(col("value")).as("value_c"),
+        length(col("props")).cast("long").as("plen_c")
+      )
+    val mm = pts.agg(min(col("day_id")), max(col("day_id"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    TimeboxStore
+      .encode(pts.filter(col("day_id") < splitDay), tagCols = Seq("value_c"))
+      .write.mode("overwrite").parquet(s"$base/v1")
+    TimeboxStore
+      .encode(pts.filter(col("day_id") >= splitDay), tagCols = Seq("value_c", "plen_c"))
+      .write.mode("overwrite").parquet(s"$base/v2")
+    val evolved = TimeboxStore
+      .readEvolved(spark, Seq(s"$base/v1", s"$base/v2"), Seq("value_c", "plen_c"))
+      .cache()
+    try {
+      val splitUs = splitDay * 86400000000L
+      // the NULL boundary IS the snapshot boundary, both directions
+      assert(evolved.filter(col("ts_us") < splitUs && col("plen_c").isNotNull).count() === 0)
+      assert(evolved.filter(col("ts_us") >= splitUs && col("plen_c").isNull).count() === 0)
+      // old-half points survive the evolved read EXACTLY as a plain
+      // decode of the old snapshot emits them
+      val oldPlain = TimeboxStore.read(spark, s"$base/v1").select("series_id", "ts_us", "seq", "value_c")
+      val oldEvolved = evolved.filter(col("ts_us") < splitUs).select("series_id", "ts_us", "seq", "value_c")
+      assert(oldEvolved.exceptAll(oldPlain).count() === 0)
+      assert(oldPlain.exceptAll(oldEvolved).count() === 0)
+      // new-half tag values are the real per-point lengths, not defaults
+      assert(evolved.filter(col("plen_c") <= 0).count() === 0)
+    } finally evolved.unpersist()
+  }
 }
