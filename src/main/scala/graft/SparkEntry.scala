@@ -85,6 +85,7 @@ object SparkEntry {
     "ts_store_ttl"       -> ((s, d) => graft.sources.TimeboxStore.ttlSummary(s, d)),
     "ts_store_merge"     -> ((s, d) => graft.sources.TimeboxStore.mergeSummary(s, d)),
     "ts_store_schema_evolve" -> ((s, d) => graft.sources.TimeboxStore.schemaEvolveRoundtrip(s, d)),
+    "ts_store_stats"     -> ((s, d) => graft.sources.TimeboxStore.storeStats(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "text_oov_rate"     -> ((s, d) => TextAnalysis.oovRate(s, d)),
     "text_source_terms" -> ((s, d) => TextAnalysis.sourceTerms(s, d)),
     "text_domain_mix"   -> ((s, d) => TextAnalysis.domainMix(s, d)),
+    "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1102,6 +1104,13 @@ object SparkEntry {
          |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_distinct,
          |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
          |FROM h GROUP BY 1""".stripMargin,
+    // log2 length buckets: bucket = length(bin(n_chars)) both engines
+    "text_length_histogram" ->
+      """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  MIN(CAST(length(text) AS BIGINT)) AS min_chars,
+        |  MAX(CAST(length(text) AS BIGINT)) AS max_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // mixture table: per-source token share (bp) + uniform-target
     // reweight factor (micro); DuckDB HUGEINT mirrors the DECIMAL path
     "text_domain_mix" ->
@@ -2286,6 +2295,16 @@ object SparkEntry {
         |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
         |FROM events
         |GROUP BY 1""".stripMargin,
+    // store health from block metadata: blocks are exactly the
+    // (series, day) groups encode forms
+    "ts_store_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
+        |b AS (SELECT user_id, day_id, COUNT(*) AS np FROM e GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_blocks, CAST(SUM(np) AS BIGINT) AS n_points,
+        |  MIN(day_id) AS min_day, MAX(day_id) AS max_day,
+        |  CAST(SUM(CASE WHEN np < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_fragmented,
+        |  CAST(SUM(np) * 1000000 // COUNT(*) AS BIGINT) AS pts_per_block_micro
+        |FROM b GROUP BY 1""".stripMargin,
     // evolved read: old half NULL for the added tag; split day is the
     // same (min+max+1)/2 scalar both engines compute
     "ts_store_schema_evolve" ->

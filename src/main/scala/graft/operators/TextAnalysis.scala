@@ -607,6 +607,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_toks"), col("quality_bp"), col("hash16"), col("kept"))
   }
 
+  // -------------------------------------------------------------------
+  // 31k. text_length_histogram — corpus length distribution per
+  // source in LOG2 buckets (every corpus health report's first chart;
+  // linear buckets are useless across the 10..10⁶-char span real
+  // corpora cover). Bucket = length(bin(n_chars)) = floor(log2)+1 —
+  // pure integer, no float log. One scan, one partial-aggregable
+  // groupBy on a (sources × ~20 buckets) key space.
+  // -------------------------------------------------------------------
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("n_chars"))
+      .withColumn("bucket", length(bin(col("n_chars"))).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)

@@ -998,6 +998,30 @@ object TimeboxStore {
     decode(b, tagCols)
   }
 
+  /** ts_store_stats — the store HEALTH report a DBA reads before
+    * deciding to compact: per series, block count, point count, block
+    * occupancy (micro), the day span, and how many blocks sit under
+    * the 32-point fragmentation bar (the compactFragmented trigger).
+    * Computed from block METADATA only — no decode, no explode; one
+    * aggregation over block rows whose count is days·series, orders of
+    * magnitude below points.
+    */
+  def storeStats(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store", dir)
+    write(spark, dir, out)
+    spark.read
+      .parquet(out)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("n_points")).as("n_points"),
+        min(col("day_id")).as("min_day"),
+        max(col("day_id")).as("max_day"),
+        sum(when(col("n_points") < 32, 1L).otherwise(0L)).as("n_fragmented")
+      )
+      .withColumn("pts_per_block_micro", expr("n_points * 1000000 DIV n_blocks"))
+  }
+
   /** ts_store_schema_evolve — the evolution drill end to end: the first
     * half of history is encoded with ONE tag, the second half with two
     * (a props-length tag added mid-stream), and the evolved read

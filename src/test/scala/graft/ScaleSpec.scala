@@ -61,7 +61,11 @@ class ScaleSpec extends AnyFunSuite {
     "ts_mad_outlier",
     "rel_pivot",
     "text_vocab_growth",
-    "ann_label_knn"
+    "ann_label_knn",
+    "ts_rollup_cascade",
+    "ts_anomaly_seasonal",
+    "ts_step_detect",
+    "rel_top_movers"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
