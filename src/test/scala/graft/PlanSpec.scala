@@ -286,4 +286,39 @@ class PlanSpec extends AnyFunSuite {
     val plan = qe.executedPlan.toString
     assert(plan.contains("array_distinct"), s"within-doc dedup not in the scan stage:\n$plan")
   }
+
+  test("top movers plans the global top-10 as TakeOrdered — no full sort materializes") {
+    val plan = planOf(Relational.topMovers(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
+    // the window runs over the weekly AGGREGATE: partial aggregation
+    // (map-side combine) must sit below the supplier shuffle
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
+  }
+
+  test("seasonal anomaly joins the profile as a broadcast, never a shuffle join") {
+    val plan = planOf(TimeSeries.anomalySeasonal(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"profile not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("rollup cascade scans raw events exactly once; coarser levels re-aggregate the persisted finer level") {
+    val qe = TimeSeries.rollupCascade(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    try {
+      // the printed tree re-embeds each cache's LINEAGE (so the raw
+      // scan text appears once per level); the runtime invariant is
+      // that every union branch reads a persisted level: the 1m branch
+      // scans the minute cache, 1h the hour cache, and 1d aggregates
+      // the hour cache again — ≥3 InMemoryTableScans, and the raw scan
+      // never appears outside an InMemoryRelation's lineage
+      val imts = "InMemoryTableScan".r.findAllIn(plan).size
+      assert(imts >= 3, s"cascade not reading persisted levels ($imts cache scans):\n$plan")
+      // the PHYSICAL tree's leaves must all be cache scans — a
+      // FileSourceScanExec here would mean a union branch re-reads raw
+      // events instead of the previous level (the cached lineage shown
+      // in the printed text is not part of this tree)
+      val rawScans = qe.sparkPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(rawScans.isEmpty, s"raw scan outside the cascade caches:\n${rawScans.mkString("\n")}")
+    } finally spark.catalog.clearCache()
+  }
 }
