@@ -180,6 +180,7 @@ object SparkEntry {
     "text_source_terms" -> ((s, d) => TextAnalysis.sourceTerms(s, d)),
     "text_domain_mix"   -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
+    "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -198,6 +199,34 @@ object SparkEntry {
     */
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** BPE training oracle: 5 unrolled merge rounds over the distinct-
+    * word frequency table; each round counts '<'-delimited adjacent
+    * symbol pairs, picks the (count desc, lex) argmax, and applies the
+    * merge as a plain left-to-right replace — byte-identical to the
+    * Spark loop's semantics.
+    */
+  private def bpeOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT sy[i] AS lhs, sy[i+1] AS rhs, CAST(SUM(f) AS BIGINT) AS c
+         |  FROM (SELECT f, sy, unnest(generate_series(1, len(sy)-1)) AS i
+         |        FROM (SELECT f, list_filter(string_split(s, '<'), x -> x <> '') AS sy FROM w${r - 1})
+         |        WHERE len(sy) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$r AS (SELECT f, replace(s, '<'||lhs||'<'||rhs, '<'||lhs||rhs) AS s FROM w${r - 1}, b$r)""".stripMargin
+    }
+    val selects = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, c AS pair_weight FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |w0 AS (SELECT f, regexp_replace(w, '(.)', '<\\1', 'g') AS s FROM wf),
+       |${perRound.mkString(",\n")}
+       |$selects""".stripMargin
+  }
   private val toksSql = s"string_split($normSql, ' ')"
 
   /** per-slot b-bit agreement: parity of each md5's last nibble,
@@ -1104,6 +1133,7 @@ object SparkEntry {
          |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT th) AS n_distinct,
          |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
          |FROM h GROUP BY 1""".stripMargin,
+    "text_bpe_train" -> bpeOracle(5),
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->
       """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,

@@ -627,6 +627,50 @@ object TextAnalysis {
         max(col("n_chars")).as("max_chars")
       )
 
+  // -------------------------------------------------------------------
+  // 31l. text_bpe_train — TOKENIZER TRAINING: the first rounds of
+  // byte-pair encoding learned distributedly. The iterative part runs
+  // on the DISTINCT-WORD frequency table (Heaps-bounded — millions of
+  // rows at 100 TB corpus scale, not trillions; the corpus itself is
+  // scanned exactly once to build it). Each round: adjacent-symbol
+  // pairs weighted by word frequency → one partial-aggregable count →
+  // the argmax pair (deterministic count/lex tiebreak, a 1-row
+  // broadcast — never a driver collect) → merge applied to every word
+  // via plain string replace over '<'-delimited symbol strings (the
+  // delimiter makes a pair match ONLY at symbol starts, and replace's
+  // left-to-right non-overlap IS BPE's merge order — identical in
+  // both engines). Per-round localCheckpoint cuts the lineage the
+  // same way the CC loop does. Output: the learned merge table.
+  // -------------------------------------------------------------------
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    var words = docsToks(spark, dir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .select(col("f"), regexp_replace(col("w"), "(.)", "<$1").as("s"))
+      .localCheckpoint()
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("f"), expr("filter(split(s, '<'), x -> x != '')").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(
+          col("f"),
+          explode(expr("transform(sequence(0, size(sy)-2), i -> struct(sy[i] AS lhs, sy[i+1] AS rhs))")).as("p")
+        )
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("f")).as("pair_weight"))
+      val best = pairs.orderBy(col("pair_weight").desc, col("lhs").asc, col("rhs").asc).limit(1)
+      merges = merges :+ best.select(lit(r.toLong).as("merge_round"), col("lhs"), col("rhs"), col("pair_weight"))
+      words = words
+        .crossJoin(broadcast(best))
+        .select(col("f"), expr("replace(s, concat('<', lhs, '<', rhs), concat('<', lhs, rhs))").as("s"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ unionByName _)
+  }
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
