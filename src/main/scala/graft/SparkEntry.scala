@@ -181,6 +181,7 @@ object SparkEntry {
     "text_domain_mix"   -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
+    "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -206,7 +207,7 @@ object SparkEntry {
     * merge as a plain left-to-right replace — byte-identical to the
     * Spark loop's semantics.
     */
-  private def bpeOracle(rounds: Int): String = {
+  private def bpeChain(rounds: Int): String = {
     val perRound = (1 to rounds).map { r =>
       s"""p$r AS (SELECT sy[i] AS lhs, sy[i+1] AS rhs, CAST(SUM(f) AS BIGINT) AS c
          |  FROM (SELECT f, sy, unnest(generate_series(1, len(sy)-1)) AS i
@@ -214,19 +215,32 @@ object SparkEntry {
          |        WHERE len(sy) >= 2)
          |  GROUP BY 1, 2),
          |b$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
-         |w$r AS (SELECT f, replace(s, '<'||lhs||'<'||rhs, '<'||lhs||rhs) AS s FROM w${r - 1}, b$r)""".stripMargin
+         |w$r AS (SELECT w, f, replace(s, '<'||lhs||'<'||rhs, '<'||lhs||rhs) AS s FROM w${r - 1}, b$r)""".stripMargin
     }
-    val selects = (1 to rounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, c AS pair_weight FROM b$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH wf AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
        |  FROM (SELECT unnest($toksSql) AS w FROM documents)
        |  WHERE w <> '' GROUP BY 1),
-       |w0 AS (SELECT f, regexp_replace(w, '(.)', '<\\1', 'g') AS s FROM wf),
-       |${perRound.mkString(",\n")}
-       |$selects""".stripMargin
+       |w0 AS (SELECT w, f, regexp_replace(w, '(.)', '<\\1', 'g') AS s FROM wf),
+       |${perRound.mkString(",\n")}""".stripMargin
   }
+
+  private def bpeOracle(rounds: Int): String = {
+    val selects = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, c AS pair_weight FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"${bpeChain(rounds)}\n$selects"
+  }
+
+  private def bpeApplyOracle(rounds: Int): String =
+    s"""${bpeChain(rounds)},
+       |ws AS (SELECT w, CAST(length(w) AS BIGINT) AS w_chars,
+       |  CAST(len(list_filter(string_split(s, '<'), x -> x <> '')) AS BIGINT) AS n_syms FROM w$rounds),
+       |dw AS (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_ws_tokens, CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(w_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_syms) * 10000 // SUM(w_chars) AS BIGINT) AS compress_bp
+       |FROM dw JOIN ws USING (w) WHERE w <> '' GROUP BY 1""".stripMargin
   private val toksSql = s"string_split($normSql, ' ')"
 
   /** per-slot b-bit agreement: parity of each md5's last nibble,
@@ -1134,6 +1148,7 @@ object SparkEntry {
          |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
          |FROM h GROUP BY 1""".stripMargin,
     "text_bpe_train" -> bpeOracle(5),
+    "text_bpe_apply" -> bpeApplyOracle(5),
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->
       """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,

@@ -642,13 +642,16 @@ object TextAnalysis {
   // both engines). Per-round localCheckpoint cuts the lineage the
   // same way the CC loop does. Output: the learned merge table.
   // -------------------------------------------------------------------
-  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame =
+    bpeLoop(spark, dir, rounds)._1.reduce(_ unionByName _)
+
+  private def bpeLoop(spark: SparkSession, dir: String, rounds: Int): (Vector[DataFrame], DataFrame) = {
     var words = docsToks(spark, dir)
       .select(explode(col("toks")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("f"))
-      .select(col("f"), regexp_replace(col("w"), "(.)", "<$1").as("s"))
+      .select(col("w"), col("f"), regexp_replace(col("w"), "(.)", "<$1").as("s"))
       .localCheckpoint()
     var merges = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
@@ -665,10 +668,39 @@ object TextAnalysis {
       merges = merges :+ best.select(lit(r.toLong).as("merge_round"), col("lhs"), col("rhs"), col("pair_weight"))
       words = words
         .crossJoin(broadcast(best))
-        .select(col("f"), expr("replace(s, concat('<', lhs, '<', rhs), concat('<', lhs, rhs))").as("s"))
+        .select(col("w"), col("f"), expr("replace(s, concat('<', lhs, '<', rhs), concat('<', lhs, rhs))").as("s"))
         .localCheckpoint()
     }
-    merges.reduce(_ unionByName _)
+    (merges, words)
+  }
+
+  // -------------------------------------------------------------------
+  // 31m. text_bpe_apply — TOKENIZE with the trained merges: every doc
+  // segmented by the learned BPE table, reported as per-doc whitespace
+  // vs BPE token counts and the chars→tokens compression (bp). The
+  // segmentation rides the SAME distinct-word table the trainer built
+  // (each word segments once, docs join the result by word — at
+  // 100 TB the join is corpus×vocab on the word key, the classic
+  // apply shape), so no document is ever re-segmented.
+  // -------------------------------------------------------------------
+  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val (_, words) = bpeLoop(spark, dir, rounds)
+    val wordSyms = words.select(
+      col("w"),
+      length(col("w")).cast("long").as("w_chars"),
+      size(expr("filter(split(s, '<'), x -> x != '')")).cast("long").as("n_syms")
+    )
+    docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordSyms, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(col("w_chars")).as("n_chars")
+      )
+      .withColumn("compress_bp", expr("n_bpe_tokens * 10000 DIV n_chars"))
   }
 
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
