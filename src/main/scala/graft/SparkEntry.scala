@@ -159,6 +159,7 @@ object SparkEntry {
     "ann_label_knn"       -> ((s, d) => Similarity.annLabelKnn(s, d)),
     "ann_index_search"    -> ((s, d) => Similarity.annIndexSearch(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
+    "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
@@ -814,6 +815,17 @@ object SparkEntry {
          |)
          |SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // hygiene report: exact integer squared norms via the same
+    // micro-quantization the ANN oracles use
+    "emb_norm_stats" ->
+      s"""WITH $quantCtes,
+         |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |             CAST(len(embedding) AS BIGINT) AS vdim FROM embeddings)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN vdim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+         |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  MIN(n2) AS min_n2, MAX(n2) AS max_n2
+         |FROM e JOIN n USING (vec_id) GROUP BY 1""".stripMargin,
     "ann_topk_bruteforce" ->
       s"""WITH $quantCtes,
          |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot

@@ -704,4 +704,33 @@ object Similarity {
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 32j. emb_norm_stats — embedding HYGIENE: the validation pass every
+  // vector pipeline runs before indexing (bad upstream batches ship
+  // zero vectors, truncated dims, or exploded norms; an index built
+  // over them silently corrupts recall). Per label: vector count,
+  // wrong-dimension count, zero-vector count, and the exact integer
+  // squared-norm envelope (micro² units via the codegen'd long dot).
+  // Row-local scoring + one partial-aggregable groupBy on the tiny
+  // label key — nothing here changes shape at 100 TB.
+  // -------------------------------------------------------------------
+  def embNormStats(spark: SparkSession, dir: String, dim: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions._
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("vdim"),
+        norm2Q(quantizeMicro(col("embedding"))).as("n2")
+      )
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("vdim") =!= dim.toLong, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("n2")).as("min_n2"),
+        max(col("n2")).as("max_n2")
+      )
+  }
 }
