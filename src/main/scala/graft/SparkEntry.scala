@@ -125,6 +125,7 @@ object SparkEntry {
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_near_rate_by_source" -> ((s, d) => Dedup.nearDupRateBySource(s, d)),
     "dedup_clusters_star"    -> ((s, d) => Dedup.clustersStar(s, d)),
     "dedup_cluster_stats"    -> ((s, d) => Dedup.clusterStats(s, d)),
     "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
@@ -472,6 +473,27 @@ object SparkEntry {
          |)
          |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
          |FROM reach GROUP BY src""".stripMargin,
+    // per-source drop fraction if near-dedup kept each cluster's
+    // min-id canonical; docs outside any cluster count only in n_docs
+    "dedup_near_rate_by_source" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |),
+         |cl AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |       FROM reach GROUP BY src)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(COUNT(cl.cluster_id) AS BIGINT) AS n_clustered,
+         |  CAST(SUM(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN cl.cluster_id IS NOT NULL AND cl.cluster_id <> d.doc_id
+         |                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS drop_rate_micro
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin,
     // the b-bit tier match: band candidates straddling the split,
     // scored with the debiased low-bit estimator — recomputed by the
     // oracle from raw shingles, so a stale or mis-packed stored tier

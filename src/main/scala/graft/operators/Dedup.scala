@@ -363,6 +363,28 @@ object Dedup {
     * see [[connectedComponentsStar]]. Oracle-gated by the same
     * recursive-reachability SQL as dedup_clusters.
     */
+  /** dedup_near_rate_by_source — the near-dup DASHBOARD per ingest
+    * feed: which source is shipping near-copies, and what fraction of
+    * it a near-dedup pass would drop (cluster members beyond each
+    * cluster's min-id canonical). Rides the rep-level cluster labels
+    * (edge count invariant to clone blowup) joined back to the corpus
+    * source column — one extra broadcast-size join and a bounded-key
+    * groupBy on top of machinery the pipeline already runs.
+    */
+  def nearDupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(clusters(spark, dir), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("cluster_id")).as("n_clustered"),
+        sum(when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dropped")
+      )
+      .withColumn("drop_rate_micro", expr("n_dropped * 1000000 DIV n_docs"))
+
   def clustersStar(spark: SparkSession, dir: String, maxIters: Int = 30): DataFrame =
     clustersFromNorm(spark, docsNorm(spark, dir), maxIters, connectedComponentsStar)
 
