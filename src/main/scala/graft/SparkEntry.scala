@@ -184,6 +184,7 @@ object SparkEntry {
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1182,6 +1183,18 @@ object SparkEntry {
          |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
          |FROM h GROUP BY 1""".stripMargin,
     "text_bpe_train" -> bpeOracle(5),
+    // exact top-5 over the amplified stream; the Spark side's MG
+    // candidate pass is exact whenever rank-k count > n/cap (spec-
+    // asserted), so both engines produce the same plain top-k
+    "text_heavy_hitters" ->
+      s"""WITH base AS (SELECT unnest($toksSql) AS w FROM documents),
+         |hv AS (SELECT 'hh_' || CAST(doc_id % 5 AS VARCHAR) AS w
+         |       FROM (SELECT doc_id, unnest(generate_series(1, 120)) AS i
+         |             FROM documents WHERE doc_id % 4 = 0)),
+         |t AS (SELECT w FROM base WHERE w <> '' UNION ALL SELECT w FROM hv),
+         |c AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1),
+         |r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rnk FROM c)
+         |SELECT rnk, w, n FROM r WHERE rnk <= 5""".stripMargin,
     "text_bpe_apply" -> bpeApplyOracle(5),
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->

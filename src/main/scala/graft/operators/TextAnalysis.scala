@@ -703,6 +703,89 @@ object TextAnalysis {
       .withColumn("compress_bp", expr("n_bpe_tokens * 10000 DIV n_chars"))
   }
 
+  // -------------------------------------------------------------------
+  // 31n. text_heavy_hitters — EXACT top-k over an unbounded key stream
+  // in BOUNDED memory: per-partition Misra-Gries summaries (cap
+  // counters, decrement-all on overflow — the classic frequent-items
+  // sketch) nominate a candidate set that PROVABLY contains every key
+  // with frequency > n/cap; a second pass exact-counts ONLY the
+  // broadcast candidates. The full key space is never shuffled — at
+  // 100 TB with billions of distinct keys the plain groupBy-then-sort
+  // top-k shuffles them all, this plan shuffles ≤ cap·partitions
+  // summary rows + the candidate recount. Exactness of the top-k is
+  // guaranteed (and spec-asserted) whenever the k-th count exceeds
+  // n/cap. The corpus' 31-word vocabulary is near-uniform, so the
+  // drill amplifies a deterministic boilerplate tail (every 4th doc
+  // contributes 120 copies of a synthetic header token — the
+  // dedup_skewed_corpus pattern) to make real heavy hitters AND force
+  // summary eviction (cap 16 < the ~31 live keys per base partition,
+  // spec-observed via per-partition summary sizes). mapPartitions is the
+  // deliberate ladder choice here: a decrement-all counter sketch is
+  // genuine per-partition imperative state, not expressible as a
+  // Catalyst aggregate without losing the bounded-memory property.
+  // -------------------------------------------------------------------
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 5, cap: Int = 16): DataFrame = {
+    val toks = heavyStream(spark, dir)
+    val cands = mgSummaries(spark, toks, cap).select(col("w")).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("w").asc)
+    toks
+      .join(broadcast(cands), Seq("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("w"), col("n"))
+  }
+
+  /** The drill's token stream: corpus tokens + the deterministic
+    * amplified boilerplate tail.
+    */
+  private[graft] def heavyStream(spark: SparkSession, dir: String): DataFrame = {
+    val base = docsToks(spark, dir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+    val heavy = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .filter(col("doc_id") % 4 === 0)
+      .select(explode(expr("transform(sequence(1, 120), i -> concat('hh_', CAST(doc_id % 5 AS STRING)))")).as("w"))
+    base.unionByName(heavy)
+  }
+
+  /** Per-partition Misra-Gries summaries: (partition, key, lower-bound
+    * count) rows, ≤ cap per partition. Decrement-all is O(1) amortized
+    * via a global delta with lazy eviction; the partition id is
+    * emitted so the bounded-memory property is observable in specs.
+    */
+  private[graft] def mgSummaries(spark: SparkSession, toks: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val tupEnc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.scalaLong)
+    toks
+      .select(col("w"))
+      .as(Encoders.STRING)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var delta = 0L
+        it.foreach { w =>
+          m.get(w) match {
+            case Some(c) => m.update(w, c + 1)
+            case None =>
+              if (m.size < cap) m.update(w, delta + 1)
+              else {
+                // decrement-all: raise the floor, lazily evict sunk keys
+                delta += 1
+                m.filterInPlace((_, c) => c > delta)
+                if (m.size < cap) m.update(w, delta + 1)
+              }
+          }
+        }
+        m.iterator.map { case (w, c) => (pid, w, c - delta) }
+      }(tupEnc)
+      .toDF("pid", "w", "c_lb")
+  }
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)

@@ -167,4 +167,36 @@ class TextSpec extends AnyFunSuite {
       assert(xy.getAs[Long]("lift_micro") === expected)
     } finally top.unpersist()
   }
+
+  test("heavy hitters: MG candidate pass is exact under the proven n/cap guarantee, with real eviction") {
+    val cap = 16
+    val stream = TextAnalysis.heavyStream(spark, sf).cache()
+    try {
+      val result = TextAnalysis.heavyHitters(spark, sf, k = 5, cap = cap).collect()
+      // (a) == the plain exact top-5 (the whole point of the two-pass)
+      val exact = stream
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc).limit(5).collect()
+      assert(result.map(r => (r.getAs[String]("w"), r.getAs[Long]("n"))).toSeq ===
+        exact.map(r => (r.getAs[String]("w"), r.getAs[Long]("n"))).toSeq)
+      // (b) the exactness precondition holds: rank-k count > n/cap, so
+      // every top-k key provably survives some partition's summary
+      val total = stream.count()
+      assert(result.map(_.getAs[Long]("n")).min * cap > total,
+        s"guarantee violated: min top-k ${result.map(_.getAs[Long]("n")).min} vs n/cap ${total / cap}")
+      // (c) bounded memory is real: some partition carries more
+      // distinct keys than cap (so it MUST evict), yet no partition's
+      // summary ever exceeds cap
+      val perPidDistinct = stream
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid")).agg(countDistinct(col("w")).as("nd"))
+      assert(perPidDistinct.agg(max(col("nd"))).head().getLong(0) > cap,
+        "drill degenerate: no partition sees more keys than cap")
+      val summarySizes = TextAnalysis
+        .mgSummaries(spark, stream, cap)
+        .groupBy(col("pid")).agg(count(lit(1)).as("sz"))
+      assert(summarySizes.filter(col("sz") > cap).count() === 0,
+        "summary exceeded its memory bound")
+    } finally stream.unpersist()
+  }
 }
