@@ -194,6 +194,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
+    "mm_chunk_restore" -> ((s, d) => Multimodal.chunkRestore(s, d)),
     "rel_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
     "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
   )
@@ -1351,6 +1352,20 @@ object SparkEntry {
         |  CAST((SUM(octet_length(encode(text))) OVER w - octet_length(encode(text))) // 4096 AS BIGINT) AS bin_id
         |FROM documents
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    // reassemble-and-hash integrity proof; empty payloads restore to ''
+    "mm_chunk_restore" ->
+      """WITH c AS (SELECT doc_id, i AS chunk_idx, substr(text, i*256 + 1, 256) AS chunk
+        |           FROM (SELECT doc_id, text,
+        |                   unnest(generate_series(0, CAST((octet_length(encode(text)) + 255) // 256 AS INTEGER) - 1)) AS i
+        |                 FROM documents WHERE octet_length(encode(text)) > 0)),
+        |r AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |        string_agg(chunk, '' ORDER BY chunk_idx) AS reassembled
+        |      FROM c GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(r.n_chunks, 0) AS BIGINT) AS n_chunks,
+        |  sha256(d.text) AS orig_sha, sha256(COALESCE(r.reassembled, '')) AS restored_sha,
+        |  CAST(CASE WHEN sha256(COALESCE(r.reassembled, '')) = sha256(d.text)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS intact
+        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
     // magic-byte sniff in hex-string space; the stub header (one of four
     // real container signatures, or none) is chosen by md5 first nibble
     // mod 5 — the router CASE reads only the synthesized bytes

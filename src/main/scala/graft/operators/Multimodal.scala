@@ -276,6 +276,46 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
+  // 33i. mm_chunk_restore — the INTEGRITY proof for the chunk layout:
+  // reassemble every payload from its chunks (ordered concat) and
+  // verify the restored bytes hash-match the original — the end-to-end
+  // check an object-store restore path runs before anyone trusts the
+  // multipart layout with deletes. One explode + one groupBy per doc
+  // (chunk count bounded per row); the comparison is sha-256 on both
+  // sides, so a single out-of-order or truncated chunk fails loudly.
+  // -------------------------------------------------------------------
+  def chunkRestore(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame = {
+    val cb = chunkBytes
+    val re = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), expr("octet_length(text)").as("n_bytes"))
+      .filter(col("n_bytes") > 0)
+      .select(
+        col("doc_id"),
+        col("text"),
+        explode(expr(s"sequence(0, CAST((n_bytes + ${cb - 1}) DIV $cb AS INT) - 1)")).as("chunk_idx")
+      )
+      .select(col("doc_id"), col("chunk_idx"), expr(s"substring(text, chunk_idx * $cb + 1, $cb)").as("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        expr("array_join(transform(sort_array(collect_list(struct(chunk_idx, chunk))), p -> p.chunk), '')")
+          .as("reassembled")
+      )
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("orig_sha"))
+      .join(re, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        col("orig_sha"),
+        sha2(coalesce(col("reassembled"), lit("")).cast("binary"), 256).as("restored_sha")
+      )
+      .withColumn("intact", when(col("orig_sha") === col("restored_sha"), 1L).otherwise(0L))
+  }
+
+  // -------------------------------------------------------------------
   // 33h. mm_modality_route — container sniffing: route each opaque
   // payload to its decode queue by MAGIC BYTES (the first thing any
   // mixed-modality ingest does — upstream content-type headers lie).
