@@ -119,6 +119,7 @@ object SparkEntry {
     "rel_median_order"   -> ((s, d) => Relational.medianOrderValue(s, d)),
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
     "rel_top_movers"     -> ((s, d) => Relational.topMovers(s, d)),
+    "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
@@ -1457,6 +1458,21 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    // basket co-occurrence: distinct (order, part), oriented pairs,
+    // HUGEINT lift mirrors the DECIMAL path
+    "rel_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li),
+        |pa AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p FROM li GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2),
+        |e AS (SELECT part_a, part_b, n_ab, x.n_p AS n_a, y.n_p AS n_b,
+        |        CAST(n_ab * n_orders * 1000000 // (x.n_p * y.n_p) AS BIGINT) AS lift_micro
+        |      FROM pr JOIN pa x ON x.l_partkey = pr.part_a
+        |              JOIN pa y ON y.l_partkey = pr.part_b, tot),
+        |r AS (SELECT e.*, CAST(ROW_NUMBER() OVER (ORDER BY n_ab DESC, part_a ASC, part_b ASC) AS BIGINT) AS rnk FROM e)
+        |SELECT rnk, part_a, part_b, n_ab, n_a, n_b, lift_micro FROM r WHERE rnk <= 20""".stripMargin,
     // weekly rollup first, lag over observed weeks, top-10 by |swing|
     // with full tie-break; epoch-week floor-division matches Spark's
     // truncating cast on positive epoch seconds

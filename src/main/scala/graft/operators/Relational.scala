@@ -804,4 +804,44 @@ object Relational {
         $"n"
       )
   }
+
+  /** rel_basket_pairs — market-basket co-occurrence: the top part
+    * PAIRS ordered together, with support and PMI-style lift. The
+    * pair blowup is bounded by basket size, never order count: the
+    * self-join runs on the orderkey (both sides co-partitioned by the
+    * SAME key — one shuffle family), each order contributes
+    * C(items, 2) ≤ ~20 pairs, and `a < b` halves + dedups
+    * orientation. Lift goes through DECIMAL(38,0) — n_ab·n_orders·10⁶
+    * overflows BIGINT at warehouse scale — and the global order count
+    * rides a 1-row broadcast. Top-20 by support with a full
+    * deterministic tiebreak, planned as TakeOrdered.
+    */
+  def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val li = Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey")
+      .distinct()
+    val tot  = li.select(countDistinct($"l_orderkey").as("n_orders"))
+    val pa   = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_p"))
+    val b    = li.select($"l_orderkey".as("b_orderkey"), $"l_partkey".as("part_b"))
+    val w    = Window.orderBy($"n_ab".desc, $"part_a".asc, $"part_b".asc)
+    li.join(b, $"b_orderkey" === $"l_orderkey" && $"l_partkey" < $"part_b")
+      .groupBy($"l_partkey".as("part_a"), $"part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .join(pa.select($"l_partkey".as("part_a"), $"n_p".as("n_a")), Seq("part_a"))
+      .join(pa.select($"l_partkey".as("part_b"), $"n_p".as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "lift_micro",
+        expr(
+          "CAST(n_ab AS DECIMAL(19,0)) * CAST(n_orders AS DECIMAL(19,0)) * 1000000" +
+            " DIV (CAST(n_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0)))"
+        )
+      )
+      .orderBy($"n_ab".desc, $"part_a".asc, $"part_b".asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"rnk", $"part_a", $"part_b", $"n_ab", $"n_a", $"n_b", $"lift_micro")
+  }
 }

@@ -56,7 +56,8 @@ class EntrySpec extends AnyFunSuite {
     "text_coverage_topk",        // 1-row total + 3-row threshold broadcasts
     "text_source_terms",         // 1-row grand-total broadcast
     "text_bpe_train",            // 1-row argmax-pair broadcast per merge round
-    "text_bpe_apply"             // same trained-merge chain under the word join
+    "text_bpe_apply",            // same trained-merge chain under the word join
+    "rel_basket_pairs"           // 1-row order-count broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
