@@ -120,6 +120,7 @@ object SparkEntry {
     "rel_cube"           -> ((s, d) => Relational.revenueCube(s, d)),
     "rel_top_movers"     -> ((s, d) => Relational.topMovers(s, d)),
     "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
+    "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
@@ -235,6 +236,28 @@ object SparkEntry {
       .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, c AS pair_weight FROM b$r")
       .mkString("\nUNION ALL\n")
     s"${bpeChain(rounds)}\n$selects"
+  }
+
+  /** integer power-iteration pagerank, unrolled; every division a
+    * floor so ranks are bit-identical across engines
+    */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""c$r AS (SELECT e.dst AS node, CAST(SUM(r.rank_micro // o.outdeg) AS BIGINT) AS in_sum
+         |  FROM ed e JOIN r${r - 1} r ON r.node = e.src JOIN od o ON o.src = e.src GROUP BY 1),
+         |r$r AS (SELECT od.src AS node,
+         |  CAST(150000 + 85 * COALESCE(c$r.in_sum, 0) // 100 AS BIGINT) AS rank_micro
+         |  FROM od LEFT JOIN c$r ON c$r.node = od.src)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |ed AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM ed GROUP BY 1),
+       |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM od),
+       |${rounds.mkString(",\n")},
+       |f AS (SELECT node, rank_micro,
+       |   CAST(ROW_NUMBER() OVER (ORDER BY rank_micro DESC, node ASC) AS BIGINT) AS rnk FROM r$iters)
+       |SELECT rnk, node, rank_micro FROM f WHERE rnk <= 20""".stripMargin
   }
 
   private def bpeApplyOracle(rounds: Int): String =
@@ -1458,6 +1481,7 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "graph_part_rank" -> pagerankOracle(3),
     // basket co-occurrence: distinct (order, part), oriented pairs,
     // HUGEINT lift mirrors the DECIMAL path
     "rel_basket_pairs" ->

@@ -816,6 +816,50 @@ object Relational {
     * rides a 1-row broadcast. Top-20 by support with a full
     * deterministic tiebreak, planned as TakeOrdered.
     */
+  /** graph_part_rank — PageRank over the part CO-PURCHASE graph
+    * (undirected edges between parts sharing an order), in EXACT
+    * integer micro-units: three power-iteration rounds of
+    * rank' = 0.15 + 0.85·Σ(rank_src DIV outdeg_src), every division a
+    * floor — bit-identical across engines, no float drift. This is
+    * the iterative-graph family beyond connected components: each
+    * round is one edge-join + one partial-aggregable sum on the dst
+    * key (the standard distributed power iteration), with a per-round
+    * localCheckpoint lineage cut like the CC loop. Isolated parts
+    * (never co-ordered) have no edges and are out of scope by
+    * definition. Top-20 by final rank, full deterministic tiebreak.
+    */
+  def partRank(spark: SparkSession, dir: String, iters: Int = 3, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
+    val edges = li
+      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
+      .select($"l_partkey".as("src"), $"dst")
+      .distinct()
+      .localCheckpoint()
+    val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var ranks = outdeg.select($"src".as("node"), lit(1000000L).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(outdeg, Seq("src"))
+        .join(ranks.select($"node".as("src"), $"rank_micro"), Seq("src"))
+        .select($"dst", expr("rank_micro DIV outdeg").as("c"))
+        .groupBy($"dst")
+        .agg(sum($"c").as("in_sum"))
+      ranks = outdeg
+        .select($"src".as("node"))
+        .join(contrib.select($"dst".as("node"), $"in_sum"), Seq("node"), "left")
+        .select($"node", (lit(150000L) + expr("85 * coalesce(in_sum, 0L) DIV 100")).as("rank_micro"))
+        .localCheckpoint()
+    }
+    val w = Window.orderBy($"rank_micro".desc, $"node".asc)
+    ranks
+      .orderBy($"rank_micro".desc, $"node".asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"rnk", $"node", $"rank_micro")
+  }
+
   def basketPairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
     val li = Tables
