@@ -121,6 +121,7 @@ object SparkEntry {
     "rel_top_movers"     -> ((s, d) => Relational.topMovers(s, d)),
     "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
     "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
+    "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
@@ -1482,6 +1483,22 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "graph_part_rank" -> pagerankOracle(3),
+    // header-vs-detail reconciliation: full outer join, four-way class
+    "rel_order_recon" ->
+      """WITH l AS (SELECT l_orderkey,
+        |    CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS detail_c
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT COALESCE(o.o_orderstatus, 'NONE') AS status,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'missing_header'
+        |         WHEN l.l_orderkey IS NULL THEN 'missing_detail'
+        |         WHEN CAST(round(o.o_totalprice*100) AS BIGINT) = l.detail_c THEN 'match'
+        |         ELSE 'mismatch' END AS recon_class,
+        |    COALESCE(abs(CAST(round(o.o_totalprice*100) AS BIGINT) - l.detail_c), 0) AS drift_c
+        |  FROM orders o FULL OUTER JOIN l ON l.l_orderkey = o.o_orderkey)
+        |SELECT status, recon_class, COUNT(*) AS n,
+        |  CAST(SUM(drift_c) AS BIGINT) AS sum_drift_c,
+        |  CAST(MAX(drift_c) AS BIGINT) AS max_drift_c
+        |FROM j GROUP BY 1, 2""".stripMargin,
     // basket co-occurrence: distinct (order, part), oriented pairs,
     // HUGEINT lift mirrors the DECIMAL path
     "rel_basket_pairs" ->

@@ -816,6 +816,40 @@ object Relational {
     * rides a 1-row broadcast. Top-20 by support with a full
     * deterministic tiebreak, planned as TakeOrdered.
     */
+  /** rel_order_recon — the RECONCILIATION audit between a header table
+    * and its detail rollup (orders.o_totalprice vs the per-order
+    * lineitem price sum): FULL OUTER join on the key, every row
+    * classified match / mismatch / missing-detail / missing-header,
+    * aggregated per order status with the absolute drift where both
+    * sides exist. The classic two-system consistency check (billing vs
+    * ledger); one co-partitioned outer join + a bounded-key groupBy —
+    * the detail side is pre-aggregated to one row per key BEFORE the
+    * join, so the outer join never sees raw detail rows.
+    */
+  def orderRecon(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables
+      .orders(spark, dir)
+      .select($"o_orderkey", $"o_orderstatus", cents($"o_totalprice").as("total_c"))
+    val l = Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", cents($"l_extendedprice").as("p_c"))
+      .groupBy($"l_orderkey")
+      .agg(sum($"p_c").as("detail_c"))
+    o.join(l, $"o_orderkey" === $"l_orderkey", "full_outer")
+      .select(
+        coalesce($"o_orderstatus", lit("NONE")).as("status"),
+        when($"o_orderkey".isNull, "missing_header")
+          .when($"l_orderkey".isNull, "missing_detail")
+          .when($"total_c" === $"detail_c", "match")
+          .otherwise("mismatch")
+          .as("recon_class"),
+        coalesce(abs($"total_c" - $"detail_c"), lit(0L)).as("drift_c")
+      )
+      .groupBy($"status", $"recon_class")
+      .agg(count(lit(1)).as("n"), sum($"drift_c").as("sum_drift_c"), max($"drift_c").as("max_drift_c"))
+  }
+
   /** graph_part_rank — PageRank over the part CO-PURCHASE graph
     * (undirected edges between parts sharing an order), in EXACT
     * integer micro-units: three power-iteration rounds of
