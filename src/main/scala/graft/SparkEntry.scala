@@ -188,6 +188,7 @@ object SparkEntry {
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "text_bpe_index"    -> ((s, d) => TextAnalysis.bpeIndexApply(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1222,6 +1223,9 @@ object SparkEntry {
          |r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rnk FROM c)
          |SELECT rnk, w, n FROM r WHERE rnk <= 5""".stripMargin,
     "text_bpe_apply" -> bpeApplyOracle(5),
+    // the persisted-index roundtrip must lose nothing: same oracle as
+    // the in-memory apply
+    "text_bpe_index" -> bpeApplyOracle(5),
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->
       """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,

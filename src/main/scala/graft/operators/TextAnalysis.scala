@@ -704,6 +704,48 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31o. text_bpe_index — the tokenizer BUILD/APPLY split (the same
+  // split the ANN index got): training writes the merge table AND the
+  // per-word segmentation (vocab) table as parquet; tokenization then
+  // joins the corpus against ONLY the persisted vocab — no training
+  // lineage, no re-segmentation, the shape a production pipeline runs
+  // daily against a tokenizer trained once. Output is byte-identical
+  // to the in-memory text_bpe_apply (same oracle), so the index
+  // roundtrip provably loses nothing; PlanSpec pins that the apply
+  // side reads the vocab parquet rather than re-deriving it.
+  // -------------------------------------------------------------------
+  def bpeIndexApply(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_bpe_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val (merges, words) = bpeLoop(spark, dir, rounds)
+    merges.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/merges")
+    words
+      .select(
+        col("w"),
+        length(col("w")).cast("long").as("w_chars"),
+        size(expr("filter(split(s, '<'), x -> x != '')")).cast("long").as("n_syms")
+      )
+      .write.mode("overwrite").parquet(s"$out/vocab")
+    applyFromVocab(spark, dir, s"$out/vocab")
+  }
+
+  /** The pure apply phase: corpus tokens joined against a persisted
+    * vocab segmentation — callable on its own against any stored
+    * tokenizer.
+    */
+  def applyFromVocab(spark: SparkSession, dir: String, vocabPath: String): DataFrame =
+    docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(spark.read.parquet(vocabPath), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(col("w_chars")).as("n_chars")
+      )
+      .withColumn("compress_bp", expr("n_bpe_tokens * 10000 DIV n_chars"))
+
+  // -------------------------------------------------------------------
   // 31n. text_heavy_hitters — EXACT top-k over an unbounded key stream
   // in BOUNDED memory: per-partition Misra-Gries summaries (cap
   // counters, decrement-all on overflow — the classic frequent-items

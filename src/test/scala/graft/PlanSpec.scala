@@ -287,6 +287,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("array_distinct"), s"within-doc dedup not in the scan stage:\n$plan")
   }
 
+  test("indexed BPE apply reads the persisted vocab, never the training lineage") {
+    val qe = graft.operators.TextAnalysis.bpeIndexApply(spark, sf).queryExecution
+    val scans = qe.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(scans.exists(_.contains("graft_bpe")), s"vocab parquet not read: $scans")
+    assert(scans.count(_.contains("documents.parquet")) === 1, s"expected one corpus scan: $scans")
+    // no localCheckpoint/training RDD survives into the apply plan
+    assert(!qe.executedPlan.toString.contains("ExistingRDD"), "training lineage leaked into apply")
+  }
+
   test("top movers plans the global top-10 as TakeOrdered — no full sort materializes") {
     val plan = planOf(Relational.topMovers(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")
