@@ -129,6 +129,7 @@ object SparkEntry {
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_near_rate_by_source" -> ((s, d) => Dedup.nearDupRateBySource(s, d)),
+    "dedup_label_prop"       -> ((s, d) => Dedup.labelProp(s, d)),
     "dedup_clusters_star"    -> ((s, d) => Dedup.clustersStar(s, d)),
     "dedup_cluster_stats"    -> ((s, d) => Dedup.clusterStats(s, d)),
     "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
@@ -238,6 +239,25 @@ object SparkEntry {
       .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, c AS pair_weight FROM b$r")
       .mkString("\nUNION ALL\n")
     s"${bpeChain(rounds)}\n$selects"
+  }
+
+  /** synchronous label propagation, unrolled: plurality label with
+    * (count desc, label asc) tiebreak each round
+    */
+  private def labelPropOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""g$r AS (SELECT e.src AS node, l.lab, COUNT(*) AS cnt
+         |  FROM ed e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+         |l$r AS (SELECT node, lab FROM (SELECT node, lab,
+         |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn FROM g$r)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH $shingleCtes,
+       |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+       |${perRound.mkString(",\n")}
+       |SELECT node AS doc_id, lab AS label FROM l$rounds""".stripMargin
   }
 
   /** integer power-iteration pagerank, unrolled; every division a
@@ -1487,6 +1507,7 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "graph_part_rank" -> pagerankOracle(3),
+    "dedup_label_prop" -> labelPropOracle(3),
     // header-vs-detail reconciliation: full outer join, four-way class
     "rel_order_recon" ->
       """WITH l AS (SELECT l_orderkey,

@@ -363,6 +363,38 @@ object Dedup {
     * see [[connectedComponentsStar]]. Oracle-gated by the same
     * recursive-reachability SQL as dedup_clusters.
     */
+  /** dedup_label_prop — synchronous LABEL PROPAGATION over the
+    * near-dup candidate graph: the bounded-round soft-clustering
+    * alternative to connected components (LPA stops after R rounds —
+    * communities, not full transitive closure, and a FIXED round
+    * budget where CC's is log-diameter). Deterministic: labels start
+    * as own ids; each round every node adopts the plurality label of
+    * its neighbors with (count desc, label asc) tiebreak — the same
+    * one-join + one-partial-aggregable-sum per round as the PageRank
+    * loop, per-round localCheckpoint, never a driver collect.
+    */
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct().withColumn("lab", col("node"))
+    val wArg = Window.partitionBy(col("node")).orderBy(col("cnt").desc, col("lab").asc)
+    for (_ <- 1 to rounds) {
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wArg))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("node").as("doc_id"), col("lab").as("label"))
+  }
+
   /** dedup_near_rate_by_source — the near-dup DASHBOARD per ingest
     * feed: which source is shipping near-copies, and what fraction of
     * it a near-dedup pass would drop (cluster members beyond each
