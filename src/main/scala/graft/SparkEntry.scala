@@ -86,6 +86,7 @@ object SparkEntry {
     "ts_store_merge"     -> ((s, d) => graft.sources.TimeboxStore.mergeSummary(s, d)),
     "ts_store_schema_evolve" -> ((s, d) => graft.sources.TimeboxStore.schemaEvolveRoundtrip(s, d)),
     "ts_store_stats"     -> ((s, d) => graft.sources.TimeboxStore.storeStats(s, d)),
+    "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
     "ts_stream_join"     -> ((s, d) => graft.sources.StreamingIngest.attributionJoin(s, d)),
@@ -2475,6 +2476,25 @@ object SparkEntry {
         |                 THEN COALESCE(bv, 0) - COALESCE(av, 0) ELSE 0 END) AS BIGINT) AS net_delta_c
         |      FROM d GROUP BY 1)
         |SELECT * FROM s WHERE n_inserts + n_deletes + n_updates > 0""".stripMargin,
+    // as-of version 2 == the cdc model's f: corrections applied, late
+    // clones added, etype 112 deleted
+    "ts_store_asof" ->
+      """WITH e AS (SELECT user_id, event_id AS seq, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value*100) AS BIGINT) AS v,
+        |                  CAST(ascii(substr(event_type, 1, 1)) AS BIGINT) AS et FROM events),
+        |f0 AS (SELECT user_id, seq, ts_us,
+        |              v + CASE WHEN ts_us >= 1704672000000000 AND ts_us < 1705276800000000
+        |                       THEN 1000 ELSE 0 END AS v, et
+        |       FROM e
+        |       UNION ALL
+        |       SELECT user_id, seq + 100000000, ts_us + 1, v, et FROM e
+        |       WHERE ts_us >= 1705276800000000 AND ts_us < 1705881600000000),
+        |f AS (SELECT * FROM f0 WHERE et <> 112)
+        |SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(v) AS BIGINT) AS sum_value_c,
+        |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us,
+        |  CAST(2 AS BIGINT) AS version
+        |FROM f GROUP BY 1""".stripMargin,
     // backfill merge: B (the re-statement, +500 from its start) wins
     // wherever it covers; A supplies the older history
     "ts_store_merge" ->

@@ -837,6 +837,72 @@ object TimeboxStore {
       )
   }
 
+  /** ts_store_asof — snapshot CATALOG + AS-OF read (the iceberg-lite
+    * time-travel story over the store's own mutation operators):
+    * version 1 is the base encode, version 2 is built THROUGH upsert +
+    * predicate delete (the cdc drill's exact recipe), and a MANIFEST
+    * table — version, path, block/point counts, day span, all from
+    * block METADATA — is persisted alongside. An AS-OF read resolves
+    * the greatest version ≤ the requested one from the manifest (a
+    * 2-row scalar lookup, same driver-side pattern as storedBlockUs)
+    * and decodes only that snapshot. Old versions are never rewritten;
+    * time travel costs one manifest row lookup.
+    */
+  def asofReadSummary(spark: SparkSession, dir: String, asofVersion: Long = 2L): DataFrame = {
+    val tags = Seq("value_c", "etype_c")
+    val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L)
+    val (w3lo, w3hi) = (1705276800000000L, 1705881600000000L)
+    val out = scratchPath("graft_store_asof", dir)
+    encode(eventTypePoints(spark, dir), tagCols = tags)
+      .write.mode("overwrite").parquet(s"$out/v1")
+    val v1 = spark.read.parquet(s"$out/v1")
+    val p = eventTypePoints(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c"),
+        col("etype_c")
+      )
+    val corrections = p
+      .filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
+      .withColumn("value_c", col("value_c") + 1000L)
+    val lateArrivals = p
+      .filter(col("ts_us") >= w3lo && col("ts_us") < w3hi)
+      .withColumn("seq", col("seq") + 100000000L)
+      .withColumn("ts_us", col("ts_us") + 1L)
+    deleteWhereEquals(upsertBlocks(v1, corrections.unionByName(lateArrivals), tags), "etype_c", 112L, tags)
+      .write.mode("overwrite").parquet(s"$out/v2")
+    def manifestRow(ver: Long, path: String) =
+      spark.read
+        .parquet(path)
+        .agg(
+          count(lit(1)).as("n_blocks"),
+          sum(col("n_points")).as("n_points"),
+          min(col("day_id")).as("min_day"),
+          max(col("day_id")).as("max_day")
+        )
+        .select(lit(ver).as("version"), lit(path).as("path"), col("n_blocks"), col("n_points"), col("min_day"), col("max_day"))
+    manifestRow(1L, s"$out/v1")
+      .unionByName(manifestRow(2L, s"$out/v2"))
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    val chosen = spark.read
+      .parquet(s"$out/manifest")
+      .filter(col("version") <= asofVersion)
+      .orderBy(col("version").desc)
+      .limit(1)
+      .head()
+    decode(spark.read.parquet(chosen.getAs[String]("path")), tags)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+      .withColumn("version", lit(chosen.getAs[Long]("version")))
+  }
+
   /** POINT-EXACT retention expiry (TTL) — vacuum's exact sibling.
     * [[vacuum]] drops aged blocks at block granularity and keeps a
     * boundary block whole; production retention ("keep 90 days,

@@ -772,6 +772,23 @@ class StoreSpec extends AnyFunSuite {
     } finally blocks.unpersist()
   }
 
+  test("as-of read resolves versions through the manifest: v1 is the untouched base, v2 reflects the mutations") {
+    val raw = TimeSeries.eventsUs(spark, sf)
+    val nRaw = raw.count()
+    val v1 = TimeboxStore.asofReadSummary(spark, sf, asofVersion = 1L).cache()
+    val v2 = TimeboxStore.asofReadSummary(spark, sf, asofVersion = 2L).cache()
+    try {
+      assert(v1.select(min(col("version")), max(col("version"))).head().toSeq === Seq(1L, 1L))
+      assert(v2.select(min(col("version")), max(col("version"))).head().toSeq === Seq(2L, 2L))
+      // v1 == the base encode of every raw point, untouched by the
+      // later upsert/delete
+      assert(v1.agg(sum(col("n_points"))).head().getLong(0) === nRaw)
+      // v2 content differs: late-arrival inserts and etype deletes
+      // moved the totals
+      assert(v2.agg(sum(col("n_points"))).head().getLong(0) !== nRaw)
+    } finally { v1.unpersist(); v2.unpersist() }
+  }
+
   test("schema-evolved read: old snapshot decodes identically, added tag NULL exactly on the old half") {
     val base = java.nio.file.Files.createTempDirectory("graft_store_evolve_spec").toString
     val pts = TimeSeries
