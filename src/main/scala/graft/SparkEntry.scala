@@ -166,6 +166,7 @@ object SparkEntry {
     "ann_index_search"    -> ((s, d) => Similarity.annIndexSearch(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
+    "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
@@ -356,9 +357,13 @@ object SparkEntry {
     */
   /** IVF-PQ oracle — shared verbatim by the in-memory search and
     * the persisted-index search (the index roundtrip must be
-    * byte-identical)
+    * byte-identical). `trainN` bounds the Lloyd sample: 500 for the
+    * full builds, 400 for the append drill whose training must see
+    * only the old half.
     */
-  private lazy val ivfPqOracleSql: String =
+  private lazy val ivfPqOracleSql: String = ivfPqOracle(500)
+
+  private def ivfPqOracle(trainN: Int): String =
     s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,
          |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
@@ -377,7 +382,7 @@ object SparkEntry {
          |          FROM qn JOIN asg ON asg.vec_id = qn.vec_id
          |          JOIN cen ON cen.cell = asg.cell AND cen.i = qn.i),
          |rs AS (SELECT vec_id, cell, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM resid),
-         |svt AS (SELECT vec_id, mi, i, v FROM rs WHERE vec_id < 500),
+         |svt AS (SELECT vec_id, mi, i, v FROM rs WHERE vec_id < $trainN),
          |cb0 AS (SELECT vec_id - 200 AS code, mi, i, v FROM rs WHERE vec_id BETWEEN 200 AND 263),
          |${pqLloydCtes(3)},
          |cb AS (SELECT code, mi, i, v FROM cb3),
@@ -997,6 +1002,9 @@ object SparkEntry {
     // LUT, ADC over probed cells only, exact cosine re-rank
     "ann_ivfpq_search" -> ivfPqOracleSql,
     "ann_index_search" -> ivfPqOracleSql,
+    // append-without-retrain: every training input lives in the old
+    // half, so the appended index == a full rebuild trained on it
+    "ann_index_append" -> ivfPqOracle(400),
     "ann_pq_search" ->
       s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,

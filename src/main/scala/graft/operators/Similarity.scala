@@ -465,12 +465,14 @@ object Similarity {
       kCode: Int,
       iters: Int,
       trainN: Long
-  ): IvfPqModel = {
+  ): IvfPqModel = ivfPqModelFrom(normalized(spark, dir), nCells, m, kCode, iters, trainN)
+
+  /** Residual sub-vectors of `qn` against a given centroid table —
+    * shared by full builds and by index APPEND (encoding new vectors
+    * against a stored model).
+    */
+  private def residualSubvecs(qn: DataFrame, cen: DataFrame, m: Int): DataFrame = {
     val sub = 64 / m
-    val qn = normalized(spark, dir)
-    val cen = qn
-      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
-      .select((col("vec_id") - 100).as("cell"), col("qn").as("cq"), col("qn2").as("c2"))
     val cellDist = qn
       .crossJoin(broadcast(cen))
       .withColumn("d2", col("qn2") + col("c2") - lit(2L) * dotQ(col("qn"), col("cq")))
@@ -485,12 +487,39 @@ object Similarity {
         col("a.cell").as("cell"),
         zip_with(col("qn"), col("a.cq"), (x, c) => x - c).as("r")
       )
-    val subvecs = asg.select(
+    asg.select(
       col("vec_id"),
       col("cell"),
       posexplode(expr(s"transform(sequence(0, ${m - 1}), j -> slice(r, j * $sub + 1, $sub))"))
         .as(Seq("mi", "sv"))
     )
+  }
+
+  /** PQ-encode residual sub-vectors against a given codebook: exact
+    * integer L2 argmin per subspace.
+    */
+  private def pqEncode(subvecs: DataFrame, cb: DataFrame): DataFrame =
+    subvecs
+      .join(broadcast(cb), Seq("mi"))
+      .withColumn("d2", norm2Q(zip_with(col("sv"), col("cv"), (a, b) => a - b)))
+      .groupBy(col("vec_id"), col("mi"))
+      .agg(
+        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
+        first(col("cell")).as("cell")
+      )
+
+  private def ivfPqModelFrom(
+      qn: DataFrame,
+      nCells: Int,
+      m: Int,
+      kCode: Int,
+      iters: Int,
+      trainN: Long
+  ): IvfPqModel = {
+    val cen = qn
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nCells)
+      .select((col("vec_id") - 100).as("cell"), col("qn").as("cq"), col("qn2").as("c2"))
+    val subvecs = residualSubvecs(qn, cen, m)
     // shared residual codebook: seeded from a deterministic sample
     // clear of both the probe set and the centroid seeds, then
     // Lloyd-REFINED over a bounded training sample (floor-averaged
@@ -521,16 +550,7 @@ object Similarity {
           )
       }
       .localCheckpoint(true)
-    // PQ-encode every residual: exact integer L2 argmin per subspace
-    val codes = subvecs
-      .join(broadcast(cb), Seq("mi"))
-      .withColumn("d2", norm2Q(zip_with(col("sv"), col("cv"), (a, b) => a - b)))
-      .groupBy(col("vec_id"), col("mi"))
-      .agg(
-        min_by(col("code"), struct(col("d2"), col("code"))).as("code"),
-        first(col("cell")).as("cell")
-      )
-    IvfPqModel(cen, cb, codes)
+    IvfPqModel(cen, cb, pqEncode(subvecs, cb))
   }
 
   /** SEARCH over an IVF-PQ model (in-memory or read back from a
@@ -703,6 +723,55 @@ object Similarity {
         col("rnk"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
+  }
+
+  // -------------------------------------------------------------------
+  // 28j. ann_index_append — index MAINTENANCE without retraining: the
+  // index is built on the OLD half of the corpus only; new vectors are
+  // then encoded against the STORED model (nearest existing cell +
+  // existing residual codebook — the two reads are the whole model)
+  // and appended into the cell-partitioned codes layout. Search over
+  // the combined index. Because every training input (centroid seeds,
+  // codebook seeds, Lloyd sample) lives in the old half, the appended
+  // index is byte-identical to a full rebuild — same oracle as
+  // ann_index_search, and SimilaritySpec pins the equality — while
+  // the append pass touched ONLY the new vectors. At 100 TB this is
+  // the difference between nightly retrains and a streaming-sized
+  // encode job; codebook drift is monitored separately
+  // (emb_norm_stats + residual envelopes) and triggers a real
+  // retrain when it moves.
+  // -------------------------------------------------------------------
+  def annIndexAppend(
+      spark: SparkSession,
+      dir: String,
+      splitId: Long = 400L,
+      probeCells: Int = 4,
+      m: Int = 8,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_vecidx_app_$key"
+    val qn = normalized(spark, dir)
+    val mdlOld = ivfPqModelFrom(qn.filter(col("vec_id") < splitId), 8, m, 64, 3, splitId)
+    mdlOld.cen.write.mode("overwrite").parquet(s"$out/centroids")
+    mdlOld.cb.write.mode("overwrite").parquet(s"$out/codebook")
+    mdlOld.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    val cen = spark.read.parquet(s"$out/centroids")
+    val cb  = spark.read.parquet(s"$out/codebook")
+    pqEncode(residualSubvecs(qn.filter(col("vec_id") >= splitId), cen, m), cb)
+      .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+    ivfPqSearchTail(
+      spark,
+      dir,
+      IvfPqModel(cen, cb, spark.read.parquet(s"$out/codes")),
+      probeCells,
+      m,
+      shortlist,
+      nProbes,
+      k
+    )
   }
 
   // -------------------------------------------------------------------
