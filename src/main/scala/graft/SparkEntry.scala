@@ -192,6 +192,7 @@ object SparkEntry {
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_bpe_index"    -> ((s, d) => TextAnalysis.bpeIndexApply(s, d)),
+    "text_search_topk"  -> ((s, d) => TextAnalysis.searchTopk(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1255,6 +1256,21 @@ object SparkEntry {
     // the persisted-index roundtrip must lose nothing: same oracle as
     // the in-memory apply
     "text_bpe_index" -> bpeApplyOracle(5),
+    // integer-exact tf-idf: idf = N*10^6 // df, HUGEINT sum mirrors
+    // the DECIMAL path
+    "text_search_topk" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |q AS (SELECT tok FROM (VALUES ('fast'), ('key'), ('sort')) v(tok)),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM t JOIN q USING (tok) GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM t JOIN q USING (tok) GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |sc AS (SELECT doc_id, CAST(SUM(tf * (nd * 1000000 // df)) AS BIGINT) AS score
+         |       FROM tf JOIN df USING (tok), n GROUP BY 1),
+         |r AS (SELECT doc_id, score,
+         |        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM sc)
+         |SELECT rnk, doc_id, score FROM r WHERE rnk <= 10""".stripMargin,
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->
       """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,

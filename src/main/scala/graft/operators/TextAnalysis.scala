@@ -704,6 +704,45 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31p. text_search_topk — LEXICAL RETRIEVAL: rank documents against
+  // a keyword query by integer-exact TF-IDF (idf as the monotone
+  // rational N·10⁶ DIV df — no float log, so scores are bit-identical
+  // across engines; products ride DECIMAL(38,0) against warehouse-
+  // scale overflow). The inverted shape is the plan: the corpus
+  // explode filters to QUERY TERMS in the scan stage (everything else
+  // never leaves the scan), tf/df are partial-aggregable counts, the
+  // corpus size is a 1-row broadcast, and the top-10 is TakeOrdered.
+  // At 100 TB the same query runs against a pre-materialized postings
+  // table; this operator is the build + query composed.
+  // -------------------------------------------------------------------
+  def searchTopk(
+      spark: SparkSession,
+      dir: String,
+      query: Seq[String] = Seq("fast", "key", "sort"),
+      k: Int = 10
+  ): DataFrame = {
+    val t = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(query: _*))
+    val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val w  = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_micro", expr("nd * 1000000 DIV df"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("CAST(SUM(CAST(tf AS DECIMAL(19,0)) * CAST(idf_micro AS DECIMAL(19,0))) AS BIGINT)")
+          .as("score")
+      )
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+  }
+
+  // -------------------------------------------------------------------
   // 31o. text_bpe_index — the tokenizer BUILD/APPLY split (the same
   // split the ANN index got): training writes the merge table AND the
   // per-word segmentation (vocab) table as parquet; tokenization then

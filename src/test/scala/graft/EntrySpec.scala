@@ -58,7 +58,8 @@ class EntrySpec extends AnyFunSuite {
     "text_source_terms",         // 1-row grand-total broadcast
     "text_bpe_train",            // 1-row argmax-pair broadcast per merge round
     "text_bpe_apply",            // same trained-merge chain under the word join
-    "rel_basket_pairs"           // 1-row order-count broadcast
+    "rel_basket_pairs",          // 1-row order-count broadcast
+    "text_search_topk"           // 1-row corpus-size broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
