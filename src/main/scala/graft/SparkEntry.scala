@@ -123,6 +123,7 @@ object SparkEntry {
     "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
     "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
+    "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
@@ -1533,6 +1534,26 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "graph_part_rank" -> pagerankOracle(3),
     "dedup_label_prop" -> labelPropOracle(3),
+    // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
+    // the corpus max order date
+    "rel_rfm_segments" ->
+      """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders),
+        |per AS (SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_date,
+        |          CAST(COUNT(*) AS BIGINT) AS f,
+        |          CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS m_c
+        |        FROM orders GROUP BY 1),
+        |j AS (SELECT c.c_mktsegment, c.c_custkey, per.f, per.m_c,
+        |        CAST(date_diff('day', per.last_date, mx.max_date) AS BIGINT) AS r_days
+        |      FROM per JOIN customer c ON c.c_custkey = per.o_custkey, mx),
+        |q AS (SELECT c_mktsegment,
+        |        CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY r_days ASC, c_custkey ASC) AS BIGINT) AS r_q,
+        |        CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY f DESC, c_custkey ASC) AS BIGINT) AS f_q,
+        |        CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY m_c DESC, c_custkey ASC) AS BIGINT) AS m_q,
+        |        m_c
+        |      FROM j)
+        |SELECT c_mktsegment, r_q, f_q, m_q, COUNT(*) AS n_customers,
+        |  CAST(SUM(m_c) AS BIGINT) AS sum_m_c
+        |FROM q GROUP BY 1, 2, 3, 4""".stripMargin,
     // header-vs-detail reconciliation: full outer join, four-way class
     "rel_order_recon" ->
       """WITH l AS (SELECT l_orderkey,

@@ -816,6 +816,44 @@ object Relational {
     * rides a 1-row broadcast. Top-20 by support with a full
     * deterministic tiebreak, planned as TakeOrdered.
     */
+  /** rel_rfm_segments — RFM customer segmentation (the classic CRM
+    * analysis): per market segment, customers quartiled independently
+    * on Recency (days since last order vs the corpus max date — a
+    * 1-row broadcast), Frequency (order count) and Monetary (cents
+    * total), with fully deterministic NTILE tiebreaks, then the
+    * 4×4×4 segment-cell census. All three windows share the one
+    * mktsegment shuffle; everything downstream is a bounded-key
+    * groupBy. Customers with no orders are out of scope (RFM is
+    * undefined without a purchase).
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mx = Tables.orders(spark, dir).agg(max($"o_orderdate").as("max_date"))
+    val per = Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        max($"o_orderdate").as("last_date"),
+        count(lit(1)).as("f"),
+        sum(cents($"o_totalprice")).as("m_c")
+      )
+      .join(
+        Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment"),
+        $"c_custkey" === $"o_custkey"
+      )
+      .crossJoin(broadcast(mx))
+      .withColumn("r_days", datediff($"max_date", $"last_date").cast("long"))
+    val wr = Window.partitionBy($"c_mktsegment").orderBy($"r_days".asc, $"c_custkey".asc)
+    val wf = Window.partitionBy($"c_mktsegment").orderBy($"f".desc, $"c_custkey".asc)
+    val wm = Window.partitionBy($"c_mktsegment").orderBy($"m_c".desc, $"c_custkey".asc)
+    per
+      .withColumn("r_q", ntile(4).over(wr).cast("long"))
+      .withColumn("f_q", ntile(4).over(wf).cast("long"))
+      .withColumn("m_q", ntile(4).over(wm).cast("long"))
+      .groupBy($"c_mktsegment", $"r_q", $"f_q", $"m_q")
+      .agg(count(lit(1)).as("n_customers"), sum($"m_c").as("sum_m_c"))
+  }
+
   /** rel_order_recon — the RECONCILIATION audit between a header table
     * and its detail rollup (orders.o_totalprice vs the per-order
     * lineitem price sum): FULL OUTER join on the key, every row

@@ -59,7 +59,8 @@ class EntrySpec extends AnyFunSuite {
     "text_bpe_train",            // 1-row argmax-pair broadcast per merge round
     "text_bpe_apply",            // same trained-merge chain under the word join
     "rel_basket_pairs",          // 1-row order-count broadcast
-    "text_search_topk"           // 1-row corpus-size broadcast
+    "text_search_topk",          // 1-row corpus-size broadcast
+    "rel_rfm_segments"           // 1-row max-order-date broadcast
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
