@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // per-call scratch: each timed invocation builds its store /
+    // checkpoint FRESH, so a best-of-2 second pass (or a leftover dir
+    // from a previous round's run) can never turn a streaming query's
+    // row into a checkpoint-resume no-op that understates the work ~10x
+    sys.props("graft.scratch.percall") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,7 +63,10 @@ object Bench {
     // emit the slowest queries that fit the window (the ones a
     // round-over-round diff cares about), declare how many cheap ones
     // were dropped, and leave the complete table to the file above.
-    val budget = 1950
+    // ~2000-char capture window MINUS sbt's trailing "[success] Total
+    // time ..." line (~70 chars) and slack: round 6's 1950-char line
+    // lost its opening 20 chars to exactly that suffix and parsed null
+    val budget = 1800
     var kept = all
     while (kept.nonEmpty && lineOf(kept, all.size - kept.size).length > budget)
       kept = kept.dropRight(1)

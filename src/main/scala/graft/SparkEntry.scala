@@ -70,6 +70,7 @@ object SparkEntry {
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     "ts_store_roundtrip"  -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
+    "ts_store_compact"    -> ((s, d) => graft.sources.TimeboxStore.compactSummary(s, d)),
     "ts_store_multitag"   -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_store_value_read" -> ((s, d) => graft.sources.TimeboxStore.valueReadSummary(s, d)),
     "ts_store_multitag_read" -> ((s, d) => graft.sources.TimeboxStore.multitagValueReadSummary(s, d)),
@@ -125,6 +126,11 @@ object SparkEntry {
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q9_product_profit"  -> ((s, d) => Relational.q9ProductProfit(s, d)),
+    "q11_important_stock" -> ((s, d) => Relational.q11ImportantStock(s, d)),
+    "q16_supplier_cnt"   -> ((s, d) => Relational.q16SupplierCnt(s, d)),
+    "q20_potential_promo" -> ((s, d) => Relational.q20PotentialPromo(s, d)),
     // -- deduplication ---------------------------------------------------
     "dedup_exact"            -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_keep_first" -> ((s, d) => Dedup.exactKeepFirst(s, d)),
@@ -169,6 +175,7 @@ object SparkEntry {
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
+    "ann_stream_index"    -> ((s, d) => graft.sources.StreamingIngest.annStreamIndex(s, d)),
     // -- text analysis ----------------------------------------------------
     "text_tokens"      -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_bigram_pmi"  -> ((s, d) => TextAnalysis.bigramPmi(s, d)),
@@ -1007,6 +1014,10 @@ object SparkEntry {
     // append-without-retrain: every training input lives in the old
     // half, so the appended index == a full rebuild trained on it
     "ann_index_append" -> ivfPqOracle(400),
+    // streaming maintenance drains to the SAME index bytes as the
+    // batch append (row-local encode against the stored model), so the
+    // oracle is shared
+    "ann_stream_index" -> ivfPqOracle(400),
     "ann_pq_search" ->
       s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,
@@ -1428,17 +1439,24 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin,
     // reassemble-and-hash integrity proof; empty payloads restore to ''
+    // byte-accurate chunking in hex space (2 hex chars = 1 byte): chunk
+    // boundaries are byte offsets even for multibyte text; sha-256 over
+    // the (injective) hex string is the engine-portable integrity hash
     "mm_chunk_restore" ->
-      """WITH c AS (SELECT doc_id, i AS chunk_idx, substr(text, i*256 + 1, 256) AS chunk
-        |           FROM (SELECT doc_id, text,
-        |                   unnest(generate_series(0, CAST((octet_length(encode(text)) + 255) // 256 AS INTEGER) - 1)) AS i
-        |                 FROM documents WHERE octet_length(encode(text)) > 0)),
+      """WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS body_hex,
+        |             octet_length(encode(text)) AS n_bytes
+        |           FROM documents WHERE octet_length(encode(text)) > 0),
+        |c AS (SELECT doc_id, i AS chunk_idx, substr(body_hex, i*512 + 1, 512) AS chunk_hex
+        |      FROM (SELECT doc_id, body_hex,
+        |              unnest(generate_series(0, CAST((n_bytes + 255) // 256 AS INTEGER) - 1)) AS i
+        |            FROM b)),
         |r AS (SELECT doc_id, COUNT(*) AS n_chunks,
-        |        string_agg(chunk, '' ORDER BY chunk_idx) AS reassembled
+        |        string_agg(chunk_hex, '' ORDER BY chunk_idx) AS reassembled_hex
         |      FROM c GROUP BY 1)
         |SELECT d.doc_id, CAST(COALESCE(r.n_chunks, 0) AS BIGINT) AS n_chunks,
-        |  sha256(d.text) AS orig_sha, sha256(COALESCE(r.reassembled, '')) AS restored_sha,
-        |  CAST(CASE WHEN sha256(COALESCE(r.reassembled, '')) = sha256(d.text)
+        |  sha256(lower(hex(encode(d.text)))) AS orig_sha,
+        |  sha256(COALESCE(r.reassembled_hex, '')) AS restored_sha,
+        |  CAST(CASE WHEN sha256(COALESCE(r.reassembled_hex, '')) = sha256(lower(hex(encode(d.text))))
         |       THEN 1 ELSE 0 END AS BIGINT) AS intact
         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
     // magic-byte sniff in hex-string space; the stub header (one of four
@@ -2370,6 +2388,16 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // compaction: n_blocks == DISTINCT days iff every fragmented
+    // (series, day) collapsed back to ONE block; the point summary is
+    // the lossless-roundtrip check over the same store
+    "ts_store_compact" ->
+      """SELECT user_id,
+        |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_blocks,
+        |  COUNT(*) AS n_points,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        |FROM events GROUP BY user_id""".stripMargin,
     "ts_store_roundtrip" ->
       """SELECT user_id, COUNT(*) AS n_points,
         |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
@@ -2662,6 +2690,19 @@ object SparkEntry {
     "ts_gapfill_locf" -> gapfillOracleSql
   )
 
+  /** The synthetic partsupp bridge, derived in SQL exactly as
+    * Relational.partsupp derives it in Spark (shared prefix of the
+    * five partsupp-family oracles).
+    */
+  private val PartsuppCte: String =
+    """WITH ns AS (SELECT COUNT(*) AS n_supp FROM supplier),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey, i AS ps_i,
+      |    (p_partkey * 13 + p_partkey // n_supp + i * (n_supp // 4)) % n_supp AS ps_suppkey,
+      |    (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
+      |    (p_partkey * 97 + i * 31) % 100000 + 100 AS ps_supplycost_c
+      |  FROM part CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g CROSS JOIN ns)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -2895,6 +2936,70 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
         |  GROUP BY c_custkey)
         |GROUP BY 1""".stripMargin,
+    // partsupp family: the bridge table is synthesized IDENTICALLY in
+    // both engines (pure integer functions of p_partkey, slot 0-3,
+    // |supplier|) — see Relational.partsupp; `//` is DuckDB floor
+    // division = Spark DIV on these non-negative longs
+    "q2_min_cost_supplier" ->
+      (PartsuppCte + """,
+        |supp AS (
+        |  SELECT s_suppkey, s_name, CAST(round(s_acctbal*100) AS BIGINT) AS acctbal_c, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |eu AS (SELECT * FROM partsupp JOIN supp ON ps_suppkey = s_suppkey),
+        |mc AS (SELECT ps_partkey, MIN(ps_supplycost_c) AS cost_c FROM eu GROUP BY 1)
+        |SELECT acctbal_c, s_name, n_name, p_partkey, cost_c, ps_suppkey
+        |FROM eu JOIN mc USING (ps_partkey)
+        |JOIN part ON ps_partkey = p_partkey
+        |WHERE ps_supplycost_c = cost_c AND p_size = 15 AND p_type = 'LARGE'
+        |ORDER BY acctbal_c DESC, n_name ASC, s_name ASC, p_partkey ASC, ps_suppkey ASC
+        |LIMIT 100""".stripMargin),
+    "q9_product_profit" ->
+      (PartsuppCte + """
+        |SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |       - ps_supplycost_c * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN partsupp ON ps_partkey = l_partkey AND ps_i = l_suppkey % 4
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin),
+    "q11_important_stock" ->
+      (PartsuppCte + """,
+        |held AS (
+        |  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v
+        |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+        |tot AS (SELECT CAST(SUM(v) AS BIGINT) AS total_c FROM held)
+        |SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_c
+        |FROM held CROSS JOIN tot GROUP BY ps_partkey, total_c
+        |HAVING SUM(v) * 500 > total_c
+        |ORDER BY value_c DESC, ps_partkey ASC LIMIT 100""".stripMargin),
+    "q16_supplier_cnt" ->
+      (PartsuppCte + """
+        |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM partsupp JOIN part ON ps_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 19, 29, 39, 49)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%3')
+        |GROUP BY 1, 2, 3""".stripMargin),
+    "q20_potential_promo" ->
+      (PartsuppCte + """,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey % 4 AS slot,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS shipped_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(l_shipdate) = 1996 AND p_name LIKE 'small%'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, COUNT(*) AS n_parts, CAST(SUM(ps_availqty) AS BIGINT) AS avail_qty
+        |FROM partsupp
+        |JOIN shipped ON ps_partkey = l_partkey AND ps_i = slot
+        |JOIN supplier ON ps_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3' AND ps_availqty * 2 > shipped_qty
+        |GROUP BY 1""".stripMargin),
     // Q21 shape: EXISTS / NOT EXISTS double self-join on the order key
     "q21_waiting_supplier" ->
       """SELECT n_name, s_name, COUNT(*) AS numwait

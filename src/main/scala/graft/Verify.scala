@@ -9,6 +9,9 @@ object Verify {
     // optional extra args: run only these queries (local iteration aid;
     // the driver's two-arg invocation is unchanged)
     val only = args.drop(2).toSet
+    // every query invocation gets its own scratch dir, so queries can
+    // run CONCURRENTLY without two store builds racing on a shared path
+    sys.props("graft.scratch.percall") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,17 +23,51 @@ object Verify {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
       )
       .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Run queries on a small thread pool: most of a query's wall time
+    // at sf0.01 is job-scheduling latency and streaming micro-batch
+    // floors, not CPU, so 4 concurrent queries cut the sweep's wall
+    // clock ~3x — which is what keeps the whole sweep inside the
+    // driver's round budget (round 6 lost all 72 ts_* results to a
+    // wall-clock truncation). Safe because per-call scratch isolation
+    // is on (above) and each query writes its own outDir subdir.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val todo = SparkEntry.queries.toSeq.filter(kv => only.isEmpty || only(kv._1))
+    val failures = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val futures = todo.map { case (name, fn) =>
+      scala.concurrent.Future {
+        // pooled threads carry no active-session thread-local; without
+        // it SQLConf.get falls back to DEFAULTS and silently drops
+        // session confs (nanosAsLong made every events read blow up)
+        SparkSession.setActiveSession(spark)
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures.add(name)
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
-      finally spark.catalog.clearCache()
+    }
+    futures.foreach(f => scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
+    pool.shutdown()
+    // safety net: anything that failed under concurrency gets one
+    // sequential retry on the main thread (a transient contention
+    // failure must not cost the round a correctness row)
+    failures.forEach { name =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(s"[verify] $name succeeded on sequential retry")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed on retry: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

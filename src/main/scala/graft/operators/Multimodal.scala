@@ -286,31 +286,47 @@ object Multimodal {
   // -------------------------------------------------------------------
   def chunkRestore(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame = {
     val cb = chunkBytes
+    // Chunking happens in HEX space (2 hex chars = 1 byte) so the
+    // boundaries are BYTE offsets, not character offsets — for
+    // multibyte text a char-based substring would inflate n_chunks
+    // (trailing empty chunks) and never exercise true byte-range
+    // reassembly. Hex is injective, so sha-256 over the hex string is
+    // the same integrity proof as sha-256 over the raw bytes, and is
+    // engine-portable (no blob-hash signature differences).
+    val hx = 2 * cb
     val re = Tables
       .documents(spark, dir)
-      .select(col("doc_id"), col("text"), expr("octet_length(text)").as("n_bytes"))
+      .select(
+        col("doc_id"),
+        lower(hex(col("text").cast("binary"))).as("body_hex"),
+        expr("octet_length(text)").as("n_bytes")
+      )
       .filter(col("n_bytes") > 0)
       .select(
         col("doc_id"),
-        col("text"),
+        col("body_hex"),
         explode(expr(s"sequence(0, CAST((n_bytes + ${cb - 1}) DIV $cb AS INT) - 1)")).as("chunk_idx")
       )
-      .select(col("doc_id"), col("chunk_idx"), expr(s"substring(text, chunk_idx * $cb + 1, $cb)").as("chunk"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        expr(s"substring(body_hex, chunk_idx * $hx + 1, $hx)").as("chunk_hex")
+      )
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        expr("array_join(transform(sort_array(collect_list(struct(chunk_idx, chunk))), p -> p.chunk), '')")
-          .as("reassembled")
+        expr("array_join(transform(sort_array(collect_list(struct(chunk_idx, chunk_hex))), p -> p.chunk_hex), '')")
+          .as("reassembled_hex")
       )
     Tables
       .documents(spark, dir)
-      .select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("orig_sha"))
+      .select(col("doc_id"), sha2(lower(hex(col("text").cast("binary"))), 256).as("orig_sha"))
       .join(re, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         col("orig_sha"),
-        sha2(coalesce(col("reassembled"), lit("")).cast("binary"), 256).as("restored_sha")
+        sha2(coalesce(col("reassembled_hex"), lit("")), 256).as("restored_sha")
       )
       .withColumn("intact", when(col("orig_sha") === col("restored_sha"), 1L).otherwise(0L))
   }

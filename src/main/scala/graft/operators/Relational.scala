@@ -736,7 +736,9 @@ object Relational {
       .lineitem(spark, dir)
       .select(
         $"l_suppkey",
-        (unix_timestamp($"l_shipdate") / 604800L).cast("long").as("week_id"),
+        // DIV = true floor division, matching the oracle's `//` for
+        // negative (pre-1970) timestamps too; long `/` truncates toward 0
+        expr("unix_timestamp(l_shipdate) DIV 604800").as("week_id"),
         cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c")
       )
       .groupBy($"l_suppkey", $"week_id")
@@ -959,5 +961,197 @@ object Relational {
       .limit(k)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select($"rnk", $"part_a", $"part_b", $"n_ab", $"n_a", $"n_b", $"lift_micro")
+  }
+
+  // =====================================================================
+  // partsupp family — the five classic TPC-H shapes (Q2/Q9/Q11/Q16/Q20)
+  // that need the part-supplier bridge table. The shipped testdata has
+  // no partsupp, so it is SYNTHESIZED deterministically from the tables
+  // that do exist: 4 supplier slots per part, every column a pure
+  // integer function of (p_partkey, slot, |supplier|). Both engines
+  // derive the identical relation from the identical inputs, so the
+  // oracle discipline is unchanged — and the generation is ROW-LOCAL
+  // (a broadcast 4-row slot spine and a broadcast 1-row supplier count;
+  // zero shuffles), so "materializing" partsupp at 100 TB costs one
+  // map pass over part.
+  // =====================================================================
+
+  /** Synthetic partsupp: (ps_partkey, ps_i slot 0-3, ps_suppkey,
+    * ps_availqty, ps_supplycost_c). Suppkeys are 0-based like the
+    * shipped tables; the slot stride |supplier|/4 keeps a part's 4
+    * suppliers distinct, the *13 scatter decorrelates neighbouring
+    * parts (the join-balance property the TPC-H generator's formula
+    * exists for).
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ns = Tables.supplier(spark, dir).agg(count(lit(1)).as("n_supp"))
+    Tables
+      .part(spark, dir)
+      .select($"p_partkey")
+      .crossJoin(broadcast(spark.range(4).toDF("ps_i")))
+      .crossJoin(broadcast(ns))
+      .select(
+        $"p_partkey".as("ps_partkey"),
+        $"ps_i",
+        expr("(p_partkey * 13 + p_partkey DIV n_supp + ps_i * (n_supp DIV 4)) % n_supp")
+          .as("ps_suppkey"),
+        expr("(p_partkey * 7 + ps_i * 11) % 9999 + 1").as("ps_availqty"),
+        expr("(p_partkey * 97 + ps_i * 31) % 100000 + 100").as("ps_supplycost_c")
+      )
+  }
+
+  /** Q2 shape — correlated min-cost supplier: for every qualifying
+    * part, the European supplier(s) quoting the per-part MINIMUM
+    * supply cost. The correlation is a per-part min + an equality
+    * join back (ties keep all witnesses, TPC-H semantics); the
+    * region-restricted supplier dimension broadcasts, and the min
+    * table reuses the partsupp shuffle partitioning on ps_partkey.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val supp = Tables
+      .supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(
+        broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey"
+      )
+      .select($"s_suppkey", $"s_name", cents($"s_acctbal").as("acctbal_c"), $"n_name")
+    val eu = partsupp(spark, dir).join(broadcast(supp), $"ps_suppkey" === $"s_suppkey")
+    val minCost = eu.groupBy($"ps_partkey").agg(min($"ps_supplycost_c").as("cost_c"))
+    eu.join(minCost, Seq("ps_partkey"))
+      .filter($"ps_supplycost_c" === $"cost_c")
+      .join(
+        Tables.part(spark, dir).filter($"p_size" === 15 && $"p_type" === "LARGE").select($"p_partkey"),
+        $"ps_partkey" === $"p_partkey"
+      )
+      .select($"acctbal_c", $"s_name", $"n_name", $"p_partkey", $"cost_c", $"ps_suppkey")
+      .orderBy($"acctbal_c".desc, $"n_name".asc, $"s_name".asc, $"p_partkey".asc, $"ps_suppkey".asc)
+      .limit(k)
+  }
+
+  /** Q9 shape — product-line profit by nation and year:
+    * profit = revenue − supply cost · quantity, all integer cents.
+    * Lineitem matches its partsupp row on the COMPOSITE key
+    * (ps_partkey, slot = l_suppkey % 4) so every line finds exactly
+    * one cost quote (the synthetic bridge's analogue of TPC-H's
+    * (partkey, suppkey) FK); supplier→nation broadcasts; the final
+    * groupBy is a (25 nations × years) key — partial-aggregable.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(
+        $"l_orderkey",
+        $"l_partkey",
+        $"l_suppkey",
+        expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_c")
+      )
+    val red = broadcast(
+      Tables.part(spark, dir).filter($"p_name".like("%red%")).select($"p_partkey")
+    )
+    val nat = broadcast(
+      Tables
+        .supplier(spark, dir)
+        .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+    )
+    val years = Tables.orders(spark, dir).select($"o_orderkey", year($"o_orderdate").cast("long").as("o_year"))
+    li.join(red, $"l_partkey" === $"p_partkey")
+      .join(
+        partsupp(spark, dir),
+        $"ps_partkey" === $"l_partkey" && $"ps_i" === $"l_suppkey" % 4
+      )
+      .join(nat, $"s_suppkey" === $"l_suppkey")
+      .join(years, $"o_orderkey" === $"l_orderkey")
+      .select($"n_name", $"o_year", ($"rev_c" - $"ps_supplycost_c" * $"qty").as("profit_c"))
+      .groupBy($"n_name", $"o_year")
+      .agg(sum($"profit_c").as("sum_profit_c"))
+  }
+
+  /** Q11 shape — important stock: per part, the inventory value held
+    * by one nation's suppliers, kept where it exceeds a fixed share
+    * of that nation's total (integer cross-multiply, no float
+    * fraction). The total is a 1-row broadcast; the per-part agg is
+    * one partial-aggregable shuffle on ps_partkey.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    import spark.implicits._
+    val suppN = broadcast(
+      Tables
+        .supplier(spark, dir)
+        .join(Tables.nation(spark, dir).filter($"n_name" === "NATION_7"), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+    )
+    val held = partsupp(spark, dir)
+      .join(suppN, $"ps_suppkey" === $"s_suppkey")
+      .select($"ps_partkey", ($"ps_supplycost_c" * $"ps_availqty").as("value_c"))
+    val byPart = held.groupBy($"ps_partkey").agg(sum($"value_c").as("value_c"))
+    val total = held.agg(sum($"value_c").as("total_c"))
+    byPart
+      .crossJoin(broadcast(total))
+      .filter($"value_c" * 500 > $"total_c")
+      .select($"ps_partkey", $"value_c")
+      .orderBy($"value_c".desc, $"ps_partkey".asc)
+      .limit(k)
+  }
+
+  /** Q16 shape — supplier diversity per part profile: how many
+    * DISTINCT suppliers stock each (brand, type, size) combination,
+    * excluding one brand and a "complaint" supplier denylist (name
+    * ends in '3'). count_distinct over the bounded profile key space;
+    * the denylist is an anti-joined broadcast.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bad = broadcast(
+      Tables.supplier(spark, dir).filter($"s_name".like("%3")).select($"s_suppkey")
+    )
+    partsupp(spark, dir)
+      .join(
+        Tables
+          .part(spark, dir)
+          .filter($"p_brand" =!= "Brand#5" && $"p_size".isin(1, 9, 19, 29, 39, 49))
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size"),
+        $"ps_partkey" === $"p_partkey"
+      )
+      .join(bad, $"ps_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size".cast("long").as("p_size"))
+      .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+  }
+
+  /** Q20 shape — potential promotion stock: suppliers in one nation
+    * whose available quantity of 'small %' parts exceeds HALF of what
+    * they actually shipped in 1996 (avail·2 > shipped, integer).
+    * Shipped volume aggregates per (part, slot) — the same composite
+    * FK as Q9 — then the availability check is a per-row filter; the
+    * supplier dimension broadcasts for the name resolve.
+    */
+  def q20PotentialPromo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val smallParts = broadcast(
+      Tables.part(spark, dir).filter($"p_name".like("small%")).select($"p_partkey")
+    )
+    val shipped = Tables
+      .lineitem(spark, dir)
+      .filter(year($"l_shipdate") === 1996)
+      .join(smallParts, $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", ($"l_suppkey" % 4).as("slot"))
+      .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("shipped_qty"))
+    val suppN = broadcast(
+      Tables
+        .supplier(spark, dir)
+        .join(Tables.nation(spark, dir).filter($"n_name" === "NATION_3"), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")
+    )
+    partsupp(spark, dir)
+      .join(shipped, $"ps_partkey" === $"l_partkey" && $"ps_i" === $"slot")
+      .filter($"ps_availqty" * 2 > $"shipped_qty")
+      .join(suppN, $"ps_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("n_parts"), sum($"ps_availqty").as("avail_qty"))
   }
 }

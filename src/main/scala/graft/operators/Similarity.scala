@@ -443,7 +443,16 @@ object Similarity {
     * tracks cosine, so the ADC shortlist chases the re-rank's order
     */
   private def normalized(spark: SparkSession, dir: String): DataFrame =
-    quantized(spark, dir)
+    normalizedFrom(Tables.embeddings(spark, dir))
+
+  /** The same normalization from any (vec_id, embedding) frame — the
+    * entry point micro-batches use when new vectors arrive as a
+    * stream rather than from the corpus table.
+    */
+  private[graft] def normalizedFrom(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
+      .withColumn("n2", norm2Q(col("q")))
       .withColumn("sn", sqrt(col("n2").cast("double")))
       .select(
         col("vec_id"),
@@ -676,8 +685,7 @@ object Similarity {
       nProbes: Int = 5,
       k: Int = 10
   ): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_vecidx_$key"
+    val out = graft.sources.TimeboxStore.scratchPath("graft_vecidx", dir)
     buildVectorIndex(spark, dir, out)
     val mdl = IvfPqModel(
       spark.read.parquet(s"$out/centroids"),
@@ -751,28 +759,75 @@ object Similarity {
       nProbes: Int = 5,
       k: Int = 10
   ): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_vecidx_app_$key"
-    val qn = normalized(spark, dir)
-    val mdlOld = ivfPqModelFrom(qn.filter(col("vec_id") < splitId), 8, m, 64, 3, splitId)
+    val out = graft.sources.TimeboxStore.scratchPath("graft_vecidx_app", dir)
+    buildAppendBase(spark, dir, out, splitId, m)
+    appendToStoredIndex(spark, Tables.embeddings(spark, dir).filter(col("vec_id") >= splitId), out, m)
+    searchStoredIndex(spark, dir, out, probeCells, m, shortlist, nProbes, k)
+  }
+
+  /** Persist the appendable index base: model trained ONLY on the old
+    * half (centroid seeds, codebook seeds, Lloyd sample all < splitId)
+    * plus the old half's codes, cell-partitioned. Shared by the batch
+    * append drill and the streaming index maintainer.
+    */
+  private[graft] def buildAppendBase(
+      spark: SparkSession,
+      dir: String,
+      out: String,
+      splitId: Long,
+      m: Int = 8
+  ): Unit = {
+    val mdlOld =
+      ivfPqModelFrom(normalized(spark, dir).filter(col("vec_id") < splitId), 8, m, 64, 3, splitId)
     mdlOld.cen.write.mode("overwrite").parquet(s"$out/centroids")
     mdlOld.cb.write.mode("overwrite").parquet(s"$out/codebook")
     mdlOld.codes.write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+  }
+
+  /** Encode a batch of NEW vectors against the STORED model (two tiny
+    * reads — centroids + codebook — are the whole model) and append
+    * their codes into the cell-partitioned layout. Row-local given the
+    * model, so any batching of the same vectors appends the same codes.
+    */
+  private[graft] def appendToStoredIndex(
+      spark: SparkSession,
+      batch: DataFrame,
+      out: String,
+      m: Int = 8
+  ): Unit = {
     val cen = spark.read.parquet(s"$out/centroids")
     val cb  = spark.read.parquet(s"$out/codebook")
-    pqEncode(residualSubvecs(qn.filter(col("vec_id") >= splitId), cen, m), cb)
+    pqEncode(residualSubvecs(normalizedFrom(batch), cen, m), cb)
       .write.mode("append").partitionBy("cell").parquet(s"$out/codes")
+  }
+
+  /** Search a persisted index directory — byte-identical to searching
+    * the in-memory model it was written from.
+    */
+  private[graft] def searchStoredIndex(
+      spark: SparkSession,
+      dir: String,
+      out: String,
+      probeCells: Int = 4,
+      m: Int = 8,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame =
     ivfPqSearchTail(
       spark,
       dir,
-      IvfPqModel(cen, cb, spark.read.parquet(s"$out/codes")),
+      IvfPqModel(
+        spark.read.parquet(s"$out/centroids"),
+        spark.read.parquet(s"$out/codebook"),
+        spark.read.parquet(s"$out/codes")
+      ),
       probeCells,
       m,
       shortlist,
       nProbes,
       k
     )
-  }
 
   // -------------------------------------------------------------------
   // 32j. emb_norm_stats — embedding HYGIENE: the validation pass every

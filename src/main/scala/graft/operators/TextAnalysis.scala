@@ -439,15 +439,33 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"))
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_new_tokens"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("doc_id"))
-    Tables
+    // TWO-LEVEL running sum over the doc spine: a plain per-source
+    // window is skew-bound by the LARGEST source (billions of docs on
+    // one reducer at corpus scale). Chunk the spine by doc_id DIV 4096:
+    // chunk-level running totals ride a per-source window over the
+    // CHUNK AGGREGATE (docs/4096 rows), the within-chunk sum rides a
+    // window partitioned by (source, chunk) — bounded at 4096 rows.
+    // base_cum + within-chunk cum == the global per-source running sum.
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val spine = Tables
       .documents(spark, dir)
       .select(col("source"), col("doc_id"))
       .join(firstSeen, Seq("source", "doc_id"), "left")
       .withColumn("n_new_tokens", coalesce(col("n_new_tokens"), lit(0L)))
-      .withColumn("vocab_size", sum(col("n_new_tokens")).over(w))
+      .withColumn("chunk", expr("doc_id DIV 4096"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("chunk"))
+    val chunkBase = spine
+      .groupBy(col("source"), col("chunk"))
+      .agg(sum(col("n_new_tokens")).as("ctotal"))
+      .withColumn("base_cum", coalesce(sum(col("ctotal")).over(wc.rowsBetween(unb, -1)), lit(0L)))
+      .select(col("source"), col("chunk"), col("base_cum"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("chunk")).orderBy(col("doc_id"))
+    spine
+      .join(chunkBase, Seq("source", "chunk"))
+      .withColumn("vocab_size", col("base_cum") + sum(col("n_new_tokens")).over(wd.rowsBetween(unb, 0)))
+      .select(col("source"), col("doc_id"), col("n_new_tokens"), col("vocab_size"))
   }
 
   private def docsSourceToks(spark: SparkSession, dir: String): DataFrame =
@@ -459,11 +477,10 @@ object TextAnalysis {
   // 35. text_coverage_topk — tokenizer-budget planning: the smallest
   // top-k vocabulary (by corpus frequency) that covers 50% / 90% /
   // 99% of all token occurrences. One corpus scan collapses to a
-  // vocabulary-sized count table; the rank + running-sum window runs
-  // over that AGGREGATED domain (tokens, not occurrences — at 100 TB
-  // the window input is the vocabulary, orders of magnitude smaller
-  // than the corpus; were the vocabulary itself huge, the running sum
-  // re-bands by count value first). Ties break on token text so both
+  // vocabulary-sized count table; the rank + running sum run as a
+  // TWO-LEVEL prefix sum over (count value, token prefix) bands, so
+  // even a 10^9-row whitespace vocabulary never sorts on one reducer
+  // (see coverageTopk body). Ties break on token text so both
   // engines rank identically; coverage compares cross-multiplied in
   // integers (cum·10⁴ ≥ thr·total), no float shares.
   // -------------------------------------------------------------------
@@ -542,13 +559,37 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("tok").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val wr = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok").asc)
-    val ranked = counts
-      .withColumn("rnk", row_number().over(wr).cast("long"))
-      .withColumn("cum_n", sum(col("n")).over(w))
+    // TWO-LEVEL prefix sum — a single global window ordered by
+    // (n desc, tok asc) would sort the whole VOCABULARY on one
+    // partition (at 100 TB a whitespace vocabulary is 10^8..10^9 rows:
+    // urls, typos, hashes — a single-reducer sort). Instead:
+    //   1. band the vocab by (count value, 2-char token prefix) —
+    //      band order (n desc, pfx asc) IS the global token order,
+    //      because all of one band's tokens are contiguous under it;
+    //   2. band-level running totals ride an unpartitioned window over
+    //      the BAND AGGREGATE (|distinct counts| x |prefixes| rows —
+    //      aggregate-scale, never vocab-scale);
+    //   3. within-band rank/cum ride a window PARTITIONED by the band
+    //      key, so the heavy hapax band (n=1 holds ~half a Zipfian
+    //      vocab) splits across its ~1.6k prefixes instead of landing
+    //      on one reducer.
+    // base_rnk + row_number / base_cum + running sum reproduce the
+    // global window EXACTLY — same oracle.
+    val unb = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val banded = counts.withColumn("pfx", substring(col("tok"), 1, 2))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("pfx").asc)
+    val bands = banded
+      .groupBy(col("n"), col("pfx"))
+      .agg(count(lit(1)).as("bsize"), sum(col("n")).as("btotal"))
+      .withColumn("base_rnk", coalesce(sum(col("bsize")).over(wb.rowsBetween(unb, -1)), lit(0L)))
+      .withColumn("base_cum", coalesce(sum(col("btotal")).over(wb.rowsBetween(unb, -1)), lit(0L)))
+      .select(col("n"), col("pfx"), col("base_rnk"), col("base_cum"))
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n"), col("pfx")).orderBy(col("tok").asc)
+    val ranked = banded
+      .join(bands, Seq("n", "pfx"))
+      .withColumn("rnk", col("base_rnk") + row_number().over(wt).cast("long"))
+      .withColumn("cum_n", col("base_cum") + sum(col("n")).over(wt.rowsBetween(unb, 0)))
     val total = counts.agg(sum(col("n")).as("total_n"))
     val thresholds = spark
       .range(1)
@@ -666,9 +707,21 @@ object TextAnalysis {
         .agg(sum(col("f")).as("pair_weight"))
       val best = pairs.orderBy(col("pair_weight").desc, col("lhs").asc, col("rhs").asc).limit(1)
       merges = merges :+ best.select(lit(r.toLong).as("merge_round"), col("lhs"), col("rhs"), col("pair_weight"))
+      // left join on TRUE (not crossJoin): when a round finds no
+      // adjacent pair (tiny corpus / rounds > learnable merges), best
+      // is EMPTY and a crossJoin would silently wipe the word table —
+      // the pass-through coalesce keeps every word at its last state,
+      // so training stops at the final learnable merge instead.
       words = words
-        .crossJoin(broadcast(best))
-        .select(col("w"), col("f"), expr("replace(s, concat('<', lhs, '<', rhs), concat('<', lhs, rhs))").as("s"))
+        .join(broadcast(best), lit(true), "left")
+        .select(
+          col("w"),
+          col("f"),
+          coalesce(
+            expr("replace(s, concat('<', lhs, '<', rhs), concat('<', lhs, rhs))"),
+            col("s")
+          ).as("s")
+        )
         .localCheckpoint()
     }
     (merges, words)
@@ -754,7 +807,7 @@ object TextAnalysis {
   // side reads the vocab parquet rather than re-deriving it.
   // -------------------------------------------------------------------
   def bpeIndexApply(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
-    val out = s"${sys.props("java.io.tmpdir")}/graft_bpe_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val out = graft.sources.TimeboxStore.scratchPath("graft_bpe", dir)
     val (merges, words) = bpeLoop(spark, dir, rounds)
     merges.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$out/merges")
     words

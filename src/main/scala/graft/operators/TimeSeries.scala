@@ -31,8 +31,9 @@ object TimeSeries {
   private val HourUs = 3600L * 1000000L
   private val DayUs  = 24L * HourUs
 
-  /** events with integer epoch-micro timestamps (ts arrives as nano
-    * longs via spark.sql.legacy.parquet.nanosAsLong).
+  /** events with integer epoch-micro timestamps (ts canonicalized to
+    * nano longs at the ingest edge — Tables.normalizeEventsTs handles
+    * whichever physical type the file carries).
     */
   def eventsUs(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir).withColumn("ts_us", expr("ts DIV 1000"))
@@ -58,9 +59,10 @@ object TimeSeries {
       eventType: String = "click"
   ): DataFrame = {
     Tables
-      .events(spark, dir)
-      // filter on the raw nano column so the predicate reaches parquet
-      .filter(col("ts") >= startUs * 1000 && col("ts") < endUs * 1000 && col("event_type") === eventType)
+      // the time range rides the RAW on-disk ts column so the
+      // predicate reaches parquet whatever the file's physical type
+      .eventsInRangeUs(spark, dir, startUs, endUs)
+      .filter(col("event_type") === eventType)
       .select(
         col("event_id"),
         col("user_id"),

@@ -34,12 +34,13 @@ object StreamingIngest {
     */
   def ingestHourly(spark: SparkSession, dir: String): DataFrame = {
     // File streams need an explicit schema: take it from the batch reader.
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val stream = spark.readStream
       .schema(schema)
       // the source path is a single file; glob it so the stream's base
       // path resolves to the enclosing directory
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
 
     // ts is epoch-nanos (nanosAsLong); event-time windowing needs a real
     // timestamp column, truncated to micros exactly like the batch path.
@@ -85,11 +86,12 @@ object StreamingIngest {
       dir: String,
       filesPerTrigger: Option[Int] = None
   ): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "1 hour")
       .groupBy(window(col("ts_t"), "1 hour").as("w"), col("event_type"))
@@ -140,7 +142,7 @@ object StreamingIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
 
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     // the watermarked column must flow into the grouped Dataset's
@@ -148,6 +150,7 @@ object StreamingIngest {
     // metadata on the flatMapGroupsWithState child's attributes
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -237,11 +240,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(
         col("user_id").as[Long],
         expr("ts DIV 1000").as("ts_us").as[Long],
@@ -311,11 +315,12 @@ object StreamingIngest {
       filesPerTrigger: Option[Int] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val hist = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(col("event_type"), cents(col("value")).as("v"))
       .groupBy(col("event_type"), expr(s"(v - pmod(v, ${bucketC}L)) DIV ${bucketC}L").as("bucket"))
       .agg(count(lit(1)).as("n"))
@@ -356,11 +361,12 @@ object StreamingIngest {
       filesPerTrigger: Option[Int] = None
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val counts = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .groupBy(window(col("ts_t"), "1 hour"), col("user_id"))
@@ -394,11 +400,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(
         col("user_id").as[Long],
         expr("ts DIV 1000").as("ts_us").as[Long],
@@ -462,11 +469,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(
         col("user_id").as[Long],
         expr("ts DIV 1000").as("ts_us").as[Long],
@@ -533,11 +541,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -606,11 +615,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -679,11 +689,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -748,11 +759,12 @@ object StreamingIngest {
       windowUs: Long = 3600L * 1000000L,
       filesPerTrigger: Option[Int] = None
   ): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     def src = {
       val r = spark.readStream.schema(schema)
       filesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
       r.parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
     }
     val purchases = src
       .filter(col("event_type") === "purchase")
@@ -793,10 +805,11 @@ object StreamingIngest {
     * needs no watermark and every row lands regardless of event time.
     */
   def ingestRawToParquet(spark: SparkSession, dir: String, outPath: String): Unit = {
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val q = spark.readStream
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(
         col("event_id"),
         col("user_id"),
@@ -832,11 +845,12 @@ object StreamingIngest {
       outPath: String,
       filesPerTrigger: Option[Int] = None
   ): Unit = {
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(
         col("user_id"),
         expr("ts DIV 1000").as("ts_us"),
@@ -952,6 +966,50 @@ object StreamingIngest {
     SignatureStore.readClusters(spark, store)
   }
 
+  /** STREAMING INDEX MAINTENANCE — the [[dedupStreamClusters]] recipe
+    * applied to the ANN index: NEW vectors arrive as a stream, and
+    * every micro-batch is encoded against the STORED IVF-PQ model
+    * (nearest existing cell + existing residual codebook — two tiny
+    * reads are the whole model) and appended into the cell-partitioned
+    * codes layout. Because the encode is row-local given the model,
+    * ANY batching of the same vectors appends the same codes — after
+    * the drain, searching the maintained index is byte-identical to
+    * the one-shot batch append (ann_index_append) AND to a full
+    * rebuild, which is the shared oracle. At 100 TB this is the 24/7
+    * shape: the index absorbs a vector feed continuously with
+    * streaming-sized encode jobs; retrains happen only when drift
+    * monitoring (emb_norm_stats) says so. Same resume posture as
+    * dedupStream: an existing checkpoint means completed batches'
+    * codes are already in the store, so only a fresh start builds the
+    * base.
+    */
+  def annStreamIndex(
+      spark: SparkSession,
+      dir: String,
+      splitId: Long = 400L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.Similarity
+    val store = TimeboxStore.scratchPath("graft_vecidx_stream", dir)
+    if (!new java.io.File(s"$store/_checkpoint").exists())
+      Similarity.buildAppendBase(spark, dir, store, splitId)
+    val schema = Tables.embeddings(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/embeddings.parque[t]")
+      .filter(col("vec_id") >= splitId)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.appendToStoredIndex(spark, batch, store)
+      }
+      .option("checkpointLocation", s"$store/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Similarity.searchStoredIndex(spark, dir, store)
+  }
+
   /** STREAMING ANN — probe vectors arrive as a stream and range-search
     * a STATIC bucketed corpus (the online-serving shape: a 100 TB
     * corpus indexed once, queries joined against it as they arrive).
@@ -1016,11 +1074,12 @@ object StreamingIngest {
   ): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(
         col("user_id").as[Long],
@@ -1104,11 +1163,12 @@ object StreamingIngest {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val hourUs = 3600000000L
-    val schema = Tables.events(spark, dir).schema
+    val schema = Tables.eventsFileSchema(spark, dir)
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
       .select(
         col("user_id").as[Long],
         expr("ts DIV 1000").as("ts_us").as[Long],

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Canonical readers for the engine's tables.
   *
@@ -11,6 +13,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   private def p(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Canonicalize the events `ts` column to epoch-NANO longs whatever
+    * the file's physical type is. Shipped testdata has carried BOTH
+    * encodings across rounds: TIMESTAMP(NANOS) int64 (read as long
+    * under nanosAsLong) and plain timestamp[us] (read as
+    * TIMESTAMP_NTZ). Downstream operators all assume the integer nano
+    * domain (`ts DIV 1000` → micros), so the ingest edge is the one
+    * place the physical type may vary — the row-local conversion
+    * keeps pushdown freedom (a ts range predicate still prunes on the
+    * cast column's stats) and costs one codegen'd projection.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    if (df.schema.fieldNames.contains("ts") && df.schema("ts").dataType != LongType)
+      // NTZ → session-UTC instant → epoch micros → nanos
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    else df
+
+  /** The events file's ON-DISK schema — what a readStream needs
+    * (passing the normalized schema would mis-declare the ts type).
+    */
+  def eventsFileSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(p(dir, "events")).schema
+
+  /** Events restricted to [startUs, endUs) with the time predicate
+    * expressed against the RAW on-disk ts representation — that is
+    * what makes it a parquet PushedFilter (a predicate over the
+    * normalized, computed column would be evaluated post-scan; at
+    * 100 TB that is the difference between reading one week's row
+    * groups and the whole table). The literal side carries the cast,
+    * so it constant-folds and the scan prunes on native stats.
+    */
+  def eventsInRangeUs(spark: SparkSession, dir: String, startUs: Long, endUs: Long): DataFrame = {
+    val raw = spark.read.parquet(p(dir, "events"))
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => raw.filter(col("ts") >= startUs * 1000 && col("ts") < endUs * 1000)
+      case t =>
+        raw.filter(
+          col("ts") >= timestamp_micros(lit(startUs)).cast(t) &&
+            col("ts") < timestamp_micros(lit(endUs)).cast(t)
+        )
+    }
+    normalizeEventsTs(filtered)
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(p(dir, "region"))
   def nation(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(p(dir, "nation"))
   def customer(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(p(dir, "customer"))
@@ -18,7 +63,8 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = spark.read.parquet(p(dir, "part"))
   def orders(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(p(dir, "orders"))
   def lineitem(spark: SparkSession, dir: String): DataFrame  = spark.read.parquet(p(dir, "lineitem"))
-  def events(spark: SparkSession, dir: String): DataFrame    = spark.read.parquet(p(dir, "events"))
+  def events(spark: SparkSession, dir: String): DataFrame    =
+    normalizeEventsTs(spark.read.parquet(p(dir, "events")))
   def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "documents"))
   def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(p(dir, "embeddings"))
 }

@@ -827,4 +827,71 @@ class StoreSpec extends AnyFunSuite {
       assert(evolved.filter(col("plen_c") <= 0).count() === 0)
     } finally evolved.unpersist()
   }
+
+  test("snapshot commit: reader racing a stream of commits sees v_n or v_n+1, never a mix") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catalog_race").toString
+    // each version's snapshot is internally consistent by construction:
+    // version v holds exactly v blocks, every block tagged n_points = v.
+    // A reader that ever observes a half-committed state (marker without
+    // a complete snapshot, mixed versions, partial file list) breaks the
+    // count == version * version invariant.
+    def commitVersion(): Long = SnapshotCatalog.commit(
+      spark,
+      root,
+      { p =>
+        val v = SnapshotCatalog.currentVersion(root) + 1
+        spark.range(v).toDF("blk")
+          .select(col("blk").as("series_id"), lit(v).as("day_id"), lit(v).as("n_points"))
+          .coalesce(1).write.parquet(p)
+      }
+    )
+    commitVersion()
+    @volatile var writerDone = false
+    @volatile var readerFailure: Option[String] = None
+    val writer = new Thread(() => {
+      (1 to 5).foreach(_ => commitVersion())
+      writerDone = true
+    })
+    val reader = new Thread(() => {
+      while (!writerDone && readerFailure.isEmpty) {
+        val m = SnapshotCatalog.resolveAsOf(root, Long.MaxValue).get
+        val rows = spark.read.parquet(m.path)
+          .agg(count(lit(1)), sum(col("n_points"))).head()
+        val (n, tot) = (rows.getLong(0), rows.getLong(1))
+        if (n != m.version || tot != m.version * m.version)
+          readerFailure = Some(s"inconsistent read at v${m.version}: n_blocks=$n sum=$tot")
+      }
+    })
+    writer.start(); reader.start(); writer.join(); reader.join()
+    assert(readerFailure.isEmpty, readerFailure.getOrElse(""))
+    assert(SnapshotCatalog.currentVersion(root) === 6L)
+  }
+
+  test("snapshot commit: two concurrent writers serialize — all commits land under distinct contiguous versions") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catalog_cas").toString
+    val perWriter = 4
+    def writerThread(tag: Long) = new Thread(() => {
+      (1 to perWriter).foreach { _ =>
+        SnapshotCatalog.commit(
+          spark,
+          root,
+          p => spark.range(3).toDF("blk")
+            .select(col("blk").as("series_id"), lit(tag).as("day_id"), lit(1L).as("n_points"))
+            .coalesce(1).write.parquet(p)
+        )
+      }
+    })
+    val (a, b) = (writerThread(1L), writerThread(2L))
+    a.start(); b.start(); a.join(); b.join()
+    val ms = SnapshotCatalog.manifests(root)
+    // CAS on the marker name: every commit got its own version, no gaps,
+    // no lost updates, and each snapshot is complete and readable
+    assert(ms.map(_.version) === (1L to (2L * perWriter)))
+    ms.foreach { m =>
+      assert(spark.read.parquet(m.path).count() === 3L, s"v${m.version} snapshot incomplete")
+      assert(m.nBlocks === 3L)
+    }
+  }
 }
