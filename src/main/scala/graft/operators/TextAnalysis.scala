@@ -686,6 +686,105 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame =
     bpeLoop(spark, dir, rounds)._1.reduce(_ unionByName _)
 
+  // -------------------------------------------------------------------
+  // 31q. text_bpe_batch — BPE at PRODUCTION merge counts: the
+  // sequential trainer's one-merge-per-round driver loop cannot reach
+  // a 30k-merge tokenizer (30k driver rounds). The batched variant
+  // learns up to M DISJOINT pairs per round: rank the top-C candidate
+  // pairs by (weight, lhs, rhs), keep a pair iff NO higher-ranked
+  // candidate shares a symbol with it (an order-free rule both engines
+  // compute identically — kept pairs are pairwise disjoint because
+  // each kept pair is disjoint from EVERY higher-ranked one), and
+  // apply all kept merges in ONE pass over the word table (disjoint
+  // symbols ⇒ the replaces commute, so a single fold is exact). With
+  // M=1 the rule degenerates to the argmax — batch ≡ sequential BPE,
+  // TextSpec pins it. 64+ merges land in 8 driver rounds instead of
+  // 64; a 30k-merge production run is ~2.5k rounds of the same shape.
+  // -------------------------------------------------------------------
+  def bpeBatchTrain(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = 8,
+      m: Int = 12,
+      cand: Int = 40
+  ): DataFrame =
+    bpeBatchLoop(spark, dir, rounds, m, cand)._1.reduce(_ unionByName _)
+
+  private[graft] def bpeBatchLoop(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int,
+      m: Int,
+      cand: Int
+  ): (Vector[DataFrame], DataFrame) = {
+    val ord = Seq(col("pair_weight").desc, col("lhs").asc, col("rhs").asc)
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    var words = docsToks(spark, dir)
+      .select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("f"))
+      .select(col("w"), col("f"), regexp_replace(col("w"), "(.)", "<$1").as("s"))
+      .localCheckpoint()
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = words
+        .select(col("f"), expr("filter(split(s, '<'), x -> x != '')").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(
+          col("f"),
+          explode(expr("transform(sequence(0, size(sy)-2), i -> struct(sy[i] AS lhs, sy[i+1] AS rhs))")).as("p")
+        )
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("f")).as("pair_weight"))
+      // top-C candidates land as TakeOrdered (never a global sort);
+      // the rank window then runs over C rows only
+      val ranked = pairs
+        .orderBy(ord: _*)
+        .limit(cand)
+        .withColumn("rn", row_number().over(wRank))
+      val keptW = org.apache.spark.sql.expressions.Window.orderBy(col("rn").asc)
+      val kept = ranked
+        .as("a")
+        .join(
+          ranked.select(col("rn").as("b_rn"), col("lhs").as("b_lhs"), col("rhs").as("b_rhs")),
+          col("b_rn") < col("rn") &&
+            (col("b_lhs") === col("lhs") || col("b_lhs") === col("rhs") ||
+              col("b_rhs") === col("lhs") || col("b_rhs") === col("rhs")),
+          "left_anti"
+        )
+        .orderBy(col("rn").asc)
+        .limit(m)
+        .withColumn("k", row_number().over(keptW).cast("long"))
+        .select(col("k"), col("lhs"), col("rhs"), col("pair_weight"))
+        .localCheckpoint()
+      merges = merges :+ kept.select(
+        lit(r.toLong).as("merge_round"),
+        col("k"),
+        col("lhs"),
+        col("rhs"),
+        col("pair_weight")
+      )
+      // ONE pass applies the whole round: fold the (tiny, broadcast)
+      // merge list over each word's symbol string. An empty round
+      // folds the identity — the word table is never wiped.
+      val selArr = kept.agg(
+        sort_array(collect_list(struct(col("k"), col("lhs"), col("rhs")))).as("ms")
+      )
+      words = words
+        .crossJoin(broadcast(selArr))
+        .select(
+          col("w"),
+          col("f"),
+          expr(
+            "aggregate(ms, s, (acc, mg) -> replace(acc, concat('<', mg.lhs, '<', mg.rhs), concat('<', mg.lhs, mg.rhs)))"
+          ).as("s")
+        )
+        .localCheckpoint()
+    }
+    (merges, words)
+  }
+
   private def bpeLoop(spark: SparkSession, dir: String, rounds: Int): (Vector[DataFrame], DataFrame) = {
     var words = docsToks(spark, dir)
       .select(explode(col("toks")).as("w"))
