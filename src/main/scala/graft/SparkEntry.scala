@@ -200,6 +200,7 @@ object SparkEntry {
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_bpe_index"    -> ((s, d) => TextAnalysis.bpeIndexApply(s, d)),
+    "text_bpe_batch"    -> ((s, d) => TextAnalysis.bpeBatchTrain(s, d, rounds = 4, m = 6, cand = 24)),
     "text_search_topk"  -> ((s, d) => TextAnalysis.searchTopk(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
@@ -243,6 +244,54 @@ object SparkEntry {
        |  WHERE w <> '' GROUP BY 1),
        |w0 AS (SELECT w, f, regexp_replace(w, '(.)', '<\\1', 'g') AS s FROM wf),
        |${perRound.mkString(",\n")}""".stripMargin
+  }
+
+  /** Batched BPE oracle: per round, rank the top-`cand` pairs, keep up
+    * to `m` pairwise-disjoint ones (a pair survives iff NO higher-ranked
+    * candidate shares a symbol), apply the kept merges in k order. The
+    * within-round fold unrolls as `m` LEFT JOIN ON TRUE steps (0-or-1
+    * row per k ⇒ identity when the round kept fewer than m).
+    */
+  private def bpeBatchOracle(rounds: Int, m: Int, cand: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      val wordSteps = (1 to m).map { k =>
+        val prev = if (k == 1) s"w${r - 1}" else s"w${r}_${k - 1}"
+        s"""w${r}_$k AS (SELECT t.w, t.f,
+           |  CASE WHEN mg.lhs IS NULL THEN t.s
+           |       ELSE replace(t.s, '<'||mg.lhs||'<'||mg.rhs, '<'||mg.lhs||mg.rhs) END AS s
+           |  FROM $prev t LEFT JOIN (SELECT lhs, rhs FROM kp$r WHERE k = $k) mg ON TRUE)""".stripMargin
+      }
+      // AS MATERIALIZED is load-bearing: every round's CTEs are
+      // referenced several times (kp by each word step + the final
+      // select; rk twice in the NOT EXISTS) — inlined, each reference
+      // re-expands the whole prior-round chain and the oracle goes
+      // exponential in rounds·m (measured: >240 s vs ~1 s at sf0.01)
+      s"""p$r AS MATERIALIZED (SELECT sy[i] AS lhs, sy[i+1] AS rhs, CAST(SUM(f) AS BIGINT) AS c
+         |  FROM (SELECT f, sy, unnest(generate_series(1, len(sy)-1)) AS i
+         |        FROM (SELECT f, list_filter(string_split(s, '<'), x -> x <> '') AS sy FROM w${r - 1})
+         |        WHERE len(sy) >= 2)
+         |  GROUP BY 1, 2),
+         |rk$r AS MATERIALIZED (SELECT lhs, rhs, c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, lhs ASC, rhs ASC) AS BIGINT) AS rn
+         |  FROM (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs ASC, rhs ASC LIMIT $cand)),
+         |kp$r AS MATERIALIZED (SELECT lhs, rhs, c, k FROM (
+         |    SELECT a.lhs, a.rhs, a.c, CAST(ROW_NUMBER() OVER (ORDER BY a.rn ASC) AS BIGINT) AS k
+         |    FROM rk$r a
+         |    WHERE NOT EXISTS (SELECT 1 FROM rk$r b WHERE b.rn < a.rn
+         |      AND (b.lhs = a.lhs OR b.lhs = a.rhs OR b.rhs = a.lhs OR b.rhs = a.rhs)))
+         |  WHERE k <= $m),
+         |${wordSteps.mkString(",\n")},
+         |w$r AS MATERIALIZED (SELECT w, f, s FROM w${r}_$m)""".stripMargin
+    }
+    val selects = (1 to rounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS merge_round, k, lhs, rhs, c AS pair_weight FROM kp$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w, f, regexp_replace(w, '(.)', '<\\1', 'g') AS s FROM wf),
+       |${perRound.mkString(",\n")}
+       |$selects""".stripMargin
   }
 
   private def bpeOracle(rounds: Int): String = {
@@ -1252,6 +1301,7 @@ object SparkEntry {
          |  CAST((COUNT(*) - COUNT(DISTINCT th)) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_micro
          |FROM h GROUP BY 1""".stripMargin,
     "text_bpe_train" -> bpeOracle(5),
+    "text_bpe_batch" -> bpeBatchOracle(4, 6, 24),
     // exact top-5 over the amplified stream; the Spark side's MG
     // candidate pass is exact whenever rank-k count > n/cap (spec-
     // asserted), so both engines produce the same plain top-k
@@ -2951,7 +3001,7 @@ object SparkEntry {
         |SELECT acctbal_c, s_name, n_name, p_partkey, cost_c, ps_suppkey
         |FROM eu JOIN mc USING (ps_partkey)
         |JOIN part ON ps_partkey = p_partkey
-        |WHERE ps_supplycost_c = cost_c AND p_size = 15 AND p_type = 'LARGE'
+        |WHERE ps_supplycost_c = cost_c AND p_size <= 15 AND p_type = 'LARGE'
         |ORDER BY acctbal_c DESC, n_name ASC, s_name ASC, p_partkey ASC, ps_suppkey ASC
         |LIMIT 100""".stripMargin),
     "q9_product_profit" ->
@@ -2971,7 +3021,7 @@ object SparkEntry {
         |held AS (
         |  SELECT ps_partkey, ps_supplycost_c * ps_availqty AS v
         |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_7'),
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
         |tot AS (SELECT CAST(SUM(v) AS BIGINT) AS total_c FROM held)
         |SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value_c
         |FROM held CROSS JOIN tot GROUP BY ps_partkey, total_c

@@ -52,7 +52,10 @@ object Verify {
         catch { case e: Throwable =>
           failures.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+        } finally
+          // cached tables must not accumulate across a ~200-query sweep
+          // in one JVM (concurrent-safe: merely de-caches peers early)
+          spark.catalog.clearCache()
       }
     }
     futures.foreach(f => scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
@@ -67,7 +70,7 @@ object Verify {
         System.err.println(s"[verify] $name succeeded on sequential retry")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed on retry: ${e.getMessage}")
-      }
+      } finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

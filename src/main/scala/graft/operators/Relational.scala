@@ -988,8 +988,10 @@ object Relational {
     val ns = Tables.supplier(spark, dir).agg(count(lit(1)).as("n_supp"))
     Tables
       .part(spark, dir)
-      .select($"p_partkey")
-      .crossJoin(broadcast(spark.range(4).toDF("ps_i")))
+      // 4-slot expansion is row-local (explode of a constant array) —
+      // no join, no broadcast, strictly cheaper than a 4-row spine at
+      // any scale
+      .select($"p_partkey", explode(sequence(lit(0L), lit(3L))).as("ps_i"))
       .crossJoin(broadcast(ns))
       .select(
         $"p_partkey".as("ps_partkey"),
@@ -1023,7 +1025,7 @@ object Relational {
     eu.join(minCost, Seq("ps_partkey"))
       .filter($"ps_supplycost_c" === $"cost_c")
       .join(
-        Tables.part(spark, dir).filter($"p_size" === 15 && $"p_type" === "LARGE").select($"p_partkey"),
+        Tables.part(spark, dir).filter($"p_size" <= 15 && $"p_type" === "LARGE").select($"p_partkey"),
         $"ps_partkey" === $"p_partkey"
       )
       .select($"acctbal_c", $"s_name", $"n_name", $"p_partkey", $"cost_c", $"ps_suppkey")
@@ -1083,7 +1085,7 @@ object Relational {
     val suppN = broadcast(
       Tables
         .supplier(spark, dir)
-        .join(Tables.nation(spark, dir).filter($"n_name" === "NATION_7"), $"s_nationkey" === $"n_nationkey")
+        .join(Tables.nation(spark, dir).filter($"n_name" === "NATION_3"), $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey")
     )
     val held = partsupp(spark, dir)

@@ -536,12 +536,15 @@ object TextAnalysis {
     val occurrences = docsToks(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val wr = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("tok").asc)
+    // top-K membership via orderBy+limit = TakeOrdered (per-partition
+    // top-K then a K-row merge) — an unpartitioned Window here would
+    // rank EVERY distinct token on one reducer (10^8-10^9 rows at
+    // corpus scale)
     val vocab = occurrences
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= topK)
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(topK)
       .select(col("tok"), lit(1L).as("in_vocab"))
     occurrences
       .join(broadcast(vocab), Seq("tok"), "left")

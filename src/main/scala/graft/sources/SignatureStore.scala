@@ -71,11 +71,15 @@ object SignatureStore {
   def append(spark: SparkSession, docs: DataFrame, path: String): Unit = {
     val reps = spark.read.parquet(s"$path/reps")
     val nm = normed(docs).withColumn("th", md5(col("norm")))
-    // the store side streams, the (small) batch broadcasts
+    // the store side streams, the (small) batch broadcasts; `known` is
+    // batch-sized, so FRESH derives from it by anti-join — never by
+    // broadcasting the store's own hash column (at 100 TB the reps
+    // table is corpus-scaled; the batch is the only broadcastable side)
     val known = reps
       .join(broadcast(nm.select(col("doc_id"), col("th"))), Seq("th"))
       .select(col("doc_id"), col("rep_id"))
-    val fresh = nm.join(broadcast(reps.select(col("th"))), Seq("th"), "left_anti")
+      .localCheckpoint()
+    val fresh = nm.join(broadcast(known.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     val freshC = Dedup.collapseExact(fresh.select(col("doc_id"), col("norm")))
     known.union(freshC.groups).write.mode("append").parquet(s"$path/groups")
     freshC.reps
@@ -292,6 +296,75 @@ object SignatureStore {
       .join(dc.groups.select(col("rep_id").as("d_rep"), col("doc_id").as("new_doc_id")), Seq("d_rep"))
       .groupBy(col("new_doc_id"), col("match_doc_id"))
       .agg(min(col("kind")).as("kind"))
+  }
+
+  /** [[matchDelta]] + [[append]] fused for the streaming ingest loop:
+    * ONE normalization + exact-collapse + shingle/minhash pass over the
+    * micro-batch feeds both the match (against the pre-append store)
+    * and the append. dedupStream previously called matchDelta then
+    * append, paying the batch's signature computation twice per
+    * micro-batch — at 24/7 scale that constant is the throughput
+    * ceiling, and this halves its batch-proportional part. Match rows
+    * are materialized (localCheckpoint) BEFORE any append write, so
+    * the match semantics vs the pre-append store are unchanged.
+    * Returns the match result ([[matchDelta]]'s exact shape).
+    */
+  def matchAppend(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    val groups = spark.read.parquet(s"$path/groups")
+    val reps = spark.read.parquet(s"$path/reps")
+    val bands = spark.read.parquet(s"$path/bands")
+    val dc = Dedup.collapseExact(normed(delta))
+    // batch-sized: pin them eagerly so nothing recomputes after the
+    // append mutates the store files
+    val dGroups = dc.groups.localCheckpoint()
+    val dReps = dc.reps.withColumn("th", md5(col("norm"))).localCheckpoint()
+    val dSigs = Dedup
+      .minhashSignatures(Dedup.shinglesOf(dc.reps).distinct())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dBands = Dedup.bandSignaturesFromSigs(dSigs).localCheckpoint()
+    val dBbits = Dedup.bbitsFromSigs(dSigs).localCheckpoint()
+    dSigs.unpersist()
+    // ---- match against the PRE-append store (matchDelta's shape) ----
+    val exact = reps
+      .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
+      .select(col("rep_id"), col("d_rep"), lit("exact").as("kind"))
+    val near = bands
+      .join(broadcast(dBands.select(col("doc_id").as("d_rep"), col("band"), col("sig"))), Seq("band", "sig"))
+      .select(col("doc_id").as("rep_id"), col("d_rep"), lit("near").as("kind"))
+      .distinct()
+    val matches = exact
+      .union(near)
+      .join(groups.select(col("rep_id"), col("doc_id").as("match_doc_id")), Seq("rep_id"))
+      .join(dGroups.select(col("rep_id").as("d_rep"), col("doc_id").as("new_doc_id")), Seq("d_rep"))
+      .groupBy(col("new_doc_id"), col("match_doc_id"))
+      .agg(min(col("kind")).as("kind"))
+      .localCheckpoint()
+    // ---- append (same rows [[append]] writes, minus the recompute) --
+    // a dc-group's members share their rep's content hash, so the whole
+    // group is known or fresh together
+    val docTh = dGroups
+      .select(col("doc_id"), col("rep_id").as("b_rep"))
+      .join(broadcast(dReps.select(col("doc_id").as("b_rep"), col("th"))), Seq("b_rep"))
+    val known = reps
+      .join(broadcast(docTh.select(col("doc_id"), col("th"))), Seq("th"))
+      .select(col("doc_id"), col("rep_id"))
+      .localCheckpoint()
+    val freshGroups = dGroups
+      .join(broadcast(known.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val freshReps = freshGroups.filter(col("doc_id") === col("rep_id")).select(col("rep_id"))
+    known.union(freshGroups).write.mode("append").parquet(s"$path/groups")
+    dReps
+      .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("rep_id"), col("th"))
+      .write.mode("append").parquet(s"$path/reps")
+    dBands
+      .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
+      .write.mode("append").parquet(s"$path/bands")
+    dBbits
+      .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
+      .write.mode("append").parquet(s"$path/bbits")
+    matches
   }
 
   /** [[matchDelta]]'s near matches SCORED from the persisted b-bit

@@ -14,13 +14,13 @@ import java.nio.charset.StandardCharsets
   *
   *   - every snapshot is written to a FRESH uuid-named directory and
   *     never modified after commit;
-  *   - a version is claimed by creating `commits/v%09d` with
-  *     CREATE_NEW — an atomic compare-and-swap on the filesystem
-  *     namespace: exactly one writer wins a version; the loser re-reads
-  *     the head and retries against the next number (optimistic
-  *     concurrency, the iceberg/delta commit shape);
-  *   - the marker file (a few key=value lines, written to a temp name
-  *     then atomically MOVEd into place) carries the manifest row, so
+  *   - a version is claimed by hard-LINKING a fully-written temp file
+  *     to `commits/v%09d` — link(2) is an atomic compare-and-swap on
+  *     the filesystem namespace (EEXIST when taken): exactly one
+  *     writer wins a version; the loser re-reads the head and retries
+  *     against the next number (optimistic concurrency, the
+  *     iceberg/delta commit shape);
+  *   - the marker file (a few key=value lines) carries the manifest row, so
   *     a reader resolves any version from immutable single files and
   *     can NEVER observe a half-rewritten manifest: it sees the catalog
   *     at v_n or v_n+1, nothing in between.
@@ -43,6 +43,10 @@ object SnapshotCatalog {
   private def commitsDir(root: String): Path = Paths.get(root, "commits")
 
   private def markerName(v: Long): String = f"v$v%09d"
+
+  private def manifestName(v: Long): String = f"manifest-v$v%09d"
+
+  private val ManifestRe = "manifest-v(\\d{9})".r
 
   /** Write a snapshot through `write` (given a fresh immutable
     * directory), derive its manifest stats from block metadata, and
@@ -81,23 +85,31 @@ object SnapshotCatalog {
            |min_day=${stats.getAs[Long]("min_day")}
            |max_day=${stats.getAs[Long]("max_day")}
            |""".stripMargin
-      // temp write + CREATE_NEW move: the marker appears in the commits
-      // listing fully written or not at all, and exactly one contender
-      // can own a given version number
+      // temp write + hard-link claim: link(2) creates the marker name
+      // ATOMICALLY or fails with EEXIST — a real filesystem CAS (a
+      // Files.move here would be stat+rename: two racing committers
+      // could both pass the stat and the second rename would silently
+      // REPLACE the winner's marker — a lost commit). The marker
+      // appears in the commits listing fully written or not at all,
+      // and exactly one contender can own a given version number.
       val tmp = commitsDir(root).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
       try {
-        Files.move(tmp, commitsDir(root).resolve(markerName(v)))
+        Files.createLink(commitsDir(root).resolve(markerName(v)), tmp)
         committed = v
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp): Unit // lost the race — retry at the new head
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race — retry at the new head
+      } finally {
+        Files.deleteIfExists(tmp): Unit
       }
     }
     committed
   }
 
-  /** Highest committed version, 0 if none. One directory listing. */
+  /** Highest committed version, 0 if none. One directory listing —
+    * markers and consolidated manifests both carry their head version
+    * in the NAME, so no file is opened.
+    */
   def currentVersion(root: String): Long = {
     val dir = commitsDir(root)
     if (!Files.isDirectory(dir)) 0L
@@ -107,8 +119,11 @@ object SnapshotCatalog {
         s.iterator()
           .asScala
           .map(_.getFileName.toString)
-          .filter(_.matches("v\\d{9}"))
-          .map(_.drop(1).toLong)
+          .map {
+            case ManifestRe(v)                => v.toLong
+            case n if n.matches("v\\d{9}")    => n.drop(1).toLong
+            case _                            => 0L
+          }
           .foldLeft(0L)(math.max)
       } finally s.close()
     }
@@ -137,22 +152,134 @@ object SnapshotCatalog {
     )
   }
 
-  /** All committed manifest rows, ascending by version. */
+  /** All committed (and retained) manifest rows, ascending by version.
+    * Reads the NEWEST consolidated manifest (one file covering every
+    * version up to its head) plus only the per-version markers ABOVE
+    * that head — under continuous snapshots with periodic
+    * [[compactManifests]], resolution cost is one small file + the
+    * tail since the last compaction, not one file per version ever
+    * committed. Markers at-or-below the consolidated head are
+    * mid-compaction duplicates of rows the manifest already carries
+    * and are skipped without being opened.
+    */
   def manifests(root: String): Seq[Manifest] = {
     val dir = commitsDir(root)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try {
-        s.iterator()
-          .asScala
-          .filter(_.getFileName.toString.matches("v\\d{9}"))
-          .map(readMarker)
-          .toSeq
-          .sortBy(_.version)
-      } finally s.close()
+    if (!Files.isDirectory(dir)) return Seq.empty
+    // a compactor may delete a marker between our listing and our read;
+    // the retry re-lists and finds the consolidated manifest instead
+    def attempt(): Seq[Manifest] = {
+      val names = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString).toVector
+        finally s.close()
+      }
+      val head = names.collect { case ManifestRe(v) => v.toLong } match {
+        case Seq() => None
+        case vs    => Some(vs.max)
+      }
+      val consolidated = head
+        .map(h => readConsolidated(dir.resolve(manifestName(h))))
+        .getOrElse(Seq.empty)
+      val markerRows = names
+        .filter(_.matches("v\\d{9}"))
+        .map(_.drop(1).toLong)
+        .filter(v => head.forall(v > _))
+        .map(v => readMarker(dir.resolve(markerName(v))))
+      val floor = retentionFloor(root)
+      (consolidated ++ markerRows).filter(_.version >= floor).sortBy(_.version)
     }
+    try attempt()
+    catch { case _: java.nio.file.NoSuchFileException => attempt() }
   }
+
+  /** Consolidate every committed version row into ONE manifest file
+    * (`commits/manifest-v<head>`) and drop the per-version markers it
+    * covers — the growth valve for 24/7 continuous snapshots, where the
+    * marker count would otherwise grow forever and every read would
+    * list-and-open all of it. Claimed with the same hard-link CAS as
+    * commits; a same-head racer writes identical rows (rows ≤ head are
+    * immutable), so losing that race is a no-op. Returns the head
+    * version covered.
+    */
+  def compactManifests(root: String): Long = {
+    val dir = commitsDir(root)
+    val all = manifests(root)
+    if (all.isEmpty) return 0L
+    val head = all.last.version
+    val body = all
+      .map(m => s"${m.version}|${m.path}|${m.nBlocks}|${m.nPoints}|${m.minDay}|${m.maxDay}")
+      .mkString("", "\n", "\n")
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(dir.resolve(manifestName(head)), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+    // markers ≤ head and superseded consolidated manifests are redundant
+    val names = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toVector
+      finally s.close()
+    }
+    names.foreach {
+      case n @ ManifestRe(v) if v.toLong < head =>
+        Files.deleteIfExists(dir.resolve(n)): Unit
+      case n if n.matches("v\\d{9}") && n.drop(1).toLong <= head =>
+        Files.deleteIfExists(dir.resolve(n)): Unit
+      case _ => ()
+    }
+    head
+  }
+
+  /** Retention: keep the newest `keepLast` versions' data, delete the
+    * snapshot directories of everything older, and raise the retention
+    * floor so readers resolve only retained versions (resolveAsOf below
+    * the floor returns None instead of a dangling path). The floor is a
+    * single watermark file replaced atomically. Returns the expired
+    * versions.
+    */
+  def expireSnapshots(root: String, keepLast: Int): Seq[Long] = {
+    val all = manifests(root)
+    if (all.size <= keepLast) return Seq.empty
+    val expired = all.dropRight(keepLast)
+    val floor = all(all.size - keepLast).version
+    val tmp = Paths.get(root, s".retention-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, floor.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(
+      tmp,
+      Paths.get(root, "retention"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE
+    )
+    expired.foreach { m =>
+      val p = Paths.get(m.path)
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try
+          walk
+            .sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator()
+            .asScala
+            .foreach(f => Files.deleteIfExists(f): Unit)
+        finally walk.close()
+      }
+    }
+    expired.map(_.version)
+  }
+
+  private def retentionFloor(root: String): Long = {
+    val p = Paths.get(root, "retention")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private def readConsolidated(p: Path): Seq[Manifest] =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8).linesIterator
+      .filter(_.nonEmpty)
+      .map { l =>
+        val f = l.split('|')
+        Manifest(f(0).toLong, f(1), f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
+      }
+      .toSeq
 
   /** Greatest committed version ≤ `asofVersion` — the time-travel
     * resolve. Reads only immutable marker files: concurrent commits

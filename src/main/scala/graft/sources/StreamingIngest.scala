@@ -913,10 +913,12 @@ object StreamingIngest {
       .select(col("doc_id"), col("text"))
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // fused match+append: one signature pass per micro-batch (the
+        // separate matchDelta-then-append loop computed the batch's
+        // normalize/collapse/shingle/minhash twice)
         SignatureStore
-          .matchDelta(spark, store, batch)
+          .matchAppend(spark, store, batch)
           .write.mode("append").parquet(matchesPath)
-        SignatureStore.append(spark, batch, store)
       }
       .option("checkpointLocation", s"$store/_checkpoint")
       .trigger(Trigger.AvailableNow())

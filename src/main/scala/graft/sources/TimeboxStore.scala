@@ -47,6 +47,15 @@ object TimeboxStore {
     *                equal-width VALUE HISTOGRAM (`hw_t` bin width,
     *                `hist_t` counts) — the summary quantile reads
     *                ([[kthSmallestEncoded]]) narrow on without decoding
+    * @param maxPointsPerBlock when > 0, a (series, day) group holding
+    *                more points splits into seq-ordered SUB-BLOCKS of at
+    *                most this many points — the skew valve for hot
+    *                series (a 1 kHz counter is ~86M points/day; one
+    *                collect_list row that size is the single-task hole
+    *                the cap closes). Decode already keys its cumulative
+    *                sums per physical block row, so sub-blocks decode
+    *                transparently; readers prune on day_id exactly as
+    *                before.
     */
   def encode(
       points: DataFrame,
@@ -55,12 +64,13 @@ object TimeboxStore {
       seqCol: String = "event_id",
       tagCols: Seq[String] = Seq("value_c"),
       blockUs: Long = DayUs,
-      histBins: Int = 0
+      histBins: Int = 0,
+      maxPointsPerBlock: Int = 0
   ): DataFrame = {
     val pts = sort_array(
       collect_list(struct((Seq(tsCol, seqCol) ++ tagCols).map(col): _*))
     )
-    val base = points
+    val projected = points
       .select(
         Seq(
           col(seriesCol).as("series_id"),
@@ -69,8 +79,24 @@ object TimeboxStore {
           col(seqCol)
         ) ++ tagCols.map(col): _*
       )
-      .groupBy(col("series_id"), col("day_id"))
-      .agg(pts.as("pts"))
+    // the sub-block index needs a per-(series, day) ordered row number:
+    // one window on the SAME key the groupBy shuffles on, so the
+    // grouping reuses the window's partitioning (subset-key clustering
+    // — no second shuffle)
+    val grouped =
+      if (maxPointsPerBlock <= 0)
+        projected.groupBy(col("series_id"), col("day_id")).agg(pts.as("pts"))
+      else
+        projected
+          .withColumn(
+            "sub_id",
+            ((row_number().over(
+              Window.partitionBy(col("series_id"), col("day_id")).orderBy(col(tsCol), col(seqCol))
+            ) - 1) / maxPointsPerBlock).cast("long")
+          )
+          .groupBy(col("series_id"), col("day_id"), col("sub_id"))
+          .agg(pts.as("pts"))
+    val base = grouped
       .select(
         Seq(
           col("series_id"),

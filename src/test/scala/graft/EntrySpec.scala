@@ -58,9 +58,24 @@ class EntrySpec extends AnyFunSuite {
     "text_source_terms",         // 1-row grand-total broadcast
     "text_bpe_train",            // 1-row argmax-pair broadcast per merge round
     "text_bpe_apply",            // same trained-merge chain under the word join
+    "text_bpe_batch",            // ≤C-row candidate disjointness anti-join + 1-row merge-list broadcast
     "rel_basket_pairs",          // 1-row order-count broadcast
     "text_search_topk",          // 1-row corpus-size broadcast
-    "rel_rfm_segments"           // 1-row max-order-date broadcast
+    "rel_rfm_segments",          // 1-row max-order-date broadcast
+    "q2_min_cost_supplier",      // 1-row |supplier| broadcast (partsupp bridge)
+    "q9_product_profit",         // 1-row |supplier| broadcast (partsupp bridge)
+    "q11_important_stock",       // 1-row |supplier| + 1-row total-value broadcasts
+    "q16_supplier_cnt",          // 1-row |supplier| broadcast (partsupp bridge)
+    "q20_potential_promo",       // 1-row |supplier| broadcast (partsupp bridge)
+    "ann_stream_index"           // 5-probe crossJoin over the streamed index (house ANN pattern)
+  )
+
+  // unpartitioned windows whose INPUT is an aggregate with a provably
+  // compressed key space (not corpus-scaled) — the limit-below-window
+  // heuristic can't see that, so these are allowed by name
+  private val boundedDomainWindows = Set(
+    "text_coverage_topk", // two-level banded prefix sum: the window runs over the (count, prefix) BAND table (≈ |distinct count values| × 16 rows), exactly the design that keeps the full vocabulary off one reducer
+    "text_domain_mix"     // unbounded-frame window over the per-SOURCE aggregate — one row per corpus source/domain, a bounded enum
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
@@ -74,6 +89,28 @@ class EntrySpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
       if (!tinyBroadcastCrossJoins(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+      // no query may rank an UNBOUNDED domain on one reducer: an
+      // unpartitioned Window is allowed only when its input is provably
+      // bounded — a limit / TakeOrdered / rank-pushdown group-limit
+      // below it (at 100 TB an unpartitioned window over e.g. a
+      // whitespace vocabulary is a 10^9-row single-partition sort)
+      val unboundedWindows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty =>
+          val bounded = w.child.find {
+            case _: org.apache.spark.sql.execution.GlobalLimitExec           => true
+            case _: org.apache.spark.sql.execution.LocalLimitExec            => true
+            case _: org.apache.spark.sql.execution.CollectLimitExec          => true
+            case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+            case _: org.apache.spark.sql.execution.window.WindowGroupLimitExec => true
+            case _ => false
+          }.isDefined
+          (w, bounded)
+      }.collect { case (w, false) => w }
+      if (!boundedDomainWindows(name))
+        assert(
+          unboundedWindows.isEmpty,
+          s"$name plans an unpartitioned Window over an unbounded domain:\n${unboundedWindows.mkString("\n")}"
+        )
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }

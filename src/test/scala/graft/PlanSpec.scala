@@ -306,6 +306,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan)
   }
 
+  test("q9 scans lineitem exactly once; dims broadcast; only the bridge's 1-row |supplier| join nests") {
+    val qe = Relational.q9ProductProfit(spark, sf).queryExecution
+    val liScans = qe.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .count(_.metadata("Location").contains("lineitem.parquet"))
+    assert(liScans === 1, s"lineitem scanned $liScans times — the fact must be read once")
+    val s = qe.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"red-part / supplier-nation dims not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    // exactly the partsupp bridge's 1-row |supplier| broadcast may plan
+    // a nested loop; a second one would mean the composite-key partsupp
+    // match degenerated to a theta join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins — partsupp match degenerated:\n$s")
+  }
+
+  test("q2's region-restricted supplier dim broadcasts; the min-cost correlate is an equality join") {
+    val s = Relational.q2MinCostSupplier(spark, sf).queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"EUROPE supplier dim not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+    // the per-part min re-expands the partsupp lineage (eu appears on
+    // both sides of the min-cost join), so the bridge's 1-row
+    // |supplier| broadcast shows up TWICE — both are 1-row sides; a
+    // THIRD nested loop would mean the correlate itself degenerated to
+    // a range/theta join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj <= 2, s"$bnlj nested-loop joins — min-cost correlate degenerated:\n$s")
+  }
+
   test("seasonal anomaly joins the profile as a broadcast, never a shuffle join") {
     val plan = planOf(TimeSeries.anomalySeasonal(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"profile not broadcast:\n$plan")

@@ -65,7 +65,13 @@ class ScaleSpec extends AnyFunSuite {
     "ts_rollup_cascade",
     "ts_anomaly_seasonal",
     "ts_step_detect",
-    "rel_top_movers"
+    "rel_top_movers",
+    "q9_product_profit",
+    // two fixed-floor drills ride the generous band deliberately: the
+    // profile side still pins that their BATCH tail (the post-drain
+    // read / the compacted-store read) keeps its shape across SFs
+    "ann_stream_index",
+    "ts_store_compact"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

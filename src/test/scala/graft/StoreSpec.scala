@@ -27,6 +27,41 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded).count() === 0)
   }
 
+  test("maxPointsPerBlock splits a hot (series, day) into capped sub-blocks that decode losslessly") {
+    import spark.implicits._
+    // one series, one day, 100k points — the 1 kHz-counter shape that
+    // would otherwise land as a single 100k-element collect_list row
+    val n = 100000
+    val hot = spark
+      .range(n)
+      .select(
+        lit(7L).as("user_id"),
+        (col("id") * 250000L).as("ts_us"), // 4 Hz, all inside one day
+        col("id").as("event_id"),
+        (col("id") % 977L).as("value_c")
+      )
+    val blocks = TimeboxStore.encode(hot, maxPointsPerBlock = 4096).cache()
+    try {
+      // cap respected, nothing lost, and the split actually happened
+      assert(blocks.agg(max(col("n_points"))).head().getLong(0) <= 4096L)
+      assert(blocks.agg(sum(col("n_points"))).head().getLong(0) === n.toLong)
+      assert(blocks.count() === ((n + 4095) / 4096).toLong)
+      // sub-blocks stay within the one (series, day) — readers prune on
+      // day_id exactly as before
+      assert(blocks.select(col("series_id"), col("day_id")).distinct().count() === 1)
+      // lossless decode through the standard path
+      val decoded = TimeboxStore.decode(blocks)
+      val orig = hot.toDF("series_id", "ts_us", "seq", "value_c")
+      assert(decoded.exceptAll(orig).count() === 0)
+      assert(orig.exceptAll(decoded).count() === 0)
+      // the cap must not change what an UNCAPPED encode of normal data
+      // produces (param default off ⇒ existing stores byte-identical)
+      val a = TimeboxStore.encode(original)
+      val b = TimeboxStore.encode(original, maxPointsPerBlock = 0)
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    } finally { blocks.unpersist(); () }
+  }
+
   test("dictionary equality read: exact block skip on a low-cardinality tag, before decode") {
     val out = java.nio.file.Files.createTempDirectory("graft_store_dict_spec").toString + "/blocks"
     TimeboxStore
@@ -893,5 +928,67 @@ class StoreSpec extends AnyFunSuite {
       assert(spark.read.parquet(m.path).count() === 3L, s"v${m.version} snapshot incomplete")
       assert(m.nBlocks === 3L)
     }
+  }
+
+  test("catalog compaction + retention: 100 versions resolve from ONE manifest file, expired snapshots drop") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catalog_compact").toString
+    val commitsDir = java.nio.file.Paths.get(root, "commits")
+    def nCommitFiles: Long = {
+      val s = java.nio.file.Files.list(commitsDir)
+      try s.count() finally s.close()
+    }
+    // 100 snapshots: each version's data dir is a plain file copy of a
+    // 1-row template (no Spark write job per commit — the drill grades
+    // catalog resolution, not parquet writing)
+    val template = java.nio.file.Files.createTempDirectory("graft_catalog_tpl").toString + "/snap"
+    spark.range(1).toDF("blk")
+      .select(col("blk").as("series_id"), lit(0L).as("day_id"), lit(1L).as("n_points"))
+      .coalesce(1).write.parquet(template)
+    def commitVersion(): Long = SnapshotCatalog.commit(
+      spark,
+      root,
+      { p =>
+        val dst = java.nio.file.Paths.get(p)
+        java.nio.file.Files.createDirectories(dst)
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(template))
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            java.nio.file.Files.copy(f, dst.resolve(f.getFileName.toString)): Unit
+          }
+        } finally s.close()
+      }
+    )
+    (1 to 100).foreach(_ => commitVersion())
+    assert(nCommitFiles === 100L, "expected one marker per version pre-compaction")
+    assert(SnapshotCatalog.compactManifests(root) === 100L)
+    // growth valve: resolution now reads ONE consolidated file, not one
+    // file per version ever committed
+    assert(nCommitFiles === 1L, s"compaction left $nCommitFiles commit files")
+    assert(SnapshotCatalog.currentVersion(root) === 100L)
+    assert(SnapshotCatalog.manifests(root).map(_.version) === (1L to 100L))
+    val v57 = SnapshotCatalog.resolveAsOf(root, 57L).get
+    assert(v57.version === 57L && v57.nBlocks === 1L)
+    // commits continue after compaction: markers stack on TOP of the
+    // consolidated manifest and both resolve together
+    commitVersion()
+    assert(SnapshotCatalog.currentVersion(root) === 101L)
+    assert(SnapshotCatalog.resolveAsOf(root, Long.MaxValue).get.version === 101L)
+    assert(nCommitFiles === 2L)
+    // retention: keep the newest 10 — old snapshot data is deleted, the
+    // floor makes expired versions unresolvable instead of dangling
+    val expired = SnapshotCatalog.expireSnapshots(root, keepLast = 10)
+    assert(expired === (1L to 91L))
+    assert(SnapshotCatalog.resolveAsOf(root, 5L).isEmpty, "expired version still resolves")
+    assert(SnapshotCatalog.manifests(root).map(_.version) === (92L to 101L))
+    val head = SnapshotCatalog.resolveAsOf(root, Long.MaxValue).get
+    assert(head.version === 101L)
+    assert(spark.read.parquet(head.path).count() === 1L, "retained head unreadable")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(v57.path)), "expired snapshot data not deleted")
+    // a compaction after retention folds the floor into the manifest
+    SnapshotCatalog.compactManifests(root)
+    assert(SnapshotCatalog.manifests(root).map(_.version) === (92L to 101L))
   }
 }

@@ -199,4 +199,31 @@ class TextSpec extends AnyFunSuite {
         "summary exceeded its memory bound")
     } finally stream.unpersist()
   }
+
+  test("batched BPE with M=1 degenerates to sequential BPE (identical merge table)") {
+    val batch = TextAnalysis
+      .bpeBatchTrain(spark, sf, rounds = 3, m = 1, cand = 24)
+      .select(col("merge_round"), col("lhs"), col("rhs"), col("pair_weight"))
+    val seq = TextAnalysis
+      .bpeTrain(spark, sf, rounds = 3)
+      .select(col("merge_round"), col("lhs"), col("rhs"), col("pair_weight"))
+    assert(batch.exceptAll(seq).count() === 0 && seq.exceptAll(batch).count() === 0,
+      "batch(m=1) diverged from sequential BPE")
+  }
+
+  test("batched BPE keeps only pairwise-DISJOINT merges within a round") {
+    val merges = TextAnalysis.bpeBatchTrain(spark, sf, rounds = 4, m = 6, cand = 24).collect()
+    for ((_, rows) <- merges.groupBy(_.getAs[Long]("merge_round"))) {
+      for (a <- rows; b <- rows if a.getAs[Long]("k") < b.getAs[Long]("k")) {
+        val as = Set(a.getAs[String]("lhs"), a.getAs[String]("rhs"))
+        val bs = Set(b.getAs[String]("lhs"), b.getAs[String]("rhs"))
+        assert(as.intersect(bs).isEmpty,
+          s"round ${a.getAs[Long]("merge_round")}: kept merges $as and $bs share a symbol")
+      }
+    }
+    // multi-merge rounds actually happen at these params (the drill is
+    // not vacuously sequential)
+    assert(merges.groupBy(_.getAs[Long]("merge_round")).values.exists(_.length > 1),
+      "no round kept more than one merge — batch drill degenerate")
+  }
 }
