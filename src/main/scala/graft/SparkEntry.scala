@@ -87,6 +87,7 @@ object SparkEntry {
     "ts_store_merge"     -> ((s, d) => graft.sources.TimeboxStore.mergeSummary(s, d)),
     "ts_store_schema_evolve" -> ((s, d) => graft.sources.TimeboxStore.schemaEvolveRoundtrip(s, d)),
     "ts_store_stats"     -> ((s, d) => graft.sources.TimeboxStore.storeStats(s, d)),
+    "ts_store_catalog"   -> ((s, d) => graft.sources.TimeboxStore.catalogMaintenanceSummary(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
@@ -2629,6 +2630,18 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // store health from block metadata: blocks are exactly the
     // (series, day) groups encode forms
+    // catalog maintenance: the retained manifest rows' stats recompute
+    // from raw events — version v is day (d0 + v - 1)'s snapshot;
+    // compaction+retention keep versions 8-12
+    "ts_store_catalog" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
+        |d0 AS (SELECT MIN(day_id) AS d0 FROM e),
+        |b AS (SELECT day_id, user_id, COUNT(*) AS np FROM e GROUP BY 1, 2),
+        |per AS (SELECT day_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |        CAST(SUM(np) AS BIGINT) AS n_points FROM b GROUP BY 1)
+        |SELECT CAST(day_id - d0 + 1 AS BIGINT) AS version, n_blocks, n_points,
+        |  day_id AS min_day, day_id AS max_day
+        |FROM per, d0 WHERE day_id - d0 + 1 BETWEEN 8 AND 12""".stripMargin,
     "ts_store_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
         |b AS (SELECT user_id, day_id, COUNT(*) AS np FROM e GROUP BY 1, 2)

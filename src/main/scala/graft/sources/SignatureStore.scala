@@ -67,8 +67,11 @@ object SignatureStore {
     * min doc_id per hash within the batch) and contribute new rep +
     * band rows. The store never rewrites existing rows — ingest-order
     * doc ids keep canonical choice stable across append vs rebuild.
+    * Returns the batch's FRESH rep ids (batch-sized, materialized) so
+    * callers maintaining derived tiers ([[appendRelabel]]) can find the
+    * appended rows without re-deriving them against the corpus.
     */
-  def append(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+  def append(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
     val reps = spark.read.parquet(s"$path/reps")
     val nm = normed(docs).withColumn("th", md5(col("norm")))
     // the store side streams, the (small) batch broadcasts; `known` is
@@ -81,16 +84,21 @@ object SignatureStore {
       .localCheckpoint()
     val fresh = nm.join(broadcast(known.select(col("doc_id"))), Seq("doc_id"), "left_anti")
     val freshC = Dedup.collapseExact(fresh.select(col("doc_id"), col("norm")))
-    known.union(freshC.groups).write.mode("append").parquet(s"$path/groups")
-    freshC.reps
+    // batch-sized pins: the four append writes below would otherwise
+    // each recompute the batch's normalize+collapse lineage
+    val fGroups = freshC.groups.localCheckpoint()
+    val fReps = freshC.reps.localCheckpoint()
+    known.union(fGroups).write.mode("append").parquet(s"$path/groups")
+    fReps
       .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
       .write.mode("append").parquet(s"$path/reps")
     val sigs = Dedup
-      .minhashSignatures(Dedup.shinglesOf(freshC.reps).distinct())
+      .minhashSignatures(Dedup.shinglesOf(fReps).distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.bandSignaturesFromSigs(sigs).write.mode("append").parquet(s"$path/bands")
     Dedup.bbitsFromSigs(sigs).write.mode("append").parquet(s"$path/bbits")
     sigs.unpersist()
+    fReps.select(col("doc_id"))
   }
 
   /** Bucketed band table: a corpus' rep-level band signatures written
@@ -200,14 +208,16 @@ object SignatureStore {
     * from-scratch run would drop the whole bucket).
     */
   def appendRelabel(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    // localCheckpoint, NOT cache: append writes to reps/, and Spark's
-    // recache-by-path would silently refresh a cached read to the
-    // post-append file set — the checkpoint pins the pre-append snapshot
-    val before = spark.read.parquet(s"$path/reps").select(col("rep_id")).localCheckpoint(true)
-    append(spark, docs, path)
+    // append returns the batch's fresh rep ids (batch-sized,
+    // materialized) — the delta side comes from a broadcast join
+    // against them. The previous shape localCheckpointed the ENTIRE
+    // pre-append reps column and anti-joined the band table against it
+    // per batch: an O(corpus) materialization per micro-batch, for a
+    // set the append already knows.
+    val freshRepIds = append(spark, docs, path)
     val allBands = spark.read.parquet(s"$path/bands")
     val safe = Dedup.dropOversizedBuckets(allBands, Seq("band", "sig"), Dedup.DefaultBucketCap, "sigstore-cc-delta")
-    val freshBands = safe.join(before.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"), "left_anti")
+    val freshBands = safe.join(broadcast(freshRepIds), Seq("doc_id"))
     val deltaPairs = freshBands
       .as("a")
       .join(safe.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.doc_id") =!= col("b.doc_id"))

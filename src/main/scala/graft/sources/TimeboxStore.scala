@@ -942,6 +942,51 @@ object TimeboxStore {
       .withColumn("version", lit(chosen.version))
   }
 
+  /** ts_store_catalog — CONTINUOUS-snapshot catalog maintenance, the
+    * 24/7 lifecycle over [[SnapshotCatalog]] in one drill: 12 daily
+    * snapshots commit (one encoded day of events each), manifests
+    * COMPACT mid-stream (after day 8 — so later markers stack on the
+    * consolidated file and the read path resolves from BOTH), then
+    * retention keeps the newest 5 and deletes expired snapshot data.
+    * Output = the retained manifest rows (versions 8-12), whose block/
+    * point/day stats the oracle recomputes from raw events — catalog
+    * metadata is thereby value-checked, not just spec-checked. Without
+    * compaction a 24/7 catalog's marker count grows forever and every
+    * resolve lists-and-opens all of it; with it, resolution is one
+    * small file + the tail since the last compaction. Assumes per-call
+    * scratch (versions are absolute).
+    */
+  def catalogMaintenanceSummary(
+      spark: SparkSession,
+      dir: String,
+      nDays: Int = 12,
+      compactAfter: Int = 8,
+      keepLast: Int = 5
+  ): DataFrame = {
+    import spark.implicits._
+    val root = scratchPath("graft_store_catalog", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    // 1-value range plan (the house scalar-aggregate pattern): the
+    // first day of history anchors the snapshot schedule
+    val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+    (0 until nDays).foreach { i =>
+      val (lo, hi) = ((d0 + i) * DayUs, (d0 + i + 1) * DayUs)
+      SnapshotCatalog.commit(
+        spark,
+        root,
+        p => encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+      )
+      if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
+    }
+    SnapshotCatalog.expireSnapshots(root, keepLast)
+    SnapshotCatalog
+      .manifests(root)
+      .map(m => (m.version, m.nBlocks, m.nPoints, m.minDay, m.maxDay))
+      .toDF("version", "n_blocks", "n_points", "min_day", "max_day")
+  }
+
   /** POINT-EXACT retention expiry (TTL) — vacuum's exact sibling.
     * [[vacuum]] drops aged blocks at block granularity and keeps a
     * boundary block whole; production retention ("keep 90 days,

@@ -59,6 +59,13 @@ class StoreSpec extends AnyFunSuite {
       val a = TimeboxStore.encode(original)
       val b = TimeboxStore.encode(original, maxPointsPerBlock = 0)
       assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+      // the sub-block window runs on the SAME key the groupBy shuffles
+      // on: the capped encode must not grow a second exchange
+      val plan = TimeboxStore
+        .encode(original, maxPointsPerBlock = 4096)
+        .queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"capped encode grew a second shuffle ($exchanges):\n$plan")
     } finally { blocks.unpersist(); () }
   }
 
