@@ -10,6 +10,10 @@ object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq
+    // per-call scratch: without it the warm pass's checkpoints turn a
+    // streaming query's timed pass into a resume no-op (the r6 bench
+    // artifact BASELINE.md's erratum documents)
+    sys.props("graft.scratch.percall") = "true"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
