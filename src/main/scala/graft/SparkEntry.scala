@@ -149,6 +149,7 @@ object SparkEntry {
     "dedup_containment_estimate" -> ((s, d) => Dedup.containmentEstimate(s, d)),
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "dedup_store_delete"     -> ((s, d) => Dedup.storeDeleteMatch(s, d)),
     "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
     "dedup_incremental_bbit" -> ((s, d) => Dedup.incrementalBbit(s, d)),
     "dedup_stream_cc"        -> ((s, d) => graft.sources.StreamingIngest.dedupStreamClusters(s, d)),
@@ -172,6 +173,7 @@ object SparkEntry {
     "ann_ivfpq_search"    -> ((s, d) => Similarity.annIvfPqSearch(s, d)),
     "ann_label_knn"       -> ((s, d) => Similarity.annLabelKnn(s, d)),
     "ann_index_search"    -> ((s, d) => Similarity.annIndexSearch(s, d)),
+    "ann_index_delete"    -> ((s, d) => Similarity.annIndexDelete(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
@@ -422,7 +424,12 @@ object SparkEntry {
     */
   private lazy val ivfPqOracleSql: String = ivfPqOracle(500)
 
-  private def ivfPqOracle(trainN: Int): String =
+  /** @param deleteCond extra AND-condition on candidate codes (e.g.
+    *        " AND co.vec_id % 7 != 6") — the tombstone-delete oracle:
+    *        the model CTEs upstream are untouched (no retrain), only
+    *        the candidate codes vanish, exactly like the store rewrite
+    */
+  private def ivfPqOracle(trainN: Int, deleteCond: String = ""): String =
     s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,
          |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
@@ -463,7 +470,7 @@ object SparkEntry {
          |        FROM prs p JOIN cb c ON c.mi = p.mi AND c.i = p.i GROUP BY 1, 2, 3, 4),
          |ac AS (SELECT l.probe_id, co.vec_id AS neighbor_id, CAST(SUM(l.d2) AS BIGINT) AS adist
          |       FROM codes co JOIN lut l ON l.cell = co.cell AND l.mi = co.mi AND l.code = co.code
-         |       WHERE co.vec_id != l.probe_id GROUP BY 1, 2),
+         |       WHERE co.vec_id != l.probe_id$deleteCond GROUP BY 1, 2),
          |sl AS (SELECT probe_id, neighbor_id FROM
          |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, neighbor_id ASC) AS srnk
          |         FROM ac) WHERE srnk <= 100),
@@ -883,6 +890,21 @@ object SparkEntry {
          |       WHERE da.source != db.source)
          |SELECT source_a, source_b, COUNT(*) AS n_pairs FROM ps GROUP BY 1, 2""".stripMargin,
     "dedup_incremental" -> incrementalOracleSql,
+    // takedown tombstones: a deleted corpus doc can never be reported
+    // as a match — the oracle is the incremental match over the corpus
+    // MINUS the deleted docs (tombstone-filtered store ≡ live-corpus
+    // store; surviving group members still match through shared bands)
+    "dedup_store_delete" ->
+      s"""WITH $shingleCtes,
+         |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
+         |ex AS (SELECT i.doc_id AS new_doc_id, c.doc_id AS match_doc_id, 'exact' AS kind
+         |       FROM h i JOIN h c ON c.th = i.th
+         |       WHERE i.doc_id >= 400 AND c.doc_id < 400 AND c.doc_id % 11 != 4),
+         |nr AS (SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS match_doc_id, 'near' AS kind
+         |       FROM bs a JOIN bs b ON b.band = a.band AND b.sig = a.sig
+         |       WHERE b.doc_id >= 400 AND a.doc_id < 400 AND a.doc_id % 11 != 4)
+         |SELECT new_doc_id, match_doc_id, MIN(kind) AS kind
+         |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr) GROUP BY 1, 2""".stripMargin,
     // the streaming loop drains the whole delta in one AvailableNow
     // batch under Verify, so its match set equals the batch incremental
     // dedup — same oracle; the intra-stream append path is spec-bound
@@ -1061,6 +1083,8 @@ object SparkEntry {
     // LUT, ADC over probed cells only, exact cosine re-rank
     "ann_ivfpq_search" -> ivfPqOracleSql,
     "ann_index_search" -> ivfPqOracleSql,
+    // tombstone delete: same pipeline, deleted candidate codes excluded
+    "ann_index_delete" -> ivfPqOracle(500, " AND co.vec_id % 7 != 6"),
     // append-without-retrain: every training input lives in the old
     // half, so the appended index == a full rebuild trained on it
     "ann_index_append" -> ivfPqOracle(400),

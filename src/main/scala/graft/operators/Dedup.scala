@@ -1058,6 +1058,32 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 25f. dedup_store_delete — TAKEDOWN deletes against the signature
+  // store (GDPR/purge flow, the delta/iceberg delete-file shape):
+  // tombstone the condemned doc ids (O(batch) — nothing corpus-sized
+  // moves at takedown time), then match a delta batch — tombstoned
+  // members can never be reported as matches, even where a condemned
+  // doc was its group's REP (the group's surviving members still
+  // match through the rep's stored signatures, exactly as a store
+  // built on the live corpus would behave — that equivalence IS the
+  // oracle: the incremental-dedup query over the corpus minus the
+  // deleted docs). Physical compaction (rep promotion with zero
+  // re-shingling, SignatureStoreSpec-pinned store ≡ from-scratch) runs
+  // on maintenance schedule, not in the takedown path.
+  // -------------------------------------------------------------------
+  def storeDeleteMatch(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = graft.sources.TimeboxStore.scratchPath("graft_sigdel", dir)
+    graft.sources.SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    graft.sources.SignatureStore.tombstone(
+      spark,
+      store,
+      docs.filter(col("doc_id") < splitId && col("doc_id") % 11 === 4).select(col("doc_id"))
+    )
+    graft.sources.SignatureStore.matchDelta(spark, store, docs.filter(col("doc_id") >= splitId))
+  }
+
+  // -------------------------------------------------------------------
   // 25c. dedup_incremental_cc — INCREMENTAL connected components over
   // signature appends: the corpus' cluster labels live in the
   // SignatureStore's label tier; a new batch appends its signatures and

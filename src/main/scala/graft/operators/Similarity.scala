@@ -765,6 +765,62 @@ object Similarity {
     searchStoredIndex(spark, dir, out, probeCells, m, shortlist, nProbes, k)
   }
 
+  // -------------------------------------------------------------------
+  // 28l. ann_index_delete — index DELETE without retraining, the third
+  // leg of the index lifecycle (build / append / delete): vectors
+  // leave the corpus (takedowns, dedup purges, retention) and their
+  // CODES must leave the index, but the model — centroids + codebook,
+  // trained before the delete — stays, exactly like the tombstone
+  // deletes every production vector store runs between retrains. The
+  // rewrite is PARTITION-PRUNED: only cells that actually contain a
+  // deleted id are rewritten (dynamic partition overwrite of the
+  // survivors); untouched cell directories are not read, not written.
+  // At 100 TB a delete batch touches the handful of cells it lands
+  // in, not the corpus. Search over the pruned index can never
+  // return a deleted neighbor — the oracle (same IVF-PQ pipeline
+  // with deleted codes excluded) value-checks exactly that.
+  // -------------------------------------------------------------------
+  def annIndexDelete(
+      spark: SparkSession,
+      dir: String,
+      probeCells: Int = 4,
+      m: Int = 8,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val out = graft.sources.TimeboxStore.scratchPath("graft_vecidx_del", dir)
+    buildVectorIndex(spark, dir, out)
+    deleteFromStoredIndex(spark, out, col("vec_id") % 7 === 6)
+    searchStoredIndex(spark, dir, out, probeCells, m, shortlist, nProbes, k)
+  }
+
+  /** Remove the codes of vectors matching `del` from a persisted
+    * index, rewriting ONLY the cell partitions that contain a match:
+    * survivors of affected cells are written back under dynamic
+    * partition overwrite, every other cell directory stays untouched
+    * on disk. The model tables are not read.
+    */
+  private[graft] def deleteFromStoredIndex(
+      spark: SparkSession,
+      out: String,
+      del: org.apache.spark.sql.Column
+  ): Unit = {
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val codes = spark.read.parquet(s"$out/codes")
+      val affected = codes.filter(del).select(col("cell")).distinct()
+      codes
+        .join(broadcast(affected), Seq("cell"))
+        .filter(!del)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/codes")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Persist the appendable index base: model trained ONLY on the old
     * half (centroid seeds, codebook seeds, Lloyd sample all < splitId)
     * plus the old half's codes, cell-partitioned. Shared by the batch

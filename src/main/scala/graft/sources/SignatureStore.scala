@@ -262,7 +262,7 @@ object SignatureStore {
     * component) — the same output contract as [[Dedup.clusters]].
     */
   def readClusters(spark: SparkSession, path: String): DataFrame = {
-    val groups = spark.read.parquet(s"$path/groups")
+    val groups = liveGroups(spark, path)
     val labels = spark.read.parquet(s"$path/labels")
     val banded = spark.read.parquet(s"$path/bands").select(col("doc_id").as("rep_id")).distinct()
     val lone = groups
@@ -277,15 +277,75 @@ object SignatureStore {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** TAKEDOWN deletes, tier 1 — tombstones: append the doc ids to
+    * `deletes/`; every member-expanding read ([[liveGroups]]) filters
+    * them out from that moment on. O(|delete batch|) — nothing
+    * corpus-sized is touched, which is what a takedown SLA needs at
+    * 100 TB. [[compactTombstones]] applies them physically later.
+    */
+  def tombstone(spark: SparkSession, path: String, del: DataFrame): Unit =
+    del.select(col("doc_id")).write.mode("append").parquet(s"$path/deletes")
+
+  /** The groups table with tombstones applied — the membership every
+    * match/report read expands through. Without a `deletes/` tier the
+    * plan is byte-identical to the raw read (no join is added).
+    */
+  private def liveGroups(spark: SparkSession, path: String): DataFrame = {
+    val g = spark.read.parquet(s"$path/groups")
+    if (!new java.io.File(s"$path/deletes").exists) g
+    else g.join(broadcast(spark.read.parquet(s"$path/deletes")), Seq("doc_id"), "left_anti")
+  }
+
+  /** TAKEDOWN deletes, tier 2 — physical compaction: rewrite the store
+    * with tombstones applied, then drop the tombstone tier. Deleted
+    * members leave `groups/`; a group whose REP was deleted promotes
+    * its minimum surviving member (the from-scratch canonical rule, so
+    * the compacted store is INDISTINGUISHABLE from one built on the
+    * live corpus — SignatureStoreSpec pins table-level equality); the
+    * promoted rep INHERITS the old rep's th/band/bbit rows with only
+    * the id rewritten — members share their rep's normalized text, so
+    * re-shingling would recompute byte-identical rows (the zero-
+    * recompute property that makes compaction affordable). Fully
+    * deleted groups drop their rep/band/bbit rows entirely.
+    */
+  def compactTombstones(spark: SparkSession, path: String): Unit = {
+    if (!new java.io.File(s"$path/deletes").exists) return
+    val del = broadcast(spark.read.parquet(s"$path/deletes"))
+    val live = spark.read.parquet(s"$path/groups").join(del, Seq("doc_id"), "left_anti")
+    val remap = live.groupBy(col("rep_id")).agg(min(col("doc_id")).as("new_rep")).localCheckpoint()
+    val staged = Seq(
+      "groups" -> live
+        .join(remap, Seq("rep_id"))
+        .select(col("doc_id"), col("new_rep").as("rep_id")),
+      "reps" -> spark.read.parquet(s"$path/reps")
+        .join(remap, Seq("rep_id"))
+        .select(col("new_rep").as("rep_id"), col("th")),
+      "bands" -> spark.read.parquet(s"$path/bands")
+        .join(remap.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"))
+        .select(col("new_rep").as("doc_id"), col("band"), col("sig")),
+      "bbits" -> spark.read.parquet(s"$path/bbits")
+        .join(remap.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"))
+        .select(col("new_rep").as("doc_id"), col("bits"))
+    )
+    staged.foreach { case (t, df) => df.write.mode("overwrite").parquet(s"$path/${t}_next") }
+    staged.foreach { case (t, _) =>
+      spark.read.parquet(s"$path/${t}_next").write.mode("overwrite").parquet(s"$path/$t")
+    }
+    val dels = new java.io.File(s"$path/deletes")
+    dels.listFiles().foreach(f => f.delete(): Unit)
+    dels.delete(): Unit
+  }
+
   /** Match an incoming batch against the stored signatures: exact
     * matches via the content hash, near matches via shared LSH band
     * signatures; a pair matched both ways reports 'exact'. The corpus
     * appears ONLY through the store tables — no corpus text is read,
     * let alone re-shingled. The batch is collapsed first, matched at
-    * rep level, and matches expand to members on both sides.
+    * rep level, and matches expand to members on both sides
+    * (tombstoned members excluded — [[liveGroups]]).
     */
   def matchDelta(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
-    val groups = spark.read.parquet(s"$path/groups")
+    val groups = liveGroups(spark, path)
     val reps = spark.read.parquet(s"$path/reps")
     val bands = spark.read.parquet(s"$path/bands")
     val dc = Dedup.collapseExact(normed(delta))
@@ -320,7 +380,7 @@ object SignatureStore {
     * Returns the match result ([[matchDelta]]'s exact shape).
     */
   def matchAppend(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
-    val groups = spark.read.parquet(s"$path/groups")
+    val groups = liveGroups(spark, path)
     val reps = spark.read.parquet(s"$path/reps")
     val bands = spark.read.parquet(s"$path/bands")
     val dc = Dedup.collapseExact(normed(delta))
@@ -392,7 +452,7 @@ object SignatureStore {
     * the b-bit tier rides along with the band join.
     */
   def matchDeltaScored(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
-    val groups = spark.read.parquet(s"$path/groups")
+    val groups = liveGroups(spark, path)
     val bands = spark.read.parquet(s"$path/bands")
     val bbits = spark.read.parquet(s"$path/bbits")
     val dc = Dedup.collapseExact(normed(delta))

@@ -48,6 +48,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
+    "ann_index_delete",          // same tail over the tombstone-pruned index
     "text_bigram_pmi",
     "sample_temperature",
     "contamination_doc_overlap", // 1-row MIN(source) broadcast

@@ -31,6 +31,39 @@ class SignatureStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstone compaction equals a store built on the live corpus — rep promotion, zero re-shingling") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sigdel_spec").toString
+    val (tomb, live) = (s"$root/tomb", s"$root/live")
+    // the shipped corpus has no exact duplicates, so CONSTRUCT the
+    // promotion scenario: every doc gets a +10000 clone (2-member
+    // groups, rep = low id). 10000 ≡ 1 (mod 11), so doc_id % 11 == 5
+    // deletes some REPS whose clone survives (orig ≡ 5 → promotion)
+    // AND some clones whose rep survives (orig ≡ 4 → member delete) —
+    // both paths run, the non-degeneracy asserts below prove it.
+    val base = docs.filter(col("doc_id") < 200)
+    val corpus = base.unionByName(base.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+    val deleted = col("doc_id") % 11 === 5
+    SignatureStore.write(spark, corpus, tomb)
+    SignatureStore.tombstone(spark, tomb, corpus.filter(deleted).select(col("doc_id")))
+    SignatureStore.compactTombstones(spark, tomb)
+    SignatureStore.write(spark, corpus.filter(!deleted), live)
+    for (t <- Seq("groups", "reps", "bands", "bbits")) {
+      val x = spark.read.parquet(s"$tomb/$t")
+      val y = spark.read.parquet(s"$live/$t")
+      assert(x.except(y).count() === 0 && y.except(x).count() === 0,
+        s"$t diverged from the live-corpus build after compaction")
+    }
+    // tombstone tier is gone — the compacted store carries no residue
+    assert(!new java.io.File(s"$tomb/deletes").exists)
+    // non-degenerate both ways: promoted clones are reps now...
+    val groups = spark.read.parquet(s"$tomb/groups")
+    assert(groups.filter(col("rep_id") >= 10000L).count() > 0,
+      "no clone was promoted to rep — promotion path untested")
+    // ...and some groups lost a member but kept their rep
+    assert(groups.groupBy(col("rep_id")).count().filter(col("count") === 1).count() > 0,
+      "no group shrank to one member — member-delete path untested")
+  }
+
   test("contamination matrix over three bucketed stores: symmetric pair counts, no corpus shuffle") {
     val d = docs
     SignatureStore.writeBucketedBands(spark, d.filter(col("doc_id") < 170), "cmx_a")

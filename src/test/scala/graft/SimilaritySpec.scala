@@ -161,4 +161,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mem.exceptAll(idx).count() === 0 && idx.exceptAll(mem).count() === 0,
       "index roundtrip changed the search result")
   }
+
+  test("index delete rewrites ONLY the cells containing a deleted id; survivors exact") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_vecidx_del_spec").toString + "/idx"
+    Similarity.buildVectorIndex(spark, sf, out)
+    val before = spark.read.parquet(s"$out/codes")
+      .select(col("vec_id"), col("mi"), col("cell").cast("long")).collect().toSet
+    def cellFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$out/codes")
+      root.listFiles().filter(_.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().map(f => s"${f.getName}:${f.lastModified}").toSet
+      }.toMap
+    }
+    val filesBefore = cellFiles()
+    // delete ONE vector: exactly one cell is affected — every other
+    // cell directory must be byte-untouched (same files, same mtimes)
+    val victim = 42L
+    val victimCell = before.collectFirst { case r if r.getLong(0) == victim => r.getLong(2) }.get
+    Similarity.deleteFromStoredIndex(spark, out, col("vec_id") === victim)
+    val after = spark.read.parquet(s"$out/codes")
+      .select(col("vec_id"), col("mi"), col("cell").cast("long")).collect().toSet
+    assert(after === before.filterNot(_.getLong(0) == victim), "survivor codes not exact")
+    val filesAfter = cellFiles()
+    val touched = filesBefore.keySet.filter(c => filesBefore(c) != filesAfter.getOrElse(c, Set.empty))
+    assert(touched === Set(s"cell=$victimCell"),
+      s"delete touched $touched, expected only cell=$victimCell")
+  }
 }
