@@ -65,6 +65,7 @@ object SparkEntry {
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_asof_tolerance"  -> ((s, d) => TimeSeries.asofJoinTolerance(s, d)),
+    "ts_range_join"      -> ((s, d) => TimeSeries.rangeJoin(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_gapfill_stream"  -> ((s, d) => graft.sources.StreamingIngest.gapfillStream(s, d)),
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "ts_store_schema_evolve" -> ((s, d) => graft.sources.TimeboxStore.schemaEvolveRoundtrip(s, d)),
     "ts_store_stats"     -> ((s, d) => graft.sources.TimeboxStore.storeStats(s, d)),
     "ts_store_catalog"   -> ((s, d) => graft.sources.TimeboxStore.catalogMaintenanceSummary(s, d)),
+    "ts_store_timetravel" -> ((s, d) => graft.sources.TimeboxStore.timeTravelSummary(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
@@ -177,6 +179,7 @@ object SparkEntry {
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
+    "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     "ann_stream_index"    -> ((s, d) => graft.sources.StreamingIngest.annStreamIndex(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -205,6 +208,7 @@ object SparkEntry {
     "text_bpe_index"    -> ((s, d) => TextAnalysis.bpeIndexApply(s, d)),
     "text_bpe_batch"    -> ((s, d) => TextAnalysis.bpeBatchTrain(s, d, rounds = 4, m = 6, cand = 24)),
     "text_search_topk"  -> ((s, d) => TextAnalysis.searchTopk(s, d)),
+    "text_pii_scrub"    -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -423,6 +427,22 @@ object SparkEntry {
     * only the old half.
     */
   private lazy val ivfPqOracleSql: String = ivfPqOracle(500)
+
+  /** Exact top-10 cosine neighbors for the 5 probes — the ANN ground
+    * truth, shared by `ann_topk_bruteforce` and the recall evaluation.
+    */
+  private lazy val bruteTopkOracleSql: String =
+    s"""WITH $quantCtes,
+       |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |      FROM (SELECT * FROM q WHERE vec_id < 5) a
+       |      JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+       |s AS (SELECT probe_id, neighbor_id,
+       |             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+       |      FROM d JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+       |SELECT probe_id, neighbor_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+       |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+       |FROM s QUALIFY rnk <= 10""".stripMargin
 
   /** @param deleteCond extra AND-condition on candidate codes (e.g.
     *        " AND co.vec_id % 7 != 6") — the tombstone-delete oracle:
@@ -983,18 +1003,18 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
          |  MIN(n2) AS min_n2, MAX(n2) AS max_n2
          |FROM e JOIN n USING (vec_id) GROUP BY 1""".stripMargin,
-    "ann_topk_bruteforce" ->
-      s"""WITH $quantCtes,
-         |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
-         |      FROM (SELECT * FROM q WHERE vec_id < 5) a
-         |      JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
-         |s AS (SELECT probe_id, neighbor_id,
-         |             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-         |      FROM d JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
-         |SELECT probe_id, neighbor_id,
-         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
-         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
-         |FROM s QUALIFY rnk <= 10""".stripMargin,
+    "ann_topk_bruteforce" -> bruteTopkOracleSql,
+    // recall@10 of the IVF-PQ index vs exact brute force, per probe:
+    // both sides are the queries' own oracles composed as derived
+    // tables (DuckDB allows WITH inside a FROM subquery)
+    "ann_recall_eval" ->
+      s"""SELECT t.probe_id,
+         |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(a.neighbor_id) * 10000 // 10 AS BIGINT) AS recall_bp
+         |FROM ($bruteTopkOracleSql) t
+         |LEFT JOIN ($ivfPqOracleSql) a
+         |  ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin,
     "ann_lsh_bucketed" ->
       s"""WITH $quantCtes,
          |pl AS (SELECT p, i,
@@ -1358,6 +1378,29 @@ object SparkEntry {
          |r AS (SELECT doc_id, score,
          |        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM sc)
          |SELECT rnk, doc_id, score FROM r WHERE rnk <= 10""".stripMargin,
+    // PII scrub: both engines splice the identical doc_id-derived
+    // residue, then count/redact with ASCII-safe regexes shared by
+    // Java regex and RE2 (DuckDB needs the 'g' flag to replace all)
+    "text_pii_scrub" ->
+      """WITH a AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) || ' logged' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END
+        |  AS aug FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(aug, '\b555-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b555-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |  FROM a)
+        |SELECT doc_id, n_emails, n_ipv4, n_phones,
+        |  n_emails + n_ipv4 + n_phones AS n_pii,
+        |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+        |  md5(scrubbed) AS scrub_md5
+        |FROM m""".stripMargin,
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->
       """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,
@@ -2463,6 +2506,21 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // interval join: the oracle states the range predicate literally;
+    // the Spark side reaches the same rows through the bucketed
+    // equi-join (window length == bucket width, residual range filter)
+    "ts_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, ts, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |w AS (SELECT event_id AS window_id, user_id, ts AS s FROM ev
+        |      WHERE event_type = 'error' AND value_c >= 900)
+        |SELECT w.window_id, w.user_id, epoch_us(w.s) AS start_us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(e.value_c) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM w JOIN ev e
+        |  ON e.user_id = w.user_id AND e.ts >= w.s AND e.ts < w.s + INTERVAL 600 SECOND
+        |GROUP BY 1, 2, 3""".stripMargin,
     // compaction: n_blocks == DISTINCT days iff every fragmented
     // (series, day) collapsed back to ONE block; the point summary is
     // the lossless-roundtrip check over the same store
@@ -2666,6 +2724,19 @@ object SparkEntry {
         |SELECT CAST(day_id - d0 + 1 AS BIGINT) AS version, n_blocks, n_points,
         |  day_id AS min_day, day_id AS max_day
         |FROM per, d0 WHERE day_id - d0 + 1 BETWEEN 8 AND 12""".stripMargin,
+    // time travel: state(v=7) = deltas of days d0..d0+6; the oracle
+    // restates that slice straight from raw events — a leak from any
+    // later-committed day fails the hash
+    "ts_store_timetravel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day_id,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |d0 AS (SELECT MIN(day_id) AS d0 FROM e)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+        |FROM e, d0 WHERE day_id < d0.d0 + 7
+        |GROUP BY 1""".stripMargin,
     "ts_store_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
         |b AS (SELECT user_id, day_id, COUNT(*) AS np FROM e GROUP BY 1, 2)

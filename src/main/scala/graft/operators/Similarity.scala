@@ -913,4 +913,34 @@ object Similarity {
         max(col("n2")).as("max_n2")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 28m. ann_recall_eval — index QUALITY EVALUATION as a first-class
+  // query: recall@k of the IVF-PQ index against exact brute force, per
+  // probe (n_hits in the intersection of the two top-k sets, recall in
+  // basis points). This is the number an index owner tunes nCells/
+  // probeCells/codebook size against; making it a query means the
+  // evaluation itself is oracle-checked, not a notebook afterthought.
+  // Composes the two existing pipelines; the intersection is a k-row
+  // per-probe semi-join — cost is the two searches, the eval adds
+  // nothing at scale.
+  // -------------------------------------------------------------------
+  def annRecallEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth  = annTopkBruteForce(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val approx = annIvfPqSearch(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val hits = truth
+      .join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("hits"))
+    truth
+      .select(col("probe_id"))
+      .distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(
+        col("probe_id"),
+        col("n_hits"),
+        expr(s"n_hits * 10000 DIV $k").as("recall_bp")
+      )
+  }
 }

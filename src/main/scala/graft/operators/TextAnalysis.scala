@@ -1043,4 +1043,64 @@ object TextAnalysis {
         ).as("weight_micro")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 31r. text_pii_scrub — PII detection + redaction, the compliance
+  // pass every training pipeline runs before anything trains: count
+  // emails / IPv4 literals / phone numbers per doc and emit the
+  // scrubbed text's length + md5 (the redaction receipt). Entirely
+  // row-local regexp work (codegen'd, zero shuffle); the patterns are
+  // the ASCII-safe common subset of Java regex and RE2 so the DuckDB
+  // oracle matches byte-for-byte.
+  //
+  // The synthetic corpus carries no PII, so the drill SPLICES
+  // deterministic residue derived from doc_id (an email every 5th doc,
+  // an IPv4 every 7th, a phone every 11th — both engines construct the
+  // identical augmented text), making the detection provably
+  // non-vacuous: the specs pin that every spliced token is found and
+  // that the scrubbed text contains none.
+  // -------------------------------------------------------------------
+  private[graft] val PiiEmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val PiiIpv4Pat  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiPhonePat = "\\b555-\\d{3}-\\d{4}\\b"
+
+  /** The augmented-text expression (shared by query and specs). */
+  private[graft] def piiAugmented(text: org.apache.spark.sql.Column, docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      text,
+      when(docId % 5 === 0, concat(lit(" contact user"), docId, lit("@example.com now"))).otherwise(lit("")),
+      when(docId % 7 === 0, concat(lit(" from 10."), docId % 200, lit(".0."), docId % 250, lit(" logged"))).otherwise(lit("")),
+      when(docId % 11 === 0, concat(lit(" call 555-"), lpad((docId % 1000).cast("string"), 3, "0"), lit("-"), lpad((docId % 10000).cast("string"), 4, "0"), lit(" today"))).otherwise(lit(""))
+    )
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), piiAugmented(col("text"), col("doc_id")).as("aug"))
+      .select(
+        col("doc_id"),
+        // NOTE: the Column/lit form, not expr(...) — a SQL string
+        // literal would escape-process '\b' into a backspace byte
+        size(regexp_extract_all(col("aug"), lit(PiiEmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(PiiIpv4Pat), lit(0))).cast("long").as("n_ipv4"),
+        size(regexp_extract_all(col("aug"), lit(PiiPhonePat), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), PiiEmailPat, "<EMAIL>"),
+            PiiIpv4Pat,
+            "<IP>"
+          ),
+          PiiPhonePat,
+          "<PHONE>"
+        ).as("scrubbed")
+      )
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_ipv4"),
+        col("n_phones"),
+        (col("n_emails") + col("n_ipv4") + col("n_phones")).as("n_pii"),
+        length(col("scrubbed")).cast("long").as("scrub_len"),
+        md5(col("scrubbed")).as("scrub_md5")
+      )
 }

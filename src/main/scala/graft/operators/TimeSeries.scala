@@ -1352,4 +1352,65 @@ object TimeSeries {
       )
     Dedup.releaseAfterRun(spark, out, Seq(m1, h1))
   }
+
+  // -------------------------------------------------------------------
+  // 13c. ts_range_join — the general INTERVAL JOIN Spark lacks as a
+  // native operator: every event inside each incident window
+  // [anchor_ts, anchor_ts + 600 s) of the same user (windows = high-
+  // severity errors, value >= 9.00). A literal `ON e.ts BETWEEN w.s
+  // AND w.e` non-equi join plans as a nested loop — the 100 TB
+  // killer — so this re-expresses it as a BUCKETED EQUI-JOIN: time is
+  // quantized into window-length buckets, a window overlaps at most 2
+  // buckets (explode(sequence) — row-local, bounded), the join runs on
+  // (user_id, bucket) through the ordinary hash machinery, and the
+  // exact range predicate is a residual filter AFTER the equi match.
+  // Pair work is bounded by per-(user, bucket) co-occurrence — never
+  // |events| × |windows|. The window side is anchor-derived and small;
+  // Spark broadcasts it, and at 1000-executor scale the same plan
+  // shuffles both sides on the bucket key — no skew beyond the data's
+  // own per-user hot windows.
+  // -------------------------------------------------------------------
+  def rangeJoin(
+      spark: SparkSession,
+      dir: String,
+      windowUs: Long = 600L * 1000000L,
+      minCents: Long = 900L
+  ): DataFrame = {
+    val ev = eventsUs(spark, dir).select(
+      col("event_id"),
+      col("user_id"),
+      col("ts_us"),
+      col("event_type"),
+      cents(col("value")).as("value_c")
+    )
+    val windows = ev
+      .filter(col("event_type") === "error" && col("value_c") >= minCents)
+      .select(
+        col("event_id").as("window_id"),
+        col("user_id").as("w_user"),
+        col("ts_us").as("start_us")
+      )
+      // a [s, s + W) window overlaps buckets s DIV W .. (s + W − 1) DIV W:
+      // at most two — the explode is bounded and row-local
+      .withColumn(
+        "w_bucket",
+        explode(
+          expr(s"sequence(start_us DIV ${windowUs}L, (start_us + ${windowUs}L - 1) DIV ${windowUs}L)")
+        )
+      )
+    ev
+      .withColumn("bucket", expr(s"ts_us DIV ${windowUs}L"))
+      .join(
+        windows,
+        col("user_id") === col("w_user") && col("bucket") === col("w_bucket") &&
+          col("ts_us") >= col("start_us") && col("ts_us") < col("start_us") + lit(windowUs),
+        "inner"
+      )
+      .groupBy(col("window_id"), col("w_user").as("user_id"), col("start_us"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error")
+      )
+  }
 }

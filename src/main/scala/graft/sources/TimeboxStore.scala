@@ -987,6 +987,53 @@ object TimeboxStore {
       .toDF("version", "n_blocks", "n_points", "min_day", "max_day")
   }
 
+  /** ts_store_timetravel — TIME TRAVEL over the snapshot catalog, the
+    * read-side face of [[catalogMaintenanceSummary]]'s lifecycle: 10
+    * daily DELTA snapshots commit (the log-structured append shape —
+    * state(v) = union of deltas ≤ v, exactly how a table format's
+    * add-files log composes), manifests compact mid-stream (after day
+    * 6), then the store is read AS OF version 7 — resolution crosses
+    * the compaction boundary on purpose (consolidated manifest rows
+    * 1-6 + the stacked marker 7), and versions 8-10 exist but are
+    * provably invisible (any leak fails the oracle hash). The as-of
+    * read costs one manifest resolution + a parquet union of ≤v
+    * snapshot paths — O(1) metadata in the catalog's age, and the
+    * decode/aggregate pushes down exactly like any store read.
+    * Assumes per-call scratch (versions are absolute).
+    */
+  def timeTravelSummary(
+      spark: SparkSession,
+      dir: String,
+      nDays: Int = 10,
+      compactAfter: Int = 6,
+      asOfVersion: Long = 7
+  ): DataFrame = {
+    val root = scratchPath("graft_store_timetravel", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+    (0 until nDays).foreach { i =>
+      val (lo, hi) = ((d0 + i) * DayUs, (d0 + i + 1) * DayUs)
+      SnapshotCatalog.commit(
+        spark,
+        root,
+        p => encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+      )
+      if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
+    }
+    val asOf = SnapshotCatalog.manifests(root).filter(_.version <= asOfVersion)
+    require(asOf.nonEmpty, s"no committed version <= $asOfVersion")
+    decode(spark.read.parquet(asOf.map(_.path): _*))
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+  }
+
   /** POINT-EXACT retention expiry (TTL) — vacuum's exact sibling.
     * [[vacuum]] drops aged blocks at block granularity and keeps a
     * boundary block whole; production retention ("keep 90 days,

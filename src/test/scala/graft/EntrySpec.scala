@@ -68,7 +68,8 @@ class EntrySpec extends AnyFunSuite {
     "q11_important_stock",       // 1-row |supplier| + 1-row total-value broadcasts
     "q16_supplier_cnt",          // 1-row |supplier| broadcast (partsupp bridge)
     "q20_potential_promo",       // 1-row |supplier| broadcast (partsupp bridge)
-    "ann_stream_index"           // 5-probe crossJoin over the streamed index (house ANN pattern)
+    "ann_stream_index",          // 5-probe crossJoin over the streamed index (house ANN pattern)
+    "ann_recall_eval"            // composes bruteforce + ivfpq, both already whitelisted
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably

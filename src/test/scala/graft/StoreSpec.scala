@@ -998,4 +998,33 @@ class StoreSpec extends AnyFunSuite {
     SnapshotCatalog.compactManifests(root)
     assert(SnapshotCatalog.manifests(root).map(_.version) === (92L to 101L))
   }
+
+  test("time travel: as-of v is a prefix of head, head read equals the full day range") {
+    import graft.sources.TimeboxStore
+    val atV7  = TimeboxStore.timeTravelSummary(spark, sf, nDays = 10, compactAfter = 6, asOfVersion = 7)
+    val atEnd = TimeboxStore.timeTravelSummary(spark, sf, nDays = 10, compactAfter = 6, asOfVersion = 10)
+    val j = atV7
+      .select(col("user_id"), col("n_points").as("np7"), col("max_ts_us").as("mx7"))
+      .join(atEnd.select(col("user_id"), col("n_points").as("npH"), col("max_ts_us").as("mxH")), "user_id")
+    assert(j.filter(col("np7") > col("npH")).count() === 0, "as-of read saw MORE than head")
+    assert(j.filter(col("mx7") > col("mxH")).count() === 0)
+    // head == the literal 10-day aggregate from raw events
+    import graft.functions.FixedPoint.cents
+    val dayUs = 86400000000L
+    val pts = graft.operators.TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), col("ts_us"), cents(col("value")).as("value_c"))
+    val d0 = pts.agg(min(expr(s"ts_us DIV ${dayUs}L"))).head().getLong(0)
+    val truth = pts
+      .filter(col("ts_us") < lit((d0 + 10) * dayUs))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+    assert(atEnd.exceptAll(truth).isEmpty && truth.exceptAll(atEnd).isEmpty,
+      "head-version time travel disagrees with the raw 10-day aggregate")
+  }
 }

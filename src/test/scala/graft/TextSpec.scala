@@ -226,4 +226,38 @@ class TextSpec extends AnyFunSuite {
     assert(merges.groupBy(_.getAs[Long]("merge_round")).values.exists(_.length > 1),
       "no round kept more than one merge — batch drill degenerate")
   }
+
+  test("pii scrub: every spliced token is detected, the scrub removes them all") {
+    val df = TextAnalysis.piiScrub(spark, sf).cache()
+    try {
+      // the doc_id-derived residue is provably found
+      assert(df.filter(col("doc_id") % 5 === 0 && col("n_emails") < 1).count() === 0)
+      assert(df.filter(col("doc_id") % 7 === 0 && col("n_ipv4") < 1).count() === 0)
+      assert(df.filter(col("doc_id") % 11 === 0 && col("n_phones") < 1).count() === 0)
+      assert(df.filter(col("n_pii") > 0).count() > 0, "detection vacuous — no PII found at all")
+      // the un-spliced corpus carries no PII of its own
+      assert(df.filter(col("doc_id") % 5 =!= 0 && col("n_emails") > 0).count() === 0)
+    } finally df.unpersist()
+
+    // re-running the detectors on the SCRUBBED text finds nothing —
+    // the redaction receipt is real (recompute the scrub in-test from
+    // the shared augmented-text expression)
+    import graft.operators.TextAnalysis.{PiiEmailPat, PiiIpv4Pat, PiiPhonePat}
+    val scrubbed = graft.sources.Tables
+      .documents(spark, sf)
+      .select(TextAnalysis.piiAugmented(col("text"), col("doc_id")).as("aug"))
+      .select(
+        regexp_replace(
+          regexp_replace(regexp_replace(col("aug"), PiiEmailPat, "<EMAIL>"), PiiIpv4Pat, "<IP>"),
+          PiiPhonePat,
+          "<PHONE>"
+        ).as("s")
+      )
+    val residual = scrubbed.filter(
+      size(regexp_extract_all(col("s"), lit(PiiEmailPat), lit(0))) > 0 ||
+        size(regexp_extract_all(col("s"), lit(PiiIpv4Pat), lit(0))) > 0 ||
+        size(regexp_extract_all(col("s"), lit(PiiPhonePat), lit(0))) > 0
+    )
+    assert(residual.count() === 0, "scrubbed text still matches a PII pattern")
+  }
 }

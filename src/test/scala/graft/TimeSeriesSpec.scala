@@ -151,4 +151,43 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(df.filter(col("mad2_c") < 0).count() === 0)
     } finally df.unpersist()
   }
+
+  test("range join: bucketed equi-join equals the literal interval join") {
+    import graft.functions.FixedPoint.cents
+    val W = 600L * 1000000L
+    val df = TimeSeries.rangeJoin(TestSpark.spark, TestSpark.sf).cache()
+    try {
+      assert(df.count() > 0, "no incident windows at this SF — drill vacuous")
+      // ground truth: the non-equi join stated literally (fine at test SF)
+      val ev = TimeSeries
+        .eventsUs(TestSpark.spark, TestSpark.sf)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          col("ts_us"),
+          col("event_type"),
+          cents(col("value")).as("value_c")
+        )
+      val w = ev
+        .filter(col("event_type") === "error" && col("value_c") >= 900)
+        .select(col("event_id").as("window_id"), col("user_id").as("w_user"), col("ts_us").as("start_us"))
+      val truth = ev
+        .join(
+          w,
+          col("user_id") === col("w_user") &&
+            col("ts_us") >= col("start_us") && col("ts_us") < col("start_us") + lit(W)
+        )
+        .groupBy(col("window_id"), col("w_user").as("user_id"), col("start_us"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value_c")).as("sum_value_c"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error")
+        )
+      assert(df.exceptAll(truth).isEmpty && truth.exceptAll(df).isEmpty,
+        "bucketed interval join disagrees with the literal range join")
+      // a window never spans more than its own length of events' buckets:
+      // every joined event is inside [start, start + W)
+      assert(df.filter(col("n_events") < 1).count() === 0)
+    } finally df.unpersist()
+  }
 }
