@@ -128,6 +128,8 @@ object SparkEntry {
     "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
+    "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
+    "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
     "q9_product_profit"  -> ((s, d) => Relational.q9ProductProfit(s, d)),
@@ -391,6 +393,15 @@ object SparkEntry {
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** the LSH CTE chain restricted to the deterministic ~50% md5-band
+    * eval sample — the recall/precision evaluation corpus
+    */
+  private val shingleCtesSampled =
+    """sdocs AS (SELECT * FROM documents
+      |  WHERE (instr('0123456789abcdef', substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |      + (instr('0123456789abcdef', substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 128),
+      |""".stripMargin + shingleCtes.replace("FROM documents", "FROM sdocs")
+
   /** quantized-embedding CTEs reused by the similarity oracles */
   private val quantCtes =
     """q AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
@@ -585,6 +596,26 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // LSH recall/precision vs exact Jaccard >= 0.8 truth on the
+    // md5-band eval sample; truth = the shingle inverted-index join
+    "dedup_recall_eval" ->
+      s"""WITH $shingleCtesSampled,
+         |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
+         |ip AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter_n
+         |       FROM u x JOIN u y ON y.shingle = x.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |tr AS (SELECT ip.doc_a, ip.doc_b FROM ip
+         |       JOIN cnt ca ON ca.doc_id = ip.doc_a JOIN cnt cb ON cb.doc_id = ip.doc_b
+         |       WHERE ip.inter_n * 10 >= (ca.n_sh + cb.n_sh - ip.inter_n) * 8),
+         |h AS (SELECT t.doc_a FROM tr t JOIN pairs c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         |agg AS (SELECT (SELECT COUNT(*) FROM tr) AS n_truth,
+         |               (SELECT COUNT(*) FROM pairs) AS n_cand,
+         |               (SELECT COUNT(*) FROM h) AS n_hits)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(CASE WHEN n_truth > 0 THEN n_hits * 10000 // n_truth ELSE 10000 END AS BIGINT) AS recall_bp,
+         |  CAST(CASE WHEN n_cand > 0 THEN n_hits * 10000 // n_cand ELSE 10000 END AS BIGINT) AS precision_bp
+         |FROM agg""".stripMargin,
     // the keep/drop verdict: longest copy wins per cluster, doc_id ties
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $shingleCtes,
@@ -1671,6 +1702,21 @@ object SparkEntry {
     "graph_part_rank" -> pagerankOracle(3),
     "dedup_label_prop" -> labelPropOracle(3),
     // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
+    // SCD2: consecutive duplicate states collapse; valid_to = next
+    // version's valid_from, -1 + is_current on the head version
+    "rel_scd2" ->
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |o AS (SELECT *, CASE WHEN lag(state) OVER w IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg FROM o),
+        |g AS (SELECT user_id, seg, MIN(state) AS state, MIN(ts_us) AS valid_from_us,
+        |        CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, seg, state, valid_from_us,
+        |  COALESCE(lead(valid_from_us) OVER wv, -1) AS valid_to_us, n_events,
+        |  CAST(CASE WHEN lead(valid_from_us) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY seg)""".stripMargin,
     // the corpus max order date
     "rel_rfm_segments" ->
       """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders),

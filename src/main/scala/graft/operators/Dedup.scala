@@ -339,6 +339,65 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23q. dedup_recall_eval — LSH QUALITY EVALUATION: recall and
+  // precision of the banded candidate generator against exact n-gram
+  // Jaccard ≥ 0.8 ground truth, the numbers bands×rows budgets are
+  // tuned against (4 bands × 3 rows ⇒ theoretical recall ≥ 94% at
+  // J = 0.8). The exact truth needs the inverted-index shingle join —
+  // quadratic in per-shingle doc frequency, the very cost LSH exists
+  // to avoid — so the eval runs on a DETERMINISTIC HASH SAMPLE of the
+  // corpus (md5-band keep, ~50%; the production practice at 100 TB).
+  // Inside the sample the usual skew discipline holds: exact dups
+  // collapse to reps before BOTH the truth join and the banding, pairs
+  // re-expand to members afterward; the three 1-row count aggregates
+  // broadcast into the single summary row.
+  // -------------------------------------------------------------------
+  def recallEval(spark: SparkSession, dir: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hv = expr(
+      "(instr('0123456789abcdef', substring(md5(concat('eval:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5(concat('eval:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    )
+    val sampled = docsNorm(spark, dir).withColumn("hv", hv.cast("long")).filter(col("hv") < 128).drop("hv")
+    val c = collapseExact(sampled)
+    val groups = c.groups.persist(mem)
+    groups.count()
+    val uniq = shinglesOf(c.reps).distinct().persist(mem)
+    uniq.count()
+    // candidates: the production banded generator over the sample
+    val lsh = lshRepPairsFrom(uniq)
+    val cand = expandMemberPairs(lsh.pairs, groups, lsh.banded).persist(mem)
+    // truth: exact Jaccard over the shingle inverted index (rep-level,
+    // members inherit — identical texts share identical shingle sets)
+    val cnt = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = uniq
+      .as("x")
+      .join(uniq.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    val truthRep = inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(col("inter_n") * 10 >= (col("n_a") + col("n_b") - col("inter_n")) * 8)
+      .select(col("doc_a"), col("doc_b"))
+    val shingled = uniq.select(col("doc_id")).distinct()
+    val truth = expandMemberPairs(truthRep, groups, shingled).persist(mem)
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val out = truth
+      .agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(
+        col("n_truth"),
+        col("n_cand"),
+        col("n_hits"),
+        when(col("n_truth") > 0, expr("n_hits * 10000 DIV n_truth")).otherwise(10000L).as("recall_bp"),
+        when(col("n_cand") > 0, expr("n_hits * 10000 DIV n_cand")).otherwise(10000L).as("precision_bp")
+      )
+    releaseAfterRun(spark, out, Seq(lsh.bands, groups, uniq, cand, truth))
+  }
+
+  // -------------------------------------------------------------------
   // 23b. dedup_clusters — connected components over the LSH candidate
   // graph: the canonical-cluster step every dedup pipeline runs after
   // pair generation (keep one doc per component).

@@ -1156,4 +1156,37 @@ object Relational {
       .groupBy($"s_name")
       .agg(count(lit(1)).as("n_parts"), sum($"ps_availqty").as("avail_qty"))
   }
+
+  // -------------------------------------------------------------------
+  // rel_scd2 — SLOWLY-CHANGING-DIMENSION TYPE 2 build, the canonical
+  // warehouse dimension-maintenance operator: fold a per-entity change
+  // stream (events ordered by time) into versioned validity intervals —
+  // consecutive duplicate states collapse, each surviving state gets
+  // [valid_from, valid_to) with valid_to = the next version's
+  // valid_from (-1 on the current row) and an is_current flag. One
+  // shuffle on the entity key serves everything: the change-detect lag,
+  // the running segment sum, the per-segment aggregate, and the
+  // valid_to lead all share the user_id partitioning (two sorts, one
+  // exchange). At 100 TB this is the standard "rebuild the dimension
+  // from the CDC log" pass — embarrassingly parallel per entity.
+  // -------------------------------------------------------------------
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+    TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("state"), 1L).otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(w))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(
+        min(col("state")).as("state"), // constant within a segment
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events")
+      )
+      .withColumn("valid_to_us", coalesce(lead(col("valid_from_us"), 1).over(ws), lit(-1L)))
+      .withColumn("is_current", when(col("valid_to_us") === -1L, 1L).otherwise(0L))
+      .select(col("user_id"), col("seg"), col("state"), col("valid_from_us"), col("valid_to_us"), col("n_events"), col("is_current"))
+  }
 }

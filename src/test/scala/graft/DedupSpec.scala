@@ -288,4 +288,12 @@ class DedupSpec extends AnyFunSuite {
       assert(Dedup.lshRepPairsFrom(uniq).pairs.count() > 0L)
     } finally uniq.unpersist()
   }
+
+  test("recall eval: hits bounded by both sides, rates bounded by 10000 bp") {
+    val r = Dedup.recallEval(spark, sf).head()
+    val (nTruth, nCand, nHits) =
+      (r.getAs[Long]("n_truth"), r.getAs[Long]("n_cand"), r.getAs[Long]("n_hits"))
+    assert(nHits <= nTruth && nHits <= nCand, "intersection exceeds a side")
+    assert(r.getAs[Long]("recall_bp") <= 10000L && r.getAs[Long]("precision_bp") <= 10000L)
+  }
 }
