@@ -28,6 +28,7 @@ object SparkEntry {
     "ts_ohlc_1d"         -> ((s, d) => TimeSeries.ohlcDaily(s, d)),
     "ts_moving_avg"      -> ((s, d) => TimeSeries.movingAgg(s, d)),
     "ts_downsample_m4"   -> ((s, d) => TimeSeries.downsampleM4(s, d)),
+    "ts_downsample_lttb" -> ((s, d) => TimeSeries.downsampleLttb(s, d)),
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
@@ -66,6 +67,7 @@ object SparkEntry {
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_asof_tolerance"  -> ((s, d) => TimeSeries.asofJoinTolerance(s, d)),
     "ts_range_join"      -> ((s, d) => TimeSeries.rangeJoin(s, d)),
+    "ts_range_join_stream" -> ((s, d) => graft.sources.StreamingIngest.rangeJoinStream(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
     "ts_gapfill_stream"  -> ((s, d) => graft.sources.StreamingIngest.gapfillStream(s, d)),
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
@@ -130,6 +132,7 @@ object SparkEntry {
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
+    "rel_pit_join"       -> ((s, d) => Relational.pitJoin(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
     "q9_product_profit"  -> ((s, d) => Relational.q9ProductProfit(s, d)),
@@ -211,6 +214,7 @@ object SparkEntry {
     "text_bpe_batch"    -> ((s, d) => TextAnalysis.bpeBatchTrain(s, d, rounds = 4, m = 6, cand = 24)),
     "text_search_topk"  -> ((s, d) => TextAnalysis.searchTopk(s, d)),
     "text_pii_scrub"    -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "text_search_index" -> ((s, d) => TextAnalysis.searchIndexTopk(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -401,6 +405,39 @@ object SparkEntry {
       |  WHERE (instr('0123456789abcdef', substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
       |      + (instr('0123456789abcdef', substr(md5('eval:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 128),
       |""".stripMargin + shingleCtes.replace("FROM documents", "FROM sdocs")
+
+  /** lexical TF-IDF top-10 oracle, shared by the inline search and
+    * the persisted-index roundtrip (byte-identical by construction)
+    */
+  private lazy val searchTopkOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |q AS (SELECT tok FROM (VALUES ('fast'), ('key'), ('sort')) v(tok)),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM t JOIN q USING (tok) GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM t JOIN q USING (tok) GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+       |sc AS (SELECT doc_id, CAST(SUM(tf * (nd * 1000000 // df)) AS BIGINT) AS score
+       |       FROM tf JOIN df USING (tok), n GROUP BY 1),
+       |r AS (SELECT doc_id, score,
+       |        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM sc)
+       |SELECT rnk, doc_id, score FROM r WHERE rnk <= 10""".stripMargin
+
+  /** interval-join oracle, shared by ts_range_join and its streaming
+    * twin (whose AvailableNow drain emits the same matched set)
+    */
+  private val rangeJoinOracleSql: String =
+    """WITH ev AS (SELECT event_id, user_id, ts, event_type,
+      |                   CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+      |w AS (SELECT event_id AS window_id, user_id, ts AS s FROM ev
+      |      WHERE event_type = 'error' AND value_c >= 900)
+      |SELECT w.window_id, w.user_id, epoch_us(w.s) AS start_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(e.value_c) AS BIGINT) AS sum_value_c,
+      |  CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+      |FROM w JOIN ev e
+      |  ON e.user_id = w.user_id AND e.ts >= w.s AND e.ts < w.s + INTERVAL 600 SECOND
+      |GROUP BY 1, 2, 3""".stripMargin
 
   /** quantized-embedding CTEs reused by the similarity oracles */
   private val quantCtes =
@@ -1396,19 +1433,9 @@ object SparkEntry {
     "text_bpe_index" -> bpeApplyOracle(5),
     // integer-exact tf-idf: idf = N*10^6 // df, HUGEINT sum mirrors
     // the DECIMAL path
-    "text_search_topk" ->
-      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
-         |q AS (SELECT tok FROM (VALUES ('fast'), ('key'), ('sort')) v(tok)),
-         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-         |       FROM t JOIN q USING (tok) GROUP BY 1, 2),
-         |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-         |       FROM t JOIN q USING (tok) GROUP BY 1),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
-         |sc AS (SELECT doc_id, CAST(SUM(tf * (nd * 1000000 // df)) AS BIGINT) AS score
-         |       FROM tf JOIN df USING (tok), n GROUP BY 1),
-         |r AS (SELECT doc_id, score,
-         |        CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM sc)
-         |SELECT rnk, doc_id, score FROM r WHERE rnk <= 10""".stripMargin,
+    "text_search_topk" -> searchTopkOracleSql,
+    // the persisted-index roundtrip is byte-identical — shared oracle
+    "text_search_index" -> searchTopkOracleSql,
     // PII scrub: both engines splice the identical doc_id-derived
     // residue, then count/redact with ASCII-safe regexes shared by
     // Java regex and RE2 (DuckDB needs the 'g' flag to replace all)
@@ -1717,6 +1744,25 @@ object SparkEntry {
         |  COALESCE(lead(valid_from_us) OVER wv, -1) AS valid_to_us, n_events,
         |  CAST(CASE WHEN lead(valid_from_us) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY seg)""".stripMargin,
+    // point-in-time join: the oracle resolves each purchase's state
+    // with the same union + running last-non-null carry (IGNORE NULLS),
+    // including the (ts, kind, event_id) tie order
+    "rel_pit_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, 0 AS kind,
+        |         event_type AS state, CAST(NULL AS BIGINT) AS value_c
+        |  FROM events WHERE event_type IN ('signup', 'error')
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), event_id, 1, NULL,
+        |         CAST(round(value * 100) AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT *, last_value(state IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS cur FROM u)
+        |SELECT COALESCE(cur, 'unknown') AS state,
+        |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(value_c) AS BIGINT) AS revenue_c
+        |FROM c WHERE kind = 1 GROUP BY 1""".stripMargin,
     // the corpus max order date
     "rel_rfm_segments" ->
       """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_date FROM orders),
@@ -2076,6 +2122,37 @@ object SparkEntry {
         |  MAX(CASE WHEN rn_d = 1 THEN value_c END) AS last_c,
         |  MIN(ts_us) AS t_start_us, MAX(ts_us) AS t_end_us, COUNT(*) AS n
         |FROM r GROUP BY user_id, bucket""".stripMargin,
+    // parallel LTTB: neighbor-bucket floor-div mean anchors, exact
+    // integer cross-product areas; endpoint buckets keep first/last
+    "ts_downsample_lttb" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CAST(round(value*100) AS BIGINT) AS v,
+        |         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0,
+        |         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |b AS (SELECT user_id, ts_us, event_id, v,
+        |        LEAST(59, (ts_us - t0) * 60 // (t1 - t0 + 1)) AS bucket FROM e),
+        |m AS (SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |        CAST(SUM(ts_us) // COUNT(*) AS BIGINT) AS mx,
+        |        CAST(SUM(v) // COUNT(*) AS BIGINT) AS my
+        |      FROM b GROUP BY 1, 2),
+        |nb AS (SELECT user_id, bucket, n_pts,
+        |         lag(mx) OVER w AS lx, lag(my) OVER w AS ly,
+        |         lead(mx) OVER w AS rx, lead(my) OVER w AS ry
+        |       FROM m WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+        |p AS (SELECT b.user_id, b.bucket, b.ts_us, b.event_id, b.v, nb.n_pts,
+        |        nb.lx, nb.ly, nb.rx, nb.ry
+        |      FROM b JOIN nb ON nb.user_id = b.user_id AND nb.bucket = b.bucket),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, bucket ORDER BY
+        |        CASE WHEN lx IS NOT NULL AND rx IS NOT NULL
+        |             THEN -abs((lx - ts_us) * (ry - v) - (rx - ts_us) * (ly - v))
+        |             ELSE 0 END ASC,
+        |        CASE WHEN rx IS NULL AND lx IS NOT NULL THEN -ts_us ELSE ts_us END ASC,
+        |        CASE WHEN rx IS NULL AND lx IS NOT NULL THEN -event_id ELSE event_id END ASC) AS rn
+        |      FROM p)
+        |SELECT user_id, bucket, ts_us AS sel_ts_us, v AS sel_value_c, n_pts
+        |FROM r WHERE rn = 1""".stripMargin,
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),
@@ -2555,18 +2632,9 @@ object SparkEntry {
     // interval join: the oracle states the range predicate literally;
     // the Spark side reaches the same rows through the bucketed
     // equi-join (window length == bucket width, residual range filter)
-    "ts_range_join" ->
-      """WITH ev AS (SELECT event_id, user_id, ts, event_type,
-        |                   CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
-        |w AS (SELECT event_id AS window_id, user_id, ts AS s FROM ev
-        |      WHERE event_type = 'error' AND value_c >= 900)
-        |SELECT w.window_id, w.user_id, epoch_us(w.s) AS start_us,
-        |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(SUM(e.value_c) AS BIGINT) AS sum_value_c,
-        |  CAST(SUM(CASE WHEN e.event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
-        |FROM w JOIN ev e
-        |  ON e.user_id = w.user_id AND e.ts >= w.s AND e.ts < w.s + INTERVAL 600 SECOND
-        |GROUP BY 1, 2, 3""".stripMargin,
+    "ts_range_join" -> rangeJoinOracleSql,
+    // the streaming drain is the same row set — shared oracle
+    "ts_range_join_stream" -> rangeJoinOracleSql,
     // compaction: n_blocks == DISTINCT days iff every fragmented
     // (series, day) collapsed back to ONE block; the point summary is
     // the lossless-roundtrip check over the same store

@@ -1189,4 +1189,54 @@ object Relational {
       .withColumn("is_current", when(col("valid_to_us") === -1L, 1L).otherwise(0L))
       .select(col("user_id"), col("seg"), col("state"), col("valid_from_us"), col("valid_to_us"), col("n_events"), col("is_current"))
   }
+
+  // -------------------------------------------------------------------
+  // rel_pit_join — POINT-IN-TIME dimension join, the feature-store
+  // correctness primitive: every purchase fact is attributed to the
+  // account state (signup/error marker stream) valid AT ITS TIMESTAMP,
+  // never a later one — the leakage-free join a training pipeline must
+  // use when attaching slowly-changing features to events. A literal
+  // `fact.ts BETWEEN valid_from AND valid_to` interval join plans as a
+  // nested loop; instead the dimension rows and facts UNION into one
+  // per-entity stream and a running last-non-null carry resolves the
+  // valid state — the same single-shuffle union+carry plan as
+  // ts_asof_join, aggregated per state. Facts before any dimension row
+  // surface as 'unknown' (they must NOT inherit a future state).
+  // -------------------------------------------------------------------
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = TimeSeries.eventsUs(spark, dir)
+    val dim = ev
+      .filter(col("event_type").isin("signup", "error"))
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        lit(0).as("kind"),
+        col("event_type").as("state"),
+        lit(null).cast("long").as("value_c")
+      )
+    val facts = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts_us"),
+        col("event_id"),
+        lit(1).as("kind"),
+        lit(null).cast("string").as("state"),
+        cents(col("value")).as("value_c")
+      )
+    dim
+      .unionByName(facts)
+      .withColumn("cur", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy(coalesce(col("cur"), lit("unknown")).as("state"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(col("value_c")).as("revenue_c")
+      )
+  }
 }

@@ -898,6 +898,89 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31s. text_search_index — lexical retrieval BUILD/QUERY split: the
+  // inverted index text_search_topk computes inline, persisted the way
+  // a production search tier lays it out. The postings (tok, doc_id,
+  // tf) and term dictionary (tok, df) land as parquet HIVE-PARTITIONED
+  // BY A TERM-HASH BUCKET (first md5 nibble, 16 shards) — a k-term
+  // query prunes the read to ≤k bucket directories by partition
+  // filter before any row is touched (spec-asserted), the file-level
+  // twin of the IVF index's probed-cell pruning. The corpus size is a
+  // 1-row stats file. Scoring is the same integer-exact TF-IDF, so
+  // the roundtrip is byte-identical to the inline search (shared
+  // oracle) — the index provably loses nothing.
+  // -------------------------------------------------------------------
+  private def termBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(s"instr('0123456789abcdef', substring(md5(${c.toString}), 1, 1)) - 1")
+
+  /** driver-side twin of [[termBucket]] for pruning literals */
+  private def termBucketOf(tok: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(tok.getBytes("UTF-8"))
+    "0123456789abcdef".indexOf(f"${d(0) & 0xff}%02x".charAt(0)).toLong
+  }
+
+  def searchIndexTopk(
+      spark: SparkSession,
+      dir: String,
+      query: Seq[String] = Seq("fast", "key", "sort"),
+      k: Int = 10
+  ): DataFrame = {
+    val out = graft.sources.TimeboxStore.scratchPath("graft_text_search_index", dir)
+    // BUILD: postings + term dictionary, sharded by term-hash bucket
+    val toks = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket", termBucket(col("tok")))
+      .write
+      .mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"$out/postings")
+    toks
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("term_bucket", termBucket(col("tok")))
+      .write
+      .mode("overwrite")
+      .partitionBy("term_bucket")
+      .parquet(s"$out/terms")
+    Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).as("nd"))
+      .write
+      .mode("overwrite")
+      .parquet(s"$out/stats")
+    // QUERY: reads ONLY the query terms' bucket directories. The IN
+    // literals are Ints matching the inferred partition-column type —
+    // a Long literal would wrap the column in a cast and the predicate
+    // would no longer be extractable as a partition filter.
+    val buckets = query.map(t => termBucketOf(t).toInt).distinct
+    val tf = spark.read
+      .parquet(s"$out/postings")
+      .filter(col("term_bucket").isin(buckets: _*) && col("tok").isin(query: _*))
+    val df = spark.read
+      .parquet(s"$out/terms")
+      .filter(col("term_bucket").isin(buckets: _*) && col("tok").isin(query: _*))
+      .select(col("tok"), col("df"))
+    val nd = spark.read.parquet(s"$out/stats")
+    val w  = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_micro", expr("nd * 1000000 DIV df"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("CAST(SUM(CAST(tf AS DECIMAL(19,0)) * CAST(idf_micro AS DECIMAL(19,0))) AS BIGINT)")
+          .as("score")
+      )
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score"))
+  }
+
+  // -------------------------------------------------------------------
   // 31o. text_bpe_index — the tokenizer BUILD/APPLY split (the same
   // split the ANN index got): training writes the merge table AND the
   // per-word segmentation (vocab) table as parquet; tokenization then

@@ -268,6 +268,70 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 10c. ts_downsample_lttb — largest-triangle downsampling, the other
+  // canonical visualization reducer next to M4: per bucket keep the
+  // point spanning the LARGEST TRIANGLE against its neighbor buckets
+  // (Steinarsson's LTTB). The textbook algorithm anchors on the
+  // previously SELECTED point — a sequential chain down each series —
+  // so this is the PARALLEL variant: both anchors are the neighbor
+  // buckets' mean coordinates (floor-div integers), which drops the
+  // cross-bucket dependency and makes every bucket's argmax
+  // independent. Areas are exact integer cross products
+  // |（lx−x)(ry−y) − (rx−x)(ly−y)| over (us, cents) — no floats, no
+  // tie drift; first/last buckets keep their first/last point (the
+  // LTTB endpoint rule). One groupBy for means + one bucket-keyed
+  // join + one per-bucket window — all on the series shuffle key.
+  // -------------------------------------------------------------------
+  def downsampleLttb(spark: SparkSession, dir: String, nBuckets: Int = 60): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val base = eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("v"))
+      .withColumn("t0", min(col("ts_us")).over(wu))
+      .withColumn("t1", max(col("ts_us")).over(wu))
+      .withColumn(
+        "bucket",
+        least(lit(nBuckets - 1L), expr(s"(ts_us - t0) * $nBuckets DIV (t1 - t0 + 1)"))
+      )
+      .drop("t0", "t1")
+    val means = base
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("ts_us")).as("st"), sum(col("v")).as("sv"))
+      .withColumn("mx", expr("st DIV n_pts"))
+      .withColumn("my", expr("sv DIV n_pts"))
+    val wb = Window.partitionBy("user_id").orderBy("bucket")
+    val nb = means.select(
+      col("user_id"),
+      col("bucket"),
+      col("n_pts"),
+      lag(col("mx"), 1).over(wb).as("lx"),
+      lag(col("my"), 1).over(wb).as("ly"),
+      lead(col("mx"), 1).over(wb).as("rx"),
+      lead(col("my"), 1).over(wb).as("ry")
+    )
+    val both = col("lx").isNotNull && col("rx").isNotNull
+    val lastB = col("rx").isNull && col("lx").isNotNull
+    val sel = Window
+      .partitionBy(col("user_id"), col("bucket"))
+      .orderBy(
+        when(both, -abs((col("lx") - col("ts_us")) * (col("ry") - col("v")) -
+          (col("rx") - col("ts_us")) * (col("ly") - col("v")))).otherwise(lit(0L)).asc,
+        when(lastB, -col("ts_us")).otherwise(col("ts_us")).asc,
+        when(lastB, -col("event_id")).otherwise(col("event_id")).asc
+      )
+    base
+      .join(nb, Seq("user_id", "bucket"))
+      .withColumn("rn", row_number().over(sel))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"),
+        col("bucket"),
+        col("ts_us").as("sel_ts_us"),
+        col("v").as("sel_value_c"),
+        col("n_pts")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11. ts_moving_avg — trailing-5-row moving aggregate per series.
   // Emitted as integer sum + count (avg = sum/n) so the result is
   // exact; a single window pass, one shuffle on the series key.

@@ -1226,6 +1226,63 @@ object StreamingIngest {
       .select(col("user_id"), col("hour_id"), col("g.value_c").as("value_c"), col("g.is_observed").as("is_observed"))
   }
 
+  /** STREAMING interval join — ts_range_join's 24/7 face: events
+    * arrive as a stream and range-join a STATIC incident-window table
+    * through the same bucketed equi-join (window-length time
+    * quantization, ≤2 exploded buckets per window, residual range
+    * filter). The stream-static inner join is STATELESS — window
+    * membership is decided per arriving row, so there is no state
+    * store and no watermark, the online-serving shape. Matches drain
+    * append-mode; the per-window aggregate runs on the drained
+    * matches (the batch tail), so the drained result equals batch
+    * ts_range_join — the shared oracle.
+    */
+  def rangeJoinStream(
+      spark: SparkSession,
+      dir: String,
+      windowUs: Long = 600L * 1000000L,
+      minCents: Long = 900L,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.TimeSeries
+    val windows = TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"), cents(col("value")).as("value_c"))
+      .filter(col("event_type") === "error" && col("value_c") >= minCents)
+      .select(col("event_id").as("window_id"), col("user_id").as("w_user"), col("ts_us").as("start_us"))
+      .withColumn(
+        "w_bucket",
+        explode(expr(s"sequence(start_us DIV ${windowUs}L, (start_us + ${windowUs}L - 1) DIV ${windowUs}L)"))
+      )
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_type"),
+        cents(col("value")).as("value_c")
+      )
+      .withColumn("bucket", expr(s"ts_us DIV ${windowUs}L"))
+    val matches = stream
+      .join(
+        windows,
+        col("user_id") === col("w_user") && col("bucket") === col("w_bucket") &&
+          col("ts_us") >= col("start_us") && col("ts_us") < col("start_us") + lit(windowUs)
+      )
+      .select(col("window_id"), col("w_user").as("w_uid"), col("start_us"), col("event_type"), col("value_c"))
+    runToMemory(spark, matches, "append")
+      .groupBy(col("window_id"), col("w_uid").as("user_id"), col("start_us"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error")
+      )
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

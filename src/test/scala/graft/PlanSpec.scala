@@ -298,6 +298,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!qe.executedPlan.toString.contains("ExistingRDD"), "training lineage leaked into apply")
   }
 
+  test("search index query prunes to the query terms' bucket partitions") {
+    val qe = graft.operators.TextAnalysis.searchIndexTopk(spark, sf).queryExecution
+    val idxScans = qe.sparkPlan
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .filter(_.relation.location.rootPaths.exists { p =>
+        val sp = p.toString
+        sp.contains("graft_text_search_index") && !sp.contains("stats") // stats = unpartitioned 1-row file
+      })
+    assert(idxScans.nonEmpty, "persisted index not read")
+    idxScans.foreach { s =>
+      assert(
+        s.partitionFilters.nonEmpty,
+        s"term-bucket predicate did not become a partition filter: ${s.partitionFilters}"
+      )
+    }
+    // ≤3 query terms ⇒ ≤3 of the 16 bucket directories actually read
+    val postings = idxScans.filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    postings.foreach { s =>
+      assert(s.relation.location.listFiles(s.partitionFilters, s.dataFilters).size <= 3,
+        "postings read more bucket partitions than query terms")
+    }
+  }
+
   test("top movers plans the global top-10 as TakeOrdered — no full sort materializes") {
     val plan = planOf(Relational.topMovers(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$plan")

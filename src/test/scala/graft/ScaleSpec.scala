@@ -71,7 +71,10 @@ class ScaleSpec extends AnyFunSuite {
     // profile side still pins that their BATCH tail (the post-drain
     // read / the compacted-store read) keeps its shape across SFs
     "ann_stream_index",
-    "ts_store_compact"
+    "ts_store_compact",
+    "ts_range_join",
+    "rel_scd2",
+    "text_pii_scrub"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
