@@ -215,6 +215,7 @@ object SparkEntry {
     "text_search_topk"  -> ((s, d) => TextAnalysis.searchTopk(s, d)),
     "text_pii_scrub"    -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "text_search_index" -> ((s, d) => TextAnalysis.searchIndexTopk(s, d)),
+    "text_cdc_chunks"   -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -1433,6 +1434,36 @@ object SparkEntry {
     "text_bpe_index" -> bpeApplyOracle(5),
     // integer-exact tf-idf: idf = N*10^6 // df, HUGEINT sum mirrors
     // the DECIMAL path
+    // CDC chunking: identical rolling-hash boundaries restated with
+    // DuckDB list comprehensions; chunk membership then groups by md5
+    "text_cdc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $normSql AS s FROM documents),
+         |c0 AS (SELECT doc_id, s, string_split(s, '') AS cs,
+         |         CAST(len(string_split(s, '')) AS INT) AS n,
+         |         [513573, 286364, 727379, 211660, 55051, 259963, 108855, 176404, 718906, 982590, 373914, 499039, 248085, 17161, 131, 1] AS pw
+         |       FROM t WHERE length(s) >= 1),
+         |b AS (SELECT doc_id, s, n,
+         |        CASE WHEN n >= 16 THEN
+         |          list_filter(range(1, n - 14), i ->
+         |            list_sum(list_transform(range(0, 16), j ->
+         |              CAST(unicode(cs[i + j]) AS BIGINT) * pw[j + 1])) % 1000003 % 61 = 0)
+         |        ELSE [] END AS bnds
+         |      FROM c0),
+         |e AS (SELECT doc_id, s, n,
+         |        list_concat(ebs, CASE WHEN len(ebs) > 0 AND ebs[len(ebs)] = n
+         |                              THEN [] ELSE [n] END) AS ends
+         |      FROM (SELECT doc_id, s, n, list_transform(bnds, i -> i + 15) AS ebs FROM b)),
+         |ch AS (SELECT doc_id, s,
+         |         unnest(list_transform(range(1, len(ends) + 1), k ->
+         |           {'st': CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END, 'en': ends[k]})) AS c
+         |       FROM e),
+         |g AS (SELECT doc_id, md5(substr(s, c.st, c.en - c.st + 1)) AS chunk_md5,
+         |        CAST(c.en - c.st + 1 AS BIGINT) AS chunk_len FROM ch)
+         |SELECT chunk_md5, MIN(chunk_len) AS chunk_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  MIN(doc_id) AS canonical_doc
+         |FROM g GROUP BY 1""".stripMargin,
     "text_search_topk" -> searchTopkOracleSql,
     // the persisted-index roundtrip is byte-identical — shared oracle
     "text_search_index" -> searchTopkOracleSql,

@@ -898,6 +898,76 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31t. text_cdc_chunks — CONTENT-DEFINED CHUNKING, the storage-dedup
+  // primitive fixed-size chunking (mm_chunk_*) cannot replace: chunk
+  // boundaries are decided by the CONTENT (a 16-char polynomial
+  // rolling hash hitting a modulus), so an insertion near a doc's head
+  // shifts only the chunk it lands in — every later chunk re-aligns
+  // and keeps deduplicating, where fixed-size offsets would all move
+  // (the rsync/LBFS/backup-store trick). Hash arithmetic is exact
+  // integer (codes · B^k mod 1000003, boundary when ≡ 0 mod 61 →
+  // ~61-char expected chunks), entirely row-local HOFs over the char
+  // array — zero shuffle until the final chunk-hash groupBy. Output =
+  // the chunk-group table (occurrence counts, distinct-doc counts,
+  // canonical holder) the dedup store would persist.
+  // -------------------------------------------------------------------
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkTable(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), normText(col("text")).as("s"))
+    )
+      .groupBy(col("chunk_md5"))
+      .agg(
+        min(col("chunk_len")).as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc")
+      )
+
+  /** Per-chunk rows (doc_id, chunk_md5, chunk_len) for an arbitrary
+    * (doc_id, s) frame — the reusable CDC core; TextSpec drives the
+    * re-alignment property through it directly.
+    */
+  private[graft] def cdcChunkTable(normed: DataFrame): DataFrame = {
+    val pw = "array(513573L, 286364L, 727379L, 211660L, 55051L, 259963L, 108855L, 176404L, 718906L, 982590L, 373914L, 499039L, 248085L, 17161L, 131L, 1L)"
+    normed
+      .filter(length(col("s")) >= 1)
+      .withColumn("cs", expr("filter(split(s, ''), c -> c <> '')"))
+      .withColumn("n", size(col("cs")))
+      .withColumn("codes", expr("transform(cs, c -> CAST(ascii(c) AS BIGINT))"))
+      .withColumn(
+        "bnds",
+        when(
+          col("n") >= 16,
+          expr(
+            s"filter(sequence(1, n - 15), i -> " +
+              s"aggregate(sequence(0, 15), 0L, (acc, j) -> acc + element_at(codes, i + j) * element_at($pw, j + 1)) % 1000003 % 61 = 0)"
+          )
+        ).otherwise(expr("array()").cast("array<int>"))
+      )
+      .withColumn("ebs", expr("transform(bnds, i -> i + 15)"))
+      .withColumn(
+        "ends",
+        expr("concat(ebs, IF(size(ebs) > 0 AND element_at(ebs, size(ebs)) = n, array(), array(n)))")
+      )
+      .withColumn(
+        "c",
+        explode(
+          expr(
+            "transform(sequence(1, size(ends)), k -> named_struct(" +
+              "'st', IF(k = 1, 1, element_at(ends, k - 1) + 1), 'en', element_at(ends, k)))"
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        md5(expr("substring(s, c.st, c.en - c.st + 1)")).as("chunk_md5"),
+        (col("c.en") - col("c.st") + 1).cast("long").as("chunk_len")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 31s. text_search_index — lexical retrieval BUILD/QUERY split: the
   // inverted index text_search_topk computes inline, persisted the way
   // a production search tier lays it out. The postings (tok, doc_id,

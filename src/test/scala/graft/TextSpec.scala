@@ -260,4 +260,29 @@ class TextSpec extends AnyFunSuite {
     )
     assert(residual.count() === 0, "scrubbed text still matches a PII pattern")
   }
+
+  test("cdc chunks: an insertion shifts only its own chunk — later chunks re-align") {
+    import spark.implicits._
+    // a real corpus doc, and the same doc with 5 chars spliced at the front
+    val base = graft.sources.Tables
+      .documents(spark, sf)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .select(graft.operators.Dedup.normText(col("text")).as("s"))
+      .as[String]
+      .head()
+    val mutated = "zq9xk " + base
+    val chunks = graft.operators.TextAnalysis
+      .cdcChunkTable(Seq((1L, base), (2L, mutated)).toDF("doc_id", "s"))
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view
+      .mapValues(_.map(_.getAs[String]("chunk_md5")).toSet)
+      .toMap
+    val (c1, c2) = (chunks(1L), chunks(2L))
+    assert(c1.size >= 3, s"doc too short for the drill (${c1.size} chunks)")
+    // every chunk after the first boundary re-aligns: at most the head
+    // chunk differs between the original and the mutated doc
+    val lost = c1 -- c2
+    assert(lost.size <= 1, s"insertion broke ${lost.size} of ${c1.size} chunks — boundaries did not re-align")
+  }
 }
