@@ -132,6 +132,7 @@ object SparkEntry {
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
+    "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "rel_pit_join"       -> ((s, d) => Relational.pitJoin(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
@@ -634,6 +635,33 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // triangle census on the rep-level candidate graph: the oracle
+    // maps member band pairs to reps, then runs the same degree-ordered
+    // orientation
+    "graph_triangles" ->
+      s"""WITH $shingleCtes,
+         |rp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep FROM documents),
+         |re AS (SELECT DISTINCT LEAST(ra.rep, rb.rep) AS a, GREATEST(ra.rep, rb.rep) AS b
+         |       FROM pairs p JOIN rp ra ON ra.doc_id = p.doc_a JOIN rp rb ON rb.doc_id = p.doc_b
+         |       WHERE ra.rep != rb.rep),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |        (SELECT a AS node FROM re UNION ALL SELECT b FROM re) GROUP BY 1),
+         |ke AS (SELECT a, b, da.deg * 4294967296 + a AS ka, db.deg * 4294967296 + b AS kb
+         |       FROM re JOIN dg da ON da.node = re.a JOIN dg db ON db.node = re.b),
+         |o AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+         |             CASE WHEN ka < kb THEN b ELSE a END AS dst,
+         |             LEAST(ka, kb) AS ksrc, GREATEST(ka, kb) AS kdst FROM ke),
+         |wp AS (SELECT x.dst AS v, y.dst AS w FROM o x JOIN o y ON y.src = x.src AND x.kdst < y.kdst),
+         |tri AS (SELECT v FROM wp WHERE EXISTS (SELECT 1 FROM o WHERE o.src = wp.v AND o.dst = wp.w)),
+         |agg AS (SELECT
+         |  (SELECT COUNT(*) FROM dg) AS n_nodes,
+         |  (SELECT COUNT(*) FROM re) AS n_edges,
+         |  (SELECT COALESCE(SUM(deg * (deg - 1) // 2), 0) FROM dg) AS n_wedges,
+         |  (SELECT COUNT(*) FROM tri) AS n_triangles)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_wedges AS BIGINT) AS n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  CAST(CASE WHEN n_wedges > 0 THEN n_triangles * 3 * 10000 // n_wedges ELSE 0 END AS BIGINT) AS transitivity_bp
+         |FROM agg""".stripMargin,
     // LSH recall/precision vs exact Jaccard >= 0.8 truth on the
     // md5-band eval sample; truth = the shingle inverted-index join
     "dedup_recall_eval" ->

@@ -398,6 +398,78 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23r. graph_triangles — TRIANGLE CENSUS over the rep-level LSH
+  // candidate graph: triangle count + global clustering coefficient,
+  // the graph-shape diagnostic that separates boilerplate families
+  // (dense cliques — transitivity ≈ 1) from chain-like false-positive
+  // candidate paths (transitivity ≈ 0). The enumeration is the
+  // classic DEGREE-ORDERED ORIENTATION: each undirected edge points
+  // from its (degree, id)-smaller endpoint, every triangle is counted
+  // exactly once from its lowest-ordered corner, and a high-degree hub
+  // contributes wedges only through its few LOWER-ordered neighbors —
+  // the skew bound that makes the join feasible on power-law graphs
+  // (wedge work is Σ out-deg², out-deg ≤ √(2|E|)). Wedge total for
+  // the coefficient is the closed form Σ d(d−1)/2 off the degree
+  // table. Single summary row via 1-row count broadcasts.
+  // -------------------------------------------------------------------
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = collapseExact(docsNorm(spark, dir))
+    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val edges = lsh.pairs.persist(mem) // doc_a < doc_b, distinct, rep-level
+    edges.count()
+    val deg = edges
+      .select(col("doc_a").as("node"))
+      .unionAll(edges.select(col("doc_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(mem)
+    // total order key: (degree, id) packed into one long — no global
+    // rank window over a corpus-scaled node set
+    val key = (d: Column, id: Column) => d * lit(4294967296L) + id
+    val keyed = edges
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        key(col("da"), col("doc_a")).as("ka"),
+        key(col("db"), col("doc_b")).as("kb")
+      )
+    val oriented = keyed
+      .select(
+        when(col("ka") < col("kb"), col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(col("ka") < col("kb"), col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        least(col("ka"), col("kb")).as("ksrc"),
+        greatest(col("ka"), col("kb")).as("kdst")
+      )
+      .persist(mem)
+    oriented.count()
+    val wedgePairs = oriented
+      .as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
+      .select(col("x.dst").as("v"), col("y.dst").as("w"))
+    val triangles = wedgePairs.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"),
+      "left_semi"
+    )
+    val out = deg
+      .agg(count(lit(1)).as("n_nodes"), coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L)).as("n_wedges"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(triangles.agg(count(lit(1)).as("n_triangles"))))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0, expr("n_triangles * 3 * 10000 DIV n_wedges"))
+          .otherwise(0L)
+          .as("transitivity_bp")
+      )
+    releaseAfterRun(spark, out, Seq(lsh.bands, edges, deg, oriented))
+  }
+
+  // -------------------------------------------------------------------
   // 23b. dedup_clusters — connected components over the LSH candidate
   // graph: the canonical-cluster step every dedup pipeline runs after
   // pair generation (keep one doc per component).
