@@ -47,6 +47,7 @@ object SparkEntry {
     "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
     "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
+    "ts_stl_decompose"   -> ((s, d) => TimeSeries.stlDecompose(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
     "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
@@ -2181,6 +2182,24 @@ object SparkEntry {
         |  MAX(CASE WHEN rn_d = 1 THEN value_c END) AS last_c,
         |  MIN(ts_us) AS t_start_us, MAX(ts_us) AS t_end_us, COUNT(*) AS n
         |FROM r GROUP BY user_id, bucket""".stripMargin,
+    // STL decomposition: floor-mean levels, ±12-row centered trend,
+    // hour-of-day seasonal of the detrended level (// floors — the
+    // Spark side uses the pmod identity on negative-capable sums)
+    "ts_stl_decompose" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, hour_id, CAST(s // n AS BIGINT) AS level_c FROM h),
+        |t AS (SELECT *, CAST(SUM(level_c) OVER w // COUNT(*) OVER w AS BIGINT) AS trend_c
+        |      FROM l WINDOW w AS (PARTITION BY user_id ORDER BY hour_id
+        |                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT *, level_c - trend_c AS det_c, hour_id % 24 AS hod FROM t),
+        |sn AS (SELECT user_id, hod, CAST(SUM(det_c) // COUNT(*) AS BIGINT) AS seasonal_c
+        |       FROM d GROUP BY 1, 2)
+        |SELECT d.user_id, d.hour_id, d.hod, d.level_c, d.trend_c, sn.seasonal_c,
+        |  d.level_c - d.trend_c - sn.seasonal_c AS resid_c
+        |FROM d JOIN sn ON sn.user_id = d.user_id AND sn.hod = d.hod""".stripMargin,
     // parallel LTTB: neighbor-bucket floor-div mean anchors, exact
     // integer cross-product areas; endpoint buckets keep first/last
     "ts_downsample_lttb" ->

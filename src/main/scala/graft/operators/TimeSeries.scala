@@ -1368,6 +1368,53 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11u. ts_stl_decompose — STL-style additive decomposition in EXACT
+  // integers: level = per-(series, hour) floor-mean cents, trend =
+  // centered ±12-row moving mean over the series' hourly sequence,
+  // seasonal = per-(series, hour-of-day) truncated mean of the
+  // DETRENDED level, residual = level − trend − seasonal. Negative
+  // numerators are safe: Spark's DIV and DuckDB's // both truncate
+  // toward zero, so the means are bit-identical across engines
+  // without any floor gymnastics. Two shuffles (hourly rollup +
+  // the series window; the seasonal profile joins back broadcast-
+  // sized per series×24).
+  // -------------------------------------------------------------------
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"), cents(col("value")).as("v_c"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(sum(col("v_c")).as("s"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("hour_id"), expr("s DIV n").as("level_c")) // sums non-negative
+    val wTrend = Window
+      .partitionBy("user_id")
+      .orderBy("hour_id")
+      .rowsBetween(-12, 12)
+    val trended = hourly
+      .withColumn("ts_sum", sum(col("level_c")).over(wTrend))
+      .withColumn("ts_n", count(lit(1)).over(wTrend))
+      .withColumn("trend_c", expr("ts_sum DIV ts_n")) // level sums non-negative
+      .withColumn("det_c", col("level_c") - col("trend_c"))
+      .withColumn("hod", expr("hour_id % 24"))
+    val seasonal = trended
+      .groupBy(col("user_id"), col("hod"))
+      .agg(sum(col("det_c")).as("ds"), count(lit(1)).as("dn"))
+      // detrended sums CAN be negative — fine: Spark's DIV and
+      // DuckDB's // both truncate toward zero (verified -7÷2 = -3)
+      .select(col("user_id"), col("hod"), expr("ds DIV dn").as("seasonal_c"))
+    trended
+      .join(seasonal, Seq("user_id", "hod"))
+      .select(
+        col("user_id"),
+        col("hour_id"),
+        col("hod"),
+        col("level_c"),
+        col("trend_c"),
+        col("seasonal_c"),
+        (col("level_c") - col("trend_c") - col("seasonal_c")).as("resid_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11t. ts_rollup_cascade — the continuous-aggregate CASCADE every
   // production TSDB materializes: minute → hour → day rollups where
   // each level aggregates the PREVIOUS level, never raw points (count/
