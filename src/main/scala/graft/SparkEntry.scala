@@ -134,6 +134,7 @@ object SparkEntry {
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
+    "dedup_soft_weights" -> ((s, d) => Dedup.softWeights(s, d)),
     "rel_pit_join"       -> ((s, d) => Relational.pitJoin(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
     "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
@@ -218,6 +219,7 @@ object SparkEntry {
     "text_pii_scrub"    -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "text_search_index" -> ((s, d) => TextAnalysis.searchIndexTopk(s, d)),
     "text_cdc_chunks"   -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
+    "text_surprisal"    -> ((s, d) => TextAnalysis.surprisal(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -636,6 +638,25 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // soft-dedup weights: the cluster labels (recursive reachability)
+    // left-joined to the full corpus; singletons weigh 1.0
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+         |),
+         |lab AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |        FROM reach GROUP BY src),
+         |al AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM al GROUP BY 1)
+         |SELECT al.doc_id, al.cluster_id, cs.cluster_size,
+         |  CAST(1000000 // cs.cluster_size AS BIGINT) AS weight_micro
+         |FROM al JOIN cs USING (cluster_id)""".stripMargin,
     // triangle census on the rep-level candidate graph: the oracle
     // maps member band pairs to reps, then runs the same degree-ordered
     // orientation
@@ -1463,6 +1484,19 @@ object SparkEntry {
     "text_bpe_index" -> bpeApplyOracle(5),
     // integer-exact tf-idf: idf = N*10^6 // df, HUGEINT sum mirrors
     // the DECIMAL path
+    // unigram surprisal: bit length of N/freq per token (no float log)
+    "text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, w AS tok FROM
+         |        (SELECT doc_id, unnest($toksSql) AS w FROM documents) WHERE w <> ''),
+         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM t GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t),
+         |sc AS (SELECT doc_id, CAST(length(bin(nt // f)) AS BIGINT) AS sbits
+         |       FROM t JOIN f USING (tok), n)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(sbits) AS BIGINT) AS sum_bits,
+         |  CAST(MAX(sbits) AS BIGINT) AS max_bits,
+         |  CAST(SUM(sbits) * 1000000 // COUNT(*) AS BIGINT) AS mean_bits_micro
+         |FROM sc GROUP BY 1""".stripMargin,
     // CDC chunking: identical rolling-hash boundaries restated with
     // DuckDB list comprehensions; chunk membership then groups by md5
     "text_cdc_chunks" ->

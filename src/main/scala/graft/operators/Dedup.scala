@@ -598,6 +598,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
 
   // -------------------------------------------------------------------
+  // 23s. dedup_soft_weights — the KEEP-BUT-DOWNWEIGHT alternative to
+  // hard dedup: every doc gets a sampling weight 1/cluster_size
+  // (micro), so a 40-copy boilerplate family contributes one doc's
+  // worth of probability mass to training instead of being 39/40
+  // deleted — the soft-dedup recipe several LLM data pipelines prefer
+  // because it keeps coverage while killing the duplication bias.
+  // Singletons (no near-dup partner) are their own cluster at weight
+  // 1.0. Cost = the shared clusters pipeline + one O(n) size join;
+  // the output is the corpus-complete weight table a sampler consumes
+  // directly.
+  // -------------------------------------------------------------------
+  def softWeights(spark: SparkSession, dir: String): DataFrame = {
+    val lab = clusters(spark, dir)
+    val labeled = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labeled
+      .join(sizes, Seq("cluster_id"))
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("cluster_size"),
+        expr("1000000 DIV cluster_size").as("weight_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 23h2. dedup_keep_best — the dedup DECISION: per near-dup cluster,
   // keep the best copy and drop the rest. "Best" = the longest
   // version (fullest copy — the standard keep heuristic when near-dups

@@ -898,6 +898,37 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31u. text_surprisal — integer UNIGRAM SURPRISAL scoring, the
+  // perplexity-shaped quality signal without a float log: each
+  // token's surprisal proxy is the BIT LENGTH of N/freq (length(bin(·))
+  // ≈ ⌊log2⌋+1 — exact integers, engine-portable), summed per doc.
+  // Rare-token-heavy docs (gibberish, code dumps, other-language
+  // leakage) score high; boilerplate scores low — the cheap corpus-
+  // level filter a pipeline runs before anything model-based. Plan:
+  // one vocabulary aggregation, a token-keyed shuffle join back to
+  // the corpus (the corpus×vocab apply shape — the full vocabulary
+  // never broadcasts), one per-doc aggregate, N a 1-row broadcast.
+  // -------------------------------------------------------------------
+  def surprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val n = toks.agg(count(lit(1)).as("nt"))
+    toks
+      .join(freq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("sbits", expr("CAST(length(bin(nt DIV f)) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("sbits")).as("sum_bits"),
+        max(col("sbits")).as("max_bits")
+      )
+      .withColumn("mean_bits_micro", expr("sum_bits * 1000000 DIV n_toks"))
+  }
+
+  // -------------------------------------------------------------------
   // 31t. text_cdc_chunks — CONTENT-DEFINED CHUNKING, the storage-dedup
   // primitive fixed-size chunking (mm_chunk_*) cannot replace: chunk
   // boundaries are decided by the CONTENT (a 16-char polynomial

@@ -72,7 +72,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_stream_index",          // 5-probe crossJoin over the streamed index (house ANN pattern)
     "ann_recall_eval",           // composes bruteforce + ivfpq, both already whitelisted
     "dedup_recall_eval",         // three 1-row count-aggregate broadcasts into the summary row
-    "graph_triangles"            // 1-row count broadcasts into the census row
+    "graph_triangles",           // 1-row count broadcasts into the census row
+    "text_surprisal"             // 1-row corpus-token-count broadcast
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably
