@@ -177,6 +177,7 @@ object SparkEntry {
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
     "ann_lsh_bucketed"    -> ((s, d) => Similarity.annLshBucketed(s, d)),
+    "ann_lsh_multiprobe"  -> ((s, d) => Similarity.annLshMultiprobe(s, d)),
     "ann_ivf_bucketed"    -> ((s, d) => Similarity.annIvfBucketed(s, d)),
     "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "ann_pq_search"       -> ((s, d) => Similarity.annPqSearch(s, d)),
@@ -1156,6 +1157,36 @@ object SparkEntry {
          |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
          |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
          |SELECT probe_id, neighbor_id, bucket,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM sc QUALIFY rnk <= 10""".stripMargin,
+    // multiprobe: the probe side explodes to its bucket + the 4
+    // Hamming-1 flips; everything downstream is the bucketed search
+    "ann_lsh_multiprobe" ->
+      s"""WITH $quantCtes,
+         |pl AS (SELECT p, i,
+         |         2 * (instr('0123456789abcdef',
+         |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+         |       FROM (SELECT unnest(generate_series(0, 3)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+         |db AS (SELECT q.vec_id, pl.p, CAST(SUM(q.v * pl.w) AS BIGINT) AS dt
+         |       FROM q JOIN pl ON pl.i = q.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id,
+         |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM db GROUP BY 1),
+         |pb AS (SELECT vec_id AS probe_id,
+         |         unnest([bucket, xor(bucket, CAST(1 AS BIGINT)), xor(bucket, CAST(2 AS BIGINT)),
+         |                 xor(bucket, CAST(4 AS BIGINT)), xor(bucket, CAST(8 AS BIGINT))]) AS bucket
+         |       FROM bk WHERE vec_id < 5),
+         |cd AS (SELECT pb.probe_id, bk.vec_id AS neighbor_id
+         |       FROM pb JOIN bk ON bk.bucket = pb.bucket AND bk.vec_id != pb.probe_id),
+         |dt AS (SELECT cd.probe_id, cd.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM cd JOIN q a ON a.vec_id = cd.probe_id
+         |       JOIN q b ON b.vec_id = cd.neighbor_id AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, neighbor_id,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 10""".stripMargin,

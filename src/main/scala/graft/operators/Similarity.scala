@@ -400,6 +400,53 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // 28n. ann_lsh_multiprobe — MULTIPROBE LSH: each probe searches its
+  // own bucket AND the nPlanes buckets at Hamming distance 1 (one sign
+  // bit flipped) — the standard recall lever that beats adding hash
+  // tables because the extra probes reuse the SAME corpus layout (no
+  // new signatures, no rebucketing, just nPlanes+1 probe rows through
+  // the identical equi-join). Candidate set strictly contains the
+  // single-bucket search's (SimilaritySpec pins it); corpus-side cost
+  // unchanged at any scale — the multiprobe explode is probe-side
+  // only, 5×(nPlanes+1) rows.
+  // -------------------------------------------------------------------
+  def annLshMultiprobe(
+      spark: SparkSession,
+      dir: String,
+      nPlanes: Int = 4,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val q = quantized(spark, dir).withColumn("bucket", bucketExpr(nPlanes))
+    val probes = q
+      .filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("bucket"))
+      .withColumn(
+        "pb",
+        explode(
+          expr(
+            s"concat(array(bucket), transform(sequence(0, ${nPlanes - 1}), " +
+              "j -> bucket ^ CAST(shiftleft(1, j) AS BIGINT)))"
+          )
+        )
+      )
+      .select(col("probe_id"), col("pq"), col("pn2"), col("pb").as("bucket"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    q.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 28f. ann_ivfpq_search — IVF-PQ, the production vector-index
   // LAYOUT: a coarse quantizer partitions the corpus into cells, and
   // each vector stores only its cell id + the PQ code of its RESIDUAL

@@ -188,4 +188,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(touched === Set(s"cell=$victimCell"),
       s"delete touched $touched, expected only cell=$victimCell")
   }
+
+  test("multiprobe lsh: candidate superset — per-probe best cosine never below single-bucket") {
+    import org.apache.spark.sql.functions._
+    val single = Similarity
+      .annLshBucketed(TestSpark.spark, TestSpark.sf)
+      .filter(col("rnk") === 1)
+      .select(col("probe_id"), col("cos_micro").as("c1"))
+    val multi = Similarity
+      .annLshMultiprobe(TestSpark.spark, TestSpark.sf)
+      .filter(col("rnk") === 1)
+      .select(col("probe_id"), col("cos_micro").as("cm"))
+    val j = single.join(multi, Seq("probe_id"))
+    assert(j.count() > 0)
+    assert(j.filter(col("cm") < col("c1")).count() === 0,
+      "multiprobe best cosine fell below the single-bucket best — candidates not a superset")
+    // multiprobe returns at least as many neighbors per probe
+    val n1 = Similarity.annLshBucketed(TestSpark.spark, TestSpark.sf).groupBy("probe_id").count()
+      .withColumnRenamed("count", "n1")
+    val nm = Similarity.annLshMultiprobe(TestSpark.spark, TestSpark.sf).groupBy("probe_id").count()
+      .withColumnRenamed("count", "nm")
+    assert(n1.join(nm, Seq("probe_id")).filter(col("nm") < col("n1")).count() === 0)
+  }
 }
