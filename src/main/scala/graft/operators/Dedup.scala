@@ -1495,15 +1495,19 @@ object Dedup {
     val docs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
-    val evalSrc = docs.agg(min(col("source")).as("eval_src"))
-    val tagged = docs.crossJoin(broadcast(evalSrc))
+    // the eval source is a 1-row scalar — pulled to the driver (the
+    // house range-planning pattern) rather than broadcast-joined, so
+    // no peer's cache maintenance can interpose between the scalar
+    // and the filters that consume it
+    val evalSrc = docs.agg(min(col("source"))).head().getString(0)
+    require(evalSrc != null, "contamination_doc_overlap: empty corpus")
     val evalSh = shinglesOf(
-      tagged.filter(col("source") === col("eval_src")).select(col("doc_id"), col("norm")),
+      docs.filter(col("source") === evalSrc).select(col("doc_id"), col("norm")),
       n
     ).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainSh = shinglesOf(
-      tagged.filter(col("source") =!= col("eval_src")).select(col("doc_id"), col("norm")),
+      docs.filter(col("source") =!= evalSrc).select(col("doc_id"), col("norm")),
       n
     ).select(col("shingle")).distinct()
     val counts = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -1540,14 +1544,19 @@ object Dedup {
     val docs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
-    val evalSrc = docs.agg(min(col("source")).as("eval_src"))
-    val tagged = docs.crossJoin(broadcast(evalSrc))
+    // 1-row scalar pulled to the driver (see contaminationDocOverlap):
+    // the full sweep once produced a 0-row result when the broadcast
+    // eval-source join raced concurrent cache maintenance — a literal
+    // filter has no such surface, and an empty corpus now fails loudly
+    val evalSrc = docs.agg(min(col("source"))).head().getString(0)
+    require(evalSrc != null, "contamination_long_match: empty corpus")
     val evalSh = shinglePositionsOf(
-      tagged.filter(col("source") === col("eval_src")).select(col("doc_id"), col("norm")),
+      docs.filter(col("source") === evalSrc).select(col("doc_id"), col("norm")),
       n
     ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    evalSh.count() // eager: the join side and the per-doc aggregate read the cache, not racing lineage
     val trainSh = shinglePositionsOf(
-      tagged.filter(col("source") =!= col("eval_src")).select(col("doc_id"), col("norm")),
+      docs.filter(col("source") =!= evalSrc).select(col("doc_id"), col("norm")),
       n
     ).withColumnRenamed("doc_id", "t_doc").withColumnRenamed("pos", "t_pos")
     val streaks = evalSh

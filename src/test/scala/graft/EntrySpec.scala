@@ -51,8 +51,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_index_delete",          // same tail over the tombstone-pruned index
     "text_bigram_pmi",
     "sample_temperature",
-    "contamination_doc_overlap", // 1-row MIN(source) broadcast
-    "contamination_long_match",  // 1-row MIN(source) broadcast
+    // (contamination_* now pull their 1-row eval-source scalar to the
+    // driver — no broadcast crossJoin left in those plans)
     "q22_idle_customers",        // 1-row global-average broadcast
     "q15_top_supplier",          // 1-row global-max broadcast
     "text_coverage_topk",        // 1-row total + 3-row threshold broadcasts
