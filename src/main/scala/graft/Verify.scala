@@ -47,9 +47,18 @@ object Verify {
         // it SQLConf.get falls back to DEFAULTS and silently drops
         // session confs (nanosAsLong made every events read blow up)
         SparkSession.setActiveSession(spark)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // EntrySpec pins >0 rows for every query even at sf0.001, so
+          // an empty result here is always a bug — route it through
+          // the sequential retry instead of silently recording 0 rows
+          // (a concurrency race once emptied one query's eval filter)
+          if (spark.read.parquet(s"$outDir/$name").isEmpty) {
+            failures.add(name)
+            System.err.println(s"[verify] $name wrote 0 rows under concurrency — retrying sequentially")
+          }
+        } catch { case e: Throwable =>
           failures.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         } finally
