@@ -134,6 +134,7 @@ object SparkEntry {
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
+    "dedup_lsh_tune"     -> ((s, d) => Dedup.lshTune(s, d)),
     "dedup_soft_weights" -> ((s, d) => Dedup.softWeights(s, d)),
     "rel_pit_join"       -> ((s, d) => Relational.pitJoin(s, d)),
     "rel_q10_returns"    -> ((s, d) => Relational.returnedRevenue(s, d)),
@@ -445,6 +446,41 @@ object SparkEntry {
       |  ON e.user_id = w.user_id AND e.ts >= w.s AND e.ts < w.s + INTERVAL 600 SECOND
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** bands×rows sweep oracle: every banding's member-level band pairs
+    * off the shared sampled signature CTEs, scored against the same
+    * exact-Jaccard truth as dedup_recall_eval
+    */
+  private lazy val lshTuneOracleSql: String = {
+    val bandSelects = graft.operators.Dedup.TuneConfigs
+      .flatMap { case (b, r) =>
+        (0 until b).map { i =>
+          val cat = (0 until r).map(j => s"mh${i * r + j}").mkString(" || ")
+          s"SELECT doc_id, '${b}x$r' AS cfg, $i AS band, md5($cat) AS sig FROM m"
+        }
+      }
+      .mkString(" UNION ALL ")
+    s"""WITH $shingleCtesSampled,
+       |tb AS ($bandSelects),
+       |tp AS (SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |       FROM tb a JOIN tb b ON b.cfg = a.cfg AND b.band = a.band AND b.sig = a.sig AND a.doc_id < b.doc_id),
+       |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
+       |ip AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS inter_n
+       |       FROM u x JOIN u y ON y.shingle = x.shingle AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |tr AS (SELECT ip.doc_a, ip.doc_b FROM ip
+       |       JOIN cnt ca ON ca.doc_id = ip.doc_a JOIN cnt cb ON cb.doc_id = ip.doc_b
+       |       WHERE ip.inter_n * 10 >= (ca.n_sh + cb.n_sh - ip.inter_n) * 8),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+       |pc AS (SELECT cfg, CAST(COUNT(*) AS BIGINT) AS n_cand FROM tp GROUP BY 1),
+       |hc AS (SELECT tp.cfg, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |       FROM tp JOIN tr ON tr.doc_a = tp.doc_a AND tr.doc_b = tp.doc_b GROUP BY 1)
+       |SELECT pc.cfg, nt.n_truth, pc.n_cand,
+       |  CAST(COALESCE(hc.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(CASE WHEN nt.n_truth > 0 THEN COALESCE(hc.n_hits, 0) * 10000 // nt.n_truth ELSE 10000 END AS BIGINT) AS recall_bp,
+       |  CAST(CASE WHEN pc.n_cand > 0 THEN COALESCE(hc.n_hits, 0) * 10000 // pc.n_cand ELSE 10000 END AS BIGINT) AS precision_bp
+       |FROM pc LEFT JOIN hc ON hc.cfg = pc.cfg, nt""".stripMargin
+  }
+
   /** quantized-embedding CTEs reused by the similarity oracles */
   private val quantCtes =
     """q AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
@@ -658,6 +694,7 @@ object SparkEntry {
          |SELECT al.doc_id, al.cluster_id, cs.cluster_size,
          |  CAST(1000000 // cs.cluster_size AS BIGINT) AS weight_micro
          |FROM al JOIN cs USING (cluster_id)""".stripMargin,
+    "dedup_lsh_tune" -> lshTuneOracleSql,
     // triangle census on the rep-level candidate graph: the oracle
     // maps member band pairs to reps, then runs the same degree-ordered
     // orientation

@@ -398,6 +398,113 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23t. dedup_lsh_tune — the (bands × rows) PARAMETER SWEEP, computed
+  // as one query: candidate count, recall and precision vs the exact
+  // Jaccard ≥ 0.8 truth for every banding of the K=12 signature —
+  // (2×6) strict … (6×2) loose — on the same deterministic eval
+  // sample as dedup_recall_eval. This is the tuning CURVE an operator
+  // reads before fixing the production banding, and it reuses ONE
+  // signature pass: all configs' band keys explode from the same
+  // signature rows (15 band rows/rep total) and pair through ONE
+  // (cfg, band, sig)-keyed self-join. Because the bandings NEST
+  // (every 6-row band is two aligned 3-row bands, etc.), the
+  // candidate sets form subset chains (2×6) ⊆ (3×4) ⊆ (6×2) and
+  // (2×6) ⊆ (4×3) ⊆ (6×2) — DedupSpec pins that monotonicity.
+  // -------------------------------------------------------------------
+  private[graft] val TuneConfigs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+
+  def lshTune(spark: SparkSession, dir: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hv = expr(
+      "(instr('0123456789abcdef', substring(md5(concat('eval:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5(concat('eval:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    )
+    val sampled = docsNorm(spark, dir).withColumn("hv", hv.cast("long")).filter(col("hv") < 128).drop("hv")
+    val c = collapseExact(sampled)
+    val groups = c.groups.persist(mem)
+    groups.count()
+    val uniq = shinglesOf(c.reps).distinct().persist(mem)
+    uniq.count()
+    val sigs = minhashSignatures(uniq)
+    // all configs' band keys off ONE signature row: (cfg, band, sig)
+    val bandStructs = TuneConfigs.flatMap { case (bands, rows) =>
+      (0 until bands).map { b =>
+        struct(
+          lit(s"${bands}x$rows").as("cfg"),
+          lit(b).as("band"),
+          md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
+        )
+      }
+    }
+    val bk = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.cfg").as("cfg"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .persist(mem)
+    bk.count()
+    val safe = dropOversizedBuckets(bk, Seq("cfg", "band", "sig"), DefaultBucketCap, "lsh-tune")
+    val repCand = safe
+      .as("a")
+      .join(
+        safe.as("b"),
+        col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(col("a.cfg").as("cfg"), col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // member expansion per config (cross-group via the groups table;
+    // within-group clone pairs belong to EVERY config — identical
+    // texts agree on all bands)
+    val cross = repCand
+      .join(groups.select(col("rep_id").as("doc_a"), col("doc_id").as("m_a")), Seq("doc_a"))
+      .join(groups.select(col("rep_id").as("doc_b"), col("doc_id").as("m_b")), Seq("doc_b"))
+      .select(col("cfg"), least(col("m_a"), col("m_b")).as("doc_a"), greatest(col("m_a"), col("m_b")).as("doc_b"))
+    val shingled = uniq.select(col("doc_id")).distinct()
+    val within = groups
+      .as("x")
+      .join(groups.as("y"), col("x.rep_id") === col("y.rep_id") && col("x.doc_id") < col("y.doc_id"))
+      .join(shingled.withColumnRenamed("doc_id", "b_rep"), col("x.rep_id") === col("b_rep"))
+      .crossJoin(
+        broadcast(
+          spark
+            .range(1)
+            .select(explode(typedlit(TuneConfigs.map { case (b, r) => s"${b}x$r" })).as("cfg"))
+        )
+      )
+      .select(col("cfg"), col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = cross.union(within).persist(mem)
+    // exact truth — identical to dedup_recall_eval's
+    val cnt = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = uniq
+      .as("x")
+      .join(uniq.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    val truthRep = inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(col("inter_n") * 10 >= (col("n_a") + col("n_b") - col("inter_n")) * 8)
+      .select(col("doc_a"), col("doc_b"))
+    val truth = expandMemberPairs(truthRep, groups, shingled).persist(mem)
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val out = cand
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_cand"))
+      .join(hits.groupBy(col("cfg")).agg(count(lit(1)).as("hits")), Seq("cfg"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .crossJoin(broadcast(nTruth))
+      .select(
+        col("cfg"),
+        col("n_truth"),
+        col("n_cand"),
+        col("n_hits"),
+        when(col("n_truth") > 0, expr("n_hits * 10000 DIV n_truth")).otherwise(10000L).as("recall_bp"),
+        when(col("n_cand") > 0, expr("n_hits * 10000 DIV n_cand")).otherwise(10000L).as("precision_bp")
+      )
+    releaseAfterRun(spark, out, Seq(groups, uniq, bk, cand, truth))
+  }
+
+  // -------------------------------------------------------------------
   // 23r. graph_triangles — TRIANGLE CENSUS over the rep-level LSH
   // candidate graph: triangle count + global clustering coefficient,
   // the graph-shape diagnostic that separates boilerplate families

@@ -289,6 +289,23 @@ class DedupSpec extends AnyFunSuite {
     } finally uniq.unpersist()
   }
 
+  test("lsh tune: nested bandings give subset-monotone candidates and recall") {
+    val rows = Dedup.lshTune(spark, sf).collect().map(r => r.getAs[String]("cfg") -> r).toMap
+    def cand(c: String) = rows.get(c).map(_.getAs[Long]("n_cand")).getOrElse(0L)
+    def hits(c: String) = rows.get(c).map(_.getAs[Long]("n_hits")).getOrElse(0L)
+    // (2x6) ⊆ (3x4) ⊆ (6x2) and (2x6) ⊆ (4x3) ⊆ (6x2): every 6-row
+    // band is aligned 3-row halves, every 3-/4-row band contains an
+    // aligned 2-row band — agreement propagates down the chain
+    assert(cand("2x6") <= cand("3x4") && cand("3x4") <= cand("6x2"), rows.toString)
+    assert(cand("2x6") <= cand("4x3") && cand("4x3") <= cand("6x2"), rows.toString)
+    assert(hits("2x6") <= hits("3x4") && hits("3x4") <= hits("6x2"), rows.toString)
+    assert(hits("2x6") <= hits("4x3") && hits("4x3") <= hits("6x2"), rows.toString)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_cand"))
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_truth"))
+    }
+  }
+
   test("recall eval: hits bounded by both sides, rates bounded by 10000 bp") {
     val r = Dedup.recallEval(spark, sf).head()
     val (nTruth, nCand, nHits) =

@@ -73,7 +73,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_recall_eval",           // composes bruteforce + ivfpq, both already whitelisted
     "dedup_recall_eval",         // three 1-row count-aggregate broadcasts into the summary row
     "graph_triangles",           // 1-row count broadcasts into the census row
-    "text_surprisal"             // 1-row corpus-token-count broadcast
+    "text_surprisal",            // 1-row corpus-token-count broadcast
+    "dedup_lsh_tune"             // 1-row truth-count + 4-row config broadcasts
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably
