@@ -227,6 +227,7 @@ object SparkEntry {
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
     "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d)),
+    "mm_asset_dedup"  -> ((s, d) => Multimodal.assetDedup(s, d)),
     "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
@@ -1754,6 +1755,18 @@ object SparkEntry {
          |                                 WHEN 'de' THEN '33' ELSE '1a' END)
          |SELECT sm.doc_id, sm.pred_lang
          |FROM sm JOIN qf USING (doc_id) JOIN cn USING (doc_id)""".stripMargin,
+    "mm_asset_dedup" ->
+      """WITH a AS (SELECT doc_id, source, sha256(text) AS sha,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT sha, MIN(doc_id) AS canonical_doc FROM a GROUP BY 1)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(COUNT(DISTINCT a.sha) AS BIGINT) AS n_unique,
+        |  CAST(SUM(CASE WHEN a.doc_id = c.canonical_doc THEN n_bytes ELSE 0 END) AS BIGINT) AS cas_bytes,
+        |  CAST(SUM(CASE WHEN a.doc_id = c.canonical_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+        |  CAST((SUM(n_bytes) - SUM(CASE WHEN a.doc_id = c.canonical_doc THEN n_bytes ELSE 0 END)) * 10000
+        |       // SUM(n_bytes) AS BIGINT) AS savings_bp
+        |FROM a JOIN c ON c.sha = a.sha GROUP BY 1""".stripMargin,
     "mm_chunk_dedup" ->
       """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
         |c AS (SELECT doc_id, text,

@@ -35,6 +35,39 @@ object Multimodal {
       )
 
   // -------------------------------------------------------------------
+  // 33j. mm_asset_dedup — ASSET-level content-addressed dedup
+  // accounting, the storage-planning view above chunk-level dedup
+  // (33c): per ingest source, how many whole payloads are distinct,
+  // what the source pays in a GLOBAL CAS object store (bytes of the
+  // shas whose canonical holder — min doc_id corpus-wide — lives in
+  // this source), and the basis-point saving vs storing every copy.
+  // One content-hash groupBy for canonicals + one per-source
+  // aggregate; at 100 TB this table is what sizes the blob store and
+  // shows which feed re-uploads the same assets.
+  // -------------------------------------------------------------------
+  def assetDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        sha2(col("text").cast("binary"), 256).as("sha"),
+        expr("octet_length(text)").cast("long").as("n_bytes")
+      )
+    val canon = a.groupBy(col("sha")).agg(min(col("doc_id")).as("canonical_doc"))
+    a.join(canon, Seq("sha"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        countDistinct(col("sha")).as("n_unique"),
+        sum(when(col("doc_id") === col("canonical_doc"), col("n_bytes")).otherwise(0L)).as("cas_bytes"),
+        sum(when(col("doc_id") === col("canonical_doc"), 1L).otherwise(0L)).as("n_canonical")
+      )
+      .withColumn("savings_bp", expr("(total_bytes - cas_bytes) * 10000 DIV total_bytes"))
+  }
+
+  // -------------------------------------------------------------------
   // 33b. mm_chunk_table — materialize the multipart chunk table: one
   // row per fixed-size chunk with its offset and content hash, the
   // layout an object-store upload (or a chunk-level dedup pass) works
