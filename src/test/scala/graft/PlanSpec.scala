@@ -298,6 +298,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!qe.executedPlan.toString.contains("ExistingRDD"), "training lineage leaked into apply")
   }
 
+  test("scd2 and pit join: one entity-key exchange serves the whole plan") {
+    // SCD2: change-detect lag, segment sum, per-segment agg, and the
+    // valid_to lead all share the user_id partitioning — exactly one
+    // shuffle of the fact table (hashpartitioning(user_id) satisfies
+    // the (user_id, seg) aggregate's clustering)
+    val scdPlan = planOf(Relational.scd2(spark, sf))
+    val scdShuffles = "Exchange hashpartitioning".r.findAllIn(scdPlan).size
+    assert(scdShuffles === 1, s"scd2 planned $scdShuffles exchanges:\n$scdPlan")
+    // PIT join: the union + running-carry resolves states in ONE
+    // shuffle; the per-state aggregate adds its tiny-key exchange
+    val pitPlan = planOf(Relational.pitJoin(spark, sf))
+    val pitShuffles = "Exchange hashpartitioning".r.findAllIn(pitPlan).size
+    assert(pitShuffles <= 2, s"pit join planned $pitShuffles exchanges:\n$pitPlan")
+    assert(!pitPlan.contains("BroadcastNestedLoopJoin"), "pit join nested-looped")
+  }
+
+  test("bucketed interval join: equi-join machinery only, range as residual filter") {
+    val plan = planOf(TimeSeries.rangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+    // the range predicate survives as a join-condition residual, not a
+    // post-join filter over a wider pair set
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no hash/merge join in:\n$plan")
+  }
+
   test("search index query prunes to the query terms' bucket partitions") {
     val qe = graft.operators.TextAnalysis.searchIndexTopk(spark, sf).queryExecution
     val idxScans = qe.sparkPlan
