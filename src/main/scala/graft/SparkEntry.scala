@@ -48,6 +48,10 @@ object SparkEntry {
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
     "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
     "ts_stl_decompose"   -> ((s, d) => TimeSeries.stlDecompose(s, d)),
+    "ts_benford"         -> ((s, d) => TimeSeries.benford(s, d)),
+    "ts_drawdown"        -> ((s, d) => TimeSeries.drawdown(s, d)),
+    "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
+    "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
     "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
@@ -132,8 +136,11 @@ object SparkEntry {
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
+    "rel_profile"        -> ((s, d) => Relational.profile(s, d)),
+    "rel_histogram_equi" -> ((s, d) => Relational.histogramEqui(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
+    "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
     "dedup_lsh_tune"     -> ((s, d) => Dedup.lshTune(s, d)),
     "dedup_soft_weights" -> ((s, d) => Dedup.softWeights(s, d)),
     "rel_pit_join"       -> ((s, d) => Relational.pitJoin(s, d)),
@@ -188,6 +195,7 @@ object SparkEntry {
     "ann_index_delete"    -> ((s, d) => Similarity.annIndexDelete(s, d)),
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
+    "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
@@ -223,6 +231,10 @@ object SparkEntry {
     "text_cdc_chunks"   -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_surprisal"    -> ((s, d) => TextAnalysis.surprisal(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
+    "pipeline_mix_plan" -> ((s, d) => TextAnalysis.mixPlan(s, d)),
+    "text_readability"  -> ((s, d) => TextAnalysis.readability(s, d)),
+    "text_bigram_lm"    -> ((s, d) => TextAnalysis.bigramLm(s, d)),
+    "sample_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
@@ -664,6 +676,85 @@ object SparkEntry {
 
   /** DuckDB oracle SQL for dedup / similarity / text / multimodal. */
   private val mlOracles: Map[String, String] = Map(
+    // log2-binned degree distribution of the rep-level candidate
+    // graph: same member-pair → rep mapping as graph_triangles,
+    // deg_bin = length of the binary representation (⌊log₂ deg⌋ + 1)
+    "graph_degree_dist" ->
+      s"""WITH $shingleCtes,
+         |rp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep FROM documents),
+         |re AS (SELECT DISTINCT LEAST(ra.rep, rb.rep) AS a, GREATEST(ra.rep, rb.rep) AS b
+         |       FROM pairs p JOIN rp ra ON ra.doc_id = p.doc_a JOIN rp rb ON rb.doc_id = p.doc_b
+         |       WHERE ra.rep != rb.rep),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |        (SELECT a AS node FROM re UNION ALL SELECT b FROM re) GROUP BY 1)
+         |SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bin, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  MIN(deg) AS min_deg, MAX(deg) AS max_deg, CAST(SUM(deg) AS BIGINT) AS sum_deg
+         |FROM dg GROUP BY 1""".stripMargin,
+    // symmetric int8 scalar quantization — floor (never CAST: DuckDB's
+    // double→int CAST rounds) of x·127/maxabs, identical operation
+    // order to the Spark transform
+    "emb_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM v),
+        |c AS (SELECT vec_id, v, maxabs,
+        |        list_transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT)) AS codes
+        |      FROM m WHERE maxabs > 0)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
+        |  CAST(floor(maxabs * 1000000) AS BIGINT) AS maxabs_micro,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  CAST(list_min(codes) AS BIGINT) AS min_code,
+        |  CAST(list_max(codes) AS BIGINT) AS max_code,
+        |  CAST(len(list_filter(codes, x -> x <= -127 OR x >= 127)) AS BIGINT) AS n_sat
+        |FROM c""".stripMargin,
+    // ARI-style readability: integer score, floor-banded per source
+    "text_readability" ->
+      """WITH d AS (SELECT source,
+        |    CAST(length(text) AS BIGINT) AS n_chars_t,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |             CAST(length(text) - length(translate(text, '.!?', '')) AS BIGINT)) AS n_sents
+        |  FROM documents),
+        |s AS (SELECT source,
+        |        CAST(4710 * n_chars_t // n_words + 500 * n_words // n_sents - 21430 AS BIGINT) AS score_milli
+        |      FROM d)
+        |SELECT source, CAST(score_milli // 5000 AS BIGINT) AS band,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(score_milli) AS min_milli, MAX(score_milli) AS max_milli
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // bigram LM: per-head top-3 continuations, conditional bp
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
+         |       FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |             FROM t WHERE len(toks) >= 2)),
+         |nab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1, 2),
+         |wr AS (SELECT a, b, n_ab,
+         |         CAST(SUM(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY n_ab DESC, b ASC) AS BIGINT) AS rnk
+         |       FROM nab)
+         |SELECT a, b, n_ab, n_a, rnk, CAST(n_ab * 10000 // n_a AS BIGINT) AS cond_bp
+         |FROM wr WHERE n_a >= 50 AND rnk <= 3""".stripMargin,
+    // per-source cap by deterministic md5 order, summary + checksum
+    "sample_cap_per_source" ->
+      """WITH r AS (SELECT source, doc_id,
+        |             md5('cap:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+        |w AS (SELECT source, doc_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS BIGINT) AS rn
+        |      FROM r)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM w GROUP BY 1""".stripMargin,
+    // balanced mixture plan: equalize every source to the scarcest
+    "pipeline_mix_plan" ->
+      """WITH p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |             CAST(SUM(n_chars // 4) AS BIGINT) AS avail_tokens
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT *, CAST(MIN(avail_tokens) OVER () AS BIGINT) AS target_tokens FROM p)
+        |SELECT source, n_docs, avail_tokens, target_tokens,
+        |  CAST(target_tokens * 10000 // avail_tokens AS BIGINT) AS keep_bp,
+        |  CAST(avail_tokens * (target_tokens * 10000 // avail_tokens) // 10000 AS BIGINT) AS expected_tokens
+        |FROM w""".stripMargin,
     "dedup_exact" ->
       s"""SELECT md5($normSql) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
          |FROM documents GROUP BY 1""".stripMargin,
@@ -2114,6 +2205,79 @@ object SparkEntry {
 
   /** DuckDB oracle SQL for the time-series queries (§2 rows 1-14). */
   private val tsOracles: Map[String, String] = Map(
+    // Benford first-digit audit: strictly-positive cents, leading
+    // decimal digit from the string head, bp share over the ≤9-row
+    // per-type digit table
+    "ts_benford" ->
+      """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |g AS (SELECT event_type, CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS d1,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e WHERE v > 0 GROUP BY 1, 2)
+        |SELECT event_type, d1, n,
+        |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_bp
+        |FROM g""".stripMargin,
+    // max drawdown of the per-series cumulative cents path: running
+    // sum, running max of it, peak − cum
+    "ts_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |r AS (SELECT user_id, ts_us, event_id,
+        |        CAST(SUM(v) OVER w AS BIGINT) AS cum
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT user_id, cum, CAST(MAX(cum) OVER w AS BIGINT) AS peak
+        |      FROM r WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  MAX(peak) AS max_peak_c, MAX(peak - cum) AS max_drawdown_c,
+        |  CAST(SUM(CASE WHEN peak - cum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_underwater
+        |FROM p GROUP BY 1""".stripMargin,
+    // Holt linear recursion replayed exactly: floor-div hourly means,
+    // l/b halving by // (floors — the Spark side uses the pmod
+    // identity), one recursive step per hour rank
+    "ts_holt_linear" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+        |      FROM ev GROUP BY 1, 2),
+        |o AS (SELECT user_id, hour_id, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS BIGINT) AS rn
+        |      FROM h),
+        |mx AS (SELECT user_id, MAX(rn) AS n_hours FROM o GROUP BY 1),
+        |rec AS (
+        |  SELECT user_id, rn, m AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS er
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    CAST((o.m + r.l + r.b) // 2 AS BIGINT),
+        |    CAST(((o.m + r.l + r.b) // 2 - r.l + r.b) // 2 AS BIGINT),
+        |    CAST(r.er + abs(r.l + r.b - o.m) AS BIGINT)
+        |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        |)
+        |SELECT r.user_id, mx.n_hours, r.l AS level_c, r.b AS trend_c,
+        |  r.l + r.b AS forecast_c, r.er AS sae_c
+        |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
+    // dominant SAX 3-gram per series: the ts_sax pipeline verbatim,
+    // then a per-series motif count + rank-1 with lexical tiebreak
+    "ts_motif_topk" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) AS BIGINT) AS s,
+        |             CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |p AS (SELECT user_id, hour_id, CAST(s // n AS BIGINT) AS paa FROM h),
+        |q AS (SELECT user_id, hour_id, paa,
+        |        NTILE(4) OVER (PARTITION BY user_id ORDER BY paa ASC, hour_id ASC) AS qt FROM p),
+        |sy AS (SELECT user_id, hour_id,
+        |         CASE qt WHEN 1 THEN 'a' WHEN 2 THEN 'b' WHEN 3 THEN 'c' ELSE 'd' END AS sym FROM q),
+        |ag AS (SELECT user_id, string_agg(sym, '' ORDER BY hour_id) AS sax FROM sy GROUP BY 1),
+        |g AS (SELECT user_id,
+        |        unnest(list_transform(generate_series(1, CAST(length(sax) AS BIGINT) - 2),
+        |                              i -> substr(sax, CAST(i AS INTEGER), 3))) AS motif
+        |      FROM ag WHERE length(sax) >= 3),
+        |c AS (SELECT user_id, motif, CAST(COUNT(*) AS BIGINT) AS n_occ FROM g GROUP BY 1, 2),
+        |r AS (SELECT user_id, motif, n_occ,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_occ DESC, motif ASC) AS rnk FROM c)
+        |SELECT user_id, motif, n_occ FROM r WHERE rnk = 1""".stripMargin,
     "ts_range_read" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  CAST(round(value*100) AS BIGINT) AS value_c
@@ -3172,6 +3336,40 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
+    // per-column profile over the canonicalized string projection —
+    // explicit UNION ALL unpivot (DuckDB's UNPIVOT drops NULLs by
+    // default; UNION ALL keeps the semantics aligned with Spark's)
+    "rel_profile" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |    CAST(o_custkey AS VARCHAR) AS o_custkey, o_orderstatus,
+        |    CAST(CAST(round(o_totalprice*100) AS BIGINT) AS VARCHAR) AS o_totalprice_c,
+        |    CAST(epoch_us(o_orderdate) AS VARCHAR) AS o_orderdate_us,
+        |    o_orderpriority FROM orders),
+        |u AS (
+        |  SELECT 'o_orderkey' AS col_name, o_orderkey AS v FROM o UNION ALL
+        |  SELECT 'o_custkey', o_custkey FROM o UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM o UNION ALL
+        |  SELECT 'o_totalprice_c', o_totalprice_c FROM o UNION ALL
+        |  SELECT 'o_orderdate_us', o_orderdate_us FROM o UNION ALL
+        |  SELECT 'o_orderpriority', o_orderpriority FROM o)
+        |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM u GROUP BY 1""".stripMargin,
+    // equi-depth deciles by the banded prefix sum: a band emits each
+    // decile d with cum_prev·10 < d·total ≤ cum·10
+    "rel_histogram_equi" ->
+      """WITH b AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) // 100000 AS band FROM orders),
+        |g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |c AS (SELECT band, n,
+        |        CAST(SUM(n) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(SUM(n) OVER () AS BIGINT) AS total FROM g),
+        |d AS (SELECT *, cum - n AS cum_prev FROM c)
+        |SELECT CAST(t.dec AS BIGINT) AS decile, d.band,
+        |  (d.band + 1) * 100000 AS upper_bound_c, d.cum AS cum_n, d.total AS n_total
+        |FROM d CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS dec) t
+        |WHERE d.cum_prev * 10 < t.dec * d.total AND t.dec * d.total <= d.cum * 10""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -1750,4 +1750,32 @@ object Dedup {
       .filter(col("group_n") > 1 || col("n_cand") > 0)
     releaseAfterRun(spark, out, Seq(lsh.bands))
   }
+
+  // -------------------------------------------------------------------
+  // graph_degree_dist — log₂-binned DEGREE DISTRIBUTION of the
+  // rep-level LSH candidate graph: the one-glance skew diagnostic
+  // (power-law tail ⇒ boilerplate hubs ⇒ the bucket caps and salting
+  // earn their keep; flat ⇒ they don't). deg_bin = ⌊log₂ deg⌋ + 1
+  // computed as length(bin(deg)) — pure integer, engine-portable, no
+  // float log. Both endpoints explode ROW-LOCALLY from each edge (one
+  // pass — the edge pipeline is never evaluated twice), then two
+  // partial-aggregable groupBys, the second over ≤ 64 bins.
+  // -------------------------------------------------------------------
+  def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val c   = collapseExact(docsNorm(spark, dir))
+    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val out = lsh.pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("deg_bin", length(expr("bin(deg)")).cast("long"))
+      .groupBy(col("deg_bin"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg")
+      )
+    releaseAfterRun(spark, out, Seq(lsh.bands))
+  }
 }

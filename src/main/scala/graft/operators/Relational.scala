@@ -1239,4 +1239,82 @@ object Relational {
         sum(col("value_c")).as("revenue_c")
       )
   }
+
+  // -------------------------------------------------------------------
+  // rel_profile — per-column data-quality profile of `orders`: row
+  // count, null count, EXACT distinct count, lexical min/max. The
+  // table is UNPIVOTed to (col_name, value-as-string) rows — numerics
+  // canonicalized first (price → cents, date → epoch µs) so the string
+  // form is engine-stable — then profiled with a TWO-LEVEL aggregate:
+  // groupBy(col, value) before groupBy(col), so the distinct count is
+  // exact yet fully partial-aggregable (no Expand ×K plan, no
+  // count(distinct) shuffle of raw rows). 6× row multiplication is the
+  // honest price of one-pass profiling; both shuffles carry only
+  // (col, value) pairs.
+  // -------------------------------------------------------------------
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast("string").as("o_orderkey"),
+      col("o_custkey").cast("string").as("o_custkey"),
+      col("o_orderstatus").as("o_orderstatus"),
+      cents(col("o_totalprice")).cast("string").as("o_totalprice_c"),
+      unix_micros(col("o_orderdate").cast("timestamp")).cast("string").as("o_orderdate_us"),
+      col("o_orderpriority").as("o_orderpriority")
+    )
+    o.unpivot(
+      Array.empty[org.apache.spark.sql.Column],
+      o.columns.map(col),
+      "col_name",
+      "v"
+    )
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        sum(when(col("v").isNull, col("n")).otherwise(0L)).as("n_null"),
+        count(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // rel_histogram_equi — equi-depth DECILE histogram of order totals
+  // without a global sort: the two-level banded prefix sum (the same
+  // design as text_coverage_topk). Prices band at $1000 (100k cents,
+  // a bounded few-hundred-row domain at any corpus size), band counts
+  // roll up partial-aggregably, the cumulative walk runs over the
+  // TINY band table, and each band emits the deciles whose
+  // ceil(d·N/10) rank it crosses — row-local given (cum_prev, cum].
+  // Boundaries are exact at band resolution (the scale-correct
+  // contract: a 100 TB exact-rank decile would be a global sort).
+  // -------------------------------------------------------------------
+  def histogramEqui(spark: SparkSession, dir: String): DataFrame = {
+    val bandC = 100000L // $1000 bands in cents
+    val wCum  = Window.orderBy(col("band"))
+    val bands = Tables.orders(spark, dir)
+      .select(cents(col("o_totalprice")).as("p_c"))
+      .select(expr(s"p_c DIV ${bandC}L").as("band"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    bands
+      // deciles d with cum_prev < ceil(d·total/10) <= cum, i.e.
+      // d in ( 10·cum_prev/total , 10·cum/total ] by integer walk
+      .withColumn("cum_prev", col("cum") - col("n"))
+      .withColumn(
+        "decile",
+        explode(expr("""filter(sequence(1, 10),
+          d -> cum_prev * 10 < d * total AND d * total <= cum * 10)"""))
+      )
+      .select(
+        col("decile").cast("long").as("decile"),
+        col("band"),
+        ((col("band") + 1) * bandC).as("upper_bound_c"),
+        col("cum").as("cum_n"),
+        col("total").as("n_total")
+      )
+  }
 }

@@ -990,4 +990,34 @@ object Similarity {
         expr(s"n_hits * 10000 DIV $k").as("recall_bp")
       )
   }
+
+  // -------------------------------------------------------------------
+  // emb_quantize_int8 — symmetric per-vector int8 scalar quantization
+  // (the 4× storage cut every vector store ships): scale = 127/maxabs,
+  // codes = ⌊x·127/maxabs⌋ — floor, not cast, because floor is exact
+  // on IEEE doubles in both engines while DuckDB's CAST rounds.
+  // Entirely ROW-LOCAL array math (transform/aggregate higher-order
+  // functions — no explode, no shuffle at all beyond the scan), so at
+  // 100 TB the operator is scan-bound. All-zero vectors carry no
+  // scale and are filtered (none exist in this corpus; the filter is
+  // the contract). Emits the code summary per vector: dim, scale in
+  // micro, code sum/min/max, and the saturation count.
+  // -------------------------------------------------------------------
+  def embQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("codes", expr("transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))"))
+      .select(
+        col("vec_id"),
+        size(col("v")).cast("long").as("dim"),
+        expr("CAST(floor(maxabs * 1000000) AS BIGINT)").as("maxabs_micro"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)").as("sum_code"),
+        expr("array_min(codes)").as("min_code"),
+        expr("array_max(codes)").as("max_code"),
+        expr("size(filter(codes, x -> x <= -127 OR x >= 127))").cast("long").as("n_sat")
+      )
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators.Dedup.normText
 import graft.sources.Tables
 
@@ -1287,4 +1288,127 @@ object TextAnalysis {
         length(col("scrubbed")).cast("long").as("scrub_len"),
         md5(col("scrubbed")).as("scrub_md5")
       )
+
+  // -------------------------------------------------------------------
+  // text_readability — ARI-style readability scoring, integer-exact:
+  // score_milli = 4710·(chars/words) + 500·(words/sentences) − 21430
+  // with truncating division on the strictly-positive ratios (words ≥
+  // 1 by the split contract, sentences clamped ≥ 1), banded per source
+  // at 5 000 milli (floor-div so negative scores band identically in
+  // both engines). Pure row-local scoring + ONE partial-aggregable
+  // groupBy on a (source × band) key space — the scan is the cost.
+  // -------------------------------------------------------------------
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        greatest(
+          lit(1L),
+          (length(col("text")) - length(translate(col("text"), ".!?", ""))).cast("long")
+        ).as("n_sents")
+      )
+      .withColumn(
+        "score_milli",
+        expr("4710 * n_chars_t DIV n_words + 500 * n_words DIV n_sents - 21430")
+      )
+      .withColumn("band", expr("(score_milli - pmod(score_milli, 5000)) DIV 5000"))
+      .groupBy(col("source"), col("band"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("score_milli")).as("min_milli"),
+        max(col("score_milli")).as("max_milli")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // text_bigram_lm — the bigram language-model table: for every head
+  // token with support ≥ 50, its top-3 continuations with conditional
+  // probability in basis points. Bigram counts roll up partial-
+  // aggregably; the rank window is PARTITIONED by head token (rank ≤ 3
+  // plans a WindowGroupLimit pushdown, so per-head work is top-k, not
+  // sort-all); the conditional denominator is the per-head sum over
+  // the same partition — one shuffle on the bigram key, one on the
+  // head token.
+  // -------------------------------------------------------------------
+  def bigramLm(spark: SparkSession, dir: String, minSupport: Long = 50L, k: Int = 3): DataFrame = {
+    val wr = Window.partitionBy(col("a")).orderBy(col("n_ab").desc, col("b").asc)
+    val wh = Window.partitionBy(col("a"))
+    docsToks(spark, dir)
+      .select(
+        explode(
+          when(
+            size(col("toks")) >= 2,
+            expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i + 1] AS b))")
+          ).otherwise(array())
+        ).as("bg")
+      )
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .withColumn("n_a", sum(col("n_ab")).over(wh))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("n_a") >= minSupport && col("rnk") <= k)
+      .withColumn("cond_bp", expr("n_ab * 10000 DIV n_a"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("rnk"), col("cond_bp"))
+  }
+
+  // -------------------------------------------------------------------
+  // sample_cap_per_source — per-source document cap (the anti-
+  // domination lever in corpus mixing): keep at most K docs per
+  // source, chosen by the deterministic md5 order (no rand(), so the
+  // sample is reproducible and engine-portable), accounted as one
+  // per-source summary row with a kept-id checksum. The rank window
+  // is partitioned by source; at 100 TB a skewed source's window is
+  // the irreducible cost of an EXACT cap — the approximate escape is
+  // the md5-threshold pre-filter (sample_hash_split's trick) feeding
+  // this exact pass a bounded superset.
+  // -------------------------------------------------------------------
+  def capPerSource(spark: SparkSession, dir: String, k: Long = 100L): DataFrame = {
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("hkey", md5(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(wSrc).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= k, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= k, col("doc_id")).otherwise(0L)).as("kept_id_sum")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // pipeline_mix_plan — BALANCED mixture planning: given per-source
+  // available tokens (n_chars DIV 4, the standard chars-per-token
+  // proxy — no tokenization pass needed), compute the keep rate that
+  // equalizes every source to the scarcest one (the epoch-balanced
+  // mix), in basis points, plus the expected token yield. One
+  // partial-aggregable groupBy to the per-source table, then an
+  // unpartitioned window over that BOUNDED aggregate (one row per
+  // corpus source — the text_domain_mix exception pattern). All
+  // quantities positive integers: DIV ≡ floor ≡ DuckDB //.
+  // -------------------------------------------------------------------
+  def mixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), expr("n_chars DIV 4").as("toks_est"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks_est")).as("avail_tokens"))
+      .withColumn("target_tokens", min(col("avail_tokens")).over(w))
+      .withColumn("keep_bp", expr("target_tokens * 10000 DIV avail_tokens"))
+      .withColumn("expected_tokens", expr("avail_tokens * keep_bp DIV 10000"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("avail_tokens"),
+        col("target_tokens"),
+        col("keep_bp"),
+        col("expected_tokens")
+      )
+  }
 }

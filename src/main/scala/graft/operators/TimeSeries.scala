@@ -1524,4 +1524,124 @@ object TimeSeries {
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 11x. ts_benford — first-significant-digit audit per event type:
+  // the classic Benford screen for fabricated / unit-drifted metric
+  // feeds. Strictly-positive cents only (sign and zero carry no
+  // leading digit), leading digit via the decimal string head —
+  // engine-exact. Output is the ≤9-row digit distribution per type
+  // with basis-point shares: one partial-aggregable groupBy on a
+  // |types|×9 key space, then the share window over that bounded
+  // aggregate — the scan is the whole cost at any corpus size.
+  // -------------------------------------------------------------------
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .select(col("event_type"), cents(col("value")).as("v_c"))
+      .filter(col("v_c") > 0)
+      .withColumn("d1", substring(col("v_c").cast("string"), 1, 1).cast("long"))
+      .groupBy(col("event_type"), col("d1"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp", expr("n * 10000 DIV sum(n) OVER (PARTITION BY event_type)"))
+  }
+
+  // -------------------------------------------------------------------
+  // 11y. ts_drawdown — per-series maximum drawdown of the cumulative
+  // value path (the running-peak-minus-current gauge SLO/finance
+  // dashboards track): cum = running sum of cents, peak = running max
+  // of cum, drawdown = peak − cum. Both running frames share the ONE
+  // series shuffle (same partition + order), and the final per-series
+  // aggregate reuses that partitioning — a single shuffle end to end,
+  // all integer-exact.
+  // -------------------------------------------------------------------
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val wRun = seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("v_c"))
+      .withColumn("cum_c", sum(col("v_c")).over(wRun))
+      .withColumn("peak_c", max(col("cum_c")).over(wRun))
+      .withColumn("dd_c", col("peak_c") - col("cum_c"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        max(col("peak_c")).as("max_peak_c"),
+        max(col("dd_c")).as("max_drawdown_c"),
+        sum(when(col("dd_c") > 0, 1L).otherwise(0L)).as("n_underwater")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11z. ts_holt_linear — Holt double-exponential smoothing (level +
+  // trend) per series over the hourly means, α = β = 1/2 with
+  // TRUNCATING integer halving so both engines recurse to the same
+  // integers (Spark DIV and DuckDB // both truncate toward zero —
+  // verified on negatives; the recursion's l+b−x deltas DO go
+  // negative, so a floor/trunc mix would drift one cent per step).
+  //   l₀ = m₀, b₀ = 0;  lₜ = trunc((mₜ + lₜ₋₁ + bₜ₋₁)/2),
+  //   bₜ = trunc((lₜ − lₜ₋₁ + bₜ₋₁)/2),  eₜ = eₜ₋₁ + |lₜ₋₁ + bₜ₋₁ − mₜ|.
+  // The recursion is inherently sequential per series, so it runs as
+  // ONE aggregate() fold over the series' sorted hour array — state
+  // bounded by the backtest window (hours of retention), never by
+  // corpus size; the hourly rollup is the only raw-event shuffle and
+  // the fold reuses its partitioning. Emits final level/trend, the
+  // one-step-ahead forecast, and the cumulative one-step SAE.
+  // -------------------------------------------------------------------
+  def holtLinear(spark: SparkSession, dir: String): DataFrame = {
+    // trunc((y)/2) for any sign, duplicated inline because SQL lambda
+    // bodies cannot let-bind
+    def fd2(y: String) = s"($y) DIV 2"
+    val lNew = fd2("x + acc.l + acc.b")
+    val fold =
+      s"""aggregate(
+         |  slice(ms, 2, greatest(size(ms) - 1, 0)),
+         |  named_struct('l', ms[0], 'b', CAST(0 AS BIGINT), 'e', CAST(0 AS BIGINT)),
+         |  (acc, x) -> named_struct(
+         |    'l', $lNew,
+         |    'b', ${fd2(s"($lNew) - acc.l + acc.b")},
+         |    'e', acc.e + abs(acc.l + acc.b - x)))""".stripMargin
+    eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("s DIV n")) // trunc, matching the oracle's //
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("hour_id"), col("mean_c")))).as("hm")
+      )
+      .withColumn("ms", expr("transform(hm, p -> p.mean_c)"))
+      .withColumn("st", expr(fold))
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("st.l").as("level_c"),
+        col("st.b").as("trend_c"),
+        (col("st.l") + col("st.b")).as("forecast_c"),
+        col("st.e").as("sae_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11d4. ts_motif_topk — each series' dominant SAX motif: the most
+  // frequent 3-symbol word of the series' SAX string (the classic
+  // motif-discovery read on top of 11d3). Reuses the sax() pipeline
+  // unchanged, explodes the (hours−2) 3-gram windows row-locally,
+  // counts per (series, motif), and rank-1s with a lexical tiebreak —
+  // the ranking window is PARTITIONED by series and its input is the
+  // per-series motif aggregate (≤ hours rows), never raw events.
+  // -------------------------------------------------------------------
+  def motifTopk(spark: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("n_occ").desc, col("motif").asc)
+    sax(spark, dir)
+      .filter(length(col("sax")) >= 3)
+      .select(
+        col("user_id"),
+        explode(expr("transform(sequence(1, length(sax) - 2), i -> substring(sax, i, 3))")).as("motif")
+      )
+      .groupBy(col("user_id"), col("motif"))
+      .agg(count(lit(1)).as("n_occ"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("motif"), col("n_occ"))
+  }
 }

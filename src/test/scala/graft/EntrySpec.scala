@@ -82,7 +82,9 @@ class EntrySpec extends AnyFunSuite {
   // heuristic can't see that, so these are allowed by name
   private val boundedDomainWindows = Set(
     "text_coverage_topk", // two-level banded prefix sum: the window runs over the (count, prefix) BAND table (≈ |distinct count values| × 16 rows), exactly the design that keeps the full vocabulary off one reducer
-    "text_domain_mix"     // unbounded-frame window over the per-SOURCE aggregate — one row per corpus source/domain, a bounded enum
+    "text_domain_mix",    // unbounded-frame window over the per-SOURCE aggregate — one row per corpus source/domain, a bounded enum
+    "pipeline_mix_plan",  // same shape: min-over-sources window on the per-source aggregate
+    "rel_histogram_equi"  // banded prefix sum: cum/total windows run over the $1000 price-BAND table (bounded few-hundred-row domain), the design that avoids the global sort
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
