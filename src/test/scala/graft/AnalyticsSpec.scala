@@ -86,4 +86,36 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(df.filter(col("set_id") === 0L).count() === 0, "unexpected (flag,status) cross cells")
     } finally df.unpersist()
   }
+
+  test("profile: per-column accounting is internally consistent") {
+    import graft.operators.Relational
+    val rows = Relational.profile(spark, sf).collect()
+    assert(rows.length === 6)
+    val nRows = rows.map(_.getLong(1)).distinct
+    assert(nRows.length === 1, s"column row counts disagree: ${nRows.mkString(",")}")
+    for (r <- rows) {
+      val (n, nNull, nDist) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDist <= n - nNull && nDist >= (if (n > nNull) 1L else 0L))
+      assert(r.getString(4) <= r.getString(5), s"${r.getString(0)}: min > max")
+    }
+    // the key column is unique
+    val key = rows.find(_.getString(0) == "o_orderkey").get
+    assert(key.getLong(3) === key.getLong(1) - key.getLong(2), "o_orderkey not distinct per row")
+  }
+
+  test("histogram equi: deciles complete, cumulative walk monotone, last decile closes the table") {
+    import graft.operators.Relational
+    val rows = Relational.histogramEqui(spark, sf).collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toList === (1L to 10L).toList, "missing or duplicate deciles")
+    val total = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) === total))
+    // cum is non-decreasing in decile order and each decile's cum covers ceil(d*N/10)
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    for (r <- rows) {
+      val (d, cum) = (r.getLong(0), r.getLong(3))
+      assert(cum * 10 >= d * total, s"decile $d: cum $cum below rank")
+    }
+    assert(rows.last.getLong(3) === total, "decile 10 must close at the full count")
+  }
 }

@@ -313,4 +313,21 @@ class DedupSpec extends AnyFunSuite {
     assert(nHits <= nTruth && nHits <= nCand, "intersection exceeds a side")
     assert(r.getAs[Long]("recall_bp") <= 10000L && r.getAs[Long]("precision_bp") <= 10000L)
   }
+
+  test("degree dist: bins partition the degree domain and hold their extremes") {
+    val rows = Dedup.graphDegreeDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var totalDeg = 0L
+    for (r <- rows) {
+      val (bin, n, minD, maxD, sumD) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // deg_bin = floor(log2 deg) + 1: the bin's degrees live in [2^(bin-1), 2^bin)
+      assert(minD >= (1L << (bin - 1).toInt) && maxD < (1L << bin.toInt),
+        s"bin $bin holds degrees outside [${1L << (bin - 1).toInt}, ${1L << bin.toInt}): min=$minD max=$maxD")
+      assert(n >= 1 && sumD >= n * minD && sumD <= n * maxD)
+      totalDeg += sumD
+    }
+    // an undirected edge contributes exactly two endpoint degrees
+    assert(totalDeg % 2 === 0, s"total degree $totalDeg is odd — edge accounting broken")
+  }
 }

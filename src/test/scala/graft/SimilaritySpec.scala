@@ -210,4 +210,19 @@ class SimilaritySpec extends AnyFunSuite {
       .withColumnRenamed("count", "nm")
     assert(n1.join(nm, Seq("probe_id")).filter(col("nm") < col("n1")).count() === 0)
   }
+
+  test("int8 quantize: codes bounded, scale element saturates, arithmetic self-consistent") {
+    val df = Similarity.embQuantizeInt8(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("min_code") < -127 || col("max_code") > 127).count() === 0)
+      // the element defining maxabs quantizes to exactly +/-127, so every
+      // vector saturates at least once and touches a code boundary
+      assert(df.filter(col("n_sat") < 1).count() === 0)
+      assert(df.filter(col("max_code") =!= 127 && col("min_code") =!= -127).count() === 0)
+      assert(df.filter(col("maxabs_micro") <= 0).count() === 0)
+      // sum of codes is bounded by dim * 127
+      assert(df.filter(abs(col("sum_code")) > col("dim") * 127).count() === 0)
+    } finally df.unpersist()
+  }
 }

@@ -285,4 +285,60 @@ class TextSpec extends AnyFunSuite {
     val lost = c1 -- c2
     assert(lost.size <= 1, s"insertion broke ${lost.size} of ${c1.size} chunks — boundaries did not re-align")
   }
+
+  test("readability: bands floor-contain their score envelope") {
+    val rows = TextAnalysis.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (band, minM, maxM) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(minM <= maxM)
+      assert(Math.floorDiv(minM, 5000L) === band, s"min $minM outside band $band")
+      assert(Math.floorDiv(maxM, 5000L) === band, s"max $maxM outside band $band")
+    }
+  }
+
+  test("bigram lm: ranks dense from 1, conditional mass bounded by the head total") {
+    val df = TextAnalysis.bigramLm(spark, sf, minSupport = 5L).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("cond_bp") > 10000 || col("cond_bp") < 0).count() === 0)
+      assert(df.filter(col("n_ab") > col("n_a")).count() === 0)
+      val perHead = df
+        .groupBy(col("a"))
+        .agg(
+          sum(col("n_ab")).as("ranked_mass"),
+          max(col("n_a")).as("n_a"),
+          count(lit(1)).as("k"),
+          min(col("rnk")).as("min_rnk"),
+          max(col("rnk")).as("max_rnk")
+        )
+      assert(perHead.filter(col("ranked_mass") > col("n_a")).count() === 0)
+      assert(perHead.filter(col("min_rnk") =!= 1 || col("max_rnk") =!= col("k")).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("cap per source: kept counts clamp at min(k, total), checksum bounded") {
+    val rows = TextAnalysis.capPerSource(spark, sf, k = 10L).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (total, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept === math.min(10L, total), s"source ${r.getString(0)}: kept $kept of $total")
+    }
+  }
+
+  test("mix plan: the scarcest source keeps everything, every target equalized") {
+    val rows = TextAnalysis.mixPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val minAvail = rows.map(_.getLong(2)).min
+    for (r <- rows) {
+      val (avail, target, keepBp, expected) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(target === minAvail)
+      assert(keepBp <= 10000 && keepBp > 0)
+      if (avail === minAvail) assert(keepBp === 10000)
+      assert(expected <= target, s"expected $expected overshoots target $target")
+      // the floor chain loses less than one bp of the source's tokens
+      assert(expected > target - avail / 10000 - 2)
+    }
+  }
 }

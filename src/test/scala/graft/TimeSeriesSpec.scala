@@ -190,4 +190,103 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(df.filter(col("n_events") < 1).count() === 0)
     } finally df.unpersist()
   }
+
+  test("holt linear: the fold replays the sequential reference recursion exactly") {
+    import graft.functions.FixedPoint.cents
+    // reference: collect the hourly means and fold them in plain Scala
+    // (Long division truncates toward zero — the contract both engines share)
+    val means = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(expr("sum(v) DIV count(1)").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toList)
+      .toMap
+    val expected = means.map { case (u, ms) =>
+      var l = ms.head; var b = 0L; var e = 0L
+      for (x <- ms.tail) {
+        val lp = (x + l + b) / 2
+        val bp = (lp - l + b) / 2
+        e += math.abs(l + b - x)
+        l = lp; b = bp
+      }
+      u -> ((ms.size.toLong, l, b, e))
+    }
+    val got = TimeSeries
+      .holtLinear(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    for ((u, (n, l, b, e)) <- expected)
+      assert(got(u) === ((n, l, b, e)), s"series $u: got ${got(u)}, expected ($n,$l,$b,$e)")
+  }
+
+  test("drawdown: per-series summary replays the sequential peak walk") {
+    import graft.functions.FixedPoint.cents
+    val rows = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("v"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(3)).toList)
+      .toMap
+    val expected = rows.map { case (u, vs) =>
+      var cum = 0L; var peak = Long.MinValue; var maxPeak = Long.MinValue
+      var maxDd = Long.MinValue; var under = 0L
+      for (v <- vs) {
+        cum += v
+        peak = math.max(peak, cum)
+        maxPeak = math.max(maxPeak, peak)
+        val dd = peak - cum
+        maxDd = math.max(maxDd, dd)
+        if (dd > 0) under += 1
+      }
+      u -> ((vs.size.toLong, maxPeak, maxDd, under))
+    }
+    val got = TimeSeries
+      .drawdown(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("benford: digits are 1-9 and per-type shares sum to at most 10000 bp") {
+    val df = TimeSeries.benford(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("d1") < 1 || col("d1") > 9).count() === 0)
+      // floor shares: the per-type sum is within 9 bp of exactly 10000
+      val sums = TimeSeries
+        .benford(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(sum(col("share_bp")).as("s"))
+        .collect()
+      for (r <- sums) {
+        val s = r.getLong(1)
+        assert(s <= 10000 && s > 10000 - 9, s"type ${r.getString(0)}: share sum $s")
+      }
+    } finally df.unpersist()
+  }
+
+  test("motif topk: the winning motif occurs n_occ times in its series' sax string") {
+    val saxes = TimeSeries.sax(spark, sf).select(col("user_id"), col("sax")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TimeSeries.motifTopk(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (u, motif, n) = (r.getLong(0), r.getString(1), r.getLong(2))
+      val s = saxes(u)
+      val occ = (0 to s.length - 3).count(i => s.substring(i, i + 3) == motif)
+      assert(occ === n, s"series $u motif $motif: counted $occ, reported $n")
+      // dominance: no 3-gram occurs more often
+      val best = (0 to s.length - 3).map(i => s.substring(i, i + 3)).groupBy(identity).map(_._2.size).max
+      assert(n === best, s"series $u: motif $motif n=$n but best 3-gram count is $best")
+    }
+  }
 }
