@@ -410,4 +410,51 @@ class PlanSpec extends AnyFunSuite {
       assert(rawScans.isEmpty, s"raw scan outside the cascade caches:\n${rawScans.mkString("\n")}")
     } finally spark.catalog.clearCache()
   }
+
+  test("drawdown: both running frames and the final agg share one series shuffle") {
+    val plan = planOf(TimeSeries.drawdown(spark, sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle, saw $exchanges:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("holt linear: hourly rollup and the per-series fold share one shuffle chain") {
+    val plan = planOf(TimeSeries.holtLinear(spark, sf))
+    // hourly groupBy shuffles on (user, hour); the per-series collect
+    // re-shuffles the hourly AGGREGATE on user — never raw events twice
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 shuffles, saw $exchanges:\n$plan")
+    assert("events\\.parquet".r.findAllIn(plan).size <= 1, s"raw events scanned twice:\n$plan")
+  }
+
+  test("profile: one orders scan, only the unpivot Expand (never multi-distinct's)") {
+    val qe = graft.operators.Relational.profile(spark, sf).queryExecution
+    // the UNPIVOT lowers to one 6-way Expand — that is the operator's
+    // intended row multiplication; a SECOND Expand would mean Spark
+    // planned count(distinct)-style expansion on top
+    val expands = "Expand".r.findAllIn(qe.executedPlan.toString).size
+    assert(expands === 1, s"expected exactly the unpivot Expand, saw $expands:\n${qe.executedPlan}")
+    val scans = qe.sparkPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size === 1, s"orders should be scanned exactly once, saw ${scans.size}")
+  }
+
+  test("histogram equi: no global sort of raw rows — windows run over the band table") {
+    val plan = planOf(graft.operators.Relational.histogramEqui(spark, sf))
+    assert(!plan.contains("Exchange rangepartitioning"), s"global sort resurfaced:\n$plan")
+    assert(!plan.contains("Join") || plan.contains("BroadcastHashJoin") === false, s"unexpected join:\n$plan")
+  }
+
+  test("bigram lm: rank <= 3 plans a window group-limit pushdown") {
+    val sparkPlan = graft.operators.TextAnalysis.bigramLm(spark, sf).queryExecution.sparkPlan
+    val hasLimit = sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }.nonEmpty
+    assert(hasLimit, s"per-head top-k not pushed down:\n$sparkPlan")
+  }
+
+  test("int8 quantize: row-local — no shuffle, no join, single embeddings scan") {
+    val plan = planOf(graft.operators.Similarity.embQuantizeInt8(spark, sf))
+    assert(!plan.contains("Exchange"), s"quantization should not shuffle:\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
 }
