@@ -52,6 +52,7 @@ object SparkEntry {
     "ts_drawdown"        -> ((s, d) => TimeSeries.drawdown(s, d)),
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
+    "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
     "ts_rate_stream"     -> ((s, d) => graft.sources.StreamingIngest.rateStream(s, d)),
     "ts_rate_stream_ooo" -> ((s, d) => graft.sources.StreamingIngest.rateStreamReordering(s, d)),
@@ -138,6 +139,7 @@ object SparkEntry {
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "rel_profile"        -> ((s, d) => Relational.profile(s, d)),
     "rel_histogram_equi" -> ((s, d) => Relational.histogramEqui(s, d)),
+    "rel_fk_audit"       -> ((s, d) => Relational.fkAudit(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
@@ -196,6 +198,7 @@ object SparkEntry {
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
+    "ann_knn_join"        -> ((s, d) => Similarity.annKnnJoin(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
@@ -235,6 +238,7 @@ object SparkEntry {
     "text_readability"  -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_bigram_lm"    -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "sample_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
+    "sample_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
@@ -690,6 +694,57 @@ object SparkEntry {
          |SELECT CAST(length(bin(deg)) AS BIGINT) AS deg_bin, CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |  MIN(deg) AS min_deg, MAX(deg) AS max_deg, CAST(SUM(deg) AS BIGINT) AS sum_deg
          |FROM dg GROUP BY 1""".stripMargin,
+    // k-NN join: the IVF-bucketed search with a corpus-scaled query
+    // set (every 50th vector) probing its top-2 cells, k=5
+    "ann_knn_join" ->
+      s"""WITH $quantCtes,
+         |seed AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),
+         |sn AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM seed GROUP BY 1),
+         |ad AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN seed s ON s.i = q.i GROUP BY 1, 2),
+         |dist AS (SELECT ad.vec_id, ad.c, n.n2 + sn.c2 - 2 * ad.dot AS d2
+         |         FROM ad JOIN n ON n.vec_id = ad.vec_id JOIN sn ON sn.c = ad.c),
+         |asg AS (SELECT vec_id, c AS cell FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |          FROM dist) WHERE r = 1),
+         |pcells AS (SELECT vec_id AS probe_id, c AS cell FROM (
+         |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |             FROM dist WHERE vec_id % 50 = 0) WHERE r <= 2),
+         |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+         |         FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+         |dt AS (SELECT cand.probe_id, cand.neighbor_id, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+         |       FROM cand JOIN q x ON x.vec_id = cand.probe_id
+         |       JOIN q y ON y.vec_id = cand.neighbor_id AND y.i = x.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, neighbor_id,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM sc QUALIFY rnk <= 5""".stripMargin,
+    // sequence-packing audit: two-level deterministic prefix sum,
+    // boundary test start DIV L != (end-1) DIV L
+    "sample_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source, GREATEST(n_chars // 4, 1) AS toks,
+        |             md5('pack:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+        |b AS (SELECT *, (instr('0123456789abcdef', substr(hkey, 1, 1)) - 1) * 16
+        |             + (instr('0123456789abcdef', substr(hkey, 2, 1)) - 1) AS band FROM d),
+        |bt AS (SELECT band, CAST(SUM(toks) AS BIGINT) AS band_toks FROM b GROUP BY 1),
+        |bo AS (SELECT band, CAST(COALESCE(SUM(band_toks) OVER (ORDER BY band
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS band_offset
+        |       FROM bt),
+        |g AS (SELECT b.source, b.toks,
+        |        bo.band_offset + SUM(b.toks) OVER (PARTITION BY b.band ORDER BY b.hkey, b.doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_end
+        |      FROM b JOIN bo ON bo.band = b.band),
+        |y AS (SELECT source, toks,
+        |        CASE WHEN (g_end - toks) // 2048 != (g_end - 1) // 2048 THEN 1 ELSE 0 END AS crosses
+        |      FROM g)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(crosses) AS BIGINT) AS n_boundary_crossings,
+        |  CAST(SUM(1 - crosses) * 10000 // COUNT(*) AS BIGINT) AS pure_bp
+        |FROM y GROUP BY 1""".stripMargin,
     // symmetric int8 scalar quantization — floor (never CAST: DuckDB's
     // double→int CAST rounds) of x·127/maxabs, identical operation
     // order to the Spark transform
@@ -2257,6 +2312,44 @@ object SparkEntry {
         |SELECT r.user_id, mx.n_hours, r.l AS level_c, r.b AS trend_c,
         |  r.l + r.b AS forecast_c, r.er AS sae_c
         |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
+    // model selection: snaive vs Holt one-step MAE per series — both
+    // backtests replayed, joined, verdict row-local (tie → snaive)
+    "ts_forecast_eval" ->
+      """WITH RECURSIVE e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |                  epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        |h1 AS (SELECT user_id, day_id, hour_of_day,
+        |        CAST(SUM(v_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2, 3),
+        |m1 AS (SELECT user_id, day_id, hour_of_day, CAST(s // n AS BIGINT) AS mean_c FROM h1),
+        |l1 AS (SELECT user_id, day_id, mean_c,
+        |        lag(mean_c) OVER wd AS prev_mean_c, lag(day_id) OVER wd AS prev_day
+        |      FROM m1 WINDOW wd AS (PARTITION BY user_id, hour_of_day ORDER BY day_id)),
+        |sn AS (SELECT user_id,
+        |         CAST(SUM(abs(mean_c - prev_mean_c)) * 1000000 // COUNT(*) AS BIGINT) AS snaive_mae_micro
+        |       FROM l1 WHERE prev_day = day_id - 1 GROUP BY 1),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v_c) // COUNT(*) AS BIGINT) AS m
+        |      FROM e GROUP BY 1, 2),
+        |o AS (SELECT user_id, hour_id, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS BIGINT) AS rn
+        |      FROM h),
+        |mx AS (SELECT user_id, MAX(rn) AS n_hours FROM o GROUP BY 1),
+        |rec AS (
+        |  SELECT user_id, rn, m AS l, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS er
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    CAST((o.m + r.l + r.b) // 2 AS BIGINT),
+        |    CAST(((o.m + r.l + r.b) // 2 - r.l + r.b) // 2 AS BIGINT),
+        |    CAST(r.er + abs(r.l + r.b - o.m) AS BIGINT)
+        |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1),
+        |ho AS (SELECT r.user_id, CAST(r.er * 1000000 // (mx.n_hours - 1) AS BIGINT) AS holt_mae_micro
+        |       FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours
+        |       WHERE mx.n_hours > 1)
+        |SELECT sn.user_id, sn.snaive_mae_micro, ho.holt_mae_micro,
+        |  CASE WHEN ho.holt_mae_micro < sn.snaive_mae_micro THEN 'holt' ELSE 'snaive' END AS winner
+        |FROM sn JOIN ho ON ho.user_id = sn.user_id""".stripMargin,
     // dominant SAX 3-gram per series: the ts_sax pipeline verbatim,
     // then a per-series motif count + rank-1 with lexical tiebreak
     "ts_motif_topk" ->
@@ -3336,6 +3429,33 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
+    // referential-integrity audit: per FK leg, one left join against
+    // the parent's distinct keys + conditional aggregates; the
+    // events→customer leg violates by construction
+    "rel_fk_audit" ->
+      """SELECT 'orders_customer' AS fk_name, CAST(COUNT(*) AS BIGINT) AS n_child,
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+        |  CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT) AS n_orphan_keys
+        |FROM (SELECT o_custkey AS k FROM orders) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON p.k = c.k
+        |UNION ALL
+        |SELECT 'lineitem_orders', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT)
+        |FROM (SELECT l_orderkey AS k FROM lineitem) c
+        |LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON p.k = c.k
+        |UNION ALL
+        |SELECT 'lineitem_part', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT)
+        |FROM (SELECT l_partkey AS k FROM lineitem) c
+        |LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON p.k = c.k
+        |UNION ALL
+        |SELECT 'events_user_customer', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT)
+        |FROM (SELECT user_id AS k FROM events) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON p.k = c.k""".stripMargin,
     // per-column profile over the canonicalized string projection —
     // explicit UNION ALL unpivot (DuckDB's UNPIVOT drops NULLs by
     // default; UNION ALL keeps the semantics aligned with Spark's)

@@ -1280,6 +1280,40 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // rel_fk_audit — REFERENTIAL-INTEGRITY audit (the ingest-gate FK
+  // check a warehouse runs before publishing): for each declared
+  // child→parent relationship, the child row count, orphan row count,
+  // and distinct orphan keys. Each leg is ONE left join against the
+  // parent's distinct key projection (broadcast when the dim is small,
+  // shuffle-hash otherwise — Spark's call) + a conditional aggregate;
+  // no anti-join double pass. The events→customer leg is deliberately
+  // a relationship the synthetic data VIOLATES, so the audit provably
+  // detects orphans rather than vacuously passing.
+  // -------------------------------------------------------------------
+  def fkAudit(spark: SparkSession, dir: String): DataFrame = {
+    def leg(name: String, child: DataFrame, key: String, parent: DataFrame, pkey: String): DataFrame =
+      child
+        .select(col(key).as("k"))
+        .join(parent.select(col(pkey).as("k")).distinct().withColumn("hit", lit(1)), Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          countDistinct(when(col("hit").isNull, col("k"))).as("n_orphan_keys")
+        )
+        .select(lit(name).as("fk_name"), col("n_child"), col("n_orphans"), col("n_orphan_keys"))
+    leg("orders_customer", Tables.orders(spark, dir), "o_custkey", Tables.customer(spark, dir), "c_custkey")
+      .unionByName(
+        leg("lineitem_orders", Tables.lineitem(spark, dir), "l_orderkey", Tables.orders(spark, dir), "o_orderkey")
+      )
+      .unionByName(
+        leg("lineitem_part", Tables.lineitem(spark, dir), "l_partkey", Tables.part(spark, dir), "p_partkey")
+      )
+      .unionByName(
+        leg("events_user_customer", Tables.events(spark, dir), "user_id", Tables.customer(spark, dir), "c_custkey")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // rel_histogram_equi — equi-depth DECILE histogram of order totals
   // without a global sort: the two-level banded prefix sum (the same
   // design as text_coverage_topk). Prices band at $1000 (100k cents,

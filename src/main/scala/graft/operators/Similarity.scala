@@ -992,6 +992,58 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ann_knn_join — the k-NN JOIN: a corpus-scaled QUERY SET (every
+  // 50th vector — 2% of the corpus, not a handful of probes) each
+  // finds its top-k among the rest. This is the shape retrieval
+  // augmentation and embedding-level cross-corpus dedup actually run,
+  // and it changes the plan contract: the query side can NO LONGER
+  // broadcast (it grows with the corpus), so both sides IVF-assign to
+  // cells and meet in a cell-keyed SHUFFLE join — per-cell work is
+  // |queries∩cell|·|cell|, bounded by the cell partition, never
+  // corpus². Probing the top-2 cells bounds the fan-out at 2 rows per
+  // query. At 100 TB nCells scales ~√N so cells stay partition-sized;
+  // the per-query top-k is a query-partitioned rank window.
+  // -------------------------------------------------------------------
+  def annKnnJoin(
+      spark: SparkSession,
+      dir: String,
+      nCells: Int = 8,
+      probeCells: Int = 2,
+      queryMod: Int = 50,
+      k: Int = 5
+  ): DataFrame = {
+    val q    = quantized(spark, dir)
+    val dist = centroidDist(q, seedCentroids(q, nCells))
+    val assigned = dist
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("c"), struct(col("d2"), col("c"))).as("cell"),
+        first(col("q")).as("q"),
+        first(col("n2")).as("n2")
+      )
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("c").asc)
+    val queries = dist
+      .filter(expr(s"vec_id % $queryMod = 0"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= probeCells)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("n2").as("pn2"), col("c").as("cell"))
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w   = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .join(queries, Seq("cell")) // no broadcast hint: the query side scales with the corpus
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // emb_quantize_int8 — symmetric per-vector int8 scalar quantization
   // (the 4× storage cut every vector store ships): scale = 127/maxabs,
   // codes = ⌊x·127/maxabs⌋ — floor, not cast, because floor is exact

@@ -1382,6 +1382,62 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // sample_pack_sequences — SEQUENCE-PACKING accounting for LLM
+  // pretraining (concat-and-chunk): documents concatenate in a
+  // deterministic global order and are chunked into fixed L-token
+  // training sequences; the audit reports, per source, how many docs
+  // get split across a sequence boundary (the attention-contamination
+  // / truncation cost every packing strategy trades against). The
+  // global order is (md5 band, hash, doc_id) and the GLOBAL prefix sum
+  // is two-level — 256-band totals roll up partial-aggregably, band
+  // offsets come from a window over the 256-ROW band table (the
+  // coverage_topk exception pattern), and within-band running sums are
+  // band-partitioned — so no corpus-scaled single-partition window
+  // exists anywhere. Token counts use the n_chars DIV 4 proxy
+  // (pipeline_mix_plan's contract). A doc crosses a boundary iff
+  // start DIV L ≠ (end−1) DIV L.
+  // -------------------------------------------------------------------
+  def packSequences(spark: SparkSession, dir: String, seqLen: Long = 2048L): DataFrame = {
+    val wBandTotals = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
+    val wInBand = Window
+      .partitionBy(col("band"))
+      .orderBy(col("hkey"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        expr("greatest(n_chars DIV 4, 1L)").as("toks"),
+        md5(concat(lit("pack:"), col("doc_id").cast("string"))).as("hkey")
+      )
+      .withColumn(
+        "band",
+        expr("(instr('0123456789abcdef', substring(hkey, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(hkey, 2, 1)) - 1)")
+      )
+    val bandTotals = docs
+      .groupBy(col("band"))
+      .agg(sum(col("toks")).as("band_toks"))
+      .withColumn("band_offset", coalesce(sum(col("band_toks")).over(wBandTotals), lit(0L)))
+      .select(col("band"), col("band_offset"))
+    docs
+      .join(broadcast(bandTotals), Seq("band"))
+      .withColumn("g_end", col("band_offset") + sum(col("toks")).over(wInBand))
+      .withColumn("g_start", col("g_end") - col("toks"))
+      .withColumn("crosses", (expr(s"g_start DIV ${seqLen}L") =!= expr(s"(g_end - 1) DIV ${seqLen}L")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("crosses")).as("n_boundary_crossings"),
+        expr("sum(1 - crosses) * 10000").as("pure_docs_x10k")
+      )
+      .withColumn("pure_bp", expr("pure_docs_x10k DIV n_docs"))
+      .drop("pure_docs_x10k")
+  }
+
+  // -------------------------------------------------------------------
   // pipeline_mix_plan — BALANCED mixture planning: given per-source
   // available tokens (n_chars DIV 4, the standard chars-per-token
   // proxy — no tokenization pass needed), compute the keep rate that

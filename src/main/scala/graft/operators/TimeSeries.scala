@@ -1622,6 +1622,29 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11z2. ts_forecast_eval — MODEL-SELECTION backtest: seasonal-naive
+  // vs Holt linear, per series, on the same hourly one-step errors —
+  // the comparison a forecasting deployment actually decides by, as a
+  // query. Composes the two existing backtests (each already one
+  // oracle-checked pass over the hourly aggregate); the eval itself is
+  // one user-keyed join + a row-local verdict (tie → the simpler
+  // model). Holt's SAE normalizes over its n_hours−1 one-step
+  // predictions; series with a single hour have no Holt backtest and
+  // drop (inner join).
+  // -------------------------------------------------------------------
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val sn = forecastSnaive(spark, dir).select(col("user_id"), col("mae_micro").as("snaive_mae_micro"))
+    val h = holtLinear(spark, dir)
+      .filter(col("n_hours") > 1)
+      .select(col("user_id"), expr("sae_c * 1000000 DIV (n_hours - 1)").as("holt_mae_micro"))
+    sn.join(h, Seq("user_id"))
+      .withColumn(
+        "winner",
+        when(col("holt_mae_micro") < col("snaive_mae_micro"), lit("holt")).otherwise(lit("snaive"))
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11d4. ts_motif_topk — each series' dominant SAX motif: the most
   // frequent 3-symbol word of the series' SAX string (the classic
   // motif-discovery read on top of 11d3). Reuses the sax() pipeline

@@ -46,6 +46,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_bucketed",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
+    "ann_knn_join",              // same ≤8-row centroid broadcast; the query↔corpus meet is a cell-keyed equi-join
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
     "ann_index_delete",          // same tail over the tombstone-pruned index
@@ -84,7 +85,8 @@ class EntrySpec extends AnyFunSuite {
     "text_coverage_topk", // two-level banded prefix sum: the window runs over the (count, prefix) BAND table (≈ |distinct count values| × 16 rows), exactly the design that keeps the full vocabulary off one reducer
     "text_domain_mix",    // unbounded-frame window over the per-SOURCE aggregate — one row per corpus source/domain, a bounded enum
     "pipeline_mix_plan",  // same shape: min-over-sources window on the per-source aggregate
-    "rel_histogram_equi"  // banded prefix sum: cum/total windows run over the $1000 price-BAND table (bounded few-hundred-row domain), the design that avoids the global sort
+    "rel_histogram_equi", // banded prefix sum: cum/total windows run over the $1000 price-BAND table (bounded few-hundred-row domain), the design that avoids the global sort
+    "sample_pack_sequences" // band-offset window over the 256-row md5-band table — the two-level prefix sum's bounded upper level
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —
