@@ -3430,8 +3430,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
     // referential-integrity audit: per FK leg, one left join against
-    // the parent's distinct keys + conditional aggregates; the
-    // events→customer leg violates by construction
+    // the parent's distinct keys + conditional aggregates; the fourth
+    // leg is a negative control (10% of customer keys withheld)
     "rel_fk_audit" ->
       """SELECT 'orders_customer' AS fk_name, CAST(COUNT(*) AS BIGINT) AS n_child,
         |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
@@ -3451,11 +3451,11 @@ object SparkEntry {
         |FROM (SELECT l_partkey AS k FROM lineitem) c
         |LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p ON p.k = c.k
         |UNION ALL
-        |SELECT 'events_user_customer', CAST(COUNT(*) AS BIGINT),
+        |SELECT 'negative_control', CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(COUNT(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT)
-        |FROM (SELECT user_id AS k FROM events) c
-        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON p.k = c.k""".stripMargin,
+        |FROM (SELECT o_custkey AS k FROM orders) c
+        |LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 10 != 0) p ON p.k = c.k""".stripMargin,
     // per-column profile over the canonicalized string projection —
     // explicit UNION ALL unpivot (DuckDB's UNPIVOT drops NULLs by
     // default; UNION ALL keeps the semantics aligned with Spark's)

@@ -1286,9 +1286,12 @@ object Relational {
   // and distinct orphan keys. Each leg is ONE left join against the
   // parent's distinct key projection (broadcast when the dim is small,
   // shuffle-hash otherwise — Spark's call) + a conditional aggregate;
-  // no anti-join double pass. The events→customer leg is deliberately
-  // a relationship the synthetic data VIOLATES, so the audit provably
-  // detects orphans rather than vacuously passing.
+  // no anti-join double pass. The synthetic tables are referentially
+  // COMPLETE in every direction (checked: no orphans, no childless
+  // parents), so the fourth leg is an explicit NEGATIVE CONTROL — the
+  // same audit against the customer dim with a deterministic 10% of
+  // keys withheld (c_custkey % 10 = 0) — proving the detector fires
+  // on exactly the injected fault instead of vacuously passing.
   // -------------------------------------------------------------------
   def fkAudit(spark: SparkSession, dir: String): DataFrame = {
     def leg(name: String, child: DataFrame, key: String, parent: DataFrame, pkey: String): DataFrame =
@@ -1309,7 +1312,13 @@ object Relational {
         leg("lineitem_part", Tables.lineitem(spark, dir), "l_partkey", Tables.part(spark, dir), "p_partkey")
       )
       .unionByName(
-        leg("events_user_customer", Tables.events(spark, dir), "user_id", Tables.customer(spark, dir), "c_custkey")
+        leg(
+          "negative_control",
+          Tables.orders(spark, dir),
+          "o_custkey",
+          Tables.customer(spark, dir).filter(expr("c_custkey % 10 != 0")),
+          "c_custkey"
+        )
       )
   }
 

@@ -118,4 +118,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(rows.last.getLong(3) === total, "decile 10 must close at the full count")
   }
+
+  test("fk audit: clean TPC-H legs hold, the violating leg actually detects orphans") {
+    import graft.operators.Relational
+    val rows = Relational.fkAudit(spark, sf).collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("orders_customer", "lineitem_orders", "lineitem_part", "negative_control"))
+    for (leg <- Seq("orders_customer", "lineitem_orders", "lineitem_part"))
+      assert(rows(leg).getLong(2) === 0L, s"$leg reports orphans on referentially-clean data")
+    val nc = rows("negative_control")
+    assert(nc.getLong(2) > 0L, "the injected fault (withheld customer keys) went undetected")
+    assert(nc.getLong(3) <= nc.getLong(2), "distinct orphan keys exceed orphan rows")
+  }
+
+  test("forecast eval: winner verdict is exactly the MAE comparison") {
+    import graft.operators.TimeSeries
+    val rows = TimeSeries.forecastEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (snaive, holt, winner) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(winner === (if (holt < snaive) "holt" else "snaive"), s"series ${r.getLong(0)}")
+    }
+  }
 }

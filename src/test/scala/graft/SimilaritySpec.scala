@@ -225,4 +225,17 @@ class SimilaritySpec extends AnyFunSuite {
       assert(df.filter(abs(col("sum_code")) > col("dim") * 127).count() === 0)
     } finally df.unpersist()
   }
+
+  test("knn join: probes are the query set, ranks dense, neighbors never self") {
+    val rows = Similarity.annKnnJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 50 === 0), "a non-query vector ranked neighbors")
+    assert(rows.forall(r => r.getLong(0) !== r.getLong(1)), "self-match leaked")
+    val perProbe = rows.groupBy(_.getLong(0))
+    for ((p, rs) <- perProbe) {
+      val ranks = rs.map(_.getLong(2)).sorted.toList
+      assert(ranks === (1L to ranks.size).toList, s"probe $p ranks not dense: $ranks")
+      assert(ranks.size <= 5)
+    }
+  }
 }

@@ -341,4 +341,23 @@ class TextSpec extends AnyFunSuite {
       assert(expected > target - avail / 10000 - 2)
     }
   }
+
+  test("pack sequences: token totals reconcile and crossings are bounded by seam count") {
+    val rows = TextAnalysis.packSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalToks = rows.map(_.getLong(2)).sum
+    val totalCross = rows.map(_.getLong(3)).sum
+    // each of the floor(total/L) sequence seams splits at most one doc
+    assert(totalCross <= totalToks / 2048L, s"$totalCross crossings exceed ${totalToks / 2048L} seams")
+    // reconcile the token proxy against the raw table
+    val expectedToks = graft.sources.Tables
+      .documents(spark, sf)
+      .agg(sum(expr("greatest(n_chars DIV 4, 1L)")))
+      .head().getLong(0)
+    assert(totalToks === expectedToks)
+    for (r <- rows) {
+      val (n, cross, bp) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(cross <= n && bp <= 10000 && bp === (n - cross) * 10000 / n)
+    }
+  }
 }
