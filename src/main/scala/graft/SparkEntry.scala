@@ -140,6 +140,7 @@ object SparkEntry {
     "rel_profile"        -> ((s, d) => Relational.profile(s, d)),
     "rel_histogram_equi" -> ((s, d) => Relational.histogramEqui(s, d)),
     "rel_fk_audit"       -> ((s, d) => Relational.fkAudit(s, d)),
+    "approx_hll_users"   -> ((s, d) => Relational.approxHllUsers(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
@@ -3429,6 +3430,44 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
+    // portable deterministic HLL: md5-derived 32-bit hash, bucket =
+    // h % 64, rho = 27 − bitlen(w), register max, harmonic sum scaled
+    // by 2^27, raw estimate alpha·m²/Z in one integral division
+    "approx_hll_users" ->
+      """WITH b AS (SELECT event_type, user_id,
+        |    md5('hll:' || CAST(user_id AS VARCHAR)) AS h FROM events),
+        |v AS (SELECT event_type, user_id,
+        |    (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 268435456
+        |  + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216
+        |  + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576
+        |  + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536
+        |  + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096
+        |  + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * 256
+        |  + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+        |  + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) AS hv FROM b),
+        |r0 AS (SELECT event_type, user_id, hv % 64 AS bucket, hv // 64 AS w FROM v),
+        |r1 AS (SELECT event_type, user_id, bucket,
+        |         CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END AS rho FROM r0),
+        |regs AS (SELECT event_type, bucket, MAX(rho) AS r FROM r1 GROUP BY 1, 2),
+        |sk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (27 - r)) AS BIGINT) AS s_hit
+        |       FROM regs GROUP BY 1),
+        |sk2 AS (SELECT event_type, n_hit,
+        |          CAST(s_hit + (64 - n_hit) * 134217728 AS BIGINT) AS sum_inv FROM sk),
+        |sk2b AS (SELECT event_type, n_hit, sum_inv,
+        |          CAST(389776872046592 // (sum_inv * 1000) AS BIGINT) AS raw_est FROM sk2),
+        |sk3 AS (SELECT event_type, n_hit, sum_inv,
+        |          CAST(CASE WHEN raw_est <= 160 AND n_hit < 64 THEN
+        |            [266, 222, 196, 177, 163, 151, 142, 133, 126, 119,
+        |             113, 107, 102, 97, 93, 89, 85, 81, 78, 74, 71, 68, 65, 63, 60, 58, 55, 53,
+        |             51, 48, 46, 44, 42, 40, 39, 37, 35, 33, 32, 30, 28, 27, 25, 24, 23, 21, 20,
+        |             18, 17, 16, 15, 13, 12, 11, 10, 9, 7, 6, 5, 4, 3, 2, 1, 0][64 - n_hit]
+        |          ELSE raw_est END AS BIGINT) AS hll_estimate FROM sk2b),
+        |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |       FROM r1 GROUP BY 1)
+        |SELECT sk3.event_type, sk3.n_hit, sk3.sum_inv, sk3.hll_estimate, ex.n_exact,
+        |  CAST(abs(sk3.hll_estimate - ex.n_exact) * 10000 // ex.n_exact AS BIGINT) AS err_bp
+        |FROM sk3 JOIN ex ON ex.event_type = sk3.event_type""".stripMargin,
     // referential-integrity audit: per FK leg, one left join against
     // the parent's distinct keys + conditional aggregates; the fourth
     // leg is a negative control (10% of customer keys withheld)

@@ -1280,6 +1280,72 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // approx_hll_users — a PORTABLE deterministic HyperLogLog: 64
+  // max-registers from md5-derived bits, so (unlike Spark's native
+  // HLL++, already exposed as group_distinct's spec-checked scale
+  // path) the sketch is bit-identical cross-engine and ORACLE-checked.
+  // The register table IS the sketch and max() makes it mergeable —
+  // partial aggregation combines shards' registers exactly like a
+  // production rollup would merge daily sketches. Integer-only math:
+  // rho from length(bin(w)) (no float log), the harmonic indicator
+  // scaled by 2²⁷ so Z stays an exact integer, and the raw-HLL
+  // estimate alpha·m²/Z as one integral division. Emits estimate vs
+  // exact side by side with the error in bp — the accuracy ledger a
+  // sketch deployment is judged by. The small-range LINEAR-COUNTING
+  // branch (E ≤ 2.5m with empty registers: m·ln(m/V)) needs no
+  // runtime floats either — V ∈ 1..64, so the whole correction is a
+  // 64-entry precomputed integer lookup, identical in both engines.
+  // -------------------------------------------------------------------
+  /** round(64·ln(64/V)) for V = 1..64 — the linear-counting estimates. */
+  private val LcTable: Seq[Long] = Seq(266L, 222L, 196L, 177L, 163L, 151L, 142L, 133L, 126L, 119L,
+    113L, 107L, 102L, 97L, 93L, 89L, 85L, 81L, 78L, 74L, 71L, 68L, 65L, 63L, 60L, 58L, 55L, 53L,
+    51L, 48L, 46L, 44L, 42L, 40L, 39L, 37L, 35L, 33L, 32L, 30L, 28L, 27L, 25L, 24L, 23L, 21L, 20L,
+    18L, 17L, 16L, 15L, 13L, 12L, 11L, 10L, 9L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L)
+
+  def approxHllUsers(spark: SparkSession, dir: String): DataFrame = {
+    // 8 hex chars → 32-bit integer, the instr ladder both engines share
+    val hexval = (1 to 8)
+      .map(i => s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}L")
+      .mkString(" + ")
+    val base = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .withColumn("h", md5(concat(lit("hll:"), col("user_id").cast("string"))))
+      .withColumn("hv", expr(hexval))
+      .withColumn("bucket", expr("hv % 64"))
+      .withColumn("w", expr("hv DIV 64")) // 26 payload bits
+      .withColumn("rho", expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END"))
+    val regs = base
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val sk = regs
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 27 - CAST(r AS INT))")).as("s_hit")
+      )
+      // empty registers contribute 2^-0 each: (m − hit)·2^27 in scaled units
+      .withColumn("sum_inv", expr(s"s_hit + (64 - n_hit) * ${1L << 27}L"))
+      .withColumn("raw_est", expr(s"${2904064L * (1L << 27)}L DIV (sum_inv * 1000)"))
+      // linear counting when the raw estimate is small and empty
+      // registers remain: m·ln(m/V) precomputed for V = 1..64
+      .withColumn(
+        "hll_estimate",
+        expr(
+          s"CASE WHEN raw_est <= 160 AND n_hit < 64 THEN " +
+            s"element_at(array(${LcTable.mkString(", ")}), CAST(64 - n_hit AS INT)) " +
+            "ELSE raw_est END"
+        )
+      )
+      .drop("s_hit", "raw_est")
+    val exact = base
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sk.join(exact, Seq("event_type"))
+      .withColumn("err_bp", expr("abs(hll_estimate - n_exact) * 10000 DIV n_exact"))
+  }
+
+  // -------------------------------------------------------------------
   // rel_fk_audit — REFERENTIAL-INTEGRITY audit (the ingest-gate FK
   // check a warehouse runs before publishing): for each declared
   // child→parent relationship, the child row count, orphan row count,
