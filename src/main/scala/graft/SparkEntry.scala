@@ -141,6 +141,7 @@ object SparkEntry {
     "rel_histogram_equi" -> ((s, d) => Relational.histogramEqui(s, d)),
     "rel_fk_audit"       -> ((s, d) => Relational.fkAudit(s, d)),
     "approx_hll_users"   -> ((s, d) => Relational.approxHllUsers(s, d)),
+    "approx_hll_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxHllStream(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
@@ -3426,14 +3427,7 @@ object SparkEntry {
       |    (p_partkey * 97 + i * 31) % 100000 + 100 AS ps_supplycost_c
       |  FROM part CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g CROSS JOIN ns)""".stripMargin
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
-  def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
-    // portable deterministic HLL: md5-derived 32-bit hash, bucket =
-    // h % 64, rho = 27 − bitlen(w), register max, harmonic sum scaled
-    // by 2^27, raw estimate alpha·m²/Z in one integral division
-    "approx_hll_users" ->
+  private lazy val hllOracleSql: String =
       """WITH b AS (SELECT event_type, user_id,
         |    md5('hll:' || CAST(user_id AS VARCHAR)) AS h FROM events),
         |v AS (SELECT event_type, user_id,
@@ -3467,7 +3461,20 @@ object SparkEntry {
         |       FROM r1 GROUP BY 1)
         |SELECT sk3.event_type, sk3.n_hit, sk3.sum_inv, sk3.hll_estimate, ex.n_exact,
         |  CAST(abs(sk3.hll_estimate - ex.n_exact) * 10000 // ex.n_exact AS BIGINT) AS err_bp
-        |FROM sk3 JOIN ex ON ex.event_type = sk3.event_type""".stripMargin,
+        |FROM sk3 JOIN ex ON ex.event_type = sk3.event_type""".stripMargin
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
+    // portable deterministic HLL: md5-derived 32-bit hash, bucket =
+    // h % 64, rho = 27 − bitlen(w), register max, harmonic sum scaled
+    // by 2^27, raw estimate alpha·m²/Z in one integral division. The
+    // streaming dual maintains the same registers as streaming state
+    // and drains to the identical sketch — SHARED oracle.
+    "approx_hll_stream" -> hllOracleSql,
+    "approx_hll_users" -> hllOracleSql,
+
     // referential-integrity audit: per FK leg, one left join against
     // the parent's distinct keys + conditional aggregates; the fourth
     // leg is a negative control (10% of customer keys withheld)

@@ -1302,22 +1302,29 @@ object Relational {
     51L, 48L, 46L, 44L, 42L, 40L, 39L, 37L, 35L, 33L, 32L, 30L, 28L, 27L, 25L, 24L, 23L, 21L, 20L,
     18L, 17L, 16L, 15L, 13L, 12L, 11L, 10L, 9L, 7L, 6L, 5L, 4L, 3L, 2L, 1L, 0L)
 
-  def approxHllUsers(spark: SparkSession, dir: String): DataFrame = {
+  /** (event_type, bucket, rho) rows from an events projection — the
+    * pre-register sketch stream; groupBy(event_type, bucket).max(rho)
+    * over it IS the sketch, batch or streaming alike.
+    */
+  private[graft] def hllRhoRows(events: DataFrame): DataFrame = {
     // 8 hex chars → 32-bit integer, the instr ladder both engines share
     val hexval = (1 to 8)
       .map(i => s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1) * ${1L << (4 * (8 - i))}L")
       .mkString(" + ")
-    val base = Tables
-      .events(spark, dir)
+    events
       .select(col("event_type"), col("user_id"))
       .withColumn("h", md5(concat(lit("hll:"), col("user_id").cast("string"))))
       .withColumn("hv", expr(hexval))
       .withColumn("bucket", expr("hv % 64"))
       .withColumn("w", expr("hv DIV 64")) // 26 payload bits
       .withColumn("rho", expr("CASE WHEN w = 0 THEN 27 ELSE 27 - length(bin(w)) END"))
-    val regs = base
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Finalize a register table (event_type, bucket, r) against the
+    * exact side: harmonic sum, raw estimate, linear-counting branch,
+    * error ledger.
+    */
+  private[graft] def hllFinalize(regs: DataFrame, exact: DataFrame): DataFrame = {
     val sk = regs
       .groupBy(col("event_type"))
       .agg(
@@ -1338,11 +1345,17 @@ object Relational {
         )
       )
       .drop("s_hit", "raw_est")
-    val exact = base
-      .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_exact"))
     sk.join(exact, Seq("event_type"))
       .withColumn("err_bp", expr("abs(hll_estimate - n_exact) * 10000 DIV n_exact"))
+  }
+
+  def approxHllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val rho = hllRhoRows(Tables.events(spark, dir))
+    val regs = rho.groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("r"))
+    val exact = rho
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    hllFinalize(regs, exact)
   }
 
   // -------------------------------------------------------------------

@@ -1283,6 +1283,36 @@ object StreamingIngest {
       )
   }
 
+  /** approx_hll_stream — the DISTINCT-COUNT SKETCH as streaming state:
+    * the portable HLL's register table (event_type, bucket, max rho)
+    * maintained by a streaming aggregation. max() is the whole merge
+    * rule, so state is exactly 64 longs per group key at ANY stream
+    * length — the sketch never grows, never needs a watermark to stay
+    * bounded, and the drained registers are byte-identical to the
+    * batch sketch by the register-merge algebra (shared oracle with
+    * `approx_hll_users`). The exact side of the accuracy ledger is the
+    * batch scan — the part a sketch exists to avoid, present here only
+    * because the query REPORTS its own error.
+    */
+  def approxHllStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+    val regs = Relational
+      .hllRhoRows(stream)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+    val drained = runToMemory(spark, regs, "complete")
+    val exact = Relational
+      .hllRhoRows(Tables.events(spark, dir))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    Relational.hllFinalize(drained, exact)
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream
