@@ -137,6 +137,7 @@ object SparkEntry {
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
+    "rel_scd2_stream"    -> ((s, d) => graft.sources.StreamingIngest.scd2Stream(s, d)),
     "rel_profile"        -> ((s, d) => Relational.profile(s, d)),
     "rel_histogram_equi" -> ((s, d) => Relational.histogramEqui(s, d)),
     "rel_fk_audit"       -> ((s, d) => Relational.fkAudit(s, d)),
@@ -2054,19 +2055,9 @@ object SparkEntry {
     // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
     // SCD2: consecutive duplicate states collapse; valid_to = next
     // version's valid_from, -1 + is_current on the head version
-    "rel_scd2" ->
-      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
-        |o AS (SELECT *, CASE WHEN lag(state) OVER w IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |s AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg FROM o),
-        |g AS (SELECT user_id, seg, MIN(state) AS state, MIN(ts_us) AS valid_from_us,
-        |        CAST(COUNT(*) AS BIGINT) AS n_events
-        |      FROM s GROUP BY 1, 2)
-        |SELECT user_id, seg, state, valid_from_us,
-        |  COALESCE(lead(valid_from_us) OVER wv, -1) AS valid_to_us, n_events,
-        |  CAST(CASE WHEN lead(valid_from_us) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY seg)""".stripMargin,
+    "rel_scd2" -> scd2OracleSql,
+    "rel_scd2_stream" -> scd2OracleSql,
+
     // point-in-time join: the oracle resolves each purchase's state
     // with the same union + running last-non-null carry (IGNORE NULLS),
     // including the (ts, kind, event_id) tie order
@@ -3426,6 +3417,20 @@ object SparkEntry {
       |    (p_partkey * 7 + i * 11) % 9999 + 1 AS ps_availqty,
       |    (p_partkey * 97 + i * 31) % 100000 + 100 AS ps_supplycost_c
       |  FROM part CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g CROSS JOIN ns)""".stripMargin
+
+  private lazy val scd2OracleSql: String =
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |o AS (SELECT *, CASE WHEN lag(state) OVER w IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg FROM o),
+        |g AS (SELECT user_id, seg, MIN(state) AS state, MIN(ts_us) AS valid_from_us,
+        |        CAST(COUNT(*) AS BIGINT) AS n_events
+        |      FROM s GROUP BY 1, 2)
+        |SELECT user_id, seg, state, valid_from_us,
+        |  COALESCE(lead(valid_from_us) OVER wv, -1) AS valid_to_us, n_events,
+        |  CAST(CASE WHEN lead(valid_from_us) OVER wv IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY seg)""".stripMargin
 
   private lazy val hllOracleSql: String =
       """WITH b AS (SELECT event_type, user_id,

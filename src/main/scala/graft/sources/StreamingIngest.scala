@@ -1283,6 +1283,114 @@ object StreamingIngest {
       )
   }
 
+  /** rel_scd2_stream — SLOWLY-CHANGING-DIMENSION TYPE-2 MAINTENANCE as
+    * streaming state (the warehouse-streaming shape: the dimension
+    * stays current 24/7 instead of being rebuilt per batch). Per
+    * entity the state is exactly ONE tuple — the OPEN dimension
+    * version (seg, state, valid_from, n) plus the last-applied (ts,
+    * event_id) coordinates — which is the state a production SCD2
+    * table keeps anyway, so memory is bounded by live entities by
+    * construction (no watermark needed for boundedness). A state
+    * change closes the open version (final emit, valid_to = the new
+    * version's valid_from) and opens the next; each batch also emits
+    * the open version's snapshot. The returned table resolves the
+    * append log exactly: per (entity, seg) keep the max-n extent and
+    * the max valid_to (the close, if one happened) — a version's seg
+    * and valid_from never change, so this is exact for any batch
+    * split of an in-order replay, and the result equals the batch
+    * [[graft.operators.Relational.scd2]] (SHARED oracle).
+    *
+    * Same cross-batch ordering contract as anomalyStream: state
+    * carries the last applied coordinates and the query FAILS LOUDLY
+    * on a cross-batch regression instead of silently folding
+    * out-of-order changes into the wrong version.
+    */
+  def scd2Stream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        col("event_type").as[String]
+      )
+      .as[(Long, Long, Long, String)]
+
+    // state: (seg, stateStr, validFrom, n, lastTs, lastEid);
+    // out: (user, seg, state, valid_from, valid_to, n, is_current).
+    // Spelled as literal tuple types: encoder derivation does not see
+    // through type aliases.
+    val versions = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, String, Long, Long, Long, Long),
+        (Long, Long, String, Long, Long, Long, Long)
+      ](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (
+            uid: Long,
+            rows: Iterator[(Long, Long, Long, String)],
+            st: GroupState[(Long, String, Long, Long, Long, Long)]
+        ) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val out =
+            scala.collection.mutable.ListBuffer.empty[(Long, Long, String, Long, Long, Long, Long)]
+          var cur: (Long, String, Long, Long, Long, Long) = st.getOption.orNull
+          sorted.foreach { case (_, ts, eid, s) =>
+            cur match {
+              case null => cur = (1L, s, ts, 1L, ts, eid)
+              case (seg, cs, from, n, lts, leid) =>
+                if (ts < lts || (ts == lts && eid <= leid))
+                  throw new IllegalStateException(
+                    s"scd2Stream: series $uid regressed across batches (($ts,$eid) after ($lts,$leid)) — " +
+                      "the source must deliver each entity in event-time order"
+                  )
+                if (s != cs) {
+                  out += ((uid, seg, cs, from, ts, n, 0L)) // close the open version
+                  cur = (seg + 1, s, ts, 1L, ts, eid)
+                } else cur = (seg, cs, from, n + 1, ts, eid)
+            }
+          }
+          if (cur != null) {
+            st.update(cur)
+            out += ((uid, cur._1, cur._2, cur._3, -1L, cur._4, 1L)) // open-version snapshot
+          }
+          out.iterator
+      }
+      .toDF("user_id", "seg", "state", "valid_from_us", "valid_to_us", "n_events", "is_current")
+
+    // resolve the append log: per (entity, seg) the close wins over
+    // snapshots (max valid_to) and the last snapshot's n is the max
+    runToMemory(spark, versions, "append")
+      .groupBy(col("user_id"), col("seg"))
+      .agg(
+        min(col("state")).as("state"),
+        min(col("valid_from_us")).as("valid_from_us"),
+        max(col("valid_to_us")).as("valid_to_us"),
+        max(col("n_events")).as("n_events")
+      )
+      .withColumn("is_current", when(col("valid_to_us") === -1L, 1L).otherwise(0L))
+      .select(
+        col("user_id"),
+        col("seg"),
+        col("state"),
+        col("valid_from_us"),
+        col("valid_to_us"),
+        col("n_events"),
+        col("is_current")
+      )
+  }
+
   /** approx_hll_stream — the DISTINCT-COUNT SKETCH as streaming state:
     * the portable HLL's register table (event_type, bucket, max rho)
     * maintained by a streaming aggregation. max() is the whole merge

@@ -74,7 +74,19 @@ class ScaleSpec extends AnyFunSuite {
     "ts_store_compact",
     "ts_range_join",
     "rel_scd2",
-    "text_pii_scrub"
+    "text_pii_scrub",
+    // round-8 third-session additions with data-proportional work
+    "ts_drawdown",
+    "ts_holt_linear",
+    "rel_profile",
+    "rel_histogram_equi",
+    "rel_fk_audit",
+    "approx_hll_users",
+    "sample_pack_sequences",
+    "text_bigram_lm",
+    "emb_quantize_int8",
+    "ann_knn_join",
+    "graph_degree_dist"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -55,6 +55,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch sessions missing from stream")
   }
 
+  test("scd2 stream: two-batch replay maintains versions and matches batch exactly") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.scd2Stream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.Relational.scd2(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed versions not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch versions missing from stream")
+  }
+
   test("append-mode windowed ingest emits closed windows once, each exactly the batch value") {
     val dir = twoBatchDir()
     val emitted = StreamingIngest.ingestHourlyAppend(spark, dir, Some(1)).cache()
