@@ -242,6 +242,7 @@ object SparkEntry {
     "text_bigram_lm"    -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "sample_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
     "sample_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
@@ -726,6 +727,17 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 5""".stripMargin,
+    // repeated 8-word-span boilerplate: per-doc distinct sliding
+    // windows over the normalized tokens, spans in >=2 docs, top-20
+    "text_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |w AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS span
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |            FROM t WHERE len(toks) >= 8)),
+         |g AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+         |      FROM w GROUP BY 1)
+         |SELECT span, n_docs, first_doc FROM g WHERE n_docs >= 2
+         |ORDER BY n_docs DESC, span ASC LIMIT 20""".stripMargin,
     // sequence-packing audit: two-level deterministic prefix sum,
     // boundary test start DIV L != (end-1) DIV L
     "sample_pack_sequences" ->

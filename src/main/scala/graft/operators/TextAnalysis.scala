@@ -1382,6 +1382,38 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // text_boilerplate — repeated-SPAN boilerplate detection (the
+  // C4-style span dedup that document-level dedup structurally misses:
+  // navigation chrome, license footers, banners repeated across
+  // otherwise-distinct pages). This corpus carries no sentence
+  // punctuation, so the span unit is the sliding 8-WORD window over
+  // the normalized token stream; per-doc distinct spans (one row per
+  // (doc, span) however often it repeats inside a page), then ONE
+  // partial-aggregable groupBy on the span key — a span shared by k
+  // docs costs k rows into its group, never a pairwise join. Top-K
+  // offenders via orderBy+limit (TakeOrdered, no global sort),
+  // lexical ties.
+  // -------------------------------------------------------------------
+  def boilerplate(spark: SparkSession, dir: String, span: Int = 8, minDocs: Long = 2L, k: Int = 20): DataFrame = {
+    docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= span,
+            expr(s"transform(sequence(0, size(toks) - $span), i -> array_join(slice(toks, i + 1, $span), ' '))")
+          ).otherwise(array())
+        ).as("span")
+      )
+      .distinct()
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("span").asc)
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
   // sample_pack_sequences — SEQUENCE-PACKING accounting for LLM
   // pretraining (concat-and-chunk): documents concatenate in a
   // deterministic global order and are chunked into fixed L-token
