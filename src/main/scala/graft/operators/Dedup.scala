@@ -205,8 +205,18 @@ object Dedup {
     */
   private[graft] case class RepLsh(pairs: DataFrame, banded: DataFrame, bands: DataFrame)
 
-  private[graft] def lshRepPairsFrom(repUniq: DataFrame, bucketCap: Int = DefaultBucketCap): RepLsh = {
-    val bands = bandSignaturesFrom(repUniq)
+  private[graft] def lshRepPairsFrom(repUniq: DataFrame, bucketCap: Int = DefaultBucketCap): RepLsh =
+    lshRepPairsFromBands(bandSignaturesFrom(repUniq), bucketCap)
+
+  /** The shuffle-free entry: band signatures straight off the reps'
+    * normalized text via the row-local signature path — for consumers
+    * that only need pairs/bands, never the shingle table.
+    */
+  private[graft] def lshRepPairsFromNormed(reps: DataFrame, bucketCap: Int = DefaultBucketCap): RepLsh =
+    lshRepPairsFromBands(bandSignaturesFromSigs(minhashSignaturesOf(reps)), bucketCap)
+
+  private def lshRepPairsFromBands(bandsIn: DataFrame, bucketCap: Int): RepLsh = {
+    val bands = bandsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.count()
     val safe = dropOversizedBuckets(bands, Seq("band", "sig"), bucketCap, "minhash-lsh")
@@ -284,6 +294,31 @@ object Dedup {
     uniq.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
+  /** The same K signatures computed ROW-LOCALLY from (doc_id, norm):
+    * spans via one HOF, each slot an array_min over seeded md5s —
+    * ZERO shuffle, no shingle explode, no distinct (min over the span
+    * MULTISET equals min over its set, so the signatures are
+    * bit-identical to [[minhashSignatures]]; DedupSpec pins it).
+    * This is the signature path for consumers that never need the
+    * shingle table itself — at 100 TB it deletes a
+    * (doc, shingle)-grain shuffle whose row count is the corpus'
+    * token count. Docs with no full span produce no signature row,
+    * matching the groupBy semantics.
+    */
+  private[graft] def minhashSignaturesOf(normed: DataFrame, n: Int = 3): DataFrame = {
+    val spanExpr =
+      s"transform(sequence(0, size(toks) - $n), i -> " +
+        (0 until n).map(o => s"toks[i + $o]").mkString("concat_ws(' ', ", ", ", ")") + ")"
+    val sigCols = (0 until K).map(j =>
+      expr(s"array_min(transform(spans, s -> md5(concat('$j:', s))))").as(s"mh$j")
+    )
+    normed
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+      .withColumn("spans", when(size(col("toks")) >= n, expr(spanExpr)).otherwise(array()))
+      .filter(size(col("spans")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
   private[graft] def bandSignaturesFrom(uniq: DataFrame): DataFrame =
     bandSignaturesFromSigs(minhashSignatures(uniq))
 
@@ -334,7 +369,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val c = collapseExact(docsNorm(spark, dir))
     val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val lsh = lshRepPairsFromNormed(c.reps)
     releaseAfterRun(spark, expandMemberPairs(lsh.pairs, groups, lsh.banded), Seq(lsh.bands, groups))
   }
 
@@ -522,7 +557,7 @@ object Dedup {
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val c = collapseExact(docsNorm(spark, dir))
-    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val lsh = lshRepPairsFromNormed(c.reps)
     val edges = lsh.pairs.persist(mem) // doc_a < doc_b, distinct, rep-level
     edges.count()
     val deg = edges
@@ -666,7 +701,7 @@ object Dedup {
   ): DataFrame = {
     val c = collapseExact(norm)
     val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val lsh = lshRepPairsFromNormed(c.reps)
     val repLabels = ccCore(lsh.pairs, maxIters)
     // groups whose members pair only among themselves (exact clones of
     // a banded rep with no near-dup partner): their own component,
@@ -1268,7 +1303,7 @@ object Dedup {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val docs = Tables.documents(spark, dir)
     val c = collapseExact(docs.select(col("doc_id"), normText(col("text")).as("norm")))
-    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val lsh = lshRepPairsFromNormed(c.reps)
     // per-group per-source member counts: one O(n) join + agg
     val srcCnt = c.groups
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
@@ -1737,7 +1772,7 @@ object Dedup {
       .union(clones)
       .select(col("doc_id"), normText(col("text")).as("norm"))
     val c = collapseExact(norm)
-    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val lsh = lshRepPairsFromNormed(c.reps)
     val sizes = c.groups.groupBy(col("rep_id")).agg(count(lit(1)).as("group_n"))
     val partners = lsh.pairs
       .select(col("doc_a").as("rep_id"))
@@ -1763,7 +1798,7 @@ object Dedup {
   // -------------------------------------------------------------------
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
     val c   = collapseExact(docsNorm(spark, dir))
-    val lsh = lshRepPairsFrom(shinglesOf(c.reps).distinct())
+    val lsh = lshRepPairsFromNormed(c.reps)
     val out = lsh.pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .groupBy(col("node"))

@@ -55,7 +55,7 @@ object SignatureStore {
       .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
       .write.mode("overwrite").parquet(s"$path/reps")
     val sigs = Dedup
-      .minhashSignatures(Dedup.shinglesOf(c.reps).distinct())
+      .minhashSignaturesOf(c.reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.bandSignaturesFromSigs(sigs).write.mode("overwrite").parquet(s"$path/bands")
     Dedup.bbitsFromSigs(sigs).write.mode("overwrite").parquet(s"$path/bbits")
@@ -93,7 +93,7 @@ object SignatureStore {
       .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
       .write.mode("append").parquet(s"$path/reps")
     val sigs = Dedup
-      .minhashSignatures(Dedup.shinglesOf(fReps).distinct())
+      .minhashSignaturesOf(fReps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.bandSignaturesFromSigs(sigs).write.mode("append").parquet(s"$path/bands")
     Dedup.bbitsFromSigs(sigs).write.mode("append").parquet(s"$path/bbits")
@@ -389,7 +389,7 @@ object SignatureStore {
     val dGroups = dc.groups.localCheckpoint()
     val dReps = dc.reps.withColumn("th", md5(col("norm"))).localCheckpoint()
     val dSigs = Dedup
-      .minhashSignatures(Dedup.shinglesOf(dc.reps).distinct())
+      .minhashSignaturesOf(dc.reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dBands = Dedup.bandSignaturesFromSigs(dSigs).localCheckpoint()
     val dBbits = Dedup.bbitsFromSigs(dSigs).localCheckpoint()
@@ -457,7 +457,7 @@ object SignatureStore {
     val bbits = spark.read.parquet(s"$path/bbits")
     val dc = Dedup.collapseExact(normed(delta))
     val dSigs = Dedup
-      .minhashSignatures(Dedup.shinglesOf(dc.reps).distinct())
+      .minhashSignaturesOf(dc.reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dBands = Dedup
       .bandSignaturesFromSigs(dSigs)

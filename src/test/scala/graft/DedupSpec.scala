@@ -330,4 +330,14 @@ class DedupSpec extends AnyFunSuite {
     // an undirected edge contributes exactly two endpoint degrees
     assert(totalDeg % 2 === 0, s"total degree $totalDeg is odd — edge accounting broken")
   }
+
+  test("row-local minhash signatures are bit-identical to the groupBy signature pass") {
+    val normed = graft.sources.Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+    val viaGroupBy = Dedup.minhashSignatures(Dedup.shinglesOf(normed).distinct())
+    val rowLocal   = Dedup.minhashSignaturesOf(normed)
+    assert(rowLocal.exceptAll(viaGroupBy).count() === 0, "row-local signatures diverge")
+    assert(viaGroupBy.exceptAll(rowLocal).count() === 0, "row-local path dropped signatures")
+  }
 }
