@@ -1072,24 +1072,26 @@ object Dedup {
     // members with hamming inherited (0 within a group).
     val cx = collapseExact(docsNorm(spark, dir))
     val groups = cx.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks = cx.reps
-      .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("h", substring(md5(col("tok")), 1, 16))
-    // All 64 weighted bit-sums in ONE aggregation pass over token rows —
-    // no per-bit explode (64x row blowup) and no per-bit shuffle; each
-    // bit is a conditional-sum column, fully partial-aggregable.
-    val bitSumCols = (0 until 64).map { b =>
-      val nibblePos = b / 4 + 1 // 1-based hex digit holding this bit
-      val shift = 3 - b % 4
-      sum(
-        col("c") * (expr(
-          s"shiftright(instr('0123456789abcdef', substring(h, $nibblePos, 1)) - 1, $shift) & 1"
-        ) * 2 - 1)
-      ).as(s"s$b")
-    }
-    val sums = toks.groupBy(col("doc_id")).agg(bitSumCols.head, bitSumCols.tail: _*)
+    // All 64 weighted bit-sums ROW-LOCALLY per rep: the simhash sum is
+    // over the token MULTISET (Σ tf·(±1) ≡ Σ ±1 over occurrences), so
+    // no (doc, token) distinct, no groupBy, no shuffle at all — one
+    // md5 per token occurrence into a 16-hex array, then one
+    // aggregate() fold zip-adding each token's 64 ±1 contributions.
+    // At 100 TB this deletes the token-grain exchange the old
+    // explode+groupBy paid (the same algebra that made the MinHash
+    // signatures row-local).
+    val simExpr =
+      """aggregate(hs, array_repeat(CAST(0 AS BIGINT), 64),
+        |  (acc, h) -> zip_with(acc,
+        |      transform(sequence(0, 63), b -> CAST(
+        |        (shiftright(instr('0123456789abcdef',
+        |                          substring(h, CAST(b DIV 4 + 1 AS INT), 1)) - 1,
+        |                    CAST(3 - b % 4 AS INT)) & 1) * 2 - 1 AS BIGINT)),
+        |      (a, x) -> a + x))""".stripMargin
+    val sums = cx.reps
+      .withColumn("hs", expr("transform(split(norm, ' '), t -> substring(md5(t), 1, 16))"))
+      .withColumn("sims", expr(simExpr))
+      .select(col("doc_id") +: (0 until 64).map(b => expr(s"sims[$b]").as(s"s$b")): _*)
     // 4x16-bit signature blocks from the bit signs — pure projection
     val blockCols = (0 until 4).map { blk =>
       (0 until 16)
