@@ -111,7 +111,7 @@ object SignatureStore {
   def writeBucketedBands(spark: SparkSession, docs: DataFrame, table: String, buckets: Int = 8): Unit = {
     val c = Dedup.collapseExact(normed(docs))
     Dedup
-      .bandSignaturesFrom(Dedup.shinglesOf(c.reps).distinct())
+      .bandSignaturesFromSigs(Dedup.minhashSignaturesOf(c.reps))
       .write.mode("overwrite")
       .bucketBy(buckets, "sig")
       .sortBy("sig")
@@ -354,7 +354,7 @@ object SignatureStore {
       .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
       .select(col("rep_id"), col("d_rep"), lit("exact").as("kind"))
     val dBands = Dedup
-      .bandSignaturesFrom(Dedup.shinglesOf(dc.reps).distinct())
+      .bandSignaturesFromSigs(Dedup.minhashSignaturesOf(dc.reps))
       .select(col("doc_id").as("d_rep"), col("band"), col("sig"))
     val near = bands
       .join(broadcast(dBands), Seq("band", "sig"))
