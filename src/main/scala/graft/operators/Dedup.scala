@@ -294,30 +294,21 @@ object Dedup {
     uniq.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
-  /** The same K signatures computed ROW-LOCALLY from (doc_id, norm):
-    * spans via one HOF, each slot an array_min over seeded md5s —
-    * ZERO shuffle, no shingle explode, no distinct (min over the span
-    * MULTISET equals min over its set, so the signatures are
-    * bit-identical to [[minhashSignatures]]; DedupSpec pins it).
-    * This is the signature path for consumers that never need the
-    * shingle table itself — at 100 TB it deletes a
-    * (doc, shingle)-grain shuffle whose row count is the corpus'
-    * token count. Docs with no full span produce no signature row,
-    * matching the groupBy semantics.
+  /** The same K signatures WITHOUT the shingle-distinct shuffle: min
+    * over the span MULTISET equals min over its set, so the distinct
+    * is pure overhead — the explode stays pipeline-local (no
+    * exchange) and the groupBy's map-side combine collapses each
+    * partition to one signature row per doc BEFORE its shuffle, so
+    * the only exchange is DOC-grain (docs × K hex strings), never
+    * token-grain. Signatures are bit-identical to
+    * [[minhashSignatures]] over distinct shingles (DedupSpec pins
+    * it). Kept as codegen'd explode + hash-aggregate on purpose: a
+    * fully row-local HOF variant (array_min of transform per slot)
+    * measured ~6× slower because higher-order functions evaluate
+    * interpreted (tools/SigBench).
     */
-  private[graft] def minhashSignaturesOf(normed: DataFrame, n: Int = 3): DataFrame = {
-    val spanExpr =
-      s"transform(sequence(0, size(toks) - $n), i -> " +
-        (0 until n).map(o => s"toks[i + $o]").mkString("concat_ws(' ', ", ", ", ")") + ")"
-    val sigCols = (0 until K).map(j =>
-      expr(s"array_min(transform(spans, s -> md5(concat('$j:', s))))").as(s"mh$j")
-    )
-    normed
-      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
-      .withColumn("spans", when(size(col("toks")) >= n, expr(spanExpr)).otherwise(array()))
-      .filter(size(col("spans")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-  }
+  private[graft] def minhashSignaturesOf(normed: DataFrame, n: Int = 3): DataFrame =
+    minhashSignatures(shinglesOf(normed, n))
 
   private[graft] def bandSignaturesFrom(uniq: DataFrame): DataFrame =
     bandSignaturesFromSigs(minhashSignatures(uniq))
@@ -1072,26 +1063,28 @@ object Dedup {
     // members with hamming inherited (0 within a group).
     val cx = collapseExact(docsNorm(spark, dir))
     val groups = cx.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // All 64 weighted bit-sums ROW-LOCALLY per rep: the simhash sum is
-    // over the token MULTISET (Σ tf·(±1) ≡ Σ ±1 over occurrences), so
-    // no (doc, token) distinct, no groupBy, no shuffle at all — one
-    // md5 per token occurrence into a 16-hex array, then one
-    // aggregate() fold zip-adding each token's 64 ±1 contributions.
-    // At 100 TB this deletes the token-grain exchange the old
-    // explode+groupBy paid (the same algebra that made the MinHash
-    // signatures row-local).
-    val simExpr =
-      """aggregate(hs, array_repeat(CAST(0 AS BIGINT), 64),
-        |  (acc, h) -> zip_with(acc,
-        |      transform(sequence(0, 63), b -> CAST(
-        |        (shiftright(instr('0123456789abcdef',
-        |                          substring(h, CAST(b DIV 4 + 1 AS INT), 1)) - 1,
-        |                    CAST(3 - b % 4 AS INT)) & 1) * 2 - 1 AS BIGINT)),
-        |      (a, x) -> a + x))""".stripMargin
-    val sums = cx.reps
-      .withColumn("hs", expr("transform(split(norm, ' '), t -> substring(md5(t), 1, 16))"))
-      .withColumn("sims", expr(simExpr))
-      .select(col("doc_id") +: (0 until 64).map(b => expr(s"sims[$b]").as(s"s$b")): _*)
+    // All 64 weighted bit-sums with NO token-grain exchange: the
+    // simhash sum is over the token MULTISET (Σ tf·(±1) ≡ Σ ±1 over
+    // occurrences), so the old (doc, token) pre-group was pure
+    // overhead — the explode stays pipeline-local, each token row
+    // contributes its 64 ±1s as conditional-sum columns, and the
+    // groupBy's map-side combine collapses to one 64-column row per
+    // doc per partition BEFORE the only (doc-grain) shuffle. Codegen'd
+    // end to end (an interpreted aggregate()-HOF variant measured
+    // slower — tools/SigBench's lesson).
+    val toks = cx.reps
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+      .withColumn("h", substring(md5(col("tok")), 1, 16))
+    val bitSumCols = (0 until 64).map { b =>
+      val nibblePos = b / 4 + 1 // 1-based hex digit holding this bit
+      val shift = 3 - b % 4
+      sum(
+        expr(
+          s"shiftright(instr('0123456789abcdef', substring(h, $nibblePos, 1)) - 1, $shift) & 1"
+        ) * 2 - 1
+      ).as(s"s$b")
+    }
+    val sums = toks.groupBy(col("doc_id")).agg(bitSumCols.head, bitSumCols.tail: _*)
     // 4x16-bit signature blocks from the bit signs — pure projection
     val blockCols = (0 until 4).map { blk =>
       (0 until 16)
