@@ -394,14 +394,9 @@ object SparkEntry {
        |FROM dw JOIN ws USING (w) WHERE w <> '' GROUP BY 1""".stripMargin
   private val toksSql = s"string_split($normSql, ' ')"
 
-  /** per-slot b-bit agreement: parity of each md5's last nibble,
-    * spelled as a hex-digit set so both engines compute the same bit
-    */
+  /** per-slot b-bit agreement: parity of each integer min-hash slot */
   private val bbitAgreeSql = (0 until 12)
-    .map(j =>
-      s"(CASE WHEN (substr(a.mh$j,32,1) IN ('1','3','5','7','9','b','d','f')) = " +
-        s"(substr(b.mh$j,32,1) IN ('1','3','5','7','9','b','d','f')) THEN 1 ELSE 0 END)"
-    )
+    .map(j => s"(CASE WHEN (a.mh$j % 2) = (b.mh$j % 2) THEN 1 ELSE 0 END)")
     .mkString(" + ")
 
   /** shingle + minhash-band CTE chain reused by the LSH oracles */
@@ -410,17 +405,28 @@ object SparkEntry {
        |sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
        |             FROM d WHERE len(toks) >= 3)),
+       |hi AS (SELECT doc_id,
+       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS hm FROM sh),
        |m AS (SELECT doc_id,
-       |        MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
-       |        MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3,
-       |        MIN(md5('4:' || shingle)) AS mh4, MIN(md5('5:' || shingle)) AS mh5,
-       |        MIN(md5('6:' || shingle)) AS mh6, MIN(md5('7:' || shingle)) AS mh7,
-       |        MIN(md5('8:' || shingle)) AS mh8, MIN(md5('9:' || shingle)) AS mh9,
-       |        MIN(md5('10:' || shingle)) AS mh10, MIN(md5('11:' || shingle)) AS mh11
-       |      FROM sh GROUP BY doc_id),
+       |        MIN((894684356*hm + 1573429661) % 2147483647) AS mh0,
+       |        MIN((21838115*hm + 1761311798) % 2147483647) AS mh1,
+       |        MIN((1772117479*hm + 1724103795) % 2147483647) AS mh2,
+       |        MIN((641324194*hm + 1836395613) % 2147483647) AS mh3,
+       |        MIN((791158068*hm + 2000992392) % 2147483647) AS mh4,
+       |        MIN((415884587*hm + 580346373) % 2147483647) AS mh5,
+       |        MIN((1215493283*hm + 936793384) % 2147483647) AS mh6,
+       |        MIN((347221958*hm + 801148508) % 2147483647) AS mh7,
+       |        MIN((266861099*hm + 1877275096) % 2147483647) AS mh8,
+       |        MIN((929723558*hm + 560686510) % 2147483647) AS mh9,
+       |        MIN((1207054355*hm + 1346933383) % 2147483647) AS mh10,
+       |        MIN((374399941*hm + 1313764614) % 2147483647) AS mh11
+       |      FROM hi GROUP BY doc_id),
        |bs AS (SELECT doc_id, band,
-       |         CASE band WHEN 0 THEN md5(mh0 || mh1 || mh2) WHEN 1 THEN md5(mh3 || mh4 || mh5)
-       |                   WHEN 2 THEN md5(mh6 || mh7 || mh8) ELSE md5(mh9 || mh10 || mh11) END AS sig
+       |         CASE band
+       |           WHEN 0 THEN md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) || ':' || CAST(mh2 AS VARCHAR))
+       |           WHEN 1 THEN md5(CAST(mh3 AS VARCHAR) || ':' || CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR))
+       |           WHEN 2 THEN md5(CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) || ':' || CAST(mh8 AS VARCHAR))
+       |           ELSE md5(CAST(mh9 AS VARCHAR) || ':' || CAST(mh10 AS VARCHAR) || ':' || CAST(mh11 AS VARCHAR)) END AS sig
        |       FROM (SELECT m.*, unnest([0, 1, 2, 3]) AS band FROM m)),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
@@ -475,7 +481,7 @@ object SparkEntry {
     val bandSelects = graft.operators.Dedup.TuneConfigs
       .flatMap { case (b, r) =>
         (0 until b).map { i =>
-          val cat = (0 until r).map(j => s"mh${i * r + j}").mkString(" || ")
+          val cat = (0 until r).map(j => s"CAST(mh${i * r + j} AS VARCHAR)").mkString(" || ':' || ")
           s"SELECT doc_id, '${b}x$r' AS cfg, $i AS band, md5($cat) AS sig FROM m"
         }
       }
@@ -1139,17 +1145,28 @@ object SparkEntry {
          |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
          |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
          |             FROM reps WHERE len(toks) >= 3)),
+         |hi AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS hm FROM sh),
          |m AS (SELECT doc_id,
-         |        MIN(md5('0:' || shingle)) AS mh0, MIN(md5('1:' || shingle)) AS mh1,
-         |        MIN(md5('2:' || shingle)) AS mh2, MIN(md5('3:' || shingle)) AS mh3,
-         |        MIN(md5('4:' || shingle)) AS mh4, MIN(md5('5:' || shingle)) AS mh5,
-         |        MIN(md5('6:' || shingle)) AS mh6, MIN(md5('7:' || shingle)) AS mh7,
-         |        MIN(md5('8:' || shingle)) AS mh8, MIN(md5('9:' || shingle)) AS mh9,
-         |        MIN(md5('10:' || shingle)) AS mh10, MIN(md5('11:' || shingle)) AS mh11
-         |      FROM sh GROUP BY doc_id),
+         |        MIN((894684356*hm + 1573429661) % 2147483647) AS mh0,
+         |        MIN((21838115*hm + 1761311798) % 2147483647) AS mh1,
+         |        MIN((1772117479*hm + 1724103795) % 2147483647) AS mh2,
+         |        MIN((641324194*hm + 1836395613) % 2147483647) AS mh3,
+         |        MIN((791158068*hm + 2000992392) % 2147483647) AS mh4,
+         |        MIN((415884587*hm + 580346373) % 2147483647) AS mh5,
+         |        MIN((1215493283*hm + 936793384) % 2147483647) AS mh6,
+         |        MIN((347221958*hm + 801148508) % 2147483647) AS mh7,
+         |        MIN((266861099*hm + 1877275096) % 2147483647) AS mh8,
+         |        MIN((929723558*hm + 560686510) % 2147483647) AS mh9,
+         |        MIN((1207054355*hm + 1346933383) % 2147483647) AS mh10,
+         |        MIN((374399941*hm + 1313764614) % 2147483647) AS mh11
+         |      FROM hi GROUP BY doc_id),
          |bs AS (SELECT doc_id, band,
-         |         CASE band WHEN 0 THEN md5(mh0 || mh1 || mh2) WHEN 1 THEN md5(mh3 || mh4 || mh5)
-         |                   WHEN 2 THEN md5(mh6 || mh7 || mh8) ELSE md5(mh9 || mh10 || mh11) END AS sig
+         |         CASE band
+         |           WHEN 0 THEN md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) || ':' || CAST(mh2 AS VARCHAR))
+         |           WHEN 1 THEN md5(CAST(mh3 AS VARCHAR) || ':' || CAST(mh4 AS VARCHAR) || ':' || CAST(mh5 AS VARCHAR))
+         |           WHEN 2 THEN md5(CAST(mh6 AS VARCHAR) || ':' || CAST(mh7 AS VARCHAR) || ':' || CAST(mh8 AS VARCHAR))
+         |           ELSE md5(CAST(mh9 AS VARCHAR) || ':' || CAST(mh10 AS VARCHAR) || ':' || CAST(mh11 AS VARCHAR)) END AS sig
          |       FROM (SELECT m.*, unnest([0, 1, 2, 3]) AS band FROM m)),
          |rp AS (SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
          |       FROM bs a JOIN bs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),

@@ -286,12 +286,34 @@ object Dedup {
   private def uniqShingles(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir).distinct()
 
-  /** per-doc MinHash signature row: doc_id, mh0..mh{K-1} — K seeded
-    * conditional mins in ONE groupBy pass.
+  /** Fixed universal-hash constants for the K min-wise slots:
+    * slot_j(x) = (A_j·x + B_j) mod p over the Mersenne prime
+    * p = 2³¹−1. Each slot's element ORDER is scrambled independently
+    * (the property a naive h1 + j·h2 double-hash lacks — there one
+    * low-hash shingle wins many slots, slots correlate, and banded
+    * candidate sets explode; measured as a 10× CC blow-up before this
+    * form).
+    */
+  private val MhP               = 2147483647L
+  private[graft] val MhA: Seq[Long] = Seq(894684356L, 21838115L, 1772117479L, 641324194L,
+    791158068L, 415884587L, 1215493283L, 347221958L, 266861099L, 929723558L, 1207054355L, 374399941L)
+  private[graft] val MhB: Seq[Long] = Seq(1573429661L, 1761311798L, 1724103795L, 1836395613L,
+    2000992392L, 580346373L, 936793384L, 801148508L, 1877275096L, 560686510L, 1346933383L, 1313764614L)
+
+  /** per-doc MinHash signature row: doc_id, mh0..mh{K-1} (K integer
+    * mins in ONE groupBy pass) — ONE md5 per shingle (the dedup
+    * family's dominant cost, K-fold cheaper than K seeded md5s), with
+    * the K slots drawn from the standard (a·x + b) mod p universal
+    * family over the digest's top 60 bits reduced mod p = 2³¹−1. All
+    * intermediates < 2⁶², so ANSI arithmetic is exact and the DuckDB
+    * oracle replays the identical integers.
     */
   private[graft] def minhashSignatures(uniq: DataFrame): DataFrame = {
-    val mins = (0 until K).map(j => min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"mh$j"))
-    uniq.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val withH = uniq
+      .withColumn("g", md5(col("shingle")))
+      .withColumn("hm", expr(s"CAST(conv(substring(g, 1, 15), 16, 10) AS BIGINT) % ${MhP}L"))
+    val mins = (0 until K).map(j => min(expr(s"(${MhA(j)}L * hm + ${MhB(j)}L) % ${MhP}L")).as(s"mh$j"))
+    withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** The same K signatures WITHOUT the shingle-distinct shuffle: min
@@ -322,7 +344,8 @@ object Dedup {
     val bandStructs = (0 until Bands).map { b =>
       struct(
         lit(b).as("band"),
-        md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
+        // ':'-joined decimal slots: unambiguous, engine-identical text
+        md5(concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
       )
     }
     sigs
@@ -331,16 +354,14 @@ object Dedup {
   }
 
   /** b-bit signature tier: the LOWEST BIT of each of the K min-hashes
-    * (parity of the md5's last nibble — the same portable rule the
-    * b-bit estimator and its oracle use), packed LSB-first into one
+    * (parity of the integer min-hash slot — the same portable rule
+    * the b-bit estimator and its oracle use), packed LSB-first into one
     * long. K bits per rep instead of K×128-bit hex strings — the
     * 128× smaller verification tier a 100 TB signature store persists
     * alongside its bands.
     */
   private[graft] def bbitsFromSigs(sigs: DataFrame): DataFrame = {
-    val bit = (j: Int) =>
-      when(substring(col(s"mh$j"), 32, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L)
-        .otherwise(0L)
+    val bit = (j: Int) => expr(s"pmod(mh$j, 2)") // slots are non-negative longs
     sigs.select(
       col("doc_id"),
       (0 until K).map(j => shiftleft(bit(j), j)).reduce(_ bitwiseOR _).as("bits")
@@ -458,7 +479,7 @@ object Dedup {
         struct(
           lit(s"${bands}x$rows").as("cfg"),
           lit(b).as("band"),
-          md5(concat((0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
+          md5(concat_ws(":", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*)).as("sig")
         )
       }
     }
@@ -1250,11 +1271,9 @@ object Dedup {
     val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     val lsh = lshRepPairsFrom(uniq)
-    // lowest bit of an md5 hex string = parity of its last nibble —
-    // spelled as a portable hex-digit set so the DuckDB oracle computes
-    // the identical bit
-    def lowBit(c: Column): Column =
-      when(substring(c, 32, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), 1L).otherwise(0L)
+    // lowest bit of the integer min-hash slot — parity, identical in
+    // both engines on non-negative longs
+    def lowBit(c: Column): Column = pmod(c, lit(2L))
     val sigA = sigs.toDF("doc_a" +: (0 until K).map(j => s"a$j"): _*)
     val sigB = sigs.toDF("doc_b" +: (0 until K).map(j => s"b$j"): _*)
     val agree = (0 until K)

@@ -84,11 +84,12 @@ class SignatureStoreSpec extends AnyFunSuite {
     import spark.implicits._
     // two disjoint near-dup components in the corpus (1≈2, 10≈11).
     // Texts are PRE-SEARCHED against the engine's exact banding (K=12
-    // seeded md5 minhashes, 4 bands × 3) so that, deterministically:
-    // each pair shares ≥1 band, the pairs share none across, and the
-    // concatenated bridge shares ≥1 band with BOTH components.
-    val baseA = "mu alpha pi epsilon tau nu eta gamma zeta nu xi gamma beta lambda mu"
-    val baseB = "seven four ten one five eight sixteen eleven fifteen eight four four"
+    // universal-hash min slots (A_j·h + B_j) mod 2³¹−1, 4 bands × 3)
+    // so that, deterministically: each pair shares ≥1 band, the pairs
+    // share none across, and the concatenated bridge shares ≥1 band
+    // with BOTH components.
+    val baseA = "eta eta sigma gamma xi gamma xi eta tau delta delta sigma beta tau epsilon"
+    val baseB = "one seven twelve five nine five two nine seven ten nine eight"
     val corpus = Seq(
       (1L, s"$baseA tail"),
       (2L, s"$baseA tails"),

@@ -437,8 +437,8 @@ class StreamingSpec extends AnyFunSuite {
     // drill). Stream: batch 1 extends component A; batch 2 delivers
     // the BRIDGE that merges A and B — the merge must happen through
     // the per-batch incremental relabel, across micro-batches.
-    val baseA = "mu alpha pi epsilon tau nu eta gamma zeta nu xi gamma beta lambda mu"
-    val baseB = "seven four ten one five eight sixteen eleven fifteen eight four four"
+    val baseA = "eta eta sigma gamma xi gamma xi eta tau delta delta sigma beta tau epsilon"
+    val baseB = "one seven twelve five nine five two nine seven ten nine eight"
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
     def docsDf(rows: Seq[(Long, String)]) =
       rows
