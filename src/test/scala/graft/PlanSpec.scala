@@ -457,4 +457,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"quantization should not shuffle:\n$plan")
     assert(!plan.contains("Join"), plan)
   }
+
+  test("minhash signatures: one doc-grain shuffle, no token-grain exchange, one scan") {
+    import graft.operators.Dedup
+    val qe = Dedup
+      .minhashSignaturesOf(
+        graft.sources.Tables
+          .documents(spark, sf)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            Dedup.normText(org.apache.spark.sql.functions.col("text")).as("norm"))
+      )
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // the explode is pipeline-local and the groupBy partially
+    // aggregates per partition: exactly ONE exchange, keyed on doc_id
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"signature generation grew an exchange:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial_"),
+      s"map-side combine missing — the shuffle would carry token-grain rows:\n$plan")
+    val scans = qe.sparkPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.size === 1)
+  }
 }
