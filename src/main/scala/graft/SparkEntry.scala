@@ -1029,10 +1029,11 @@ object SparkEntry {
     "dedup_containment" ->
       s"""WITH $shingleCtes,
          |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |uh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hsh FROM u),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
          |i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
-         |      FROM pairs p JOIN u x ON x.doc_id = p.doc_a
-         |      JOIN u y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |      FROM pairs p JOIN uh x ON x.doc_id = p.doc_a
+         |      JOIN uh y ON y.doc_id = p.doc_b AND y.hsh = x.hsh
          |      GROUP BY 1, 2)
          |SELECT p.doc_a, p.doc_b, COALESCE(i.inter_n, 0) AS inter_n,
          |  CAST(LEAST(ca.n_sh, cb.n_sh) AS BIGINT) AS n_small,
@@ -1044,10 +1045,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |uh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hsh FROM u),
          |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
          |i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
-         |      FROM pairs p JOIN u x ON x.doc_id = p.doc_a
-         |      JOIN u y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |      FROM pairs p JOIN uh x ON x.doc_id = p.doc_a
+         |      JOIN uh y ON y.doc_id = p.doc_b AND y.hsh = x.hsh
          |      GROUP BY 1, 2)
          |SELECT p.doc_a, p.doc_b, COALESCE(i.inter_n, 0) AS inter_n,
          |  ca.n_sh + cb.n_sh - COALESCE(i.inter_n, 0) AS union_n,

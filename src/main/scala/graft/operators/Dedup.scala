@@ -992,9 +992,17 @@ object Dedup {
     val cand = lsh.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // intersection joins carry the 60-bit shingle HASH, not the string:
+    // the verification shuffle's payload drops ~3x (8-byte keys), and
+    // the hash is derived off the already-cached distinct set so both
+    // engines count identical (doc, hash) rows
+    val uniqH = uniq.select(
+      col("doc_id"),
+      expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("hsh")
+    )
     val inter = cand
-      .join(uniq.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(uniq.as("y"), col("y.doc_id") === col("doc_b") && col("y.shingle") === col("x.shingle"))
+      .join(uniqH.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(uniqH.as("y"), col("y.doc_id") === col("doc_b") && col("y.hsh") === col("x.hsh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_n"))
     val repScores = cand
@@ -1043,9 +1051,17 @@ object Dedup {
     val cand = lsh.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.count()
     val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // intersection joins carry the 60-bit shingle HASH, not the string:
+    // the verification shuffle's payload drops ~3x (8-byte keys), and
+    // the hash is derived off the already-cached distinct set so both
+    // engines count identical (doc, hash) rows
+    val uniqH = uniq.select(
+      col("doc_id"),
+      expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("hsh")
+    )
     val inter = cand
-      .join(uniq.as("x"), col("x.doc_id") === col("doc_a"))
-      .join(uniq.as("y"), col("y.doc_id") === col("doc_b") && col("y.shingle") === col("x.shingle"))
+      .join(uniqH.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(uniqH.as("y"), col("y.doc_id") === col("doc_b") && col("y.hsh") === col("x.hsh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_n"))
     val repScores = cand
