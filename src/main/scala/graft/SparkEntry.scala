@@ -768,12 +768,14 @@ object SparkEntry {
         |FROM y GROUP BY 1""".stripMargin,
     // symmetric int8 scalar quantization — floor (never CAST: DuckDB's
     // double→int CAST rounds) of x·127/maxabs, identical operation
-    // order to the Spark transform
+    // order to the Spark transform; GREATEST(·,-127) clamps the
+    // one-ulp-under floor escape to keep codes in [-127,127] on both
+    // engines
     "emb_quantize_int8" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM v),
         |c AS (SELECT vec_id, v, maxabs,
-        |        list_transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT)) AS codes
+        |        list_transform(v, x -> GREATEST(CAST(floor(x * 127.0 / maxabs) AS BIGINT), CAST(-127 AS BIGINT))) AS codes
         |      FROM m WHERE maxabs > 0)
         |SELECT vec_id, CAST(len(v) AS BIGINT) AS dim,
         |  CAST(floor(maxabs * 1000000) AS BIGINT) AS maxabs_micro,
@@ -1214,7 +1216,9 @@ object SparkEntry {
          |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
     // longest shared token run per eval doc: consecutive same-diagonal
     // anchor streaks + (n-1); 1-based vs 0-based positions cancel in
-    // the diagonal arithmetic
+    // the diagonal arithmetic. Anchors at > 64 positions on either
+    // side (Dedup.AnchorDfCap — boilerplate phrases) are dropped from
+    // the pair join on BOTH engines; n_sh stays uncapped.
     "contamination_long_match" ->
       s"""WITH m AS (SELECT MIN(source) AS es FROM documents),
          |d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
@@ -1228,10 +1232,12 @@ object SparkEntry {
          |          toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS sh
          |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
          |              FROM d, m WHERE d.source != m.es AND len(toks) >= 8)),
+         |ec AS (SELECT * FROM esh QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 64),
+         |tc AS (SELECT * FROM tsh QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 64),
          |isl AS (SELECT e.doc_id, t.t_doc, e.pos - t.t_pos AS diag, e.pos,
          |          e.pos - ROW_NUMBER() OVER (PARTITION BY e.doc_id, t.t_doc, e.pos - t.t_pos
          |                                     ORDER BY e.pos) AS island
-         |        FROM esh e JOIN tsh t ON t.sh = e.sh),
+         |        FROM ec e JOIN tc t ON t.sh = e.sh),
          |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS streak
          |       FROM isl GROUP BY doc_id, t_doc, diag, island),
          |mr AS (SELECT doc_id, MAX(streak) + 7 AS max_run FROM st GROUP BY 1),
@@ -2311,9 +2317,11 @@ object SparkEntry {
         |  MAX(peak) AS max_peak_c, MAX(peak - cum) AS max_drawdown_c,
         |  CAST(SUM(CASE WHEN peak - cum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_underwater
         |FROM p GROUP BY 1""".stripMargin,
-    // Holt linear recursion replayed exactly: floor-div hourly means,
-    // l/b halving by // (floors — the Spark side uses the pmod
-    // identity), one recursive step per hour rank
+    // Holt linear recursion replayed exactly: hourly means and l/b
+    // halving by // — DuckDB's // and Spark's DIV both truncate
+    // toward zero (verified: -7 // 2 = -3 on both), so the recursion
+    // is bit-identical cross-engine with plain integral division on
+    // both sides; one recursive step per hour rank
     "ts_holt_linear" ->
       """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
         |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
@@ -2578,9 +2586,10 @@ object SparkEntry {
         |  MAX(CASE WHEN rn_d = 1 THEN value_c END) AS last_c,
         |  MIN(ts_us) AS t_start_us, MAX(ts_us) AS t_end_us, COUNT(*) AS n
         |FROM r GROUP BY user_id, bucket""".stripMargin,
-    // STL decomposition: floor-mean levels, ±12-row centered trend,
-    // hour-of-day seasonal of the detrended level (// floors — the
-    // Spark side uses the pmod identity on negative-capable sums)
+    // STL decomposition: hourly mean levels, ±12-row centered trend,
+    // hour-of-day seasonal of the detrended level. Detrended sums can
+    // be negative; DuckDB's // and Spark's DIV both truncate toward
+    // zero, so plain integral division matches bit-for-bit
     "ts_stl_decompose" ->
       """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
         |        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s,

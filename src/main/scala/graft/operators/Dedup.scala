@@ -88,6 +88,14 @@ object Dedup {
     */
   private[graft] val DefaultBucketCap = 10000
 
+  /** Anchor document-frequency cap for [[contaminationLongMatch]]: an
+    * 8-token anchor at more positions than this on one side is
+    * boilerplate, not contaminated content, and is dropped from pair
+    * generation (E·T join fan-out bound). Mirrored verbatim in the
+    * DuckDB oracle.
+    */
+  private[graft] val AnchorDfCap = 64
+
   /** word 3-gram shingles per document (0-based transform over the
     * token array — array work stays inside codegen, no explode until
     * the shingle stream itself is needed).
@@ -307,6 +315,17 @@ object Dedup {
     * family over the digest's top 60 bits reduced mod p = 2³¹−1. All
     * intermediates < 2⁶², so ANSI arithmetic is exact and the DuckDB
     * oracle replays the identical integers.
+    *
+    * Accuracy trade, eyes open: all K slots are affine maps of ONE
+    * 31-bit base hash hm, so two shingles colliding in hm collide in
+    * every slot at once — slot independence is weaker than K seeded
+    * md5s, and a doc with ~10⁵ distinct shingles expects a within-doc
+    * hm collision around the 2³¹ birthday bound. The visible cost is
+    * estimator variance, not candidate quality (DedupSpec's per-pair
+    * containment-estimate floor was loosened 800000→550000 micro when
+    * this landed). If tighter per-pair bounds are ever needed, derive
+    * hm from the full 60 digest bits with a 61-bit-prime family via
+    * split multiply instead of truncating to 31 bits.
     */
   private[graft] def minhashSignatures(uniq: DataFrame): DataFrame = {
     val withH = uniq
@@ -995,7 +1014,13 @@ object Dedup {
     // intersection joins carry the 60-bit shingle HASH, not the string:
     // the verification shuffle's payload drops ~3x (8-byte keys), and
     // the hash is derived off the already-cached distinct set so both
-    // engines count identical (doc, hash) rows
+    // engines count identical (doc, hash) rows. This makes the
+    // "exact" verification tier probabilistic with a known bound: a
+    // cross-doc 60-bit collision inflates inter_n by 1 (expected
+    // collisions ≈ n_a·n_b/2⁶⁰ per pair — negligible below ~10⁹
+    // shingles/doc), and hashing the DISTINCT set first means no
+    // within-doc duplicate hsh can turn the join into a cross
+    // product; overlap can only read HIGH on a collision, never low
     val uniqH = uniq.select(
       col("doc_id"),
       expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("hsh")
@@ -1054,7 +1079,13 @@ object Dedup {
     // intersection joins carry the 60-bit shingle HASH, not the string:
     // the verification shuffle's payload drops ~3x (8-byte keys), and
     // the hash is derived off the already-cached distinct set so both
-    // engines count identical (doc, hash) rows
+    // engines count identical (doc, hash) rows. This makes the
+    // "exact" verification tier probabilistic with a known bound: a
+    // cross-doc 60-bit collision inflates inter_n by 1 (expected
+    // collisions ≈ n_a·n_b/2⁶⁰ per pair — negligible below ~10⁹
+    // shingles/doc), and hashing the DISTINCT set first means no
+    // within-doc duplicate hsh can turn the join into a cross
+    // product; overlap can only read HIGH on a collision, never low
     val uniqH = uniq.select(
       col("doc_id"),
       expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("hsh")
@@ -1708,11 +1739,27 @@ object Dedup {
   // same-diagonal anchor streak plus n-1 — exact for runs >= n, and
   // runs < n are below the audit threshold by construction. Scale
   // shape: the join is anchor-keyed (8-token anchors are phrase-
-  // specific, so fan-out stays near 1); streaks are a gaps-and-islands
-  // window per (pair, diagonal) — partition keys are fine-grained, no
-  // skew pile-up; output is one row per eval doc.
+  // specific, so fan-out stays near 1 for CONTENT anchors) AND
+  // df-capped: an anchor occurring at more than `anchorDfCap`
+  // positions on either side (license boilerplate, page chrome) would
+  // emit E·T rows into one shuffle key, so both join inputs drop
+  // those anchors with the dropOversizedBuckets logged-drop policy
+  // before pairing. The loss mode is documented and bounded: a run
+  // whose interior anchor is dropped splits into two shorter streaks,
+  // so max_run can only UNDER-report, and only for runs threaded
+  // through >cap boilerplate phrases — which are exactly the matches
+  // the 50-token decontamination rule doesn't care about. n_sh stays
+  // uncapped (it is a per-doc size metric, not a pair generator).
+  // Streaks are a gaps-and-islands window per (pair, diagonal) —
+  // partition keys are fine-grained, no skew pile-up; output is one
+  // row per eval doc.
   // -------------------------------------------------------------------
-  def contaminationLongMatch(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def contaminationLongMatch(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 8,
+      anchorDfCap: Int = AnchorDfCap
+  ): DataFrame = {
     val docs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
@@ -1731,8 +1778,13 @@ object Dedup {
       docs.filter(col("source") =!= evalSrc).select(col("doc_id"), col("norm")),
       n
     ).withColumnRenamed("doc_id", "t_doc").withColumnRenamed("pos", "t_pos")
-    val streaks = evalSh
-      .join(trainSh, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalCapped =
+      dropOversizedBuckets(evalSh, Seq("shingle"), anchorDfCap, "contamination_long_match eval anchors")
+    val trainCapped =
+      dropOversizedBuckets(trainSh, Seq("shingle"), anchorDfCap, "contamination_long_match train anchors")
+    val streaks = evalCapped
+      .join(trainCapped, Seq("shingle"))
       .select(col("doc_id"), col("t_doc"), (col("pos") - col("t_pos")).as("diag"), col("pos"))
       // same diagonal => same aligned run; consecutive pos values chain.
       // pos is unique per (pair, diag), so pos - row_number is the
@@ -1757,7 +1809,7 @@ object Dedup {
         col("n_sh"),
         coalesce(col("max_run"), lit(0L)).as("max_run_tokens")
       )
-    releaseAfterRun(spark, out, Seq(evalSh))
+    releaseAfterRun(spark, out, Seq(evalSh, trainSh))
   }
 
   /** [[shinglesOf]] with the anchor's starting TOKEN POSITION — the

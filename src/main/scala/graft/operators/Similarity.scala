@@ -1061,7 +1061,15 @@ object Similarity {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("maxabs", expr("array_max(transform(v, x -> abs(x)))"))
       .filter(col("maxabs") > 0)
-      .withColumn("codes", expr("transform(v, x -> CAST(floor(x * 127.0 / maxabs) AS BIGINT))"))
+      // greatest(·, -127): for x within an ulp of -maxabs the two FP
+      // roundings can land x·127/maxabs just below -127.0 and floor
+      // would emit -128, breaking the symmetric [-127,127] code
+      // contract (the positive side clamps naturally at 127). The
+      // oracle clamps identically.
+      .withColumn(
+        "codes",
+        expr("transform(v, x -> greatest(CAST(floor(x * 127.0 / maxabs) AS BIGINT), CAST(-127 AS BIGINT)))")
+      )
       .select(
         col("vec_id"),
         size(col("v")).cast("long").as("dim"),

@@ -25,6 +25,51 @@ import graft.operators.Dedup
   */
 object SignatureStore {
 
+  /** Signature-format identity: names the hash family + constants that
+    * determine every persisted signature byte (universal-hash 31-bit
+    * MinHash slots off one md5 per shingle, band sig = md5 of the
+    * ':'-joined decimal slots, b-bits = packed slot low bits). Two
+    * format generations NEVER collide — old-format bands match nothing
+    * new — so silently appending to a store written under a different
+    * family would silently miss every cross-generation near-dup.
+    * [[write]] stamps `$$path/_format`; every append/match path
+    * verifies it and fails fast on mismatch OR absence (a store from
+    * before this marker existed must be rebuilt with [[write]]).
+    */
+  private[graft] val FormatId: String =
+    s"graft-sig-v2 minhash=uhash31-from-md5 K=${Dedup.K} bands=4x3-md5 bbits=packed-low-bits"
+
+  private def formatMarkerPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_format")
+
+  private def stampFormat(spark: SparkSession, path: String): Unit = {
+    val p = formatMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(FormatId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def requireFormat(spark: SparkSession, path: String): Unit = {
+    val p = formatMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"signature store at $path has no _format marker (written before format versioning, " +
+          s"or not a signature store) — rebuild it with SignatureStore.write; current format: $FormatId"
+      )
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf)
+    finally in.close()
+    val found = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    if (found != FormatId)
+      throw new IllegalStateException(
+        s"signature store at $path was written with format [$found] but this build produces " +
+          s"[$FormatId] — cross-format signatures never collide, so matching/appending would " +
+          "silently miss near-dups; rebuild the store with SignatureStore.write"
+      )
+  }
+
   /** Deterministic scratch root for oracle queries (overwrite-mode,
     * keyed by input dir — reused, not leaked, across runs).
     */
@@ -49,6 +94,7 @@ object SignatureStore {
     * from ONE signature aggregation over the rep shingles.
     */
   def write(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+    stampFormat(spark, path)
     val c = Dedup.collapseExact(normed(docs))
     c.groups.write.mode("overwrite").parquet(s"$path/groups")
     c.reps
@@ -72,6 +118,7 @@ object SignatureStore {
     * appended rows without re-deriving them against the corpus.
     */
   def append(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
+    requireFormat(spark, path)
     val reps = spark.read.parquet(s"$path/reps")
     val nm = normed(docs).withColumn("th", md5(col("norm")))
     // the store side streams, the (small) batch broadcasts; `known` is
@@ -178,10 +225,12 @@ object SignatureStore {
     * once at ingest time; [[appendRelabel]] maintains it per batch
     * without ever re-running CC over the corpus.
     */
-  def writeLabels(spark: SparkSession, path: String): Unit =
+  def writeLabels(spark: SparkSession, path: String): Unit = {
+    requireFormat(spark, path)
     Dedup
       .connectedComponents(bandPairs(spark.read.parquet(s"$path/bands")))
       .write.mode("overwrite").parquet(s"$path/labels")
+  }
 
   /** Append a batch AND maintain the label tier incrementally — the
     * scale answer to "a new crawl arrived, refresh the dedup clusters"
@@ -345,6 +394,7 @@ object SignatureStore {
     * (tombstoned members excluded — [[liveGroups]]).
     */
   def matchDelta(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    requireFormat(spark, path)
     val groups = liveGroups(spark, path)
     val reps = spark.read.parquet(s"$path/reps")
     val bands = spark.read.parquet(s"$path/bands")
@@ -380,6 +430,7 @@ object SignatureStore {
     * Returns the match result ([[matchDelta]]'s exact shape).
     */
   def matchAppend(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    requireFormat(spark, path)
     val groups = liveGroups(spark, path)
     val reps = spark.read.parquet(s"$path/reps")
     val bands = spark.read.parquet(s"$path/bands")
@@ -452,6 +503,7 @@ object SignatureStore {
     * the b-bit tier rides along with the band join.
     */
   def matchDeltaScored(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
+    requireFormat(spark, path)
     val groups = liveGroups(spark, path)
     val bands = spark.read.parquet(s"$path/bands")
     val bbits = spark.read.parquet(s"$path/bbits")

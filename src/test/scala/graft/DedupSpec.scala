@@ -189,6 +189,39 @@ class DedupSpec extends AnyFunSuite {
       s"mean signature estimate far below the exact containment of 1: ${vals.mkString(",")}")
   }
 
+  test("long-match anchor df cap: boilerplate anchors dropped, genuine runs survive, n_sh uncapped") {
+    import spark.implicits._
+    // boiler = an 8-token phrase planted once in each of 6 train docs
+    // (train-side anchor df 6); passage = a unique 20-token run shared
+    // by exactly one eval/train pair (anchor df 1 per side)
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val passage = (1 to 20).map(i => s"g$i").mkString(" ")
+    val train = (0 until 6).map { i =>
+      (100L + i, s"t${i}a t${i}b $boiler t${i}c t${i}d", "en", "b_train", 0L)
+    } :+ ((200L, s"tq1 tq2 $passage tq3", "en", "b_train", 0L))
+    val evals = Seq(
+      (1L, s"e1a e1b $passage e1c", "en", "a_eval", 0L),
+      (2L, s"e2a e2b $boiler e2c e2d", "en", "a_eval", 0L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft_longmatch").toString
+    (train ++ evals)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def runs(cap: Int) = Dedup
+      .contaminationLongMatch(spark, dir, anchorDfCap = cap)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_sh"), r.getAs[Long]("max_run_tokens"))))
+      .toMap
+    val capped = runs(4)
+    assert(capped(1L)._2 === 20L, "genuine 20-token run must survive the df cap")
+    assert(capped(2L)._2 === 0L, "boilerplate-only overlap (anchor df 6 > cap 4) must be dropped")
+    val uncapped = runs(1000)
+    assert(uncapped(1L)._2 === 20L)
+    assert(uncapped(2L)._2 === 8L, "without the cap the boilerplate 8-gram reads as a run")
+    // n_sh is a per-doc size metric, never capped
+    assert(capped(1L)._1 === uncapped(1L)._1 && capped(2L)._1 === uncapped(2L)._1)
+  }
+
   test("keep-best: exactly one kept doc per cluster, and it is a longest member") {
     val df = Dedup.keepBest(spark, sf).cache()
     try {

@@ -21,6 +21,33 @@ class SignatureStoreSpec extends AnyFunSuite {
     (inc, full)
   }
 
+  test("format marker: append/match fail fast on a missing or foreign-format store") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sigfmt_spec").toString
+    val path = s"$root/store"
+    val batch = docs.filter(col("doc_id") < 50)
+    SignatureStore.write(spark, batch, path)
+    assert(new java.io.File(s"$path/_format").exists(), "write must stamp _format")
+    // a pre-versioning store (marker absent): every signature-touching
+    // path must refuse rather than silently miss cross-format matches.
+    // (Also drop the local-FS checksum sidecar so the out-of-band
+    // rewrite below reads cleanly.)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/_format"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$path/._format.crc"))
+    val miss = intercept[IllegalStateException](SignatureStore.append(spark, batch, path))
+    assert(miss.getMessage.contains("_format"))
+    intercept[IllegalStateException](SignatureStore.matchDelta(spark, path, batch))
+    // a marker from a different hash-family generation: same refusal
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_format"),
+      "graft-sig-v1 seeded-md5".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    val stale = intercept[IllegalStateException](SignatureStore.matchAppend(spark, path, batch))
+    assert(stale.getMessage.contains("graft-sig-v1"))
+    // rebuilding re-stamps and everything works again
+    SignatureStore.write(spark, batch, path)
+    assert(SignatureStore.matchDelta(spark, path, batch).count() > 0)
+  }
+
   test("append equals rebuild: groups/reps/bands are set-identical for id-ordered batches") {
     for (t <- Seq("groups", "reps", "bands", "bbits")) {
       val x = spark.read.parquet(s"$incPath/$t")
