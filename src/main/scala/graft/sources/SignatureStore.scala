@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
@@ -10,18 +10,22 @@ import graft.operators.Dedup
   * the shingle→minhash pipeline over the whole corpus (at 100 TB that
   * recompute IS the cost of the job).
   *
-  * Layout (all parquet under one root):
+  * Layout (all parquet under one root, each table hive-partitioned on
+  * a prefix of its lookup key — see the leveled-layout section):
   *   groups/  (doc_id, rep_id)      every doc → canonical rep of its
-  *                                  exact-dup group
+  *                                  exact-dup group  [gp = rep_id mod 16^l]
   *   reps/    (rep_id, th)          one row per distinct text, with
-  *                                  the md5 content hash
+  *                                  the md5 content hash  [tp = th prefix]
   *   bands/   (doc_id, band, sig)   MinHash band signatures, REP-LEVEL
   *                                  only (members inherit their rep's)
+  *                                  [sp = sig prefix]
   *
   * Rep-level storage is the skew-safe shape from [[Dedup]]: a
   * 10^5-copy boilerplate cluster stores ONE signature row set, and the
-  * match join's buckets stay clone-free. Appends are plain parquet
-  * appends — each batch adds its new members/reps/bands exactly once.
+  * match join's buckets stay clone-free. Appends are partition-aware
+  * parquet appends — each batch adds its new members/reps/bands exactly
+  * once, one new file per touched partition dir (LSM-style;
+  * [[compactTombstones]] re-levels and folds batch files back down).
   */
 object SignatureStore {
 
@@ -70,6 +74,109 @@ object SignatureStore {
       )
   }
 
+  // ---- leveled (prefix-partitioned) layout ---------------------------
+  //
+  // Every store table is hive-partitioned on a short prefix of its
+  // lookup key: bands on the first l hex chars of `sig`, reps on `th`,
+  // groups/bbits on rep-id mod 16^l. A delta match only needs the
+  // partitions whose prefix appears in the BATCH, so the per-batch
+  // store read is |batch prefixes| × dir size — independent of corpus
+  // size (the flat layout's per-batch full band-store scan was the one
+  // remaining O(store) term in the streaming-dedup loop). l is chosen
+  // at build time so dirs stay near a target row count, i.e. dir SIZE
+  // is capped and the dir COUNT grows with the corpus — that is what
+  // makes per-batch I/O flat at 100 TB, not merely smaller.
+
+  /** Band rows per partition dir the leveler sizes against (~8M rows ≈
+    * low hundreds of MB at production row widths). Tests pass a tiny
+    * value to force higher levels at toy scale.
+    */
+  private[graft] val DefaultDirRows = 8L * 1024 * 1024
+
+  /** Smallest prefix length l (1..4) with rows/16^l <= dirRows. */
+  private[graft] def chooseL(rows: Long, dirRows: Long): Int = {
+    var l = 1
+    while (l < 4 && rows / math.pow(16.0, l.toDouble) > dirRows.toDouble) l += 1
+    l
+  }
+
+  private def layoutMarkerPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_layout")
+
+  private def stampLayout(spark: SparkSession, path: String, l: Int): Unit = {
+    val p = layoutMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"prefix-l=$l".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Partition-prefix length of the store, 0 = legacy flat layout
+    * (pre-leveling stores: scans stay unpruned, appends stay flat).
+    */
+  private[graft] def readLayout(spark: SparkSession, path: String): Int = {
+    val p = layoutMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf)
+      finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8).stripPrefix("prefix-l=").trim.toInt
+    }
+  }
+
+  /** Partition value off a hex-key column (md5 sig/th). The 'p' guard
+    * keeps partition values typed STRING under schema inference (an
+    * all-digit dir set would otherwise infer int and drop zeros).
+    */
+  private[graft] def hexPrefix(c: Column, l: Int): Column = concat(lit("p"), substring(c, 1, l))
+
+  /** Partition value off a numeric rep/doc id column. */
+  private[graft] def idPrefix(c: Column, l: Int): Column = concat(lit("p"), pmod(c, lit(1L << (4 * l))))
+
+  /** The batch side's distinct partition values, collected. Bounded by
+    * min(|batch keys|, 16^l) — strictly smaller than the batch itself,
+    * which the match join already broadcasts, so the driver pull is
+    * safe by the same argument.
+    */
+  private def prefixesOf(df: DataFrame, pcol: Column): Seq[String] =
+    df.select(pcol.as("p")).distinct().collect().map(_.getString(0)).toIndexedSeq
+
+  /** Partition-pruned scan of a store table: on a leveled store the
+    * isin literal filter prunes at FILE-LISTING time (no store byte
+    * outside the batch's prefixes is opened). Falls back to the full
+    * scan on legacy flat stores, or when the batch covers most of the
+    * prefix space and pruning would only add listing work.
+    */
+  private[graft] def prunedScan(
+      spark: SparkSession,
+      path: String,
+      table: String,
+      l: Int,
+      partCol: String,
+      prefixes: => Seq[String]
+  ): DataFrame = {
+    val full = spark.read.parquet(s"$path/$table")
+    if (l == 0) full
+    else {
+      val ps = prefixes
+      if (2 * ps.size >= (1 << (4 * l))) full
+      else full.filter(col(partCol).isin(ps: _*))
+    }
+  }
+
+  /** Append rows to a leveled table keeping its partitioning (flat
+    * append on legacy stores). The pre-write repartition on the
+    * partition value keeps each touched dir to one new file per batch.
+    */
+  private def appendTable(df: DataFrame, path: String, table: String, l: Int, partCol: String, pcol: Column): Unit =
+    if (l == 0) df.write.mode("append").parquet(s"$path/$table")
+    else
+      df.withColumn(partCol, pcol)
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).mode("append").parquet(s"$path/$table")
+
   /** Deterministic scratch root for oracle queries (overwrite-mode,
     * keyed by input dir — reused, not leaked, across runs).
     */
@@ -93,19 +200,39 @@ object SignatureStore {
     * K packed low bits per rep — see [[Dedup.bbitsFromSigs]]) derive
     * from ONE signature aggregation over the rep shingles.
     */
-  def write(spark: SparkSession, docs: DataFrame, path: String): Unit = {
+  def write(spark: SparkSession, docs: DataFrame, path: String, dirRows: Long = DefaultDirRows): Unit = {
     stampFormat(spark, path)
     val c = Dedup.collapseExact(normed(docs))
-    c.groups.write.mode("overwrite").parquet(s"$path/groups")
-    c.reps
+    val reps = c.reps.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // level on the band tier (4 rows per banded rep) — the table every
+    // micro-batch probes; groups can run larger per dir (it is only
+    // probed per MATCHED rep, a much smaller prefix set)
+    val l = chooseL(4L * reps.count(), dirRows)
+    stampLayout(spark, path, l)
+    c.groups
+      .withColumn("gp", idPrefix(col("rep_id"), l))
+      .repartition(col("gp"))
+      .write.partitionBy("gp").mode("overwrite").parquet(s"$path/groups")
+    reps
       .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
-      .write.mode("overwrite").parquet(s"$path/reps")
+      .withColumn("tp", hexPrefix(col("th"), l))
+      .repartition(col("tp"))
+      .write.partitionBy("tp").mode("overwrite").parquet(s"$path/reps")
     val sigs = Dedup
-      .minhashSignaturesOf(c.reps)
+      .minhashSignaturesOf(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.bandSignaturesFromSigs(sigs).write.mode("overwrite").parquet(s"$path/bands")
-    Dedup.bbitsFromSigs(sigs).write.mode("overwrite").parquet(s"$path/bbits")
+    Dedup
+      .bandSignaturesFromSigs(sigs)
+      .withColumn("sp", hexPrefix(col("sig"), l))
+      .repartition(col("sp"))
+      .write.partitionBy("sp").mode("overwrite").parquet(s"$path/bands")
+    Dedup
+      .bbitsFromSigs(sigs)
+      .withColumn("bp", idPrefix(col("doc_id"), l))
+      .repartition(col("bp"))
+      .write.partitionBy("bp").mode("overwrite").parquet(s"$path/bbits")
     sigs.unpersist()
+    reps.unpersist(): Unit
   }
 
   /** Append a new batch: docs whose content hash matches an existing
@@ -113,14 +240,21 @@ object SignatureStore {
     * min doc_id per hash within the batch) and contribute new rep +
     * band rows. The store never rewrites existing rows — ingest-order
     * doc ids keep canonical choice stable across append vs rebuild.
-    * Returns the batch's FRESH rep ids (batch-sized, materialized) so
-    * callers maintaining derived tiers ([[appendRelabel]]) can find the
-    * appended rows without re-deriving them against the corpus.
+    * The `reps` probe for known texts is partition-pruned by the
+    * batch's th prefixes (leveled layout), so the append reads
+    * O(batch) store bytes, not O(corpus). Returns the batch's FRESH
+    * BAND rows (doc_id, band, sig — batch-sized, materialized) so
+    * callers maintaining derived tiers ([[appendRelabel]]) can prune
+    * their own store probes by the appended signatures without
+    * re-deriving anything against the corpus.
     */
   def append(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
     requireFormat(spark, path)
-    val reps = spark.read.parquet(s"$path/reps")
-    val nm = normed(docs).withColumn("th", md5(col("norm")))
+    val l = readLayout(spark, path)
+    // batch-sized pin: feeds the prefix collect, the known join, and
+    // the fresh collapse without recomputing normalization
+    val nm = normed(docs).withColumn("th", md5(col("norm"))).localCheckpoint()
+    val reps = prunedScan(spark, path, "reps", l, "tp", prefixesOf(nm, hexPrefix(col("th"), l)))
     // the store side streams, the (small) batch broadcasts; `known` is
     // batch-sized, so FRESH derives from it by anti-join — never by
     // broadcasting the store's own hash column (at 100 TB the reps
@@ -135,17 +269,19 @@ object SignatureStore {
     // each recompute the batch's normalize+collapse lineage
     val fGroups = freshC.groups.localCheckpoint()
     val fReps = freshC.reps.localCheckpoint()
-    known.union(fGroups).write.mode("append").parquet(s"$path/groups")
-    fReps
-      .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
-      .write.mode("append").parquet(s"$path/reps")
+    appendTable(known.union(fGroups), path, "groups", l, "gp", idPrefix(col("rep_id"), l))
+    appendTable(
+      fReps.select(col("doc_id").as("rep_id"), md5(col("norm")).as("th")),
+      path, "reps", l, "tp", hexPrefix(col("th"), l)
+    )
     val sigs = Dedup
       .minhashSignaturesOf(fReps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup.bandSignaturesFromSigs(sigs).write.mode("append").parquet(s"$path/bands")
-    Dedup.bbitsFromSigs(sigs).write.mode("append").parquet(s"$path/bbits")
+    val fBands = Dedup.bandSignaturesFromSigs(sigs).localCheckpoint()
+    appendTable(fBands, path, "bands", l, "sp", hexPrefix(col("sig"), l))
+    appendTable(Dedup.bbitsFromSigs(sigs), path, "bbits", l, "bp", idPrefix(col("doc_id"), l))
     sigs.unpersist()
-    fReps.select(col("doc_id"))
+    fBands
   }
 
   /** Bucketed band table: a corpus' rep-level band signatures written
@@ -257,16 +393,20 @@ object SignatureStore {
     * from-scratch run would drop the whole bucket).
     */
   def appendRelabel(spark: SparkSession, docs: DataFrame, path: String): Unit = {
-    // append returns the batch's fresh rep ids (batch-sized,
+    // append returns the batch's fresh BAND rows (batch-sized,
     // materialized) — the delta side comes from a broadcast join
-    // against them. The previous shape localCheckpointed the ENTIRE
-    // pre-append reps column and anti-joined the band table against it
-    // per batch: an O(corpus) materialization per micro-batch, for a
-    // set the append already knows.
-    val freshRepIds = append(spark, docs, path)
-    val allBands = spark.read.parquet(s"$path/bands")
-    val safe = Dedup.dropOversizedBuckets(allBands, Seq("band", "sig"), Dedup.DefaultBucketCap, "sigstore-cc-delta")
-    val freshBands = safe.join(broadcast(freshRepIds), Seq("doc_id"))
+    // against their rep ids, and the store-side band probe is pruned
+    // to the fresh sigs' partition prefixes (a fresh band can only
+    // collide inside its own sig partition), so the per-batch read is
+    // O(batch prefixes), never the whole band table. Bucket-cap counts
+    // over the pruned scan are EXACT for every relevant bucket: a
+    // (band, sig) bucket lives wholly in sig's partition.
+    val fresh = append(spark, docs, path) // already materialized by append
+    val l = readLayout(spark, path)
+    val store =
+      prunedScan(spark, path, "bands", l, "sp", prefixesOf(fresh, hexPrefix(col("sig"), l)))
+    val safe = Dedup.dropOversizedBuckets(store, Seq("band", "sig"), Dedup.DefaultBucketCap, "sigstore-cc-delta")
+    val freshBands = safe.join(broadcast(fresh.select(col("doc_id")).distinct()), Seq("doc_id"))
     val deltaPairs = freshBands
       .as("a")
       .join(safe.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.doc_id") =!= col("b.doc_id"))
@@ -339,11 +479,16 @@ object SignatureStore {
     * match/report read expands through. Without a `deletes/` tier the
     * plan is byte-identical to the raw read (no join is added).
     */
-  private def liveGroups(spark: SparkSession, path: String): DataFrame = {
-    val g = spark.read.parquet(s"$path/groups")
+  private def liveGroups(spark: SparkSession, path: String): DataFrame =
+    liveGroupsFrom(spark, path, spark.read.parquet(s"$path/groups"))
+
+  /** Tombstone filtering over an arbitrary (possibly partition-pruned)
+    * groups scan — pruning and takedown semantics compose: the delete
+    * set is small and broadcast, the base scan decides the I/O.
+    */
+  private def liveGroupsFrom(spark: SparkSession, path: String, g: DataFrame): DataFrame =
     if (!new java.io.File(s"$path/deletes").exists) g
     else g.join(broadcast(spark.read.parquet(s"$path/deletes")), Seq("doc_id"), "left_anti")
-  }
 
   /** TAKEDOWN deletes, tier 2 — physical compaction: rewrite the store
     * with tombstones applied, then drop the tombstone tier. Deleted
@@ -377,9 +522,28 @@ object SignatureStore {
         .select(col("new_rep").as("doc_id"), col("bits"))
     )
     staged.foreach { case (t, df) => df.write.mode("overwrite").parquet(s"$path/${t}_next") }
+    // re-level on rewrite: the compacted store may be much smaller (or,
+    // after many appends, much bigger) than the layout it inherited —
+    // compaction is the LSM moment to re-choose l and fold the
+    // per-batch append files back into one file per partition dir
+    // same leveling basis as [[write]] (4 band rows per rep), so a
+    // compacted store is layout-identical to one built on the live
+    // corpus — the spec's table-equality pin includes partition values
+    val l = chooseL(4L * spark.read.parquet(s"$path/reps_next").count(), DefaultDirRows)
+    val partCols: Map[String, (String, Column)] = Map(
+      "groups" -> (("gp", idPrefix(col("rep_id"), l))),
+      "reps"   -> (("tp", hexPrefix(col("th"), l))),
+      "bands"  -> (("sp", hexPrefix(col("sig"), l))),
+      "bbits"  -> (("bp", idPrefix(col("doc_id"), l)))
+    )
     staged.foreach { case (t, _) =>
-      spark.read.parquet(s"$path/${t}_next").write.mode("overwrite").parquet(s"$path/$t")
+      val (pc, pe) = partCols(t)
+      spark.read.parquet(s"$path/${t}_next")
+        .withColumn(pc, pe)
+        .repartition(col(pc))
+        .write.partitionBy(pc).mode("overwrite").parquet(s"$path/$t")
     }
+    stampLayout(spark, path, l)
     val dels = new java.io.File(s"$path/deletes")
     dels.listFiles().foreach(f => f.delete(): Unit)
     dels.delete(): Unit
@@ -395,23 +559,33 @@ object SignatureStore {
     */
   def matchDelta(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
     requireFormat(spark, path)
-    val groups = liveGroups(spark, path)
-    val reps = spark.read.parquet(s"$path/reps")
-    val bands = spark.read.parquet(s"$path/bands")
+    val l = readLayout(spark, path)
     val dc = Dedup.collapseExact(normed(delta))
-    val dReps = dc.reps.withColumn("th", md5(col("norm")))
-    val exact = reps
-      .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
-      .select(col("rep_id"), col("d_rep"), lit("exact").as("kind"))
+    // batch-sized pins: the prefix collects below would otherwise
+    // recompute the batch's normalize/shingle/minhash lineage
+    val dReps = dc.reps.withColumn("th", md5(col("norm"))).localCheckpoint()
     val dBands = Dedup
       .bandSignaturesFromSigs(Dedup.minhashSignaturesOf(dc.reps))
       .select(col("doc_id").as("d_rep"), col("band"), col("sig"))
+      .localCheckpoint()
+    val reps = prunedScan(spark, path, "reps", l, "tp", prefixesOf(dReps, hexPrefix(col("th"), l)))
+    val bands = prunedScan(spark, path, "bands", l, "sp", prefixesOf(dBands, hexPrefix(col("sig"), l)))
+    val exact = reps
+      .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
+      .select(col("rep_id"), col("d_rep"), lit("exact").as("kind"))
     val near = bands
       .join(broadcast(dBands), Seq("band", "sig"))
       .select(col("doc_id").as("rep_id"), col("d_rep"), lit("near").as("kind"))
       .distinct()
-    exact
-      .union(near)
+    // two-phase member expansion: pin the (match-sized) rep candidates,
+    // then prune the corpus-scale groups scan to the partitions their
+    // rep ids can live in
+    val cand = exact.union(near).localCheckpoint()
+    val groups = liveGroupsFrom(
+      spark, path,
+      prunedScan(spark, path, "groups", l, "gp", prefixesOf(cand, idPrefix(col("rep_id"), l)))
+    )
+    cand
       .join(groups.select(col("rep_id"), col("doc_id").as("match_doc_id")), Seq("rep_id"))
       .join(dc.groups.select(col("rep_id").as("d_rep"), col("doc_id").as("new_doc_id")), Seq("d_rep"))
       .groupBy(col("new_doc_id"), col("match_doc_id"))
@@ -431,9 +605,7 @@ object SignatureStore {
     */
   def matchAppend(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
     requireFormat(spark, path)
-    val groups = liveGroups(spark, path)
-    val reps = spark.read.parquet(s"$path/reps")
-    val bands = spark.read.parquet(s"$path/bands")
+    val l = readLayout(spark, path)
     val dc = Dedup.collapseExact(normed(delta))
     // batch-sized: pin them eagerly so nothing recomputes after the
     // append mutates the store files
@@ -445,6 +617,10 @@ object SignatureStore {
     val dBands = Dedup.bandSignaturesFromSigs(dSigs).localCheckpoint()
     val dBbits = Dedup.bbitsFromSigs(dSigs).localCheckpoint()
     dSigs.unpersist()
+    // store probes pruned to the batch's key prefixes — the leveled
+    // layout's point: per-batch store I/O stops scaling with the store
+    val reps = prunedScan(spark, path, "reps", l, "tp", prefixesOf(dReps, hexPrefix(col("th"), l)))
+    val bands = prunedScan(spark, path, "bands", l, "sp", prefixesOf(dBands, hexPrefix(col("sig"), l)))
     // ---- match against the PRE-append store (matchDelta's shape) ----
     val exact = reps
       .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
@@ -453,8 +629,12 @@ object SignatureStore {
       .join(broadcast(dBands.select(col("doc_id").as("d_rep"), col("band"), col("sig"))), Seq("band", "sig"))
       .select(col("doc_id").as("rep_id"), col("d_rep"), lit("near").as("kind"))
       .distinct()
-    val matches = exact
-      .union(near)
+    val cand = exact.union(near).localCheckpoint()
+    val groups = liveGroupsFrom(
+      spark, path,
+      prunedScan(spark, path, "groups", l, "gp", prefixesOf(cand, idPrefix(col("rep_id"), l)))
+    )
+    val matches = cand
       .join(groups.select(col("rep_id"), col("doc_id").as("match_doc_id")), Seq("rep_id"))
       .join(dGroups.select(col("rep_id").as("d_rep"), col("doc_id").as("new_doc_id")), Seq("d_rep"))
       .groupBy(col("new_doc_id"), col("match_doc_id"))
@@ -462,7 +642,8 @@ object SignatureStore {
       .localCheckpoint()
     // ---- append (same rows [[append]] writes, minus the recompute) --
     // a dc-group's members share their rep's content hash, so the whole
-    // group is known or fresh together
+    // group is known or fresh together; the reps probe reuses the same
+    // pruned scan (the batch's th prefix set is rep-level == doc-level)
     val docTh = dGroups
       .select(col("doc_id"), col("rep_id").as("b_rep"))
       .join(broadcast(dReps.select(col("doc_id").as("b_rep"), col("th"))), Seq("b_rep"))
@@ -474,17 +655,21 @@ object SignatureStore {
       .join(broadcast(known.select(col("doc_id"))), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val freshReps = freshGroups.filter(col("doc_id") === col("rep_id")).select(col("rep_id"))
-    known.union(freshGroups).write.mode("append").parquet(s"$path/groups")
-    dReps
-      .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
-      .select(col("doc_id").as("rep_id"), col("th"))
-      .write.mode("append").parquet(s"$path/reps")
-    dBands
-      .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
-      .write.mode("append").parquet(s"$path/bands")
-    dBbits
-      .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
-      .write.mode("append").parquet(s"$path/bbits")
+    appendTable(known.union(freshGroups), path, "groups", l, "gp", idPrefix(col("rep_id"), l))
+    appendTable(
+      dReps
+        .join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id"))
+        .select(col("doc_id").as("rep_id"), col("th")),
+      path, "reps", l, "tp", hexPrefix(col("th"), l)
+    )
+    appendTable(
+      dBands.join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id")),
+      path, "bands", l, "sp", hexPrefix(col("sig"), l)
+    )
+    appendTable(
+      dBbits.join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id")),
+      path, "bbits", l, "bp", idPrefix(col("doc_id"), l)
+    )
     matches
   }
 
@@ -504,9 +689,7 @@ object SignatureStore {
     */
   def matchDeltaScored(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
     requireFormat(spark, path)
-    val groups = liveGroups(spark, path)
-    val bands = spark.read.parquet(s"$path/bands")
-    val bbits = spark.read.parquet(s"$path/bbits")
+    val l = readLayout(spark, path)
     val dc = Dedup.collapseExact(normed(delta))
     val dSigs = Dedup
       .minhashSignaturesOf(dc.reps)
@@ -514,12 +697,21 @@ object SignatureStore {
     val dBands = Dedup
       .bandSignaturesFromSigs(dSigs)
       .select(col("doc_id").as("d_rep"), col("band"), col("sig"))
+      .localCheckpoint()
     val dBbits = Dedup.bbitsFromSigs(dSigs).select(col("doc_id").as("d_rep"), col("bits").as("d_bits"))
     val k = Dedup.K
+    val bands = prunedScan(spark, path, "bands", l, "sp", prefixesOf(dBands, hexPrefix(col("sig"), l)))
     val near = bands
       .join(broadcast(dBands), Seq("band", "sig"))
       .select(col("doc_id").as("rep_id"), col("d_rep"))
       .distinct()
+      .localCheckpoint()
+    // candidate-pruned b-bit + groups probes (two-phase, as matchDelta)
+    val bbits = prunedScan(spark, path, "bbits", l, "bp", prefixesOf(near, idPrefix(col("rep_id"), l)))
+    val groups = liveGroupsFrom(
+      spark, path,
+      prunedScan(spark, path, "groups", l, "gp", prefixesOf(near, idPrefix(col("rep_id"), l)))
+    )
     val scored = near
       .join(bbits.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))
       .join(broadcast(dBbits), Seq("d_rep"))

@@ -48,6 +48,75 @@ class SignatureStoreSpec extends AnyFunSuite {
     assert(SignatureStore.matchDelta(spark, path, batch).count() > 0)
   }
 
+  test("leveled store: per-batch match I/O is flat in store size (10x store, same batch)") {
+    import graft.operators.Dedup
+    // corpus A = 300 real docs; corpus B = A plus 9 salted variants per
+    // doc (distinct texts, ~10x the reps). dirRows=5 levels A to l=2
+    // (256 dirs) and B to l=3 (4096 dirs): dir SIZE stays capped while
+    // dir COUNT absorbs the growth — the flat-I/O mechanism.
+    val base = docs.filter(col("doc_id") < 300).localCheckpoint()
+    val variants = base
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(8))).as("j"))
+      .select(
+        (lit(10000) + col("doc_id") * 10 + col("j")).as("doc_id"),
+        col("text")
+      )
+      .select(col("doc_id"), concat(col("text"), lit(" salt "), col("doc_id").cast("string")).as("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_leveled").toString
+    val (pa, pb) = (s"$root/a", s"$root/b")
+    SignatureStore.write(spark, base, pa, dirRows = 5)
+    SignatureStore.write(spark, base.unionByName(variants), pb, dirRows = 5)
+    assert(SignatureStore.readLayout(spark, pa) === 2)
+    assert(SignatureStore.readLayout(spark, pb) === 3, "10x store must level one step deeper")
+    // the batch: 12 re-submissions of known docs under new ids
+    val batch = base
+      .filter(col("doc_id") < 12)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val ma = SignatureStore.matchDelta(spark, pa, batch).collect()
+    val mb = SignatureStore.matchDelta(spark, pb, batch).collect()
+    // correctness is store-size-invariant: restricted to A's corpus ids,
+    // the 10x store reports the identical match set
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(_._2 < 300)
+      .toSet
+    assert(key(ma).nonEmpty, "batch of known docs must match")
+    assert(key(ma) === key(mb))
+    // the pruned band probe is PARTITION pruning, not a post-scan filter
+    val pruned = SignatureStore.prunedScan(
+      spark, pb, "bands", 3, "sp",
+      Seq("p000", "p001") // any literal prefix set: the mechanism is what's pinned
+    )
+    val meta = pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("PartitionFilters")
+    }
+    assert(meta.exists(m => m.contains("sp") && m.replaceAll("\\s", "") != "[]"),
+      s"prefix filter did not land as a partition filter: $meta")
+    // flat I/O: bytes under the batch's touched band dirs stay ~constant
+    // while the store (and its total band bytes) grew ~10x
+    def normed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+    def dirBytes(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).getOrElse(Array.empty).map(dirBytes).sum
+    def touchedAndTotal(path: String): (Long, Long) = {
+      val l = SignatureStore.readLayout(spark, path)
+      val prefixes = Dedup
+        .bandSignaturesFromSigs(Dedup.minhashSignaturesOf(normed(batch)))
+        .select(SignatureStore.hexPrefix(col("sig"), l).as("p"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val dirs = new java.io.File(s"$path/bands").listFiles().filter(_.isDirectory)
+      (dirs.filter(d => prefixes.contains(d.getName.stripPrefix("sp="))).map(dirBytes).sum,
+        dirs.map(dirBytes).sum)
+    }
+    val (touchedA, totalA) = touchedAndTotal(pa)
+    val (touchedB, totalB) = touchedAndTotal(pb)
+    assert(totalB >= 4 * totalA, s"store did not grow as planned: $totalA -> $totalB")
+    assert(touchedB <= 2 * touchedA,
+      s"per-batch band I/O grew with the store: touched $touchedA -> $touchedB (total $totalA -> $totalB)")
+  }
+
   test("append equals rebuild: groups/reps/bands are set-identical for id-ordered batches") {
     for (t <- Seq("groups", "reps", "bands", "bbits")) {
       val x = spark.read.parquet(s"$incPath/$t")
