@@ -937,6 +937,41 @@ class StoreSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot commit: a contender losing the CAS deterministically retries onto the next version") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catalog_lose").toString
+    def snapWrite(p: String): Unit =
+      spark.range(2).toDF("blk")
+        .select(col("blk").as("series_id"), lit(1L).as("day_id"), lit(1L).as("n_points"))
+        .coalesce(1).write.parquet(p)
+    assert(SnapshotCatalog.commit(spark, root, snapWrite) === 1L)
+    // occupy v2 out-of-band AFTER the contender would have read head=1:
+    // simulate the racing winner by planting a fully-written v2 marker.
+    // The contender's first link(2) on v2 must fail EEXIST (not replace
+    // it!) and the retry must land on v3 — the lost-commit window the
+    // fcntl-lock reference closes with blocking locks, closed here by
+    // the namespace CAS.
+    val commits = java.nio.file.Paths.get(root, "commits")
+    val planted =
+      s"""version=2
+         |path=$root/data/planted
+         |n_blocks=7
+         |n_points=7
+         |min_day=1
+         |max_day=1
+         |""".stripMargin
+    java.nio.file.Files.write(
+      commits.resolve("v000000002"),
+      planted.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    assert(SnapshotCatalog.commit(spark, root, snapWrite) === 3L, "loser must retry onto the next free version")
+    val ms = SnapshotCatalog.manifests(root)
+    assert(ms.map(_.version) === Seq(1L, 2L, 3L))
+    // the planted winner's manifest survives untouched — no lost commit
+    assert(ms.find(_.version == 2L).get.nBlocks === 7L)
+    assert(ms.find(_.version == 3L).get.nBlocks === 2L)
+  }
+
   test("catalog compaction + retention: 100 versions resolve from ONE manifest file, expired snapshots drop") {
     import graft.sources.SnapshotCatalog
     val root = java.nio.file.Files.createTempDirectory("graft_catalog_compact").toString
