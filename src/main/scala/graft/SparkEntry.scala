@@ -29,6 +29,7 @@ object SparkEntry {
     "ts_moving_avg"      -> ((s, d) => TimeSeries.movingAgg(s, d)),
     "ts_downsample_m4"   -> ((s, d) => TimeSeries.downsampleM4(s, d)),
     "ts_downsample_lttb" -> ((s, d) => TimeSeries.downsampleLttb(s, d)),
+    "ts_downsample_lttb_seq" -> ((s, d) => TimeSeries.downsampleLttbSeq(s, d)),
     "ts_percentiles"     -> ((s, d) => TimeSeries.percentiles(s, d)),
     "ts_twa_daily"       -> ((s, d) => TimeSeries.twaDaily(s, d)),
     "ts_anomaly_zscore"  -> ((s, d) => TimeSeries.anomalyZscore(s, d)),
@@ -2636,6 +2637,49 @@ object SparkEntry {
         |      FROM p)
         |SELECT user_id, bucket, ts_us AS sel_ts_us, v AS sel_value_c, n_pts
         |FROM r WHERE rn = 1""".stripMargin,
+    // textbook sequential LTTB: the recursion walks bucket ordinals,
+    // each step's window argmax scores candidates against the chain's
+    // PREVIOUS selected point and the next bucket's floor-div mean;
+    // last bucket keeps the last point, ties to earliest (ts, eid)
+    "ts_downsample_lttb_seq" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |         CAST(round(value*100) AS BIGINT) AS v,
+        |         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS t0,
+        |         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |b AS (SELECT user_id, ts_us, event_id, v,
+        |        LEAST(59, (ts_us - t0) * 60 // (t1 - t0 + 1)) AS bucket FROM e),
+        |m AS (SELECT user_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_pts,
+        |        CAST(SUM(ts_us) // COUNT(*) AS BIGINT) AS mx,
+        |        CAST(SUM(v) // COUNT(*) AS BIGINT) AS my
+        |      FROM b GROUP BY 1, 2),
+        |o AS (SELECT user_id, bucket, n_pts,
+        |        CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |        LEAD(mx) OVER w AS nx, LEAD(my) OVER w AS ny
+        |      FROM m WINDOW w AS (PARTITION BY user_id ORDER BY bucket)),
+        |c AS (SELECT b.user_id, b.bucket, b.ts_us, b.event_id, b.v,
+        |        o.rn, o.n_pts, o.nx, o.ny
+        |      FROM b JOIN o ON o.user_id = b.user_id AND o.bucket = b.bucket),
+        |f AS (SELECT user_id, rn, bucket, n_pts, ts_us, v FROM (
+        |        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS r
+        |        FROM c WHERE rn = 1) WHERE r = 1),
+        |rec AS (
+        |  SELECT user_id, rn, bucket, n_pts, ts_us, v FROM f
+        |  UNION ALL
+        |  SELECT user_id, rn, bucket, n_pts, ts_us, v FROM (
+        |    SELECT c.user_id, c.rn, c.bucket, c.n_pts, c.ts_us, c.v,
+        |      ROW_NUMBER() OVER (PARTITION BY c.user_id ORDER BY
+        |        CASE WHEN c.nx IS NOT NULL
+        |             THEN -abs((r.ts_us - c.nx) * (c.v - r.v) - (r.ts_us - c.ts_us) * (c.ny - r.v))
+        |             ELSE 0 END ASC,
+        |        CASE WHEN c.nx IS NULL THEN -c.ts_us ELSE c.ts_us END ASC,
+        |        CASE WHEN c.nx IS NULL THEN -c.event_id ELSE c.event_id END ASC) AS pick
+        |    FROM rec r JOIN c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+        |  ) WHERE pick = 1
+        |)
+        |SELECT user_id, bucket, ts_us AS sel_ts_us, v AS sel_value_c, n_pts
+        |FROM rec""".stripMargin,
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
         |           WHERE event_type IN ('view', 'click', 'purchase')),

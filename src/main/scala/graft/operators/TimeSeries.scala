@@ -332,6 +332,85 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 10d. ts_downsample_lttb_seq — TEXTBOOK LTTB: the sequential
+  // previous-selected-point chain (Steinarsson 2013), per series, over
+  // the same time-grid buckets as the parallel variant. Bucket i's
+  // winner maximizes the triangle against the PREVIOUSLY SELECTED
+  // point and bucket i+1's floor-div mean — inherently sequential, so
+  // it runs as ONE aggregate() fold over the series' bucket array (the
+  // ts_holt_linear pattern): state is the selected-point chain (≤
+  // nBuckets entries), the folded array groups each bucket's points.
+  // First/last buckets keep the first/last data point; ties break to
+  // the earliest (ts, event_id) — the fold's strict > keeps the first
+  // maximum of the ascending-sorted bucket. The per-series collect is
+  // bounded by series length: the operator's contract is downsampling
+  // ONE renderable series, the shape dashboards ask for — corpus-wide
+  // reduction is what ts_downsample_m4 / the parallel LTTB are for.
+  // Oracle: a recursive CTE replaying the identical chain.
+  // -------------------------------------------------------------------
+  def downsampleLttbSeq(spark: SparkSession, dir: String, nBuckets: Int = 60): DataFrame = {
+    val wu = Window.partitionBy("user_id")
+    val base = eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("v"))
+      .withColumn("t0", min(col("ts_us")).over(wu))
+      .withColumn("t1", max(col("ts_us")).over(wu))
+      .withColumn(
+        "bucket",
+        least(lit(nBuckets - 1L), expr(s"(ts_us - t0) * $nBuckets DIV (t1 - t0 + 1)"))
+      )
+    val bkt = base
+      .groupBy(col("user_id"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pts"),
+        expr("sum(ts_us) DIV count(1)").as("mx"),
+        expr("sum(v) DIV count(1)").as("my"),
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("v")))).as("pts")
+      )
+    // anchor area vs the chain's last selected point, duplicated inline
+    // because SQL lambda bodies cannot let-bind (the ts_holt_linear
+    // convention); all terms are exact BIGINT cross products
+    val area =
+      "abs((element_at(acc, -1).p.ts_us - b.nx) * (p.v - element_at(acc, -1).p.v) - " +
+        "(element_at(acc, -1).p.ts_us - p.ts_us) * (b.ny - element_at(acc, -1).p.v))"
+    val fold =
+      s"""aggregate(
+         |  slice(bz, 2, size(bz) - 1),
+         |  array(named_struct('bucket', bz[0].bucket, 'n_pts', bz[0].n_pts, 'p', bz[0].pts[0])),
+         |  (acc, b) -> concat(acc, array(named_struct(
+         |    'bucket', b.bucket,
+         |    'n_pts', b.n_pts,
+         |    'p', CASE WHEN b.last THEN element_at(b.pts, -1)
+         |         ELSE aggregate(b.pts,
+         |                named_struct('q', b.pts[0], 'a2', CAST(-1 AS BIGINT)),
+         |                (w, p) -> CASE WHEN $area > w.a2
+         |                          THEN named_struct('q', p, 'a2', $area)
+         |                          ELSE w END).q
+         |         END))))""".stripMargin
+    bkt
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("n_pts"), col("mx"), col("my"), col("pts")))).as("bk"))
+      .withColumn(
+        "bz",
+        expr(
+          """transform(sequence(0, size(bk) - 1), j -> named_struct(
+            |  'bucket', bk[j].bucket, 'n_pts', bk[j].n_pts, 'pts', bk[j].pts,
+            |  'nx', if(j + 1 < size(bk), bk[j + 1].mx, CAST(0 AS BIGINT)),
+            |  'ny', if(j + 1 < size(bk), bk[j + 1].my, CAST(0 AS BIGINT)),
+            |  'last', j = size(bk) - 1))""".stripMargin
+        )
+      )
+      .withColumn("sel", expr(fold))
+      .select(col("user_id"), explode(col("sel")).as("s"))
+      .select(
+        col("user_id"),
+        col("s.bucket").as("bucket"),
+        col("s.p.ts_us").as("sel_ts_us"),
+        col("s.p.v").as("sel_value_c"),
+        col("s.n_pts").as("n_pts")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11. ts_moving_avg — trailing-5-row moving aggregate per series.
   // Emitted as integer sum + count (avg = sum/n) so the result is
   // exact; a single window pass, one shuffle on the series key.

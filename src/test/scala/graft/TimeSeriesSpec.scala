@@ -289,4 +289,31 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(n === best, s"series $u: motif $motif n=$n but best 3-gram count is $best")
     }
   }
+
+  test("lttb seq: one point per non-empty bucket, endpoints kept, same bucket skeleton as parallel") {
+    val seq = TimeSeries.downsampleLttbSeq(spark, sf).cache()
+    val par = TimeSeries.downsampleLttb(spark, sf).cache()
+    try {
+      // both variants downsample the same time-grid buckets: identical
+      // (user, bucket, n_pts) skeletons, exactly one point per bucket
+      val sk = seq.select("user_id", "bucket", "n_pts")
+      val pk = par.select("user_id", "bucket", "n_pts")
+      assert(sk.except(pk).count() === 0 && pk.except(sk).count() === 0)
+      assert(seq.groupBy("user_id", "bucket").count().filter(col("count") =!= 1).count() === 0)
+      // textbook contract: the chain starts at the series' first point
+      // and ends at its last
+      val span = TimeSeries
+        .eventsUs(spark, sf)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_ts"), max(col("ts_us")).as("last_ts"))
+      val ends = seq
+        .groupBy(col("user_id"))
+        .agg(min(col("sel_ts_us")).as("sel_first"), max(col("sel_ts_us")).as("sel_last"))
+        .join(span, Seq("user_id"))
+      assert(ends.filter(col("sel_first") =!= col("first_ts") || col("sel_last") =!= col("last_ts")).count() === 0)
+      // the chain genuinely differs from the independent-bucket variant
+      // somewhere in the middle (otherwise the fold is dead code)
+      assert(seq.except(par).count() > 0, "sequential chain never diverged from the parallel variant")
+    } finally { seq.unpersist(); par.unpersist() }
+  }
 }
