@@ -203,6 +203,8 @@ object SparkEntry {
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
     "ann_knn_join"        -> ((s, d) => Similarity.annKnnJoin(s, d)),
+    "ann_knn_recall"      -> ((s, d) => Similarity.annKnnRecall(s, d)),
+    "ann_cell_skew"       -> ((s, d) => Similarity.annCellSkew(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
@@ -734,6 +736,69 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
          |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM sc QUALIFY rnk <= 5""".stripMargin,
+    // knn-join recall: the join's own answers (same CTE chain as
+    // ann_knn_join) intersected with exact brute-force top-5 for the
+    // bounded eval-probe subset (query-set members under id 2500)
+    "ann_knn_recall" ->
+      s"""WITH $quantCtes,
+         |seed AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),
+         |sn AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM seed GROUP BY 1),
+         |ad AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN seed s ON s.i = q.i GROUP BY 1, 2),
+         |dist AS (SELECT ad.vec_id, ad.c, n.n2 + sn.c2 - 2 * ad.dot AS d2
+         |         FROM ad JOIN n ON n.vec_id = ad.vec_id JOIN sn ON sn.c = ad.c),
+         |asg AS (SELECT vec_id, c AS cell FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |          FROM dist) WHERE r = 1),
+         |pcells AS (SELECT vec_id AS probe_id, c AS cell FROM (
+         |             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |             FROM dist WHERE vec_id % 50 = 0) WHERE r <= 2),
+         |cand AS (SELECT p.probe_id, a.vec_id AS neighbor_id
+         |         FROM pcells p JOIN asg a ON a.cell = p.cell AND a.vec_id != p.probe_id),
+         |dt AS (SELECT cand.probe_id, cand.neighbor_id, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+         |       FROM cand JOIN q x ON x.vec_id = cand.probe_id
+         |       JOIN q y ON y.vec_id = cand.neighbor_id AND y.i = x.i
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT probe_id, neighbor_id,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id),
+         |apx AS (SELECT probe_id, neighbor_id FROM sc
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) <= 5),
+         |ep AS (SELECT vec_id AS probe_id FROM n WHERE vec_id % 50 = 0 AND vec_id < 2500),
+         |bt AS (SELECT ep.probe_id, y.vec_id AS neighbor_id, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+         |       FROM ep JOIN q x ON x.vec_id = ep.probe_id
+         |       JOIN q y ON y.i = x.i AND y.vec_id != ep.probe_id
+         |       GROUP BY 1, 2),
+         |bc AS (SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM bt JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id),
+         |tr AS (SELECT probe_id, neighbor_id FROM bc
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) <= 5),
+         |h AS (SELECT t.probe_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |      FROM tr t JOIN apx a ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+         |      GROUP BY 1)
+         |SELECT p.probe_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(h.hits, 0) * 10000 // 5 AS BIGINT) AS recall_bp
+         |FROM (SELECT DISTINCT probe_id FROM tr) p LEFT JOIN h ON h.probe_id = p.probe_id""".stripMargin,
+    // IVF cell-occupancy skew: same deterministic assignment CTEs,
+    // per-cell counts + share/load vs uniform over the cell aggregate
+    "ann_cell_skew" ->
+      s"""WITH $quantCtes,
+         |seed AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),
+         |sn AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM seed GROUP BY 1),
+         |ad AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+         |       FROM q JOIN seed s ON s.i = q.i GROUP BY 1, 2),
+         |dist AS (SELECT ad.vec_id, ad.c, n.n2 + sn.c2 - 2 * ad.dot AS d2
+         |         FROM ad JOIN n ON n.vec_id = ad.vec_id JOIN sn ON sn.c = ad.c),
+         |asg AS (SELECT vec_id, c AS cell FROM (
+         |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+         |          FROM dist) WHERE r = 1),
+         |g AS (SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+         |      FROM asg GROUP BY 1)
+         |SELECT cell, n_vecs,
+         |  CAST(n_vecs * 10000 // SUM(n_vecs) OVER () AS BIGINT) AS share_bp,
+         |  CAST(n_vecs * 8 * 10000 // SUM(n_vecs) OVER () AS BIGINT) AS load_bp
+         |FROM g""".stripMargin,
     // repeated 8-word-span boilerplate: per-doc distinct sliding
     // windows over the normalized tokens, spans in >=2 docs, top-20
     "text_boilerplate" ->

@@ -1044,6 +1044,83 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ann_knn_recall — the knn-JOIN's recall eval (the third leg of the
+  // recall triptych next to ann_recall_eval and dedup_recall_eval):
+  // exact brute-force top-k for a BOUNDED eval subset of the join's
+  // query set, intersected with the join's own answers. The eval
+  // probes are the query-set members under a fixed id horizon, so the
+  // truth side is one corpus scan × a bounded broadcast at any corpus
+  // size — the sampled-recall shape an index owner can afford weekly
+  // at 100 TB, while the knn join itself stays corpus-scaled.
+  // -------------------------------------------------------------------
+  def annKnnRecall(
+      spark: SparkSession,
+      dir: String,
+      queryMod: Int = 50,
+      k: Int = 5,
+      evalHorizon: Long = 2500L
+  ): DataFrame = {
+    val approx = annKnnJoin(spark, dir)
+      .filter(col("probe_id") < evalHorizon)
+      .select(col("probe_id"), col("neighbor_id"))
+    val q = quantized(spark, dir)
+    val probes = q
+      .filter(expr(s"vec_id % $queryMod = 0") && col("vec_id") < evalHorizon)
+      .toDF("probe_id", "pq", "pn2")
+    val cos = cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    val truth = q
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = truth
+      .join(approx, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("hits"))
+    truth
+      .select(col("probe_id"))
+      .distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(
+        col("probe_id"),
+        col("n_hits"),
+        expr(s"n_hits * 10000 DIV $k").as("recall_bp")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // ann_cell_skew — IVF cell-occupancy diagnostics (the
+  // graph_degree_dist analogue for vector cells): per-cell member
+  // counts off the same deterministic seed-centroid assignment the
+  // IVF family uses, with each cell's share and its load versus a
+  // uniform spread (10000 bp = perfectly balanced). Skewed cells are
+  // the stragglers of every cell-keyed search/join — this report is
+  // what decides a re-train or a cell split. One corpus pass + an
+  // nCells-row aggregate; the balance window runs on that bounded
+  // domain, never on vectors.
+  // -------------------------------------------------------------------
+  def annCellSkew(spark: SparkSession, dir: String, nCells: Int = 8): DataFrame = {
+    val q = quantized(spark, dir)
+    val assigned = centroidDist(q, seedCentroids(q, nCells))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("cell"))
+    assigned
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(Window.partitionBy()))
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        expr("n_vecs * 10000 DIV total").as("share_bp"),
+        expr(s"n_vecs * $nCells * 10000 DIV total").as("load_bp")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // emb_quantize_int8 — symmetric per-vector int8 scalar quantization
   // (the 4× storage cut every vector store ships): scale = 127/maxabs,
   // codes = ⌊x·127/maxabs⌋ — floor, not cast, because floor is exact

@@ -47,6 +47,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_ivf_kmeans",
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
     "ann_knn_join",              // same ≤8-row centroid broadcast; the query↔corpus meet is a cell-keyed equi-join
+    "ann_knn_recall",            // bounded eval-probe broadcast for the brute-force truth + the knn join's own centroid broadcast
+    "ann_cell_skew",             // ≤8-row centroid broadcast for the assignment pass
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
     "ann_index_delete",          // same tail over the tombstone-pruned index
@@ -86,7 +88,8 @@ class EntrySpec extends AnyFunSuite {
     "text_domain_mix",    // unbounded-frame window over the per-SOURCE aggregate — one row per corpus source/domain, a bounded enum
     "pipeline_mix_plan",  // same shape: min-over-sources window on the per-source aggregate
     "rel_histogram_equi", // banded prefix sum: cum/total windows run over the $1000 price-BAND table (bounded few-hundred-row domain), the design that avoids the global sort
-    "sample_pack_sequences" // band-offset window over the 256-row md5-band table — the two-level prefix sum's bounded upper level
+    "sample_pack_sequences", // band-offset window over the 256-row md5-band table — the two-level prefix sum's bounded upper level
+    "ann_cell_skew" // total-occupancy window over the nCells-row cell aggregate — the report's whole domain is the cell table
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

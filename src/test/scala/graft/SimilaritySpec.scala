@@ -238,4 +238,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(ranks.size <= 5)
     }
   }
+
+  test("knn recall: eval probes are the bounded query subset, hits bounded by k, bp arithmetic exact") {
+    val rows = Similarity.annKnnRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (p, hits, bp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(p % 50 === 0 && p < 2500, s"probe $p outside the bounded eval subset")
+      assert(hits >= 0 && hits <= 5, s"probe $p n_hits $hits out of [0,5]")
+      assert(bp === hits * 10000 / 5, s"probe $p recall_bp mismatch")
+    }
+    // the 2-of-8-cell probe finds SOMETHING on this corpus — a recall
+    // eval that always reads 0 is measuring a broken join
+    assert(rows.map(_.getLong(1)).sum > 0, "knn join recalled nothing — eval is vacuous")
+  }
+
+  test("cell skew: occupancy conserves the corpus, load is share x nCells") {
+    val rows = Similarity.annCellSkew(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum === total, "cell occupancy must conserve the corpus")
+    for (r <- rows) {
+      val (n, share, load) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(share === n * 10000 / total)
+      assert(load === n * 8 * 10000 / total)
+    }
+  }
 }
