@@ -250,7 +250,7 @@ object TimeboxStore {
     * would make day_id ranges ambiguous, so it throws loudly instead
     * of silently dropping blocks.
     */
-  private def storedBlockUs(store: DataFrame): Long = {
+  private[sources] def storedBlockUs(store: DataFrame): Long = {
     val r = store.agg(min(col("block_us")), max(col("block_us"))).head()
     val (lo, hi) = (r.getLong(0), r.getLong(1))
     require(lo == hi, s"mixed block granularities in one store path: $lo vs $hi")
@@ -1349,6 +1349,12 @@ object TimeboxStore {
     * → value-filtered range read → per-series summary. The oracle is
     * the same filter over the RAW events, so a block skipped wrongly
     * (or a min/max envelope off by one) fails the hash compare.
+    * Re-expressed through the [[TimeboxDataSource]] facade: the read
+    * is `spark.read.format("timebox")` + plain `.filter`s, and the
+    * ScanBuilder routes them into the same day-range + zone-map skip
+    * machinery [[rangeReadValueFiltered]] wires by hand (FormatSpec
+    * pins row-level equality between the two paths and the pushed
+    * filters in the plan).
     */
   def valueReadSummary(
       spark: SparkSession,
@@ -1360,7 +1366,11 @@ object TimeboxStore {
   ): DataFrame = {
     val out = scratchPath("graft_store", dir) // same content as roundtripSummary — reuse
     write(spark, dir, out)
-    rangeReadValueFiltered(spark, out, startUs, endUs, "value_c", loC, hiC)
+    spark.read.format("timebox").load(out)
+      .filter(
+        col("ts_us") >= startUs && col("ts_us") < endUs &&
+          col("value_c") >= loC && col("value_c") <= hiC
+      )
       .groupBy(col("series_id").as("user_id"))
       .agg(
         count(lit(1)).as("n_points"),
@@ -1413,13 +1423,16 @@ object TimeboxStore {
     val out = scratchPath("graft_store_mt", dir) // same content as multitagRoundtrip — reuse
     encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags, blockUs = 32 * DayUs)
       .write.mode("overwrite").parquet(out)
-    rangeReadMultiFiltered(
-      spark,
-      out,
-      startUs,
-      endUs,
-      Seq(("price_c", priceLoC, priceHiC), ("qty_c", qtyLoC, qtyHiC))
-    )
+    // facade read: the two value bands + time range push down as
+    // conjunctive zone-map skips; disc_c is never requested, so its
+    // offset arrays are column-pruned out of the decode
+    spark.read.format("timebox").load(out)
+      .select(col("series_id"), col("ts_us"), col("price_c"), col("qty_c"))
+      .filter(
+        col("ts_us") >= startUs && col("ts_us") < endUs &&
+          col("price_c") >= priceLoC && col("price_c") <= priceHiC &&
+          col("qty_c") >= qtyLoC && col("qty_c") <= qtyHiC
+      )
       .groupBy(col("series_id").as("l_suppkey"))
       .agg(
         count(lit(1)).as("n_points"),
@@ -1620,7 +1633,13 @@ object TimeboxStore {
     val out = scratchPath("graft_store_dict", dir)
     encode(eventTypePoints(spark, dir), tagCols = Seq("value_c", "etype_c"))
       .write.mode("overwrite").parquet(out)
-    rangeReadValueEquals(spark, out, startUs, endUs, "etype_c", typeCode)
+    // facade read: the equality predicate pushes down as dictionary
+    // membership + bloom bit tests + the zone-map envelope, composing
+    // with the day-range prune — rangeReadValueEquals' skip chain,
+    // reached through spark.read.format("timebox")
+    spark.read.format("timebox").load(out)
+      .select(col("series_id"), col("ts_us"), col("seq"), col("etype_c"))
+      .filter(col("ts_us") >= startUs && col("ts_us") < endUs && col("etype_c") === typeCode)
       .groupBy(col("series_id").as("user_id"))
       .agg(
         count(lit(1)).as("n_points"),

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{TimeboxFormat, TimeboxStore}
+
+/** The `spark.read.format("timebox")` facade: schema inference, filter
+  * pushdown into the block-skip machinery, column pruning of the
+  * decode, and row-level equality with the hand-wired library reads.
+  */
+class FormatSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val storePath: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_format_spec").toString + "/store"
+    TimeboxStore
+      .encode(TimeboxStore.eventTypePoints(spark, sf), tagCols = Seq("value_c", "etype_c"))
+      .write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private val lo = 1704672000000000L // 2024-01-08
+  private val hi = 1705276800000000L // 2024-01-15
+
+  test("schema inference: decoded point schema with one LONG column per stored tag") {
+    val df = spark.read.format("timebox").load(storePath)
+    assert(df.columns.toSeq === Seq("series_id", "ts_us", "seq", "value_c", "etype_c"))
+    assert(df.schema.fields.forall(_.dataType.typeName == "long"))
+  }
+
+  test("range + value filters push down and match the library zone-map read exactly") {
+    val q = spark.read.format("timebox").load(storePath)
+      .filter(col("ts_us") >= lo && col("ts_us") < hi && col("value_c") >= 9000L && col("value_c") <= 12000L)
+    // plan toString truncates metadata — read the scan node's handled
+    // filter set directly
+    val handled = q.queryExecution.executedPlan.collect {
+      case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r.handledFilters
+    }.flatten.map(_.toString).toSet
+    for (f <- Seq("GreaterThanOrEqual(ts_us", "LessThan(ts_us", "GreaterThanOrEqual(value_c", "LessThanOrEqual(value_c"))
+      assert(handled.exists(_.startsWith(f)), s"$f not reported pushed: $handled")
+    val lib = TimeboxStore
+      .rangeReadValueFiltered(spark, storePath, lo, hi, "value_c", 9000L, 12000L)
+      .select(col("series_id"), col("ts_us"), col("seq"), col("value_c"))
+    val fac = q.select(col("series_id"), col("ts_us"), col("seq"), col("value_c"))
+    assert(fac.count() > 0)
+    assert(fac.except(lib).count() === 0 && lib.except(fac).count() === 0)
+  }
+
+  test("equality pushdown reaches the dictionary + bloom skip chain; matches the library read") {
+    val q = spark.read.format("timebox").load(storePath)
+      .filter(col("ts_us") >= lo && col("ts_us") < hi && col("etype_c") === 112L)
+    // the INNER pipeline (what buildScan constructs) must carry the
+    // dict/bloom block predicates down to the parquet block scan
+    val inner = TimeboxFormat.scanDataFrame(
+      spark, storePath,
+      q.schema,
+      Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ts_us", lo),
+        org.apache.spark.sql.sources.LessThan("ts_us", hi),
+        org.apache.spark.sql.sources.EqualTo("etype_c", 112L)
+      )
+    )
+    val innerPlan = inner.queryExecution.optimizedPlan.toString
+    for (c <- Seq("dict_etype_c", "bloom_etype_c", "min_etype_c", "max_etype_c", "day_id"))
+      assert(innerPlan.contains(c), s"block skip on $c missing from the facade's inner plan")
+    val lib = TimeboxStore
+      .rangeReadValueEquals(spark, storePath, lo, hi, "etype_c", 112L)
+      .select(col("series_id"), col("ts_us"), col("seq"), col("etype_c"))
+    val fac = q.select(col("series_id"), col("ts_us"), col("seq"), col("etype_c"))
+    assert(fac.count() > 0)
+    assert(fac.except(lib).count() === 0 && lib.except(fac).count() === 0)
+  }
+
+  test("column pruning: an unrequested tag's offset arrays never reach the block scan") {
+    val required = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("series_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value_c", org.apache.spark.sql.types.LongType)
+    ))
+    val inner = TimeboxFormat.scanDataFrame(spark, storePath, required, Array.empty)
+    val scans = inner.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.metadata("ReadSchema")
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(!_.contains("offs_etype_c")), s"unrequested tag decoded: $scans")
+    assert(scans.exists(_.contains("offs_value_c")), "requested tag missing from the block scan")
+  }
+
+  test("unfilterable predicates are not claimed as pushed") {
+    val tags = Set("value_c", "etype_c")
+    assert(TimeboxFormat.handles(org.apache.spark.sql.sources.EqualTo("ts_us", 5L), tags))
+    assert(TimeboxFormat.handles(org.apache.spark.sql.sources.In("series_id", Array(1L, 2L)), tags))
+    assert(!TimeboxFormat.handles(org.apache.spark.sql.sources.EqualTo("seq", 5L), tags))
+    assert(!TimeboxFormat.handles(org.apache.spark.sql.sources.IsNull("value_c"), tags))
+    assert(!TimeboxFormat.handles(
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.EqualTo("value_c", 1L),
+        org.apache.spark.sql.sources.EqualTo("value_c", 2L)
+      ), tags))
+  }
+}
