@@ -708,10 +708,15 @@ object Relational {
       .supplier(spark, dir)
       .select($"s_suppkey", $"s_name", $"s_nationkey")
       .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")), $"n_nationkey" === $"s_nationkey")
-    li.join(finished, $"o_orderkey" === $"l_orderkey", "left_semi")
-      .join(other, $"o2_key" === $"l_orderkey" && $"o2_supp" =!= $"l_suppkey", "left_semi")
+    // the three probe sides are FACT-scaled (orders subset, lineitem
+    // itself) — pin them to the shuffle merge join so the plan is the
+    // same one that runs at 100 TB; at tiny SFs Spark would broadcast
+    // them and the profile would flip the moment the data grew past
+    // the 10 MB threshold (ScaleSpec's sf1.0 climb caught exactly that)
+    li.join(finished.hint("merge"), $"o_orderkey" === $"l_orderkey", "left_semi")
+      .join(other.hint("merge"), $"o2_key" === $"l_orderkey" && $"o2_supp" =!= $"l_suppkey", "left_semi")
       .join(
-        other,
+        other.hint("merge"),
         $"o2_key" === $"l_orderkey" && $"o2_supp" =!= $"l_suppkey" && $"o2_ship" > $"l_shipdate",
         "left_anti"
       )

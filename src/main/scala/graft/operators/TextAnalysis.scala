@@ -719,7 +719,11 @@ object TextAnalysis {
       dir: String,
       rounds: Int,
       m: Int,
-      cand: Int
+      cand: Int,
+      // production-run instrumentation (tools/BpeBench): called with
+      // (round, seconds) after each round's checkpoint lands; no-op in
+      // query paths
+      roundHook: (Int, Double) => Unit = (_, _) => ()
   ): (Vector[DataFrame], DataFrame) = {
     val ord = Seq(col("pair_weight").desc, col("lhs").asc, col("rhs").asc)
     val wRank = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
@@ -732,6 +736,7 @@ object TextAnalysis {
       .localCheckpoint()
     var merges = Vector.empty[DataFrame]
     for (r <- 1 to rounds) {
+      val tRound = System.nanoTime()
       val pairs = words
         .select(col("f"), expr("filter(split(s, '<'), x -> x != '')").as("sy"))
         .filter(size(col("sy")) >= 2)
@@ -785,6 +790,7 @@ object TextAnalysis {
           ).as("s")
         )
         .localCheckpoint()
+      roundHook(r, (System.nanoTime() - tRound) / 1e9)
     }
     (merges, words)
   }

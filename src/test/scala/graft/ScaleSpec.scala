@@ -112,22 +112,90 @@ class ScaleSpec extends AnyFunSuite {
     (System.nanoTime() - t0) / 1e9
   }
 
-  test("plan profile is scale-invariant and cost stays within the 10x band") {
-    val failures = panel.flatMap { name =>
+  private def sweep(names: Seq[String], lo: String, hi: String): Seq[String] =
+    names.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val small = fn(spark, sfSmall)
-      val big = fn(spark, sfBig)
+      val small = fn(spark, lo)
+      val big = fn(spark, hi)
       val (ps, pb) = (profile(small.queryExecution.sparkPlan), profile(big.queryExecution.sparkPlan))
       val shapeErr =
         if (ps == pb) None
-        else Some(s"$name: plan profile changed with scale — sf0.01=$ps sf0.1=$pb")
-      val tSmall = timed(fn(spark, sfSmall))
-      val tBig = timed(fn(spark, sfBig))
+        else Some(s"$name: plan profile changed with scale — $lo=$ps $hi=$pb")
+      val tSmall = timed(fn(spark, lo))
+      val tBig = timed(fn(spark, hi))
       val costErr =
         if (tBig <= 12.0 * math.max(tSmall, 0.4)) None
         else Some(f"$name: cost superlinear — $tSmall%.2fs -> $tBig%.2fs on 10x data")
       shapeErr.toSeq ++ costErr.toSeq
     }
+
+  test("plan profile is scale-invariant and cost stays within the 10x band") {
+    val failures = sweep(panel, sfSmall, sfBig)
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  // one more scale step: sf0.1 → a DERIVED sf1.0 (tools.ScaleUp — 10
+  // key-shifted replicas sharing the dims; doc texts re-ordered per
+  // copy so the near-dup structure doesn't degenerate). Every 100 TB
+  // claim in SURVEY §4 was previously extrapolated from two small SFs;
+  // this pins the same profile-invariance + 12× band across three.
+  private lazy val sf1: String = graft.tools.ScaleUp.ensure(spark, sfBig)
+
+  /** data-proportional subset for the sf1.0 climb (the fixed-floor
+    * streaming/store drills are covered by their own specs, and the
+    * bounded-probe ANN searches don't grow with the corpus)
+    */
+  private val panel1: Seq[String] = Seq(
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "topk_per_group",
+    "rel_running_total",
+    "rel_pivot",
+    "rel_profile",
+    "ts_resample_1h",
+    "ts_moving_avg",
+    "ts_sessionize",
+    "ts_mad_outlier",
+    "ts_drawdown",
+    "ts_holt_linear",
+    "ts_rollup_cascade",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_tokens",
+    "text_vocab_growth",
+    "text_bigram_lm",
+    "pipeline_keep_set",
+    "sample_pack_sequences",
+    "emb_quantize_int8",
+    "ann_topk_bruteforce",
+    "ann_label_knn",
+    "approx_hll_users",
+    "graph_degree_dist"
+  )
+
+  test("one more scale step: profile and cost hold from sf0.1 to derived sf1.0") {
+    val failures = sweep(panel1, sfBig, sf1)
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("knn join at sf1.0: cell count scales ~sqrt(N) and the cell-keyed join holds the band") {
+    import graft.operators.Similarity
+    // the documented 100 TB contract: nCells grows ~√N so per-cell work
+    // (|queries∩cell|·|cell|) stays partition-sized. 8 cells at sf0.1 →
+    // 25 ≈ 8·√10 at the derived sf1.0.
+    val tSmall = timed(Similarity.annKnnJoin(spark, sfBig, nCells = 8))
+    val tBig = timed(Similarity.annKnnJoin(spark, sf1, nCells = 25))
+    assert(
+      tBig <= 12.0 * math.max(tSmall, 0.4),
+      f"knn join with sqrt-scaled cells is superlinear: $tSmall%.2fs -> $tBig%.2fs"
+    )
+    val (ps, pb) = (
+      profile(Similarity.annKnnJoin(spark, sfBig, nCells = 8).queryExecution.sparkPlan),
+      profile(Similarity.annKnnJoin(spark, sf1, nCells = 25).queryExecution.sparkPlan)
+    )
+    assert(ps == pb, s"knn join plan profile changed with scale: $ps vs $pb")
   }
 }
