@@ -65,6 +65,27 @@ object StreamDedupProfile {
     timed("dedup_stream_cc end-to-end (AvailableNow, 1 batch)") {
       graft.sources.StreamingIngest.dedupStreamClusters(spark, dir).count()
     }
+    // ---- PRODUCTION ratio: small batch vs large store, then the same
+    // batch vs an 11x store (ScaleUp-derived docs). With the leveled
+    // layout the per-batch match is prefix-pruned, so the second
+    // number should sit ~flat instead of scaling with the store.
+    val batchP = docs.filter(col("doc_id") >= 4500)
+    val storeS = TimeboxStore.scratchPath("graft_sdprof_ps", dir)
+    SignatureStore.write(spark, docs.filter(col("doc_id") < 4500), storeS)
+    timed("PROD matchDelta: 500-doc batch vs 4.5k-doc store") {
+      SignatureStore.matchDelta(spark, storeS, batchP).write.mode("overwrite").parquet(s"$storeS/m1")
+    }
+    val sf1dir = ScaleUp.ensure(spark, dir)
+    val docs1 = Tables.documents(spark, sf1dir).select(col("doc_id"), col("text"))
+    val storeB = TimeboxStore.scratchPath("graft_sdprof_pb", dir)
+    SignatureStore.write(
+      spark,
+      docs1.filter(col("doc_id") < 4500 || col("doc_id") >= 5000), // everything except the batch originals
+      storeB
+    )
+    timed("PROD matchDelta: same 500-doc batch vs 49.5k-doc store (11x)") {
+      SignatureStore.matchDelta(spark, storeB, batchP).write.mode("overwrite").parquet(s"$storeB/m1")
+    }
     spark.stop()
   }
 }
