@@ -87,6 +87,7 @@ object SparkEntry {
     "ts_store_dict_read"  -> ((s, d) => graft.sources.TimeboxStore.dictReadSummary(s, d)),
     "ts_store_counter_roundtrip" -> ((s, d) => graft.sources.TimeboxStore.counterRoundtrip(s, d)),
     "ts_store_agg_pushdown" -> ((s, d) => graft.sources.TimeboxStore.aggPushdownSummary(s, d)),
+    "ts_store_format_agg" -> ((s, d) => graft.sources.TimeboxStore.formatAggSummary(s, d)),
     "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
     "ts_store_agg_range" -> ((s, d) => graft.sources.TimeboxStore.rangeAggSummary(s, d)),
     "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
@@ -3272,6 +3273,16 @@ object SparkEntry {
     // the pushdown aggregate must equal the raw-events aggregate for
     // all three tags — i.e. for all three encoding modes' closed-form
     // block sums — without ever decoding a point
+    // the facade's COMPLETE aggregate pushdown: same numbers the raw
+    // events produce, computed from block metadata + mode algebra
+    "ts_store_format_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(MIN(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS min_value_c,
+        |  CAST(MAX(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS max_value_c,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
     "ts_store_agg_pushdown" ->
       """WITH c AS (SELECT user_id, ts, event_id,
         |             CAST(round(value*100) AS BIGINT) AS value_c FROM events),

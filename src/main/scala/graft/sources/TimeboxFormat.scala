@@ -4,7 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -72,10 +74,12 @@ private[sources] class TimeboxTable(path: String, schema0: StructType) extends T
 private[sources] class TimeboxScanBuilder(path: String, full: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private val tags = TimeboxFormat.tagFields(full)
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[TimeboxFormat.PushedAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(TimeboxFormat.handles(_, tags))
@@ -83,31 +87,153 @@ private[sources] class TimeboxScanBuilder(path: String, full: StructType)
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new TimeboxV1Scan(path, required, pushed)
+
+  // AGGREGATE pushdown — the store's defining read path surfaced
+  // through the public format: COUNT/SUM/MIN/MAX (optionally grouped
+  // by series_id) are answered from block METADATA + the closed-form
+  // mode algebra (TimeboxStore.blockSumExpr) with no point ever
+  // decoded. Complete pushdown only: Spark hands aggregates to the
+  // source only when every filter was fully pushed, and this source
+  // deliberately reports all filters as post-scan (block skipping is
+  // inexact), so the pushdown fires exactly on the filterless
+  // "all metrics per series" dashboard shape — where it is exact.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    TimeboxFormat.translateAgg(agg, tags).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    TimeboxFormat.translateAgg(agg, tags) match {
+      case some @ Some(pa) =>
+        pushedAgg = some
+        required = TimeboxFormat.aggSchema(pa)
+        true
+      case None => false
+    }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (pushedAgg.isEmpty) required = requiredSchema
+  override def build(): Scan = new TimeboxV1Scan(path, required, pushed, pushedAgg)
 }
 
-private[sources] class TimeboxV1Scan(path: String, required: StructType, filters: Array[Filter])
-    extends V1Scan {
+private[sources] class TimeboxV1Scan(
+    path: String,
+    required: StructType,
+    filters: Array[Filter],
+    agg: Option[TimeboxFormat.PushedAgg]
+) extends V1Scan {
   override def readSchema(): StructType = required
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new TimeboxRelation(context, path, required, filters).asInstanceOf[T]
+    new TimeboxRelation(context, path, required, filters, agg).asInstanceOf[T]
 }
 
 private[sources] class TimeboxRelation(
     ctx: SQLContext,
     path: String,
     required: StructType,
-    filters: Array[Filter]
+    filters: Array[Filter],
+    agg: Option[TimeboxFormat.PushedAgg]
 ) extends BaseRelation
     with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
-  override def buildScan(): RDD[Row] =
-    TimeboxFormat.scanDataFrame(ctx.sparkSession, path, required, filters).rdd
+  override def buildScan(): RDD[Row] = agg match {
+    case Some(pa) => TimeboxFormat.aggScanDataFrame(ctx.sparkSession, path, pa).rdd
+    case None     => TimeboxFormat.scanDataFrame(ctx.sparkSession, path, required, filters).rdd
+  }
 }
 
 object TimeboxFormat {
+
+  /** A translated aggregate-pushdown request: optional series group,
+    * then one block-computable aggregate per output position.
+    */
+  private[graft] sealed trait AggCol
+  private[graft] case object CountAll extends AggCol
+  private[graft] final case class SumTag(t: String) extends AggCol
+  private[graft] final case class MinTag(t: String) extends AggCol
+  private[graft] final case class MaxTag(t: String) extends AggCol
+  private[graft] case object MinTs extends AggCol
+  private[graft] case object MaxTs extends AggCol
+  private[graft] final case class PushedAgg(bySeries: Boolean, cols: Seq[AggCol])
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames.head)
+      case _                                             => None
+    }
+
+  /** Translate Spark's pushed Aggregation into block-computable form;
+    * None = not answerable from block metadata, Spark keeps the plan.
+    */
+  private[graft] def translateAgg(agg: Aggregation, tags: Set[String]): Option[PushedAgg] = {
+    val bySeries = agg.groupByExpressions() match {
+      case Array()                                      => Some(false)
+      case Array(g) if fieldOf(g).contains("series_id") => Some(true)
+      case _                                            => None
+    }
+    val cols = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(CountAll)
+      // every decoded point column is non-null by construction, so
+      // count(col) == count(*) == Σ n_points
+      case c: Count if !c.isDistinct && fieldOf(c.column).isDefined => Some(CountAll)
+      case s: Sum if !s.isDistinct =>
+        fieldOf(s.column).filter(tags).map(SumTag)
+      case m: Min =>
+        fieldOf(m.column).flatMap {
+          case "ts_us"        => Some(MinTs)
+          case t if tags(t)   => Some(MinTag(t))
+          case _              => None
+        }
+      case m: Max =>
+        fieldOf(m.column).flatMap {
+          case "ts_us"        => Some(MaxTs)
+          case t if tags(t)   => Some(MaxTag(t))
+          case _              => None
+        }
+      case _ => None
+    }
+    val flat = cols.flatten
+    bySeries.flatMap { bs =>
+      if (flat.length == cols.length && flat.nonEmpty) Some(PushedAgg(bs, flat)) else None
+    }
+  }
+
+  /** The aggregated scan's output schema: group columns first, then
+    * one LONG per aggregate, positionally matching the Aggregation.
+    */
+  private[graft] def aggSchema(pa: PushedAgg): StructType =
+    StructType(
+      (if (pa.bySeries) Seq(StructField("series_id", LongType)) else Nil) ++
+        pa.cols.zipWithIndex.map { case (_, i) => StructField(s"agg_$i", LongType) }
+    )
+
+  /** The pushed-aggregate pipeline: per-block closed forms (count =
+    * n_points, sum = the mode algebra, min/max = zone maps, ts bounds
+    * = start_us and start_us + Σdeltas·unit) folded into one block-row
+    * aggregation — no posexplode, no window, no point materialization.
+    */
+  private[graft] def aggScanDataFrame(spark: SparkSession, path: String, pa: PushedAgg): DataFrame = {
+    val store = spark.read.parquet(path)
+    def blockExpr(c: AggCol): org.apache.spark.sql.Column = c match {
+      case CountAll  => col("n_points")
+      case SumTag(t) => TimeboxStore.blockSumExpr(t)
+      case MinTag(t) => col(s"min_$t")
+      case MaxTag(t) => col(s"max_$t")
+      case MinTs     => col("start_us")
+      case MaxTs     => col("start_us") + expr("aggregate(deltas, 0L, (a, x) -> a + x)") * col("unit_us")
+    }
+    def finalAgg(c: AggCol, i: Int): org.apache.spark.sql.Column = (c match {
+      // count over an empty (or fully-pruned) store is 0, never null
+      case CountAll           => coalesce(sum(col(s"b_$i")), lit(0L))
+      case SumTag(_)          => sum(col(s"b_$i"))
+      case MinTag(_) | MinTs  => min(col(s"b_$i"))
+      case MaxTag(_) | MaxTs  => max(col(s"b_$i"))
+    }).as(s"agg_$i")
+    val withB = pa.cols.zipWithIndex.foldLeft(store) { case (df, (c, i)) =>
+      df.withColumn(s"b_$i", blockExpr(c))
+    }
+    val aggs = pa.cols.zipWithIndex.map { case (c, i) => finalAgg(c, i) }
+    if (pa.bySeries) withB.groupBy(col("series_id")).agg(aggs.head, aggs.tail: _*)
+    else withB.agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Tag names off a block schema: every stored `offs_<tag>` column. */
   private[sources] def tagsOf(blockSchema: StructType): Seq[String] =

@@ -357,29 +357,33 @@ object TimeboxStore {
     * dashboard's "all metrics per series" query wants (per-tag calls
     * would re-scan the store once per metric).
     */
-  def aggregateEncodedMulti(blocks: DataFrame, tags: Seq[String]): DataFrame = {
+  /** Closed-form block SUM for one tag — the mode-branch algebra shared
+    * by [[aggregateEncodedMulti]] and the facade's aggregate pushdown.
+    */
+  private[sources] def blockSumExpr(t: String): Column = {
     val unzig = (z: String) => s"(shiftright($z, 1) ^ -($z & 1))"
-    val withSums = tags.foldLeft(blocks) { (df, t) =>
-      df.withColumn(
-        s"block_sum_$t",
-        when(
-          col(s"mode_$t") === "m",
-          col("n_points") * col(s"min_$t") + expr(s"aggregate(offs_$t, 0L, (a, x) -> a + x)")
-        ).when(
-          col(s"mode_$t") === "d",
-          col("n_points") * col(s"min_$t") +
-            expr(
-              s"aggregate(transform(offs_$t, (z, i) -> (n_points - i) * ${unzig("z")}), 0L, (a, x) -> a + x)"
-            )
-        ).otherwise(
-          col("n_points") * (col(s"min_$t") + col(s"hdr0_$t")) +
-            col(s"hdr1_$t") * expr("(n_points * (n_points - 1)) DIV 2") +
-            expr(
-              s"aggregate(transform(offs_$t, (z, i) -> " +
-                s"(((n_points - i) * (n_points - i + 1)) DIV 2) * ${unzig("z")}), 0L, (a, x) -> a + x)"
-            )
+    when(
+      col(s"mode_$t") === "m",
+      col("n_points") * col(s"min_$t") + expr(s"aggregate(offs_$t, 0L, (a, x) -> a + x)")
+    ).when(
+      col(s"mode_$t") === "d",
+      col("n_points") * col(s"min_$t") +
+        expr(
+          s"aggregate(transform(offs_$t, (z, i) -> (n_points - i) * ${unzig("z")}), 0L, (a, x) -> a + x)"
         )
-      )
+    ).otherwise(
+      col("n_points") * (col(s"min_$t") + col(s"hdr0_$t")) +
+        col(s"hdr1_$t") * expr("(n_points * (n_points - 1)) DIV 2") +
+        expr(
+          s"aggregate(transform(offs_$t, (z, i) -> " +
+            s"(((n_points - i) * (n_points - i + 1)) DIV 2) * ${unzig("z")}), 0L, (a, x) -> a + x)"
+        )
+    )
+  }
+
+  def aggregateEncodedMulti(blocks: DataFrame, tags: Seq[String]): DataFrame = {
+    val withSums = tags.foldLeft(blocks) { (df, t) =>
+      df.withColumn(s"block_sum_$t", blockSumExpr(t))
     }
     withSums
       .groupBy(col("series_id"))
@@ -401,6 +405,30 @@ object TimeboxStore {
     * that the plan contains NO generate/explode and NO window — the
     * proof the aggregate never decoded a point.
     */
+  /** ts_store_format_agg — the dashboard aggregate THROUGH the public
+    * `timebox` format: a plain `groupBy(series).agg(count/sum/min/max
+    * + ts bounds)` over `spark.read.format("timebox")`, answered by
+    * the ScanBuilder's COMPLETE aggregate pushdown — block metadata +
+    * the closed-form mode algebra, no point decoded (FormatSpec pins
+    * that the outer plan carries no re-aggregation and the inner plan
+    * no explode). Oracle = the same aggregate over raw events.
+    */
+  def formatAggSummary(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_fmtagg", dir)
+    write(spark, dir, out)
+    spark.read.format("timebox").load(out)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("value_c")).as("min_value_c"),
+        max(col("value_c")).as("max_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+      .withColumnRenamed("series_id", "user_id")
+  }
+
   def aggPushdownSummary(spark: SparkSession, dir: String): DataFrame = {
     val out = scratchPath("graft_store_aggp", dir)
     val tags = Seq("value_c", "counter_c", "trend_c")

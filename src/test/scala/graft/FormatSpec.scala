@@ -86,6 +86,53 @@ class FormatSpec extends AnyFunSuite {
     assert(scans.exists(_.contains("offs_value_c")), "requested tag missing from the block scan")
   }
 
+  test("aggregate pushdown: groupBy(series).agg answered from block metadata — no re-aggregation, no decode") {
+    val df = spark.read.format("timebox").load(storePath)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n"),
+        sum(col("value_c")).as("s"),
+        min(col("value_c")).as("mn"),
+        max(col("value_c")).as("mx"),
+        min(col("ts_us")).as("t0"),
+        max(col("ts_us")).as("t1")
+      )
+    // COMPLETE pushdown: Spark plans no aggregation above the scan
+    val plan = df.queryExecution.executedPlan.toString
+    for (bad <- Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate"))
+      assert(!plan.contains(bad), s"aggregate was not completely pushed:\n$plan")
+    // and the numbers equal decode-then-aggregate
+    val expect = TimeboxStore.read(spark, storePath)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n"),
+        sum(col("value_c")).as("s"),
+        min(col("value_c")).as("mn"),
+        max(col("value_c")).as("mx"),
+        min(col("ts_us")).as("t0"),
+        max(col("ts_us")).as("t1")
+      )
+    assert(df.count() > 0)
+    assert(df.except(expect).count() === 0 && expect.except(df).count() === 0)
+  }
+
+  test("aggregate pushdown declines what block metadata cannot answer") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    val tags = Set("value_c", "etype_c")
+    def agg(group: Array[org.apache.spark.sql.connector.expressions.Expression], fs: AggregateFunc*) =
+      new Aggregation(fs.toArray, group)
+    val bySeries = Array[org.apache.spark.sql.connector.expressions.Expression](Expressions.column("series_id"))
+    assert(TimeboxFormat.translateAgg(agg(bySeries, new CountStar, new Sum(Expressions.column("value_c"), false)), tags).isDefined)
+    // distinct sums, non-tag columns, and non-series grouping all decline
+    assert(TimeboxFormat.translateAgg(agg(bySeries, new Sum(Expressions.column("value_c"), true)), tags).isEmpty)
+    assert(TimeboxFormat.translateAgg(agg(bySeries, new Sum(Expressions.column("seq"), false)), tags).isEmpty)
+    assert(TimeboxFormat.translateAgg(
+      agg(Array[org.apache.spark.sql.connector.expressions.Expression](Expressions.column("etype_c")), new CountStar), tags).isEmpty)
+    // min/max on ts_us are block-computable
+    assert(TimeboxFormat.translateAgg(agg(bySeries, new Min(Expressions.column("ts_us")), new Max(Expressions.column("ts_us"))), tags).isDefined)
+  }
+
   test("unfilterable predicates are not claimed as pushed") {
     val tags = Set("value_c", "etype_c")
     assert(TimeboxFormat.handles(org.apache.spark.sql.sources.EqualTo("ts_us", 5L), tags))
