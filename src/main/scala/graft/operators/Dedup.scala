@@ -189,19 +189,28 @@ object Dedup {
       bucketed: DataFrame,
       keys: Seq[String],
       cap: Int,
-      what: String
+      what: String,
+      // eager (default): count first — the common no-oversize case
+      // keeps the original plan untouched and the drop is LOGGED.
+      // lazy: skip the decision job and anti-join unconditionally —
+      // one job total, for callers that pay the cap on every run
+      // (the oversized aggregate builds inside the join's broadcast)
+      eager: Boolean = true
   ): DataFrame = {
     val over = bucketed
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
-    val nOver = over.count()
-    if (nOver == 0) bucketed
+    if (!eager) bucketed.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
     else {
-      log.warn(
-        s"$what: dropping $nOver oversized LSH bucket(s) (> $cap members) from pair generation"
-      )
-      bucketed.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+      val nOver = over.count()
+      if (nOver == 0) bucketed
+      else {
+        log.warn(
+          s"$what: dropping $nOver oversized LSH bucket(s) (> $cap members) from pair generation"
+        )
+        bucketed.join(broadcast(over.select(keys.map(col): _*)), keys, "left_anti")
+      }
     }
   }
 
@@ -1780,9 +1789,9 @@ object Dedup {
     ).withColumnRenamed("doc_id", "t_doc").withColumnRenamed("pos", "t_pos")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalCapped =
-      dropOversizedBuckets(evalSh, Seq("shingle"), anchorDfCap, "contamination_long_match eval anchors")
+      dropOversizedBuckets(evalSh, Seq("shingle"), anchorDfCap, "contamination_long_match eval anchors", eager = false)
     val trainCapped =
-      dropOversizedBuckets(trainSh, Seq("shingle"), anchorDfCap, "contamination_long_match train anchors")
+      dropOversizedBuckets(trainSh, Seq("shingle"), anchorDfCap, "contamination_long_match train anchors", eager = false)
     val streaks = evalCapped
       .join(trainCapped, Seq("shingle"))
       .select(col("doc_id"), col("t_doc"), (col("pos") - col("t_pos")).as("diag"), col("pos"))

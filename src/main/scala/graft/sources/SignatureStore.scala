@@ -102,28 +102,60 @@ object SignatureStore {
 
   private def layoutMarkerPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_layout")
 
-  private def stampLayout(spark: SparkSession, path: String, l: Int): Unit = {
+  /** Stored layout facts: prefix length, approximate band-row count
+    * (advisory — concurrent appends may under-count; compaction
+    * re-stamps exactly), and the dir-row target the store was leveled
+    * against. Pruning machinery (prefix collects + batch pins) is a
+    * fixed per-batch cost, so the match paths only engage it once the
+    * store spans a few target dirs — below that the full scan is
+    * cheaper than the bookkeeping.
+    */
+  private[graft] final case class Layout(l: Int, rows: Long, dirRows: Long) {
+    def prune: Boolean = l > 0 && rows > 4 * dirRows
+  }
+
+  private def stampLayout(spark: SparkSession, path: String, l: Int, rows: Long, dirRows: Long): Unit = {
     val p = layoutMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"prefix-l=$l".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"prefix-l=$l rows=$rows dir-rows=$dirRows".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Partition-prefix length of the store, 0 = legacy flat layout
-    * (pre-leveling stores: scans stay unpruned, appends stay flat).
-    */
-  private[graft] def readLayout(spark: SparkSession, path: String): Int = {
+  private[graft] def readLayoutInfo(spark: SparkSession, path: String): Layout = {
     val p = layoutMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
+    if (!fs.exists(p)) Layout(0, 0L, DefaultDirRows)
     else {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
       val in = fs.open(p)
       try in.readFully(0, buf)
       finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8).stripPrefix("prefix-l=").trim.toInt
+      val kv = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .split("\\s+").filter(_.contains("=")).map { t => val i = t.indexOf('='); t.take(i) -> t.drop(i + 1) }
+        .toMap
+      Layout(
+        kv.getOrElse("prefix-l", "0").toInt,
+        // a marker without a row count (older stamp) conservatively
+        // prunes — production correctness over toy-scale speed
+        kv.get("rows").map(_.toLong).getOrElse(Long.MaxValue),
+        kv.get("dir-rows").map(_.toLong).getOrElse(DefaultDirRows)
+      )
     }
+  }
+
+  /** Partition-prefix length of the store, 0 = legacy flat layout. */
+  private[graft] def readLayout(spark: SparkSession, path: String): Int =
+    readLayoutInfo(spark, path).l
+
+  /** Advisory row-count bump after an append (lost updates under
+    * concurrent appenders only UNDER-count, which errs toward the
+    * full-scan side — never toward wrongly pruning).
+    */
+  private def bumpLayoutRows(spark: SparkSession, path: String, added: Long): Unit = {
+    val lay = readLayoutInfo(spark, path)
+    if (lay.l > 0 && lay.rows != Long.MaxValue)
+      stampLayout(spark, path, lay.l, lay.rows + added, lay.dirRows)
   }
 
   /** Partition value off a hex-key column (md5 sig/th). The 'p' guard
@@ -207,8 +239,9 @@ object SignatureStore {
     // level on the band tier (4 rows per banded rep) — the table every
     // micro-batch probes; groups can run larger per dir (it is only
     // probed per MATCHED rep, a much smaller prefix set)
-    val l = chooseL(4L * reps.count(), dirRows)
-    stampLayout(spark, path, l)
+    val nBandRows = 4L * reps.count()
+    val l = chooseL(nBandRows, dirRows)
+    stampLayout(spark, path, l, nBandRows, dirRows)
     c.groups
       .withColumn("gp", idPrefix(col("rep_id"), l))
       .repartition(col("gp"))
@@ -250,11 +283,16 @@ object SignatureStore {
     */
   def append(spark: SparkSession, docs: DataFrame, path: String): DataFrame = {
     requireFormat(spark, path)
-    val l = readLayout(spark, path)
+    val lay = readLayoutInfo(spark, path)
+    val l = lay.l
+    // prune level: 0 disables the prefix machinery (and its batch
+    // pins) on stores small enough that the full scan is cheaper
+    val pl = if (lay.prune) l else 0
     // batch-sized pin: feeds the prefix collect, the known join, and
     // the fresh collapse without recomputing normalization
-    val nm = normed(docs).withColumn("th", md5(col("norm"))).localCheckpoint()
-    val reps = prunedScan(spark, path, "reps", l, "tp", prefixesOf(nm, hexPrefix(col("th"), l)))
+    val nm0 = normed(docs).withColumn("th", md5(col("norm")))
+    val nm = if (pl > 0) nm0.localCheckpoint() else nm0
+    val reps = prunedScan(spark, path, "reps", pl, "tp", prefixesOf(nm, hexPrefix(col("th"), pl)))
     // the store side streams, the (small) batch broadcasts; `known` is
     // batch-sized, so FRESH derives from it by anti-join — never by
     // broadcasting the store's own hash column (at 100 TB the reps
@@ -281,6 +319,7 @@ object SignatureStore {
     appendTable(fBands, path, "bands", l, "sp", hexPrefix(col("sig"), l))
     appendTable(Dedup.bbitsFromSigs(sigs), path, "bbits", l, "bp", idPrefix(col("doc_id"), l))
     sigs.unpersist()
+    if (l > 0) bumpLayoutRows(spark, path, fBands.count())
     fBands
   }
 
@@ -402,9 +441,9 @@ object SignatureStore {
     // over the pruned scan are EXACT for every relevant bucket: a
     // (band, sig) bucket lives wholly in sig's partition.
     val fresh = append(spark, docs, path) // already materialized by append
-    val l = readLayout(spark, path)
+    val pl = { val lay = readLayoutInfo(spark, path); if (lay.prune) lay.l else 0 }
     val store =
-      prunedScan(spark, path, "bands", l, "sp", prefixesOf(fresh, hexPrefix(col("sig"), l)))
+      prunedScan(spark, path, "bands", pl, "sp", prefixesOf(fresh, hexPrefix(col("sig"), pl)))
     val safe = Dedup.dropOversizedBuckets(store, Seq("band", "sig"), Dedup.DefaultBucketCap, "sigstore-cc-delta")
     val freshBands = safe.join(broadcast(fresh.select(col("doc_id")).distinct()), Seq("doc_id"))
     val deltaPairs = freshBands
@@ -529,7 +568,8 @@ object SignatureStore {
     // same leveling basis as [[write]] (4 band rows per rep), so a
     // compacted store is layout-identical to one built on the live
     // corpus — the spec's table-equality pin includes partition values
-    val l = chooseL(4L * spark.read.parquet(s"$path/reps_next").count(), DefaultDirRows)
+    val nBandRows = 4L * spark.read.parquet(s"$path/reps_next").count()
+    val l = chooseL(nBandRows, DefaultDirRows)
     val partCols: Map[String, (String, Column)] = Map(
       "groups" -> (("gp", idPrefix(col("rep_id"), l))),
       "reps"   -> (("tp", hexPrefix(col("th"), l))),
@@ -543,7 +583,7 @@ object SignatureStore {
         .repartition(col(pc))
         .write.partitionBy(pc).mode("overwrite").parquet(s"$path/$t")
     }
-    stampLayout(spark, path, l)
+    stampLayout(spark, path, l, nBandRows, DefaultDirRows)
     val dels = new java.io.File(s"$path/deletes")
     dels.listFiles().foreach(f => f.delete(): Unit)
     dels.delete(): Unit
@@ -559,17 +599,19 @@ object SignatureStore {
     */
   def matchDelta(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
     requireFormat(spark, path)
-    val l = readLayout(spark, path)
+    val pl = { val lay = readLayoutInfo(spark, path); if (lay.prune) lay.l else 0 }
     val dc = Dedup.collapseExact(normed(delta))
-    // batch-sized pins: the prefix collects below would otherwise
-    // recompute the batch's normalize/shingle/minhash lineage
-    val dReps = dc.reps.withColumn("th", md5(col("norm"))).localCheckpoint()
-    val dBands = Dedup
+    // batch-sized pins (pruning path only): the prefix collects below
+    // would otherwise recompute the batch's normalize/shingle/minhash
+    // lineage; on a small store the lazy single-use plans are cheaper
+    val dReps0 = dc.reps.withColumn("th", md5(col("norm")))
+    val dReps = if (pl > 0) dReps0.localCheckpoint() else dReps0
+    val dBands0 = Dedup
       .bandSignaturesFromSigs(Dedup.minhashSignaturesOf(dc.reps))
       .select(col("doc_id").as("d_rep"), col("band"), col("sig"))
-      .localCheckpoint()
-    val reps = prunedScan(spark, path, "reps", l, "tp", prefixesOf(dReps, hexPrefix(col("th"), l)))
-    val bands = prunedScan(spark, path, "bands", l, "sp", prefixesOf(dBands, hexPrefix(col("sig"), l)))
+    val dBands = if (pl > 0) dBands0.localCheckpoint() else dBands0
+    val reps = prunedScan(spark, path, "reps", pl, "tp", prefixesOf(dReps, hexPrefix(col("th"), pl)))
+    val bands = prunedScan(spark, path, "bands", pl, "sp", prefixesOf(dBands, hexPrefix(col("sig"), pl)))
     val exact = reps
       .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
       .select(col("rep_id"), col("d_rep"), lit("exact").as("kind"))
@@ -580,10 +622,11 @@ object SignatureStore {
     // two-phase member expansion: pin the (match-sized) rep candidates,
     // then prune the corpus-scale groups scan to the partitions their
     // rep ids can live in
-    val cand = exact.union(near).localCheckpoint()
+    val cand0 = exact.union(near)
+    val cand = if (pl > 0) cand0.localCheckpoint() else cand0
     val groups = liveGroupsFrom(
       spark, path,
-      prunedScan(spark, path, "groups", l, "gp", prefixesOf(cand, idPrefix(col("rep_id"), l)))
+      prunedScan(spark, path, "groups", pl, "gp", prefixesOf(cand, idPrefix(col("rep_id"), pl)))
     )
     cand
       .join(groups.select(col("rep_id"), col("doc_id").as("match_doc_id")), Seq("rep_id"))
@@ -605,7 +648,9 @@ object SignatureStore {
     */
   def matchAppend(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
     requireFormat(spark, path)
-    val l = readLayout(spark, path)
+    val lay = readLayoutInfo(spark, path)
+    val l = lay.l
+    val pl = if (lay.prune) l else 0
     val dc = Dedup.collapseExact(normed(delta))
     // batch-sized: pin them eagerly so nothing recomputes after the
     // append mutates the store files
@@ -619,8 +664,8 @@ object SignatureStore {
     dSigs.unpersist()
     // store probes pruned to the batch's key prefixes — the leveled
     // layout's point: per-batch store I/O stops scaling with the store
-    val reps = prunedScan(spark, path, "reps", l, "tp", prefixesOf(dReps, hexPrefix(col("th"), l)))
-    val bands = prunedScan(spark, path, "bands", l, "sp", prefixesOf(dBands, hexPrefix(col("sig"), l)))
+    val reps = prunedScan(spark, path, "reps", pl, "tp", prefixesOf(dReps, hexPrefix(col("th"), pl)))
+    val bands = prunedScan(spark, path, "bands", pl, "sp", prefixesOf(dBands, hexPrefix(col("sig"), pl)))
     // ---- match against the PRE-append store (matchDelta's shape) ----
     val exact = reps
       .join(broadcast(dReps.select(col("doc_id").as("d_rep"), col("th"))), Seq("th"))
@@ -629,10 +674,11 @@ object SignatureStore {
       .join(broadcast(dBands.select(col("doc_id").as("d_rep"), col("band"), col("sig"))), Seq("band", "sig"))
       .select(col("doc_id").as("rep_id"), col("d_rep"), lit("near").as("kind"))
       .distinct()
-    val cand = exact.union(near).localCheckpoint()
+    val cand0 = exact.union(near)
+    val cand = if (pl > 0) cand0.localCheckpoint() else cand0
     val groups = liveGroupsFrom(
       spark, path,
-      prunedScan(spark, path, "groups", l, "gp", prefixesOf(cand, idPrefix(col("rep_id"), l)))
+      prunedScan(spark, path, "groups", pl, "gp", prefixesOf(cand, idPrefix(col("rep_id"), pl)))
     )
     val matches = cand
       .join(groups.select(col("rep_id"), col("doc_id").as("match_doc_id")), Seq("rep_id"))
@@ -670,6 +716,11 @@ object SignatureStore {
       dBbits.join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id")),
       path, "bbits", l, "bp", idPrefix(col("doc_id"), l)
     )
+    if (l > 0)
+      bumpLayoutRows(
+        spark, path,
+        dBands.join(broadcast(freshReps.withColumnRenamed("rep_id", "doc_id")), Seq("doc_id")).count()
+      )
     matches
   }
 
@@ -689,28 +740,28 @@ object SignatureStore {
     */
   def matchDeltaScored(spark: SparkSession, path: String, delta: DataFrame): DataFrame = {
     requireFormat(spark, path)
-    val l = readLayout(spark, path)
+    val pl = { val lay = readLayoutInfo(spark, path); if (lay.prune) lay.l else 0 }
     val dc = Dedup.collapseExact(normed(delta))
     val dSigs = Dedup
       .minhashSignaturesOf(dc.reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dBands = Dedup
+    val dBands0 = Dedup
       .bandSignaturesFromSigs(dSigs)
       .select(col("doc_id").as("d_rep"), col("band"), col("sig"))
-      .localCheckpoint()
+    val dBands = if (pl > 0) dBands0.localCheckpoint() else dBands0
     val dBbits = Dedup.bbitsFromSigs(dSigs).select(col("doc_id").as("d_rep"), col("bits").as("d_bits"))
     val k = Dedup.K
-    val bands = prunedScan(spark, path, "bands", l, "sp", prefixesOf(dBands, hexPrefix(col("sig"), l)))
-    val near = bands
+    val bands = prunedScan(spark, path, "bands", pl, "sp", prefixesOf(dBands, hexPrefix(col("sig"), pl)))
+    val near0 = bands
       .join(broadcast(dBands), Seq("band", "sig"))
       .select(col("doc_id").as("rep_id"), col("d_rep"))
       .distinct()
-      .localCheckpoint()
+    val near = if (pl > 0) near0.localCheckpoint() else near0
     // candidate-pruned b-bit + groups probes (two-phase, as matchDelta)
-    val bbits = prunedScan(spark, path, "bbits", l, "bp", prefixesOf(near, idPrefix(col("rep_id"), l)))
+    val bbits = prunedScan(spark, path, "bbits", pl, "bp", prefixesOf(near, idPrefix(col("rep_id"), pl)))
     val groups = liveGroupsFrom(
       spark, path,
-      prunedScan(spark, path, "groups", l, "gp", prefixesOf(near, idPrefix(col("rep_id"), l)))
+      prunedScan(spark, path, "groups", pl, "gp", prefixesOf(near, idPrefix(col("rep_id"), pl)))
     )
     val scored = near
       .join(bbits.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"))

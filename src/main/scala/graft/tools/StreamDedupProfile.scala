@@ -69,9 +69,12 @@ object StreamDedupProfile {
     // batch vs an 11x store (ScaleUp-derived docs). With the leveled
     // layout the per-batch match is prefix-pruned, so the second
     // number should sit ~flat instead of scaling with the store.
+    // dirRows=1000 levels these toy-scale stores past the prune
+    // threshold, so the measurement exercises the PRUNED match path
+    // (production stores reach it at the default 8M-row dirs)
     val batchP = docs.filter(col("doc_id") >= 4500)
     val storeS = TimeboxStore.scratchPath("graft_sdprof_ps", dir)
-    SignatureStore.write(spark, docs.filter(col("doc_id") < 4500), storeS)
+    SignatureStore.write(spark, docs.filter(col("doc_id") < 4500), storeS, dirRows = 1000)
     timed("PROD matchDelta: 500-doc batch vs 4.5k-doc store") {
       SignatureStore.matchDelta(spark, storeS, batchP).write.mode("overwrite").parquet(s"$storeS/m1")
     }
@@ -81,7 +84,8 @@ object StreamDedupProfile {
     SignatureStore.write(
       spark,
       docs1.filter(col("doc_id") < 4500 || col("doc_id") >= 5000), // everything except the batch originals
-      storeB
+      storeB,
+      dirRows = 1000
     )
     timed("PROD matchDelta: same 500-doc batch vs 49.5k-doc store (11x)") {
       SignatureStore.matchDelta(spark, storeB, batchP).write.mode("overwrite").parquet(s"$storeB/m1")
