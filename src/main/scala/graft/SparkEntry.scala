@@ -145,6 +145,8 @@ object SparkEntry {
     "rel_fk_audit"       -> ((s, d) => Relational.fkAudit(s, d)),
     "approx_hll_users"   -> ((s, d) => Relational.approxHllUsers(s, d)),
     "approx_hll_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxHllStream(s, d)),
+    "approx_kmv_setops"  -> ((s, d) => Relational.kmvSetops(s, d)),
+    "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
@@ -168,6 +170,7 @@ object SparkEntry {
     "dedup_cluster_stats"    -> ((s, d) => Dedup.clusterStats(s, d)),
     "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
+    "dedup_bloom_prefilter"     -> ((s, d) => Dedup.bloomPrefilter(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_keep_best"        -> ((s, d) => Dedup.keepBest(s, d)),
@@ -223,6 +226,8 @@ object SparkEntry {
     "sample_quality_weighted" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d)),
     "text_dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
+    "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "text_coverage_topk" -> ((s, d) => TextAnalysis.coverageTopk(s, d)),
@@ -1281,6 +1286,42 @@ object SparkEntry {
          |SELECT c.doc_id, c.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
          |  CAST(COALESCE(h.n_hit, 0) * 1000000 // c.n_sh AS BIGINT) AS overlap_micro
          |FROM cnt c LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+    // bloom tier of the contamination funnel: 3-gram shingles, the
+    // BloomFilter (a·hm + b) mod p mod 2²⁰ probe family replayed over
+    // a 7-row (a, b) VALUES table; bloom hit = all 7 positions set;
+    // exact tier alongside — n_bloom_hit >= n_exact_hit structurally
+    "dedup_bloom_prefilter" ->
+      s"""WITH m AS (SELECT MIN(source) AS es FROM documents),
+         |d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |esh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |              FROM d, m WHERE d.source = m.es AND len(toks) >= 3)),
+         |tsh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+         |        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |              FROM d, m WHERE d.source != m.es AND len(toks) >= 3)),
+         |ab AS (SELECT * FROM (VALUES ${graft.functions.BloomFilter.duckAbValues()}) t(a, b)),
+         |bits AS (SELECT DISTINCT ((ab.a * h.hm + ab.b) % 2147483647) % 1048576 AS pos
+         |         FROM (SELECT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm
+         |               FROM tsh) h CROSS JOIN ab),
+         |eshd AS (SELECT sh, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm
+         |         FROM (SELECT DISTINCT sh FROM esh)),
+         |hits AS (SELECT e.sh, SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+         |         FROM eshd e CROSS JOIN ab
+         |         LEFT JOIN bits ON bits.pos = ((ab.a * e.hm + ab.b) % 2147483647) % 1048576
+         |         GROUP BY 1),
+         |per AS (SELECT esh.doc_id,
+         |          CAST(COUNT(*) AS BIGINT) AS n_sh,
+         |          CAST(SUM(CASE WHEN h.n_set = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+         |          CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hit
+         |        FROM esh JOIN hits h ON h.sh = esh.sh LEFT JOIN tsh t ON t.sh = esh.sh
+         |        GROUP BY 1)
+         |SELECT doc_id, n_sh, n_bloom_hit,
+         |  CAST(n_bloom_hit * 1000000 // n_sh AS BIGINT) AS bloom_micro,
+         |  n_exact_hit,
+         |  CAST(n_exact_hit * 1000000 // n_sh AS BIGINT) AS exact_micro,
+         |  (n_bloom_hit * 1000000 // n_sh >= 200000) AS is_candidate,
+         |  (n_exact_hit * 1000000 // n_sh >= 200000) AS is_contaminated
+         |FROM per""".stripMargin,
     // longest shared token run per eval doc: consecutive same-diagonal
     // anchor streaks + (n-1); 1-based vs 0-based positions cancel in
     // the diagonal arithmetic. Anchors at > 64 positions on either
@@ -1905,6 +1946,55 @@ object SparkEntry {
          |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
          |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
          |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |FROM s""".stripMargin,
+    // langid confusion matrix vs the gold lang label: same scorer CTE
+    // as text_langid, cells share_bp within each gold language
+    "text_langid_eval" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','is'], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','es'], x))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et'], x))) AS BIGINT) AS s_fr
+         |  FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang FROM s),
+         |c AS (SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |      FROM documents d JOIN p ON p.doc_id = d.doc_id GROUP BY 1, 2),
+         |g AS (SELECT lang, SUM(n_docs) AS n_gold FROM c GROUP BY 1)
+         |SELECT c.lang, c.pred_lang, c.n_docs,
+         |  CAST(c.n_docs * 10000 // g.n_gold AS BIGINT) AS share_bp,
+         |  c.lang = c.pred_lang AS correct
+         |FROM c JOIN g ON g.lang = c.lang""".stripMargin,
+    // Gopher repetition filter: one tagged gram family ('2:'/'3:'
+    // prefixes), duplicate-occurrence fractions in bp, DIV guarded by
+    // GREATEST(·,1); docs shorter than 2 tokens drop on both engines
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, len(toks) AS n_toks, '2:' || toks[i] || ' ' || toks[i+1] AS gram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |        FROM t WHERE len(toks) >= 2)
+         |  UNION ALL
+         |  SELECT doc_id, len(toks) AS n_toks, '3:' || toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+         |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |        FROM t WHERE len(toks) >= 3)),
+         |c AS (SELECT doc_id, n_toks, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+         |s AS (SELECT doc_id, n_toks,
+         |  SUM(CASE WHEN gram LIKE '2:%' THEN c ELSE 0 END) AS g2_total,
+         |  SUM(CASE WHEN gram LIKE '2:%' AND c >= 2 THEN c ELSE 0 END) AS g2_dup,
+         |  SUM(CASE WHEN gram LIKE '3:%' THEN c ELSE 0 END) AS g3_total,
+         |  SUM(CASE WHEN gram LIKE '3:%' AND c >= 2 THEN c ELSE 0 END) AS g3_dup
+         |  FROM c GROUP BY 1, 2)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |  CAST(g2_dup AS BIGINT) AS g2_dup,
+         |  CAST(g2_dup * 10000 // GREATEST(g2_total, 1) AS BIGINT) AS rep2_bp,
+         |  CAST(g3_dup AS BIGINT) AS g3_dup,
+         |  CAST(g3_dup * 10000 // GREATEST(g3_total, 1) AS BIGINT) AS rep3_bp,
+         |  (g2_dup * 10000 // GREATEST(g2_total, 1) > 2000)
+         |    OR (g3_dup * 10000 // GREATEST(g3_total, 1) > 1800) AS flagged
          |FROM s""".stripMargin,
     "text_fingerprint" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -3639,6 +3729,90 @@ object SparkEntry {
     // and drains to the identical sketch — SHARED oracle.
     "approx_hll_stream" -> hllOracleSql,
     "approx_hll_users" -> hllOracleSql,
+
+    // KMV sketch set ops: k=128 minimum 48-bit hashes per event type,
+    // θ = h_k estimator, merged-sketch union + inclusion-ratio
+    // intersection, exact tiers alongside; < k distinct hashes falls
+    // back to the exact sketch count on both engines
+    "approx_kmv_setops" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |th AS (SELECT DISTINCT event_type,
+        |        CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |       FROM tu),
+        |sk AS (SELECT event_type, h FROM (
+        |        SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |        FROM th) WHERE rn <= 128),
+        |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tu GROUP BY 1),
+        |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k FROM sk GROUP BY 1),
+        |est AS (SELECT pt.event_type, ex.n_exact,
+        |         CAST(CASE WHEN pt.n_sk < 128 THEN pt.n_sk
+        |              ELSE (127 * 281474976710656) // pt.h_k END AS BIGINT) AS est
+        |        FROM pt JOIN ex USING (event_type)),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         a.n_exact AS exact_a, b.n_exact AS exact_b, a.est AS est_a, b.est AS est_b
+        |       FROM est a JOIN est b ON a.event_type < b.event_type),
+        |ms AS (SELECT pr.type_a, pr.type_b, sk.h,
+        |         MAX(CASE WHEN sk.event_type = pr.type_a THEN 1 ELSE 0 END) AS in_a,
+        |         MAX(CASE WHEN sk.event_type = pr.type_b THEN 1 ELSE 0 END) AS in_b
+        |       FROM pr JOIN sk ON sk.event_type = pr.type_a OR sk.event_type = pr.type_b
+        |       GROUP BY 1, 2, 3),
+        |mu AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS h_ku,
+        |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn FROM ms)
+        |       WHERE rn <= 128 GROUP BY 1, 2),
+        |ei AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+        |       FROM tu x JOIN tu y ON x.user_id = y.user_id AND x.event_type < y.event_type
+        |       GROUP BY 1, 2),
+        |f AS (SELECT pr.type_a, pr.type_b, pr.exact_a, pr.exact_b, pr.est_a, pr.est_b,
+        |        CAST(pr.exact_a + pr.exact_b - COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_union,
+        |        CAST(CASE WHEN mu.n_u < 128 THEN mu.n_u
+        |             ELSE (127 * 281474976710656) // mu.h_ku END AS BIGINT) AS est_union,
+        |        CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_inter, mu.n_both, mu.n_u
+        |      FROM pr JOIN mu ON mu.type_a = pr.type_a AND mu.type_b = pr.type_b
+        |      LEFT JOIN ei ON ei.type_a = pr.type_a AND ei.type_b = pr.type_b)
+        |SELECT type_a, type_b, exact_a, exact_b, est_a, est_b, exact_union, est_union,
+        |  exact_inter, CAST(n_both * est_union // GREATEST(n_u, 1) AS BIGINT) AS est_inter,
+        |  CAST(abs(est_union - exact_union) * 10000 // exact_union AS BIGINT) AS union_err_bp,
+        |  CAST(abs(n_both * est_union // GREATEST(n_u, 1) - exact_inter) * 10000
+        |       // GREATEST(exact_inter, 1) AS BIGINT) AS inter_err_bp
+        |FROM f""".stripMargin,
+
+    // runtime-filter accounting: bloom over a ~4%-selective order-key
+    // build side, probed at the lineitem join-key grain; funnel stage
+    // counts + FP rate among true non-matches + pruned-row bp
+    "rel_bloom_join_prune" ->
+      s"""WITH ab AS (SELECT * FROM (VALUES ${graft.functions.BloomFilter.duckAbValues()}) t(a, b)),
+         |bk AS (SELECT DISTINCT o_orderkey FROM orders
+         |       WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'),
+         |bh AS (SELECT o_orderkey,
+         |         CAST('0x' || substr(md5('bjp:' || CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+         |           % 2147483647 AS hm FROM bk),
+         |bits AS (SELECT DISTINCT ((ab.a * bh.hm + ab.b) % 2147483647) % 65536 AS pos
+         |         FROM bh CROSS JOIN ab),
+         |pk AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1),
+         |ph AS (SELECT pk.*,
+         |         CAST('0x' || substr(md5('bjp:' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+         |           % 2147483647 AS hm FROM pk),
+         |pp AS (SELECT ph.l_orderkey, ph.n_rows,
+         |         SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+         |       FROM ph CROSS JOIN ab
+         |       LEFT JOIN bits ON bits.pos = ((ab.a * ph.hm + ab.b) % 2147483647) % 65536
+         |       GROUP BY 1, 2),
+         |pj AS (SELECT pp.n_rows, (pp.n_set = 7) AS pass,
+         |         CASE WHEN bk.o_orderkey IS NULL THEN 0 ELSE 1 END AS true_match
+         |       FROM pp LEFT JOIN bk ON bk.o_orderkey = pp.l_orderkey),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+         |        CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_pass,
+         |        CAST(SUM(CASE WHEN pass THEN n_rows ELSE 0 END) AS BIGINT) AS n_rows_pass,
+         |        CAST(SUM(true_match) AS BIGINT) AS n_keys_true,
+         |        CAST(SUM(true_match * n_rows) AS BIGINT) AS n_rows_true
+         |      FROM pj)
+         |SELECT *, CAST(n_keys_pass - n_keys_true AS BIGINT) AS n_keys_fp,
+         |  CAST((n_keys_pass - n_keys_true) * 10000
+         |       // GREATEST(n_keys - n_keys_true, 1) AS BIGINT) AS fp_bp,
+         |  CAST((n_rows - n_rows_pass) * 10000 // n_rows AS BIGINT) AS pruned_rows_bp
+         |FROM s""".stripMargin,
 
     // referential-integrity audit: per FK leg, one left join against
     // the parent's distinct keys + conditional aggregates; the fourth

@@ -1904,4 +1904,74 @@ object Dedup {
       )
     releaseAfterRun(spark, out, Seq(lsh.bands))
   }
+
+  // -------------------------------------------------------------------
+  // 23m. dedup_bloom_prefilter — the BLOOM TIER of the contamination
+  // funnel: before the exact shingle join (contamination_doc_overlap's
+  // tier), every decontamination pipeline at scale first probes a
+  // Bloom filter built over the training side's shingle set — the
+  // filter is a fixed m-bit bitmap (m = 2²⁰ → 128 KiB) that broadcasts
+  // to every executor, so the first pass over 100 TB of eval data
+  // touches NO train-side shuffle at all. Expressed relationally: the
+  // train bit set is a ≤m-row distinct-position table (structural
+  // bound — positions live in [0, m)), broadcast-joined against eval
+  // probe positions; a shingle "hits" iff all k probes find set bits.
+  // Per eval doc the output carries both tiers — bloom hit fraction
+  // and exact hit fraction, in micro — so the operator doubles as its
+  // own false-positive accounting (Bloom admits FPs, never FNs:
+  // n_bloom_hit >= n_exact_hit is structural, and DedupSpec pins it).
+  // Probe-side dedup: positions are derived once per DISTINCT eval
+  // shingle, then joined back per (doc, shingle).
+  // -------------------------------------------------------------------
+  def bloomPrefilter(
+      spark: SparkSession,
+      dir: String,
+      m: Int = graft.functions.BloomFilter.DefaultBits,
+      kProbes: Int = graft.functions.BloomFilter.DefaultProbes,
+      candMicro: Long = 200000L
+  ): DataFrame = {
+    import graft.functions.BloomFilter
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+    val evalSrc = docs.agg(min(col("source"))).head().getString(0)
+    require(evalSrc != null, "dedup_bloom_prefilter: empty corpus")
+    val evalSh = shinglesOf(docs.filter(col("source") === evalSrc).select(col("doc_id"), col("norm")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    evalSh.count()
+    val trainBits = shinglesOf(docs.filter(col("source") =!= evalSrc).select(col("doc_id"), col("norm")))
+      .select(col("shingle"))
+      .distinct()
+      .withColumn("hm", BloomFilter.baseHash(col("shingle")))
+      .select(explode(BloomFilter.positions(col("hm"), m, kProbes)).as("pos"))
+      .distinct() // <= m rows, structurally
+    val evalHits = evalSh
+      .select(col("shingle"))
+      .distinct()
+      .withColumn("hm", BloomFilter.baseHash(col("shingle")))
+      .select(col("shingle"), explode(BloomFilter.positions(col("hm"), m, kProbes)).as("pos"))
+      .join(broadcast(trainBits.withColumn("set", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("shingle"))
+      .agg(sum(coalesce(col("set"), lit(0L))).as("n_set"))
+      .select(col("shingle"), (col("n_set") === kProbes.toLong).as("bloom_hit"))
+    val trainShingleSet = shinglesOf(docs.filter(col("source") =!= evalSrc).select(col("doc_id"), col("norm")))
+      .select(col("shingle"))
+      .distinct()
+      .withColumn("exact", lit(1L))
+    val out = evalSh
+      .join(evalHits, Seq("shingle"))
+      .join(trainShingleSet, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hit"),
+        sum(coalesce(col("exact"), lit(0L))).as("n_exact_hit")
+      )
+      .withColumn("bloom_micro", expr("n_bloom_hit * 1000000 DIV n_sh"))
+      .withColumn("exact_micro", expr("n_exact_hit * 1000000 DIV n_sh"))
+      .withColumn("is_candidate", col("bloom_micro") >= candMicro)
+      .withColumn("is_contaminated", col("exact_micro") >= candMicro)
+    releaseAfterRun(spark, out, Seq(evalSh))
+  }
 }

@@ -1444,4 +1444,192 @@ object Relational {
         col("total").as("n_total")
       )
   }
+
+  // -------------------------------------------------------------------
+  // approx_kmv_setops — KMV (k-minimum-values) sketch SET OPERATIONS:
+  // per event-type pair, union and intersection cardinality estimates
+  // from two k=128 sketches, published NEXT TO the exact answers so the
+  // operator is its own error report. This is the sketch a 100 TB
+  // pipeline keeps per partition/day/source to answer "how much do
+  // these two feeds overlap" without ever joining the raw sets: a
+  // sketch is k 48-bit integers (1 KiB), merge = k smallest of the
+  // concatenation, and θ = h_k gives |S| ≈ (k−1)·2⁴⁸ / h_k — all
+  // exact integer arithmetic both engines replay. Intersection via the
+  // merged sketch's inclusion ratio: |A∩B| ≈ (|{v ∈ merged-k: v in
+  // both}| · est_union) / k. Scale shape: per-type k-smallest runs
+  // through the rank-filter window Spark rewrites into a
+  // WindowGroupLimit (a bounded heap per partition, never a per-type
+  // sort of all member hashes); the pair frame is the |types|²-bounded
+  // self-join of the 1-row-per-type summary (tiny broadcast BNLJ, the
+  // whitelisted house pattern); the exact tier joins member sets on
+  // the member key with ≤|types|² fan-out per member.
+  // -------------------------------------------------------------------
+  def kmvSetops(spark: SparkSession, dir: String, kSketch: Int = 128): DataFrame = {
+    val P48   = 281474976710656L // 2^48
+    val kNum  = (kSketch - 1).toLong
+    val tu = Tables
+      .events(spark, dir)
+      .select(col("event_type"), col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = tu
+      .withColumn(
+        "h",
+        conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12), 16, 10).cast("long")
+      )
+      .select(col("event_type"), col("h"))
+      .distinct()
+    val sketch = th
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type")).orderBy(col("h"))))
+      .filter(col("rn") <= kSketch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val perType = sketch
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("h_k"))
+      .join(exact, Seq("event_type"))
+      .withColumn(
+        "est",
+        when(col("n_sk") < kSketch, col("n_sk")).otherwise(expr(s"(${kNum}L * ${P48}L) DIV h_k"))
+      )
+    val a = perType.select(
+      col("event_type").as("type_a"),
+      col("n_exact").as("exact_a"),
+      col("est").as("est_a")
+    )
+    val b = perType.select(
+      col("event_type").as("type_b"),
+      col("n_exact").as("exact_b"),
+      col("est").as("est_b")
+    )
+    val pairs = a.join(broadcast(b), col("type_a") < col("type_b")) // |types|² rows
+    // merged sketch per pair: tag each sketch row with membership,
+    // re-rank the DISTINCT merged hashes, keep the k smallest
+    val pairSh = pairs
+      .select(col("type_a"), col("type_b"))
+      .join(
+        broadcast(sketch.select(col("event_type"), col("h"))),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b")
+      )
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(
+        max(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("event_type") === col("type_b"), 1L).otherwise(0L)).as("in_b")
+      )
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h")))
+      )
+      .filter(col("rn") <= kSketch)
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_u"),
+        max(col("h")).as("h_ku"),
+        sum(col("in_a") * col("in_b")).as("n_both")
+      )
+    // exact pair tier at the member grain
+    val exactInter = tu
+      .as("x")
+      .join(tu.as("y"), col("x.user_id") === col("y.user_id") && col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val out = pairs
+      .join(pairSh, Seq("type_a", "type_b"))
+      .join(exactInter, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", expr("exact_a + exact_b - exact_inter"))
+      .withColumn(
+        "est_union",
+        when(col("n_u") < kSketch, col("n_u")).otherwise(expr(s"(${kNum}L * ${P48}L) DIV h_ku"))
+      )
+      // inclusion ratio over the merged sketch's ACTUAL size: n_u = k
+      // when the sketch is full, fewer when the union itself is small
+      // (then the sketch IS the union and the ratio is exact)
+      .withColumn("est_inter", expr("n_both * est_union DIV greatest(n_u, 1L)"))
+      .withColumn("union_err_bp", expr("abs(est_union - exact_union) * 10000 DIV exact_union"))
+      .withColumn("inter_err_bp", expr("abs(est_inter - exact_inter) * 10000 DIV greatest(exact_inter, 1L)"))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("exact_a"),
+        col("exact_b"),
+        col("est_a"),
+        col("est_b"),
+        col("exact_union"),
+        col("est_union"),
+        col("exact_inter"),
+        col("est_inter"),
+        col("union_err_bp"),
+        col("inter_err_bp")
+      )
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(tu, sketch))
+  }
+
+  // -------------------------------------------------------------------
+  // rel_bloom_join_prune — RUNTIME-FILTER accounting: the classic
+  // bloom-pruned join (what Spark's runtime bloom filter / a
+  // semi-join pushdown does under AQE), expressed as an operator with
+  // exact false-positive bookkeeping. Build side: order keys from a
+  // ~4%-selective date window, folded into an m = 2¹⁶-bit Bloom bitmap
+  // (≤m-row distinct-position table here — 8 KiB as a real bitmap —
+  // broadcast either way). Probe side: lineitem, pre-aggregated to the
+  // join-key grain (partial-aggregable; the production probe is
+  // row-local against the broadcast bitmap BEFORE any shuffle, which
+  // is the entire point of the technique — rows that fail the filter
+  // never enter the join exchange). The single output row reports key
+  // and row counts at each funnel stage (all / bloom-pass / true
+  // match), the false-positive rate among true non-matches, and the
+  // shuffle-row savings in basis points. m is FIXED for cross-engine
+  // replay; production sizes m at ~10 bits per build key for a ~1% FP
+  // rate.
+  // -------------------------------------------------------------------
+  def bloomJoinPrune(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 1 << 16,
+      kProbes: Int = graft.functions.BloomFilter.DefaultProbes
+  ): DataFrame = {
+    import graft.functions.BloomFilter
+    val build = Tables
+      .orders(spark, dir)
+      .filter(
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp")
+      )
+      .select(col("o_orderkey"))
+      .distinct()
+    val bits = build
+      .withColumn("hm", BloomFilter.baseHash(concat(lit("bjp:"), col("o_orderkey").cast("string"))))
+      .select(explode(BloomFilter.positions(col("hm"), m, kProbes)).as("pos"))
+      .distinct() // <= m rows, structurally
+    val probeKeys = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("hm", BloomFilter.baseHash(concat(lit("bjp:"), col("l_orderkey").cast("string"))))
+    val probed = probeKeys
+      .select(col("l_orderkey"), col("n_rows"), explode(BloomFilter.positions(col("hm"), m, kProbes)).as("pos"))
+      .join(broadcast(bits.withColumn("set", lit(1L))), Seq("pos"), "left")
+      .groupBy(col("l_orderkey"), col("n_rows"))
+      .agg(sum(coalesce(col("set"), lit(0L))).as("n_set"))
+      .withColumn("pass", col("n_set") === kProbes.toLong)
+      .join(
+        broadcast(build.withColumn("true_match", lit(1L))),
+        col("l_orderkey") === col("o_orderkey"),
+        "left"
+      )
+      .withColumn("true_match", coalesce(col("true_match"), lit(0L)))
+    probed
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_keys_pass"),
+        sum(when(col("pass"), col("n_rows")).otherwise(0L)).as("n_rows_pass"),
+        sum(col("true_match")).as("n_keys_true"),
+        sum(col("true_match") * col("n_rows")).as("n_rows_true")
+      )
+      .withColumn("n_keys_fp", expr("n_keys_pass - n_keys_true"))
+      .withColumn("fp_bp", expr("n_keys_fp * 10000 DIV greatest(n_keys - n_keys_true, 1L)"))
+      .withColumn("pruned_rows_bp", expr("(n_rows - n_rows_pass) * 10000 DIV n_rows"))
+  }
 }

@@ -1505,4 +1505,92 @@ object TextAnalysis {
         col("expected_tokens")
       )
   }
+
+  // -------------------------------------------------------------------
+  // text_repetition — Gopher-style REPETITION filter: per document,
+  // the fraction of n-gram occurrences (n = 2, 3) whose n-gram repeats
+  // within the document, in basis points, plus the combined flag a
+  // pretraining pipeline gates on (templated / machine-generated pages
+  // score high). Both gram sizes ride ONE explode (grams carry an
+  // "n:" tag so a single (doc, gram) groupBy counts both families),
+  // then one doc-grain conditional aggregate — partial-aggregable end
+  // to end, no token-grain shuffle survives the map-side combine on
+  // the (doc, gram) key. Ratios are exact integers: DIV by the
+  // occurrence total, guarded by greatest(·, 1) for short docs.
+  // -------------------------------------------------------------------
+  def repetition(
+      spark: SparkSession,
+      dir: String,
+      rep2FlagBp: Long = 2000L,
+      rep3FlagBp: Long = 1800L
+  ): DataFrame =
+    docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        explode(
+          concat(
+            when(
+              size(col("toks")) >= 2,
+              expr("transform(sequence(0, size(toks) - 2), i -> '2:' || array_join(slice(toks, i + 1, 2), ' '))")
+            ).otherwise(array()),
+            when(
+              size(col("toks")) >= 3,
+              expr("transform(sequence(0, size(toks) - 3), i -> '3:' || array_join(slice(toks, i + 1, 3), ' '))")
+            ).otherwise(array())
+          )
+        ).as("gram")
+      )
+      .groupBy(col("doc_id"), col("n_toks"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(
+        sum(when(col("gram").startsWith("2:"), col("c")).otherwise(0L)).as("g2_total"),
+        sum(when(col("gram").startsWith("2:") && col("c") >= 2, col("c")).otherwise(0L)).as("g2_dup"),
+        sum(when(col("gram").startsWith("3:"), col("c")).otherwise(0L)).as("g3_total"),
+        sum(when(col("gram").startsWith("3:") && col("c") >= 2, col("c")).otherwise(0L)).as("g3_dup")
+      )
+      .withColumn("rep2_bp", expr("g2_dup * 10000 DIV greatest(g2_total, 1L)"))
+      .withColumn("rep3_bp", expr("g3_dup * 10000 DIV greatest(g3_total, 1L)"))
+      .withColumn("flagged", col("rep2_bp") > rep2FlagBp || col("rep3_bp") > rep3FlagBp)
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("g2_dup"),
+        col("rep2_bp"),
+        col("g3_dup"),
+        col("rep3_bp"),
+        col("flagged")
+      )
+
+  // -------------------------------------------------------------------
+  // text_langid_eval — language-ID CONFUSION MATRIX against the gold
+  // `lang` label the corpus carries: per (gold, predicted) cell, the
+  // doc count and its share of the gold language in basis points. The
+  // eval every classifier-gated pipeline publishes next to the
+  // classifier itself — and an honest one: the marker heuristic has no
+  // zh markers, so zh's row shows exactly where unmatched languages
+  // land. Reuses the text_langid scorer; cells are a |langs|²-bounded
+  // key space, per-gold totals come from a broadcast join against the
+  // tiny gold-grain aggregate (never a corpus-scaled window).
+  // -------------------------------------------------------------------
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir).select(col("doc_id"), col("pred_lang"))
+    val cells = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val goldTotals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_gold"))
+    cells
+      .join(broadcast(goldTotals), Seq("lang"))
+      .select(
+        col("lang"),
+        col("pred_lang"),
+        col("n_docs"),
+        expr("n_docs * 10000 DIV n_gold").as("share_bp"),
+        (col("lang") === col("pred_lang")).as("correct")
+      )
+  }
 }

@@ -39,4 +39,34 @@ class ApproxSpec extends AnyFunSuite {
       assert(errBp <= 2000, s"estimate $est vs exact $exact drifted past 20%")
     }
   }
+
+  test("KMV setops: sketch algebra consistent, estimates within the k=128 envelope") {
+    val rows = Relational.kmvSetops(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val exactU = r.getAs[Long]("exact_union"); val estU = r.getAs[Long]("est_union")
+      val exactI = r.getAs[Long]("exact_inter"); val estI = r.getAs[Long]("est_inter")
+      val exactA = r.getAs[Long]("exact_a"); val exactB = r.getAs[Long]("exact_b")
+      assert(estI <= estU, "intersection estimate exceeds union estimate")
+      assert(exactI <= math.min(exactA, exactB) && exactU >= math.max(exactA, exactB))
+      // k=128 → σ ≈ 1/√128 ≈ 8.8%; 35% is a > 3σ envelope
+      assert(math.abs(estU - exactU).toDouble / exactU <= 0.35, s"union est $estU vs $exactU")
+      // the inclusion ratio compounds both variances; bound only when
+      // the intersection is big enough for a relative bound to mean anything
+      if (exactI > 50) assert(math.abs(estI - exactI).toDouble / exactI <= 0.5, s"inter est $estI vs $exactI")
+    }
+  }
+
+  test("bloom join prune: funnel monotone, no true match pruned, FP books balance") {
+    val r = Relational.bloomJoinPrune(spark, sf).head()
+    val (nK, nR) = (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"))
+    val (kPass, rPass) = (r.getAs[Long]("n_keys_pass"), r.getAs[Long]("n_rows_pass"))
+    val (kTrue, rTrue) = (r.getAs[Long]("n_keys_true"), r.getAs[Long]("n_rows_true"))
+    assert(nK > 0 && nR >= nK)
+    // no false negatives: a true-match key always passes its own bits
+    assert(kTrue <= kPass && kPass <= nK)
+    assert(rTrue <= rPass && rPass <= nR)
+    assert(r.getAs[Long]("n_keys_fp") === kPass - kTrue)
+    assert(r.getAs[Long]("pruned_rows_bp") === (nR - rPass) * 10000 / nR)
+  }
 }

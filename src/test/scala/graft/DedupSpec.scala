@@ -378,4 +378,17 @@ class DedupSpec extends AnyFunSuite {
     assert(rowLocal.exceptAll(viaGroupBy).count() === 0, "row-local signatures diverge")
     assert(viaGroupBy.exceptAll(rowLocal).count() === 0, "row-local path dropped signatures")
   }
+
+  test("bloom prefilter: no false negatives, flags nested, hit counts bounded") {
+    val df = Dedup.bloomPrefilter(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      // a Bloom filter admits false positives, NEVER false negatives:
+      // every exact hit's probe positions are set by construction
+      assert(df.filter(col("n_bloom_hit") < col("n_exact_hit")).count() === 0)
+      assert(df.filter(col("is_contaminated") && !col("is_candidate")).count() === 0)
+      assert(df.filter(col("n_bloom_hit") > col("n_sh") || col("n_exact_hit") > col("n_sh")).count() === 0)
+      assert(df.filter(col("bloom_micro") > 1000000 || col("exact_micro") > 1000000).count() === 0)
+    } finally df.unpersist()
+  }
 }

@@ -360,4 +360,36 @@ class TextSpec extends AnyFunSuite {
       assert(cross <= n && bp <= 10000 && bp === (n - cross) * 10000 / n)
     }
   }
+
+  test("repetition: fractions bounded, flag consistent, non-vacuous on this corpus") {
+    val df = TextAnalysis.repetition(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("rep2_bp") < 0 || col("rep2_bp") > 10000).count() === 0)
+      assert(df.filter(col("rep3_bp") < 0 || col("rep3_bp") > 10000).count() === 0)
+      // dup occurrences can never exceed total gram occurrences
+      assert(df.filter(col("g2_dup") > col("n_toks") - 1).count() === 0)
+      assert(df.filter(col("g3_dup") > greatest(col("n_toks") - 2, lit(0L))).count() === 0)
+      assert(df.filter(col("flagged") =!= (col("rep2_bp") > 2000 || col("rep3_bp") > 1800)).count() === 0)
+      // ~40-word vocabulary, ~100-token docs: repeated bigrams are
+      // certain somewhere — the detector must not be vacuously zero
+      assert(df.agg(max(col("rep2_bp"))).head().getLong(0) > 0)
+    } finally df.unpersist()
+  }
+
+  test("langid-eval: cells partition the corpus, shares close within floor loss, flag exact") {
+    val df = TextAnalysis.langIdEval(spark, sf).cache()
+    try {
+      val total = df.agg(sum(col("n_docs"))).head().getLong(0)
+      assert(total === graft.sources.Tables.documents(spark, sf).count())
+      // per gold language the cell shares sum to 10000 minus at most
+      // one floor unit per cell
+      val bad = df
+        .groupBy(col("lang"))
+        .agg(sum(col("share_bp")).as("s"), count(lit(1)).as("c"))
+        .filter(col("s") > 10000 || col("s") < lit(10000) - col("c"))
+      assert(bad.count() === 0)
+      assert(df.filter(col("correct") =!= (col("lang") === col("pred_lang"))).count() === 0)
+    } finally df.unpersist()
+  }
 }
