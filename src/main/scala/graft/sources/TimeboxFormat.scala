@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -54,6 +55,11 @@ class TimeboxDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     TimeboxFormat.pointSchema(SparkSession.active, pathOf(options))
 
+  // writes carry the query's own (point-schema) columns — Spark hands
+  // them to getTable directly instead of inferring from a store that
+  // may not exist yet
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -62,13 +68,70 @@ class TimeboxDataSource extends TableProvider with DataSourceRegister {
     new TimeboxTable(pathOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-private[sources] class TimeboxTable(path: String, schema0: StructType) extends Table with SupportsRead {
+private[sources] class TimeboxTable(path: String, schema0: StructType)
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"timebox:$path"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // BATCH_WRITE admits the write at the DataFrameWriter.save() gate;
+    // V1_BATCH_WRITE is what the planner checks before routing a
+    // V1Write through the InsertableRelation fallback execs — without
+    // it the V2 exec calls toBatch and dies
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE
+    )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TimeboxScanBuilder(path, schema0)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TimeboxWriteBuilder(path, info)
+}
+
+/** `df.write.format("timebox").save(path)` — the write half of the
+  * facade, completing the reference's public API pair (timebox.py
+  * write/read). Input is the POINT schema the read side produces
+  * (`series_id`, `ts_us`, `seq`, one LONG column per tag), so
+  * read-transform-write round-trips compose without renaming. The
+  * write is the existing [[TimeboxStore.encode]] Catalyst pipeline
+  * (one subset-key-clustered shuffle to (series, day) block grain,
+  * then codegen'd mode selection / delta packing), reached through the
+  * V1Write ↔ InsertableRelation bridge — the same bridge the scan side
+  * uses, so no hand-rolled row writer exists on either path.
+  * `mode("append")` lays down additional block files (blocks are
+  * self-contained; readers union them), `mode("overwrite")` truncates
+  * the store directory first.
+  */
+private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder
+    with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+      override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+        val cols = data.schema.fields.map(f => f.name -> f.dataType).toMap
+        for (c <- Seq("series_id", "ts_us", "seq"))
+          require(
+            cols.get(c).contains(LongType),
+            s"timebox write: point schema requires LONG column '$c' (got ${cols.get(c).getOrElse("nothing")})"
+          )
+        val tagCols = data.schema.fieldNames.filterNot(Set("series_id", "ts_us", "seq")).toSeq
+        require(tagCols.nonEmpty, "timebox write: at least one tag column is required")
+        tagCols.foreach(t =>
+          require(cols(t) == LongType, s"timebox write: tag column '$t' must be LONG (got ${cols(t)})")
+        )
+        TimeboxStore
+          .encode(data, "series_id", "ts_us", "seq", tagCols)
+          .write
+          .mode(if (truncateFirst || overwrite) "overwrite" else "append")
+          .parquet(path)
+      }
+    }
+  }
 }
 
 private[sources] class TimeboxScanBuilder(path: String, full: StructType)

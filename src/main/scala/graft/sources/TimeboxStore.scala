@@ -429,6 +429,50 @@ object TimeboxStore {
       .withColumnRenamed("series_id", "user_id")
   }
 
+  /** ts_store_format_write — the WRITE half of the public format,
+    * end to end: history splits at the midpoint day, the first half
+    * goes in with `df.write.format("timebox").mode("overwrite")`, the
+    * second with `mode("append")` (blocks are self-contained — append
+    * is new block files, no read-modify-write), and the verification
+    * read comes back through `spark.read.format("timebox")` as a
+    * per-series summary. The oracle recomputes from raw events, so a
+    * single mis-encoded point (either half) or a dropped/duplicated
+    * block on append breaks the hash match. Input is the POINT schema
+    * the read side produces — write∘read round-trips compose without
+    * renaming.
+    */
+  def formatWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchPath("graft_store_fmtw", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val mm = pts.agg(min(expr(s"ts_us DIV ${DayUs}L")), max(expr(s"ts_us DIV ${DayUs}L"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    pts
+      .filter(expr(s"ts_us DIV ${DayUs}L < ${splitDay}L"))
+      .write.format("timebox").mode("overwrite").save(out)
+    pts
+      .filter(expr(s"ts_us DIV ${DayUs}L >= ${splitDay}L"))
+      .write.format("timebox").mode("append").save(out)
+    spark.read
+      .format("timebox")
+      .load(out)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(col("seq")).as("sum_event_id"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+      .withColumnRenamed("series_id", "user_id")
+  }
+
   def aggPushdownSummary(spark: SparkSession, dir: String): DataFrame = {
     val out = scratchPath("graft_store_aggp", dir)
     val tags = Seq("value_c", "counter_c", "trend_c")

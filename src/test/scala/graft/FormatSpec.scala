@@ -145,4 +145,47 @@ class FormatSpec extends AnyFunSuite {
         org.apache.spark.sql.sources.EqualTo("value_c", 2L)
       ), tags))
   }
+
+  test("write facade: blocks identical to the library encode, append adds without rewriting") {
+    val p = java.nio.file.Files.createTempDirectory("graft_format_w").toString + "/store"
+    val pts = TimeboxStore.eventTypePoints(spark, sf)
+      .select(
+        col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"),
+        col("value_c"), col("etype_c"))
+    pts.write.format("timebox").mode("overwrite").save(p)
+    // byte-level parity: the facade IS TimeboxStore.encode
+    val direct = TimeboxStore.encode(
+      TimeboxStore.eventTypePoints(spark, sf), tagCols = Seq("value_c", "etype_c"))
+    val viaFormat = spark.read.parquet(p)
+    assert(viaFormat.count() === direct.count())
+    val cmpCols = Seq("series_id", "day_id", "n_points", "start_us", "mode_value_c", "min_value_c")
+    assert(
+      viaFormat.select(cmpCols.map(col): _*).exceptAll(direct.select(cmpCols.map(col): _*)).count() === 0,
+      "facade-written blocks diverge from the library encode"
+    )
+    // append: re-adding the same points doubles every block, rewrites none
+    val firstFiles = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    pts.write.format("timebox").mode("append").save(p)
+    assert(spark.read.parquet(p).count() === direct.count() * 2)
+    val afterFiles = new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(afterFiles > firstFiles, "append produced no new block files")
+    // read side unions appended blocks: twice the points per series
+    val n = spark.read.format("timebox").load(p).count()
+    val n1 = TimeboxStore.decode(direct, Seq("value_c", "etype_c")).count()
+    assert(n === 2 * n1)
+  }
+
+  test("write facade: non-point schemas are rejected loudly") {
+    val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
+    val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
+    val e = intercept[Throwable] {
+      bad.write.format("timebox").mode("overwrite").save(p)
+    }
+    val chain = Iterator
+      .iterate(e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(chain.contains("timebox write"), s"unexpected error chain: $chain")
+  }
 }
