@@ -52,6 +52,7 @@ object SparkEntry {
     "ts_benford"         -> ((s, d) => TimeSeries.benford(s, d)),
     "ts_drawdown"        -> ((s, d) => TimeSeries.drawdown(s, d)),
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
+    "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
@@ -252,6 +253,7 @@ object SparkEntry {
     "text_bigram_lm"    -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "sample_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
     "sample_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "sample_importance" -> ((s, d) => TextAnalysis.importanceWeights(s, d)),
     "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -839,6 +841,36 @@ object SparkEntry {
         |  CAST(SUM(crosses) AS BIGINT) AS n_boundary_crossings,
         |  CAST(SUM(1 - crosses) * 10000 // COUNT(*) AS BIGINT) AS pure_bp
         |FROM y GROUP BY 1""".stripMargin,
+    // DSIR importance weights: hashed-unigram LMs (B=1024 buckets,
+    // Laplace +1), per-raw-doc log-weight in integer bits via the
+    // length(bin(·)) idiom; target = min source; the corpus-size term
+    // keeps weights centered so keep = logw >= 0
+    "sample_importance" ->
+      s"""WITH m AS (SELECT MIN(source) AS ts FROM documents),
+         |t AS (SELECT doc_id, source, tok,
+         |        CAST('0x' || substr(md5('dsir:' || tok), 1, 12) AS BIGINT) % 1024 AS bucket
+         |      FROM (SELECT doc_id, source, unnest($toksSql) AS tok FROM documents)
+         |      WHERE tok <> ''),
+         |n AS (SELECT CAST(SUM(CASE WHEN t.source = m.ts THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         |        CAST(SUM(CASE WHEN t.source != m.ts THEN 1 ELSE 0 END) AS BIGINT) AS nr
+         |      FROM t, m),
+         |tg AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM t, m
+         |       WHERE t.source = m.ts GROUP BY 1),
+         |bt AS (SELECT r.bucket, COALESCE(tg.ct, 0) AS ct, r.cr
+         |       FROM (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM t, m
+         |             WHERE t.source != m.ts GROUP BY 1) r
+         |       LEFT JOIN tg ON tg.bucket = r.bucket),
+         |c AS (SELECT bt.bucket,
+         |        CAST(length(bin(ct + 1)) - length(bin(cr + 1))
+         |             + length(bin(nr + 1024)) - length(bin(nt + 1024)) AS BIGINT) AS contrib
+         |      FROM bt, n)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |  CAST(SUM(c.contrib) AS BIGINT) AS logw_bits,
+         |  CAST(SUM(c.contrib) * 1000 // COUNT(*) AS BIGINT) AS mean_logw_milli,
+         |  (SUM(c.contrib) >= 0) AS keep
+         |FROM t JOIN c ON c.bucket = t.bucket, m
+         |WHERE t.source != m.ts
+         |GROUP BY 1""".stripMargin,
     // symmetric int8 scalar quantization — floor (never CAST: DuckDB's
     // double→int CAST rounds) of x·127/maxabs, identical operation
     // order to the Spark transform; GREATEST(·,-127) clamps the
@@ -2501,6 +2533,38 @@ object SparkEntry {
         |)
         |SELECT r.user_id, mx.n_hours, r.l AS level_c, r.b AS trend_c,
         |  r.l + r.b AS forecast_c, r.er AS sae_c
+        |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
+    // additive Holt-Winters: the same truncating-halving recursion
+    // with a 24-slot calendar-aligned seasonal LIST carried through
+    // the recursive CTE; slot update mirrors the Spark fold exactly
+    "ts_holt_winters" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+        |      FROM ev GROUP BY 1, 2),
+        |o AS (SELECT user_id, hour_id, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS BIGINT) AS rn
+        |      FROM h),
+        |mx AS (SELECT user_id, MAX(rn) AS n_hours FROM o GROUP BY 1),
+        |rec AS (
+        |  SELECT user_id, rn, hour_id, m AS l, CAST(0 AS BIGINT) AS b,
+        |         list_transform(range(24), j -> CAST(0 AS BIGINT)) AS s,
+        |         CAST(0 AS BIGINT) AS er
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn, o.hour_id,
+        |    CAST((o.m - r.s[CAST(o.hour_id % 24 AS INT) + 1] + r.l + r.b) // 2 AS BIGINT) AS l,
+        |    CAST(((o.m - r.s[CAST(o.hour_id % 24 AS INT) + 1] + r.l + r.b) // 2 - r.l + r.b) // 2 AS BIGINT) AS b,
+        |    list_transform(range(24), j -> CASE WHEN j = CAST(o.hour_id % 24 AS BIGINT)
+        |      THEN CAST((o.m - ((o.m - r.s[CAST(o.hour_id % 24 AS INT) + 1] + r.l + r.b) // 2)
+        |                 + r.s[CAST(o.hour_id % 24 AS INT) + 1]) // 2 AS BIGINT)
+        |      ELSE r.s[CAST(j AS INT) + 1] END) AS s,
+        |    CAST(r.er + abs(r.l + r.b + r.s[CAST(o.hour_id % 24 AS INT) + 1] - o.m) AS BIGINT) AS er
+        |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        |)
+        |SELECT r.user_id, mx.n_hours, r.l AS level_c, r.b AS trend_c,
+        |  CAST(r.l + r.b + r.s[CAST((r.hour_id + 1) % 24 AS INT) + 1] AS BIGINT) AS forecast_c,
+        |  r.er AS sae_c
         |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
     // model selection: snaive vs Holt one-step MAE per series — both
     // backtests replayed, joined, verdict row-local (tie → snaive)

@@ -1564,6 +1564,71 @@ object TextAnalysis {
       )
 
   // -------------------------------------------------------------------
+  // sample_importance — DSIR-style data selection: importance weights
+  // for every raw document from HASHED-unigram language models of a
+  // target domain vs the raw corpus (Xie et al.'s data-selection-with-
+  // importance-resampling shape, integer-exact). Tokens hash into
+  // B = 1024 buckets; each corpus keeps one Laplace-smoothed count per
+  // bucket; a raw doc's log-weight is the sum over its tokens of
+  //   bits(ct_b + 1) − bits(cr_b + 1) + [bits(Nr + B) − bits(Nt + B)]
+  // — the integer-bit log of the smoothed probability ratio
+  // (bits(x) = ⌊log₂ x⌋ + 1 via length(bin(x)), the text_surprisal
+  // idiom both engines replay exactly). Target = the min-source
+  // convention (contamination family); the corpus-size term makes
+  // weights comparable across corpora, so keep = logw >= 0 reads
+  // "more target-like than raw-like". Scale shape: the bucket-stat
+  // table is ≤B rows (broadcast — the full vocabulary never
+  // broadcasts, that's the POINT of hashing the features), bucket ids
+  // are row-local md5 arithmetic, one doc-grain aggregate; the two
+  // corpus sizes are a 1-row driver scalar (house pattern).
+  // -------------------------------------------------------------------
+  def importanceWeights(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame = {
+    val t = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn(
+        "bucket",
+        expr(s"CAST(conv(substring(md5(concat('dsir:', tok)), 1, 12), 16, 10) AS BIGINT) % $buckets")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val targetSrc = t.agg(min(col("source"))).head().getString(0)
+    require(targetSrc != null, "sample_importance: empty corpus")
+    val sizes = t
+      .agg(
+        sum(when(col("source") === targetSrc, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("source") =!= targetSrc, 1L).otherwise(0L)).as("nr")
+      )
+      .head()
+    val (nt, nr) = (sizes.getLong(0), sizes.getLong(1))
+    val tgt = t
+      .filter(col("source") === targetSrc)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val raw = t.filter(col("source") =!= targetSrc)
+    val bt = raw
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"))
+      .join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+      .withColumn(
+        "contrib",
+        expr(
+          s"CAST(length(bin(ct + 1)) AS BIGINT) - CAST(length(bin(cr + 1)) AS BIGINT)" +
+            s" + ${java.lang.Long.toBinaryString(nr + buckets).length}L" +
+            s" - ${java.lang.Long.toBinaryString(nt + buckets).length}L"
+        )
+      )
+    val out = raw
+      .join(broadcast(bt.select(col("bucket"), col("contrib"))), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("contrib")).as("logw_bits"))
+      .withColumn("mean_logw_milli", expr("logw_bits * 1000 DIV n_toks"))
+      .withColumn("keep", col("logw_bits") >= 0L)
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(t))
+  }
+
+  // -------------------------------------------------------------------
   // text_langid_eval — language-ID CONFUSION MATRIX against the gold
   // `lang` label the corpus carries: per (gold, predicted) cell, the
   // doc count and its share of the gold language in basis points. The

@@ -1701,6 +1701,67 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11z3. ts_holt_winters — additive HOLT-WINTERS (level + trend +
+  // 24-hour seasonal) per series over the hourly means, α=β=γ=1/2
+  // with the same truncating integer halving discipline as
+  // ts_holt_linear (Spark DIV ≡ DuckDB // toward zero — the seasonal
+  // deltas go negative too). Season slots are CALENDAR-aligned
+  // (hour_id mod 24), so hour gaps skip updates instead of smearing
+  // them. Recursion per observed hour t with season slot i = hₜ mod 24:
+  //   eₜ = eₜ₋₁ + |lₜ₋₁ + bₜ₋₁ + sₜ₋₁[i] − mₜ|
+  //   lₜ = trunc((mₜ − sₜ₋₁[i] + lₜ₋₁ + bₜ₋₁)/2)
+  //   bₜ = trunc((lₜ − lₜ₋₁ + bₜ₋₁)/2)
+  //   sₜ[i] = trunc((mₜ − lₜ + sₜ₋₁[i])/2), other slots carried
+  // Like Holt, the inherently sequential chain runs as ONE
+  // aggregate() fold per series — state is (l, b, e, 24 longs), never
+  // corpus-scaled — and the only raw-event shuffle is the hourly
+  // rollup the fold's groupBy reuses. Emits final level/trend, the
+  // next-hour seasonal forecast, and the cumulative one-step SAE
+  // (directly comparable to ts_holt_linear's — the seasonal term
+  // must EARN its keep in the ts_forecast_eval sense).
+  // -------------------------------------------------------------------
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    // SQL lambda bodies cannot let-bind: s[i] and the new level are
+    // inlined at every use (the holtLinear discipline)
+    val sIdx = "element_at(acc.s, CAST(x.hour_id % 24 AS INT) + 1)"
+    val lNew = s"(x.mean_c - $sIdx + acc.l + acc.b) DIV 2"
+    val fold =
+      s"""aggregate(
+         |  slice(hm, 2, greatest(size(hm) - 1, 0)),
+         |  named_struct(
+         |    'l', hm[0].mean_c, 'b', CAST(0 AS BIGINT), 'e', CAST(0 AS BIGINT),
+         |    's', transform(sequence(0, 23), j -> CAST(0 AS BIGINT))),
+         |  (acc, x) -> named_struct(
+         |    'l', $lNew,
+         |    'b', (($lNew) - acc.l + acc.b) DIV 2,
+         |    'e', acc.e + abs(acc.l + acc.b + $sIdx - x.mean_c),
+         |    's', transform(sequence(0, 23), j ->
+         |      IF(j = CAST(x.hour_id % 24 AS INT),
+         |         (x.mean_c - ($lNew) + $sIdx) DIV 2,
+         |         element_at(acc.s, j + 1)))))""".stripMargin
+    eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("s DIV n"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("hour_id"), col("mean_c")))).as("hm")
+      )
+      .withColumn("st", expr(fold))
+      .withColumn("last_hour", expr("element_at(hm, size(hm)).hour_id"))
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("st.l").as("level_c"),
+        col("st.b").as("trend_c"),
+        expr("st.l + st.b + element_at(st.s, CAST((last_hour + 1) % 24 AS INT) + 1)").as("forecast_c"),
+        col("st.e").as("sae_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 11z2. ts_forecast_eval — MODEL-SELECTION backtest: seasonal-naive
   // vs Holt linear, per series, on the same hourly one-step errors —
   // the comparison a forecasting deployment actually decides by, as a

@@ -377,6 +377,21 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("importance: raw docs only, weight books balance, keep consistent") {
+    val df = TextAnalysis.importanceWeights(spark, sf).cache()
+    try {
+      val nRaw = graft.sources.Tables.documents(spark, sf)
+        .filter(col("source") =!= graft.sources.Tables.documents(spark, sf).agg(min(col("source"))).head().getString(0))
+        .count()
+      assert(df.count() === nRaw, "one weight row per raw doc")
+      assert(df.filter(col("keep") =!= (col("logw_bits") >= 0L)).count() === 0)
+      assert(df.filter(col("mean_logw_milli") =!= expr("logw_bits * 1000 DIV n_toks")).count() === 0)
+      // per-token contribution is a difference of bit-lengths of
+      // smoothed counts — each side bounded by bits(corpus)+1 ≈ 64
+      assert(df.filter(abs(col("mean_logw_milli")) > 64000L).count() === 0)
+    } finally df.unpersist()
+  }
+
   test("langid-eval: cells partition the corpus, shares close within floor loss, flag exact") {
     val df = TextAnalysis.langIdEval(spark, sf).cache()
     try {

@@ -225,6 +225,44 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(got(u) === ((n, l, b, e)), s"series $u: got ${got(u)}, expected ($n,$l,$b,$e)")
   }
 
+  test("holt winters: the fold replays the seasonal reference recursion exactly") {
+    import graft.functions.FixedPoint.cents
+    // reference: (hour, mean) pairs folded in plain Scala with a
+    // mutable 24-slot seasonal array (Long / truncates toward zero)
+    val means = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(expr("sum(v) DIV count(1)").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.sortBy(_.getLong(1)).map(r => (r.getLong(1), r.getLong(2))).toList)
+      .toMap
+    val expected = means.map { case (u, hm) =>
+      val s = Array.fill(24)(0L)
+      var l = hm.head._2; var b = 0L; var e = 0L
+      for ((h, m) <- hm.tail) {
+        val i = (h % 24).toInt
+        e += math.abs(l + b + s(i) - m)
+        val lp = (m - s(i) + l + b) / 2
+        val bp = (lp - l + b) / 2
+        s(i) = (m - lp + s(i)) / 2
+        l = lp; b = bp
+      }
+      val lastH = hm.last._1
+      u -> ((hm.size.toLong, l, b, l + b + s(((lastH + 1) % 24).toInt), e))
+    }
+    val got = TimeSeries
+      .holtWinters(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    for ((u, exp) <- expected)
+      assert(got(u) === exp, s"series $u: got ${got(u)}, expected $exp")
+  }
+
   test("drawdown: per-series summary replays the sequential peak walk") {
     import graft.functions.FixedPoint.cents
     val rows = TimeSeries
