@@ -148,6 +148,7 @@ object SparkEntry {
     "approx_hll_users"   -> ((s, d) => Relational.approxHllUsers(s, d)),
     "approx_hll_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxHllStream(s, d)),
     "approx_kmv_setops"  -> ((s, d) => Relational.kmvSetops(s, d)),
+    "approx_kmv_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxKmvStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
@@ -3851,6 +3852,27 @@ object SparkEntry {
         |  CAST(abs(n_both * est_union // GREATEST(n_u, 1) - exact_inter) * 10000
         |       // GREATEST(exact_inter, 1) AS BIGINT) AS inter_err_bp
         |FROM f""".stripMargin,
+
+    // the KMV sketch as streaming state: drained sketch == batch
+    // sketch by the min-k merge algebra, so the oracle is the batch
+    // per-type estimator over raw events
+    "approx_kmv_stream" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |th AS (SELECT DISTINCT event_type,
+        |        CAST('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+        |       FROM tu),
+        |sk AS (SELECT event_type, h FROM (
+        |        SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |        FROM th) WHERE rn <= 128),
+        |pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k FROM sk GROUP BY 1),
+        |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact FROM tu GROUP BY 1),
+        |est AS (SELECT pt.event_type, ex.n_exact,
+        |         CAST(CASE WHEN pt.n_sk < 128 THEN pt.n_sk
+        |              ELSE (127 * 281474976710656) // pt.h_k END AS BIGINT) AS kmv_estimate
+        |        FROM pt JOIN ex USING (event_type))
+        |SELECT event_type, n_exact, kmv_estimate,
+        |  CAST(abs(kmv_estimate - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+        |FROM est""".stripMargin,
 
     // runtime-filter accounting: bloom over a ~4%-selective order-key
     // build side, probed at the lineitem join-key grain; funnel stage

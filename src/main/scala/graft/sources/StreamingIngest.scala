@@ -1402,6 +1402,69 @@ object StreamingIngest {
     * batch scan — the part a sketch exists to avoid, present here only
     * because the query REPORTS its own error.
     */
+  /** Streaming KMV sketch: the k-minimum-values distinct sketch as
+    * streaming state — per event type exactly ≤k longs at ANY stream
+    * length (1 KiB at k=128). Merging a micro-batch is the sketch's
+    * own merge rule — k smallest of (state ∪ batch hashes) — and
+    * min-k is arrival-order-insensitive, so the drained sketch equals
+    * the batch sketch by algebra, not by luck. Each batch emits the
+    * current (version, size, θ) row per type; the final row per type
+    * (max version) yields the estimate, published next to the exact
+    * count as the accuracy ledger — the same θ = h_k estimator and
+    * hash family as approx_kmv_setops, whose per-type tier is the
+    * shared oracle.
+    */
+  def approxKmvStream(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 128,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("event_type").as[String],
+        expr("CAST(conv(substring(md5(concat('kmv:', CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+          .as("h")
+          .as[Long]
+      )
+      .as[(String, Long)]
+    val perBatch = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[Long], Long), (String, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is <= k longs by construction
+      ) { (et: String, rows: Iterator[(String, Long)], state: GroupState[(Array[Long], Long)]) =>
+        val (prev, ver) = state.getOption.getOrElse((Array.empty[Long], 0L))
+        val merged = (prev ++ rows.map(_._2)).distinct.sorted.take(k)
+        state.update((merged, ver + 1))
+        Iterator((et, ver + 1, merged.length.toLong, if (merged.isEmpty) 0L else merged.last))
+      }
+      .toDF("event_type", "version", "n_sk", "h_k")
+    val drained = runToMemory(spark, perBatch, "append")
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("version"), col("n_sk"), col("h_k"))).as("s"))
+      .select(col("event_type"), col("s.n_sk").as("n_sk"), col("s.h_k").as("h_k"))
+      .withColumn(
+        "kmv_estimate",
+        when(col("n_sk") < k, col("n_sk")).otherwise(expr(s"(${(k - 1).toLong}L * 281474976710656L) DIV h_k"))
+      )
+    val exact = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    drained
+      .join(exact, Seq("event_type"))
+      .withColumn("err_bp", expr("abs(kmv_estimate - n_exact) * 10000 DIV n_exact"))
+      .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
+  }
+
   def approxHllStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Relational
     val schema = Tables.eventsFileSchema(spark, dir)

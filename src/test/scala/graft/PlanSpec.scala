@@ -478,4 +478,38 @@ class PlanSpec extends AnyFunSuite {
     val scans = qe.sparkPlan.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
     assert(scans.size === 1)
   }
+
+  test("bloom join prune: bit set and build keys broadcast — probe side never shuffle-joins") {
+    val plan = planOf(Relational.bloomJoinPrune(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"bloom bit table not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe side shuffle-joined against the tiny build side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("bloom prefilter: train bit set reaches the eval probes as a broadcast") {
+    val plan = planOf(graft.operators.Dedup.bloomPrefilter(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"bit-position table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("importance weights: the <=1024-row bucket-stat table broadcasts into the apply join") {
+    val plan = planOf(graft.operators.TextAnalysis.importanceWeights(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"bucket stats not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("KMV sketch: per-type k-smallest plans a window group-limit, never a full per-type sort pass") {
+    val plan = planOf(Relational.kmvSetops(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank filter not pushed into a bounded group-limit:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("holt winters: hourly rollup and the per-series fold share one shuffle chain") {
+    val plan = planOf(TimeSeries.holtWinters(spark, sf))
+    // rollup shuffles on (user, hour); the per-series collect reuses
+    // the subset key — same contract as holt linear
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"holt winters grew extra exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"the fold should be join-free:\n$plan")
+  }
 }

@@ -55,6 +55,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch sessions missing from stream")
   }
 
+  test("kmv stream: two-batch replay drains the exact batch sketch (min-k merge algebra)") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.approxKmvStream(spark, dir, filesPerTrigger = Some(1))
+    // batch truth: the per-type estimator over the same events
+    val batch = graft.operators.Relational
+      .kmvSetops(spark, dir)
+      .select(col("type_a").as("event_type"), col("est_a").as("kmv_estimate"))
+      .unionByName(
+        graft.operators.Relational
+          .kmvSetops(spark, dir)
+          .select(col("type_b").as("event_type"), col("est_b").as("kmv_estimate"))
+      )
+      .distinct()
+    val joined = streamed.select(col("event_type"), col("kmv_estimate").as("got")).join(batch, Seq("event_type"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("got") =!= col("kmv_estimate")).count() === 0,
+      "streamed sketch estimate diverged from the batch sketch")
+  }
+
   test("scd2 stream: two-batch replay maintains versions and matches batch exactly") {
     val dir = twoBatchDir()
     val streamed = StreamingIngest.scd2Stream(spark, dir, filesPerTrigger = Some(1))
