@@ -260,6 +260,7 @@ object SparkEntry {
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
     "mm_chunk_dedup"  -> ((s, d) => Multimodal.chunkDedup(s, d)),
+    "mm_chunk_gc"     -> ((s, d) => Multimodal.chunkGc(s, d)),
     "mm_asset_dedup"  -> ((s, d) => Multimodal.assetDedup(s, d)),
     "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
@@ -2153,6 +2154,28 @@ object SparkEntry {
         |SELECT chunk_sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
         |FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+    // CAS garbage collection: a chunk is reclaimable iff NO live doc
+    // references it; per-source accounting by the canonical holder
+    "mm_chunk_gc" ->
+      """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT doc_id, text,
+        |        unnest(generate_series(0, (n_bytes + 255) // 256 - 1)) AS chunk_idx
+        |      FROM d WHERE n_bytes > 0),
+        |h AS (SELECT doc_id,
+        |        CAST(octet_length(encode(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256))) AS BIGINT) AS chunk_len,
+        |        sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha,
+        |        CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS deleted
+        |      FROM c),
+        |g AS (SELECT chunk_sha, MIN(chunk_len) AS chunk_len, MIN(doc_id) AS canonical_doc,
+        |        CAST(SUM(1 - deleted) AS BIGINT) AS live_refs
+        |      FROM h GROUP BY 1)
+        |SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN g.live_refs = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gc_chunks,
+        |  CAST(SUM(CASE WHEN g.live_refs = 0 THEN g.chunk_len ELSE 0 END) AS BIGINT) AS gc_bytes,
+        |  CAST(SUM(CASE WHEN g.live_refs > 0 AND g.canonical_doc % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pinned_by_live_refs
+        |FROM g JOIN documents s ON s.doc_id = g.canonical_doc
+        |GROUP BY 1""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256_hex, md5(text) AS md5_hex,

@@ -122,6 +122,46 @@ object Multimodal {
       .filter(col("n_docs") > 1)
 
   // -------------------------------------------------------------------
+  // 33c2. mm_chunk_gc — CAS GARBAGE COLLECTION after takedowns: when
+  // documents are deleted (here the deterministic doc_id % 17 == 0
+  // takedown set, the dedup_store_delete convention), a
+  // content-addressed chunk store cannot just delete their chunks —
+  // a chunk lives as long as ANY live document references it. The GC
+  // sweep is ONE chunk-sha groupBy over the reference table with two
+  // conditional counts (live refs, deleted refs); a chunk is
+  // reclaimable iff live_refs = 0. Per-source accounting (by the
+  // chunk's canonical holder, the CAS owner-of-record): distinct
+  // chunks, reclaimable chunks, reclaimed bytes, and still-pinned
+  // chunks that a naive per-doc delete would have corrupted (deleted
+  // canonical holder but live references elsewhere — the exact case
+  // reference counting exists for). At 100 TB this sweep is the
+  // storage bill: one shuffle at chunk grain, one at source grain.
+  // -------------------------------------------------------------------
+  def chunkGc(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame = {
+    val refs = chunkTable(spark, dir, chunkBytes)
+      .withColumn("deleted", (col("doc_id") % 17 === 0).cast("long"))
+    val chunks = refs
+      .groupBy(col("chunk_sha"))
+      .agg(
+        min(col("chunk_len")).as("chunk_len"),
+        min(col("doc_id")).as("canonical_doc"),
+        sum(lit(1) - col("deleted")).as("live_refs"),
+        sum(col("deleted")).as("deleted_refs")
+      )
+    val canonSrc = Tables.documents(spark, dir).select(col("doc_id").as("canonical_doc"), col("source"))
+    chunks
+      .join(canonSrc, Seq("canonical_doc"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("live_refs") === 0, 1L).otherwise(0L)).as("n_gc_chunks"),
+        sum(when(col("live_refs") === 0, col("chunk_len")).otherwise(0L)).as("gc_bytes"),
+        sum(when(col("live_refs") > 0 && col("canonical_doc") % 17 === 0, 1L).otherwise(0L))
+          .as("n_pinned_by_live_refs")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 33e. mm_upload_plan — object-store upload batching: assign each
   // payload to a fixed-capacity upload bin per source by its exclusive
   // running byte total (bin = prefix_bytes DIV binBytes), so millions

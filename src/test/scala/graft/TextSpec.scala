@@ -377,6 +377,28 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("chunk gc: books balance against the reference table, no live chunk reclaimed") {
+    val gc = Multimodal.chunkGc(spark, sf).cache()
+    try {
+      val refs = Multimodal.chunkTable(spark, sf)
+        .withColumn("deleted", (col("doc_id") % 17 === 0).cast("long"))
+        .groupBy(col("chunk_sha"))
+        .agg(sum(lit(1) - col("deleted")).as("live_refs"))
+        .cache()
+      try {
+        assert(gc.agg(sum(col("n_chunks"))).head().getLong(0) === refs.count(),
+          "per-source chunk totals must partition the distinct chunk set")
+        assert(gc.agg(sum(col("n_gc_chunks"))).head().getLong(0) ===
+          refs.filter(col("live_refs") === 0).count(),
+          "GC set must be exactly the zero-live-ref chunks")
+        assert(gc.filter(col("n_gc_chunks") > col("n_chunks")).count() === 0)
+        assert(gc.filter(col("gc_bytes") > col("n_gc_chunks") * 256L).count() === 0)
+        // the sweep must actually fire on this corpus (non-vacuous)
+        assert(gc.agg(sum(col("n_gc_chunks"))).head().getLong(0) > 0)
+      } finally refs.unpersist()
+    } finally gc.unpersist()
+  }
+
   test("importance: raw docs only, weight books balance, keep consistent") {
     val df = TextAnalysis.importanceWeights(spark, sf).cache()
     try {
