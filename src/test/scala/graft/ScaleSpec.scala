@@ -86,7 +86,15 @@ class ScaleSpec extends AnyFunSuite {
     "text_bigram_lm",
     "emb_quantize_int8",
     "ann_knn_join",
-    "graph_degree_dist"
+    "graph_degree_dist",
+    // round-9 additions with data-proportional work
+    "text_repetition",
+    "sample_importance",
+    "dedup_bloom_prefilter",
+    "rel_bloom_join_prune",
+    "approx_kmv_setops",
+    "ts_holt_winters",
+    "mm_chunk_gc"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
