@@ -256,6 +256,8 @@ object SparkEntry {
     "sample_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "sample_importance" -> ((s, d) => TextAnalysis.importanceWeights(s, d)),
     "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
+    "approx_cms"        -> ((s, d) => TextAnalysis.cmsTokens(s, d)),
+    "sample_priority"   -> ((s, d) => TextAnalysis.prioritySample(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
     "mm_chunk_table"  -> ((s, d) => Multimodal.chunkTable(s, d)),
@@ -2003,6 +2005,44 @@ object SparkEntry {
          |  CAST(c.n_docs * 10000 // g.n_gold AS BIGINT) AS share_bp,
          |  c.lang = c.pred_lang AS correct
          |FROM c JOIN g ON g.lang = c.lang""".stripMargin,
+    // Count-min sketch replay: D=4 x W=256 cells from the exploded
+    // token stream, point estimate = MIN over the 4 cells, probes =
+    // the top-20 exact tokens (deterministic tiebreak); the bucket
+    // hash is the house md5-hex-prefix integer on both engines
+    "approx_cms" ->
+      s"""WITH o AS (SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |           WHERE length(tok) > 0),
+         |e AS (SELECT tok, r FROM o, (SELECT unnest(generate_series(0, 3)) AS r)),
+         |cells AS (SELECT r,
+         |    CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 12) AS BIGINT) % 256 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |probes AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM o GROUP BY 1
+         |           ORDER BY n_exact DESC, tok ASC LIMIT 20),
+         |pe AS (SELECT p.tok, p.n_exact, g.r,
+         |    CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || p.tok), 1, 12) AS BIGINT) % 256 AS bucket
+         |  FROM probes p, (SELECT unnest(generate_series(0, 3)) AS r) g)
+         |SELECT pe.tok, pe.n_exact, MIN(cells.c) AS est_cms,
+         |  MIN(cells.c) - pe.n_exact AS over_count
+         |FROM pe JOIN cells ON cells.r = pe.r AND cells.bucket = pe.bucket
+         |GROUP BY 1, 2""".stripMargin,
+    // Priority sampling (Duffield-Lund-Thorup): q = w*2^48 // u from
+    // the md5 uniform, top-20 per source, tau = the 21st priority
+    // (0 when the source has <= 20 docs), w_hat = max(w, tau); all
+    // divisions floor on positive integers so both engines agree
+    "sample_priority" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS weight,
+        |    GREATEST(CAST('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), 1) AS u
+        |  FROM documents),
+        |q AS (SELECT source, doc_id, weight, weight * 281474976710656 // u AS q FROM d),
+        |r AS (SELECT source, doc_id, weight, q,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn FROM q),
+        |tau AS (SELECT source, CAST(MAX(CASE WHEN rn = 21 THEN q ELSE 0 END) AS BIGINT) AS tau
+        |        FROM r WHERE rn <= 21 GROUP BY 1),
+        |tot AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_weight FROM documents GROUP BY 1)
+        |SELECT r.source, r.doc_id, CAST(r.weight AS BIGINT) AS weight, CAST(r.q AS BIGINT) AS q,
+        |  tau.tau, CAST(GREATEST(r.weight, tau.tau) AS BIGINT) AS w_hat, tot.total_weight
+        |FROM r JOIN tau USING (source) JOIN tot USING (source) WHERE r.rn <= 20""".stripMargin,
     // Gopher repetition filter: one tagged gram family ('2:'/'3:'
     // prefixes), duplicate-occurrence fractions in bp, DIV guarded by
     // GREATEST(·,1); docs shorter than 2 tokens drop on both engines

@@ -1629,6 +1629,116 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // -------------------------------------------------------------------
+  // approx_cms — COUNT-MIN SKETCH over the corpus token stream, its
+  // estimates published next to the exact counts so the operator is
+  // its own error report (the KMV/HLL house pattern). The sketch a
+  // 100 TB pipeline keeps per shard/day to answer "roughly how often
+  // does this token appear" in O(D·W) memory: D=4 hash rows × W=256
+  // counters; every token occurrence increments one cell per row;
+  // a point estimate is the MIN over its D cells (Cormode–
+  // Muthukrishnan, one-sided overestimate only). Scale shape: cells
+  // are ONE partial-aggregable groupBy on (row, bucket) — a D×W = 1k
+  // key space, so map-side combine collapses each partition to ≤1k
+  // rows regardless of corpus size; the D-fold occurrence expansion
+  // happens BEFORE the combine and never reaches the shuffle. Probes
+  // are the top-k exact tokens (orderBy+limit = TakeOrdered, no
+  // global sort); the 1k-row cell table broadcasts to them. Hashing
+  // is the house md5-hex-prefix integer both engines replay exactly.
+  // -------------------------------------------------------------------
+  def cmsTokens(spark: SparkSession, dir: String, width: Int = 256, depth: Int = 4, k: Int = 20): DataFrame = {
+    val occ = docsToks(spark, dir)
+      .select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bucketOf = expr(
+      s"CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', tok)), 1, 12), 16, 10) AS BIGINT) % $width"
+    )
+    val cells = occ
+      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket", bucketOf)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = occ
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+      .limit(k)
+    val out = probes
+      .select(col("tok"), col("n_exact"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket", bucketOf)
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("est_cms"))
+      .withColumn("over_count", col("est_cms") - col("n_exact"))
+    Dedup.releaseAfterRun(spark, out, Seq(occ))
+  }
+
+  // -------------------------------------------------------------------
+  // sample_priority — PRIORITY SAMPLING (Duffield–Lund–Thorup): a
+  // weight-sensitive k-per-source sample with an unbiased subset-sum
+  // estimator, fully deterministic (the md5 salt is the seed, so
+  // reruns and audits reproduce the same sample — the property a
+  // training-data lineage system needs). Each doc draws u = 48-bit
+  // md5 uniform; priority q = w·2⁴⁸ DIV u; keep the k largest per
+  // source; τ = the (k+1)-th priority; each kept doc's weight
+  // estimate is ŵ = max(w, τ) — Σŵ estimates the source's total
+  // weight, and the estimate is published NEXT TO the exact total so
+  // the operator is its own error report. Weight = n_chars (token
+  // mass). Scale shape: the k+1 largest per source run through the
+  // rank-filter window Spark rewrites into WindowGroupLimit (a
+  // bounded heap per partition, never a per-source sort of the
+  // corpus); τ and the exact totals are per-source 1-row aggregates
+  // broadcast back. All arithmetic < 2⁶² and every division a floor,
+  // so DuckDB replays bit-identical integers.
+  // -------------------------------------------------------------------
+  def prioritySample(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val P48 = 281474976710656L // 2^48
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("n_chars").as("weight"),
+        conv(substring(md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+          .cast("long")
+          .as("u")
+      )
+      // md5 of a fixed-length hex prefix is never 0 in practice, but
+      // the estimator needs u >= 1 structurally, not probabilistically
+      .withColumn("q", expr(s"weight * ${P48}L DIV greatest(u, 1L)"))
+    val ranked = docs
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("q").desc, col("doc_id").asc))
+      )
+      .filter(col("rn") <= k + 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tau = ranked
+      .groupBy(col("source"))
+      .agg(max(when(col("rn") === k + 1, col("q")).otherwise(0L)).as("tau"))
+    val totals = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_weight"))
+    val out = ranked
+      .filter(col("rn") <= k)
+      .join(broadcast(tau), Seq("source"))
+      .withColumn("w_hat", greatest(col("weight"), col("tau")))
+      .join(broadcast(totals), Seq("source"))
+      .select(
+        col("source"),
+        col("doc_id"),
+        col("weight"),
+        col("q"),
+        col("tau"),
+        col("w_hat"),
+        col("total_weight")
+      )
+    Dedup.releaseAfterRun(spark, out, Seq(ranked))
+  }
+
+  // -------------------------------------------------------------------
   // text_langid_eval — language-ID CONFUSION MATRIX against the gold
   // `lang` label the corpus carries: per (gold, predicted) cell, the
   // doc count and its share of the gold language in basis points. The

@@ -429,4 +429,45 @@ class TextSpec extends AnyFunSuite {
       assert(df.filter(col("correct") =!= (col("lang") === col("pred_lang"))).count() === 0)
     } finally df.unpersist()
   }
+
+  test("cms: one-sided overestimate, probe count exact, error bounded by stream length") {
+    val df = TextAnalysis.cmsTokens(spark, sf).cache()
+    try {
+      assert(df.count() === 20)
+      // the defining CMS guarantee: estimates never under-count
+      assert(df.filter(col("est_cms") < col("n_exact")).count() === 0)
+      assert(df.filter(col("over_count") =!= col("est_cms") - col("n_exact")).count() === 0)
+      // a cell can hold at most the whole stream
+      val streamLen = TextAnalysis
+        .tokens(spark, sf)
+        .agg(sum(col("n_ws_tokens")))
+        .head()
+        .getLong(0)
+      assert(df.filter(col("est_cms") > streamLen).count() === 0)
+    } finally df.unpersist()
+  }
+
+  test("priority sample: k per source, estimator law, deterministic rerun") {
+    val df = TextAnalysis.prioritySample(spark, sf).cache()
+    try {
+      val perSrc = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      assert(perSrc.filter(col("n") > 20).count() === 0)
+      // w_hat = max(weight, tau) exactly, and tau = 0 only when the
+      // source's whole population fits in the sample (every doc kept)
+      assert(df.filter(col("w_hat") =!= greatest(col("weight"), col("tau"))).count() === 0)
+      val docsPerSrc = graft.sources.Tables
+        .documents(spark, sf)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val zeroTau = df.filter(col("tau") === 0L).select(col("source")).distinct()
+      val bad = zeroTau
+        .join(docsPerSrc, Seq("source"))
+        .join(perSrc, Seq("source"))
+        .filter(col("n_docs") =!= col("n"))
+      assert(bad.count() === 0, "tau=0 source did not keep its whole population")
+      // the sample is a pure function of the data: a rerun is identical
+      val again = TextAnalysis.prioritySample(spark, sf)
+      assert(df.exceptAll(again).count() === 0 && again.exceptAll(df).count() === 0)
+    } finally df.unpersist()
+  }
 }
