@@ -53,6 +53,7 @@ object SparkEntry {
     "ts_drawdown"        -> ((s, d) => TimeSeries.drawdown(s, d)),
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
+    "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
@@ -257,6 +258,7 @@ object SparkEntry {
     "sample_importance" -> ((s, d) => TextAnalysis.importanceWeights(s, d)),
     "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "approx_cms"        -> ((s, d) => TextAnalysis.cmsTokens(s, d)),
+    "text_boilerplate_scrub" -> ((s, d) => TextAnalysis.boilerplateScrub(s, d)),
     "sample_priority"   -> ((s, d) => TextAnalysis.prioritySample(s, d)),
     // -- multimodal plumbing ------------------------------------------------
     "mm_binary_stats" -> ((s, d) => Multimodal.binaryStats(s, d)),
@@ -2005,6 +2007,36 @@ object SparkEntry {
          |  CAST(c.n_docs * 10000 // g.n_gold AS BIGINT) AS share_bp,
          |  c.lang = c.pred_lang AS correct
          |FROM c JOIN g ON g.lang = c.lang""".stripMargin,
+    // span-scrub accounting: boilerplate spans (>=2 docs), per-doc
+    // interval union via gaps-and-islands (an island starts where
+    // pos >= max(prev pos+8)); coverage never double-counts overlaps
+    "text_boilerplate_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS span
+         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |             FROM t WHERE len(toks) >= 8)),
+         |b AS (SELECT span FROM (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+         |      WHERE nd >= 2),
+         |h AS (SELECT sp.doc_id, sp.pos FROM sp JOIN b USING (span)),
+         |i1 AS (SELECT doc_id, pos,
+         |        MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |       FROM h),
+         |i3 AS (SELECT doc_id, pos,
+         |        SUM(CASE WHEN prev_end IS NULL OR pos >= prev_end THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |       FROM i1),
+         |isl AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 8 AS e, COUNT(*) AS n_hits
+         |        FROM i3 GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS covered,
+         |        CAST(SUM(n_hits) AS BIGINT) AS n_spans FROM isl GROUP BY 1),
+         |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t)
+         |SELECT d.doc_id, d.n_toks,
+         |  COALESCE(cov.n_spans, 0) AS n_boiler_spans,
+         |  COALESCE(cov.covered, 0) AS covered_tokens,
+         |  d.n_toks - COALESCE(cov.covered, 0) AS residual_tokens,
+         |  CAST(COALESCE(cov.covered, 0) * 10000 // GREATEST(d.n_toks, 1) AS BIGINT) AS scrub_bp
+         |FROM d LEFT JOIN cov USING (doc_id)""".stripMargin,
     // Count-min sketch replay: D=4 x W=256 cells from the exploded
     // token stream, point estimate = MIN over the 4 cells, probes =
     // the top-20 exact tokens (deterministic tiebreak); the bucket
@@ -2597,6 +2629,33 @@ object SparkEntry {
         |)
         |SELECT r.user_id, mx.n_hours, r.l AS level_c, r.b AS trend_c,
         |  r.l + r.b AS forecast_c, r.er AS sae_c
+        |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
+    // scalar Kalman filter, Q=25 R=400, gain in ppm: the same
+    // truncating integer recursion on both engines (Spark DIV and
+    // DuckDB // truncate toward zero; z - x goes negative); p is
+    // self-bounding below R so no intermediate nears 2^63
+    "ts_kalman" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+        |      FROM ev GROUP BY 1, 2),
+        |o AS (SELECT user_id, hour_id, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS BIGINT) AS rn
+        |      FROM h),
+        |mx AS (SELECT user_id, MAX(rn) AS n_hours FROM o GROUP BY 1),
+        |rec AS (
+        |  SELECT user_id, rn, m AS x, CAST(400 AS BIGINT) AS p, CAST(0 AS BIGINT) AS er
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    CAST(r.x + (((r.p + 25) * 1000000 // (r.p + 25 + 400)) * (o.m - r.x)) // 1000000 AS BIGINT),
+        |    CAST(((1000000 - (r.p + 25) * 1000000 // (r.p + 25 + 400)) * (r.p + 25)) // 1000000 AS BIGINT),
+        |    CAST(r.er + abs(o.m - r.x) AS BIGINT)
+        |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        |)
+        |SELECT r.user_id, mx.n_hours, r.x AS est_c, r.p AS p_final,
+        |  CAST((r.p + 25) * 1000000 // (r.p + 25 + 400) AS BIGINT) AS gain_ppm,
+        |  r.er AS sae_c
         |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
     // additive Holt-Winters: the same truncating-halving recursion
     // with a 24-slot calendar-aligned seasonal LIST carried through

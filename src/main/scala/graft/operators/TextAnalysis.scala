@@ -1420,6 +1420,73 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // text_boilerplate_scrub — the REMOVAL step text_boilerplate only
+  // detects: per document, how much text a C4/RefinedWeb-style span
+  // scrub would actually delete. A span (sliding 8-word window) is
+  // boilerplate iff ≥2 distinct docs contain it; a doc's scrubbed
+  // region is the UNION of its boilerplate-span intervals
+  // [pos, pos+8) — overlapping spans must not double-count, so the
+  // union is a per-doc gaps-and-islands pass: an island starts where
+  // pos ≥ max(prev pos+8), islands aggregate to [min pos, max pos+8),
+  // coverage = Σ island widths. Emits per doc the span-hit count,
+  // covered/residual tokens and the scrub rate in bp — the numbers a
+  // pipeline owner reads before turning the scrub on. Scale shape:
+  // span df-filtering is ONE partial-aggregable groupBy on the span
+  // key (k sharing docs cost k rows, never a pairwise join); the
+  // islands window is PARTITIONED by doc (fine-grained keys, bounded
+  // by doc length); docs with no hits ride a left join, so the output
+  // is exactly one row per document.
+  // -------------------------------------------------------------------
+  def boilerplateScrub(spark: SparkSession, dir: String, span: Int = 8, minDocs: Long = 2L): DataFrame = {
+    val sp = docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= span,
+            expr(
+              s"transform(sequence(0, size(toks) - $span), i -> struct(i AS pos, array_join(slice(toks, i + 1, $span), ' ') AS span))"
+            )
+          ).otherwise(array())
+        ).as("s")
+      )
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.span").as("span"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = sp
+      .select(col("doc_id"), col("span"))
+      .distinct()
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("span"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = sp
+      .join(boiler, Seq("span"), "left_semi")
+      .withColumn(
+        "prev_end",
+        max(col("pos") + span).over(w.rowsBetween(Window.unboundedPreceding, -1))
+      )
+      .withColumn("ni", when(col("prev_end").isNull || col("pos") >= col("prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + span).as("e"), count(lit(1)).as("n_hits"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("e") - col("s")).as("covered"), sum(col("n_hits")).as("n_spans"))
+    val out = docsToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_boiler_spans"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        (col("n_toks") - coalesce(col("covered"), lit(0L))).as("residual_tokens"),
+        expr("coalesce(covered, 0L) * 10000 DIV greatest(n_toks, 1L)").as("scrub_bp")
+      )
+    Dedup.releaseAfterRun(spark, out, Seq(sp))
+  }
+
+  // -------------------------------------------------------------------
   // sample_pack_sequences — SEQUENCE-PACKING accounting for LLM
   // pretraining (concat-and-chunk): documents concatenate in a
   // deterministic global order and are chunked into fixed L-token

@@ -1807,4 +1807,57 @@ object TimeSeries {
       .filter(col("rnk") === 1)
       .select(col("user_id"), col("motif"), col("n_occ"))
   }
+
+  // -------------------------------------------------------------------
+  // 11z3. ts_kalman — scalar KALMAN FILTER (random-walk state model)
+  // per series over the hourly means, in exact fixed-point so both
+  // engines recurse to identical integers. Constants Q = 25, R = 400
+  // (process / measurement variance, cents²); gain carried in ppm:
+  //   pp = p + Q;  k = pp·10⁶ DIV (pp + R);
+  //   x' = x + k·(z − x) DIV 10⁶;  p' = (10⁶ − k)·pp DIV 10⁶;
+  //   e' = e + |z − x|  (one-step innovation SAE — x IS the random-
+  //   walk forecast, so the backtest needs no second pass).
+  // Every division truncates toward zero on BOTH engines (Spark DIV,
+  // DuckDB //, verified on negatives — z − x does go negative), and
+  // p is self-bounding: p' = pp·R/(pp+R) < R, so pp·10⁶ < 4.3·10⁸ —
+  // no overflow anywhere near 2⁶³. The recursion is inherently
+  // sequential per series, so it runs as ONE aggregate() fold over
+  // the sorted hour array (the holtLinear pattern): state is three
+  // longs regardless of series length, the hourly rollup is the only
+  // raw-event shuffle, and the fold reuses its partitioning. Emits
+  // the final estimate, converged variance + gain, and the SAE.
+  // -------------------------------------------------------------------
+  def kalman(spark: SparkSession, dir: String, q: Long = 25L, r: Long = 400L): DataFrame = {
+    // SQL lambda bodies cannot let-bind: pp and k inline at every use
+    val pp = s"(acc.p + ${q}L)"
+    val k  = s"(($pp * 1000000L) DIV ($pp + ${r}L))"
+    val fold =
+      s"""aggregate(
+         |  slice(ms, 2, greatest(size(ms) - 1, 0)),
+         |  named_struct('x', ms[0], 'p', ${r}L, 'e', CAST(0 AS BIGINT)),
+         |  (acc, z) -> named_struct(
+         |    'x', acc.x + ($k * (z - acc.x)) DIV 1000000L,
+         |    'p', ((1000000L - $k) * $pp) DIV 1000000L,
+         |    'e', acc.e + abs(z - acc.x)))""".stripMargin
+    eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("s DIV n"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("hour_id"), col("mean_c")))).as("hm")
+      )
+      .withColumn("ms", expr("transform(hm, p -> p.mean_c)"))
+      .withColumn("st", expr(fold))
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("st.x").as("est_c"),
+        col("st.p").as("p_final"),
+        expr(s"((st.p + ${q}L) * 1000000L) DIV (st.p + ${q}L + ${r}L)").as("gain_ppm"),
+        col("st.e").as("sae_c")
+      )
+  }
 }

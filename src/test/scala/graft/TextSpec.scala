@@ -447,6 +447,25 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("boilerplate scrub: one row per doc, union never double-counts, non-vacuous") {
+    val df = TextAnalysis.boilerplateScrub(spark, sf).cache()
+    try {
+      assert(df.count() === graft.sources.Tables.documents(spark, sf).count())
+      assert(df.filter(col("covered_tokens") > col("n_toks")).count() === 0, "coverage exceeds doc length")
+      assert(df.filter(col("residual_tokens") =!= col("n_toks") - col("covered_tokens")).count() === 0)
+      assert(
+        df.filter((col("covered_tokens") === 0) =!= (col("n_boiler_spans") === 0)).count() === 0,
+        "hit count and coverage disagree about emptiness"
+      )
+      // a single isolated hit covers exactly the span width; overlapping
+      // hits cover LESS than hits * span — the union law, spot-checked
+      assert(df.filter(col("covered_tokens") > col("n_boiler_spans") * 8).count() === 0)
+      // the corpus does carry cross-doc spans (text_boilerplate finds
+      // offenders), so the scrub must be non-vacuous
+      assert(df.agg(sum(col("covered_tokens"))).head().getLong(0) > 0)
+    } finally df.unpersist()
+  }
+
   test("priority sample: k per source, estimator law, deterministic rerun") {
     val df = TextAnalysis.prioritySample(spark, sf).cache()
     try {

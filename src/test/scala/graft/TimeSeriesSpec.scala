@@ -263,6 +263,43 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(got(u) === exp, s"series $u: got ${got(u)}, expected $exp")
   }
 
+  test("kalman: the fold replays the reference filter recursion exactly, variance bounded") {
+    import graft.functions.FixedPoint.cents
+    val Q = 25L; val R = 400L
+    val means = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(expr("sum(v) DIV count(1)").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toList)
+      .toMap
+    val expected = means.map { case (u, ms) =>
+      var x = ms.head; var p = R; var e = 0L
+      for (z <- ms.tail) {
+        val pp = p + Q
+        val k  = pp * 1000000L / (pp + R)
+        e += math.abs(z - x)
+        x = x + k * (z - x) / 1000000L
+        p = (1000000L - k) * pp / 1000000L
+      }
+      val gain = (p + Q) * 1000000L / (p + Q + R)
+      u -> ((ms.size.toLong, x, p, gain, e))
+    }
+    val got = TimeSeries
+      .kalman(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    for ((u, exp) <- expected)
+      assert(got(u) === exp, s"kalman series $u: got ${got(u)}, expected $exp")
+    // the posterior variance is self-bounding below R (the comment's claim)
+    assert(got.values.forall { case (_, _, p, _, _) => p >= 0 && p < R })
+  }
+
   test("drawdown: per-series summary replays the sequential peak walk") {
     import graft.functions.FixedPoint.cents
     val rows = TimeSeries
