@@ -139,6 +139,8 @@ object SparkEntry {
     "rel_top_movers"     -> ((s, d) => Relational.topMovers(s, d)),
     "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
     "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
+    "graph_khop"         -> ((s, d) => Relational.kHop(s, d)),
+    "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
@@ -2374,6 +2376,44 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "graph_part_rank" -> pagerankOracle(3),
+    // BFS unrolled level-by-level (node-grain, never path-grain — a
+    // recursive UNION ALL would enumerate combinatorially many walks
+    // on this dense co-purchase graph); root = max-degree part
+    "graph_khop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+        |d0 AS (SELECT src AS node FROM deg ORDER BY deg DESC, src ASC LIMIT 1),
+        |d1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+        |       WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |d2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d1 ON e.src = d1.node
+        |       WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)),
+        |d3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d2 ON e.src = d2.node
+        |       WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+        |                           UNION ALL SELECT node FROM d2)),
+        |a AS (SELECT 0 AS depth, node FROM d0 UNION ALL SELECT 1, node FROM d1
+        |      UNION ALL SELECT 2, node FROM d2 UNION ALL SELECT 3, node FROM d3)
+        |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
+        |FROM a GROUP BY 1""".stripMargin,
+    // incremental view maintenance self-proof: mv (without the late
+    // partition) + delta (only the late partition) vs full recompute
+    "rel_mv_delta" ->
+      """WITH rev AS (SELECT o.o_orderkey, n.n_name,
+        |        CAST(round(l.l_extendedprice*(1.0-l.l_discount)*100) AS BIGINT) AS r_c
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |      JOIN customer c ON o.o_custkey = c.c_custkey
+        |      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |mv AS (SELECT n_name, CAST(SUM(r_c) AS BIGINT) AS mv_c FROM rev
+        |       WHERE o_orderkey % 10 <> 0 GROUP BY 1),
+        |dl AS (SELECT n_name, CAST(SUM(r_c) AS BIGINT) AS delta_c FROM rev
+        |       WHERE o_orderkey % 10 = 0 GROUP BY 1),
+        |fl AS (SELECT n_name, CAST(SUM(r_c) AS BIGINT) AS full_c FROM rev GROUP BY 1)
+        |SELECT fl.n_name, COALESCE(mv.mv_c, 0) AS mv_c, COALESCE(dl.delta_c, 0) AS delta_c,
+        |  COALESCE(mv.mv_c, 0) + COALESCE(dl.delta_c, 0) AS maintained_c, fl.full_c,
+        |  COALESCE(mv.mv_c, 0) + COALESCE(dl.delta_c, 0) = fl.full_c AS matches
+        |FROM fl LEFT JOIN mv USING (n_name) LEFT JOIN dl USING (n_name)""".stripMargin,
     "dedup_label_prop" -> labelPropOracle(3),
     // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
     // SCD2: consecutive duplicate states collapse; valid_to = next

@@ -1632,4 +1632,98 @@ object Relational {
       .withColumn("fp_bp", expr("n_keys_fp * 10000 DIV greatest(n_keys - n_keys_true, 1L)"))
       .withColumn("pruned_rows_bp", expr("(n_rows - n_rows_pass) * 10000 DIV n_rows"))
   }
+
+  /** graph_khop — BFS REACHABILITY profile of the part co-purchase
+    * graph (graph_part_rank's edges): from the max-degree part
+    * (deterministic root), the frontier sizes at depths 0..k — the
+    * "how connected is this catalog" read, and the iterative-BFS
+    * primitive (frontier ⋈ edges, anti-join visited) every
+    * distributed graph walk builds on. Each round is one edge-join +
+    * one distinct + one anti-join against the visited set, with a
+    * localCheckpoint lineage cut per round (the CC-loop discipline);
+    * the frontier and visited sets are node-grain — never edge-grain
+    * — so rounds are bounded by |V| regardless of path multiplicity
+    * (the reason the oracle also unrolls level-by-level instead of
+    * enumerating paths: a dense graph has combinatorially many
+    * length-3 walks but at most |V| reached nodes).
+    */
+  def kHop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
+    val edges = li
+      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
+      .select($"l_partkey".as("src"), $"dst")
+      .distinct()
+      .localCheckpoint()
+    val deg  = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val root = deg.orderBy($"deg".desc, $"src".asc).limit(1).head().getLong(0)
+    var visited  = Seq((root, 0L)).toDF("node", "depth").localCheckpoint()
+    var frontier = visited.select($"node")
+    for (d <- 1 to k) {
+      val next = edges
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select($"dst".as("node"))
+        .distinct()
+        .join(visited.select($"node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next.select($"node")
+    }
+    visited
+      .groupBy($"depth")
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        min($"node").cast("long").as("min_node"),
+        max($"node").cast("long").as("max_node")
+      )
+  }
+
+  /** rel_mv_delta — INCREMENTAL VIEW MAINTENANCE with its own proof:
+    * the revenue-per-nation materialized view is built WITHOUT the
+    * late-arriving partition (o_orderkey % 10 = 0, the house
+    * late-batch convention), the delta aggregate is computed over
+    * ONLY that partition, and the maintained view (mv + delta) is
+    * published next to a from-scratch recompute with a match flag —
+    * the operator demonstrates that sum-aggregates maintain
+    * incrementally and audits itself. Scale shape: the delta pass
+    * scans only the late partition (the modulo predicate pushes to
+    * the orders scan and the lineitem side prunes through the join);
+    * dims broadcast; both aggregates are partial-aggregable
+    * nation-grain. At 100 TB this is the nightly-close pattern:
+    * maintaining the MV costs O(delta), and the full-recompute tier
+    * here exists only as the audit.
+    */
+  def mvDelta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord  = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val li   = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val dims = broadcast(
+      Tables
+        .customer(spark, dir)
+        .select($"c_custkey", $"c_nationkey")
+        .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name")
+    )
+    def revenueByNation(o: DataFrame): DataFrame =
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(dims, $"o_custkey" === $"c_custkey")
+        .groupBy($"n_name")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_c"))
+    val mv    = revenueByNation(ord.filter($"o_orderkey" % 10 =!= 0)).withColumnRenamed("rev_c", "mv_c")
+    val delta = revenueByNation(ord.filter($"o_orderkey" % 10 === 0)).withColumnRenamed("rev_c", "delta_c")
+    val full  = revenueByNation(ord).withColumnRenamed("rev_c", "full_c")
+    full
+      .join(mv, Seq("n_name"), "left")
+      .join(delta, Seq("n_name"), "left")
+      .select(
+        $"n_name",
+        coalesce($"mv_c", lit(0L)).as("mv_c"),
+        coalesce($"delta_c", lit(0L)).as("delta_c"),
+        (coalesce($"mv_c", lit(0L)) + coalesce($"delta_c", lit(0L))).as("maintained_c"),
+        $"full_c",
+        (coalesce($"mv_c", lit(0L)) + coalesce($"delta_c", lit(0L)) === $"full_c").as("matches")
+      )
+  }
 }

@@ -69,4 +69,31 @@ class ApproxSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_keys_fp") === kPass - kTrue)
     assert(r.getAs[Long]("pruned_rows_bp") === (nR - rPass) * 10000 / nR)
   }
+
+  test("khop: depth 0 is a single root, frontiers disjoint, reach bounded by |V|") {
+    val rows = Relational.kHop(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) === 1L, "depth 0 must be exactly the root")
+    assert(rows.keys.forall(d => d >= 0 && d <= 3))
+    // frontiers are disjoint by construction (anti-join vs visited),
+    // so their sum is the reached-node count and cannot exceed |V|
+    val nV = graft.sources.Tables
+      .lineitem(spark, sf)
+      .select(col("l_partkey"))
+      .distinct()
+      .count()
+    assert(rows.values.sum <= nV)
+    assert(rows.getOrElse(1L, 0L) > 0, "max-degree root has no neighbors — graph degenerate")
+  }
+
+  test("mv delta: maintained view equals the full recompute on every nation") {
+    val rows = Relational.mvDelta(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("maintained_c") === r.getAs[Long]("mv_c") + r.getAs[Long]("delta_c"))
+      assert(r.getAs[Boolean]("matches"), s"nation ${r.getString(0)}: mv+delta != full recompute")
+    }
+    // the late partition is non-empty at this SF, so the delta tier
+    // must actually carry revenue (the incremental path isn't dead)
+    assert(rows.map(_.getAs[Long]("delta_c")).sum > 0)
+  }
 }
