@@ -152,6 +152,7 @@ object SparkEntry {
     "approx_hll_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxHllStream(s, d)),
     "approx_kmv_setops"  -> ((s, d) => Relational.kmvSetops(s, d)),
     "approx_kmv_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxKmvStream(s, d)),
+    "approx_cms_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxCmsStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
@@ -413,6 +414,32 @@ object SparkEntry {
        |  CAST(SUM(n_syms) * 10000 // SUM(w_chars) AS BIGINT) AS compress_bp
        |FROM dw JOIN ws USING (w) WHERE w <> '' GROUP BY 1""".stripMargin
   private val toksSql = s"string_split($normSql, ' ')"
+
+  /** Count-min sketch replay, shared by approx_cms and its streaming
+    * twin: the sketch is additive across micro-batches, so the drained
+    * streaming counter table equals the batch one bit-for-bit and one
+    * oracle verifies both. D=4 x W=256 cells from the exploded token
+    * stream, point estimate = MIN over the 4 cells, probes = the
+    * top-20 exact tokens (deterministic tiebreak); the bucket hash is
+    * the house md5-hex-prefix integer on both engines.
+    */
+  private val cmsOracle =
+    s"""WITH o AS (SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
+       |           WHERE length(tok) > 0),
+       |e AS (SELECT tok, r FROM o, (SELECT unnest(generate_series(0, 3)) AS r)),
+       |cells AS (SELECT r,
+       |    CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 12) AS BIGINT) % 256 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e GROUP BY 1, 2),
+       |probes AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM o GROUP BY 1
+       |           ORDER BY n_exact DESC, tok ASC LIMIT 20),
+       |pe AS (SELECT p.tok, p.n_exact, g.r,
+       |    CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || p.tok), 1, 12) AS BIGINT) % 256 AS bucket
+       |  FROM probes p, (SELECT unnest(generate_series(0, 3)) AS r) g)
+       |SELECT pe.tok, pe.n_exact, MIN(cells.c) AS est_cms,
+       |  MIN(cells.c) - pe.n_exact AS over_count
+       |FROM pe JOIN cells ON cells.r = pe.r AND cells.bucket = pe.bucket
+       |GROUP BY 1, 2""".stripMargin
 
   /** per-slot b-bit agreement: parity of each integer min-hash slot */
   private val bbitAgreeSql = (0 until 12)
@@ -2043,23 +2070,11 @@ object SparkEntry {
     // token stream, point estimate = MIN over the 4 cells, probes =
     // the top-20 exact tokens (deterministic tiebreak); the bucket
     // hash is the house md5-hex-prefix integer on both engines
-    "approx_cms" ->
-      s"""WITH o AS (SELECT tok FROM (SELECT unnest($toksSql) AS tok FROM documents)
-         |           WHERE length(tok) > 0),
-         |e AS (SELECT tok, r FROM o, (SELECT unnest(generate_series(0, 3)) AS r)),
-         |cells AS (SELECT r,
-         |    CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok), 1, 12) AS BIGINT) % 256 AS bucket,
-         |    CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM e GROUP BY 1, 2),
-         |probes AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_exact FROM o GROUP BY 1
-         |           ORDER BY n_exact DESC, tok ASC LIMIT 20),
-         |pe AS (SELECT p.tok, p.n_exact, g.r,
-         |    CAST('0x' || substr(md5('cms' || CAST(g.r AS VARCHAR) || ':' || p.tok), 1, 12) AS BIGINT) % 256 AS bucket
-         |  FROM probes p, (SELECT unnest(generate_series(0, 3)) AS r) g)
-         |SELECT pe.tok, pe.n_exact, MIN(cells.c) AS est_cms,
-         |  MIN(cells.c) - pe.n_exact AS over_count
-         |FROM pe JOIN cells ON cells.r = pe.r AND cells.bucket = pe.bucket
-         |GROUP BY 1, 2""".stripMargin,
+    "approx_cms" -> cmsOracle,
+    // the streaming CMS drains to the identical counter table (the
+    // sketch is additive across micro-batches), so the batch oracle
+    // verifies the stream bit-for-bit
+    "approx_cms_stream" -> cmsOracle,
     // Priority sampling (Duffield-Lund-Thorup): q = w*2^48 // u from
     // the md5 uniform, top-20 per source, tau = the 21st priority
     // (0 when the source has <= 20 docs), w_hat = max(w, tau); all

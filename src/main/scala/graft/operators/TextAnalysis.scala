@@ -1713,14 +1713,48 @@ object TextAnalysis {
   // global sort); the 1k-row cell table broadcasts to them. Hashing
   // is the house md5-hex-prefix integer both engines replay exactly.
   // -------------------------------------------------------------------
+  /** CMS cell address for the (r, tok) row — shared by the batch
+    * sketch and its streaming-state twin so their counters collide.
+    */
+  private[graft] def cmsBucketExpr(width: Int) = expr(
+    s"CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', tok)), 1, 12), 16, 10) AS BIGINT) % $width"
+  )
+
+  /** CMS probe tier: top-k exact tokens joined against a (r, bucket,
+    * c) counter table; estimate = MIN over the D cells. Shared by the
+    * batch and streaming variants — the sketch is additive, so both
+    * counter tables are identical and so is this read.
+    */
+  private[graft] def cmsProbe(
+      spark: SparkSession,
+      dir: String,
+      cells: DataFrame,
+      width: Int,
+      depth: Int,
+      k: Int
+  ): DataFrame = {
+    val probes = docsToks(spark, dir)
+      .select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+      .limit(k)
+    probes
+      .select(col("tok"), col("n_exact"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket", cmsBucketExpr(width))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("est_cms"))
+      .withColumn("over_count", col("est_cms") - col("n_exact"))
+  }
+
   def cmsTokens(spark: SparkSession, dir: String, width: Int = 256, depth: Int = 4, k: Int = 20): DataFrame = {
     val occ = docsToks(spark, dir)
       .select(explode(col("toks")).as("tok"))
       .filter(col("tok") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def bucketOf = expr(
-      s"CAST(conv(substring(md5(concat('cms', CAST(r AS STRING), ':', tok)), 1, 12), 16, 10) AS BIGINT) % $width"
-    )
+    def bucketOf = cmsBucketExpr(width)
     val cells = occ
       .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
       .withColumn("bucket", bucketOf)

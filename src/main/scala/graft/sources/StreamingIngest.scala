@@ -1465,6 +1465,41 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** approx_cms_stream — the COUNT-MIN SKETCH as streaming state: the
+    * D×W counter table is a streaming groupBy in complete mode, so
+    * state is exactly D·W = 1k rows at ANY stream length — the
+    * bounded-sketch property that makes CMS the per-shard frequency
+    * monitor a 24/7 ingest can afford. CMS is additive (counters sum
+    * across micro-batches), so the drained counter table equals the
+    * batch sketch by ALGEBRA, and the probe tier — top-k exact tokens,
+    * estimate = min over D cells — is shared code with approx_cms,
+    * which is also why the batch oracle verifies this stream.
+    */
+  def approxCmsStream(
+      spark: SparkSession,
+      dir: String,
+      width: Int = 256,
+      depth: Int = 4,
+      k: Int = 20,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/documents.parque[t]")
+    val cells = stream
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("tok"), explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn("bucket", TextAnalysis.cmsBucketExpr(width))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val drained = runToMemory(spark, cells, "complete")
+    TextAnalysis.cmsProbe(spark, dir, drained, width, depth, k)
+  }
+
   def approxHllStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Relational
     val schema = Tables.eventsFileSchema(spark, dir)

@@ -485,6 +485,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(labels.get(d).contains(1L), s"doc $d not in the merged component: $labels")
   }
 
+  test("cms stream: two-batch replay drains the exact batch sketch (counter additivity)") {
+    // the sketch is additive across micro-batches, so a genuine
+    // two-batch replay over the REAL sf corpus must drain to the
+    // bit-identical batch sketch — including the probe tier
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/documents.parquet"
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    val streamed = StreamingIngest.approxCmsStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TextAnalysis.cmsTokens(spark, dir)
+    assert(streamed.count() === 20L)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed cms probe rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch cms probe rows missing from stream")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
