@@ -140,6 +140,7 @@ object SparkEntry {
     "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
     "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
     "graph_khop"         -> ((s, d) => Relational.kHop(s, d)),
+    "graph_common_neighbors" -> ((s, d) => Relational.commonNeighbors(s, d)),
     "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
@@ -153,8 +154,10 @@ object SparkEntry {
     "approx_kmv_setops"  -> ((s, d) => Relational.kmvSetops(s, d)),
     "approx_kmv_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxKmvStream(s, d)),
     "approx_cms_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxCmsStream(s, d)),
+    "sample_cap_stream"  -> ((s, d) => graft.sources.StreamingIngest.sampleCapStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
+    "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
     "dedup_lsh_tune"     -> ((s, d) => Dedup.lshTune(s, d)),
@@ -234,6 +237,7 @@ object SparkEntry {
     "text_dedup_rate_by_source" -> ((s, d) => TextAnalysis.dedupRateBySource(s, d)),
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
+    "text_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
     "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
@@ -440,6 +444,23 @@ object SparkEntry {
        |  MIN(cells.c) - pe.n_exact AS over_count
        |FROM pe JOIN cells ON cells.r = pe.r AND cells.bucket = pe.bucket
        |GROUP BY 1, 2""".stripMargin
+
+  /** Per-source cap replay, shared by sample_cap_per_source and its
+    * streaming-reservoir twin: kept set = first k=100 docs per source
+    * under (md5('cap:'||doc_id), doc_id) order. Min-k under that
+    * order is arrival-order-insensitive, so the drained streaming
+    * sample equals the batch cap and one oracle verifies both.
+    */
+  private val capOracle =
+    """WITH r AS (SELECT source, doc_id,
+      |             md5('cap:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
+      |w AS (SELECT source, doc_id,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS BIGINT) AS rn
+      |      FROM r)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM w GROUP BY 1""".stripMargin
 
   /** per-slot b-bit agreement: parity of each integer min-hash slot */
   private val bbitAgreeSql = (0 until 12)
@@ -953,16 +974,11 @@ object SparkEntry {
          |SELECT a, b, n_ab, n_a, rnk, CAST(n_ab * 10000 // n_a AS BIGINT) AS cond_bp
          |FROM wr WHERE n_a >= 50 AND rnk <= 3""".stripMargin,
     // per-source cap by deterministic md5 order, summary + checksum
-    "sample_cap_per_source" ->
-      """WITH r AS (SELECT source, doc_id,
-        |             md5('cap:' || CAST(doc_id AS VARCHAR)) AS hkey FROM documents),
-        |w AS (SELECT source, doc_id,
-        |        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS BIGINT) AS rn
-        |      FROM r)
-        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
-        |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
-        |FROM w GROUP BY 1""".stripMargin,
+    "sample_cap_per_source" -> capOracle,
+    // the streaming reservoir drains to the identical kept set — min-k
+    // under the same (hkey, doc_id) order is arrival-order-insensitive
+    // — so the batch cap oracle verifies the stream bit-for-bit
+    "sample_cap_stream" -> capOracle,
     // balanced mixture plan: equalize every source to the scarcest
     "pipeline_mix_plan" ->
       """WITH p AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1749,6 +1765,33 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
          |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_unique_tokens
          |FROM documents""".stripMargin,
+    // lexical diversity replayed as run-length analysis of the sorted
+    // token list (1-based DuckDB indexing mirrors the clamped 0-based
+    // Spark probes; OOB list access is NULL here, dropped by filter)
+    "text_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             list_sort(list_filter($toksSql, x -> x <> '')) AS srt FROM documents),
+         |n AS (SELECT doc_id, srt, CAST(len(srt) AS BIGINT) AS n_toks,
+         |        CASE WHEN len(srt) = 0 THEN CAST([] AS BIGINT[])
+         |             ELSE generate_series(1, len(srt)) END AS pos
+         |      FROM t),
+         |r AS (SELECT doc_id, n_toks, srt,
+         |        list_filter(pos, i -> i = 1 OR srt[i] <> srt[i - 1]) AS starts,
+         |        CAST(len(list_filter(pos, i -> (i = 1 OR srt[i] <> srt[i - 1])
+         |          AND (i = len(srt) OR srt[i] <> srt[i + 1]))) AS BIGINT) AS n_hapax
+         |      FROM n),
+         |s AS (SELECT doc_id, n_toks, CAST(len(starts) AS BIGINT) AS n_types, n_hapax,
+         |        CAST(COALESCE(list_max(list_transform(generate_series(1, len(starts)), k ->
+         |          CASE WHEN k = len(starts) THEN n_toks + 1 - starts[k]
+         |               ELSE starts[k + 1] - starts[k] END)), 0) AS BIGINT) AS top_tok_n
+         |      FROM r)
+         |SELECT doc_id, n_toks, n_types,
+         |  CAST(n_types * 10000 // GREATEST(n_toks, 1) AS BIGINT) AS ttr_bp,
+         |  n_hapax,
+         |  CAST(n_hapax * 10000 // GREATEST(n_toks, 1) AS BIGINT) AS hapax_bp,
+         |  top_tok_n,
+         |  CAST(top_tok_n * 10000 // GREATEST(n_toks, 1) AS BIGINT) AS top_tok_bp
+         |FROM s""".stripMargin,
     "text_bigram_pmi" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |bg AS (SELECT toks[i] AS a, toks[i+1] AS b
@@ -2412,6 +2455,29 @@ object SparkEntry {
         |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
         |FROM a GROUP BY 1""".stripMargin,
+    // link prediction: common neighbors through degree-capped middles
+    // (deg <= 128 — the df-cap drop is part of the contract), Jaccard
+    // from the full degree table, existing edges excluded, top-20
+    "graph_common_neighbors" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |h AS (SELECT e.dst AS mid, e.src AS node FROM e
+        |      JOIN deg ON deg.src = e.dst AND deg.deg <= 128),
+        |wd AS (SELECT x.node AS node_a, y.node AS node_b
+        |       FROM h x JOIN h y ON x.mid = y.mid AND x.node < y.node),
+        |cn AS (SELECT node_a, node_b, CAST(COUNT(*) AS BIGINT) AS cn FROM wd GROUP BY 1, 2),
+        |ne AS (SELECT cn.* FROM cn
+        |       WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = cn.node_a AND e.dst = cn.node_b)),
+        |sc AS (SELECT ne.node_a, ne.node_b, ne.cn, da.deg AS deg_a, db.deg AS deg_b,
+        |         CAST(ne.cn * 10000 // GREATEST(da.deg + db.deg - ne.cn, 1) AS BIGINT) AS jaccard_bp
+        |       FROM ne JOIN deg da ON da.src = ne.node_a
+        |       JOIN deg db ON db.src = ne.node_b),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cn DESC, node_a ASC, node_b ASC) AS BIGINT) AS rnk
+        |      FROM sc)
+        |SELECT rnk, node_a, node_b, cn, deg_a, deg_b, jaccard_bp
+        |FROM r WHERE rnk <= 20""".stripMargin,
     // incremental view maintenance self-proof: mv (without the late
     // partition) + delta (only the late partition) vs full recompute
     "rel_mv_delta" ->
@@ -3986,6 +4052,50 @@ object SparkEntry {
     // θ = h_k estimator, merged-sketch union + inclusion-ratio
     // intersection, exact tiers alongside; < k distinct hashes falls
     // back to the exact sketch count on both engines
+    // cross-source overlap matrix over distinct 4-gram shingle hashes:
+    // same KMV estimator algebra / hash family as approx_kmv_setops
+    "dedup_source_overlap" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |m AS (SELECT DISTINCT source,
+         |        CAST('0x' || substr(md5('kso:' || toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]), 1, 12) AS BIGINT) AS h
+         |       FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+         |             FROM t WHERE len(toks) >= 4)),
+         |sk AS (SELECT source, h FROM (
+         |        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         |        FROM m) WHERE rn <= 128),
+         |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM m GROUP BY 1),
+         |pt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(h) AS h_k FROM sk GROUP BY 1),
+         |est AS (SELECT pt.source, ex.n_exact,
+         |         CAST(CASE WHEN pt.n_sk < 128 THEN pt.n_sk
+         |              ELSE (127 * 281474976710656) // pt.h_k END AS BIGINT) AS est
+         |        FROM pt JOIN ex USING (source)),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         a.n_exact AS exact_a, b.n_exact AS exact_b, a.est AS est_a, b.est AS est_b
+         |       FROM est a JOIN est b ON a.source < b.source),
+         |ms AS (SELECT pr.src_a, pr.src_b, sk.h,
+         |         MAX(CASE WHEN sk.source = pr.src_a THEN 1 ELSE 0 END) AS in_a,
+         |         MAX(CASE WHEN sk.source = pr.src_b THEN 1 ELSE 0 END) AS in_b
+         |       FROM pr JOIN sk ON sk.source = pr.src_a OR sk.source = pr.src_b
+         |       GROUP BY 1, 2, 3),
+         |mu AS (SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_u, MAX(h) AS h_ku,
+         |         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+         |       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn FROM ms)
+         |       WHERE rn <= 128 GROUP BY 1, 2),
+         |ei AS (SELECT x.source AS src_a, y.source AS src_b,
+         |         CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |       FROM m x JOIN m y ON x.h = y.h AND x.source < y.source
+         |       GROUP BY 1, 2),
+         |f AS (SELECT pr.src_a, pr.src_b, pr.exact_a, pr.exact_b, pr.est_a, pr.est_b,
+         |        CAST(pr.exact_a + pr.exact_b - COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_union,
+         |        CAST(CASE WHEN mu.n_u < 128 THEN mu.n_u
+         |             ELSE (127 * 281474976710656) // mu.h_ku END AS BIGINT) AS est_union,
+         |        CAST(COALESCE(ei.exact_inter, 0) AS BIGINT) AS exact_inter, mu.n_both, mu.n_u
+         |      FROM pr JOIN mu ON mu.src_a = pr.src_a AND mu.src_b = pr.src_b
+         |      LEFT JOIN ei ON ei.src_a = pr.src_a AND ei.src_b = pr.src_b)
+         |SELECT src_a, src_b, exact_a, exact_b, est_a, est_b, exact_union, est_union,
+         |  exact_inter, CAST(n_both * est_union // GREATEST(n_u, 1) AS BIGINT) AS est_inter,
+         |  CAST(abs(n_both * est_union // GREATEST(n_u, 1) - exact_inter) AS BIGINT) AS inter_err
+         |FROM f""".stripMargin,
     "approx_kmv_setops" ->
       """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
         |th AS (SELECT DISTINCT event_type,

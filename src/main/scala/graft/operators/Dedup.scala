@@ -1974,4 +1974,111 @@ object Dedup {
       .withColumn("is_contaminated", col("exact_micro") >= candMicro)
     releaseAfterRun(spark, out, Seq(evalSh))
   }
+
+  // -------------------------------------------------------------------
+  // dedup_source_overlap — the cross-SOURCE corpus-overlap matrix:
+  // per source pair, how many distinct 4-gram shingles the two feeds
+  // share (the "is source B already inside source A" question a
+  // mixture planner asks before paying for both), exact AND
+  // KMV-estimated with both error ledgers. The KMV tier is the part
+  // that survives 100 TB: per source the sketch is the k=128 smallest
+  // 48-bit shingle hashes — the rank-filter window Spark rewrites into
+  // a WindowGroupLimit bounded heap, never a per-source sort — so the
+  // pair frame is the |sources|²-bounded self-join of 1-row-per-source
+  // summaries (tiny broadcast). The exact tier joins distinct member
+  // hashes with ≤|sources| fan-out per hash (a shingle lives in at
+  // most every source once after the per-source DISTINCT), published
+  // here because the operator reports its own error; at production
+  // scale the sketch columns are the ones a planner would keep.
+  // Shared estimator algebra and hash-prefix family with
+  // approx_kmv_setops (Relational.kmvSetops).
+  // -------------------------------------------------------------------
+  def sourceOverlap(spark: SparkSession, dir: String, kSketch: Int = 128): DataFrame = {
+    val P48  = 281474976710656L // 2^48
+    val kNum = (kSketch - 1).toLong
+    val members = Tables
+      .documents(spark, dir)
+      .select(col("source"), split(normText(col("text")), " ").as("toks"))
+      .select(
+        col("source"),
+        explode(
+          when(
+            size(col("toks")) >= 4,
+            expr("transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3]))")
+          ).otherwise(array())
+        ).as("g")
+      )
+      .withColumn(
+        "h",
+        conv(substring(md5(concat(lit("kso:"), col("g"))), 1, 12), 16, 10).cast("long")
+      )
+      .select(col("source"), col("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sketch = members
+      .withColumn("rn", row_number().over(Window.partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("rn") <= kSketch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = members.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val perSrc = sketch
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("h_k"))
+      .join(exact, Seq("source"))
+      .withColumn(
+        "est",
+        when(col("n_sk") < kSketch, col("n_sk")).otherwise(expr(s"(${kNum}L * ${P48}L) DIV h_k"))
+      )
+    val a = perSrc.select(col("source").as("src_a"), col("n_exact").as("exact_a"), col("est").as("est_a"))
+    val b = perSrc.select(col("source").as("src_b"), col("n_exact").as("exact_b"), col("est").as("est_b"))
+    val pairs = a.join(broadcast(b), col("src_a") < col("src_b")) // |sources|² rows
+    val pairSh = pairs
+      .select(col("src_a"), col("src_b"))
+      .join(
+        broadcast(sketch.select(col("source"), col("h"))),
+        col("source") === col("src_a") || col("source") === col("src_b")
+      )
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(
+        max(when(col("source") === col("src_a"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("source") === col("src_b"), 1L).otherwise(0L)).as("in_b")
+      )
+      .withColumn("rn", row_number().over(Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .filter(col("rn") <= kSketch)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        count(lit(1)).as("n_u"),
+        max(col("h")).as("h_ku"),
+        sum(col("in_a") * col("in_b")).as("n_both")
+      )
+    val exactInter = members
+      .as("x")
+      .join(members.as("y"), col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val out = pairs
+      .join(pairSh, Seq("src_a", "src_b"))
+      .join(exactInter, Seq("src_a", "src_b"), "left")
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", expr("exact_a + exact_b - exact_inter"))
+      .withColumn(
+        "est_union",
+        when(col("n_u") < kSketch, col("n_u")).otherwise(expr(s"(${kNum}L * ${P48}L) DIV h_ku"))
+      )
+      .withColumn("est_inter", expr("n_both * est_union DIV greatest(n_u, 1L)"))
+      .withColumn("inter_err", expr("abs(est_inter - exact_inter)"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("exact_a"),
+        col("exact_b"),
+        col("est_a"),
+        col("est_b"),
+        col("exact_union"),
+        col("est_union"),
+        col("exact_inter"),
+        col("est_inter"),
+        col("inter_err")
+      )
+    releaseAfterRun(spark, out, Seq(members, sketch))
+  }
 }

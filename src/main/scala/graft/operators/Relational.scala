@@ -1680,6 +1680,62 @@ object Relational {
       )
   }
 
+  /** graph_common_neighbors — LINK PREDICTION over the part
+    * co-purchase graph (graph_part_rank's edges): for part pairs NOT
+    * already co-purchased, the common-neighbor count and neighbor
+    * Jaccard — "parts bought with the same things are next to be
+    * bought together", the classic recommender signal. Scale shape:
+    * candidate pairs come from a WEDGE join through the middle node,
+    * and the middle is DEGREE-CAPPED (deg ≤ cap, default 128) before
+    * the join — a hub middle contributes deg² wedge rows into one
+    * shuffle key, exactly the blowup `dropOversizedBuckets` exists to
+    * stop, and a hub shared by everything carries no predictive
+    * signal anyway (the same df-cap argument as boilerplate
+    * shingles; the drop is part of the operator's contract and the
+    * oracle replays it). cn is therefore a documented LOWER bound
+    * through informative middles; degrees for the Jaccard come from
+    * the full uncapped degree table. Top-k via orderBy+limit
+    * (TakeOrdered, no global sort); existing edges leave via
+    * left_anti on the edge key.
+    */
+  def commonNeighbors(spark: SparkSession, dir: String, cap: Long = 128L, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
+    val edges = li
+      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
+      .select($"l_partkey".as("src"), $"dst")
+      .distinct()
+      .localCheckpoint()
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val informative = deg.filter($"deg" <= cap).select($"src".as("mid"))
+    val half = edges
+      .select($"dst".as("mid"), $"src".as("node"))
+      .join(informative, Seq("mid"))
+    val wedges = half
+      .as("x")
+      .join(half.as("y"), col("x.mid") === col("y.mid") && col("x.node") < col("y.node"))
+      .select(col("x.node").as("node_a"), col("y.node").as("node_b"))
+    val cn = wedges
+      .groupBy($"node_a", $"node_b")
+      .agg(count(lit(1)).as("cn"))
+      .join(
+        edges.select($"src".as("node_a"), $"dst".as("node_b")),
+        Seq("node_a", "node_b"),
+        "left_anti"
+      )
+    val scored = cn
+      .join(deg.select($"src".as("node_a"), $"deg".as("deg_a")), Seq("node_a"))
+      .join(deg.select($"src".as("node_b"), $"deg".as("deg_b")), Seq("node_b"))
+      .withColumn("jaccard_bp", expr("cn * 10000 DIV greatest(deg_a + deg_b - cn, 1L)"))
+    val w = Window.orderBy($"cn".desc, $"node_a".asc, $"node_b".asc)
+    scored
+      .orderBy($"cn".desc, $"node_a".asc, $"node_b".asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select($"rnk", $"node_a", $"node_b", $"cn", $"deg_a", $"deg_b", $"jaccard_bp")
+  }
+
   /** rel_mv_delta — INCREMENTAL VIEW MAINTENANCE with its own proof:
     * the revenue-per-nation materialized view is built WITHOUT the
     * late-arriving partition (o_orderkey % 10 = 0, the house

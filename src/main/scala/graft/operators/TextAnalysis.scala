@@ -1869,4 +1869,63 @@ object TextAnalysis {
         (col("lang") === col("pred_lang")).as("correct")
       )
   }
+
+  // -------------------------------------------------------------------
+  // text_lexical_diversity — per-doc lexical-diversity quality panel:
+  // type-token ratio, hapax share, and the most-common-token share
+  // (the Gopher "fraction of most frequent word" rule). Entirely
+  // ROW-LOCAL: sort the doc's token array once, then every statistic
+  // is run-length analysis of the sorted array (a run start is a
+  // type, a length-1 run is a hapax, the longest run is the top
+  // token) — O(n log n) per doc, ZERO shuffle, so at 100 TB this is
+  // embarrassingly parallel scan work with no skew surface at all
+  // (the token-grain explode+groupBy alternative shuffles the entire
+  // corpus by token and melts on stopword keys). Integer bp ratios;
+  // the oracle replays the identical indexed-lambda run analysis.
+  // -------------------------------------------------------------------
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    docsToks(spark, dir)
+      .select(col("doc_id"), expr("array_sort(filter(toks, x -> x != ''))").as("srt"))
+      // 1-based positions; IF guards the empty doc (Spark sequence(1, 0)
+      // DESCENDS), and in-run index probes are clamped with
+      // greatest/least so no branch can read out of bounds under ANSI
+      .select(
+        col("doc_id"),
+        col("srt"),
+        size(col("srt")).cast("long").as("n_toks"),
+        expr("IF(size(srt) = 0, array(), sequence(1, size(srt)))").as("pos")
+      )
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        // run starts of the sorted array = distinct types
+        expr("filter(pos, i -> i = 1 OR srt[i - 1] != srt[greatest(i - 2, 0)])").as("starts"),
+        // a hapax is a run start that is also a run end
+        expr(
+          "CAST(size(filter(pos, i -> (i = 1 OR srt[i - 1] != srt[greatest(i - 2, 0)])" +
+            " AND (i = size(srt) OR srt[i - 1] != srt[least(i, size(srt) - 1)]))) AS BIGINT)"
+        ).as("n_hapax")
+      )
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        size(col("starts")).cast("long").as("n_types"),
+        col("n_hapax"),
+        // longest run = max delta between consecutive start positions
+        // (next start after the last is the sentinel n_toks + 1)
+        expr(
+          "CAST(coalesce(array_max(zip_with(starts, concat(slice(starts, 2, greatest(size(starts) - 1, 0)), " +
+            "array(CAST(n_toks + 1 AS INT))), (s, e) -> e - s)), 0) AS BIGINT)"
+        ).as("top_tok_n")
+      )
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("n_types"),
+        expr("n_types * 10000 DIV greatest(n_toks, 1)").as("ttr_bp"),
+        col("n_hapax"),
+        expr("n_hapax * 10000 DIV greatest(n_toks, 1)").as("hapax_bp"),
+        col("top_tok_n"),
+        expr("top_tok_n * 10000 DIV greatest(n_toks, 1)").as("top_tok_bp")
+      )
 }

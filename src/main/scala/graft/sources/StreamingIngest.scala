@@ -1465,6 +1465,64 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** sample_cap_stream — the DISTRIBUTED RESERVOIR as streaming
+    * state: per source, the k smallest (md5(doc_id), doc_id) pairs —
+    * sample_cap_per_source's exact selection rule — maintained by a
+    * min-k merge per micro-batch. Min-k is arrival-order- and
+    * partition-insensitive, so the drained sample IS the batch cap by
+    * algebra (shared oracle), and state is exactly ≤k pairs + one
+    * counter per source at ANY stream length — the uniform-without-
+    * replacement sample a 24/7 ingest keeps per shard without ever
+    * re-scanning history (a classic reservoir is order-DEPENDENT and
+    * unmergeable; hash-order bottom-k is the distributed fix).
+    * Each batch emits a versioned summary row; the final row per
+    * source (max version) carries n_total / n_kept / kept_id_sum.
+    */
+  def sampleCapStream(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 100,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/documents.parque[t]")
+      .select(
+        col("source").as[String],
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("hkey").as[String],
+        col("doc_id").as[Long]
+      )
+      .as[(String, String, Long)]
+    val perBatch = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[(String, Long)], Long, Long), (String, Long, Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is <= k pairs + a counter by construction
+      ) { (src: String, rows: Iterator[(String, String, Long)], state: GroupState[(Array[(String, Long)], Long, Long)]) =>
+        val (prev, nTotal, ver) = state.getOption.getOrElse((Array.empty[(String, Long)], 0L, 0L))
+        val batch = rows.map(r => (r._2, r._3)).toArray
+        // min-k of (state ∪ batch) under (hkey, doc_id) order — the
+        // same ORDER BY the batch rank window uses
+        val merged = (prev ++ batch).sorted.take(k)
+        state.update((merged, nTotal + batch.length, ver + 1))
+        Iterator((src, ver + 1, nTotal + batch.length, merged.length.toLong, merged.map(_._2).sum))
+      }
+      .toDF("source", "version", "n_total", "n_kept", "kept_id_sum")
+    runToMemory(spark, perBatch, "append")
+      .groupBy(col("source"))
+      .agg(max(struct(col("version"), col("n_total"), col("n_kept"), col("kept_id_sum"))).as("s"))
+      .select(
+        col("source"),
+        col("s.n_total").as("n_total"),
+        col("s.n_kept").as("n_kept"),
+        col("s.kept_id_sum").as("kept_id_sum")
+      )
+  }
+
   /** approx_cms_stream — the COUNT-MIN SKETCH as streaming state: the
     * D×W counter table is a streaming groupBy in complete mode, so
     * state is exactly D·W = 1k rows at ANY stream length — the

@@ -96,4 +96,24 @@ class ApproxSpec extends AnyFunSuite {
     // must actually carry revenue (the incremental path isn't dead)
     assert(rows.map(_.getAs[Long]("delta_c")).sum > 0)
   }
+
+  test("common neighbors: predictions are non-edges, scores lawful, ranking dense") {
+    import spark.implicits._
+    val df = Relational.commonNeighbors(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty, "no link predictions at this SF — degenerate graph")
+      assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length))
+      assert(rows.forall(r => r.getAs[Long]("cn") >= 1L))
+      assert(rows.forall(r => r.getAs[Long]("jaccard_bp") <= 10000L))
+      // a predicted pair must NOT be an existing co-purchase edge
+      val li = graft.sources.Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey").distinct()
+      val e = li
+        .join(li.select($"l_orderkey".as("ok"), $"l_partkey".as("pb")), $"ok" === $"l_orderkey" && $"l_partkey" =!= $"pb")
+        .select($"l_partkey".as("node_a"), $"pb".as("node_b"))
+        .distinct()
+      assert(df.select($"node_a", $"node_b").join(e, Seq("node_a", "node_b")).count() === 0,
+        "an existing edge leaked into the prediction list")
+    } finally df.unpersist()
+  }
 }

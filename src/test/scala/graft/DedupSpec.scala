@@ -391,4 +391,23 @@ class DedupSpec extends AnyFunSuite {
       assert(df.filter(col("bloom_micro") > 1000000 || col("exact_micro") > 1000000).count() === 0)
     } finally df.unpersist()
   }
+
+  test("source overlap: full pair frame, set laws hold, exact tier non-vacuous") {
+    val df = Dedup.sourceOverlap(spark, sf).cache()
+    try {
+      val nSrc = spark.read
+        .parquet(s"$sf/documents.parquet")
+        .select(col("source"))
+        .distinct()
+        .count()
+      assert(df.count() === nSrc * (nSrc - 1) / 2, "pair frame is not the full source matrix")
+      // set algebra on the exact tier
+      assert(df.filter(col("exact_inter") > least(col("exact_a"), col("exact_b"))).count() === 0)
+      assert(df.filter(col("exact_union") =!= col("exact_a") + col("exact_b") - col("exact_inter")).count() === 0)
+      assert(df.filter(col("est_inter") > col("est_union")).count() === 0)
+      // the corpus shares boilerplate shingles across sources, so the
+      // overlap question must have a non-zero answer somewhere
+      assert(df.agg(sum(col("exact_inter"))).head().getLong(0) > 0, "no cross-source overlap found — vacuous")
+    } finally df.unpersist()
+  }
 }

@@ -78,7 +78,8 @@ class EntrySpec extends AnyFunSuite {
     "graph_triangles",           // 1-row count broadcasts into the census row
     "text_surprisal",            // 1-row corpus-token-count broadcast
     "dedup_lsh_tune",            // 1-row truth-count + 4-row config broadcasts
-    "approx_kmv_setops"          // |types|²-bounded pair frame: self-join of the 1-row-per-type sketch summary + pair↔sketch tag join, both sides tiny broadcasts
+    "approx_kmv_setops",         // |types|²-bounded pair frame: self-join of the 1-row-per-type sketch summary + pair↔sketch tag join, both sides tiny broadcasts
+    "dedup_source_overlap"       // same shape over sources: |sources|²-bounded pair frame of 1-row-per-source sketch summaries + pair↔sketch tag join, both sides tiny broadcasts
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably

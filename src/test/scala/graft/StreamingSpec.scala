@@ -503,6 +503,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cms probe rows missing from stream")
   }
 
+  test("cap stream: two-batch replay drains the exact batch reservoir (min-k merge algebra)") {
+    // hash-order bottom-k is arrival-order-insensitive, so the
+    // two-batch replay over the REAL sf corpus must drain to the
+    // identical kept set (checksummed) and total count
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/documents.parquet"
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    val streamed = StreamingIngest.sampleCapStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TextAnalysis.capPerSource(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed cap rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch cap rows missing from stream")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables

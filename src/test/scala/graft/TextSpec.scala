@@ -489,4 +489,33 @@ class TextSpec extends AnyFunSuite {
       assert(df.exceptAll(again).count() === 0 && again.exceptAll(df).count() === 0)
     } finally df.unpersist()
   }
+
+  test("lexical diversity: run-length panel matches an independent explode+groupBy replay") {
+    val df = TextAnalysis.lexicalDiversity(spark, sf).cache()
+    try {
+      // structural laws of the run analysis
+      assert(df.filter(col("n_types") > col("n_toks")).count() === 0)
+      assert(df.filter(col("n_hapax") > col("n_types")).count() === 0)
+      assert(df.filter(col("top_tok_n") > col("n_toks") - col("n_types") + 1).count() === 0)
+      assert(df.filter(col("ttr_bp") > 10000 || col("hapax_bp") > 10000 || col("top_tok_bp") > 10000).count() === 0)
+      // independent replay at token grain (the shuffle-heavy variant
+      // the operator deliberately avoids) must agree exactly
+      val replay = graft.sources.Tables
+        .documents(spark, sf)
+        .select(col("doc_id"), explode(split(graft.operators.Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("c")).as("n_toks"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          max(col("c")).as("top_tok_n")
+        )
+      val mine = df.select(col("doc_id"), col("n_toks"), col("n_types"), col("n_hapax"), col("top_tok_n"))
+      assert(mine.exceptAll(replay).count() === 0, "run-length panel disagrees with the groupBy replay")
+      assert(replay.exceptAll(mine).count() === 0, "groupBy replay rows missing from the panel")
+    } finally df.unpersist()
+  }
 }
