@@ -216,6 +216,7 @@ object SparkEntry {
     "ann_range_search"    -> ((s, d) => Similarity.annRangeSearch(s, d)),
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
+    "emb_pca_power"       -> ((s, d) => Similarity.pcaPower(s, d)),
     "ann_knn_join"        -> ((s, d) => Similarity.annKnnJoin(s, d)),
     "ann_knn_recall"      -> ((s, d) => Similarity.annKnnRecall(s, d)),
     "ann_cell_skew"       -> ((s, d) => Similarity.annCellSkew(s, d)),
@@ -927,6 +928,32 @@ object SparkEntry {
          |FROM t JOIN c ON c.bucket = t.bucket, m
          |WHERE t.source != m.ts
          |GROUP BY 1""".stripMargin,
+    // top principal component by integer power iteration: milli-unit
+    // quantize, division-free centered scatter (correction term
+    // integer-divided first), 3 unrolled Cv steps with L-inf
+    // renormalization — every op integer, both engines bit-identical
+    "emb_pca_power" ->
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, i - 1 AS i, q[i] AS qi
+        |      FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM q)),
+        |p AS (SELECT a.i, b.i AS j, CAST(SUM(a.qi * b.qi) AS BIGINT) AS p
+        |      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2),
+        |s AS (SELECT i, CAST(SUM(qi) AS BIGINT) AS s FROM x GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+        |c AS (SELECT p.i, p.j, CAST(p.p - (sa.s * sb.s // nn.n) AS BIGINT) AS c
+        |      FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, nn),
+        |w1 AS (SELECT i, CAST(SUM(c * 1000) AS BIGINT) AS w FROM c GROUP BY 1),
+        |m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+        |v1 AS (SELECT i, CAST(w * 1000 // GREATEST(m, 1) AS BIGINT) AS v FROM w1, m1),
+        |w2 AS (SELECT c.i, CAST(SUM(c.c * v1.v) AS BIGINT) AS w FROM c JOIN v1 ON v1.i = c.j GROUP BY 1),
+        |m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+        |v2 AS (SELECT i, CAST(w * 1000 // GREATEST(m, 1) AS BIGINT) AS v FROM w2, m2),
+        |w3 AS (SELECT c.i, CAST(SUM(c.c * v2.v) AS BIGINT) AS w FROM c JOIN v2 ON v2.i = c.j GROUP BY 1),
+        |m3 AS (SELECT MAX(ABS(w)) AS m FROM w3),
+        |v3 AS (SELECT i, CAST(w * 1000 // GREATEST(m, 1) AS BIGINT) AS v FROM w3, m3)
+        |SELECT CAST(i AS BIGINT) AS dim, v AS v_milli FROM v3""".stripMargin,
     // symmetric int8 scalar quantization — floor (never CAST: DuckDB's
     // double→int CAST rounds) of x·127/maxabs, identical operation
     // order to the Spark transform; GREATEST(·,-127) clamps the

@@ -1157,4 +1157,64 @@ object Similarity {
         expr("size(filter(codes, x -> x <= -127 OR x >= 127))").cast("long").as("n_sat")
       )
   }
+
+  // -------------------------------------------------------------------
+  // emb_pca_power — the TOP PRINCIPAL COMPONENT of the embedding
+  // cloud by POWER ITERATION, entirely in exact integer arithmetic so
+  // both engines replay it bit-for-bit: vectors quantize to milli
+  // units, the centered scatter matrix is Σxᵢxⱼ − (Σxᵢ·Σxⱼ DIV n)
+  // (the correction term integer-divided FIRST, keeping every cell
+  // ~n·q² ≈ 2⁴¹ at sf1.0 — headroom to sf10 before long overflow),
+  // and each
+  // iteration renormalizes by the L∞ norm (v ← Cv·1000 DIV max|Cv|) —
+  // integer DIV, no sqrt, same fixed-point-recursion discipline as
+  // ts_kalman. Scale shape: the only corpus-sized pass is the scatter
+  // accumulation — a row-LOCAL d² pair expansion (no self-join, no
+  // shuffle of the corpus) feeding ONE partial-aggregable groupBy on
+  // a d²-bounded key space (4096 cells at d=64); the iterations then
+  // run on that 4096-row table with 64-row / 1-row broadcasts, cost
+  // independent of corpus size. The d² explosion is d²·rows map-side
+  // rows but map-side combine collapses every partition to ≤d² cells
+  // — the same "aggregate, never join" shape as approx_cms.
+  // -------------------------------------------------------------------
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val q = Tables
+      .embeddings(spark, dir)
+      .select(expr("transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT))").as("q"))
+    val pair = q
+      .select(
+        explode(
+          expr(
+            "flatten(transform(q, (xi, i) -> transform(q, (xj, j) -> named_struct('i', i, 'j', j, 'xx', xi * xj))))"
+          )
+        ).as("t")
+      )
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.xx")).as("p"))
+    val s = q
+      .select(posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy(col("i"))
+      .agg(sum(col("qi")).as("s"))
+      .persist(mem)
+    val n = q.agg(count(lit(1)).as("n"))
+    val cMat = pair
+      .join(broadcast(s.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(s.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"), expr("p - (si * sj DIV n)").as("c"))
+      .persist(mem)
+    cMat.count()
+    var v = s.select(col("i"), lit(1000L).as("v"))
+    for (_ <- 1 to iters) {
+      val w = cMat
+        .join(broadcast(v.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(expr("c * vj")).as("w"))
+      val m = w.agg(max(abs(col("w"))).as("m"))
+      v = w.crossJoin(broadcast(m)).select(col("i"), expr("w * 1000 DIV greatest(m, 1L)").as("v"))
+    }
+    val out = v.select(col("i").cast("long").as("dim"), col("v").as("v_milli"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(s, cMat))
+  }
 }

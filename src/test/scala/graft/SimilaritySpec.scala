@@ -263,4 +263,22 @@ class SimilaritySpec extends AnyFunSuite {
       assert(load === n * 8 * 10000 / total)
     }
   }
+
+  test("pca power: one loading per dim, L-inf normalized, direction deterministic and informative") {
+    val rows = Similarity.pcaPower(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .selectExpr("size(embedding)")
+      .head()
+      .getInt(0)
+    assert(rows.keySet === (0L until d.toLong).toSet, "loadings must cover every dimension exactly once")
+    // L-inf renormalization pins the max |loading| at exactly 1000
+    assert(rows.values.map(math.abs).max === 1000L)
+    assert(rows.values.forall(v => math.abs(v) <= 1000L))
+    // the direction must carry signal: more than one non-zero loading
+    assert(rows.values.count(_ != 0L) > 1, "degenerate principal direction")
+    // pure function of the data: a rerun is identical
+    val again = Similarity.pcaPower(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === rows)
+  }
 }
