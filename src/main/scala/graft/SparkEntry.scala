@@ -239,6 +239,7 @@ object SparkEntry {
     "text_langid"      -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_langid_eval" -> ((s, d) => TextAnalysis.langIdEval(s, d)),
     "text_lexical_diversity" -> ((s, d) => TextAnalysis.lexicalDiversity(s, d)),
+    "text_span_df_profile" -> ((s, d) => TextAnalysis.spanDfProfile(s, d)),
     "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
@@ -1792,6 +1793,23 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
          |  CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_unique_tokens
          |FROM documents""".stripMargin,
+    // span df histogram: per-doc-distinct 8-word spans, df per span,
+    // power-of-2 bands via length(bin(df)) - 1, occurrence mass share
+    "text_span_df_profile" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sp AS (SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS span
+         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |             FROM d WHERE len(toks) >= 8)),
+         |f AS (SELECT span, CAST(COUNT(*) AS BIGINT) AS df FROM sp GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(df) AS BIGINT) AS total_occ FROM f),
+         |b AS (SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS df_band,
+         |        CAST(COUNT(*) AS BIGINT) AS n_spans, CAST(SUM(df) AS BIGINT) AS occ
+         |      FROM f GROUP BY 1)
+         |SELECT df_band, CAST(pow(2, df_band) AS BIGINT) AS df_lo, n_spans, occ,
+         |  CAST(occ * 10000 // total_occ AS BIGINT) AS occ_share_bp
+         |FROM b, tot""".stripMargin,
     // lexical diversity replayed as run-length analysis of the sorted
     // token list (1-based DuckDB indexing mirrors the clamped 0-based
     // Spark probes; OOB list access is NULL here, dropped by filter)

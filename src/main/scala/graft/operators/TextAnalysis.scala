@@ -1871,6 +1871,47 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // text_span_df_profile — the span DOCUMENT-FREQUENCY histogram: how
+  // much of the corpus' 8-word span mass sits at each df power-of-2
+  // band. This is the report that justifies every df-cap in the
+  // engine (dropOversizedBuckets, the long-match anchor cap, the
+  // common-neighbors middle cap): the high-df tail IS the boilerplate
+  // mass those caps drop, and this operator prices it before a cap is
+  // chosen. Same per-doc-distinct span grain as text_boilerplate;
+  // one partial-aggregable groupBy on the span key (a span shared by
+  // k docs costs k rows into its group, never a pairwise join), then
+  // a second groupBy on the ~log₂(corpus) band key space. Bands via
+  // length(bin(df)) − 1 — the integer floor-log2 both engines share.
+  // -------------------------------------------------------------------
+  def spanDfProfile(spark: SparkSession, dir: String, span: Int = 8): DataFrame = {
+    val df = docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("toks")) >= span,
+            expr(s"transform(sequence(0, size(toks) - $span), i -> array_join(slice(toks, i + 1, $span), ' '))")
+          ).otherwise(array())
+        ).as("span")
+      )
+      .distinct()
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("df"))
+    val total = df.agg(sum(col("df")).as("total_occ"))
+    df
+      .groupBy(expr("CAST(length(bin(df)) - 1 AS BIGINT)").as("df_band"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("df")).as("occ"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("df_band"),
+        expr("CAST(pow(2, df_band) AS BIGINT)").as("df_lo"),
+        col("n_spans"),
+        col("occ"),
+        expr("occ * 10000 DIV total_occ").as("occ_share_bp")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // text_lexical_diversity — per-doc lexical-diversity quality panel:
   // type-token ratio, hapax share, and the most-common-token share
   // (the Gopher "fraction of most frequent word" rule). Entirely

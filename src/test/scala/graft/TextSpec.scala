@@ -490,6 +490,38 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("span df profile: bands partition the span mass, shares bounded, boilerplate tail present") {
+    val df = TextAnalysis.spanDfProfile(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      // df_lo = 2^band exactly, and every span falls in exactly one band
+      for (r <- rows) assert(r.getAs[Long]("df_lo") === (1L << r.getAs[Long]("df_band").toInt))
+      assert(rows.map(_.getAs[Long]("occ_share_bp")).forall(s => s >= 0 && s <= 10000))
+      // band 0 (df = 1, unique spans) dominates any natural corpus;
+      // a band >= 1 must also exist or text_boilerplate would be vacuous
+      assert(rows.exists(_.getAs[Long]("df_band") === 0L))
+      assert(rows.exists(_.getAs[Long]("df_band") >= 1L), "no repeated spans — boilerplate tail missing")
+      // occurrence mass conserves: sum(occ) = total distinct (doc, span) pairs
+      val occSum = rows.map(_.getAs[Long]("occ")).sum
+      val truth = graft.sources.Tables
+        .documents(spark, sf)
+        .select(col("doc_id"), split(graft.operators.Dedup.normText(col("text")), " ").as("toks"))
+        .select(
+          col("doc_id"),
+          explode(
+            when(
+              size(col("toks")) >= 8,
+              expr("transform(sequence(0, size(toks) - 8), i -> array_join(slice(toks, i + 1, 8), ' '))")
+            ).otherwise(array())
+          ).as("span")
+        )
+        .distinct()
+        .count()
+      assert(occSum === truth, "band occurrence mass does not conserve the (doc, span) population")
+    } finally df.unpersist()
+  }
+
   test("lexical diversity: run-length panel matches an independent explode+groupBy replay") {
     val df = TextAnalysis.lexicalDiversity(spark, sf).cache()
     try {
