@@ -155,6 +155,7 @@ object SparkEntry {
     "approx_kmv_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxKmvStream(s, d)),
     "approx_cms_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxCmsStream(s, d)),
     "sample_cap_stream"  -> ((s, d) => graft.sources.StreamingIngest.sampleCapStream(s, d)),
+    "text_heavy_hitters_stream" -> ((s, d) => graft.sources.StreamingIngest.heavyHittersStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -463,6 +464,21 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM w GROUP BY 1""".stripMargin
+
+  /** Heavy-hitters replay (drill stream = corpus tokens + amplified
+    * tail; exact top-5), shared by text_heavy_hitters and its
+    * streaming-MG twin: both publish the exact recount over a
+    * candidate superset, so one oracle verifies both.
+    */
+  private val hhOracle =
+    s"""WITH base AS (SELECT unnest($toksSql) AS w FROM documents),
+       |hv AS (SELECT 'hh_' || CAST(doc_id % 5 AS VARCHAR) AS w
+       |       FROM (SELECT doc_id, unnest(generate_series(1, 120)) AS i
+       |             FROM documents WHERE doc_id % 4 = 0)),
+       |t AS (SELECT w FROM base WHERE w <> '' UNION ALL SELECT w FROM hv),
+       |c AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1),
+       |r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rnk FROM c)
+       |SELECT rnk, w, n FROM r WHERE rnk <= 5""".stripMargin
 
   /** per-slot b-bit agreement: parity of each integer min-hash slot */
   private val bbitAgreeSql = (0 until 12)
@@ -1988,15 +2004,11 @@ object SparkEntry {
     // exact top-5 over the amplified stream; the Spark side's MG
     // candidate pass is exact whenever rank-k count > n/cap (spec-
     // asserted), so both engines produce the same plain top-k
-    "text_heavy_hitters" ->
-      s"""WITH base AS (SELECT unnest($toksSql) AS w FROM documents),
-         |hv AS (SELECT 'hh_' || CAST(doc_id % 5 AS VARCHAR) AS w
-         |       FROM (SELECT doc_id, unnest(generate_series(1, 120)) AS i
-         |             FROM documents WHERE doc_id % 4 = 0)),
-         |t AS (SELECT w FROM base WHERE w <> '' UNION ALL SELECT w FROM hv),
-         |c AS (SELECT w, COUNT(*) AS n FROM t GROUP BY 1),
-         |r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rnk FROM c)
-         |SELECT rnk, w, n FROM r WHERE rnk <= 5""".stripMargin,
+    "text_heavy_hitters" -> hhOracle,
+    // the streamed MG summary's drained candidates always contain the
+    // true heavy hitters (order-independent floor bound) and the final
+    // exact recount is the same contract as batch — shared oracle
+    "text_heavy_hitters_stream" -> hhOracle,
     "text_bpe_apply" -> bpeApplyOracle(5),
     // the persisted-index roundtrip must lose nothing: same oracle as
     // the in-memory apply

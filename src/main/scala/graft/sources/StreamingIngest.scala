@@ -1465,6 +1465,98 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** text_heavy_hitters_stream — MISRA-GRIES as streaming state: the
+    * trending-terms monitor a 24/7 ingest keeps at O(shards·cap)
+    * memory forever. Tokens hash-shard (each word lives wholly in one
+    * shard, so the MG floor bound applies per shard), each shard's
+    * state is one decrement-all counter summary of ≤cap entries,
+    * resumed across micro-batches (continuing an MG summary IS
+    * running MG on the concatenated stream). MG's guarantee is
+    * ORDER-INDEPENDENT — any key with frequency > N_shard/cap
+    * survives every arrival order — so although the candidate SET may
+    * vary with shuffle order, the drained candidates always contain
+    * the true heavy hitters, and the final exact recount over them
+    * (the same candidates→recount→top-k contract as the batch
+    * text_heavy_hitters) makes the published answer deterministic and
+    * equal to the batch answer — which is why they share the oracle.
+    */
+  def heavyHittersStream(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 5,
+      cap: Int = 16,
+      shards: Int = 8,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import graft.operators.{Dedup, TextAnalysis}
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(s"$dir/documents.parque[t]")
+    // the drill's token stream: corpus tokens + the amplified tail —
+    // the streaming replay of TextAnalysis.heavyStream
+    val base = stream
+      .select(explode(split(Dedup.normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val heavy = stream
+      .filter(col("doc_id") % 4 === 0)
+      .select(explode(expr("transform(sequence(1, 120), i -> concat('hh_', CAST(doc_id % 5 AS STRING)))")).as("w"))
+    val toks = base
+      .unionByName(heavy)
+      .select(pmod(hash(col("w")), lit(shards)).as("shard"), col("w"))
+      .as[(Int, String)]
+    val perBatch = toks
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Array[(String, Long)], Long), (Int, Long, String)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is <= cap keyed counters by construction
+      ) { (shard: Int, rows: Iterator[(Int, String)], state: GroupState[(Array[(String, Long)], Long)]) =>
+        val (prev, ver) = state.getOption.getOrElse((Array.empty[(String, Long)], 0L))
+        val m = scala.collection.mutable.HashMap[String, Long](prev.toSeq: _*)
+        var delta = 0L
+        rows.foreach { case (_, w) =>
+          m.get(w) match {
+            case Some(c) => m.update(w, c + 1)
+            case None =>
+              if (m.size < cap) m.update(w, delta + 1)
+              else {
+                // decrement-all: raise the floor, lazily evict sunk keys
+                delta += 1
+                m.filterInPlace((_, c) => c > delta)
+                if (m.size < cap) m.update(w, delta + 1)
+              }
+          }
+        }
+        val eff = m.iterator.map { case (w, c) => (w, c - delta) }.toArray
+        state.update((eff, ver + 1))
+        eff.iterator.map { case (w, _) => (shard, ver + 1, w) }
+      }
+      .toDF("shard", "ver", "w")
+    // drain; candidates = the FINAL summary per shard (max-struct per
+    // shard — no self-join of the drained sink)
+    val drained = runToMemory(spark, perBatch, "append")
+    val cands = drained
+      .groupBy(col("shard"), col("ver"))
+      .agg(collect_set(col("w")).as("ws"))
+      .groupBy(col("shard"))
+      .agg(max(struct(col("ver"), col("ws"))).as("s"))
+      .select(explode(col("s.ws")).as("w"))
+      .distinct()
+    // exact recount over the candidate superset — the batch contract
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n").desc, col("w").asc)
+    TextAnalysis
+      .heavyStream(spark, dir)
+      .join(broadcast(cands), Seq("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("w"), col("n"))
+  }
+
   /** sample_cap_stream — the DISTRIBUTED RESERVOIR as streaming
     * state: per source, the k smallest (md5(doc_id), doc_id) pairs —
     * sample_cap_per_source's exact selection rule — maintained by a

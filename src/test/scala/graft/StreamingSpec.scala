@@ -521,6 +521,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cap rows missing from stream")
   }
 
+  test("heavy hitters stream: two-batch replay recounts to the exact batch top-k") {
+    // the MG floor bound is order-independent, so the drained candidate
+    // set contains the true heavy hitters in any replay — the final
+    // exact recount must therefore equal the batch answer exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/documents.parquet"
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    val streamed = StreamingIngest.heavyHittersStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TextAnalysis.heavyHitters(spark, dir)
+    assert(streamed.count() === 5L)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed top-k rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch top-k rows missing from stream")
+  }
+
   test("windowed ingest matches the direct batch aggregation") {
     val streamed = StreamingIngest.ingestHourly(spark, sf)
     val batch = Tables
