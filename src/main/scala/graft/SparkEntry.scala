@@ -218,6 +218,7 @@ object SparkEntry {
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
     "emb_pca_power"       -> ((s, d) => Similarity.pcaPower(s, d)),
+    "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "ann_knn_join"        -> ((s, d) => Similarity.annKnnJoin(s, d)),
     "ann_knn_recall"      -> ((s, d) => Similarity.annKnnRecall(s, d)),
     "ann_cell_skew"       -> ((s, d) => Similarity.annCellSkew(s, d)),
@@ -945,6 +946,30 @@ object SparkEntry {
          |FROM t JOIN c ON c.bucket = t.bucket, m
          |WHERE t.source != m.ts
          |GROUP BY 1""".stripMargin,
+    // label-centroid separation: milli centroids by integer DIV,
+    // squared distances, nearest-other-label by (d2, label) tiebreak
+    "emb_label_centroids" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS label,
+        |             list_transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT)) AS q
+        |           FROM embeddings),
+        |x AS (SELECT label, i - 1 AS i, q[i] AS qi
+        |      FROM (SELECT label, q, unnest(generate_series(1, len(q))) AS i FROM q)),
+        |sl AS (SELECT label, i, CAST(SUM(qi) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM x GROUP BY 1, 2),
+        |cl AS (SELECT label, i, CAST(s // n AS BIGINT) AS c, n FROM sl),
+        |g AS (SELECT i, CAST(CAST(SUM(s) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS BIGINT) AS gc
+        |      FROM sl GROUP BY 1),
+        |dg AS (SELECT label, MAX(n) AS n_vecs,
+        |         CAST(SUM((c - gc) * (c - gc)) AS BIGINT) AS dist2_global
+        |       FROM cl JOIN g USING (i) GROUP BY 1),
+        |pr AS (SELECT a.label AS la, b.label AS lb,
+        |         CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2
+        |       FROM cl a JOIN cl b ON a.i = b.i AND a.label <> b.label GROUP BY 1, 2),
+        |nr AS (SELECT la, lb, d2,
+        |         ROW_NUMBER() OVER (PARTITION BY la ORDER BY d2 ASC, lb ASC) AS rn FROM pr)
+        |SELECT dg.label, dg.n_vecs, dg.dist2_global,
+        |  nr.lb AS nearest_label, nr.d2 AS dist2_nearest
+        |FROM dg JOIN nr ON nr.la = dg.label AND nr.rn = 1""".stripMargin,
     // top principal component by integer power iteration: milli-unit
     // quantize, division-free centered scatter (correction term
     // integer-divided first), 3 unrolled Cv steps with L-inf

@@ -1159,6 +1159,54 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // emb_label_centroids — label SEPARATION report in embedding space:
+  // per label the centroid (milli units, integer DIV), its squared
+  // distance to the GLOBAL centroid, and the nearest OTHER label with
+  // its squared centroid distance — the "are these classes actually
+  // separated" read a labeler/router publishes before anyone trusts
+  // the labels. All integer arithmetic (milli quantize → sum → DIV →
+  // squared diffs), bit-identical cross-engine. Scale shape: ONE
+  // corpus pass (posexplode + partial-aggregable groupBy on the
+  // |labels|·d key space); everything after runs on the ≤|labels|·d
+  // centroid table with broadcast joins — |labels|² pair work is
+  // bounded by the label enum, never the corpus.
+  // -------------------------------------------------------------------
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("label").cast("long").as("label"),
+        posexplode(expr("transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT))")).as(Seq("i", "qi"))
+      )
+    val sl = x
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cl = sl.select(col("label"), col("i"), expr("s DIV n").as("c"), col("n"))
+    val g = sl
+      .groupBy(col("i"))
+      .agg(expr("CAST(SUM(s) AS BIGINT) DIV CAST(SUM(n) AS BIGINT)").as("gc"))
+    val dg = cl
+      .join(broadcast(g), Seq("i"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"), sum(expr("(c - gc) * (c - gc)")).as("dist2_global"))
+    val pair = cl
+      .select(col("label").as("la"), col("i"), col("c").as("ca"))
+      .join(broadcast(cl.select(col("label").as("lb"), col("i"), col("c").as("cb"))), Seq("i"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(col("la"), col("lb"))
+      .agg(sum(expr("(ca - cb) * (ca - cb)")).as("d2"))
+    val nearest = pair
+      .groupBy(col("la"))
+      .agg(min(struct(col("d2"), col("lb"))).as("m"))
+      .select(col("la").as("label"), col("m.lb").as("nearest_label"), col("m.d2").as("dist2_nearest"))
+    val out = dg
+      .join(nearest, Seq("label"))
+      .select(col("label"), col("n_vecs"), col("dist2_global"), col("nearest_label"), col("dist2_nearest"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(sl))
+  }
+
+  // -------------------------------------------------------------------
   // emb_pca_power — the TOP PRINCIPAL COMPONENT of the embedding
   // cloud by POWER ITERATION, entirely in exact integer arithmetic so
   // both engines replay it bit-for-bit: vectors quantize to milli

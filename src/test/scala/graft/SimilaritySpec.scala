@@ -264,6 +264,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("label centroids: one row per label, population conserved, nearest is symmetric-lawful") {
+    val df = Similarity.labelCentroids(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      val labels = spark.read.parquet(s"$sf/embeddings.parquet").select(col("label")).distinct().count()
+      assert(rows.length.toLong === labels, "one row per label")
+      val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+      assert(rows.map(_.getAs[Long]("n_vecs")).sum === total, "label populations must conserve the corpus")
+      for (r <- rows) {
+        assert(r.getAs[Long]("nearest_label") !== r.getAs[Long]("label"))
+        assert(r.getAs[Long]("dist2_nearest") >= 0L && r.getAs[Long]("dist2_global") >= 0L)
+      }
+      // nearest-other distance can never beat the true minimum over the
+      // pair matrix computed independently at vector grain is overkill;
+      // instead pin determinism: a rerun is identical
+      val again = Similarity.labelCentroids(spark, sf).collect()
+      assert(rows.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+    } finally df.unpersist()
+  }
+
   test("pca power: one loading per dim, L-inf normalized, direction deterministic and informative") {
     val rows = Similarity.pcaPower(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val d = spark.read
