@@ -156,6 +156,7 @@ object SparkEntry {
     "approx_cms_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxCmsStream(s, d)),
     "sample_cap_stream"  -> ((s, d) => graft.sources.StreamingIngest.sampleCapStream(s, d)),
     "text_heavy_hitters_stream" -> ((s, d) => graft.sources.StreamingIngest.heavyHittersStream(s, d)),
+    "ts_ohlc_stream"     -> ((s, d) => graft.sources.StreamingIngest.ohlcStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -465,6 +466,28 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM w GROUP BY 1""".stripMargin
+
+  /** OHLC replay (first/last by (ts, event_id) row-number; ≡ the
+    * stream's min/max-struct), shared by ts_ohlc_1d and its
+    * streaming-state twin.
+    */
+  private val ohlcOracle =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_id, epoch_us(ts) AS ts_us,
+      |         event_id, CAST(round(value*100) AS BIGINT) AS value_c
+      |  FROM events
+      |), r AS (
+      |  SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, day_id ORDER BY ts_us ASC, event_id ASC) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, day_id ORDER BY ts_us DESC, event_id DESC) AS rn_d
+      |  FROM e
+      |)
+      |SELECT user_id, day_id,
+      |  MAX(CASE WHEN rn_a = 1 THEN value_c END) AS open_c,
+      |  MAX(value_c) AS high_c, MIN(value_c) AS low_c,
+      |  MAX(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
+      |  COUNT(*) AS n
+      |FROM r GROUP BY user_id, day_id""".stripMargin
 
   /** Heavy-hitters replay (drill stream = corpus tokens + amplified
     * tail; exact top-5), shared by text_heavy_hitters and its
@@ -3087,23 +3110,11 @@ object SparkEntry {
         |  MIN(CAST(round(value*100) AS BIGINT)) AS min_c,
         |  MAX(CAST(round(value*100) AS BIGINT)) AS max_c
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "ts_ohlc_1d" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day_id, epoch_us(ts) AS ts_us,
-        |         event_id, CAST(round(value*100) AS BIGINT) AS value_c
-        |  FROM events
-        |), r AS (
-        |  SELECT *,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id, day_id ORDER BY ts_us ASC, event_id ASC) AS rn_a,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id, day_id ORDER BY ts_us DESC, event_id DESC) AS rn_d
-        |  FROM e
-        |)
-        |SELECT user_id, day_id,
-        |  MAX(CASE WHEN rn_a = 1 THEN value_c END) AS open_c,
-        |  MAX(value_c) AS high_c, MIN(value_c) AS low_c,
-        |  MAX(CASE WHEN rn_d = 1 THEN value_c END) AS close_c,
-        |  COUNT(*) AS n
-        |FROM r GROUP BY user_id, day_id""".stripMargin,
+    "ts_ohlc_1d" -> ohlcOracle,
+    // streamed candles: struct-min/max merge is associative and
+    // commutative, so the drained state equals the batch row-number
+    // formulation in any arrival order — shared oracle
+    "ts_ohlc_stream" -> ohlcOracle,
     "ts_moving_avg" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS w5_sum_c,

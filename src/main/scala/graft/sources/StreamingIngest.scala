@@ -1465,6 +1465,54 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** ts_ohlc_stream — OHLC candles as STREAMING STATE: per
+    * (user, day), open/close maintained as min/max over the
+    * (ts, event_id, value) struct — struct-min/max merge is
+    * associative AND commutative, so the drained candles equal the
+    * batch row-number formulation by ALGEBRA in any arrival order
+    * (the reason a live candle feed never needs to re-sort history).
+    * State is one row per open (user, day) key — bounded by the data's
+    * own key space, the same argument as the windowed ingest. Shares
+    * ts_ohlc_1d's oracle: first-by-(ts,id) ≡ min-struct.
+    */
+  def ohlcStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val candles = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+      .withColumn("day_id", expr("ts_us DIV 86400000000"))
+      .groupBy(col("user_id"), col("day_id"))
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("value_c"))).as("o"),
+        max(col("value_c")).as("high_c"),
+        min(col("value_c")).as("low_c"),
+        max(struct(col("ts_us"), col("event_id"), col("value_c"))).as("c"),
+        count(lit(1)).as("n")
+      )
+      .select(
+        col("user_id"),
+        col("day_id"),
+        col("o.value_c").as("open_c"),
+        col("high_c"),
+        col("low_c"),
+        col("c.value_c").as("close_c"),
+        col("n")
+      )
+    runToMemory(spark, candles, "complete")
+  }
+
   /** text_heavy_hitters_stream — MISRA-GRIES as streaming state: the
     * trending-terms monitor a 24/7 ingest keeps at O(shards·cap)
     * memory forever. Tokens hash-shard (each word lives wholly in one

@@ -521,6 +521,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cap rows missing from stream")
   }
 
+  test("ohlc stream: two-batch replay drains the exact batch candles (struct-min/max algebra)") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.ohlcStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.ohlcDaily(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed candles not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch candles missing from stream")
+  }
+
   test("heavy hitters stream: two-batch replay recounts to the exact batch top-k") {
     // the MG floor bound is order-independent, so the drained candidate
     // set contains the true heavy hitters in any replay — the final
