@@ -157,6 +157,7 @@ object SparkEntry {
     "sample_cap_stream"  -> ((s, d) => graft.sources.StreamingIngest.sampleCapStream(s, d)),
     "text_heavy_hitters_stream" -> ((s, d) => graft.sources.StreamingIngest.heavyHittersStream(s, d)),
     "ts_ohlc_stream"     -> ((s, d) => graft.sources.StreamingIngest.ohlcStream(s, d)),
+    "mm_cas_stream"      -> ((s, d) => graft.sources.StreamingIngest.casStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -466,6 +467,19 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN rn <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
       |  CAST(SUM(CASE WHEN rn <= 100 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
       |FROM w GROUP BY 1""".stripMargin
+
+  /** CAS chunk-dedup replay (fixed 256-byte chunks, cross-doc chunks
+    * only), shared by mm_chunk_dedup and the streaming CAS ingest.
+    */
+  private val chunkDedupOracle =
+    """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+      |c AS (SELECT doc_id, text,
+      |        unnest(generate_series(0, (n_bytes + 255) // 256 - 1)) AS chunk_idx
+      |      FROM d WHERE n_bytes > 0),
+      |h AS (SELECT doc_id, sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha FROM c)
+      |SELECT chunk_sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
+      |FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
 
   /** OHLC replay (first/last by (ts, event_id) row-number; ≡ the
     * stream's min/max-struct), shared by ts_ohlc_1d and its
@@ -2382,15 +2396,11 @@ object SparkEntry {
         |  CAST((SUM(n_bytes) - SUM(CASE WHEN a.doc_id = c.canonical_doc THEN n_bytes ELSE 0 END)) * 10000
         |       // SUM(n_bytes) AS BIGINT) AS savings_bp
         |FROM a JOIN c ON c.sha = a.sha GROUP BY 1""".stripMargin,
-    "mm_chunk_dedup" ->
-      """WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
-        |c AS (SELECT doc_id, text,
-        |        unnest(generate_series(0, (n_bytes + 255) // 256 - 1)) AS chunk_idx
-        |      FROM d WHERE n_bytes > 0),
-        |h AS (SELECT doc_id, sha256(substr(text, CAST(chunk_idx * 256 + 1 AS INTEGER), 256)) AS chunk_sha FROM c)
-        |SELECT chunk_sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
-        |FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin,
+    "mm_chunk_dedup" -> chunkDedupOracle,
+    // the streamed CAS ref table drains to the identical (sha, doc)
+    // population (counts additive), and the dedup report is finished
+    // in batch on it — shared oracle
+    "mm_cas_stream" -> chunkDedupOracle,
     // CAS garbage collection: a chunk is reclaimable iff NO live doc
     // references it; per-source accounting by the canonical holder
     "mm_chunk_gc" ->

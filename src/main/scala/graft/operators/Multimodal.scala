@@ -75,8 +75,14 @@ object Multimodal {
   // count bounded per row.
   // -------------------------------------------------------------------
   def chunkTable(spark: SparkSession, dir: String, chunkBytes: Int = 256): DataFrame =
-    Tables
-      .documents(spark, dir)
+    chunksOf(Tables.documents(spark, dir), chunkBytes)
+
+  /** Fixed-size chunk expansion shared by the batch chunk table and
+    * the streaming CAS ingest (works on a streaming DataFrame too —
+    * all row-local).
+    */
+  private[graft] def chunksOf(docs: DataFrame, chunkBytes: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), expr("octet_length(text)").as("n_bytes"))
       .select(
         col("doc_id"),

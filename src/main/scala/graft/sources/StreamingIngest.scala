@@ -1465,6 +1465,44 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** mm_cas_stream — the CONTENT-ADDRESSED STORE's reference table as
+    * STREAMING STATE: payloads chunk row-locally as they arrive
+    * (Multimodal.chunksOf — the shared fixed-size chunker), and the
+    * (chunk_sha, doc_id) reference table is a streaming groupBy whose
+    * counts are additive across micro-batches — the state IS the CAS
+    * ref table, which is exactly what an incremental-backup/dedup
+    * ingest persists (its growth is the store's own growth, not a
+    * leak). Distinct-doc counting is NOT a streaming-legal aggregate,
+    * so the dedup report (cross-doc chunks, occurrence counts,
+    * canonical holder) is FINISHED in batch on the drained ref table —
+    * the same drain-then-finish split as text_heavy_hitters_stream —
+    * making the published rows equal mm_chunk_dedup by algebra
+    * (shared oracle).
+    */
+  def casStream(
+      spark: SparkSession,
+      dir: String,
+      chunkBytes: Int = 256,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.Multimodal
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val refs = Multimodal
+      .chunksOf(reader.parquet(s"$dir/documents.parque[t]"), chunkBytes)
+      .groupBy(col("chunk_sha"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    runToMemory(spark, refs, "complete")
+      .groupBy(col("chunk_sha"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_occ")).as("n_occurrences"),
+        min(col("doc_id")).as("canonical_doc")
+      )
+      .filter(col("n_docs") > 1)
+  }
+
   /** ts_ohlc_stream — OHLC candles as STREAMING STATE: per
     * (user, day), open/close maintained as min/max over the
     * (ts, event_id, value) struct — struct-min/max merge is

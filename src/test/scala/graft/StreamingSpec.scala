@@ -521,6 +521,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cap rows missing from stream")
   }
 
+  test("cas stream: two-batch replay drains the exact batch chunk-dedup report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cas_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/documents.parquet"
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    val streamed = StreamingIngest.casStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.Multimodal.chunkDedup(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed dedup rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch dedup rows missing from stream")
+  }
+
   test("ohlc stream: two-batch replay drains the exact batch candles (struct-min/max algebra)") {
     val dir = twoBatchDir()
     val streamed = StreamingIngest.ohlcStream(spark, dir, filesPerTrigger = Some(1))
