@@ -263,6 +263,7 @@ object SparkEntry {
     "text_cdc_chunks"   -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_surprisal"    -> ((s, d) => TextAnalysis.surprisal(s, d)),
     "pipeline_keep_set" -> ((s, d) => TextAnalysis.pipelineKeepSet(s, d)),
+    "pipeline_funnel"   -> ((s, d) => TextAnalysis.pipelineFunnel(s, d)),
     "pipeline_mix_plan" -> ((s, d) => TextAnalysis.mixPlan(s, d)),
     "text_readability"  -> ((s, d) => TextAnalysis.readability(s, d)),
     "text_bigram_lm"    -> ((s, d) => TextAnalysis.bigramLm(s, d)),
@@ -2384,6 +2385,43 @@ object SparkEntry {
          |                                 WHEN 'de' THEN '33' ELSE '1a' END)
          |SELECT sm.doc_id, sm.pred_lang
          |FROM sm JOIN qf USING (doc_id) JOIN cn USING (doc_id)""".stripMargin,
+    // per-source cumulative stage survival of the keep pipeline —
+    // same stage predicates as pipeline_keep_set
+    "pipeline_funnel" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |q AS (SELECT doc_id, (length(text) >= 100
+         |       AND len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) * 20 >= len(toks)) AS is_q
+         |      FROM t),
+         |h AS (SELECT doc_id, md5($normSql) AS th FROM documents),
+         |cn AS (SELECT doc_id, (doc_id = MIN(doc_id) OVER (PARTITION BY th)) AS is_c FROM h),
+         |s AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> list_contains(['the','a','of','is'], x))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(toks, x -> list_contains(['el','la','los','es'], x))) AS BIGINT) AS s_es,
+         |  CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(toks, x -> list_contains(['le','les','des','et'], x))) AS BIGINT) AS s_fr
+         |  FROM t),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang
+         |  FROM s),
+         |sm AS (SELECT doc_id,
+         |         (substr(md5('sample:' || doc_id), 1, 2) <
+         |            CASE pred_lang WHEN 'en' THEN '80' WHEN 'es' THEN '4d'
+         |                           WHEN 'de' THEN '33' ELSE '1a' END) AS is_s
+         |       FROM l),
+         |f AS (SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |        CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |        CAST(SUM(CASE WHEN is_q AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+         |        CAST(SUM(CASE WHEN is_q AND is_c AND is_s THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |      FROM t JOIN q USING (doc_id) JOIN cn USING (doc_id) JOIN sm USING (doc_id)
+         |      GROUP BY 1)
+         |SELECT source, n_raw, n_quality, n_canonical, n_kept,
+         |  CAST(n_quality * 10000 // GREATEST(n_raw, 1) AS BIGINT) AS quality_bp,
+         |  CAST(n_canonical * 10000 // GREATEST(n_quality, 1) AS BIGINT) AS dedup_keep_bp,
+         |  CAST(n_kept * 10000 // GREATEST(n_canonical, 1) AS BIGINT) AS sample_keep_bp,
+         |  CAST(n_kept * 10000 // GREATEST(n_raw, 1) AS BIGINT) AS end_to_end_bp
+         |FROM f""".stripMargin,
     "mm_asset_dedup" ->
       """WITH a AS (SELECT doc_id, source, sha256(text) AS sha,
         |             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),

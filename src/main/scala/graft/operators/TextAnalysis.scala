@@ -345,9 +345,20 @@ object TextAnalysis {
   // naive stage-by-stage composition would scan the corpus three
   // times — at 100 TB the scan IS the cost.
   // -------------------------------------------------------------------
-  def pipelineKeepSet(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineKeepSet(spark: SparkSession, dir: String): DataFrame =
+    keepFlags(spark, dir)
+      .filter(col("is_quality") && col("doc_id") === col("canonical_id") && col("h2") < col("sample_threshold"))
+      .select(col("doc_id"), col("pred_lang"))
+
+  /** Per-doc stage flags shared by pipeline_keep_set (which filters to
+    * the survivors) and pipeline_funnel (which publishes the
+    * per-stage survival books).
+    */
+  private def keepFlags(spark: SparkSession, dir: String): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
-    val base = docsToks(spark, dir)
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), split(normText(col("text")), " ").as("toks"))
       .withColumn(
         "is_quality",
         length(col("text")) >= 100 &&
@@ -371,9 +382,45 @@ object TextAnalysis {
           .otherwise("fr")
       )
       .withColumn("canonical_id", min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy("th")))
-      .filter(col("is_quality") && col("doc_id") === col("canonical_id") && col("h2") < threshold)
-      .select(col("doc_id"), col("pred_lang"))
+      .withColumn("sample_threshold", threshold)
   }
+
+  // -------------------------------------------------------------------
+  // pipeline_funnel — the per-SOURCE stage-survival books of the keep
+  // pipeline: raw → quality → exact-dedup canonical → sampled, each
+  // stage CUMULATIVE (a doc is counted at a stage only if it survived
+  // every stage before it — the funnel every training-data pipeline
+  // publishes next to its keep set, and the first place a broken
+  // filter shows up as a per-source cliff). Same stage flags as
+  // pipeline_keep_set (shared code), one conditional-aggregate
+  // groupBy per source — partial-aggregable, |sources|-bounded output.
+  // -------------------------------------------------------------------
+  def pipelineFunnel(spark: SparkSession, dir: String): DataFrame =
+    keepFlags(spark, dir)
+      .select(
+        col("source"),
+        col("is_quality"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"),
+        (col("h2") < col("sample_threshold")).as("is_sampled")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("is_quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("is_quality") && col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("is_quality") && col("is_canonical") && col("is_sampled"), 1L).otherwise(0L)).as("n_kept")
+      )
+      .select(
+        col("source"),
+        col("n_raw"),
+        col("n_quality"),
+        col("n_canonical"),
+        col("n_kept"),
+        expr("n_quality * 10000 DIV greatest(n_raw, 1L)").as("quality_bp"),
+        expr("n_canonical * 10000 DIV greatest(n_quality, 1L)").as("dedup_keep_bp"),
+        expr("n_kept * 10000 DIV greatest(n_canonical, 1L)").as("sample_keep_bp"),
+        expr("n_kept * 10000 DIV greatest(n_raw, 1L)").as("end_to_end_bp")
+      )
 
   // -------------------------------------------------------------------
   // 29c. text_salient — TF-IDF-style salient token per document with a

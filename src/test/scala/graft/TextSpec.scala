@@ -490,6 +490,23 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("funnel: stages monotone, books reconcile with the keep set, rates lawful") {
+    val df = TextAnalysis.pipelineFunnel(spark, sf).cache()
+    try {
+      // the funnel is cumulative: each stage can only shrink
+      assert(df.filter(col("n_quality") > col("n_raw")).count() === 0)
+      assert(df.filter(col("n_canonical") > col("n_quality")).count() === 0)
+      assert(df.filter(col("n_kept") > col("n_canonical")).count() === 0)
+      assert(df.filter(col("end_to_end_bp") > 10000).count() === 0)
+      // raw books cover the corpus; kept books equal the keep set
+      val corpus = graft.sources.Tables.documents(spark, sf).count()
+      assert(df.agg(sum(col("n_raw"))).head().getLong(0) === corpus)
+      val kept = TextAnalysis.pipelineKeepSet(spark, sf).count()
+      assert(df.agg(sum(col("n_kept"))).head().getLong(0) === kept,
+        "funnel tail does not reconcile with pipeline_keep_set")
+    } finally df.unpersist()
+  }
+
   test("span df profile: bands partition the span mass, shares bounded, boilerplate tail present") {
     val df = TextAnalysis.spanDfProfile(spark, sf).cache()
     try {
