@@ -121,6 +121,7 @@ object SparkEntry {
     "rel_argmax"         -> ((s, d) => Relational.topCustomerPerNation(s, d)),
     "rel_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
     "rel_skew_join"      -> ((s, d) => Relational.skewJoin(s, d)),
+    "rel_key_skew_profile" -> ((s, d) => Relational.keySkewProfile(s, d)),
     "q6_revenue"         -> ((s, d) => Relational.q6Revenue(s, d)),
     "q4_order_priority"  -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q17_small_qty"      -> ((s, d) => Relational.q17SmallQuantity(s, d)),
@@ -2608,6 +2609,22 @@ object SparkEntry {
         |SELECT CAST(depth AS BIGINT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
         |FROM a GROUP BY 1""".stripMargin,
+    // join-key skew report: power-of-2 frequency bands of the fact
+    // join key + the hottest key's share (max-struct tiebreak: larger
+    // key wins on equal frequency)
+    "rel_key_skew_profile" ->
+      """WITH f AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(f) AS BIGINT) AS total_rows FROM f),
+        |h AS (SELECT l_orderkey AS hottest_key, f AS hottest_rows FROM f
+        |      ORDER BY f DESC, l_orderkey DESC LIMIT 1),
+        |b AS (SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS freq_band,
+        |        CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(f) AS BIGINT) AS n_rows
+        |      FROM f GROUP BY 1)
+        |SELECT freq_band, CAST(pow(2, freq_band) AS BIGINT) AS freq_lo, n_keys, n_rows,
+        |  CAST(n_rows * 10000 // total_rows AS BIGINT) AS row_share_bp,
+        |  hottest_key, hottest_rows,
+        |  CAST(hottest_rows * 10000 // total_rows AS BIGINT) AS hottest_share_bp
+        |FROM b, t, h""".stripMargin,
     // link prediction: common neighbors through degree-capped middles
     // (deg <= 128 — the df-cap drop is part of the contract), Jaccard
     // from the full degree table, existing edges excluded, top-20

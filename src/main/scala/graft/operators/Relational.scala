@@ -321,6 +321,44 @@ object Relational {
       )
   }
 
+  /** rel_key_skew_profile — the JOIN-KEY skew report a planner reads
+    * BEFORE shuffling 100 TB on that key: per power-of-2 frequency
+    * band of the fact's join key (lineitem.l_orderkey — the one
+    * fact-fact shuffle key in the TPC-H plans here), the key count,
+    * row mass, and row share in bp, plus the single hottest key's
+    * share — the number that decides between a plain hash join, AQE
+    * skew splitting, and salting (rel_skew_join's remedy). Two
+    * partial-aggregable groupBys (key grain → ~log₂(maxfreq) bands);
+    * the hottest key is a 1-row max-struct, not a sort.
+    */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(
+      sum($"f").as("total_rows"),
+      max(struct($"f", $"l_orderkey")).as("hot")
+    )
+    val out = freq
+      .groupBy(expr("CAST(length(bin(f)) - 1 AS BIGINT)").as("freq_band"))
+      .agg(count(lit(1)).as("n_keys"), sum($"f").as("n_rows"))
+      .crossJoin(broadcast(tot))
+      .select(
+        $"freq_band",
+        expr("CAST(pow(2, freq_band) AS BIGINT)").as("freq_lo"),
+        $"n_keys",
+        $"n_rows",
+        expr("n_rows * 10000 DIV total_rows").as("row_share_bp"),
+        $"hot.l_orderkey".as("hottest_key"),
+        $"hot.f".as("hottest_rows"),
+        expr("hot.f * 10000 DIV total_rows").as("hottest_share_bp")
+      )
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(freq))
+  }
+
   /** Pathological-key join drill (rel_skew_join): ~90% of the fact
     * collapses onto ONE join key (the null-user/"unknown-device" shape
     * that melts a plain hash-partitioned join at 100 TB — every row of

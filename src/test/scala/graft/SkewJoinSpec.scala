@@ -67,4 +67,25 @@ class SkewJoinSpec extends AnyFunSuite {
       .getLong(0)
     assert(n === 8L)
   }
+
+  test("key skew profile: bands conserve the fact, hottest key is the true argmax") {
+    val df = graft.operators.Relational.keySkewProfile(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      assert(rows.map(_.getAs[Long]("n_rows")).sum === li.count(), "band row mass must conserve the fact")
+      // hottest key columns repeat on every row; check against truth
+      val truth = li
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("l_orderkey").desc)
+        .limit(1)
+        .head()
+      assert(rows.forall(_.getAs[Long]("hottest_key") === truth.getLong(0)))
+      assert(rows.forall(_.getAs[Long]("hottest_rows") === truth.getLong(1)))
+      for (r <- rows)
+        assert(r.getAs[Long]("freq_lo") === (1L << r.getAs[Long]("freq_band").toInt))
+    } finally df.unpersist()
+  }
 }
