@@ -49,6 +49,7 @@ object SparkEntry {
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
     "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
     "ts_stl_decompose"   -> ((s, d) => TimeSeries.stlDecompose(s, d)),
+    "ts_stl_strength"    -> ((s, d) => TimeSeries.stlStrength(s, d)),
     "ts_benford"         -> ((s, d) => TimeSeries.benford(s, d)),
     "ts_drawdown"        -> ((s, d) => TimeSeries.drawdown(s, d)),
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
@@ -3229,6 +3230,35 @@ object SparkEntry {
         |SELECT d.user_id, d.hour_id, d.hod, d.level_c, d.trend_c, sn.seasonal_c,
         |  d.level_c - d.trend_c - sn.seasonal_c AS resid_c
         |FROM d JOIN sn ON sn.user_id = d.user_id AND sn.hod = d.hod""".stripMargin,
+    // seasonality/trend strength off the STL rows: division-free
+    // variance numerators, HUGEINT/DECIMAL scaling, trunc division
+    "ts_stl_strength" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, hour_id, CAST(s // n AS BIGINT) AS level_c FROM h),
+        |t AS (SELECT *, CAST(SUM(level_c) OVER w // COUNT(*) OVER w AS BIGINT) AS trend_c
+        |      FROM l WINDOW w AS (PARTITION BY user_id ORDER BY hour_id
+        |                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |d AS (SELECT *, level_c - trend_c AS det_c, hour_id % 24 AS hod FROM t),
+        |sn AS (SELECT user_id, hod, CAST(SUM(det_c) // COUNT(*) AS BIGINT) AS seasonal_c
+        |       FROM d GROUP BY 1, 2),
+        |x AS (SELECT d.user_id, d.level_c - d.trend_c - sn.seasonal_c AS r,
+        |        sn.seasonal_c + (d.level_c - d.trend_c - sn.seasonal_c) AS sr,
+        |        d.trend_c + (d.level_c - d.trend_c - sn.seasonal_c) AS tr
+        |      FROM d JOIN sn ON sn.user_id = d.user_id AND sn.hod = d.hod),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |        CAST(SUM(r) AS BIGINT) AS s_r, CAST(SUM(r * r) AS BIGINT) AS ss_r,
+        |        CAST(SUM(sr) AS BIGINT) AS s_sr, CAST(SUM(sr * sr) AS BIGINT) AS ss_sr,
+        |        CAST(SUM(tr) AS BIGINT) AS s_tr, CAST(SUM(tr * tr) AS BIGINT) AS ss_tr
+        |      FROM x GROUP BY 1)
+        |SELECT user_id, n_hours,
+        |  CAST(GREATEST(0, 10000 - CAST(n_hours * ss_r - s_r * s_r AS HUGEINT) * 10000
+        |    // CAST(GREATEST(n_hours * ss_sr - s_sr * s_sr, 1) AS HUGEINT)) AS BIGINT) AS season_strength_bp,
+        |  CAST(GREATEST(0, 10000 - CAST(n_hours * ss_r - s_r * s_r AS HUGEINT) * 10000
+        |    // CAST(GREATEST(n_hours * ss_tr - s_tr * s_tr, 1) AS HUGEINT)) AS BIGINT) AS trend_strength_bp
+        |FROM a""".stripMargin,
     // parallel LTTB: neighbor-bucket floor-div mean anchors, exact
     // integer cross-product areas; endpoint buckets keep first/last
     "ts_downsample_lttb" ->

@@ -1494,6 +1494,49 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // ts_stl_strength — SEASONALITY/TREND STRENGTH off the STL
+  // components (Hyndman's F_s / F_t): per series,
+  // F = max(0, 1 − Var(resid)/Var(component + resid)) in bp — the
+  // forecastability TRIAGE that decides which of 10M series deserve a
+  // seasonal model before anyone fits one. Integer-exact: variances
+  // compare as the division-free numerators n·Σx² − (Σx)² (their n's
+  // cancel in the ratio), scaled through DECIMAL(38,0) so the ×10000
+  // can't overflow long; trunc division both engines share. One
+  // series-grain aggregate over the stl rows — no new shuffle beyond
+  // the decomposition's own.
+  // -------------------------------------------------------------------
+  def stlStrength(spark: SparkSession, dir: String): DataFrame =
+    stlDecompose(spark, dir)
+      .select(
+        col("user_id"),
+        col("resid_c").as("r"),
+        (col("seasonal_c") + col("resid_c")).as("sr"),
+        (col("trend_c") + col("resid_c")).as("tr")
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("r")).as("s_r"),
+        sum(expr("r * r")).as("ss_r"),
+        sum(col("sr")).as("s_sr"),
+        sum(expr("sr * sr")).as("ss_sr"),
+        sum(col("tr")).as("s_tr"),
+        sum(expr("tr * tr")).as("ss_tr")
+      )
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        expr(
+          "greatest(0L, 10000L - CAST(CAST(n_hours * ss_r - s_r * s_r AS DECIMAL(38,0)) * 10000" +
+            " DIV CAST(greatest(n_hours * ss_sr - s_sr * s_sr, 1L) AS DECIMAL(38,0)) AS BIGINT))"
+        ).as("season_strength_bp"),
+        expr(
+          "greatest(0L, 10000L - CAST(CAST(n_hours * ss_r - s_r * s_r AS DECIMAL(38,0)) * 10000" +
+            " DIV CAST(greatest(n_hours * ss_tr - s_tr * s_tr, 1L) AS DECIMAL(38,0)) AS BIGINT))"
+        ).as("trend_strength_bp")
+      )
+
+  // -------------------------------------------------------------------
   // 11t. ts_rollup_cascade — the continuous-aggregate CASCADE every
   // production TSDB materializes: minute → hour → day rollups where
   // each level aggregates the PREVIOUS level, never raw points (count/

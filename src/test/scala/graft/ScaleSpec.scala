@@ -94,7 +94,16 @@ class ScaleSpec extends AnyFunSuite {
     "rel_bloom_join_prune",
     "approx_kmv_setops",
     "ts_holt_winters",
-    "mm_chunk_gc"
+    "mm_chunk_gc",
+    // round-9 later-session additions with data-proportional work
+    "text_lexical_diversity",
+    "text_span_df_profile",
+    "dedup_source_overlap",
+    "graph_common_neighbors",
+    "emb_pca_power",
+    "emb_label_centroids",
+    "pipeline_funnel",
+    "rel_key_skew_profile"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

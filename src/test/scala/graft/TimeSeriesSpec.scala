@@ -391,4 +391,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(seq.except(par).count() > 0, "sequential chain never diverged from the parallel variant")
     } finally { seq.unpersist(); par.unpersist() }
   }
+
+  test("stl strength: bp bounds, and a Scala replay of one series' variance ratio agrees") {
+    val df = graft.operators.TimeSeries.stlStrength(spark, sf).cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("season_strength_bp") < 0 || col("season_strength_bp") > 10000).count() === 0)
+      assert(df.filter(col("trend_strength_bp") < 0 || col("trend_strength_bp") > 10000).count() === 0)
+      // independent replay for the first series: recompute F_s from the
+      // stl component rows in plain Scala
+      val uid = df.select(col("user_id")).orderBy(col("user_id")).head().getLong(0)
+      val comp = graft.operators.TimeSeries
+        .stlDecompose(spark, sf)
+        .filter(col("user_id") === uid)
+        .select(col("resid_c"), (col("seasonal_c") + col("resid_c")).as("sr"))
+        .collect()
+      val n = comp.length.toLong
+      val (srm, ssr) = (comp.map(_.getLong(0)).sum, comp.map(r => r.getLong(0) * r.getLong(0)).sum)
+      val (ssm, sss) = (comp.map(_.getLong(1)).sum, comp.map(r => r.getLong(1) * r.getLong(1)).sum)
+      val vr  = BigInt(n) * ssr - BigInt(srm) * srm
+      val vsr = (BigInt(n) * sss - BigInt(ssm) * ssm).max(BigInt(1))
+      val expected = (BigInt(10000) - vr * 10000 / vsr).max(BigInt(0)).toLong
+      val got = df.filter(col("user_id") === uid).head().getAs[Long]("season_strength_bp")
+      assert(got === expected, s"series $uid: strength $got != Scala replay $expected")
+    } finally df.unpersist()
+  }
 }
