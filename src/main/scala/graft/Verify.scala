@@ -61,14 +61,20 @@ object Verify {
         } catch { case e: Throwable =>
           failures.add(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        } finally
-          // cached tables must not accumulate across a ~200-query sweep
-          // in one JVM (concurrent-safe: merely de-caches peers early)
-          spark.catalog.clearCache()
+        }
+        // NOTE deliberately NO per-query clearCache here: clearing the
+        // shared CacheManager while PEER queries are mid-broadcast has
+        // twice produced silently-wrong peer results (an emptied eval
+        // filter in r8; a dropped-every-anchor long-match in r9) —
+        // wrong VALUES, which no retry-on-exception can catch. Each
+        // operator releases its own caches via releaseAfterRun; the
+        // residue of the few that don't is bounded at sf0.01 and is
+        // cleared once below, after the concurrent phase drains.
       }
     }
     futures.foreach(f => scala.concurrent.Await.ready(f, scala.concurrent.duration.Duration.Inf))
     pool.shutdown()
+    spark.catalog.clearCache()
     // safety net: anything that failed under concurrency gets one
     // sequential retry on the main thread (a transient contention
     // failure must not cost the round a correctness row)

@@ -1788,10 +1788,18 @@ object Dedup {
       n
     ).withColumnRenamed("doc_id", "t_doc").withColumnRenamed("pos", "t_pos")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager (count-first) capping on BOTH sides: in the common
+    // no-oversize case the anchor join's plan then contains no
+    // broadcast anti-join at all — one transient full-sweep anomaly
+    // (all max_run = 0, the dropped-everything shape) pointed at the
+    // lazy variant's unconditional broadcast racing concurrent cache
+    // maintenance, the same race class the evalSrc literal above
+    // already closed. Two extra count jobs on persisted inputs buy a
+    // literal-free plan for the correctness gate.
     val evalCapped =
-      dropOversizedBuckets(evalSh, Seq("shingle"), anchorDfCap, "contamination_long_match eval anchors", eager = false)
+      dropOversizedBuckets(evalSh, Seq("shingle"), anchorDfCap, "contamination_long_match eval anchors")
     val trainCapped =
-      dropOversizedBuckets(trainSh, Seq("shingle"), anchorDfCap, "contamination_long_match train anchors", eager = false)
+      dropOversizedBuckets(trainSh, Seq("shingle"), anchorDfCap, "contamination_long_match train anchors")
     val streaks = evalCapped
       .join(trainCapped, Seq("shingle"))
       .select(col("doc_id"), col("t_doc"), (col("pos") - col("t_pos")).as("diag"), col("pos"))
