@@ -160,6 +160,7 @@ object SparkEntry {
     "text_heavy_hitters_stream" -> ((s, d) => graft.sources.StreamingIngest.heavyHittersStream(s, d)),
     "ts_ohlc_stream"     -> ((s, d) => graft.sources.StreamingIngest.ohlcStream(s, d)),
     "mm_cas_stream"      -> ((s, d) => graft.sources.StreamingIngest.casStream(s, d)),
+    "ts_seasonal_profile_stream" -> ((s, d) => graft.sources.StreamingIngest.seasonalProfileStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -483,6 +484,19 @@ object SparkEntry {
       |SELECT chunk_sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
       |FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
+
+  /** Seasonal (type, dow, hod) profile replay, shared by
+    * ts_seasonal_profile and its streaming-state twin.
+    */
+  private val seasonalProfileOracle =
+    """SELECT event_type,
+      |  (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
+      |  MIN(CAST(round(value*100) AS BIGINT)) AS min_c,
+      |  MAX(CAST(round(value*100) AS BIGINT)) AS max_c
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
 
   /** OHLC replay (first/last by (ts, event_id) row-number; ≡ the
     * stream's min/max-struct), shared by ts_ohlc_1d and its
@@ -3746,15 +3760,10 @@ object SparkEntry {
         |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS varx_num,
         |  CAST(COUNT(*) * SUM(v*v) - SUM(v) * SUM(v) AS BIGINT) AS vary_num
         |FROM p WHERE x IS NOT NULL GROUP BY 1""".stripMargin,
-    "ts_seasonal_profile" ->
-      """SELECT event_type,
-        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS day_of_week,
-        |  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c,
-        |  MIN(CAST(round(value*100) AS BIGINT)) AS min_c,
-        |  MAX(CAST(round(value*100) AS BIGINT)) AS max_c
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "ts_seasonal_profile" -> seasonalProfileOracle,
+    // the streamed profile drains to the identical table (count/sum
+    // additive, min/max idempotent-commutative) — shared oracle
+    "ts_seasonal_profile_stream" -> seasonalProfileOracle,
     "ts_twa_daily" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  epoch_us(ts) // 86400000000 AS day_id,

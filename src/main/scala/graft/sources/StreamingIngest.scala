@@ -1465,6 +1465,46 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** ts_seasonal_profile_stream — the SEASONAL BASELINE as STREAMING
+    * STATE: the (event_type, day-of-week, hour-of-day) profile table
+    * maintained by a streaming groupBy in complete mode. count/sum are
+    * additive and min/max idempotent-commutative, so the drained
+    * profile equals the batch one by ALGEBRA, and state is EXACTLY
+    * 7·24·|types| rows at any stream length — this is the materialized
+    * baseline ts_anomaly_seasonal joins against, kept LIVE instead of
+    * rebuilt nightly (a detector that learns the new normal as it
+    * streams). Shared oracle with ts_seasonal_profile.
+    */
+  def seasonalProfileStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val profile = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("event_type"),
+        expr("ts DIV 1000").as("ts_us"),
+        cents(col("value")).as("value_c")
+      )
+      .groupBy(
+        col("event_type"),
+        expr("(ts_us DIV 86400000000 + 4) % 7").as("day_of_week"),
+        expr("(ts_us DIV 3600000000) % 24").as("hour_of_day")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value_c")).as("sum_c"),
+        min(col("value_c")).as("min_c"),
+        max(col("value_c")).as("max_c")
+      )
+    runToMemory(spark, profile, "complete")
+  }
+
   /** mm_cas_stream — the CONTENT-ADDRESSED STORE's reference table as
     * STREAMING STATE: payloads chunk row-locally as they arrive
     * (Multimodal.chunksOf — the shared fixed-size chunker), and the

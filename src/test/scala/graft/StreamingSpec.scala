@@ -521,6 +521,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cap rows missing from stream")
   }
 
+  test("seasonal profile stream: two-batch replay drains the exact batch baseline") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.seasonalProfileStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.seasonalProfile(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed profile rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch profile rows missing from stream")
+  }
+
   test("cas stream: two-batch replay drains the exact batch chunk-dedup report") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cas_stream").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
