@@ -161,6 +161,7 @@ object SparkEntry {
     "ts_ohlc_stream"     -> ((s, d) => graft.sources.StreamingIngest.ohlcStream(s, d)),
     "mm_cas_stream"      -> ((s, d) => graft.sources.StreamingIngest.casStream(s, d)),
     "ts_seasonal_profile_stream" -> ((s, d) => graft.sources.StreamingIngest.seasonalProfileStream(s, d)),
+    "text_vocab_stream"  -> ((s, d) => graft.sources.StreamingIngest.vocabStream(s, d)),
     "rel_bloom_join_prune" -> ((s, d) => Relational.bloomJoinPrune(s, d)),
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
@@ -484,6 +485,22 @@ object SparkEntry {
       |SELECT chunk_sha, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  COUNT(*) AS n_occurrences, MIN(doc_id) AS canonical_doc
       |FROM h GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1""".stripMargin
+
+  /** Heaps vocabulary-growth replay (first occurrence at min doc_id
+    * per (source, token)), shared by text_vocab_growth and its
+    * streaming-state twin.
+    */
+  private lazy val vocabGrowthOracle =
+    s"""WITH d AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
+       |t AS (SELECT source, doc_id, unnest(list_distinct(toks)) AS tok FROM d),
+       |f AS (SELECT source, tok, MIN(doc_id) AS doc_id FROM t WHERE length(tok) > 0 GROUP BY 1, 2),
+       |np AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_tokens FROM f GROUP BY 1, 2)
+       |SELECT s.source, s.doc_id,
+       |  CAST(COALESCE(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
+       |  CAST(SUM(COALESCE(np.n_new_tokens, 0))
+       |       OVER (PARTITION BY s.source ORDER BY s.doc_id) AS BIGINT) AS vocab_size
+       |FROM (SELECT source, doc_id FROM documents) s
+       |LEFT JOIN np ON np.source = s.source AND np.doc_id = s.doc_id""".stripMargin
 
   /** Seasonal (type, dow, hod) profile replay, shared by
     * ts_seasonal_profile and its streaming-state twin.
@@ -2308,17 +2325,11 @@ object SparkEntry {
     // Heaps-law curve: a token counts once, at its first (source,
     // doc) occurrence; the running sum over the doc spine rebuilds
     // the distinct-so-far size without any quadratic re-count
-    "text_vocab_growth" ->
-      s"""WITH d AS (SELECT source, doc_id, $toksSql AS toks FROM documents),
-         |t AS (SELECT source, doc_id, unnest(list_distinct(toks)) AS tok FROM d),
-         |f AS (SELECT source, tok, MIN(doc_id) AS doc_id FROM t WHERE length(tok) > 0 GROUP BY 1, 2),
-         |np AS (SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_tokens FROM f GROUP BY 1, 2)
-         |SELECT s.source, s.doc_id,
-         |  CAST(COALESCE(np.n_new_tokens, 0) AS BIGINT) AS n_new_tokens,
-         |  CAST(SUM(COALESCE(np.n_new_tokens, 0))
-         |       OVER (PARTITION BY s.source ORDER BY s.doc_id) AS BIGINT) AS vocab_size
-         |FROM (SELECT source, doc_id FROM documents) s
-         |LEFT JOIN np ON np.source = s.source AND np.doc_id = s.doc_id""".stripMargin,
+    "text_vocab_growth" -> vocabGrowthOracle,
+    // the streamed first-occurrence state drains to the identical
+    // (source, tok, min doc_id) table (min-merge algebra) and the
+    // curve finisher is shared code — shared oracle
+    "text_vocab_stream" -> vocabGrowthOracle,
     // smallest top-k vocabulary covering each occurrence-mass
     // threshold; coverage compared cross-multiplied in integers
     "text_coverage_topk" ->

@@ -485,6 +485,15 @@ object TextAnalysis {
       .filter(length(col("tok")) > 0)
       .groupBy(col("source"), col("tok"))
       .agg(min(col("doc_id")).as("doc_id"))
+    growthCurve(spark, dir, firstSeen)
+  }
+
+  /** The Heaps-curve finisher over a (source, tok, first doc_id)
+    * table — shared by the batch vocabGrowth and the streaming twin
+    * (whose state IS that table, maintained by a min-merge).
+    */
+  private[graft] def growthCurve(spark: SparkSession, dir: String, firstSeenToks: DataFrame): DataFrame = {
+    val firstSeen = firstSeenToks
       .groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("n_new_tokens"))
     // TWO-LEVEL running sum over the doc spine: a plain per-source

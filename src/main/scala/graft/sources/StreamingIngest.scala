@@ -1465,6 +1465,39 @@ object StreamingIngest {
       .select(col("event_type"), col("n_exact"), col("kmv_estimate"), col("err_bp"))
   }
 
+  /** text_vocab_stream — VOCABULARY FIRST-OCCURRENCE as STREAMING
+    * STATE: the (source, token) → min(doc_id) table maintained by a
+    * complete-mode streaming groupBy — min-merge is order-insensitive,
+    * so the drained table equals the batch first-occurrence table by
+    * ALGEBRA no matter how documents arrive. The state IS the
+    * vocabulary table (its growth is Heaps-law growth, not a leak —
+    * the same "state = the store" posture as mm_cas_stream), and the
+    * Heaps curve itself is finished in batch on the drained table via
+    * the finisher shared with text_vocab_growth (whose oracle verifies
+    * this stream).
+    */
+  def vocabStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val firstSeen = reader
+      .parquet(s"$dir/documents.parque[t]")
+      .select(
+        col("source"),
+        col("doc_id"),
+        explode(array_distinct(split(Dedup.normText(col("text")), " "))).as("tok")
+      )
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    TextAnalysis.growthCurve(spark, dir, runToMemory(spark, firstSeen, "complete"))
+  }
+
   /** ts_seasonal_profile_stream — the SEASONAL BASELINE as STREAMING
     * STATE: the (event_type, day-of-week, hour-of-day) profile table
     * maintained by a streaming groupBy in complete mode. count/sum are

@@ -521,6 +521,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cap rows missing from stream")
   }
 
+  test("vocab stream: two-batch replay drains the exact batch Heaps curve (min-merge algebra)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/documents.parquet"
+    // REVERSED arrival order (late half first) — the min-merge must
+    // still converge to the same first-occurrence table
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    val streamed = StreamingIngest.vocabStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TextAnalysis.vocabGrowth(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed curve rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch curve rows missing from stream")
+  }
+
   test("seasonal profile stream: two-batch replay drains the exact batch baseline") {
     val dir = twoBatchDir()
     val streamed = StreamingIngest.seasonalProfileStream(spark, dir, filesPerTrigger = Some(1))
