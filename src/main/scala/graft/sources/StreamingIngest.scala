@@ -1673,7 +1673,7 @@ object StreamingIngest {
         GroupStateTimeout.NoTimeout // state is <= cap keyed counters by construction
       ) { (shard: Int, rows: Iterator[(Int, String)], state: GroupState[(Array[(String, Long)], Long)]) =>
         val (prev, ver) = state.getOption.getOrElse((Array.empty[(String, Long)], 0L))
-        val m = scala.collection.mutable.HashMap[String, Long](prev.toSeq: _*)
+        val m = scala.collection.mutable.HashMap.from[String, Long](prev)
         var delta = 0L
         rows.foreach { case (_, w) =>
           m.get(w) match {
