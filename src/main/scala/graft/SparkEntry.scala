@@ -44,6 +44,7 @@ object SparkEntry {
     "ts_seasonal_profile" -> ((s, d) => TimeSeries.seasonalProfile(s, d)),
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
+    "ts_ar_fit"          -> ((s, d) => TimeSeries.arFit(s, d)),
     "ts_step_detect"     -> ((s, d) => TimeSeries.stepDetect(s, d)),
     "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
@@ -144,6 +145,8 @@ object SparkEntry {
     "graph_khop"         -> ((s, d) => Relational.kHop(s, d)),
     "graph_common_neighbors" -> ((s, d) => Relational.commonNeighbors(s, d)),
     "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
+    "rel_join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
+    "rel_zorder_layout"  -> ((s, d) => Relational.zorderLayout(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
@@ -188,6 +191,7 @@ object SparkEntry {
     "contamination_doc_overlap" -> ((s, d) => Dedup.contaminationDocOverlap(s, d)),
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_bloom_prefilter"     -> ((s, d) => Dedup.bloomPrefilter(s, d)),
+    "dedup_substring"           -> ((s, d) => Dedup.substringDedup(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_keep_best"        -> ((s, d) => Dedup.keepBest(s, d)),
@@ -1577,6 +1581,39 @@ object SparkEntry {
          |SELECT c.doc_id, c.n_sh,
          |  CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run_tokens
          |FROM cnt c LEFT JOIN mr ON mr.doc_id = c.doc_id""".stripMargin,
+    // within-corpus substring dedup: same diagonal-streak machinery
+    // self-joined with doc_id != t_doc; dup_tokens = per-doc interval
+    // union of DISTINCT spans with run >= 16 (running-max merge);
+    // 0-based (Spark) vs 1-based (DuckDB) positions cancel in both the
+    // diagonal and the coverage arithmetic
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+         |sh AS (SELECT doc_id, i AS pos,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS sh
+         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |             FROM d WHERE len(toks) >= 8)),
+         |c AS (SELECT * FROM sh QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 64),
+         |isl AS (SELECT a.doc_id, b.doc_id AS t_doc, a.pos - b.pos AS diag, a.pos,
+         |          a.pos - ROW_NUMBER() OVER (PARTITION BY a.doc_id, b.doc_id, a.pos - b.pos
+         |                                     ORDER BY a.pos) AS island
+         |        FROM c a JOIN c b ON b.sh = a.sh AND b.doc_id <> a.doc_id),
+         |runs AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s, CAST(COUNT(*) + 7 AS BIGINT) AS run
+         |         FROM isl GROUP BY doc_id, t_doc, diag, island),
+         |mr AS (SELECT doc_id, CAST(MAX(run) AS BIGINT) AS max_run_tokens FROM runs GROUP BY 1),
+         |iv AS (SELECT DISTINCT doc_id, s, s + run AS e FROM runs WHERE run >= 16),
+         |cv AS (SELECT doc_id, e,
+         |         GREATEST(COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s), s) AS lo
+         |       FROM iv),
+         |cov AS (SELECT doc_id, CAST(SUM(GREATEST(e - lo, 0)) AS BIGINT) AS dup_tokens
+         |        FROM cv GROUP BY 1)
+         |SELECT nt.doc_id, nt.n_toks,
+         |  CAST(COALESCE(mr.max_run_tokens, 0) AS BIGINT) AS max_run_tokens,
+         |  CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  CAST(COALESCE(cov.dup_tokens, 0) * 10000 // nt.n_toks AS BIGINT) AS dup_share_bp
+         |FROM nt LEFT JOIN mr USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin,
     "dedup_contamination" ->
       s"""WITH $shingleCtes,
          |ps AS (SELECT LEAST(da.source, db.source) AS source_a,
@@ -2691,6 +2728,72 @@ object SparkEntry {
         |  COALESCE(mv.mv_c, 0) + COALESCE(dl.delta_c, 0) AS maintained_c, fl.full_c,
         |  COALESCE(mv.mv_c, 0) + COALESCE(dl.delta_c, 0) = fl.full_c AS matches
         |FROM fl LEFT JOIN mv USING (n_name) LEFT JOIN dl USING (n_name)""".stripMargin,
+    // join cardinality by CMS inner product: D=4 x W=65536 cells from
+    // the key-frequency tables, per-row ip = sum(c^2), est = min over
+    // rows, published next to exact sum(f^2); est >= exact one-sided
+    "rel_join_size_estimate" ->
+      """WITH keys AS (SELECT 'li_partkey_self' AS join_name, CAST(l_partkey AS BIGINT) AS k FROM lineitem
+        |              UNION ALL
+        |              SELECT 'ord_custkey_self', CAST(o_custkey AS BIGINT) FROM orders),
+        |f AS (SELECT join_name, k, CAST(COUNT(*) AS BIGINT) AS f FROM keys GROUP BY 1, 2),
+        |ex AS (SELECT join_name, CAST(SUM(f * f) AS BIGINT) AS exact_rows FROM f GROUP BY 1),
+        |e AS (SELECT join_name, k, f, r FROM f, (SELECT unnest(generate_series(0, 3)) AS r)),
+        |cells AS (SELECT join_name, r,
+        |    CAST('0x' || substr(md5('jse:' || join_name || ':' || CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12) AS BIGINT) % 65536 AS bucket,
+        |    CAST(SUM(f) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |ip AS (SELECT join_name, CAST(r AS BIGINT) AS r, CAST(SUM(c * c) AS BIGINT) AS ip
+        |       FROM cells GROUP BY 1, 2),
+        |est AS (SELECT join_name, CAST(MIN(ip) AS BIGINT) AS est_rows FROM ip GROUP BY 1)
+        |SELECT ip.join_name, ip.r, ip.ip, est.est_rows, ex.exact_rows,
+        |  CAST((est.est_rows - ex.exact_rows) * 10000 // ex.exact_rows AS BIGINT) AS over_bp
+        |FROM ip JOIN est USING (join_name) JOIN ex USING (join_name)""".stripMargin,
+    // z-order layout audit: 64 files under natural/sorted/zorder
+    // layouts, zone-map skipping replayed against 3 query boxes; the
+    // Morton interleave is the same generated integer arithmetic on
+    // both engines (Relational.zInterleaveSql)
+    "rel_zorder_layout" ->
+      s"""WITH li AS (SELECT CAST(l_orderkey AS BIGINT) AS ok, CAST(l_partkey AS BIGINT) AS pk,
+        |        CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS d FROM lineitem),
+        |b AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax, MIN(pk) AS pmin, MAX(pk) AS pmax,
+        |        MIN(ok) AS omin, MAX(ok) AS omax FROM li),
+        |r AS (SELECT ok, pk, d,
+        |        (d - dmin) * 256 // (dmax - dmin + 1) AS ab,
+        |        (pk - pmin) * 256 // (pmax - pmin + 1) AS bb,
+        |        pmin + (pmax - pmin) // 8 AS pk_hi,
+        |        (d >= 2200 AND d <= 2229) AS hit_d,
+        |        (ok - omin) * 64 // (omax - omin + 1) AS file_natural,
+        |        (d - dmin) * 64 // (dmax - dmin + 1) AS file_sorted
+        |      FROM li, b),
+        |r2 AS (SELECT *, (pk <= pk_hi) AS hit_pk,
+        |         (${graft.operators.Relational.zInterleaveSql("ab", "bb", 8, "//")}) * 64 // 65536 AS file_zorder
+        |       FROM r),
+        |lay AS (SELECT 'natural' AS layout, file_natural AS file, d, pk, pk_hi, hit_d, hit_pk FROM r2
+        |        UNION ALL SELECT 'sorted', file_sorted, d, pk, pk_hi, hit_d, hit_pk FROM r2
+        |        UNION ALL SELECT 'zorder', file_zorder, d, pk, pk_hi, hit_d, hit_pk FROM r2),
+        |pf AS (SELECT layout, file, MIN(d) AS f_dmin, MAX(d) AS f_dmax, MIN(pk) AS f_pmin,
+        |         MAX(pk) AS f_pmax, MIN(pk_hi) AS pk_hi, CAST(COUNT(*) AS BIGINT) AS f_rows,
+        |         CAST(SUM(CASE WHEN hit_d AND hit_pk THEN 1 ELSE 0 END) AS BIGINT) AS f_match_both,
+        |         CAST(SUM(CASE WHEN hit_d THEN 1 ELSE 0 END) AS BIGINT) AS f_match_d,
+        |         CAST(SUM(CASE WHEN hit_pk THEN 1 ELSE 0 END) AS BIGINT) AS f_match_pk
+        |       FROM lay GROUP BY 1, 2),
+        |bx AS (SELECT * FROM (VALUES ('d_range', true, false), ('pk_range', false, true),
+        |                             ('both', true, true)) t(box, use_d, use_pk)),
+        |au AS (SELECT *,
+        |         ((NOT use_d) OR (f_dmax >= 2200 AND f_dmin <= 2229))
+        |           AND ((NOT use_pk) OR (f_pmin <= pk_hi)) AS scanned,
+        |         CASE WHEN use_d AND use_pk THEN f_match_both
+        |              WHEN use_d THEN f_match_d ELSE f_match_pk END AS f_matched
+        |       FROM pf, bx)
+        |SELECT layout, box, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+        |  CAST(SUM(f_rows) AS BIGINT) AS rows_total,
+        |  CAST(SUM(CASE WHEN scanned THEN f_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |  CAST(SUM(f_matched) AS BIGINT) AS rows_matched,
+        |  CAST(SUM(CASE WHEN scanned THEN f_rows ELSE 0 END) * 10000 // SUM(f_rows) AS BIGINT) AS scan_share_bp,
+        |  CAST((SUM(CASE WHEN scanned THEN f_rows ELSE 0 END) - SUM(f_matched)) * 10000
+        |       // GREATEST(SUM(CASE WHEN scanned THEN f_rows ELSE 0 END), 1) AS BIGINT) AS waste_bp
+        |FROM au GROUP BY 1, 2""".stripMargin,
     "dedup_label_prop" -> labelPropOracle(3),
     // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
     // SCD2: consecutive duplicate states collapse; valid_to = next
@@ -3771,6 +3874,39 @@ object SparkEntry {
         |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS varx_num,
         |  CAST(COUNT(*) * SUM(v*v) - SUM(v) * SUM(v) AS BIGINT) AS vary_num
         |FROM p WHERE x IS NOT NULL GROUP BY 1""".stripMargin,
+    // Yule-Walker AR(2) over mean-centered hourly sums: truncated
+    // integer mean, lag-2-aligned support, r's clamped to [-1e4, 1e4],
+    // one exact bp division per phi; DuckDB // and Spark DIV both
+    // truncate toward zero so the negative ratios agree
+    "ts_ar_fit" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS v_hour,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, v_hour, v,
+        |    CAST(SUM(v) OVER (PARTITION BY user_id) AS BIGINT) // COUNT(v) OVER (PARTITION BY user_id) AS mean_v
+        |  FROM h
+        |), d AS (
+        |  SELECT user_id, v - mean_v AS dx,
+        |    lag(v - mean_v, 1) OVER w AS d1, lag(v - mean_v, 2) OVER w AS d2
+        |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY v_hour)
+        |), s AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(dx * dx) AS BIGINT) AS sdd,
+        |    CAST(SUM(dx * d1) AS BIGINT) AS s1,
+        |    CAST(SUM(dx * d2) AS BIGINT) AS s2
+        |  FROM d WHERE d2 IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT *, GREATEST(LEAST(s1 * 10000 // GREATEST(sdd, 1), 10000), -10000) AS r1_bp,
+        |    GREATEST(LEAST(s2 * 10000 // GREATEST(sdd, 1), 10000), -10000) AS r2_bp
+        |  FROM s
+        |), y AS (SELECT *, GREATEST(100000000 - r1_bp * r1_bp, 1) AS yw_den FROM r)
+        |SELECT user_id, n_obs, sdd, s1, s2,
+        |  CAST(r1_bp AS BIGINT) AS r1_bp, CAST(r2_bp AS BIGINT) AS r2_bp,
+        |  CAST(r1_bp * (10000 - r2_bp) * 10000 // yw_den AS BIGINT) AS phi1_bp,
+        |  CAST((r2_bp * 10000 - r1_bp * r1_bp) * 10000 // yw_den AS BIGINT) AS phi2_bp
+        |FROM y""".stripMargin,
     "ts_seasonal_profile" -> seasonalProfileOracle,
     // the streamed profile drains to the identical table (count/sum
     // additive, min/max idempotent-commutative) — shared oracle

@@ -1829,6 +1829,80 @@ object Dedup {
     releaseAfterRun(spark, out, Seq(evalSh, trainSh))
   }
 
+  // -------------------------------------------------------------------
+  // dedup_substring — WITHIN-CORPUS exact-substring duplication (the
+  // train-train counterpart of contamination_long_match; the
+  // ExactSubstr audit of Lee et al.'s "Deduplicating Training Data
+  // Makes Language Models Better"): for every doc, the longest token
+  // run it shares with any OTHER doc, plus how many of its token
+  // positions are covered by ANY shared run >= minRun — the exact
+  // number of tokens substring-dedup would delete. Same
+  // anchor-and-extend machinery as long_match (common runs of L >= n
+  // tokens are same-diagonal streaks of n-token anchors), self-joined
+  // across the whole corpus with doc_id != t_doc. Scale shape: ONE
+  // anchor table, df-capped once with the logged-drop policy before
+  // the self-join (a > cap anchor is boilerplate; pair fan-out is
+  // bounded at cap² per anchor); islands are a per-(pair, diagonal)
+  // window — fine-grained keys, no pile-up; the interval union is a
+  // per-doc running-max merge over DISTINCT spans (bounded by doc
+  // length, not corpus size). Coverage can only UNDER-report through
+  // dropped boilerplate anchors — the long_match contract, same
+  // documented loss mode.
+  // -------------------------------------------------------------------
+  def substringDedup(
+      spark: SparkSession,
+      dir: String,
+      n: Int = 8,
+      minRun: Int = 16,
+      anchorDfCap: Int = AnchorDfCap
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    val nToks = docs.select(col("doc_id"), size(split(col("norm"), " ")).cast("long").as("n_toks"))
+    val sh = shinglePositionsOf(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // eager: both join sides read the cache, not racing lineage
+    val capped = dropOversizedBuckets(sh, Seq("shingle"), anchorDfCap, "dedup_substring anchors")
+    val other  = capped.select(col("shingle"), col("doc_id").as("t_doc"), col("pos").as("t_pos"))
+    val runs = capped
+      .join(other, Seq("shingle"))
+      .filter(col("doc_id") =!= col("t_doc"))
+      .select(col("doc_id"), col("t_doc"), (col("pos") - col("t_pos")).as("diag"), col("pos"))
+      .withColumn(
+        "island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id"), col("t_doc"), col("diag")).orderBy(col("pos"))
+        )
+      )
+      .groupBy(col("doc_id"), col("t_doc"), col("diag"), col("island"))
+      .agg(min(col("pos")).cast("long").as("s"), (count(lit(1)) + lit(n - 1)).as("run"))
+    val maxRun = runs.groupBy(col("doc_id")).agg(max(col("run")).as("max_run_tokens"))
+    val iv = runs
+      .filter(col("run") >= minRun)
+      .select(col("doc_id"), col("s"), (col("s") + col("run")).as("e"))
+      .distinct()
+    val wPrev = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = iv
+      .withColumn("lo", greatest(coalesce(max(col("e")).over(wPrev), col("s")), col("s")))
+      .groupBy(col("doc_id"))
+      .agg(sum(greatest(col("e") - col("lo"), lit(0L))).as("dup_tokens"))
+    val out = nToks
+      .join(maxRun, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        coalesce(col("max_run_tokens"), lit(0L)).as("max_run_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        expr("coalesce(dup_tokens, 0) * 10000 DIV n_toks").as("dup_share_bp")
+      )
+    releaseAfterRun(spark, out, Seq(sh))
+  }
+
   /** [[shinglesOf]] with the anchor's starting TOKEN POSITION — the
     * coordinate the long-match diagonal chaining needs.
     */

@@ -1820,4 +1820,181 @@ object Relational {
         (coalesce($"mv_c", lit(0L)) + coalesce($"delta_c", lit(0L)) === $"full_c").as("matches")
       )
   }
+
+  /** rel_join_size_estimate — JOIN CARDINALITY ESTIMATION by
+    * count-min-sketch inner product (Cormode–Muthukrishnan / the AMS
+    * family), published next to the exact answer so the operator is
+    * its own error report (the approx_cms house pattern). The planner
+    * question at 100 TB is "how big is lineitem⋈lineitem ON partkey
+    * BEFORE I run it" — the answer decides broadcast vs shuffle vs
+    * don't-run; the sketch answers from one cheap pass while the
+    * exact Σ f(k)² needs the full key-frequency table. For each join,
+    * each of D=4 sketch rows estimates the self-join size as
+    * ip(r) = Σ_w c[r][w]² and the estimate is the MIN over rows;
+    * bucket collisions only ADD cross terms, so est ≥ exact
+    * structurally (one-sided, pinned in spec). Width is 65536 —
+    * inner-product error is ~N²/W, so a narrow 256-wide sketch would
+    * drown the signal; D·W = 256k counters is still executor-hash
+    * small. Scale shape: the frequency table and the sketch cells are
+    * each ONE partial-aggregable groupBy (map-side combine collapses
+    * every partition to ≤ D·W cell rows regardless of fact size); the
+    * per-row inner products and mins are 4-row aggregates; nothing
+    * pairwise ever runs — the operator prices the quadratic join
+    * without executing it.
+    */
+  def joinSizeEstimate(spark: SparkSession, dir: String, width: Int = 65536, depth: Int = 4): DataFrame = {
+    import spark.implicits._
+    val keys = Tables
+      .lineitem(spark, dir)
+      .select(lit("li_partkey_self").as("join_name"), $"l_partkey".cast("long").as("k"))
+      .unionByName(
+        Tables.orders(spark, dir).select(lit("ord_custkey_self").as("join_name"), $"o_custkey".cast("long").as("k"))
+      )
+    val f = keys
+      .groupBy($"join_name", $"k")
+      .agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = f.groupBy($"join_name").agg(sum($"f" * $"f").as("exact_rows"))
+    val cells = f
+      .select($"join_name", $"k", $"f", explode(expr(s"sequence(0, ${depth - 1})")).as("r"))
+      .withColumn(
+        "bucket",
+        expr(
+          s"CAST(conv(substring(md5(concat('jse:', join_name, ':', CAST(r AS STRING), ':', CAST(k AS STRING))), 1, 12), 16, 10) AS BIGINT) % $width"
+        )
+      )
+      .groupBy($"join_name", $"r", $"bucket")
+      .agg(sum($"f").as("c"))
+    val ip  = cells.groupBy($"join_name", $"r").agg(sum($"c" * $"c").as("ip"))
+    val est = ip.groupBy($"join_name").agg(min($"ip").as("est_rows"))
+    val out = ip
+      .join(broadcast(est), Seq("join_name"))
+      .join(broadcast(exact), Seq("join_name"))
+      .withColumn("over_bp", expr("(est_rows - exact_rows) * 10000 DIV exact_rows"))
+      .select($"join_name", $"r".cast("long").as("r"), $"ip", $"est_rows", $"exact_rows", $"over_bp")
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(f))
+  }
+
+  /** Morton interleave of two already-bucketed coordinates (each in
+    * [0, 2^bits)): bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1 — pure integer arithmetic (DIV/%/×) so both engines replay
+    * it bit-identically. `div` is the floor-division spelling ("DIV"
+    * for Spark, "//" for DuckDB).
+    */
+  private[graft] def zInterleaveSql(a: String, b: String, bits: Int, div: String): String =
+    (0 until bits)
+      .map { i =>
+        val pa = 1L << i
+        s"(($a $div $pa) % 2) * ${1L << (2 * i)} + (($b $div $pa) % 2) * ${1L << (2 * i + 1)}"
+      }
+      .mkString(" + ")
+
+  /** rel_zorder_layout — DATA LAYOUT PLANNING: the z-order
+    * (Morton-curve) clustering audit behind every "OPTIMIZE ZORDER
+    * BY" decision. lineitem rows are assigned to 64 files under three
+    * layouts — natural (orderkey ranges: arrival order), sorted
+    * (shipdate ranges: the single-column winner), zorder (Morton
+    * interleave of 8-bit shipdate × partkey buckets) — and each
+    * layout's per-file (min,max) zone maps are replayed against three
+    * reference query boxes (date-range only, partkey-range only,
+    * both). A file is scanned iff its zone map intersects the box;
+    * the report is files/rows scanned vs rows actually matched per
+    * (layout, box) — the number that shows sorted wins its own
+    * dimension but degrades to a full scan on the other, while
+    * z-order bounds BOTH. At 100 TB this IS the table-layout
+    * decision: zone-map skipping is the first 100× and it only
+    * exists if the layout clusters the query dimensions. Scale
+    * shape: bucket bounds are a 1-row aggregate broadcast back
+    * (named BNLJ shape); file stats are ONE partial-aggregable
+    * groupBy on (layout, file) — ≤ 192 groups regardless of fact
+    * size; the box replay runs on the 192-row zone-map table. All
+    * integer (datediff days, DIV buckets, Morton arithmetic).
+    */
+  def zorderLayout(spark: SparkSession, dir: String, files: Int = 64, bits: Int = 8): DataFrame = {
+    import spark.implicits._
+    val side = 1L << bits // buckets per dimension
+    val li = Tables
+      .lineitem(spark, dir)
+      .select(
+        $"l_orderkey".cast("long").as("ok"),
+        $"l_partkey".cast("long").as("pk"),
+        datediff($"l_shipdate", lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("d")
+      )
+    val bounds = li.agg(
+      min($"d").as("dmin"),
+      max($"d").as("dmax"),
+      min($"pk").as("pmin"),
+      max($"pk").as("pmax"),
+      min($"ok").as("omin"),
+      max($"ok").as("omax")
+    )
+    val rows = li
+      .crossJoin(broadcast(bounds)) // 1-row bounds broadcast (named BNLJ shape)
+      .withColumn("ab", expr(s"(d - dmin) * $side DIV (dmax - dmin + 1)"))
+      .withColumn("bb", expr(s"(pk - pmin) * $side DIV (pmax - pmin + 1)"))
+      .withColumn("z", expr(zInterleaveSql("ab", "bb", bits, "DIV")))
+      .withColumn("pk_hi", expr("pmin + (pmax - pmin) DIV 8"))
+      .withColumn("hit_d", $"d" >= 2200L && $"d" <= 2229L)
+      .withColumn("hit_pk", $"pk" <= $"pk_hi")
+      .withColumn("file_natural", expr(s"(ok - omin) * $files DIV (omax - omin + 1)"))
+      .withColumn("file_sorted", expr(s"(d - dmin) * $files DIV (dmax - dmin + 1)"))
+      .withColumn("file_zorder", expr(s"z * $files DIV ${side * side}"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lay = rows
+      .select(
+        explode(
+          array(
+            struct(lit("natural").as("layout"), $"file_natural".as("file")),
+            struct(lit("sorted").as("layout"), $"file_sorted".as("file")),
+            struct(lit("zorder").as("layout"), $"file_zorder".as("file"))
+          )
+        ).as("lf"),
+        $"d",
+        $"pk",
+        $"pk_hi",
+        $"hit_d",
+        $"hit_pk"
+      )
+      .select($"lf.layout".as("layout"), $"lf.file".as("file"), $"d", $"pk", $"pk_hi", $"hit_d", $"hit_pk")
+    val perFile = lay
+      .groupBy($"layout", $"file")
+      .agg(
+        min($"d").as("f_dmin"),
+        max($"d").as("f_dmax"),
+        min($"pk").as("f_pmin"),
+        max($"pk").as("f_pmax"),
+        min($"pk_hi").as("pk_hi"),
+        count(lit(1)).as("f_rows"),
+        sum(when($"hit_d" && $"hit_pk", 1L).otherwise(0L)).as("f_match_both"),
+        sum(when($"hit_d", 1L).otherwise(0L)).as("f_match_d"),
+        sum(when($"hit_pk", 1L).otherwise(0L)).as("f_match_pk")
+      )
+    val boxes = Seq(("d_range", true, false), ("pk_range", false, true), ("both", true, true))
+      .toDF("box", "use_d", "use_pk")
+    val audited = perFile
+      .crossJoin(broadcast(boxes)) // 3-row box table broadcast (named BNLJ shape)
+      .withColumn(
+        "scanned",
+        (!$"use_d" || ($"f_dmax" >= 2200L && $"f_dmin" <= 2229L)) &&
+          (!$"use_pk" || $"f_pmin" <= $"pk_hi")
+      )
+      .withColumn(
+        "f_matched",
+        when($"use_d" && $"use_pk", $"f_match_both")
+          .when($"use_d", $"f_match_d")
+          .otherwise($"f_match_pk")
+      )
+    val out = audited
+      .groupBy($"layout", $"box")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when($"scanned", 1L).otherwise(0L)).as("files_scanned"),
+        sum($"f_rows").as("rows_total"),
+        sum(when($"scanned", $"f_rows").otherwise(0L)).as("rows_scanned"),
+        sum($"f_matched").as("rows_matched")
+      )
+      .withColumn("scan_share_bp", expr("rows_scanned * 10000 DIV rows_total"))
+      .withColumn("waste_bp", expr("(rows_scanned - rows_matched) * 10000 DIV greatest(rows_scanned, 1L)"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(rows))
+  }
 }

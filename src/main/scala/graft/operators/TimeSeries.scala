@@ -872,6 +872,63 @@ object TimeSeries {
       )
   }
 
+  /** ts_ar_fit — YULE-WALKER AR(2) FIT of each series' hourly sums,
+    * the closed-form forecast-coefficient estimate run before reaching
+    * for heavier models ([[autocorr]] is its stationarity probe; this
+    * is the fit). Over the lag-2-aligned support (both lags present),
+    * exact integer covariance numerators c0/c1/c2 (the n·Σxy − ΣxΣy
+    * Pearson form), autocorrelations r_k in micro, then the 2×2
+    * Yule-Walker solve in micro arithmetic: φ1 = r1(1−r2)/(1−r1²),
+    * φ2 = (r2−r1²)/(1−r1²) — every division the shared
+    * truncate-toward-zero integral DIV both engines replay, zero
+    * denominators clamped structurally (greatest(·,1): constant or
+    * perfectly-correlated series degrade to a clamped ratio, not a
+    * crash). Scale shape: one hourly pre-aggregate (map-side
+    * combinable), ONE window pass per series for the two lags, one
+    * per-series aggregate — the ts_autocorr single-shuffle shape; r's
+    * are micro (≤1e6) so the YW products stay < 2⁶².
+    */
+  def arFit(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("v_hour"))
+      .agg(sum(cents(col("value"))).as("v"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("v_hour"))
+    hourly
+      // mean-centered form: the n·Σxy − ΣxΣy numerators square the
+      // series length into the magnitude and overflow the bp multiply
+      // at the sf1.0 climb; centering first keeps every product
+      // < 2⁶² with 10⁴× headroom. The truncated integer mean is a
+      // defined, cross-engine-identical estimator choice.
+      .withColumn("mean_v", expr("sum(v) OVER (PARTITION BY user_id) DIV count(v) OVER (PARTITION BY user_id)"))
+      .withColumn("dx", col("v") - col("mean_v"))
+      .withColumn("d1", lag(col("dx"), 1).over(wOrd))
+      .withColumn("d2", lag(col("dx"), 2).over(wOrd))
+      .filter(col("d2").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(col("dx") * col("dx")).as("sdd"),
+        sum(col("dx") * col("d1")).as("s1"),
+        sum(col("dx") * col("d2")).as("s2")
+      )
+      .withColumn("r1_bp", expr("greatest(least(s1 * 10000 DIV greatest(sdd, 1L), 10000L), -10000L)"))
+      .withColumn("r2_bp", expr("greatest(least(s2 * 10000 DIV greatest(sdd, 1L), 10000L), -10000L)"))
+      .withColumn("yw_den", expr("greatest(100000000 - r1_bp * r1_bp, 1L)"))
+      .withColumn("phi1_bp", expr("r1_bp * (10000 - r2_bp) * 10000 DIV yw_den"))
+      .withColumn("phi2_bp", expr("(r2_bp * 10000 - r1_bp * r1_bp) * 10000 DIV yw_den"))
+      .select(
+        col("user_id"),
+        col("n_obs"),
+        col("sdd"),
+        col("s1"),
+        col("s2"),
+        col("r1_bp"),
+        col("r2_bp"),
+        col("phi1_bp"),
+        col("phi2_bp")
+      )
+  }
+
   // -------------------------------------------------------------------
   // 12d. ts_retention — cohort retention: users grouped by first-seen
   // day, counted distinct on each later active day (the product-

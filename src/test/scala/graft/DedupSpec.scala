@@ -222,6 +222,37 @@ class DedupSpec extends AnyFunSuite {
     assert(capped(1L)._1 === uncapped(1L)._1 && capped(2L)._1 === uncapped(2L)._1)
   }
 
+  test("substring dedup: overlapping shared spans union, sub-threshold runs report max_run only") {
+    import spark.implicits._
+    // A = x1..x30; B = x1..x20; C = x11..x30. A shares a 20-run with
+    // each — the two spans OVERLAP on [10,20) and the union must cover
+    // all 30 tokens exactly once. B∩C is a 10-token run: >= 8 so it
+    // feeds max_run, < 16 so it adds nothing to dup_tokens beyond the
+    // 20-run each already has with A. D is unrelated.
+    val xs = (1 to 30).map(i => s"x$i")
+    val docs = Seq(
+      (1L, xs.mkString(" "), "en", "s0", 0L),
+      (2L, xs.take(20).mkString(" "), "en", "s0", 0L),
+      (3L, xs.drop(10).mkString(" "), "en", "s0", 0L),
+      (4L, (1 to 10).map(i => s"u$i").mkString(" "), "en", "s0", 0L)
+    )
+    val dir = java.nio.file.Files.createTempDirectory("graft_substr").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup
+      .substringDedup(spark, dir)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_toks"), r.getAs[Long]("max_run_tokens"), r.getAs[Long]("dup_tokens"),
+            r.getAs[Long]("dup_share_bp")))
+      )
+      .toMap
+    assert(got(1L) === ((30L, 20L, 30L, 10000L)), s"overlapping spans must union: ${got(1L)}")
+    assert(got(2L) === ((20L, 20L, 20L, 10000L)))
+    assert(got(3L) === ((20L, 20L, 20L, 10000L)))
+    assert(got(4L) === ((10L, 0L, 0L, 0L)))
+  }
+
   test("keep-best: exactly one kept doc per cluster, and it is a longest member") {
     val df = Dedup.keepBest(spark, sf).cache()
     try {

@@ -82,7 +82,8 @@ class EntrySpec extends AnyFunSuite {
     "dedup_source_overlap",      // same shape over sources: |sources|²-bounded pair frame of 1-row-per-source sketch summaries + pair↔sketch tag join, both sides tiny broadcasts
     "emb_pca_power",             // 1-row corpus-count + 1-row L∞-norm broadcasts into the d²-row scatter iteration
     "text_span_df_profile",      // 1-row total-occurrence broadcast into the band table
-    "rel_key_skew_profile"       // 1-row totals+hottest-key broadcast into the band table
+    "rel_key_skew_profile",      // 1-row totals+hottest-key broadcast into the band table
+    "rel_zorder_layout"          // 1-row bucket-bounds + 3-row query-box broadcasts into the zone-map audit
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably

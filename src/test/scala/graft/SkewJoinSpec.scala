@@ -88,4 +88,55 @@ class SkewJoinSpec extends AnyFunSuite {
         assert(r.getAs[Long]("freq_lo") === (1L << r.getAs[Long]("freq_band").toInt))
     } finally df.unpersist()
   }
+
+  test("join size estimate: one-sided over exact, exact matches brute sum(f^2), est is the row min") {
+    val df   = graft.operators.Relational.joinSizeEstimate(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length === 8, "2 joins x 4 sketch rows")
+      // CMS inner product is a one-sided overestimate: collisions only add
+      assert(rows.forall(r => r.getAs[Long]("est_rows") >= r.getAs[Long]("exact_rows")))
+      assert(rows.forall(r => r.getAs[Long]("ip") >= r.getAs[Long]("est_rows")))
+      val estByJoin = rows.groupBy(_.getAs[String]("join_name"))
+      for ((_, rs) <- estByJoin)
+        assert(rs.map(_.getAs[Long]("ip")).min === rs.head.getAs[Long]("est_rows"))
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val truth = li
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("f"))
+        .select(sum(col("f") * col("f")))
+        .head()
+        .getLong(0)
+      assert(rows.filter(_.getAs[String]("join_name") == "li_partkey_self").forall(_.getAs[Long]("exact_rows") === truth))
+    } finally df.unpersist()
+  }
+
+  test("zorder layout: row mass conserves, scans cover matches, zorder bounds both dimensions") {
+    val df = graft.operators.Relational.zorderLayout(spark, sf).cache()
+    try {
+      val rows = df.collect()
+      assert(rows.length === 9, "3 layouts x 3 boxes")
+      val byKey = rows.map(r => (r.getAs[String]("layout"), r.getAs[String]("box")) -> r).toMap
+      val total = byKey(("natural", "both")).getAs[Long]("rows_total")
+      // every (layout, box) sees the same fact and never scans less than it matches
+      for (r <- rows) {
+        assert(r.getAs[Long]("rows_total") === total)
+        assert(r.getAs[Long]("rows_scanned") >= r.getAs[Long]("rows_matched"))
+        assert(r.getAs[Long]("rows_scanned") <= total)
+      }
+      // matched counts depend only on the box, not the layout
+      for (box <- Seq("d_range", "pk_range", "both"))
+        assert(
+          Seq("natural", "sorted", "zorder").map(l => byKey((l, box)).getAs[Long]("rows_matched")).distinct.size === 1
+        )
+      // the layout story: sorted wins its own dimension but degrades to a
+      // (near-)full scan on the pk box; zorder skips on BOTH boxes
+      val sortedPk = byKey(("sorted", "pk_range")).getAs[Long]("rows_scanned")
+      val zorderPk = byKey(("zorder", "pk_range")).getAs[Long]("rows_scanned")
+      val zorderD  = byKey(("zorder", "d_range")).getAs[Long]("rows_scanned")
+      assert(zorderPk < sortedPk, "zorder must skip where the single-column sort cannot")
+      assert(zorderD < total, "zorder must also skip on the date box")
+      assert(byKey(("sorted", "d_range")).getAs[Long]("rows_scanned") < total)
+    } finally df.unpersist()
+  }
 }

@@ -90,6 +90,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("AR fit: a linear ramp lands the hand-computed Yule-Walker ratios") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // one event per hour, value = t dollars for t = 0..8: centered dx
+    // scales cancel in every ratio, so the fit is the hand-computed
+    // sdd=35, s1=28, s2=21 (in cents²: ×100²) → r1=8000, r2=6000,
+    // yw_den=36e6, phi1=8888, phi2=-1111 (trunc toward zero)
+    val rows = (0 until 9).map(t => (t.toLong + 1L, t * hourNs, 1L, "view", t.toDouble, "{}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_arfit").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeries.arFit(spark, dir).collect()
+    assert(r.length === 1)
+    val m = r.head
+    assert(m.getAs[Long]("n_obs") === 7L)
+    assert(m.getAs[Long]("sdd") === 350000L) // 35 x 100²
+    assert(m.getAs[Long]("s1") === 280000L)
+    assert(m.getAs[Long]("s2") === 210000L)
+    assert(m.getAs[Long]("r1_bp") === 8000L)
+    assert(m.getAs[Long]("r2_bp") === 6000L)
+    assert(m.getAs[Long]("phi1_bp") === 8888L)
+    assert(m.getAs[Long]("phi2_bp") === -1111L)
+  }
+
   test("approx percentiles: every sketch value is within the GK rank-error bound of exact") {
     val accuracy = 10000
     val ps = Seq(0.5, 0.9, 0.99)
