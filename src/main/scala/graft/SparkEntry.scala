@@ -45,6 +45,7 @@ object SparkEntry {
     "ts_cross_corr"      -> ((s, d) => TimeSeries.crossCorr(s, d)),
     "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
     "ts_ar_fit"          -> ((s, d) => TimeSeries.arFit(s, d)),
+    "ts_wavelet_haar"    -> ((s, d) => TimeSeries.waveletHaar(s, d)),
     "ts_step_detect"     -> ((s, d) => TimeSeries.stepDetect(s, d)),
     "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
@@ -228,6 +229,7 @@ object SparkEntry {
     "emb_norm_stats"      -> ((s, d) => Similarity.embNormStats(s, d)),
     "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
     "emb_pca_power"       -> ((s, d) => Similarity.pcaPower(s, d)),
+    "emb_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "ann_knn_join"        -> ((s, d) => Similarity.annKnnJoin(s, d)),
     "ann_knn_recall"      -> ((s, d) => Similarity.annKnnRecall(s, d)),
@@ -722,6 +724,40 @@ object SparkEntry {
        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
        |  CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
        |FROM s QUALIFY rnk <= 10""".stripMargin
+
+  /** prefix-dimension recall oracle: per d, the exact prefix top-10
+    * on the shared quantized (vec_id, i, v) grain with the same
+    * GREATEST(n2, 1) zero-norm clamp as the Spark side, each tier
+    * scored against the full-dimension (d = 64) tier
+    */
+  private lazy val matryoshkaOracleSql: String = {
+    val dims = Seq(8, 16, 32, 64)
+    val tiers = dims
+      .map { d =>
+        s"""n$d AS (SELECT vec_id, GREATEST(CAST(SUM(v * v) AS BIGINT), 1) AS n2 FROM q WHERE i <= $d GROUP BY 1),
+           |d$d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+           |        FROM (SELECT * FROM q WHERE vec_id < 5 AND i <= $d) a
+           |        JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+           |t$d AS (SELECT probe_id, neighbor_id FROM (
+           |          SELECT probe_id, neighbor_id,
+           |            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+           |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+           |              neighbor_id ASC) AS rnk
+           |          FROM d$d JOIN n$d na ON na.vec_id = probe_id JOIN n$d nb ON nb.vec_id = neighbor_id)
+           |        WHERE rnk <= 10)""".stripMargin
+      }
+      .mkString(",\n")
+    val selects = dims
+      .map { d =>
+        s"""SELECT t.probe_id, CAST($d AS BIGINT) AS dims,
+           |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           |  CAST(COUNT(a.neighbor_id) * 10000 // 10 AS BIGINT) AS recall_bp
+           |FROM t64 t LEFT JOIN t$d a ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"WITH $quantCtes,\n$tiers\n$selects"
+  }
 
   /** @param deleteCond extra AND-condition on candidate codes (e.g.
     *        " AND co.vec_id % 7 != 6") — the tombstone-delete oracle:
@@ -1720,6 +1756,7 @@ object SparkEntry {
     // recall@10 of the IVF-PQ index vs exact brute force, per probe:
     // both sides are the queries' own oracles composed as derived
     // tables (DuckDB allows WITH inside a FROM subquery)
+    "emb_matryoshka_eval" -> matryoshkaOracleSql,
     "ann_recall_eval" ->
       s"""SELECT t.probe_id,
          |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
@@ -3907,6 +3944,41 @@ object SparkEntry {
         |  CAST(r1_bp * (10000 - r2_bp) * 10000 // yw_den AS BIGINT) AS phi1_bp,
         |  CAST((r2_bp * 10000 - r1_bp * r1_bp) * 10000 // yw_den AS BIGINT) AS phi2_bp
         |FROM y""".stripMargin,
+    // integer Haar pyramid: 3 unrolled lifting levels over the hourly
+    // sums; (a+b)//2 and Spark's (a+b) DIV 2 both truncate toward
+    // zero, odd tails carry unchanged, so the pyramid replays
+    // bit-identically level by level
+    "ts_wavelet_haar" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |    CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |l0 AS (SELECT user_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) - 1 AS idx, v FROM h),
+        |p1 AS (SELECT user_id, idx // 2 AS p,
+        |         MAX(CASE WHEN idx % 2 = 0 THEN v END) AS a,
+        |         MAX(CASE WHEN idx % 2 = 1 THEN v END) AS b
+        |       FROM l0 GROUP BY 1, 2),
+        |l1 AS (SELECT user_id, p AS idx, CASE WHEN b IS NULL THEN a ELSE (a + b) // 2 END AS v FROM p1),
+        |p2 AS (SELECT user_id, idx // 2 AS p,
+        |         MAX(CASE WHEN idx % 2 = 0 THEN v END) AS a,
+        |         MAX(CASE WHEN idx % 2 = 1 THEN v END) AS b
+        |       FROM l1 GROUP BY 1, 2),
+        |l2 AS (SELECT user_id, p AS idx, CASE WHEN b IS NULL THEN a ELSE (a + b) // 2 END AS v FROM p2),
+        |p3 AS (SELECT user_id, idx // 2 AS p,
+        |         MAX(CASE WHEN idx % 2 = 0 THEN v END) AS a,
+        |         MAX(CASE WHEN idx % 2 = 1 THEN v END) AS b
+        |       FROM l2 GROUP BY 1, 2)
+        |SELECT user_id, CAST(1 AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_details,
+        |  CAST(SUM((a - b) * (a - b)) AS BIGINT) AS energy
+        |FROM p1 WHERE b IS NOT NULL GROUP BY 1
+        |UNION ALL
+        |SELECT user_id, CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM((a - b) * (a - b)) AS BIGINT)
+        |FROM p2 WHERE b IS NOT NULL GROUP BY 1
+        |UNION ALL
+        |SELECT user_id, CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM((a - b) * (a - b)) AS BIGINT)
+        |FROM p3 WHERE b IS NOT NULL GROUP BY 1""".stripMargin,
     "ts_seasonal_profile" -> seasonalProfileOracle,
     // the streamed profile drains to the identical table (count/sum
     // additive, min/max idempotent-commutative) — shared oracle

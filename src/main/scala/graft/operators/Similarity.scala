@@ -1265,4 +1265,68 @@ object Similarity {
     val out = v.select(col("i").cast("long").as("dim"), col("v").as("v_milli"))
     graft.operators.Dedup.releaseAfterRun(spark, out, Seq(s, cMat))
   }
+
+  /** emb_matryoshka_eval — PREFIX-DIMENSION recall: exact top-k by
+    * cosine over the first d components (d ∈ dims) scored against the
+    * full-dimension truth — the matryoshka-representation question
+    * ("how many dims can the index store before recall degrades?")
+    * that prices every memory/recall trade at 100 TB: a 16-of-64
+    * prefix index is 4× smaller, and this operator is the measured
+    * evidence for whether that's free. Same exact-integer ladder as
+    * [[annTopkBruteForce]]: quantized prefixes via `slice`, exact
+    * integer dots/norms (zero-norm prefixes clamped greatest(·,1) —
+    * identically in the oracle), IEEE-deterministic cosine, ties
+    * broken by neighbor id. The d = max(dims) tier IS the truth, so
+    * its rows pin recall = 10000 structurally. Scale shape: probes
+    * broadcast (tiny by construction), corpus streams map-side once
+    * per d; the only wide step is the per-(probe, d) top-k, k rows
+    * each — no corpus shuffle anywhere.
+    */
+  def matryoshkaEval(
+      spark: SparkSession,
+      dir: String,
+      dims: Seq[Int] = Seq(8, 16, 32, 64),
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val q = quantized(spark, dir)
+      .select(col("vec_id"), col("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def topkAt(d: Int): DataFrame = {
+      val qd = q
+        .select(col("vec_id"), slice(col("q"), 1, d).as("qd"))
+        .withColumn("nd", greatest(norm2Q(col("qd")), lit(1L)))
+      val probes = qd.filter(col("vec_id") < nProbes).toDF("probe_id", "pq", "pn2")
+      val cos    = cosineQ(dotQ(col("pq"), col("qd")), col("pn2"), col("nd"))
+      val w      = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+      qd.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("probe_id"), col("neighbor_id"))
+    }
+    val truth = topkAt(dims.max).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDim = dims
+      .map(d => topkAt(d).withColumn("dims", lit(d.toLong)))
+      .reduce(_.unionByName(_))
+    val hits = perDim
+      .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id"), col("dims"))
+      .agg(count(lit(1)).as("hits"))
+    val base = truth
+      .select(col("probe_id"))
+      .distinct()
+      .withColumn("dims", explode(typedlit(dims.map(_.toLong))))
+    val out = base
+      .join(hits, Seq("probe_id", "dims"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(
+        col("probe_id"),
+        col("dims"),
+        col("n_hits"),
+        expr(s"n_hits * 10000 DIV $k").as("recall_bp")
+      )
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(q, truth))
+  }
 }

@@ -929,6 +929,58 @@ object TimeSeries {
       )
   }
 
+  /** ts_wavelet_haar — INTEGER HAAR WAVELET energy ledger of each
+    * series' hourly sums: 3 unrolled lifting-scheme levels, where each
+    * level pairs consecutive samples (by the series-relative index),
+    * emits detail d = a − b and carries approx (a + b) DIV 2 up (odd
+    * tails carry unchanged — the standard lifting convention). The
+    * per-level detail energy Σd² is the compression planner's number:
+    * a series whose energy collapses after level 1 is smooth enough
+    * for aggressive downsampling/delta coding, one that stays flat is
+    * noise (the reference's whole codec — timebox delta/width planning
+    * — is a bet on exactly this spectrum shape). All integer: the
+    * floor average is truncate-toward-zero in BOTH engines (DuckDB //
+    * == Spark DIV), so the pyramid replays bit-identically. Scale
+    * shape: one hourly pre-aggregate (map-side combinable), then per
+    * level ONE partial-aggregable groupBy on (series, pair-index) —
+    * each level HALVES the rows, so the 3-level pyramid costs less
+    * than 2 passes over the hourly table; nothing unpartitioned,
+    * nothing corpus-grain.
+    */
+  def waveletHaar(spark: SparkSession, dir: String, levels: Int = 3): DataFrame = {
+    // the hourly aggregate feeds all `levels` union branches — persist
+    // it so the raw-events scan runs ONCE, not once per level
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_id"))
+    var cur = hourly
+      .withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .select(col("user_id"), col("idx"), col("v"))
+    val perLevel = (1 to levels).map { l =>
+      val paired = cur
+        .groupBy(col("user_id"), expr("idx DIV 2").as("p"))
+        .agg(
+          max(when(expr("idx % 2 = 0"), col("v"))).as("a"),
+          max(when(expr("idx % 2 = 1"), col("v"))).as("b")
+        )
+      cur = paired
+        .select(
+          col("user_id"),
+          col("p").as("idx"),
+          when(col("b").isNull, col("a")).otherwise(expr("(a + b) DIV 2")).as("v")
+        )
+      paired
+        .filter(col("b").isNotNull)
+        .withColumn("d", col("a") - col("b"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_details"), sum(col("d") * col("d")).as("energy"))
+        .select(col("user_id"), lit(l.toLong).as("level"), col("n_details"), col("energy"))
+    }
+    Dedup.releaseAfterRun(spark, perLevel.reduce(_.unionByName(_)), Seq(hourly))
+  }
+
   // -------------------------------------------------------------------
   // 12d. ts_retention — cohort retention: users grouped by first-seen
   // day, counted distinct on each later active day (the product-

@@ -43,6 +43,7 @@ class EntrySpec extends AnyFunSuite {
   // centroids, a 1-row total/min) — everything else is banned
   private val tinyBroadcastCrossJoins = Set(
     "ann_topk_bruteforce",
+    "emb_matryoshka_eval",       // same ≤5-row probe broadcast, once per prefix-dim tier
     "ann_ivf_bucketed",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",          // ≤8-row centroid broadcast

@@ -301,4 +301,22 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Similarity.pcaPower(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === rows)
   }
+
+  test("matryoshka eval: full-dim tier pins 10000 bp, hits bounded by k, grid complete") {
+    val rows = Similarity.matryoshkaEval(spark, sf).collect()
+    assert(rows.length === 5 * 4, "5 probes x 4 prefix-dim tiers")
+    val grid = rows.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("dims"))).toSet
+    assert(grid === (for (p <- 0L until 5L; d <- Seq(8L, 16L, 32L, 64L)) yield (p, d)).toSet)
+    for (r <- rows) {
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Long]("recall_bp") === h * 1000L)
+      // the truth tier scores itself: recall is 10000 by construction
+      if (r.getAs[Long]("dims") == 64L) assert(h === 10L)
+    }
+    // the prefix tiers must be informative, not degenerate: at least
+    // one short-prefix row misses (8 of 64 dims losing nothing would
+    // mean the eval cannot distinguish layouts at all)
+    assert(rows.exists(r => r.getAs[Long]("dims") == 8L && r.getAs[Long]("n_hits") < 10L))
+  }
 }

@@ -114,6 +114,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(m.getAs[Long]("phi2_bp") === -1111L)
   }
 
+  test("Haar pyramid: hand-computed 5-sample series lands every level's energy") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // hourly values 1,5,2,8,3 dollars -> cents 100,500,200,800,300.
+    // L1 pairs (100,500),(200,800) + tail 300: d=-400,-600 e=520000;
+    // carries (300,500,300). L2 pair (300,500) + tail: d=-200 e=40000;
+    // carries (400,300). L3 pair (400,300): d=100 e=10000.
+    val vals = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
+    val rows = vals.zipWithIndex.map { case (v, t) => (t.toLong + 1L, t * hourNs, 7L, "view", v, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_haar").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.waveletHaar(spark, dir).collect()
+      .map(r => r.getAs[Long]("level") -> (r.getAs[Long]("n_details"), r.getAs[Long]("energy"))).toMap
+    assert(out === Map(1L -> ((2L, 520000L)), 2L -> ((1L, 40000L)), 3L -> ((1L, 10000L))))
+  }
+
   test("approx percentiles: every sketch value is within the GK rank-error bound of exact") {
     val accuracy = 10000
     val ps = Seq(0.5, 0.9, 0.99)
