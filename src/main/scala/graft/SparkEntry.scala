@@ -148,6 +148,7 @@ object SparkEntry {
     "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
     "rel_join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "rel_zorder_layout"  -> ((s, d) => Relational.zorderLayout(s, d)),
+    "rel_compaction_plan" -> ((s, d) => Relational.compactionPlan(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
@@ -279,6 +280,7 @@ object SparkEntry {
     "text_bigram_lm"    -> ((s, d) => TextAnalysis.bigramLm(s, d)),
     "sample_cap_per_source" -> ((s, d) => TextAnalysis.capPerSource(s, d)),
     "sample_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
+    "sample_epoch_schedule" -> ((s, d) => TextAnalysis.epochSchedule(s, d)),
     "sample_importance" -> ((s, d) => TextAnalysis.importanceWeights(s, d)),
     "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "approx_cms"        -> ((s, d) => TextAnalysis.cmsTokens(s, d)),
@@ -1155,6 +1157,28 @@ object SparkEntry {
          |FROM wr WHERE n_a >= 50 AND rnk <= 3""".stripMargin,
     // per-source cap by deterministic md5 order, summary + checksum
     "sample_cap_per_source" -> capOracle,
+    // per-epoch hash order decorrelation: row-local double hashing per
+    // pair, one bounded groupBy; overlap expectation composed from the
+    // aggregates directly
+    "sample_epoch_schedule" ->
+      """WITH p AS (SELECT a.e AS e1, b.e AS e2
+        |           FROM (SELECT unnest(generate_series(0, 3)) AS e) a,
+        |                (SELECT unnest(generate_series(0, 3)) AS e) b
+        |           WHERE a.e < b.e),
+        |d AS (SELECT doc_id, e1, e2,
+        |        CAST('0x' || substr(md5('epoch:' || CAST(e1 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h1,
+        |        CAST('0x' || substr(md5('epoch:' || CAST(e2 AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h2
+        |      FROM documents, p)
+        |SELECT CAST(e1 AS BIGINT) AS e1, CAST(e2 AS BIGINT) AS e2,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN h1 % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1,
+        |  CAST(SUM(CASE WHEN h2 % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_s2,
+        |  CAST(SUM(CASE WHEN h1 % 10 = 0 AND h2 % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(abs(h1 % 256 - h2 % 256)) * 100 // COUNT(*) AS BIGINT) AS mean_disp_x100,
+        |  CAST(SUM(CASE WHEN h1 % 10 = 0 AND h2 % 10 = 0 THEN 1 ELSE 0 END) * 10000 * COUNT(*)
+        |       // GREATEST(SUM(CASE WHEN h1 % 10 = 0 THEN 1 ELSE 0 END)
+        |                 * SUM(CASE WHEN h2 % 10 = 0 THEN 1 ELSE 0 END), 1) AS BIGINT) AS overlap_vs_exp_bp
+        |FROM d GROUP BY 1, 2""".stripMargin,
     // the streaming reservoir drains to the identical kept set — min-k
     // under the same (hkey, doc_id) order is arrival-order-insensitive
     // — so the batch cap oracle verifies the stream bit-for-bit
@@ -2785,6 +2809,22 @@ object SparkEntry {
         |SELECT ip.join_name, ip.r, ip.ip, est.est_rows, ex.exact_rows,
         |  CAST((est.est_rows - ex.exact_rows) * 10000 // ex.exact_rows AS BIGINT) AS over_bp
         |FROM ip JOIN est USING (join_name) JOIN ex USING (join_name)""".stripMargin,
+    // compaction bin-packing: a file joins the group where its
+    // cumulative START byte falls; the oracle's flat window is the
+    // same prefix sum the Spark side computes banded
+    "rel_compaction_plan" ->
+      """WITH r AS (SELECT l_orderkey // 64 AS file_id,
+        |             64 + CAST(round(l_extendedprice * 100) AS BIGINT) % 191 AS b FROM lineitem),
+        |f AS (SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(SUM(b) AS BIGINT) AS bytes
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT *, CAST(COALESCE(SUM(bytes) OVER (ORDER BY file_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g_start FROM f)
+        |SELECT CAST(g_start // 262144 AS BIGINT) AS group_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+        |  CAST(MIN(file_id) AS BIGINT) AS file_lo, CAST(MAX(file_id) AS BIGINT) AS file_hi,
+        |  CAST(SUM(bytes) * 10000 // 262144 AS BIGINT) AS fill_bp
+        |FROM c GROUP BY 1""".stripMargin,
     // z-order layout audit: 64 files under natural/sorted/zorder
     // layouts, zone-map skipping replayed against 3 query boxes; the
     // Morton interleave is the same generated integer arithmetic on

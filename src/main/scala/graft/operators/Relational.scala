@@ -1997,4 +1997,62 @@ object Relational {
       .withColumn("waste_bp", expr("(rows_scanned - rows_matched) * 10000 DIV greatest(rows_scanned, 1L)"))
     graft.operators.Dedup.releaseAfterRun(spark, out, Seq(rows))
   }
+
+  /** rel_compaction_plan — SMALL-FILE COMPACTION planning (the
+    * lakehouse OPTIMIZE/bin-packing decision): lineitem is viewed as a
+    * run of files (64 orders per file, per-row byte proxy
+    * 64 + price-cents % 191 so sizes vary deterministically), and
+    * adjacent files are greedily packed into target-size rewrite
+    * groups — a file joins the group where its cumulative START byte
+    * falls, so groups are contiguous, order-preserving, and overflow a
+    * target only by less than one file. The report (per group: files,
+    * rows, bytes, fill) is what a compaction scheduler submits as its
+    * rewrite manifest; at 100 TB small-file pressure is THE metadata
+    * killer and this is the maintenance pass that bounds it. Scale
+    * shape: file stats are ONE partial-aggregable groupBy (map-side
+    * combine collapses data-grain to file-grain); the running sum is
+    * the house TWO-LEVEL banded prefix sum (in-band cumsum partitioned
+    * by the 256-file band; band offsets via a window over the
+    * band-count-sized table — never a corpus-grain single-reducer
+    * sort), same discipline as sample_pack_sequences.
+    */
+  def compactionPlan(
+      spark: SparkSession,
+      dir: String,
+      ordersPerFile: Long = 64L,
+      targetBytes: Long = 262144L
+  ): DataFrame = {
+    val files = Tables
+      .lineitem(spark, dir)
+      .select(
+        expr(s"l_orderkey DIV ${ordersPerFile}L").as("file_id"),
+        (lit(64L) + cents(col("l_extendedprice")) % 191L).as("b")
+      )
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("b")).as("bytes"))
+      .withColumn("band", expr("file_id DIV 256"))
+    val wBand = Window.orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)
+    val wIn = Window
+      .partitionBy(col("band"))
+      .orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bandTotals = files
+      .groupBy(col("band"))
+      .agg(sum(col("bytes")).as("band_bytes"))
+      .withColumn("band_offset", coalesce(sum(col("band_bytes")).over(wBand), lit(0L)))
+      .select(col("band"), col("band_offset"))
+    files
+      .join(broadcast(bandTotals), Seq("band"))
+      .withColumn("g_start", col("band_offset") + sum(col("bytes")).over(wIn) - col("bytes"))
+      .withColumn("group_id", expr(s"g_start DIV ${targetBytes}L"))
+      .groupBy(col("group_id"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("bytes"),
+        min(col("file_id")).as("file_lo"),
+        max(col("file_id")).as("file_hi")
+      )
+      .withColumn("fill_bp", expr(s"bytes * 10000 DIV ${targetBytes}L"))
+  }
 }

