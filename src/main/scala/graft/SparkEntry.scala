@@ -149,10 +149,12 @@ object SparkEntry {
     "rel_join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "rel_zorder_layout"  -> ((s, d) => Relational.zorderLayout(s, d)),
     "rel_compaction_plan" -> ((s, d) => Relational.compactionPlan(s, d)),
+    "rel_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
     "rel_scd2_stream"    -> ((s, d) => graft.sources.StreamingIngest.scd2Stream(s, d)),
+    "rel_mv_stream"      -> ((s, d) => graft.sources.StreamingIngest.mvStream(s, d)),
     "rel_profile"        -> ((s, d) => Relational.profile(s, d)),
     "rel_histogram_equi" -> ((s, d) => Relational.histogramEqui(s, d)),
     "rel_fk_audit"       -> ((s, d) => Relational.fkAudit(s, d)),
@@ -2825,6 +2827,28 @@ object SparkEntry {
         |  CAST(MIN(file_id) AS BIGINT) AS file_lo, CAST(MAX(file_id) AS BIGINT) AS file_hi,
         |  CAST(SUM(bytes) * 10000 // 262144 AS BIGINT) AS fill_bp
         |FROM c GROUP BY 1""".stripMargin,
+    // interval concurrency sweep: deltas aggregated per (supplier, day)
+    // BEFORE the running sum, so prefix values need no intra-day order;
+    // ends exclusive at day + 1
+    "rel_max_concurrency" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |        CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS s,
+        |        CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS BIGINT) + 1 AS e
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |ev AS (SELECT l_suppkey, t, CAST(SUM(delta) AS BIGINT) AS d,
+        |         CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+        |       FROM (SELECT l_suppkey, s AS t, 1 AS delta FROM iv
+        |             UNION ALL SELECT l_suppkey, e, -1 FROM iv)
+        |       GROUP BY 1, 2),
+        |r AS (SELECT l_suppkey, t,
+        |        CAST(SUM(d) OVER (PARTITION BY l_suppkey ORDER BY t
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open,
+        |        CAST(SUM(starts) OVER (PARTITION BY l_suppkey) AS BIGINT) AS n_intervals
+        |      FROM ev),
+        |m AS (SELECT *, MAX(open) OVER (PARTITION BY l_suppkey) AS max_open FROM r)
+        |SELECT l_suppkey, n_intervals, CAST(MAX(max_open) AS BIGINT) AS max_open,
+        |  CAST(MIN(t) AS BIGINT) AS peak_day
+        |FROM m WHERE open = max_open GROUP BY 1, 2""".stripMargin,
     // z-order layout audit: 64 files under natural/sorted/zorder
     // layouts, zone-map skipping replayed against 3 query boxes; the
     // Morton interleave is the same generated integer arithmetic on
@@ -2877,6 +2901,15 @@ object SparkEntry {
     // version's valid_from, -1 + is_current on the head version
     "rel_scd2" -> scd2OracleSql,
     "rel_scd2_stream" -> scd2OracleSql,
+    // the drained MV state equals the batch recompute (count/sum
+    // additive over micro-batches) — the batch SQL is the oracle
+    "rel_mv_stream" ->
+      """SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |GROUP BY 1""".stripMargin,
 
     // point-in-time join: the oracle resolves each purchase's state
     // with the same union + running last-non-null carry (IGNORE NULLS),

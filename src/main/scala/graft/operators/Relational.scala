@@ -2055,4 +2055,56 @@ object Relational {
       )
       .withColumn("fill_bp", expr(s"bytes * 10000 DIV ${targetBytes}L"))
   }
+
+  /** rel_max_concurrency — INTERVAL CONCURRENCY sweep (the classic
+    * +1/−1 event-boundary pattern behind capacity planning, room
+    * booking, and connection-pool sizing): each lineitem is an open
+    * interval [order day, ship day] at its supplier; the report is
+    * each supplier's peak number of simultaneously-open lineitems and
+    * the first day that peak is reached. Ends are exclusive at
+    * day + 1, so same-day touch counts as overlap. Determinism needs
+    * NO intra-day event order: deltas are aggregated per (supplier,
+    * day) FIRST, so the running sum is over one row per day and the
+    * prefix values are order-free. Scale shape: one fact-fact equi
+    * join on orderkey (both sides shuffle on the key, AQE free to
+    * re-plan), one partial-aggregable groupBy onto (supplier, day) —
+    * the sweep's domain is supplier × active-days, metadata-sized —
+    * then per-supplier windows over that compressed table.
+    */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .select(
+        col("l_suppkey"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("s"),
+        (datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01"))).cast("long") + 1L).as("e")
+      )
+    val events = iv
+      .select(col("l_suppkey"), col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("l_suppkey"), col("e").as("t"), lit(-1L).as("delta")))
+      .groupBy(col("l_suppkey"), col("t"))
+      .agg(sum(col("delta")).as("d"), sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+    val wRun = Window
+      .partitionBy(col("l_suppkey"))
+      .orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_suppkey"))
+    events
+      .withColumn("open", sum(col("d")).over(wRun))
+      .withColumn("max_open", max(col("open")).over(wAll))
+      .withColumn("n_intervals", sum(col("starts")).over(wAll))
+      .filter(col("open") === col("max_open"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        min(col("t")).as("peak_day"),
+        max(col("max_open")).as("max_open"),
+        max(col("n_intervals")).as("n_intervals")
+      )
+      .select(col("l_suppkey"), col("n_intervals"), col("max_open"), col("peak_day"))
+  }
 }

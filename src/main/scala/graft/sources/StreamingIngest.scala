@@ -1828,6 +1828,42 @@ object StreamingIngest {
     Relational.hllFinalize(drained, exact)
   }
 
+  /** rel_mv_stream — the revenue-per-nation MATERIALIZED VIEW
+    * maintained as STREAMING STATE: orders micro-batches join the
+    * BROADCAST customer→nation dims (stream-static broadcast — the
+    * only scale-sane shape; the stream side never shuffles for the
+    * dim lookup) and fold into a per-nation (count, revenue-cents)
+    * aggregate. Both aggregates are ADDITIVE, so the drained state
+    * equals the batch recompute by algebra — the batch MV SQL is the
+    * oracle. This is rel_mv_delta's nightly-close pattern run
+    * continuously: maintenance costs O(micro-batch), the recompute
+    * tier exists only as the audit.
+    */
+  def mvStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val dims = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(
+        Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name")),
+        col("n_nationkey") === col("c_nationkey")
+      )
+      .select(col("c_custkey"), col("n_name"))
+    val mv = reader
+      .parquet(s"$dir/orders.parque[t]")
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("rev_c"))
+      .join(broadcast(dims), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("rev_c")).as("revenue_c"))
+    runToMemory(spark, mv, "complete")
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

@@ -164,4 +164,23 @@ class SkewJoinSpec extends AnyFunSuite {
       assert(allButLast.forall(_.getAs[Long]("bytes") > 0L))
     } finally df.unpersist()
   }
+
+  test("max concurrency: hand-built overlap pattern lands peak and first peak day") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"1992-01-${day + 1}%02d 00:00:00")
+    // supplier 1: intervals [0,2],[1,3],[2,2] -> open(0)=1 open(1)=2
+    // open(2)=3 (peak, day 2) open(3)=2; supplier 2: disjoint [0,0],[2,2]
+    Seq(
+      (10L, 1L, d(2)), (11L, 1L, d(3)), (12L, 1L, d(2)),
+      (20L, 2L, d(0)), (21L, 2L, d(2))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate").write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(
+      (10L, d(0)), (11L, d(1)), (12L, d(2)),
+      (20L, d(0)), (21L, d(2))
+    ).toDF("o_orderkey", "o_orderdate").write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational.maxConcurrency(spark, dir).collect()
+      .map(r => r.getAs[Long]("l_suppkey") -> ((r.getAs[Long]("n_intervals"), r.getAs[Long]("max_open"), r.getAs[Long]("peak_day")))).toMap
+    assert(out === Map(1L -> ((3L, 3L, 2L)), 2L -> ((2L, 1L, 0L))))
+  }
 }

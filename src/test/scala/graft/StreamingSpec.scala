@@ -561,6 +561,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch dedup rows missing from stream")
   }
 
+  test("mv stream: two-batch replay drains the exact batch materialized view (additive algebra)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cut = orders.selectExpr("approx_percentile(o_orderkey, 0.5)").head().getAs[Number](0).longValue()
+    orders.filter(col("o_orderkey") <= cut).coalesce(1).write.mode("append").parquet(s"$dir/orders.parquet")
+    Thread.sleep(1100)
+    orders.filter(col("o_orderkey") > cut).coalesce(1).write.mode("append").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$sf/customer.parquet").write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    spark.read.parquet(s"$sf/nation.parquet").write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val streamed = StreamingIngest.mvStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/customer.parquet"), col("c_custkey") === col("o_custkey"))
+      .join(spark.read.parquet(s"$dir/nation.parquet"), col("n_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("revenue_c")
+      )
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed MV rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch MV rows missing from stream")
+  }
+
   test("ohlc stream: two-batch replay drains the exact batch candles (struct-min/max algebra)") {
     val dir = twoBatchDir()
     val streamed = StreamingIngest.ohlcStream(spark, dir, filesPerTrigger = Some(1))
