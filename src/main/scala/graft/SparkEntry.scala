@@ -233,6 +233,8 @@ object SparkEntry {
     "emb_quantize_int8"   -> ((s, d) => Similarity.embQuantizeInt8(s, d)),
     "emb_pca_power"       -> ((s, d) => Similarity.pcaPower(s, d)),
     "emb_matryoshka_eval" -> ((s, d) => Similarity.matryoshkaEval(s, d)),
+    "emb_dim_variance"    -> ((s, d) => Similarity.dimVariance(s, d)),
+    "emb_cosine_histogram" -> ((s, d) => Similarity.cosineHistogram(s, d)),
     "emb_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "ann_knn_join"        -> ((s, d) => Similarity.annKnnJoin(s, d)),
     "ann_knn_recall"      -> ((s, d) => Similarity.annKnnRecall(s, d)),
@@ -1783,6 +1785,28 @@ object SparkEntry {
     // both sides are the queries' own oracles composed as derived
     // tables (DuckDB allows WITH inside a FROM subquery)
     "emb_matryoshka_eval" -> matryoshkaOracleSql,
+    // truncated-mean variance (E[x²]−E[x]² in micro², toward-zero //
+    // both engines); DuckDB's i is 1-based, Spark's posexplode 0-based
+    "emb_dim_variance" ->
+      s"""WITH $quantCtes,
+         |m AS (SELECT i - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_q,
+         |        CAST(SUM(v * v) AS BIGINT) AS sumsq_q FROM q GROUP BY 1),
+         |vv AS (SELECT *, sumsq_q // n - (sum_q // n) * (sum_q // n) AS var_micro2 FROM m)
+         |SELECT CAST(dim AS BIGINT) AS dim, n, sum_q, sumsq_q,
+         |  CAST(var_micro2 AS BIGINT) AS var_micro2,
+         |  CAST(var_micro2 * 10000 // GREATEST(SUM(var_micro2) OVER (), 1) AS BIGINT) AS share_bp
+         |FROM vv""".stripMargin,
+    "emb_cosine_histogram" ->
+      s"""WITH $quantCtes,
+         |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |      FROM (SELECT * FROM q WHERE vec_id < 5) a
+         |      JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+         |c AS (SELECT CAST(round(CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1000000) AS BIGINT) AS cos_micro
+         |      FROM d JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+         |SELECT CAST((cos_micro + 1000000) // 100000 AS BIGINT) AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(MIN(cos_micro) AS BIGINT) AS lo_micro, CAST(MAX(cos_micro) AS BIGINT) AS hi_micro
+         |FROM c GROUP BY 1""".stripMargin,
     "ann_recall_eval" ->
       s"""SELECT t.probe_id,
          |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,

@@ -1329,4 +1329,70 @@ object Similarity {
       )
     graft.operators.Dedup.releaseAfterRun(spark, out, Seq(q, truth))
   }
+
+  /** emb_dim_variance — PER-DIMENSION variance ledger of the
+    * embedding cloud: for each of the d dimensions, exact integer
+    * moment sums over the quantized micro units (n, Σx, Σx²) and the
+    * scale-free variance numerator n·Σx² − (Σx)², plus each
+    * dimension's share of total variance in bp. This is the
+    * diagnosis behind every dimension-truncation decision
+    * ([[matryoshkaEval]] measures the recall consequence; this shows
+    * WHY — which dims carry signal): flat-variance dims are free to
+    * drop, and a dim with near-zero variance is wasting index bytes
+    * corpus-wide. Scale shape: ONE partial-aggregable groupBy from a
+    * row-local posexplode onto the d-row key space (map-side combine
+    * collapses every partition to ≤ d rows); the share window runs
+    * over that d-row table — never the corpus.
+    */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    quantized(spark, dir)
+      .select(posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_q"),
+        sum(col("x") * col("x")).as("sumsq_q")
+      )
+      // truncated-mean variance (the ts_ar_fit headroom discipline):
+      // the n·Σx² − (Σx)² form overflows 2⁶³ already at sf0.1
+      // (n·Σx² ≈ 5000·5e15); E[x²] − E[x]² in micro² stays ≤ 1e12
+      // with the truncation identical in both engines
+      .withColumn("var_micro2", expr("sumsq_q DIV n - (sum_q DIV n) * (sum_q DIV n)"))
+      .withColumn("total_var", sum(col("var_micro2")).over(wAll))
+      .withColumn("share_bp", expr("var_micro2 * 10000 DIV greatest(total_var, 1L)"))
+      .select(col("dim"), col("n"), col("sum_q"), col("sumsq_q"), col("var_micro2"), col("share_bp"))
+  }
+
+  /** emb_cosine_histogram — the SIMILARITY BACKGROUND calibration:
+    * the distribution of probe↔corpus cosines binned into 20
+    * 0.1-wide buckets over [−1, 1], with each bucket's observed
+    * min/max in micro. Every near-dup/contamination threshold
+    * (dedup_embedding's 0.9, range search radii) is a cut through
+    * exactly this histogram — the report shows where the unrelated-
+    * pair noise floor sits so thresholds are set above it by
+    * evidence rather than folklore. Exact integer dots/norms, the
+    * bin from the micro-scaled cosine by integer floor-div (negatives
+    * shifted first so DIV's toward-zero truncation can't straddle
+    * zero differently across engines). Scale shape: probes broadcast,
+    * corpus streams map-side, ONE partial-aggregable groupBy onto
+    * ≤ 21 bins.
+    */
+  def cosineHistogram(spark: SparkSession, dir: String, nProbes: Int = 5): DataFrame = {
+    val q      = quantized(spark, dir)
+    val probes = q.toDF("probe_id", "pq", "pn2").filter(col("probe_id") < nProbes)
+    val cosMicro = round(
+      cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2")) * lit(1000000)
+    ).cast("long")
+    q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(cosMicro.as("cos_micro"))
+      .withColumn("bin", expr("(cos_micro + 1000000) DIV 100000"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("cos_micro")).as("lo_micro"),
+        max(col("cos_micro")).as("hi_micro")
+      )
+  }
 }

@@ -44,6 +44,7 @@ class EntrySpec extends AnyFunSuite {
   private val tinyBroadcastCrossJoins = Set(
     "ann_topk_bruteforce",
     "emb_matryoshka_eval",       // same ≤5-row probe broadcast, once per prefix-dim tier
+    "emb_cosine_histogram",      // same ≤5-row probe broadcast over the corpus
     "ann_ivf_bucketed",
     "ann_ivf_kmeans",
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
@@ -97,7 +98,8 @@ class EntrySpec extends AnyFunSuite {
     "rel_histogram_equi", // banded prefix sum: cum/total windows run over the $1000 price-BAND table (bounded few-hundred-row domain), the design that avoids the global sort
     "sample_pack_sequences", // band-offset window over the 256-row md5-band table — the two-level prefix sum's bounded upper level
     "rel_compaction_plan", // band-offset window over the 256-file band table — the same two-level prefix sum's bounded upper level (file-METADATA grain, ~nFiles/256 rows)
-    "ann_cell_skew" // total-occupancy window over the nCells-row cell aggregate — the report's whole domain is the cell table
+    "ann_cell_skew", // total-occupancy window over the nCells-row cell aggregate — the report's whole domain is the cell table
+    "emb_dim_variance" // total-variance window over the d-row (=64) per-dimension aggregate
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

@@ -319,4 +319,33 @@ class SimilaritySpec extends AnyFunSuite {
     // mean the eval cannot distinguish layouts at all)
     assert(rows.exists(r => r.getAs[Long]("dims") == 8L && r.getAs[Long]("n_hits") < 10L))
   }
+
+  test("dim variance: one row per dim, moments consistent, shares bounded and near-complete") {
+    val rows = Similarity.dimVariance(spark, sf).collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getAs[Long]("dim")).toSet === (0L until 64L).toSet)
+    val n = rows.head.getAs[Long]("n")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("var_micro2") >= 0L, "truncated-mean variance stays non-negative")
+      // |E[x]| <= sqrt(E[x^2]) (Jensen survives truncation at these magnitudes)
+      assert(r.getAs[Long]("sumsq_q") >= 0L)
+      assert(r.getAs[Long]("share_bp") >= 0L && r.getAs[Long]("share_bp") <= 10000L)
+    }
+    val total = rows.map(_.getAs[Long]("share_bp")).sum
+    assert(total > 9800L && total <= 10000L, s"shares sum to $total, not ~10000 bp")
+  }
+
+  test("cosine histogram: bins legal, counts conserve the probe-pair total, extremes inside bins") {
+    val rows = Similarity.cosineHistogram(spark, sf).collect()
+    for (r <- rows) {
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0L && bin <= 20L)
+      val (lo, hi) = (r.getAs[Long]("lo_micro"), r.getAs[Long]("hi_micro"))
+      assert(lo <= hi)
+      assert((lo + 1000000L) / 100000L === bin && (hi + 1000000L) / 100000L === bin)
+    }
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === 5L * (corpus - 1L))
+  }
 }
