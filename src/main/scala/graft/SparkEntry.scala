@@ -78,6 +78,7 @@ object SparkEntry {
     "ts_sessionize"      -> ((s, d) => TimeSeries.sessionize(s, d)),
     "ts_asof_join"       -> ((s, d) => TimeSeries.asofJoin(s, d)),
     "ts_asof_tolerance"  -> ((s, d) => TimeSeries.asofJoinTolerance(s, d)),
+    "ts_asof_nearest"    -> ((s, d) => TimeSeries.asofNearest(s, d)),
     "ts_range_join"      -> ((s, d) => TimeSeries.rangeJoin(s, d)),
     "ts_range_join_stream" -> ((s, d) => graft.sources.StreamingIngest.rangeJoinStream(s, d)),
     "ts_gapfill_locf"    -> ((s, d) => TimeSeries.gapfillLocf(s, d)),
@@ -251,6 +252,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "text_quality"     -> ((s, d) => TextAnalysis.quality(s, d)),
     "quality_rules_by_source" -> ((s, d) => TextAnalysis.qualityRulesBySource(s, d)),
+    "quality_rules_stream" -> ((s, d) => graft.sources.StreamingIngest.qualityRulesStream(s, d)),
     "sample_temperature" -> ((s, d) => TextAnalysis.sampleTemperature(s, d)),
     "sample_hash_split" -> ((s, d) => TextAnalysis.hashSplit(s, d)),
     "sample_quality_weighted" -> ((s, d) => TextAnalysis.qualityWeightedSample(s, d)),
@@ -718,6 +720,31 @@ object SparkEntry {
   /** Exact top-10 cosine neighbors for the 5 probes — the ANN ground
     * truth, shared by `ann_topk_bruteforce` and the recall evaluation.
     */
+  /** per-source quality books, shared by the batch report and the
+    * streaming dual (whose drain emits the same additive counters)
+    */
+  private lazy val qualityRulesOracleSql: String =
+    s"""WITH t AS (SELECT source, $normSql AS nrm, $toksSql AS toks FROM documents),
+       |m AS (SELECT source,
+       |        CAST(len(toks) AS BIGINT) AS n_toks,
+       |        CAST(length(nrm) - (len(toks) - 1) AS BIGINT) AS sum_len,
+       |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS BIGINT) AS n_stop
+       |      FROM t),
+       |r AS (SELECT source,
+       |        CASE WHEN n_toks < 25 THEN 1 ELSE 0 END AS fail_short,
+       |        CASE WHEN n_toks > 80 THEN 1 ELSE 0 END AS fail_long,
+       |        CASE WHEN sum_len * 1000000 // n_toks < 4000000
+       |               OR sum_len * 1000000 // n_toks > 5000000 THEN 1 ELSE 0 END AS fail_wordlen,
+       |        CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fail_stop
+       |      FROM m)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(fail_short) AS BIGINT) AS n_fail_short,
+       |  CAST(SUM(fail_long) AS BIGINT) AS n_fail_long,
+       |  CAST(SUM(fail_wordlen) AS BIGINT) AS n_fail_wordlen,
+       |  CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
+       |  CAST(SUM(CASE WHEN fail_short + fail_long + fail_wordlen + fail_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |FROM r GROUP BY 1""".stripMargin
+
   private lazy val bruteTopkOracleSql: String =
     s"""WITH $quantCtes,
        |d AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
@@ -2167,27 +2194,10 @@ object SparkEntry {
          |FROM m LEFT JOIN wc ON wc.doc_id = m.doc_id""".stripMargin,
     // corpus-health audit: the hard-filter rule set aggregated per
     // source; sum_len = len(norm) - (n_toks - 1) over single-spaced norm
-    "quality_rules_by_source" ->
-      s"""WITH t AS (SELECT source, $normSql AS nrm, $toksSql AS toks FROM documents),
-         |m AS (SELECT source,
-         |        CAST(len(toks) AS BIGINT) AS n_toks,
-         |        CAST(length(nrm) - (len(toks) - 1) AS BIGINT) AS sum_len,
-         |        CAST(len(list_filter(toks, x -> list_contains(['the','a','of','to','and','in','is','it'], x))) AS BIGINT) AS n_stop
-         |      FROM t),
-         |r AS (SELECT source,
-         |        CASE WHEN n_toks < 25 THEN 1 ELSE 0 END AS fail_short,
-         |        CASE WHEN n_toks > 80 THEN 1 ELSE 0 END AS fail_long,
-         |        CASE WHEN sum_len * 1000000 // n_toks < 4000000
-         |               OR sum_len * 1000000 // n_toks > 5000000 THEN 1 ELSE 0 END AS fail_wordlen,
-         |        CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fail_stop
-         |      FROM m)
-         |SELECT source, COUNT(*) AS n_docs,
-         |  CAST(SUM(fail_short) AS BIGINT) AS n_fail_short,
-         |  CAST(SUM(fail_long) AS BIGINT) AS n_fail_long,
-         |  CAST(SUM(fail_wordlen) AS BIGINT) AS n_fail_wordlen,
-         |  CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
-         |  CAST(SUM(CASE WHEN fail_short + fail_long + fail_wordlen + fail_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
-         |FROM r GROUP BY 1""".stripMargin,
+    "quality_rules_by_source" -> qualityRulesOracleSql,
+    // the streamed books drain to the identical table (row-local flags,
+    // additive counts) — shared oracle
+    "quality_rules_stream" -> qualityRulesOracleSql,
     // temperature mixing (T=2): threshold = floor(256·sqrt(min_n/n)),
     // kept iff first two md5 hex digits of 'mix:'||doc_id are below it
     "sample_temperature" ->
@@ -4134,6 +4144,26 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    // nearest-in-time as-of: the oracle replays the same two-frame
+    // union-interleave (prev inclusive of same-ts clicks via the kind
+    // sort, next exclusive), tie to the earlier side
+    "ts_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+        |      FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (SELECT *,
+        |  MAX(CASE WHEN kind = 0 THEN ts_us END) OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        |  MIN(CASE WHEN kind = 0 THEN ts_us END) OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM e)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN -1
+        |       WHEN next_ts IS NULL THEN prev_ts
+        |       WHEN prev_ts IS NULL THEN next_ts
+        |       WHEN ts_us - prev_ts <= next_ts - ts_us THEN prev_ts
+        |       ELSE next_ts END AS BIGINT) AS click_ts_us
+        |FROM w WHERE kind = 1""".stripMargin,
     // interval join: the oracle states the range predicate literally;
     // the Spark side reaches the same rows through the bucketed
     // equi-join (window length == bucket width, residual range filter)

@@ -88,10 +88,14 @@ object TextAnalysis {
   // word length uses the exact identity sum_len = len(norm) − (n−1)
   // over the single-spaced normalized text — no HOF, no float.
   // -------------------------------------------------------------------
-  def qualityRulesBySource(spark: SparkSession, dir: String): DataFrame = {
+  /** doc-grain rule flags shared by the batch report and its
+    * streaming dual — the flags are ROW-LOCAL, so the per-source
+    * aggregate is purely additive and the drained stream state equals
+    * the batch answer by algebra
+    */
+  private[graft] def qualityFlags(docs: DataFrame): DataFrame = {
     val stopArr = array(Stopwords.map(lit): _*)
-    Tables
-      .documents(spark, dir)
+    docs
       .select(
         col("source"),
         split(normText(col("text")), " ").as("toks"),
@@ -118,6 +122,11 @@ object TextAnalysis {
         when(col("fail_short") + col("fail_long") + col("fail_wordlen") + col("fail_stop") === 0L, 1L)
           .otherwise(0L)
       )
+  }
+
+  /** the per-source rule-violation aggregate both tiers share */
+  private[graft] def qualityBooks(flags: DataFrame): DataFrame =
+    flags
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -127,7 +136,9 @@ object TextAnalysis {
         sum(col("fail_stop")).as("n_fail_stop"),
         sum(col("keep")).as("n_keep")
       )
-  }
+
+  def qualityRulesBySource(spark: SparkSession, dir: String): DataFrame =
+    qualityBooks(qualityFlags(Tables.documents(spark, dir)))
 
   // -------------------------------------------------------------------
   // 31f. sample_hash_split — deterministic train/valid/test assignment

@@ -1132,6 +1132,52 @@ object TimeSeries {
       )
 
   // -------------------------------------------------------------------
+  // 13c. ts_asof_nearest — the NEAREST-in-time as-of join: the click
+  // closest to each purchase in EITHER direction (ties to the earlier
+  // side — backward attribution wins at equal distance). Same
+  // single-shuffle union-interleave plan as ts_asof_join, with TWO
+  // frame passes over the one ordering: the running max of prior
+  // click times (inclusive of same-timestamp clicks, which sort
+  // before purchases) and the running min of following click times —
+  // then nearest is a row-local arbitration. Never a range join, so
+  // the plan is immune to the quadratic candidate blowup a |ts-diff|
+  // join would pay at 100 TB.
+  // -------------------------------------------------------------------
+  def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("ts_us"), col("kind"), col("event_id"))
+    val wPrev = Window
+      .partitionBy("user_id")
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window
+      .partitionBy("user_id")
+      .orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    eventsUs(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind")
+      )
+      .withColumn("prev_ts", max(when(col("kind") === 0, col("ts_us"))).over(wPrev))
+      .withColumn("next_ts", min(when(col("kind") === 0, col("ts_us"))).over(wNext))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        when(col("prev_ts").isNull && col("next_ts").isNull, lit(-1L))
+          .when(col("next_ts").isNull, col("prev_ts"))
+          .when(col("prev_ts").isNull, col("next_ts"))
+          .when(col("ts_us") - col("prev_ts") <= col("next_ts") - col("ts_us"), col("prev_ts"))
+          .otherwise(col("next_ts"))
+          .as("click_ts_us")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 14b. ts_interp_linear — gap-fill by linear interpolation between
   // observed hours (the other classic reconstruction next to LOCF).
   // Same span-explode shape as gapfillLocf — the window runs over

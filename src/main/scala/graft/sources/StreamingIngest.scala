@@ -1864,6 +1864,29 @@ object StreamingIngest {
     runToMemory(spark, mv, "complete")
   }
 
+  /** quality_rules_stream — the per-source QUALITY BOOKS as STREAMING
+    * STATE: the rule flags are ROW-LOCAL
+    * ([[graft.operators.TextAnalysis.qualityFlags]] — literally the
+    * batch operator's own doc-grain stage) and every book column is an
+    * additive count, so the drained state equals the batch report by
+    * algebra and the batch oracle verifies the stream. This is the
+    * live ingest-quality dashboard: state is one row of counters per
+    * source at ANY stream length.
+    */
+  def qualityRulesStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val books = graft.operators.TextAnalysis.qualityBooks(
+      graft.operators.TextAnalysis.qualityFlags(reader.parquet(s"$dir/documents.parque[t]"))
+    )
+    runToMemory(spark, books, "complete")
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

@@ -103,7 +103,19 @@ class ScaleSpec extends AnyFunSuite {
     "emb_pca_power",
     "emb_label_centroids",
     "pipeline_funnel",
-    "rel_key_skew_profile"
+    "rel_key_skew_profile",
+    // round-9 final-session additions with data-proportional work
+    "ts_ar_fit",
+    "ts_wavelet_haar",
+    "rel_join_size_estimate",
+    "rel_zorder_layout",
+    "rel_compaction_plan",
+    "rel_max_concurrency",
+    "dedup_substring",
+    "sample_epoch_schedule",
+    "emb_dim_variance",
+    "emb_cosine_histogram",
+    "emb_matryoshka_eval"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -561,6 +561,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch dedup rows missing from stream")
   }
 
+  test("quality stream: two-batch replay drains the exact batch books (additive flags)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(s"$dir/documents.parquet")
+    val streamed = StreamingIngest.qualityRulesStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TextAnalysis.qualityRulesBySource(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed books rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch books rows missing from stream")
+  }
+
   test("mv stream: two-batch replay drains the exact batch materialized view (additive algebra)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mv_stream").toString
     val orders = spark.read.parquet(s"$sf/orders.parquet")

@@ -131,6 +131,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out === Map(1L -> ((2L, 520000L)), 2L -> ((1L, 40000L)), 3L -> ((1L, 10000L))))
   }
 
+  test("asof nearest: picks the closer side, ties go backward, same-ts click matches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_asofn").toString
+    // clicks at t=10,30 s; purchases at 12 (prev 10 closer than 30),
+    // 21 (equidistant 10/30? no: 11 vs 9 -> next 30), 20 (tie 10/30 ->
+    // backward 10), 30 (same-ts click is a prev match at distance 0)
+    val us = 1000000L
+    val rows = Seq(
+      (1L, 10L * us, 5L, "click", 1.0, "{}"),
+      (2L, 30L * us, 5L, "click", 1.0, "{}"),
+      (3L, 12L * us, 5L, "purchase", 1.0, "{}"),
+      (4L, 21L * us, 5L, "purchase", 1.0, "{}"),
+      (5L, 20L * us, 5L, "purchase", 1.0, "{}"),
+      (6L, 30L * us, 5L, "purchase", 1.0, "{}"),
+      (7L, 40L * us, 9L, "purchase", 1.0, "{}") // user with no clicks at all
+    ).map { case (id, tsUs, u, ty, v, p) => (id, tsUs * 1000L, u, ty, v, p) }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.asofNearest(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("click_ts_us")).toMap
+    assert(out === Map(3L -> 10L * us, 4L -> 30L * us, 5L -> 10L * us, 6L -> 30L * us, 7L -> -1L))
+  }
+
   test("approx percentiles: every sketch value is within the GK rank-error bound of exact") {
     val accuracy = 10000
     val ps = Seq(0.5, 0.9, 0.99)
