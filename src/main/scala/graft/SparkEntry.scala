@@ -174,6 +174,7 @@ object SparkEntry {
     "dedup_recall_eval"  -> ((s, d) => Dedup.recallEval(s, d)),
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
+    "graph_clustering_coeff" -> ((s, d) => Dedup.clusteringCoeff(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
     "dedup_lsh_tune"     -> ((s, d) => Dedup.lshTune(s, d)),
     "dedup_soft_weights" -> ((s, d) => Dedup.softWeights(s, d)),
@@ -1283,6 +1284,34 @@ object SparkEntry {
          |  CAST(n_wedges AS BIGINT) AS n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
          |  CAST(CASE WHEN n_wedges > 0 THEN n_triangles * 3 * 10000 // n_wedges ELSE 0 END AS BIGINT) AS transitivity_bp
          |FROM agg""".stripMargin,
+    // per-node clustering coefficient: the census's oriented
+    // enumeration with the apex kept, corners exploded, coefficient
+    // against the closed-form wedge budget
+    "graph_clustering_coeff" ->
+      s"""WITH $shingleCtes,
+         |rp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep FROM documents),
+         |re AS (SELECT DISTINCT LEAST(ra.rep, rb.rep) AS a, GREATEST(ra.rep, rb.rep) AS b
+         |       FROM pairs p JOIN rp ra ON ra.doc_id = p.doc_a JOIN rp rb ON rb.doc_id = p.doc_b
+         |       WHERE ra.rep != rb.rep),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |        (SELECT a AS node FROM re UNION ALL SELECT b FROM re) GROUP BY 1),
+         |ke AS (SELECT a, b, da.deg * 4294967296 + a AS ka, db.deg * 4294967296 + b AS kb
+         |       FROM re JOIN dg da ON da.node = re.a JOIN dg db ON db.node = re.b),
+         |o AS (SELECT CASE WHEN ka < kb THEN a ELSE b END AS src,
+         |             CASE WHEN ka < kb THEN b ELSE a END AS dst,
+         |             LEAST(ka, kb) AS ksrc, GREATEST(ka, kb) AS kdst FROM ke),
+         |tc AS (SELECT x.src AS apex, x.dst AS v, y.dst AS w
+         |       FROM o x JOIN o y ON y.src = x.src AND x.kdst < y.kdst),
+         |tri AS (SELECT apex, v, w FROM tc
+         |        WHERE EXISTS (SELECT 1 FROM o WHERE o.src = tc.v AND o.dst = tc.w)),
+         |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+         |       FROM (SELECT unnest([apex, v, w]) AS node FROM tri) GROUP BY 1)
+         |SELECT dg.node, dg.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+         |  CAST(dg.deg * (dg.deg - 1) // 2 AS BIGINT) AS n_wedges,
+         |  CAST(CASE WHEN dg.deg >= 2
+         |       THEN COALESCE(pn.n_tri, 0) * 10000 // (dg.deg * (dg.deg - 1) // 2)
+         |       ELSE 0 END AS BIGINT) AS coeff_bp
+         |FROM dg LEFT JOIN pn USING (node)""".stripMargin,
     // LSH recall/precision vs exact Jaccard >= 0.8 truth on the
     // md5-band eval sample; truth = the shingle inverted-index join
     "dedup_recall_eval" ->

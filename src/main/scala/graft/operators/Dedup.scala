@@ -652,6 +652,73 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23r2. graph_clustering_coeff — PER-NODE clustering coefficient
+  // over the same rep-level candidate graph as graph_triangles: for
+  // each node, its triangle participation count against its wedge
+  // budget d(d−1)/2 — the LOCAL transitivity that separates a doc
+  // sitting inside a boilerplate clique (coeff → 10000) from a hub
+  // whose candidates are unrelated to each other (coeff → 0), which is
+  // exactly the triage signal for LSH false-positive hubs. Same
+  // degree-ordered orientation as the census, but the enumeration
+  // KEEPS all three corners (apex, v, w) and explodes each confirmed
+  // triangle into its three node increments — one extra bounded
+  // groupBy over 3×|triangles| rows; wedge work unchanged
+  // (Σ out-deg², out-deg ≤ √(2|E|)).
+  // -------------------------------------------------------------------
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = collapseExact(docsNorm(spark, dir))
+    val lsh = lshRepPairsFromNormed(c.reps)
+    val edges = lsh.pairs.persist(mem)
+    edges.count()
+    val deg = edges
+      .select(col("doc_a").as("node"))
+      .unionAll(edges.select(col("doc_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+      .persist(mem)
+    val key = (d: Column, id: Column) => d * lit(4294967296L) + id
+    val oriented = edges
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        key(col("da"), col("doc_a")).as("ka"),
+        key(col("db"), col("doc_b")).as("kb")
+      )
+      .select(
+        when(col("ka") < col("kb"), col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(col("ka") < col("kb"), col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        least(col("ka"), col("kb")).as("ksrc"),
+        greatest(col("ka"), col("kb")).as("kdst")
+      )
+      .persist(mem)
+    oriented.count()
+    val triangles = oriented
+      .as("x")
+      .join(oriented.as("y"), col("x.src") === col("y.src") && col("x.kdst") < col("y.kdst"))
+      .select(col("x.src").as("apex"), col("x.dst").as("v"), col("y.dst").as("w"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
+    val perNode = triangles
+      .select(explode(array(col("apex"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+    val out = deg
+      .join(perNode.hint("merge"), Seq("node"), "left")
+      .select(
+        col("node"),
+        col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        expr("deg * (deg - 1) DIV 2").as("n_wedges")
+      )
+      .withColumn(
+        "coeff_bp",
+        when(col("n_wedges") > 0, expr("n_tri * 10000 DIV n_wedges")).otherwise(0L)
+      )
+    releaseAfterRun(spark, out, Seq(lsh.bands, edges, deg, oriented))
+  }
+
+  // -------------------------------------------------------------------
   // 23b. dedup_clusters — connected components over the LSH candidate
   // graph: the canonical-cluster step every dedup pipeline runs after
   // pair generation (keep one doc per component).
@@ -1865,8 +1932,11 @@ object Dedup {
     sh.count() // eager: both join sides read the cache, not racing lineage
     val capped = dropOversizedBuckets(sh, Seq("shingle"), anchorDfCap, "dedup_substring anchors")
     val other  = capped.select(col("shingle"), col("doc_id").as("t_doc"), col("pos").as("t_pos"))
+    // both sides of the anchor self-join are corpus-sized — pin the
+    // shuffle merge join so tiny-SF stats can't flip one side into a
+    // broadcast the 100 TB plan could never afford
     val runs = capped
-      .join(other, Seq("shingle"))
+      .join(other.hint("merge"), Seq("shingle"))
       .filter(col("doc_id") =!= col("t_doc"))
       .select(col("doc_id"), col("t_doc"), (col("pos") - col("t_pos")).as("diag"), col("pos"))
       .withColumn(
@@ -1877,6 +1947,10 @@ object Dedup {
       )
       .groupBy(col("doc_id"), col("t_doc"), col("diag"), col("island"))
       .agg(min(col("pos")).cast("long").as("s"), (count(lit(1)) + lit(n - 1)).as("run"))
+      // runs feeds BOTH the max-run branch and the coverage branch —
+      // persist it so the anchor self-join runs once, not once per
+      // consumer subtree
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxRun = runs.groupBy(col("doc_id")).agg(max(col("run")).as("max_run_tokens"))
     val iv = runs
       .filter(col("run") >= minRun)
@@ -1890,9 +1964,13 @@ object Dedup {
       .withColumn("lo", greatest(coalesce(max(col("e")).over(wPrev), col("s")), col("s")))
       .groupBy(col("doc_id"))
       .agg(sum(greatest(col("e") - col("lo"), lit(0L))).as("dup_tokens"))
+    // the back-joins are doc-grain on BOTH sides — corpus-sized at
+    // 100 TB, so neither ever broadcasts there; pin the shuffle merge
+    // join so the plan profile is the same one the big cluster runs
+    // (stats at tiny SFs would otherwise flip these to broadcasts)
     val out = nToks
-      .join(maxRun, Seq("doc_id"), "left")
-      .join(cov, Seq("doc_id"), "left")
+      .join(maxRun.hint("merge"), Seq("doc_id"), "left")
+      .join(cov.hint("merge"), Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_toks"),
@@ -1900,7 +1978,7 @@ object Dedup {
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         expr("coalesce(dup_tokens, 0) * 10000 DIV n_toks").as("dup_share_bp")
       )
-    releaseAfterRun(spark, out, Seq(sh))
+    releaseAfterRun(spark, out, Seq(sh, runs))
   }
 
   /** [[shinglesOf]] with the anchor's starting TOKEN POSITION — the

@@ -400,6 +400,23 @@ class DedupSpec extends AnyFunSuite {
     assert(totalDeg % 2 === 0, s"total degree $totalDeg is odd — edge accounting broken")
   }
 
+  test("clustering coeff: per-node triangles reconcile with the census, coefficients bounded") {
+    val rows = Dedup.clusteringCoeff(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (deg, nTri, nWedges, coeff) =
+        (r.getAs[Long]("deg"), r.getAs[Long]("n_tri"), r.getAs[Long]("n_wedges"), r.getAs[Long]("coeff_bp"))
+      assert(nWedges === deg * (deg - 1) / 2)
+      assert(nTri <= nWedges, "a node cannot close more triangles than it has wedges")
+      assert(coeff >= 0L && coeff <= 10000L)
+      if (nWedges > 0) assert(coeff === nTri * 10000L / nWedges)
+    }
+    // every triangle has exactly 3 corners: per-node counts sum to 3x the census
+    val census = Dedup.graphTriangles(spark, sf).head()
+    assert(rows.map(_.getAs[Long]("n_tri")).sum === 3L * census.getAs[Long]("n_triangles"))
+    assert(rows.length.toLong === census.getAs[Long]("n_nodes"))
+  }
+
   test("row-local minhash signatures are bit-identical to the groupBy signature pass") {
     val normed = graft.sources.Tables
       .documents(spark, sf)
