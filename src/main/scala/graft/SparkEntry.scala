@@ -46,6 +46,7 @@ object SparkEntry {
     "ts_autocorr"        -> ((s, d) => TimeSeries.autocorr(s, d)),
     "ts_ar_fit"          -> ((s, d) => TimeSeries.arFit(s, d)),
     "ts_wavelet_haar"    -> ((s, d) => TimeSeries.waveletHaar(s, d)),
+    "ts_period_detect"   -> ((s, d) => TimeSeries.periodDetect(s, d)),
     "ts_step_detect"     -> ((s, d) => TimeSeries.stepDetect(s, d)),
     "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
@@ -4080,6 +4081,27 @@ object SparkEntry {
         |  CAST(r1_bp * (10000 - r2_bp) * 10000 // yw_den AS BIGINT) AS phi1_bp,
         |  CAST((r2_bp * 10000 - r1_bp * r1_bp) * 10000 // yw_den AS BIGINT) AS phi2_bp
         |FROM y""".stripMargin,
+    // ACF argmax over TIME lags 2..25 on mean-centered hourly sums,
+    // full-series Σdx² denominator, ties to the smallest lag
+    "ts_period_detect" ->
+      """WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, hour_id,
+        |        v - CAST(SUM(v) OVER (PARTITION BY user_id) AS BIGINT) // COUNT(v) OVER (PARTITION BY user_id) AS dx
+        |      FROM h),
+        |s AS (SELECT user_id, CAST(SUM(dx * dx) AS BIGINT) AS sdd FROM m GROUP BY 1),
+        |c AS (SELECT a.user_id, l.lg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(a.dx * b.dx) AS BIGINT) AS sxy
+        |      FROM m a
+        |      CROSS JOIN (SELECT unnest(generate_series(2, 25)) AS lg) l
+        |      JOIN m b ON b.user_id = a.user_id AND b.hour_id = a.hour_id - l.lg
+        |      GROUP BY 1, 2),
+        |r AS (SELECT c.user_id, c.lg, c.n_pairs,
+        |        GREATEST(LEAST(sxy * 10000 // GREATEST(s.sdd, 1), 10000), -10000) AS r_bp
+        |      FROM c JOIN s ON s.user_id = c.user_id)
+        |SELECT user_id, CAST(lg AS BIGINT) AS best_lag, CAST(r_bp AS BIGINT) AS r_bp, n_pairs
+        |FROM r QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY r_bp DESC, lg ASC) = 1""".stripMargin,
     // integer Haar pyramid: 3 unrolled lifting levels over the hourly
     // sums; (a+b)//2 and Spark's (a+b) DIV 2 both truncate toward
     // zero, odd tails carry unchanged, so the pyramid replays

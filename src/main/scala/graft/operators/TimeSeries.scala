@@ -1131,6 +1131,49 @@ object TimeSeries {
         ).otherwise(-1L).as("click_ts_us")
       )
 
+  /** ts_period_detect — DOMINANT SEASONALITY detection: per series,
+    * the time-lag L ∈ [2, 25] hours maximizing the autocorrelation of
+    * the hourly sums (the argmax of the ACF — the period every
+    * seasonal model downstream should be configured with; ties to the
+    * smallest lag). Lags are TIME lags (hour_id − L), not row lags, so
+    * missing hours shrink the aligned support instead of silently
+    * shifting it. Mean-centered with the truncated integer mean and
+    * normalized by the full-series Σdx² (the standard ACF denominator)
+    * — the ts_ar_fit headroom discipline, every product < 2⁶². Scale
+    * shape: one hourly pre-aggregate, one 24-way row-local lag
+    * explode, ONE (user, hour) equi-join of the exploded table back to
+    * the hourly table, partial-aggregable sums per (series, lag), and
+    * a max_by argmax per series — everything keyed on the series.
+    */
+  def periodDetect(spark: SparkSession, dir: String, minLag: Int = 2, maxLag: Int = 25): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .withColumn("mean_v", expr("sum(v) OVER (PARTITION BY user_id) DIV count(v) OVER (PARTITION BY user_id)"))
+      .select(col("user_id"), col("hour_id"), (col("v") - col("mean_v")).as("dx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sdd = hourly.groupBy(col("user_id")).agg(sum(col("dx") * col("dx")).as("sdd"))
+    val lagged = hourly
+      .withColumn("lag", explode(typedlit((minLag to maxLag).map(_.toLong))))
+      .select(col("user_id"), (col("hour_id") - col("lag")).as("hour_id"), col("lag"), col("dx").as("dx_t"))
+    val corr = lagged
+      .join(hourly.select(col("user_id"), col("hour_id"), col("dx").as("dx_l")), Seq("user_id", "hour_id"))
+      .groupBy(col("user_id"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dx_t") * col("dx_l")).as("sxy"))
+    val out = corr
+      .join(sdd, Seq("user_id"))
+      .withColumn("r_bp", expr("greatest(least(sxy * 10000 DIV greatest(sdd, 1L), 10000L), -10000L)"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("lag"), col("r_bp"), col("n_pairs")), struct(col("r_bp"), -col("lag"))).as("best"))
+      .select(
+        col("user_id"),
+        col("best.lag").as("best_lag"),
+        col("best.r_bp").as("r_bp"),
+        col("best.n_pairs").as("n_pairs")
+      )
+    Dedup.releaseAfterRun(spark, out, Seq(hourly))
+  }
+
   // -------------------------------------------------------------------
   // 13c. ts_asof_nearest — the NEAREST-in-time as-of join: the click
   // closest to each purchase in EITHER direction (ties to the earlier

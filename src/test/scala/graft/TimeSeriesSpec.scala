@@ -131,6 +131,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out === Map(1L -> ((2L, 520000L)), 2L -> ((1L, 40000L)), 3L -> ((1L, 10000L))))
   }
 
+  test("period detect: a planted 12h cycle is found at lag 12") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // 72 hourly points of a clean period-12 square wave: ACF peaks at
+    // lag 12 (and 24, weaker support) — argmax with smallest-lag tie
+    // lands exactly 12
+    val rows = (0 until 72).map { t =>
+      val v = if ((t / 6) % 2 == 0) 10.0 else 2.0
+      (t.toLong + 1L, t * hourNs, 3L, "view", v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_period").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.periodDetect(spark, dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("best_lag") === 12L)
+    assert(out.head.getAs[Long]("r_bp") > 8000L, "a clean planted cycle reads near +1")
+  }
+
   test("asof nearest: picks the closer side, ties go backward, same-ts click matches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_asofn").toString
