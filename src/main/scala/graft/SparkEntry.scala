@@ -176,6 +176,7 @@ object SparkEntry {
     "dedup_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "graph_triangles"    -> ((s, d) => Dedup.graphTriangles(s, d)),
     "graph_clustering_coeff" -> ((s, d) => Dedup.clusteringCoeff(s, d)),
+    "graph_assortativity" -> ((s, d) => Dedup.graphAssortativity(s, d)),
     "graph_degree_dist"  -> ((s, d) => Dedup.graphDegreeDist(s, d)),
     "dedup_lsh_tune"     -> ((s, d) => Dedup.lshTune(s, d)),
     "dedup_soft_weights" -> ((s, d) => Dedup.softWeights(s, d)),
@@ -273,6 +274,7 @@ object SparkEntry {
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
+    "text_fertility_by_lang" -> ((s, d) => TextAnalysis.fertilityByLang(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_bpe_index"    -> ((s, d) => TextAnalysis.bpeIndexApply(s, d)),
     "text_bpe_batch"    -> ((s, d) => TextAnalysis.bpeBatchTrain(s, d, rounds = 4, m = 6, cand = 24)),
@@ -434,6 +436,20 @@ object SparkEntry {
        |   CAST(ROW_NUMBER() OVER (ORDER BY rank_micro DESC, node ASC) AS BIGINT) AS rnk FROM r$iters)
        |SELECT rnk, node, rank_micro FROM f WHERE rnk <= 20""".stripMargin
   }
+
+  /** fertility panel under the same trained merge chain as bpe_apply,
+    * aggregated onto the language enum instead of the doc grain
+    */
+  private def fertilityOracle(rounds: Int): String =
+    s"""${bpeChain(rounds)},
+       |ws AS (SELECT w, CAST(length(w) AS BIGINT) AS w_chars,
+       |  CAST(len(list_filter(string_split(s, '<'), x -> x <> '')) AS BIGINT) AS n_syms FROM w$rounds),
+       |dw AS (SELECT lang, unnest($toksSql) AS w FROM documents)
+       |SELECT lang, COUNT(*) AS n_ws_tokens, CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(w_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_syms) * 10000 // COUNT(*) AS BIGINT) AS fertility_x10k,
+       |  CAST(SUM(w_chars) * 10000 // SUM(n_syms) AS BIGINT) AS chars_per_tok_x10k
+       |FROM dw JOIN ws USING (w) WHERE w <> '' GROUP BY 1""".stripMargin
 
   private def bpeApplyOracle(rounds: Int): String =
     s"""${bpeChain(rounds)},
@@ -1285,6 +1301,29 @@ object SparkEntry {
          |  CAST(n_wedges AS BIGINT) AS n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
          |  CAST(CASE WHEN n_wedges > 0 THEN n_triangles * 3 * 10000 // n_wedges ELSE 0 END AS BIGINT) AS transitivity_bp
          |FROM agg""".stripMargin,
+    // degree assortativity: Pearson of endpoint degrees over both edge
+    // orientations; DuckDB sums ride HUGEINT, the Spark side rides
+    // DECIMAL(38,0) — both // and DIV truncate toward zero
+    "graph_assortativity" ->
+      s"""WITH $shingleCtes,
+         |rp AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5($normSql)) AS rep FROM documents),
+         |re AS (SELECT DISTINCT LEAST(ra.rep, rb.rep) AS a, GREATEST(ra.rep, rb.rep) AS b
+         |       FROM pairs p JOIN rp ra ON ra.doc_id = p.doc_a JOIN rp rb ON rb.doc_id = p.doc_b
+         |       WHERE ra.rep != rb.rep),
+         |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+         |        (SELECT a AS node FROM re UNION ALL SELECT b FROM re) GROUP BY 1),
+         |inc AS (SELECT da.deg AS x, db.deg AS y
+         |        FROM re JOIN dg da ON da.node = re.a JOIN dg db ON db.node = re.b
+         |        UNION ALL
+         |        SELECT db.deg, da.deg
+         |        FROM re JOIN dg da ON da.node = re.a JOIN dg db ON db.node = re.b),
+         |s AS (SELECT COUNT(*) AS n_inc, SUM(x) AS sx, SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM inc)
+         |SELECT CAST(n_inc AS BIGINT) AS n_inc,
+         |  CAST(n_inc * sxy - sx * sx AS BIGINT) AS cov_num,
+         |  CAST(n_inc * sxx - sx * sx AS BIGINT) AS var_num,
+         |  CAST(CASE WHEN n_inc * sxx - sx * sx = 0 THEN 0
+         |       ELSE (n_inc * sxy - sx * sx) * 10000 // (n_inc * sxx - sx * sx) END AS BIGINT) AS assort_bp
+         |FROM s""".stripMargin,
     // per-node clustering coefficient: the census's oriented
     // enumeration with the apex kept, corners exploded, coefficient
     // against the closed-form wedge budget
@@ -2270,6 +2309,7 @@ object SparkEntry {
     // exact recount is the same contract as batch — shared oracle
     "text_heavy_hitters_stream" -> hhOracle,
     "text_bpe_apply" -> bpeApplyOracle(5),
+    "text_fertility_by_lang" -> fertilityOracle(5),
     // the persisted-index roundtrip must lose nothing: same oracle as
     // the in-memory apply
     "text_bpe_index" -> bpeApplyOracle(5),

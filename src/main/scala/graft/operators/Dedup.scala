@@ -719,6 +719,59 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // 23r3. graph_assortativity — DEGREE ASSORTATIVITY of the rep-level
+  // candidate graph: the Pearson correlation of endpoint degrees over
+  // all edge incidences (both orientations — the standard symmetric
+  // treatment), published as exact integer numerators + the bp ratio.
+  // Positive = hubs attach to hubs (a boilerplate-family core);
+  // negative = hub-and-spoke (one template fanning into many one-off
+  // docs) — which of the two the dedup graph is decides whether star
+  // contraction or plain CC converges faster. Classic-sums Pearson
+  // with the ts_linear_trend DECIMAL(38,0) discipline (degrees are
+  // bucket-cap-bounded but 2E·Σxy still wants the headroom). Scale
+  // shape: one edges⋈degrees join (degree table is node-grain), one
+  // row-local orientation explode, ONE 1-row global aggregate.
+  // -------------------------------------------------------------------
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val c = collapseExact(docsNorm(spark, dir))
+    val lsh = lshRepPairsFromNormed(c.reps)
+    val edges = lsh.pairs.persist(mem)
+    edges.count()
+    val deg = edges
+      .select(col("doc_a").as("node"))
+      .unionAll(edges.select(col("doc_b").as("node")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    val inc = edges
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .select(explode(array(struct(col("da").as("x"), col("db").as("y")), struct(col("db").as("x"), col("da").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val out = inc
+      .agg(
+        count(lit(1)).as("n_inc"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .select(
+        col("n_inc"),
+        expr("CAST(n_inc AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx").as("cov"),
+        expr("CAST(n_inc AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx").as("varx")
+      )
+      .select(
+        col("n_inc"),
+        expr("CAST(cov AS BIGINT)").as("cov_num"),
+        expr("CAST(varx AS BIGINT)").as("var_num"),
+        expr(
+          "CASE WHEN varx = 0 THEN CAST(0 AS BIGINT) ELSE CAST((cov * 10000) DIV varx AS BIGINT) END"
+        ).as("assort_bp")
+      )
+    releaseAfterRun(spark, out, Seq(lsh.bands, edges))
+  }
+
+  // -------------------------------------------------------------------
   // 23b. dedup_clusters — connected components over the LSH candidate
   // graph: the canonical-cluster step every dedup pipeline runs after
   // pair generation (keep one doc per component).

@@ -932,6 +932,38 @@ object TextAnalysis {
       .withColumn("compress_bp", expr("n_bpe_tokens * 10000 DIV n_chars"))
   }
 
+  /** text_fertility_by_lang — TOKENIZER FERTILITY panel: per language,
+    * BPE tokens per whitespace word (fertility) and characters per BPE
+    * token, under the same trained merge chain as text_bpe_apply. This
+    * is THE number multilingual token budgets are priced with — a
+    * language at 2× fertility pays 2× the sequence length for the same
+    * text, which moves sampling weights, context budgets, and cost
+    * models. Scale shape: the merge chain trains once (the bpe_train
+    * tier), the corpus pass is one explode + one vocabulary-keyed join
+    * + ONE partial-aggregable groupBy onto the language enum.
+    */
+  def fertilityByLang(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val (_, words) = bpeLoop(spark, dir, rounds)
+    val wordSyms = words.select(
+      col("w"),
+      length(col("w")).cast("long").as("w_chars"),
+      size(expr("filter(split(s, '<'), x -> x != '')")).cast("long").as("n_syms")
+    )
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(split(normText(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordSyms, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        sum(col("w_chars")).as("n_chars")
+      )
+      .withColumn("fertility_x10k", expr("n_bpe_tokens * 10000 DIV n_ws_tokens"))
+      .withColumn("chars_per_tok_x10k", expr("n_chars * 10000 DIV n_bpe_tokens"))
+  }
+
   // -------------------------------------------------------------------
   // 31p. text_search_topk — LEXICAL RETRIEVAL: rank documents against
   // a keyword query by integer-exact TF-IDF (idf as the monotone

@@ -417,6 +417,18 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length.toLong === census.getAs[Long]("n_nodes"))
   }
 
+  test("assortativity: one summary row, Cauchy-Schwarz bound, incidence count is 2|E|") {
+    val r = Dedup.graphAssortativity(spark, sf).head()
+    val (n, cov, varn, bp) =
+      (r.getAs[Long]("n_inc"), r.getAs[Long]("cov_num"), r.getAs[Long]("var_num"), r.getAs[Long]("assort_bp"))
+    assert(n % 2 === 0, "each undirected edge contributes exactly two incidences")
+    assert(varn >= 0L)
+    assert(math.abs(cov) <= varn, "|r| <= 1: covariance bounded by the (symmetric) variance")
+    assert(bp >= -10000L && bp <= 10000L)
+    val census = Dedup.graphTriangles(spark, sf).head()
+    assert(n === 2L * census.getAs[Long]("n_edges"))
+  }
+
   test("row-local minhash signatures are bit-identical to the groupBy signature pass") {
     val normed = graft.sources.Tables
       .documents(spark, sf)

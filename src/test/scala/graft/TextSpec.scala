@@ -568,6 +568,25 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("fertility: per-lang panel reconciles with the doc-grain apply totals") {
+    val byLang = graft.operators.TextAnalysis.fertilityByLang(spark, sf).collect()
+    assert(byLang.nonEmpty)
+    for (r <- byLang) {
+      val (ws, bpe, ch) =
+        (r.getAs[Long]("n_ws_tokens"), r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_chars"))
+      assert(bpe >= ws, "a word never segments to fewer than one symbol")
+      assert(ch >= bpe, "a symbol is at least one char")
+      assert(r.getAs[Long]("fertility_x10k") === bpe * 10000L / ws)
+      assert(r.getAs[Long]("chars_per_tok_x10k") === ch * 10000L / bpe)
+    }
+    // totals reconcile with the doc-grain apply under the same chain
+    val doc = graft.operators.TextAnalysis.bpeApply(spark, sf)
+      .agg(sum(col("n_ws_tokens")), sum(col("n_bpe_tokens")), sum(col("n_chars"))).head()
+    assert(byLang.map(_.getAs[Long]("n_ws_tokens")).sum === doc.getLong(0))
+    assert(byLang.map(_.getAs[Long]("n_bpe_tokens")).sum === doc.getLong(1))
+    assert(byLang.map(_.getAs[Long]("n_chars")).sum === doc.getLong(2))
+  }
+
   test("epoch schedule: all 6 pairs, bounded stats, orders measurably decorrelated") {
     val rows = graft.operators.TextAnalysis.epochSchedule(spark, sf).collect()
     assert(rows.length === 6, "4 epochs give 6 unordered pairs")
