@@ -51,6 +51,7 @@ object SparkEntry {
     "ts_path_transitions" -> ((s, d) => TimeSeries.pathTransitions(s, d)),
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
     "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
+    "ts_anomaly_snaive"  -> ((s, d) => TimeSeries.anomalySnaive(s, d)),
     "ts_stl_decompose"   -> ((s, d) => TimeSeries.stlDecompose(s, d)),
     "ts_stl_strength"    -> ((s, d) => TimeSeries.stlStrength(s, d)),
     "ts_benford"         -> ((s, d) => TimeSeries.benford(s, d)),
@@ -275,6 +276,7 @@ object SparkEntry {
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_fertility_by_lang" -> ((s, d) => TextAnalysis.fertilityByLang(s, d)),
+    "text_chunk_for_rag" -> ((s, d) => TextAnalysis.chunkForRag(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_bpe_index"    -> ((s, d) => TextAnalysis.bpeIndexApply(s, d)),
     "text_bpe_batch"    -> ((s, d) => TextAnalysis.bpeBatchTrain(s, d, rounds = 4, m = 6, cand = 24)),
@@ -2310,6 +2312,19 @@ object SparkEntry {
     "text_heavy_hitters_stream" -> hhOracle,
     "text_bpe_apply" -> bpeApplyOracle(5),
     "text_fertility_by_lang" -> fertilityOracle(5),
+    // RAG chunk table: row-local sequence + slice + md5; tail chunks
+    // below minLen drop unless they are the doc's only chunk
+    "text_chunk_for_rag" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+         |st AS (SELECT doc_id, toks, n_toks,
+         |         unnest(generate_series(0, CAST(GREATEST(n_toks - 1, 0) AS BIGINT), 48)) AS s0
+         |       FROM n),
+         |c AS (SELECT doc_id, toks, s0, LEAST(64, n_toks - s0) AS len FROM st)
+         |SELECT doc_id, CAST(s0 // 48 AS BIGINT) AS chunk_id, CAST(s0 AS BIGINT) AS start,
+         |  CAST(len AS BIGINT) AS len,
+         |  md5(array_to_string(list_slice(toks, CAST(s0 + 1 AS BIGINT), CAST(s0 + len AS BIGINT)), ' ')) AS chunk_md5
+         |FROM c WHERE len > 0 AND (len >= 16 OR s0 = 0)""".stripMargin,
     // the persisted-index roundtrip must lose nothing: same oracle as
     // the in-memory apply
     "text_bpe_index" -> bpeApplyOracle(5),
@@ -3921,6 +3936,32 @@ object SparkEntry {
         |  CAST(SUM(abs(mean_c - prev_mean_c)) * 1000000 // COUNT(*) AS BIGINT) AS mae_micro
         |FROM l WHERE prev_day = day_id - 1
         |GROUP BY 1""".stripMargin,
+    // anomaly vs the snaive backtest residuals: cross-multiplied
+    // threshold (|resid|·n > k·Σ|resid|) — no division in the flag
+    "ts_anomaly_snaive" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id,
+        |                  (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |                  CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        |h AS (SELECT user_id, day_id, hour_of_day,
+        |        CAST(SUM(v_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2, 3),
+        |m AS (SELECT user_id, day_id, hour_of_day, CAST(s // n AS BIGINT) AS mean_c FROM h),
+        |l AS (SELECT user_id, day_id, mean_c,
+        |        lag(mean_c) OVER wd AS prev_mean_c,
+        |        lag(day_id) OVER wd AS prev_day
+        |      FROM m
+        |      WINDOW wd AS (PARTITION BY user_id, hour_of_day ORDER BY day_id)),
+        |p AS (SELECT user_id, abs(mean_c - prev_mean_c) AS resid
+        |      FROM l WHERE prev_day = day_id - 1),
+        |t AS (SELECT user_id, resid,
+        |        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_pairs,
+        |        CAST(SUM(resid) OVER (PARTITION BY user_id) AS BIGINT) AS mae_num_c
+        |      FROM p)
+        |SELECT user_id, CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+        |  CAST(MAX(mae_num_c) * 1000000 // MAX(n_pairs) AS BIGINT) AS mae_micro,
+        |  CAST(SUM(CASE WHEN resid * n_pairs > 5 * mae_num_c THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(MAX(resid) AS BIGINT) AS max_abs_resid_c
+        |FROM t GROUP BY 1""".stripMargin,
     // the reordering-buffer rate: identical to the batch rate up to
     // the finalization cutoff — the final watermark (max event ms −
     // 30 min), which the oracle recomputes exactly

@@ -932,6 +932,43 @@ object TextAnalysis {
       .withColumn("compress_bp", expr("n_bpe_tokens * 10000 DIV n_chars"))
   }
 
+  /** text_chunk_for_rag — RETRIEVAL CHUNKING: split each doc into
+    * overlapping token windows (size 64, stride 48 — the classic RAG
+    * prep before embedding), emitting the chunk table a vector index
+    * is built FROM: (doc, chunk_id, start, len, chunk md5). Tail
+    * chunks shorter than minLen are dropped unless they are the doc's
+    * only chunk (a short doc still yields one chunk). Everything is
+    * ROW-LOCAL (sequence + slice + hash inside the row — no shuffle at
+    * all until a downstream consumer groups), so the pass is pure
+    * map-side at any corpus size.
+    */
+  def chunkForRag(
+      spark: SparkSession,
+      dir: String,
+      size: Int = 64,
+      stride: Int = 48,
+      minLen: Int = 16
+  ): DataFrame =
+    docsToks(spark, dir)
+      .select(col("doc_id"), col("toks"), org.apache.spark.sql.functions.size(col("toks")).cast("long").as("n_toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        col("n_toks"),
+        explode(expr(s"sequence(0L, greatest(n_toks - 1, 0L), ${stride}L)")).as("start")
+      )
+      .withColumn("len", least(lit(size.toLong), col("n_toks") - col("start")))
+      .filter(col("len") >= minLen || col("start") === 0L)
+      .filter(col("len") > 0L)
+      .withColumn("chunk_id", expr(s"start DIV ${stride}L"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("start"),
+        col("len"),
+        md5(expr("concat_ws(' ', slice(toks, CAST(start + 1 AS INT), CAST(len AS INT)))")).as("chunk_md5")
+      )
+
   /** text_fertility_by_lang — TOKENIZER FERTILITY panel: per language,
     * BPE tokens per whitespace word (fertility) and characters per BPE
     * token, under the same trained merge chain as text_bpe_apply. This

@@ -1599,6 +1599,57 @@ object TimeSeries {
       .withColumn("mae_micro", expr("mae_num_c * 1000000 DIV n_pairs"))
   }
 
+  /** ts_anomaly_snaive — anomaly detection against the SEASONAL-NAIVE
+    * BACKTEST residuals: a (series, hour-of-day) consecutive-day pair
+    * is anomalous when its residual exceeds k× the series' own mean
+    * absolute residual — the detector calibrated by the forecast
+    * baseline itself ([[forecastSnaive]] publishes that baseline; this
+    * flags against it). The threshold comparison is CROSS-MULTIPLIED
+    * (|resid|·n_pairs > k·Σ|resid|), so no division ever runs and the
+    * flag is exact integer arithmetic. Scale shape: the same hourly
+    * rollup + (series, hour-of-day) lag window as the backtest, one
+    * extra unordered per-series window for the totals, one final
+    * per-series aggregate — all on the tiny pair table.
+    */
+  def anomalySnaive(spark: SparkSession, dir: String, k: Long = 5L): DataFrame = {
+    val wd = Window
+      .partitionBy(col("user_id"), col("hour_of_day"))
+      .orderBy(col("day_id"))
+    val wu = Window.partitionBy(col("user_id"))
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        expr(s"ts_us DIV ${DayUs}L").as("day_id"),
+        expr(s"(ts_us DIV ${HourUs}L) % 24").as("hour_of_day"),
+        cents(col("value")).as("v_c")
+      )
+      .groupBy(col("user_id"), col("day_id"), col("hour_of_day"))
+      .agg(sum(col("v_c")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("(s - pmod(s, n)) DIV n"))
+      .withColumn("prev_mean_c", lag(col("mean_c"), 1).over(wd))
+      .withColumn("prev_day", lag(col("day_id"), 1).over(wd))
+      .filter(col("prev_day") === col("day_id") - 1)
+      .withColumn("resid", abs(col("mean_c") - col("prev_mean_c")))
+      .withColumn("n_pairs", count(lit(1)).over(wu))
+      .withColumn("mae_num_c", sum(col("resid")).over(wu))
+      .withColumn("flag", when(col("resid") * col("n_pairs") > lit(k) * col("mae_num_c"), 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("n_pairs")).as("n_pairs"),
+        max(col("mae_num_c")).as("mae_num_c"),
+        sum(col("flag")).as("n_anomalies"),
+        max(col("resid")).as("max_abs_resid_c")
+      )
+      .withColumn("mae_micro", expr("mae_num_c * 1000000 DIV n_pairs"))
+      .select(
+        col("user_id"),
+        col("n_pairs"),
+        col("mae_micro"),
+        col("n_anomalies"),
+        col("max_abs_resid_c")
+      )
+  }
+
   // -------------------------------------------------------------------
   // 11s. ts_anomaly_seasonal — anomaly vs the SEASONAL baseline: score
   // each point against its (event_type, day-of-week, hour-of-day)

@@ -568,6 +568,34 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("rag chunks: coverage, overlap, tail rules, and md5 of a known window") {
+    val rows = graft.operators.TextAnalysis.chunkForRag(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    for ((_, cs) <- byDoc) {
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // starts advance by exactly the stride; first chunk starts at 0
+      assert(sorted.head.getAs[Long]("start") === 0L)
+      for (Array(a, b) <- sorted.sliding(2))
+        assert(b.getAs[Long]("start") - a.getAs[Long]("start") === 48L)
+      // every chunk except a lone chunk is >= minLen; all <= size
+      for (c <- sorted) {
+        assert(c.getAs[Long]("len") <= 64L)
+        if (sorted.length > 1) assert(c.getAs[Long]("len") >= 16L)
+      }
+    }
+    // a doc's chunks cover its token range: last chunk end == n_toks
+    // whenever the tail survived; spot-check one known md5
+    import spark.implicits._
+    val probe = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), split(graft.operators.Dedup.normText(col("text")), " ").as("toks"))
+      .filter(org.apache.spark.sql.functions.size(col("toks")) >= 64)
+      .select(col("doc_id"), md5(expr("concat_ws(' ', slice(toks, 1, 64))")).as("h"))
+      .head()
+    val first = rows.find(r => r.getAs[Long]("doc_id") == probe.getLong(0) && r.getAs[Long]("chunk_id") == 0L).get
+    assert(first.getAs[String]("chunk_md5") === probe.getString(1))
+  }
+
   test("fertility: per-lang panel reconciles with the doc-grain apply totals") {
     val byLang = graft.operators.TextAnalysis.fertilityByLang(spark, sf).collect()
     assert(byLang.nonEmpty)

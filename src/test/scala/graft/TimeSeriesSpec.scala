@@ -150,6 +150,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("r_bp") > 8000L, "a clean planted cycle reads near +1")
   }
 
+  test("anomaly snaive: a planted residual spike flags, flat residuals do not") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // hour 0 of 8 consecutive days, value 5 except day 6's 50-dollar
+    // spike: residuals (cents) = 0,0,0,0,0,4500,4500 — the two spike
+    // pairs each exceed 5x the mean |resid| (9000/7 ~ 1285)... 4500*7
+    // = 31500 > 5*9000 = 45000? no — pick a single-sided spike: day 6
+    // = 50 then back to 5 on day 7 gives resid 4500 twice; use 9 days
+    // with one spike day so 2 of 8 pairs are 4500: 4500*8 = 36000 <=
+    // 5*9000; instead spike ONE day in 15: residuals 4500,4500 among
+    // 14 -> 4500*14 = 63000 > 5*9000 = 45000 -> both flag
+    val days = 15
+    val rows = (0 until days).map { d =>
+      val v = if (d == 6) 50.0 else 5.0
+      (d.toLong + 1L, d * 24L * hourNs, 11L, "view", v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_asn").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeries.anomalySnaive(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_pairs") === (days - 1).toLong)
+    assert(r.head.getAs[Long]("n_anomalies") === 2L, "the spike's rise and fall both flag")
+    assert(r.head.getAs[Long]("max_abs_resid_c") === 4500L)
+  }
+
   test("asof nearest: picks the closer side, ties go backward, same-ts click matches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_asofn").toString
