@@ -52,6 +52,8 @@ object SparkEntry {
     "ts_forecast_snaive" -> ((s, d) => TimeSeries.forecastSnaive(s, d)),
     "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
     "ts_anomaly_snaive"  -> ((s, d) => TimeSeries.anomalySnaive(s, d)),
+    "ts_gap_intervals"   -> ((s, d) => TimeSeries.gapIntervals(s, d)),
+    "sample_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "ts_stl_decompose"   -> ((s, d) => TimeSeries.stlDecompose(s, d)),
     "ts_stl_strength"    -> ((s, d) => TimeSeries.stlStrength(s, d)),
     "ts_benford"         -> ((s, d) => TimeSeries.benford(s, d)),
@@ -3936,6 +3938,29 @@ object SparkEntry {
         |  CAST(SUM(abs(mean_c - prev_mean_c)) * 1000000 // COUNT(*) AS BIGINT) AS mae_micro
         |FROM l WHERE prev_day = day_id - 1
         |GROUP BY 1""".stripMargin,
+    // outage report: every silence > 2h as an interval row
+    "ts_gap_intervals" ->
+      """SELECT user_id, prev_ts AS gap_start_us, ts_us AS gap_end_us,
+        |  CAST(ts_us - prev_ts AS BIGINT) AS gap_us
+        |FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+        |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |      FROM events)
+        |WHERE prev_ts IS NOT NULL AND ts_us - prev_ts > 7200000000""".stripMargin,
+    // near-dup pairs straddling the train/valid/test hash split —
+    // LSH pairs joined to the split rule, 6 split-pair cells
+    "sample_split_leakage" ->
+      s"""WITH $shingleCtes,
+         |sp AS (SELECT doc_id,
+         |        CASE WHEN hv < 204 THEN 'train' WHEN hv < 230 THEN 'valid' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id,
+         |              (instr('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |              (instr('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS hv
+         |            FROM documents))
+         |SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  split_lo <> split_hi AS is_leak
+         |FROM (SELECT LEAST(sa.split, sb.split) AS split_lo, GREATEST(sa.split, sb.split) AS split_hi
+         |      FROM pairs p JOIN sp sa ON sa.doc_id = p.doc_a JOIN sp sb ON sb.doc_id = p.doc_b)
+         |GROUP BY 1, 2""".stripMargin,
     // anomaly vs the snaive backtest residuals: cross-multiplied
     // threshold (|resid|·n > k·Σ|resid|) — no division in the flag
     "ts_anomaly_snaive" ->

@@ -164,6 +164,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** sample_split_leakage — EVAL-HYGIENE audit: near-dup pairs that
+    * STRADDLE the train/valid/test hash split. A benchmark split is
+    * only honest if no test doc has a near-duplicate in train — this
+    * operator counts exactly those pairs, per split-pair cell (the
+    * same LSH candidate pairs dedup_minhash_lsh emits, joined to
+    * sample_hash_split's own assignment rule). At 100 TB this is the
+    * audit run BEFORE any eval is trusted; a nonzero train↔test cell
+    * is a leaked benchmark. Scale shape: the pair table is the
+    * already-bounded LSH output; two doc-keyed joins to the row-local
+    * split assignment (pinned shuffle-merge — the split side is
+    * corpus-sized and must never broadcast at scale), ONE groupBy onto
+    * ≤ 6 split-pair cells.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val hv = expr(
+      "(instr('0123456789abcdef', substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 1)) - 1) * 16 + " +
+        "(instr('0123456789abcdef', substring(md5(concat('split:', CAST(doc_id AS STRING))), 2, 1)) - 1)"
+    )
+    val split = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), hv.cast("long").as("hv"))
+      .select(
+        col("doc_id"),
+        when(col("hv") < 204, "train").when(col("hv") < 230, "valid").otherwise("test").as("split")
+      )
+    graft.operators.Dedup
+      .minhashLsh(spark, dir)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")).hint("merge"), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")).hint("merge"), Seq("doc_b"))
+      .select(
+        least(col("split_a"), col("split_b")).as("split_lo"),
+        greatest(col("split_a"), col("split_b")).as("split_hi")
+      )
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+  }
+
   // -------------------------------------------------------------------
   // 31g. text_dedup_rate_by_source — per-source duplication audit: doc
   // count vs distinct-content count and the integer dup rate. The

@@ -1131,6 +1131,25 @@ object TimeSeries {
         ).otherwise(-1L).as("click_ts_us")
       )
 
+  /** ts_gap_intervals — the OUTAGE REPORT: every silence longer than
+    * the threshold as a first-class interval row (series, gap start,
+    * gap end, duration) — [[gapStats]] publishes the distribution,
+    * this publishes the incidents an on-call reviews. One lag window
+    * per series on the event stream, a row-local filter; emits only
+    * the qualifying gaps.
+    */
+  def gapIntervals(spark: SparkSession, dir: String, minGapUs: Long = 2L * HourUs): DataFrame =
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(seriesW))
+      .filter(col("prev_ts").isNotNull && col("ts_us") - col("prev_ts") > minGapUs)
+      .select(
+        col("user_id"),
+        col("prev_ts").as("gap_start_us"),
+        col("ts_us").as("gap_end_us"),
+        (col("ts_us") - col("prev_ts")).as("gap_us")
+      )
+
   /** ts_period_detect — DOMINANT SEASONALITY detection: per series,
     * the time-lag L ∈ [2, 25] hours maximizing the autocorrelation of
     * the hourly sums (the argmax of the ACF — the period every

@@ -568,6 +568,20 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("split leakage: cells conserve the pair total, leak flag marks exactly the cross cells") {
+    val cells = graft.operators.TextAnalysis.splitLeakage(spark, sf).collect()
+    assert(cells.nonEmpty)
+    for (c <- cells) {
+      val (lo, hi, leak) =
+        (c.getAs[String]("split_lo"), c.getAs[String]("split_hi"), c.getAs[Boolean]("is_leak"))
+      assert(lo <= hi)
+      assert(leak === (lo != hi))
+      assert(c.getAs[Long]("n_pairs") >= 1L)
+    }
+    val total = graft.operators.Dedup.minhashLsh(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum === total, "cells partition the pair table")
+  }
+
   test("rag chunks: coverage, overlap, tail rules, and md5 of a known window") {
     val rows = graft.operators.TextAnalysis.chunkForRag(spark, sf).collect()
     assert(rows.nonEmpty)

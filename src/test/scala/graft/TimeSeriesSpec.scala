@@ -150,6 +150,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("r_bp") > 8000L, "a clean planted cycle reads near +1")
   }
 
+  test("gap intervals: planted silences surface as intervals, small gaps stay silent") {
+    import spark.implicits._
+    val hourNs = 3600L * 1000000000L
+    // events at hours 0,1,2, 6 (4h gap), 7, 20 (13h gap)
+    val hours = Seq(0L, 1L, 2L, 6L, 7L, 20L)
+    val rows = hours.zipWithIndex.map { case (h, i) => (i.toLong + 1L, h * hourNs, 21L, "view", 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_gaps").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.gapIntervals(spark, dir).collect()
+      .map(r => (r.getAs[Long]("gap_start_us"), r.getAs[Long]("gap_end_us"), r.getAs[Long]("gap_us"))).toSet
+    val hUs = 3600L * 1000000L
+    assert(out === Set((2L * hUs, 6L * hUs, 4L * hUs), (7L * hUs, 20L * hUs, 13L * hUs)))
+  }
+
   test("anomaly snaive: a planted residual spike flags, flat residuals do not") {
     import spark.implicits._
     val hourNs = 3600L * 1000000000L
