@@ -248,6 +248,7 @@ object SparkEntry {
     "ann_cell_skew"       -> ((s, d) => Similarity.annCellSkew(s, d)),
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
+    "ann_recall_vs_nprobe" -> ((s, d) => Similarity.recallVsNprobe(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     "ann_stream_index"    -> ((s, d) => graft.sources.StreamingIngest.annStreamIndex(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -766,6 +767,67 @@ object SparkEntry {
        |  CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
        |  CAST(SUM(CASE WHEN fail_short + fail_long + fail_wordlen + fail_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
        |FROM r GROUP BY 1""".stripMargin
+
+  /** IVF probe-budget recall curve: shared assignment/probe-ranking
+    * CTEs, one candidate-scoring tier per budget (r <= p is a nested
+    * prefix of the shared ranked probe cells), each scored against
+    * the brute-force truth tier
+    */
+  private lazy val recallVsNprobeOracleSql: String = {
+    val budgets = Seq(1, 2, 3, 4)
+    val perBudget = budgets
+      .map { p =>
+        s"""cand$p AS (SELECT pr.probe_id, a.vec_id AS neighbor_id
+           |        FROM pr JOIN asg a ON a.cell = pr.cell AND a.vec_id != pr.probe_id
+           |        WHERE pr.r <= $p),
+           |dt$p AS (SELECT c.probe_id, c.neighbor_id, CAST(SUM(x.v * y.v) AS BIGINT) AS dot
+           |       FROM cand$p c JOIN q x ON x.vec_id = c.probe_id
+           |       JOIN q y ON y.vec_id = c.neighbor_id AND y.i = x.i GROUP BY 1, 2),
+           |tk$p AS (SELECT probe_id, neighbor_id FROM (
+           |          SELECT probe_id, neighbor_id,
+           |            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+           |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+           |              neighbor_id ASC) AS rnk
+           |          FROM dt$p JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+           |        WHERE rnk <= 10)""".stripMargin
+      }
+      .mkString(",\n")
+    val selects = budgets
+      .map { p =>
+        s"""SELECT t.probe_id, CAST($p AS BIGINT) AS nprobe,
+           |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           |  CAST(COUNT(a.neighbor_id) * 10000 // 10 AS BIGINT) AS recall_bp
+           |FROM tr t LEFT JOIN tk$p a
+           |  ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $quantCtes,
+       |seed AS (SELECT vec_id - 100 AS c, i, v FROM q WHERE vec_id >= 100 AND vec_id < 108),
+       |sn AS (SELECT c, CAST(SUM(v * v) AS BIGINT) AS c2 FROM seed GROUP BY 1),
+       |ad AS (SELECT q.vec_id, s.c, CAST(SUM(q.v * s.v) AS BIGINT) AS dot
+       |       FROM q JOIN seed s ON s.i = q.i GROUP BY 1, 2),
+       |dist AS (SELECT ad.vec_id, ad.c, n.n2 + sn.c2 - 2 * ad.dot AS d2
+       |         FROM ad JOIN n ON n.vec_id = ad.vec_id JOIN sn ON sn.c = ad.c),
+       |asg AS (SELECT vec_id, c AS cell FROM (
+       |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+       |          FROM dist) WHERE r = 1),
+       |pr AS (SELECT vec_id AS probe_id, c AS cell, r FROM (
+       |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c ASC) AS r
+       |         FROM dist WHERE vec_id < 5)),
+       |td AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |       FROM (SELECT * FROM q WHERE vec_id < 5) a
+       |       JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+       |tr AS (SELECT probe_id, neighbor_id FROM (
+       |        SELECT probe_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+       |            CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+       |            neighbor_id ASC) AS rnk
+       |        FROM td JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+       |      WHERE rnk <= 10),
+       |$perBudget
+       |$selects""".stripMargin
+  }
 
   private lazy val bruteTopkOracleSql: String =
     s"""WITH $quantCtes,
@@ -1885,6 +1947,7 @@ object SparkEntry {
     // both sides are the queries' own oracles composed as derived
     // tables (DuckDB allows WITH inside a FROM subquery)
     "emb_matryoshka_eval" -> matryoshkaOracleSql,
+    "ann_recall_vs_nprobe" -> recallVsNprobeOracleSql,
     // truncated-mean variance (E[x²]−E[x]² in micro², toward-zero //
     // both engines); DuckDB's i is 1-based, Spark's posexplode 0-based
     "emb_dim_variance" ->

@@ -1330,6 +1330,50 @@ object Similarity {
     graft.operators.Dedup.releaseAfterRun(spark, out, Seq(q, truth))
   }
 
+  /** ann_recall_vs_nprobe — the IVF PROBE-BUDGET operating curve:
+    * recall@k of the bucketed IVF search at probeCells ∈ {1,2,3,4}
+    * against exact brute force, per (probe, budget). Every IVF
+    * deployment tunes exactly this dial — probing more cells buys
+    * recall linearly in scan cost, and this table is the measured
+    * curve the budget is chosen from ([[annRecallEval]] scores ONE
+    * configured point; this sweeps the dial). Same machinery as
+    * [[annIvfBucketed]] run once per budget; candidates are
+    * budget-nested by construction so recall is monotone in nprobe
+    * (spec-pinned). Scale shape: per budget one centroid-broadcast
+    * map pass + cell-pruned candidate scoring — the sweep is 4
+    * independent bounded searches, never a corpus pair join.
+    */
+  def recallVsNprobe(
+      spark: SparkSession,
+      dir: String,
+      budgets: Seq[Int] = Seq(1, 2, 3, 4),
+      k: Int = 10
+  ): DataFrame = {
+    val truth = annTopkBruteForce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBudget = budgets
+      .map(p =>
+        annIvfBucketed(spark, dir, probeCells = p)
+          .select(col("probe_id"), col("neighbor_id"))
+          .withColumn("nprobe", lit(p.toLong))
+      )
+      .reduce(_.unionByName(_))
+    val hits = perBudget
+      .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id"), col("nprobe"))
+      .agg(count(lit(1)).as("hits"))
+    val base = truth
+      .select(col("probe_id"))
+      .distinct()
+      .withColumn("nprobe", explode(typedlit(budgets.map(_.toLong))))
+    val out = base
+      .join(hits, Seq("probe_id", "nprobe"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(col("probe_id"), col("nprobe"), col("n_hits"), expr(s"n_hits * 10000 DIV $k").as("recall_bp"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(truth))
+  }
+
   /** emb_dim_variance — PER-DIMENSION variance ledger of the
     * embedding cloud: for each of the d dimensions, exact integer
     * moment sums over the quantized micro units (n, Σx, Σx²) and the

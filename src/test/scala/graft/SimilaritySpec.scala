@@ -320,6 +320,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("dims") == 8L && r.getAs[Long]("n_hits") < 10L))
   }
 
+  test("recall vs nprobe: grid complete, recall monotone in the probe budget") {
+    val rows = Similarity.recallVsNprobe(spark, sf).collect()
+    assert(rows.length === 5 * 4)
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    for ((_, rs) <- byProbe) {
+      val sorted = rs.sortBy(_.getAs[Long]("nprobe"))
+      assert(sorted.map(_.getAs[Long]("nprobe")).toSeq === Seq(1L, 2L, 3L, 4L))
+      // candidates nest as the budget grows, so recall never drops
+      for (Array(a, b) <- sorted.sliding(2))
+        assert(a.getAs[Long]("n_hits") <= b.getAs[Long]("n_hits"))
+      for (r <- sorted) assert(r.getAs[Long]("recall_bp") === r.getAs[Long]("n_hits") * 1000L)
+    }
+  }
+
   test("dim variance: one row per dim, moments consistent, shares bounded and near-complete") {
     val rows = Similarity.dimVariance(spark, sf).collect()
     assert(rows.length === 64)
