@@ -203,6 +203,7 @@ object SparkEntry {
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_bloom_prefilter"     -> ((s, d) => Dedup.bloomPrefilter(s, d)),
     "dedup_substring"           -> ((s, d) => Dedup.substringDedup(s, d)),
+    "text_ngram_novelty"        -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_keep_best"        -> ((s, d) => Dedup.keepBest(s, d)),
@@ -1807,6 +1808,22 @@ object SparkEntry {
          |SELECT c.doc_id, c.n_sh,
          |  CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run_tokens
          |FROM cnt c LEFT JOIN mr ON mr.doc_id = c.doc_id""".stripMargin,
+    // per-doc novelty: fraction of distinct 8-gram shingles whose
+    // corpus-wide first occurrence (min doc_id) is this doc
+    "text_ngram_novelty" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |         toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7] AS shingle
+         |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+         |             FROM d WHERE len(toks) >= 8)),
+         |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+         |nv AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+         |       FROM sh s JOIN f ON f.shingle = s.shingle AND f.first_doc = s.doc_id GROUP BY 1)
+         |SELECT cnt.doc_id, cnt.n_sh, COALESCE(nv.n_novel, 0) AS n_novel,
+         |  CAST(COALESCE(nv.n_novel, 0) * 10000 // GREATEST(cnt.n_sh, 1) AS BIGINT) AS novelty_bp
+         |FROM cnt LEFT JOIN nv USING (doc_id)""".stripMargin,
     // within-corpus substring dedup: same diagonal-streak machinery
     // self-joined with doc_id != t_doc; dup_tokens = per-doc interval
     // union of DISTINCT spans with run >= 16 (running-max merge);

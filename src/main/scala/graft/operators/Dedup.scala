@@ -718,6 +718,41 @@ object Dedup {
     releaseAfterRun(spark, out, Seq(lsh.bands, edges, deg, oriented))
   }
 
+  /** text_ngram_novelty — per-document NOVELTY audit: the fraction of
+    * a doc's distinct 8-token shingles whose corpus-wide FIRST
+    * occurrence (min doc_id — the house arrival order) is this doc.
+    * The curation number behind "is this feed still contributing new
+    * content or re-serving what we already have" — a late doc at 0
+    * novelty is pure repetition of earlier data; dedup won't
+    * necessarily drop it (below the near-dup threshold) but a mixture
+    * planner should down-weight it. Scale shape: one distinct
+    * (doc, shingle) table, ONE partial-aggregable min per shingle,
+    * novelty = a shingle-keyed semi-join back (first_doc = doc), two
+    * doc-grain aggregates — never a pair join.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val sh = shinglesOf(docsNorm(spark, dir), n)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    val cnt   = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val novel = sh
+      .join(first.hint("merge"), Seq("shingle"))
+      .filter(col("first_doc") === col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    val out = cnt
+      .join(novel.hint("merge"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_sh"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("coalesce(n_novel, 0) * 10000 DIV greatest(n_sh, 1L)").as("novelty_bp")
+      )
+    releaseAfterRun(spark, out, Seq(sh))
+  }
+
   // -------------------------------------------------------------------
   // 23r3. graph_assortativity — DEGREE ASSORTATIVITY of the rep-level
   // candidate graph: the Pearson correlation of endpoint degrees over

@@ -417,6 +417,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length.toLong === census.getAs[Long]("n_nodes"))
   }
 
+  test("novelty: the first doc is all-novel, an exact clone is zero-novel, counts bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_novel").toString
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base, "en", "a", 1L),                       // first: all shingles novel
+      (2L, base, "en", "a", 1L),                       // clone of 1: zero novel
+      (3L, base + " fresh tail of brand new tokens here now", "en", "a", 1L) // mixed
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.ngramNovelty(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_sh"), r.getAs[Long]("n_novel")))).toMap
+    assert(out(1L)._1 === 13L && out(1L)._2 === 13L, "doc 1 owns every first occurrence")
+    assert(out(2L)._1 === 13L && out(2L)._2 === 0L, "an exact clone introduces nothing")
+    assert(out(3L)._2 > 0L && out(3L)._2 < out(3L)._1, "the extended doc is partially novel")
+    val bp = Dedup.ngramNovelty(spark, sf).collect()
+    assert(bp.forall(r => r.getAs[Long]("novelty_bp") >= 0L && r.getAs[Long]("novelty_bp") <= 10000L))
+    assert(bp.forall(r => r.getAs[Long]("n_novel") <= r.getAs[Long]("n_sh")))
+  }
+
   test("assortativity: one summary row, Cauchy-Schwarz bound, incidence count is 2|E|") {
     val r = Dedup.graphAssortativity(spark, sf).head()
     val (n, cov, varn, bp) =
