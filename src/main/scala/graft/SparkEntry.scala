@@ -312,6 +312,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
     "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
+    "mm_modal_mix_plan" -> ((s, d) => Multimodal.modalMixPlan(s, d)),
     "mm_chunk_restore" -> ((s, d) => Multimodal.chunkRestore(s, d)),
     "rel_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
     "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
@@ -768,6 +769,34 @@ object SparkEntry {
        |  CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
        |  CAST(SUM(CASE WHEN fail_short + fail_long + fail_wordlen + fail_stop = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
        |FROM r GROUP BY 1""".stripMargin
+
+  /** magic-byte modality classification, shared by the doc-grain
+    * route and the mix plan built on top of it
+    */
+  private lazy val modalityRouteOracleSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 5 AS k,
+      |    lower(hex(encode(text))) AS body_hex FROM documents),
+      |h AS (SELECT doc_id,
+      |    ['ffd8ffe000104a464946','89504e470d0a1a0a',
+      |     '52494646aabbccdd57415645','000000186674797069736f6d',
+      |     ''][CAST(k + 1 AS INTEGER)] || body_hex AS ph FROM p),
+      |c AS (SELECT doc_id, ph,
+      |    CASE WHEN ph LIKE 'ffd8ff%' THEN 'jpeg'
+      |         WHEN ph LIKE '89504e47%' THEN 'png'
+      |         WHEN ph LIKE '52494646%' AND substr(ph, 17, 8) = '57415645' THEN 'wav'
+      |         WHEN substr(ph, 9, 8) = '66747970' THEN 'mp4'
+      |         ELSE 'raw_text' END AS container FROM h)
+      |SELECT doc_id, CAST(length(ph) // 2 AS BIGINT) AS n_bytes, container,
+      |  CASE WHEN container IN ('jpeg','png') THEN 'image'
+      |       WHEN container = 'wav' THEN 'audio'
+      |       WHEN container = 'mp4' THEN 'video'
+      |       ELSE 'text' END AS modality,
+      |  CASE WHEN container IN ('jpeg','png') THEN 'img-decode'
+      |       WHEN container = 'wav' THEN 'audio-decode'
+      |       WHEN container = 'mp4' THEN 'frame-sample'
+      |       ELSE 'tokenize' END AS queue
+      |FROM c""".stripMargin
 
   /** IVF probe-budget recall curve: shared assignment/probe-ranking
     * CTEs, one candidate-scoring tier per budget (r <= p is a nested
@@ -2826,30 +2855,18 @@ object SparkEntry {
     // magic-byte sniff in hex-string space; the stub header (one of four
     // real container signatures, or none) is chosen by md5 first nibble
     // mod 5 — the router CASE reads only the synthesized bytes
-    "mm_modality_route" ->
-      """WITH p AS (SELECT doc_id,
-        |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) % 5 AS k,
-        |    lower(hex(encode(text))) AS body_hex FROM documents),
-        |h AS (SELECT doc_id,
-        |    ['ffd8ffe000104a464946','89504e470d0a1a0a',
-        |     '52494646aabbccdd57415645','000000186674797069736f6d',
-        |     ''][CAST(k + 1 AS INTEGER)] || body_hex AS ph FROM p),
-        |c AS (SELECT doc_id, ph,
-        |    CASE WHEN ph LIKE 'ffd8ff%' THEN 'jpeg'
-        |         WHEN ph LIKE '89504e47%' THEN 'png'
-        |         WHEN ph LIKE '52494646%' AND substr(ph, 17, 8) = '57415645' THEN 'wav'
-        |         WHEN substr(ph, 9, 8) = '66747970' THEN 'mp4'
-        |         ELSE 'raw_text' END AS container FROM h)
-        |SELECT doc_id, CAST(length(ph) // 2 AS BIGINT) AS n_bytes, container,
-        |  CASE WHEN container IN ('jpeg','png') THEN 'image'
-        |       WHEN container = 'wav' THEN 'audio'
-        |       WHEN container = 'mp4' THEN 'video'
-        |       ELSE 'text' END AS modality,
-        |  CASE WHEN container IN ('jpeg','png') THEN 'img-decode'
-        |       WHEN container = 'wav' THEN 'audio-decode'
-        |       WHEN container = 'mp4' THEN 'frame-sample'
-        |       ELSE 'tokenize' END AS queue
-        |FROM c""".stripMargin,
+    "mm_modality_route" -> modalityRouteOracleSql,
+    // the mix plan aggregates the same classification onto the <=5
+    // modality enum; keep = min_n/n rebalances to a uniform mix
+    "mm_modal_mix_plan" ->
+      s"""WITH r AS ($modalityRouteOracleSql),
+         |a AS (SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(n_bytes) AS BIGINT) AS n_bytes FROM r GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, CAST(MIN(n_docs) AS BIGINT) AS min_n FROM a)
+         |SELECT a.modality, a.n_docs, a.n_bytes,
+         |  CAST(a.n_docs * 10000 // t.total AS BIGINT) AS share_bp,
+         |  CAST(t.min_n * 10000 // a.n_docs AS BIGINT) AS keep_bp
+         |FROM a, t""".stripMargin,
     // reproduces Multimodal.stubDecode byte-for-byte: the checksum is a
     // left fold (a*31+b)&0x7fffffff over the utf-8 payload bytes
     // (hex-decoded two chars at a time), then the quantized 4-float

@@ -473,4 +473,28 @@ object Multimodal {
           .as("queue")
       )
   }
+
+  /** mm_modal_mix_plan — the MODALITY MIX planner: per modality (off
+    * [[modalityRoute]]'s magic-byte classification), document/byte
+    * counts, the corpus share, and the keep rate that would rebalance
+    * toward a uniform modality mix (keep = min_n/n — the
+    * pipeline_mix_plan pattern applied to modalities instead of
+    * sources). This is the multimodal curriculum decision: a corpus
+    * that is 95% text trains a text model; the plan says what to
+    * down-sample to change that. Scale shape: the route pass is
+    * row-local, then ONE partial-aggregable groupBy onto the ≤5
+    * modality enum; the share/min windows run over that enum table.
+    */
+  def modalMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    modalityRoute(spark, dir)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("n_bytes"))
+      .withColumn("total", sum(col("n_docs")).over(wAll))
+      .withColumn("min_n", min(col("n_docs")).over(wAll))
+      .withColumn("share_bp", expr("n_docs * 10000 DIV total"))
+      .withColumn("keep_bp", expr("min_n * 10000 DIV n_docs"))
+      .select(col("modality"), col("n_docs"), col("n_bytes"), col("share_bp"), col("keep_bp"))
+  }
 }

@@ -100,7 +100,8 @@ class EntrySpec extends AnyFunSuite {
     "sample_pack_sequences", // band-offset window over the 256-row md5-band table — the two-level prefix sum's bounded upper level
     "rel_compaction_plan", // band-offset window over the 256-file band table — the same two-level prefix sum's bounded upper level (file-METADATA grain, ~nFiles/256 rows)
     "ann_cell_skew", // total-occupancy window over the nCells-row cell aggregate — the report's whole domain is the cell table
-    "emb_dim_variance" // total-variance window over the d-row (=64) per-dimension aggregate
+    "emb_dim_variance", // total-variance window over the d-row (=64) per-dimension aggregate
+    "mm_modal_mix_plan" // share/min windows over the ≤5-row modality-enum aggregate
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

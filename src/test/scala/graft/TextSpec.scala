@@ -568,6 +568,22 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("modal mix plan: shares conserve, keep rates rebalance to the rarest modality") {
+    val rows = graft.operators.Multimodal.modalMixPlan(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val minN = rows.map(_.getAs[Long]("n_docs")).min
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    for (r <- rows) {
+      assert(r.getAs[Long]("share_bp") === r.getAs[Long]("n_docs") * 10000L / total)
+      assert(r.getAs[Long]("keep_bp") === minN * 10000L / r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("keep_bp") >= 1L && r.getAs[Long]("keep_bp") <= 10000L)
+    }
+    // sampling at keep_bp yields ~min_n docs per modality: uniform mix
+    assert(rows.count(_.getAs[Long]("keep_bp") === 10000L) >= 1, "the rarest modality keeps everything")
+    val route = graft.operators.Multimodal.modalityRoute(spark, sf).count()
+    assert(total === route, "the plan conserves the routed corpus")
+  }
+
   test("split leakage: cells conserve the pair total, leak flag marks exactly the cross cells") {
     val cells = graft.operators.TextAnalysis.splitLeakage(spark, sf).collect()
     assert(cells.nonEmpty)
