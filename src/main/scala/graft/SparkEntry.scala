@@ -53,6 +53,8 @@ object SparkEntry {
     "ts_anomaly_seasonal" -> ((s, d) => TimeSeries.anomalySeasonal(s, d)),
     "ts_anomaly_snaive"  -> ((s, d) => TimeSeries.anomalySnaive(s, d)),
     "ts_gap_intervals"   -> ((s, d) => TimeSeries.gapIntervals(s, d)),
+    "ts_event_collapse"  -> ((s, d) => TimeSeries.eventCollapse(s, d)),
+    "ts_backfill_plan"   -> ((s, d) => TimeSeries.backfillPlan(s, d)),
     "sample_split_leakage" -> ((s, d) => TextAnalysis.splitLeakage(s, d)),
     "ts_stl_decompose"   -> ((s, d) => TimeSeries.stlDecompose(s, d)),
     "ts_stl_strength"    -> ((s, d) => TimeSeries.stlStrength(s, d)),
@@ -155,6 +157,7 @@ object SparkEntry {
     "rel_zorder_layout"  -> ((s, d) => Relational.zorderLayout(s, d)),
     "rel_compaction_plan" -> ((s, d) => Relational.compactionPlan(s, d)),
     "rel_max_concurrency" -> ((s, d) => Relational.maxConcurrency(s, d)),
+    "rel_latency_percentiles" -> ((s, d) => Relational.latencyPercentiles(s, d)),
     "rel_order_recon"    -> ((s, d) => Relational.orderRecon(s, d)),
     "rel_rfm_segments"   -> ((s, d) => Relational.rfmSegments(s, d)),
     "rel_scd2"           -> ((s, d) => Relational.scd2(s, d)),
@@ -4035,6 +4038,29 @@ object SparkEntry {
         |  CAST(SUM(abs(mean_c - prev_mean_c)) * 1000000 // COUNT(*) AS BIGINT) AS mae_micro
         |FROM l WHERE prev_day = day_id - 1
         |GROUP BY 1""".stripMargin,
+    // burst collapse: one kept event per (series, type, minute);
+    // report per type
+    "ts_event_collapse" ->
+      """WITH k AS (SELECT event_type, user_id, epoch_us(ts) // 60000000 AS w,
+        |             CAST(COUNT(*) AS BIGINT) AS n_in
+        |           FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, CAST(SUM(n_in) AS BIGINT) AS n_events,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST((SUM(n_in) - COUNT(*)) * 10000 // SUM(n_in) AS BIGINT) AS collapse_bp
+        |FROM k GROUP BY 1""".stripMargin,
+    // backfill planner: day-grain coverage vs the series' own range
+    "ts_backfill_plan" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id
+        |           FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, day_id,
+        |        lag(day_id) OVER (PARTITION BY user_id ORDER BY day_id) AS prev_day
+        |      FROM d)
+        |SELECT user_id,
+        |  CAST(MAX(day_id) - MIN(day_id) + 1 AS BIGINT) AS n_days_expected,
+        |  CAST(COUNT(*) AS BIGINT) AS n_days_present,
+        |  CAST(MAX(day_id) - MIN(day_id) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+        |  CAST(COALESCE(MAX(day_id - prev_day - 1), 0) AS BIGINT) AS longest_missing
+        |FROM l GROUP BY 1""".stripMargin,
     // outage report: every silence > 2h as an interval row
     "ts_gap_intervals" ->
       """SELECT user_id, prev_ts AS gap_start_us, ts_us AS gap_end_us,
@@ -4366,6 +4392,21 @@ object SparkEntry {
         |  MAX(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN value_c END) AS p90_c,
         |  MAX(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN value_c END) AS p99_c
         |FROM r GROUP BY event_type""".stripMargin,
+    // ship-latency SLA percentiles per priority — the per-row
+    // ROW_NUMBER replay of the ceil(p*n) rank pick
+    "rel_latency_percentiles" ->
+      """WITH e AS (SELECT o_orderpriority,
+        |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS days
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |r AS (SELECT o_orderpriority, days,
+        |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY days) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM e)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+        |  MAX(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT) THEN days END) AS p50_days,
+        |  MAX(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN days END) AS p90_days,
+        |  MAX(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN days END) AS p99_days
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
     "ts_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,

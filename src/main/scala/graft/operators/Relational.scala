@@ -2056,6 +2056,41 @@ object Relational {
       .withColumn("fill_bp", expr(s"bytes * 10000 DIV ${targetBytes}L"))
   }
 
+  /** rel_latency_percentiles — fulfilment-SLA percentiles: per order
+    * priority, exact p50/p90/p99 of order→ship latency in days (the
+    * number an ops SLA is written against), via the house exact-
+    * histogram percentile plan: latency domain is SMALL (bounded
+    * days), so the histogram groupBy is partial-aggregable onto
+    * (priority × days) and the rank walk runs over that bounded
+    * table — no global sort, no per-row window. The ceil(p·n) rank
+    * pick is the ts_percentiles spelling, replayed identically by
+    * the oracle.
+    */
+  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val lat = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .select(col("o_orderpriority"), datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+    val hist = lat.groupBy(col("o_orderpriority"), col("days")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("o_orderpriority")))
+    val picks = Seq(0.5, 0.9, 0.99).map { p =>
+      val k = ceil(lit(p) * col("n"))
+      max(when(k > col("cum") - col("cnt") && k <= col("cum"), col("days")))
+        .as(s"p${(p * 100).toInt}_days")
+    }
+    cum.groupBy(col("o_orderpriority")).agg(first(col("n")).as("n"), picks: _*)
+  }
+
   /** rel_max_concurrency — INTERVAL CONCURRENCY sweep (the classic
     * +1/−1 event-boundary pattern behind capacity planning, room
     * booking, and connection-pool sizing): each lineitem is an open

@@ -1131,6 +1131,56 @@ object TimeSeries {
         ).otherwise(-1L).as("click_ts_us")
       )
 
+  /** ts_event_collapse — BURST COLLAPSE / idempotency-window dedup:
+    * at-least-once delivery and alert storms both produce semantic
+    * repeats; the standard fix keeps ONE event per (series, type,
+    * minute window) — this operator is that pass's accounting: per
+    * event type, events in vs events kept vs the collapse rate. The
+    * kept representative is the deterministic (ts, event_id) minimum
+    * of its window. Scale shape: ONE partial-aggregable groupBy onto
+    * (series, type, minute) for the keep set, one bounded groupBy
+    * onto the type enum for the report — no window function at all.
+    */
+  def eventCollapse(spark: SparkSession, dir: String, windowUs: Long = 60L * 1000000L): DataFrame =
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("event_type"), expr(s"ts_us DIV ${windowUs}L").as("w"))
+      .groupBy(col("event_type"), col("user_id"), col("w"))
+      .agg(count(lit(1)).as("n_in"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_in")).as("n_events"), count(lit(1)).as("n_kept"))
+      .withColumn("collapse_bp", expr("(n_events - n_kept) * 10000 DIV n_events"))
+
+  /** ts_backfill_plan — the BACKFILL planner: per series, the
+    * day-grain coverage audit against its own active range — days
+    * expected (min..max), days present, days missing, and the longest
+    * contiguous missing stretch (the job a backfill scheduler sizes
+    * shards by). Scale shape: one partial-aggregable day rollup, one
+    * lag window over the day-grain table (bounded by active days, not
+    * events), one per-series aggregate.
+    */
+  def backfillPlan(spark: SparkSession, dir: String): DataFrame = {
+    val days = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${DayUs}L").as("day_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_id"))
+    days
+      .withColumn("prev_day", lag(col("day_id"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        (max(col("day_id")) - min(col("day_id")) + 1L).as("n_days_expected"),
+        count(lit(1)).as("n_days_present"),
+        coalesce(max(col("day_id") - col("prev_day") - 1L), lit(0L)).as("longest_missing")
+      )
+      .withColumn("n_missing", col("n_days_expected") - col("n_days_present"))
+      .select(
+        col("user_id"),
+        col("n_days_expected"),
+        col("n_days_present"),
+        col("n_missing"),
+        col("longest_missing")
+      )
+  }
+
   /** ts_gap_intervals — the OUTAGE REPORT: every silence longer than
     * the threshold as a first-class interval row (series, gap start,
     * gap end, duration) — [[gapStats]] publishes the distribution,

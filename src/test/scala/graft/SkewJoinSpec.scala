@@ -165,6 +165,17 @@ class SkewJoinSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("latency percentiles: ranks bounded, monotone across the p ladder") {
+    val rows = graft.operators.Relational.latencyPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (p50, p90, p99) =
+        (r.getAs[Long]("p50_days"), r.getAs[Long]("p90_days"), r.getAs[Long]("p99_days"))
+      assert(p50 <= p90 && p90 <= p99, "percentile ladder must be monotone")
+      assert(r.getAs[Long]("n") > 0L)
+    }
+  }
+
   test("max concurrency: hand-built overlap pattern lands peak and first peak day") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_conc").toString

@@ -150,6 +150,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("r_bp") > 8000L, "a clean planted cycle reads near +1")
   }
 
+  test("event collapse: bursts collapse to one per minute window, counts reconcile") {
+    import spark.implicits._
+    val minNs = 60L * 1000000000L
+    // user 5: 3 views inside minute 0 (collapse to 1), 1 view in minute 2;
+    // user 6: 2 clicks in minute 0 (collapse to 1)
+    val rows = Seq(
+      (1L, 0L, 5L, "view"), (2L, 10L, 5L, "view"), (3L, 50L, 5L, "view"),
+      (4L, 2L * 60L, 5L, "view"),
+      (5L, 5L, 6L, "click"), (6L, 30L, 6L, "click")
+    ).map { case (id, sec, u, ty) => (id, sec * 1000000000L, u, ty, 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_collapse").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeries.eventCollapse(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("n_events"), r.getAs[Long]("n_kept")))).toMap
+    assert(out === Map("view" -> ((4L, 2L)), "click" -> ((2L, 1L))))
+  }
+
+  test("backfill plan: coverage books reconcile and the longest hole is found") {
+    import spark.implicits._
+    val dayNs = 86400L * 1000000000L
+    // user 7 active days 0,1,4,5,9: expected 10, present 5, missing 5,
+    // longest hole 3 (days 6..8)
+    val days = Seq(0L, 1L, 4L, 5L, 9L)
+    val rows = days.zipWithIndex.map { case (d, i) => (i.toLong + 1L, d * dayNs, 7L, "view", 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = TimeSeries.backfillPlan(spark, dir).head()
+    assert(r.getAs[Long]("n_days_expected") === 10L)
+    assert(r.getAs[Long]("n_days_present") === 5L)
+    assert(r.getAs[Long]("n_missing") === 5L)
+    assert(r.getAs[Long]("longest_missing") === 3L)
+  }
+
   test("gap intervals: planted silences surface as intervals, small gaps stay silent") {
     import spark.implicits._
     val hourNs = 3600L * 1000000000L
