@@ -132,6 +132,7 @@ object SparkEntry {
     "rel_running_total"  -> ((s, d) => Relational.runningRevenue(s, d)),
     "rel_skew_join"      -> ((s, d) => Relational.skewJoin(s, d)),
     "rel_key_skew_profile" -> ((s, d) => Relational.keySkewProfile(s, d)),
+    "rel_salt_plan"      -> ((s, d) => Relational.saltPlan(s, d)),
     "q6_revenue"         -> ((s, d) => Relational.q6Revenue(s, d)),
     "q4_order_priority"  -> ((s, d) => Relational.q4OrderPriority(s, d)),
     "q17_small_qty"      -> ((s, d) => Relational.q17SmallQuantity(s, d)),
@@ -2959,6 +2960,17 @@ object SparkEntry {
     // join-key skew report: power-of-2 frequency bands of the fact
     // join key + the hottest key's share (max-struct tiebreak: larger
     // key wins on equal frequency)
+    // the actionable salting plan: hot keys (> 20% of all rows,
+    // cross-multiplied share rule) with ceil-div salt factors back to
+    // mean-sized slices
+    "rel_salt_plan" ->
+      """WITH fct AS (SELECT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS k FROM events),
+        |f AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS f FROM fct GROUP BY 1),
+        |t AS (SELECT CAST(SUM(f) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM f),
+        |j AS (SELECT f.k, f.f, t.total, GREATEST(t.total // t.n_keys, 1) AS target FROM f, t)
+        |SELECT k, f, CAST(f * 10000 // total AS BIGINT) AS share_bp,
+        |  CAST((f + target - 1) // target AS BIGINT) AS salt_factor
+        |FROM j WHERE f * 5 > total""".stripMargin,
     "rel_key_skew_profile" ->
       """WITH f AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY 1),
         |t AS (SELECT CAST(SUM(f) AS BIGINT) AS total_rows FROM f),

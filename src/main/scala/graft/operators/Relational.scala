@@ -359,6 +359,42 @@ object Relational {
     graft.operators.Dedup.releaseAfterRun(spark, out, Seq(freq))
   }
 
+  /** rel_salt_plan — the ACTIONABLE output of skew diagnosis: per hot
+    * join key (frequency > 4× the mean rows-per-key), the salt factor
+    * that splits it back into mean-sized slices — exactly the table
+    * [[graft.operators.SkewJoin.saltedJoin]] would be configured from
+    * ([[keySkewProfile]] is the dashboard; this is the plan). Runs on
+    * the null-user/"unknown device" fact shape the skew-join drill
+    * uses, where ~90% of rows share one key. Hot = the key holds over
+    * 20% of ALL rows (f·5 > total, cross-multiplied — a share rule,
+    * not a mean-relative one, so it is invariant to how many cold
+    * keys exist); factor = ceil(f / target) with target =
+    * max(total DIV n_keys, 1), by cross-addition. Scale shape: one
+    * partial-aggregable key-frequency groupBy, a 1-row totals
+    * broadcast, a row-local filter — at most 4 keys can ever qualify.
+    */
+  def saltPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val freq = Tables
+      .events(spark, dir)
+      .select(when($"user_id" % 10 =!= 0, lit(0L)).otherwise($"user_id").as("k"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = freq.agg(sum($"f").as("total"), count(lit(1)).as("n_keys"))
+    val out = freq
+      .crossJoin(broadcast(tot))
+      .withColumn("target", expr("greatest(total DIV n_keys, 1L)"))
+      .filter($"f" * 5L > $"total")
+      .select(
+        $"k",
+        $"f",
+        expr("f * 10000 DIV total").as("share_bp"),
+        expr("(f + target - 1) DIV target").as("salt_factor")
+      )
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(freq))
+  }
+
   /** Pathological-key join drill (rel_skew_join): ~90% of the fact
     * collapses onto ONE join key (the null-user/"unknown-device" shape
     * that melts a plain hash-partitioned join at 100 TB — every row of

@@ -86,6 +86,7 @@ class EntrySpec extends AnyFunSuite {
     "emb_pca_power",             // 1-row corpus-count + 1-row L∞-norm broadcasts into the d²-row scatter iteration
     "text_span_df_profile",      // 1-row total-occurrence broadcast into the band table
     "rel_key_skew_profile",      // 1-row totals+hottest-key broadcast into the band table
+    "rel_salt_plan",             // 1-row totals broadcast into the key-frequency table
     "rel_zorder_layout"          // 1-row bucket-bounds + 3-row query-box broadcasts into the zone-map audit
   )
 

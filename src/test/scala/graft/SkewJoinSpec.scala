@@ -165,6 +165,22 @@ class SkewJoinSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("salt plan: exactly the planted hot key, factor splits it back to mean slices") {
+    val rows = graft.operators.Relational.saltPlan(spark, sf).collect()
+    assert(rows.length === 1, "the drill plants exactly one hot key (the null-user bucket)")
+    val r = rows.head
+    assert(r.getAs[Long]("k") === 0L)
+    assert(r.getAs[Long]("share_bp") > 8000L, "the hot key holds ~90% of the fact")
+    val (f, factor) = (r.getAs[Long]("f"), r.getAs[Long]("salt_factor"))
+    assert(factor >= 2L)
+    // factor slices are mean-sized: f/factor is within one mean of the target
+    val events = graft.sources.Tables.events(spark, sf).count()
+    val nKeys = graft.sources.Tables.events(spark, sf)
+      .selectExpr("CASE WHEN user_id % 10 != 0 THEN 0 ELSE user_id END AS k").distinct().count()
+    val target = math.max(events / nKeys, 1L)
+    assert(factor === (f + target - 1L) / target)
+  }
+
   test("latency percentiles: ranks bounded, monotone across the p ladder") {
     val rows = graft.operators.Relational.latencyPercentiles(spark, sf).collect()
     assert(rows.nonEmpty)
