@@ -275,6 +275,7 @@ object SparkEntry {
     "text_span_df_profile" -> ((s, d) => TextAnalysis.spanDfProfile(s, d)),
     "text_repetition"  -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_winnowing"   -> ((s, d) => TextAnalysis.winnowing(s, d)),
     "text_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
     "text_coverage_topk" -> ((s, d) => TextAnalysis.coverageTopk(s, d)),
     "text_oov_rate"     -> ((s, d) => TextAnalysis.oovRate(s, d)),
@@ -2656,6 +2657,26 @@ object SparkEntry {
          |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
          |            FROM d WHERE len(toks) >= 4))
          |SELECT doc_id, MIN(h) AS fingerprint, COUNT(*) AS n_windows FROM s GROUP BY 1""".stripMargin,
+    // winnowing selection: pos selected iff it is the min of SOME
+    // length-4 window = OR over the 4 frame minima; ROWS frames clip
+    // at doc edges identically in both engines
+    "text_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS h
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+         |            FROM d WHERE len(toks) >= 4)),
+         |m AS (SELECT doc_id, pos, h,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 0 PRECEDING AND 3 FOLLOWING) AS m0,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS m1,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m2,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND 0 FOLLOWING) AS m3
+         |      FROM g)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kgrams,
+         |  CAST(SUM(CASE WHEN h = m0 OR h = m1 OR h = m2 OR h = m3 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(SUM(CASE WHEN h = m0 OR h = m1 OR h = m2 OR h = m3 THEN 1 ELSE 0 END) * 10000
+         |       // COUNT(*) AS BIGINT) AS density_bp
+         |FROM m GROUP BY 1""".stripMargin,
     // Heaps-law curve: a token counts once, at its first (source,
     // doc) occurrence; the running sum over the doc spine rebuilds
     // the distinct-so-far size without any quadratic re-count

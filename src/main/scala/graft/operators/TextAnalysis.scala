@@ -516,6 +516,51 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_windows"))
 
+  /** text_winnowing — WINNOWING fingerprint selection (Schleimer/
+    * Wilkerson/Aiken's MOSS scheme): over each doc's 4-gram hash
+    * sequence, select every position that is the minimum of at least
+    * one length-w=4 window — the selection whose guarantee is that
+    * any match of length ≥ w+k−1 tokens shares a selected
+    * fingerprint, at ~2/(w+1) the density of keeping every k-gram.
+    * This is the storage/recall dial for fingerprint indexes: the
+    * report is per doc (k-grams, selected, density bp), the number a
+    * fingerprint store is sized by. "Min of some window" is computed
+    * as an OR over the w frame-minima [pos−a, pos+w−1−a] — w bounded
+    * rolling mins per series, identically replayed by the oracle
+    * (hash ties double-select identically in both engines). Scale
+    * shape: row-local k-gram hashing, one per-doc ordered window pass
+    * (w frames over one ordering), one doc-grain aggregate.
+    */
+  def winnowing(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
+    val grams = docsToks(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(
+            org.apache.spark.sql.functions.size(col("toks")) >= 4,
+            expr(
+              "transform(sequence(0, size(toks) - 4), i -> " +
+                "md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3])))"
+            )
+          ).otherwise(array())
+        ).as(Seq("pos", "h"))
+      )
+    val sel = (0 until w)
+      .map { a =>
+        val fr = Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("pos"))
+          .rowsBetween(-a.toLong, (w - 1 - a).toLong)
+        col("h") === min(col("h")).over(fr)
+      }
+      .reduce(_ || _)
+    grams
+      .withColumn("selected", when(sel, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kgrams"), sum(col("selected")).as("n_selected"))
+      .withColumn("density_bp", expr("n_selected * 10000 DIV n_kgrams"))
+  }
+
   // -------------------------------------------------------------------
   // 34. text_vocab_growth — Heaps-law vocabulary growth per source:
   // after each document (in doc_id order) how many DISTINCT tokens the

@@ -115,7 +115,23 @@ class ScaleSpec extends AnyFunSuite {
     "sample_epoch_schedule",
     "emb_dim_variance",
     "emb_cosine_histogram",
-    "emb_matryoshka_eval"
+    "emb_matryoshka_eval",
+    // round-9 sixth-session later additions with data-proportional work
+    "ts_asof_nearest",
+    "ts_anomaly_snaive",
+    "ts_gap_intervals",
+    "ts_event_collapse",
+    "ts_backfill_plan",
+    "text_chunk_for_rag",
+    "text_ngram_novelty",
+    "text_fertility_by_lang",
+    "sample_split_leakage",
+    "rel_latency_percentiles",
+    "rel_salt_plan",
+    "mm_modal_mix_plan",
+    "graph_clustering_coeff",
+    "graph_assortativity",
+    "ann_recall_vs_nprobe"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

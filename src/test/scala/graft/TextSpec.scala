@@ -568,6 +568,24 @@ class TextSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("winnowing: guarantee holds (every window has a selected pos), density near 2/(w+1)") {
+    val rows = graft.operators.TextAnalysis.winnowing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var selTot = 0L; var gramTot = 0L
+    for (r <- rows) {
+      val (n, s) = (r.getAs[Long]("n_kgrams"), r.getAs[Long]("n_selected"))
+      assert(s >= 1L && s <= n)
+      // the winnowing guarantee: at least one selection per w window —
+      // a doc with n k-grams has ceil(n/w) disjoint windows, each
+      // containing at least one selected position
+      assert(s >= (n + 3L) / 4L, s"doc ${r.getAs[Long]("doc_id")}: $s selected of $n breaks the window guarantee")
+      selTot += s; gramTot += n
+    }
+    // expected density for random hashes is 2/(w+1) = 4000 bp; allow a wide band
+    val density = selTot * 10000L / gramTot
+    assert(density > 3000L && density < 6000L, s"aggregate density $density bp far from 2/(w+1)")
+  }
+
   test("modal mix plan: shares conserve, keep rates rebalance to the rarest modality") {
     val rows = graft.operators.Multimodal.modalMixPlan(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 5)
