@@ -131,7 +131,8 @@ class ScaleSpec extends AnyFunSuite {
     "mm_modal_mix_plan",
     "graph_clustering_coeff",
     "graph_assortativity",
-    "ann_recall_vs_nprobe"
+    "ann_recall_vs_nprobe",
+    "text_winnowing"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
