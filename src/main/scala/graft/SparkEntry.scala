@@ -208,6 +208,7 @@ object SparkEntry {
     "dedup_bloom_prefilter"     -> ((s, d) => Dedup.bloomPrefilter(s, d)),
     "dedup_substring"           -> ((s, d) => Dedup.substringDedup(s, d)),
     "text_ngram_novelty"        -> ((s, d) => Dedup.ngramNovelty(s, d)),
+    "dedup_store_stats"         -> ((s, d) => Dedup.storeStats(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_keep_best"        -> ((s, d) => Dedup.keepBest(s, d)),
@@ -1842,6 +1843,37 @@ object SparkEntry {
          |SELECT c.doc_id, c.n_sh,
          |  CAST(COALESCE(mr.max_run, 0) AS BIGINT) AS max_run_tokens
          |FROM cnt c LEFT JOIN mr ON mr.doc_id = c.doc_id""".stripMargin,
+    // signature-store health: replay rep collapse, chooseL's level
+    // rule, and per-tier prefix cardinalities (band prefixes off the
+    // shared minhash CTE chain — clone docs share sigs, so doc-grain
+    // distinct == rep-grain distinct)
+    "dedup_store_stats" ->
+      s"""WITH $shingleCtes,
+         |dd AS (SELECT doc_id, md5($normSql) AS h FROM documents),
+         |gg AS (SELECT doc_id, h, MIN(doc_id) OVER (PARTITION BY h) AS rep_id FROM dd),
+         |rr AS (SELECT rep_id, h FROM gg WHERE doc_id = rep_id),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_docs FROM rr),
+         |ll AS (SELECT CASE WHEN 4 * n_reps / 16.0 <= 8388608.0 THEN 1
+         |                   WHEN 4 * n_reps / 256.0 <= 8388608.0 THEN 2
+         |                   WHEN 4 * n_reps / 4096.0 <= 8388608.0 THEN 3
+         |                   ELSE 4 END AS l, n_reps, n_docs FROM nn),
+         |tiers AS (
+         |  SELECT 'groups' AS tier, n_docs AS n_rows,
+         |    (SELECT CAST(COUNT(DISTINCT rep_id % CAST(pow(16, l) AS BIGINT)) AS BIGINT) FROM rr, ll) AS n_dirs,
+         |    l FROM ll
+         |  UNION ALL
+         |  SELECT 'reps', n_reps,
+         |    (SELECT CAST(COUNT(DISTINCT substr(h, 1, l)) AS BIGINT) FROM rr, ll), l FROM ll
+         |  UNION ALL
+         |  SELECT 'bands', 4 * n_reps,
+         |    (SELECT CAST(COUNT(DISTINCT substr(sig, 1, l)) AS BIGINT) FROM bs, ll), l FROM ll
+         |  UNION ALL
+         |  SELECT 'bbits', n_reps,
+         |    (SELECT CAST(COUNT(DISTINCT rep_id % CAST(pow(16, l) AS BIGINT)) AS BIGINT) FROM rr, ll), l FROM ll)
+         |SELECT tier, CAST(n_rows AS BIGINT) AS n_rows, n_dirs, CAST(l AS BIGINT) AS layout_l,
+         |  CAST(n_rows // GREATEST(n_dirs, 1) AS BIGINT) AS rows_per_dir
+         |FROM tiers""".stripMargin,
     // per-doc novelty: fraction of distinct 8-gram shingles whose
     // corpus-wide first occurrence (min doc_id) is this doc
     "text_ngram_novelty" ->

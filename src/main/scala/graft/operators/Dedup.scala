@@ -718,6 +718,38 @@ object Dedup {
     releaseAfterRun(spark, out, Seq(lsh.bands, edges, deg, oriented))
   }
 
+  /** dedup_store_stats — SIGNATURE-STORE health report (the
+    * ts_store_stats analogue for the dedup tier): the store is built
+    * in-query from the corpus, then each persisted table —
+    * groups (doc→rep), reps, bands (4/rep), bbits — reports its row
+    * count, leveled-prefix DIRECTORY count, and rows/dir, next to the
+    * layout's chosen level. This is the table an operator watches to
+    * know the prefix layout still bounds per-dir size as the corpus
+    * grows (the property that keeps per-batch match I/O O(batch)).
+    * The oracle replays everything from documents: rep collapse,
+    * chooseL's level rule, prefix cardinalities per tier (band
+    * prefixes off the shared minhash CTE chain). Scale shape: the
+    * build is the store write (bounded by the corpus pass); the stats
+    * are per-table count + distinct-prefix aggregates — partition
+    * values, metadata-sized.
+    */
+  def storeStats(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.SignatureStore.scratchPath(dir) + "_stats"
+    graft.sources.SignatureStore.write(spark, Tables.documents(spark, dir), path)
+    val lay = graft.sources.SignatureStore.readLayoutInfo(spark, path)
+    val tables = Seq("groups" -> "gp", "reps" -> "tp", "bands" -> "sp", "bbits" -> "bp")
+    tables
+      .map { case (t, p) =>
+        spark.read
+          .parquet(s"$path/$t")
+          .agg(count(lit(1)).as("n_rows"), countDistinct(col(p)).as("n_dirs"))
+          .select(lit(t).as("tier"), col("n_rows"), col("n_dirs"))
+      }
+      .reduce(_.unionByName(_))
+      .withColumn("layout_l", lit(lay.l.toLong))
+      .withColumn("rows_per_dir", expr("n_rows DIV greatest(n_dirs, 1L)"))
+  }
+
   /** text_ngram_novelty — per-document NOVELTY audit: the fraction of
     * a doc's distinct 8-token shingles whose corpus-wide FIRST
     * occurrence (min doc_id — the house arrival order) is this doc.

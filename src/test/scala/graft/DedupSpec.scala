@@ -437,6 +437,25 @@ class DedupSpec extends AnyFunSuite {
     assert(bp.forall(r => r.getAs[Long]("n_novel") <= r.getAs[Long]("n_sh")))
   }
 
+  test("store stats: tier rows reconcile with the corpus, dirs bounded by the prefix space") {
+    val rows = Dedup.storeStats(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("tier")).toSet === Set("groups", "reps", "bands", "bbits"))
+    val byTier = rows.map(r => r.getAs[String]("tier") -> r).toMap
+    val l = rows.head.getAs[Long]("layout_l")
+    assert(l >= 1L && l <= 4L)
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(byTier("groups").getAs[Long]("n_rows") === nDocs)
+    val nReps = byTier("reps").getAs[Long]("n_rows")
+    assert(nReps <= nDocs && nReps > 0L)
+    assert(byTier("bands").getAs[Long]("n_rows") === 4L * nReps)
+    assert(byTier("bbits").getAs[Long]("n_rows") === nReps)
+    for (r <- rows) {
+      val dirs = r.getAs[Long]("n_dirs")
+      assert(dirs >= 1L && dirs <= math.pow(16, l.toDouble).toLong)
+      assert(r.getAs[Long]("rows_per_dir") === r.getAs[Long]("n_rows") / math.max(dirs, 1L))
+    }
+  }
+
   test("assortativity: one summary row, Cauchy-Schwarz bound, incidence count is 2|E|") {
     val r = Dedup.graphAssortativity(spark, sf).head()
     val (n, cov, varn, bp) =
