@@ -255,6 +255,7 @@ object SparkEntry {
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_recall_vs_nprobe" -> ((s, d) => Similarity.recallVsNprobe(s, d)),
+    "emb_pq_distortion"   -> ((s, d) => Similarity.pqDistortion(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     "ann_stream_index"    -> ((s, d) => graft.sources.StreamingIngest.annStreamIndex(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -725,6 +726,14 @@ object SparkEntry {
     * (DuckDB // == Spark's (s - pmod(s, n)) DIV n on non-negative
     * counts)
     */
+  /** NOTE the centroid average is the exact integer FLOOR
+    * (s − ((s%n)+n)%n) // n — NOT plain `//`: normalized components go
+    * negative, DuckDB `//` truncates toward zero there, and the Spark
+    * side floors via (s − pmod(s, n)) DIV n. The top-k searches are
+    * insensitive to the ±1 component drift a trunc/floor mismatch
+    * causes, but emb_pq_distortion's exact d2 sums are not — the
+    * ledger is what exposed the divergence.
+    */
   private def pqLloydCtes(iters: Int): String =
     (0 until iters).map { t =>
       s"""ad$t AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
@@ -732,7 +741,8 @@ object SparkEntry {
          |as$t AS (SELECT vec_id, mi, code FROM
          |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
          |         FROM ad$t) WHERE rn = 1),
-         |cb${t + 1} AS (SELECT a.code, a.mi, s.i, CAST(SUM(s.v) // COUNT(*) AS BIGINT) AS v
+         |cb${t + 1} AS (SELECT a.code, a.mi, s.i,
+         |         CAST((SUM(s.v) - (((SUM(s.v) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS v
          |       FROM as$t a JOIN svt s ON s.vec_id = a.vec_id AND s.mi = a.mi
          |       GROUP BY 1, 2, s.i)""".stripMargin
     }.mkString(",\n")
@@ -2188,6 +2198,26 @@ object SparkEntry {
     // batch append (row-local encode against the stored model), so the
     // oracle is shared
     "ann_stream_index" -> ivfPqOracle(400),
+    // PQ distortion ledger: the same trained chain, stopped at the
+    // assignment; per subspace the assigned row's exact d2 sums
+    "emb_pq_distortion" ->
+      s"""WITH $quantCtes,
+         |qn AS (SELECT q.vec_id, q.i,
+         |         CAST(round(CAST(q.v AS DOUBLE) * 1000000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS v
+         |       FROM q JOIN n ON n.vec_id = q.vec_id),
+         |sv AS (SELECT vec_id, CAST((i - 1) // 8 AS BIGINT) AS mi, i, v FROM qn),
+         |svt AS (SELECT * FROM sv WHERE vec_id < 1000),
+         |cb0 AS (SELECT vec_id - 100 AS code, mi, i, v FROM sv WHERE vec_id BETWEEN 100 AND 355),
+         |${pqLloydCtes(3)},
+         |ad AS (SELECT s.vec_id, s.mi, c.code, CAST(SUM((s.v - c.v) * (s.v - c.v)) AS BIGINT) AS d2
+         |       FROM sv s JOIN cb3 c ON c.mi = s.mi AND c.i = s.i GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, mi, code, d2 FROM
+         |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2 ASC, code ASC) AS rn
+         |           FROM ad) WHERE rn = 1)
+         |SELECT CAST(mi AS BIGINT) AS mi, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(d2) AS BIGINT) AS sum_d2, CAST(MAX(d2) AS BIGINT) AS max_d2,
+         |  CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2
+         |FROM codes GROUP BY 1""".stripMargin,
     "ann_pq_search" ->
       s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,

@@ -207,17 +207,19 @@ object Similarity {
   // DuckDB oracle reproduces codes, lookup tables, and ranks
   // bit-for-bit; SimilaritySpec pins shortlist recall vs brute force.
   // -------------------------------------------------------------------
-  def annPqSearch(
+  /** the PQ model artifacts shared by [[annPqSearch]] and
+    * [[pqDistortion]]: (subvecs, codebook, codes) — the normalized
+    * sub-vector table, the Lloyd-trained per-subspace codebook, and
+    * every vector's nearest-entry assignment
+    */
+  private[graft] def pqArtifacts(
       spark: SparkSession,
       dir: String,
       m: Int = 8,
       kCode: Int = 256,
       iters: Int = 3,
-      trainN: Long = 1000L,
-      shortlist: Int = 100,
-      nProbes: Int = 5,
-      k: Int = 10
-  ): DataFrame = {
+      trainN: Long = 1000L
+  ): (DataFrame, DataFrame, DataFrame) = {
     val sub = 64 / m
     val q = quantized(spark, dir)
     // unit-normalize in micro units from the EXACT integer norm
@@ -258,8 +260,6 @@ object Similarity {
     // scales with the corpus; locally it keeps the K-way expanded
     // training joins sample-sized.
     val trainVecs = subvecs.filter(col("vec_id") < trainN)
-    val subDist =
-      (col("sv2") + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
     // assignment needs only the ARGMIN: d2 = sv2 + c2 - 2·dot and sv2
     // is constant per (vector, subspace), so ranking by c2 - 2·dot is
     // the same argmin (ties still break on code) with a third less
@@ -304,6 +304,24 @@ object Similarity {
     // PQ encode: per (vector, subspace) the nearest codebook entry by
     // exact integer L2 — min_by collapses the K-expanded rows map-side
     val codes = assign(subvecs, codebook)
+    (subvecs, codebook, codes)
+  }
+
+  def annPqSearch(
+      spark: SparkSession,
+      dir: String,
+      m: Int = 8,
+      kCode: Int = 256,
+      iters: Int = 3,
+      trainN: Long = 1000L,
+      shortlist: Int = 100,
+      nProbes: Int = 5,
+      k: Int = 10
+  ): DataFrame = {
+    val q = quantized(spark, dir)
+    val (subvecs, codebook, codes) = pqArtifacts(spark, dir, m, kCode, iters, trainN)
+    val subDist =
+      (col("sv2") + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
     // ADC lookup table: probe-to-codebook distances (nProbes × m × K rows)
     val pd = subvecs
       .filter(col("vec_id") < nProbes)
@@ -1328,6 +1346,30 @@ object Similarity {
         expr(s"n_hits * 10000 DIV $k").as("recall_bp")
       )
     graft.operators.Dedup.releaseAfterRun(spark, out, Seq(q, truth))
+  }
+
+  /** emb_pq_distortion — PQ QUANTIZATION-ERROR ledger: per subspace,
+    * the exact integer squared L2 between every sub-vector and its
+    * assigned codebook entry — the codebook-quality number next to
+    * [[annRecallEval]]'s recall (distortion is what Lloyd training
+    * minimizes; a subspace whose mean distortion dwarfs the others is
+    * where the codebook budget should move). Same trained model as
+    * [[annPqSearch]] via [[pqArtifacts]]. Scale shape: one
+    * codebook-broadcast join at the (vector, subspace) grain, ONE
+    * partial-aggregable groupBy onto the m-row subspace enum.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val (subvecs, codebook, codes) = pqArtifacts(spark, dir)
+    codes
+      .join(subvecs, Seq("vec_id", "mi"))
+      .join(broadcast(codebook), Seq("mi", "code"))
+      .select(
+        col("mi"),
+        (col("sv2") + col("c2") - lit(2L) * dotQ(col("sv"), col("cv"))).as("d2")
+      )
+      .groupBy(col("mi").cast("long").as("mi"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("sum_d2"), max(col("d2")).as("max_d2"))
+      .withColumn("mean_d2", expr("sum_d2 DIV n_vecs"))
   }
 
   /** ann_recall_vs_nprobe — the IVF PROBE-BUDGET operating curve:

@@ -47,6 +47,7 @@ class EntrySpec extends AnyFunSuite {
     "emb_cosine_histogram",      // same ≤5-row probe broadcast over the corpus
     "ann_ivf_bucketed",
     "ann_recall_vs_nprobe",      // the same ≤8-row centroid + ≤5-row probe broadcasts, once per budget
+    "emb_pq_distortion",         // the PQ chain's bounded codebook/sample broadcasts
     "ann_ivf_kmeans",
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
     "ann_knn_join",              // same ≤8-row centroid broadcast; the query↔corpus meet is a cell-keyed equi-join

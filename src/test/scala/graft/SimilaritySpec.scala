@@ -320,6 +320,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Long]("dims") == 8L && r.getAs[Long]("n_hits") < 10L))
   }
 
+  test("pq distortion: one row per subspace, assignment optimality bounds the mean") {
+    val rows = Similarity.pqDistortion(spark, sf).collect()
+    assert(rows.length === 8, "m = 8 subspaces")
+    assert(rows.map(_.getAs[Long]("mi")).toSet === (0L until 8L).toSet)
+    val n = rows.head.getAs[Long]("n_vecs")
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_vecs") === n, "every subspace codes every vector")
+      assert(r.getAs[Long]("sum_d2") >= 0L)
+      assert(r.getAs[Long]("max_d2") >= r.getAs[Long]("mean_d2"))
+      assert(r.getAs[Long]("mean_d2") === r.getAs[Long]("sum_d2") / n)
+    }
+    val corpus = graft.sources.Tables.embeddings(spark, sf).count()
+    assert(n === corpus)
+  }
+
   test("recall vs nprobe: grid complete, recall monotone in the probe budget") {
     val rows = Similarity.recallVsNprobe(spark, sf).collect()
     assert(rows.length === 5 * 4)
