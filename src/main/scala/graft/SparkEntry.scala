@@ -63,6 +63,7 @@ object SparkEntry {
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
+    "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
@@ -172,6 +173,7 @@ object SparkEntry {
     "approx_kmv_setops"  -> ((s, d) => Relational.kmvSetops(s, d)),
     "approx_kmv_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxKmvStream(s, d)),
     "approx_cms_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxCmsStream(s, d)),
+    "approx_bloom_stream" -> ((s, d) => graft.sources.StreamingIngest.approxBloomStream(s, d)),
     "sample_cap_stream"  -> ((s, d) => graft.sources.StreamingIngest.sampleCapStream(s, d)),
     "text_heavy_hitters_stream" -> ((s, d) => graft.sources.StreamingIngest.heavyHittersStream(s, d)),
     "ts_ohlc_stream"     -> ((s, d) => graft.sources.StreamingIngest.ohlcStream(s, d)),
@@ -256,6 +258,7 @@ object SparkEntry {
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_recall_vs_nprobe" -> ((s, d) => Similarity.recallVsNprobe(s, d)),
     "emb_pq_distortion"   -> ((s, d) => Similarity.pqDistortion(s, d)),
+    "ann_hamming_search"  -> ((s, d) => Similarity.annHammingSearch(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     "ann_stream_index"    -> ((s, d) => graft.sources.StreamingIngest.annStreamIndex(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -305,6 +308,7 @@ object SparkEntry {
     "sample_pack_sequences" -> ((s, d) => TextAnalysis.packSequences(s, d)),
     "sample_epoch_schedule" -> ((s, d) => TextAnalysis.epochSchedule(s, d)),
     "sample_importance" -> ((s, d) => TextAnalysis.importanceWeights(s, d)),
+    "sample_perplexity_filter" -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
     "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "approx_cms"        -> ((s, d) => TextAnalysis.cmsTokens(s, d)),
     "text_boilerplate_scrub" -> ((s, d) => TextAnalysis.boilerplateScrub(s, d)),
@@ -320,6 +324,7 @@ object SparkEntry {
     "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
     "mm_modal_mix_plan" -> ((s, d) => Multimodal.modalMixPlan(s, d)),
+    "mm_aspect_bucket" -> ((s, d) => Multimodal.aspectBucket(s, d)),
     "mm_chunk_restore" -> ((s, d) => Multimodal.chunkRestore(s, d)),
     "rel_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
     "mm_upload_plan"  -> ((s, d) => Multimodal.uploadPlan(s, d))
@@ -1050,6 +1055,43 @@ object SparkEntry {
        |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr) GROUP BY 1, 2""".stripMargin
 
   /** DuckDB oracle SQL for dedup / similarity / text / multimodal. */
+  /** bloom-funnel oracle, shared by the batch prefilter and its
+    * streaming dual (identical drained bit set by idempotence +
+    * shared probe code ⇒ identical per-doc output)
+    */
+  private val bloomPrefilterOracleSql: String =
+    s"""WITH m AS (SELECT MIN(source) AS es FROM documents),
+       |d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |esh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |              FROM d, m WHERE d.source = m.es AND len(toks) >= 3)),
+       |tsh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+       |        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+       |              FROM d, m WHERE d.source != m.es AND len(toks) >= 3)),
+       |ab AS (SELECT * FROM (VALUES ${graft.functions.BloomFilter.duckAbValues()}) t(a, b)),
+       |bits AS (SELECT DISTINCT ((ab.a * h.hm + ab.b) % 2147483647) % 1048576 AS pos
+       |         FROM (SELECT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm
+       |               FROM tsh) h CROSS JOIN ab),
+       |eshd AS (SELECT sh, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm
+       |         FROM (SELECT DISTINCT sh FROM esh)),
+       |hits AS (SELECT e.sh, SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+       |         FROM eshd e CROSS JOIN ab
+       |         LEFT JOIN bits ON bits.pos = ((ab.a * e.hm + ab.b) % 2147483647) % 1048576
+       |         GROUP BY 1),
+       |per AS (SELECT esh.doc_id,
+       |          CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |          CAST(SUM(CASE WHEN h.n_set = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
+       |          CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hit
+       |        FROM esh JOIN hits h ON h.sh = esh.sh LEFT JOIN tsh t ON t.sh = esh.sh
+       |        GROUP BY 1)
+       |SELECT doc_id, n_sh, n_bloom_hit,
+       |  CAST(n_bloom_hit * 1000000 // n_sh AS BIGINT) AS bloom_micro,
+       |  n_exact_hit,
+       |  CAST(n_exact_hit * 1000000 // n_sh AS BIGINT) AS exact_micro,
+       |  (n_bloom_hit * 1000000 // n_sh >= 200000) AS is_candidate,
+       |  (n_exact_hit * 1000000 // n_sh >= 200000) AS is_contaminated
+       |FROM per""".stripMargin
+
   private val mlOracles: Map[String, String] = Map(
     // log2-binned degree distribution of the rep-level candidate
     // graph: same member-pair → rep mapping as graph_triangles,
@@ -1790,38 +1832,11 @@ object SparkEntry {
     // BloomFilter (a·hm + b) mod p mod 2²⁰ probe family replayed over
     // a 7-row (a, b) VALUES table; bloom hit = all 7 positions set;
     // exact tier alongside — n_bloom_hit >= n_exact_hit structurally
-    "dedup_bloom_prefilter" ->
-      s"""WITH m AS (SELECT MIN(source) AS es FROM documents),
-         |d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
-         |esh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-         |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |              FROM d, m WHERE d.source = m.es AND len(toks) >= 3)),
-         |tsh AS (SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
-         |        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
-         |              FROM d, m WHERE d.source != m.es AND len(toks) >= 3)),
-         |ab AS (SELECT * FROM (VALUES ${graft.functions.BloomFilter.duckAbValues()}) t(a, b)),
-         |bits AS (SELECT DISTINCT ((ab.a * h.hm + ab.b) % 2147483647) % 1048576 AS pos
-         |         FROM (SELECT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm
-         |               FROM tsh) h CROSS JOIN ab),
-         |eshd AS (SELECT sh, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 2147483647 AS hm
-         |         FROM (SELECT DISTINCT sh FROM esh)),
-         |hits AS (SELECT e.sh, SUM(CASE WHEN bits.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
-         |         FROM eshd e CROSS JOIN ab
-         |         LEFT JOIN bits ON bits.pos = ((ab.a * e.hm + ab.b) % 2147483647) % 1048576
-         |         GROUP BY 1),
-         |per AS (SELECT esh.doc_id,
-         |          CAST(COUNT(*) AS BIGINT) AS n_sh,
-         |          CAST(SUM(CASE WHEN h.n_set = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hit,
-         |          CAST(SUM(CASE WHEN t.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hit
-         |        FROM esh JOIN hits h ON h.sh = esh.sh LEFT JOIN tsh t ON t.sh = esh.sh
-         |        GROUP BY 1)
-         |SELECT doc_id, n_sh, n_bloom_hit,
-         |  CAST(n_bloom_hit * 1000000 // n_sh AS BIGINT) AS bloom_micro,
-         |  n_exact_hit,
-         |  CAST(n_exact_hit * 1000000 // n_sh AS BIGINT) AS exact_micro,
-         |  (n_bloom_hit * 1000000 // n_sh >= 200000) AS is_candidate,
-         |  (n_exact_hit * 1000000 // n_sh >= 200000) AS is_contaminated
-         |FROM per""".stripMargin,
+    "dedup_bloom_prefilter" -> bloomPrefilterOracleSql,
+    // the streaming dual drains the identical set-bit table (Bloom
+    // OR-merge is an idempotent set union) and shares the probe CODE,
+    // so the batch oracle verifies the stream
+    "approx_bloom_stream" -> bloomPrefilterOracleSql,
     // longest shared token run per eval doc: consecutive same-diagonal
     // anchor streaks + (n-1); 1-based vs 0-based positions cancel in
     // the diagonal arithmetic. Anchors at > 64 positions on either
@@ -2063,6 +2078,21 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |  CAST(MIN(cos_micro) AS BIGINT) AS lo_micro, CAST(MAX(cos_micro) AS BIGINT) AS hi_micro
          |FROM c GROUP BY 1""".stripMargin,
+    // binary sign codes packed into two 32-bit words (lo = dims 1–32,
+    // hi = 33–64) so every shift stays in signed-64 range on both
+    // engines; Hamming = bit_count(xor) per word, summed
+    "ann_hamming_search" ->
+      s"""WITH $quantCtes,
+         |b AS (SELECT vec_id,
+         |        CAST(SUM(CASE WHEN v > 0 AND i <= 32 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS lo,
+         |        CAST(SUM(CASE WHEN v > 0 AND i >= 33 THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS BIGINT) AS hi
+         |      FROM q GROUP BY 1),
+         |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM b WHERE vec_id < 5),
+         |d AS (SELECT p.probe_id, b.vec_id AS neighbor_id,
+         |        CAST(bit_count(xor(b.lo, p.plo)) + bit_count(xor(b.hi, p.phi)) AS BIGINT) AS ham
+         |      FROM b JOIN p ON b.vec_id != p.probe_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ham ASC, neighbor_id ASC) AS rn FROM d)
+         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ham FROM r WHERE rn <= 10""".stripMargin,
     "ann_recall_eval" ->
       s"""SELECT t.probe_id,
          |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
@@ -2509,6 +2539,36 @@ object SparkEntry {
     // integer-exact tf-idf: idf = N*10^6 // df, HUGEINT sum mirrors
     // the DECIMAL path
     // unigram surprisal: bit length of N/freq per token (no float log)
+    // CCNet tercile selection off the 1/40-bit surprisal histogram:
+    // threshold bins are the smallest bins whose per-lang cumulative
+    // count clears 1/3 and 2/3 — integer cross-multiplication, no
+    // percentile function on either engine
+    "sample_perplexity_filter" ->
+      s"""WITH t AS (SELECT doc_id, w AS tok FROM
+         |        (SELECT doc_id, unnest($toksSql) AS w FROM documents) WHERE w <> ''),
+         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM t GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM t),
+         |pd AS (SELECT t.doc_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         |         CAST(SUM(CAST(length(bin(nt // f)) AS BIGINT)) AS BIGINT) AS sum_bits
+         |       FROM t JOIN f USING (tok) JOIN documents d ON d.doc_id = t.doc_id, n
+         |       GROUP BY 1, 2),
+         |pm AS (SELECT doc_id, lang, n_toks,
+         |         CAST(sum_bits * 1000000 // n_toks AS BIGINT) AS mean_micro,
+         |         CAST((sum_bits * 1000000 // n_toks) // 25000 AS BIGINT) AS bin FROM pd),
+         |h AS (SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS nb FROM pm GROUP BY 1, 2),
+         |c AS (SELECT lang, bin,
+         |        CAST(SUM(nb) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+         |        CAST(SUM(nb) OVER (PARTITION BY lang) AS BIGINT) AS total FROM h),
+         |th AS (SELECT lang, MIN(CASE WHEN cum * 3 >= total THEN bin END) AS t1,
+         |         MIN(CASE WHEN cum * 3 >= total * 2 THEN bin END) AS t2 FROM c GROUP BY 1),
+         |b AS (SELECT pm.lang,
+         |        CASE WHEN bin <= t1 THEN 'head' WHEN bin <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |        CASE WHEN bin > t2 THEN 0 ELSE 1 END AS keep, n_toks, mean_micro
+         |      FROM pm JOIN th ON th.lang = pm.lang)
+         |SELECT lang, bucket, CAST(MIN(keep) AS BIGINT) AS keep, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_toks, CAST(MIN(mean_micro) AS BIGINT) AS lo_micro,
+         |  CAST(MAX(mean_micro) AS BIGINT) AS hi_micro
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "text_surprisal" ->
       s"""WITH t AS (SELECT doc_id, w AS tok FROM
          |        (SELECT doc_id, unnest($toksSql) AS w FROM documents) WHERE w <> ''),
@@ -3339,6 +3399,34 @@ object SparkEntry {
         |       + CASE WHEN (sample_ord * vframes) // n_samples = vframes - 1
         |              THEN n % vframes ELSE 0 END AS BIGINT) AS frame_len
         |FROM s""".stripMargin,
+    // aspect-ratio bucketing: same stub-decode dimension CTEs as
+    // mm_decode_index; nearest-ladder pick replayed as a ROW_NUMBER
+    // over (|ratio−b|, b) — tie lands on the smaller bucket on both
+    // engines (Spark's struct array_min orders (d, b) the same way)
+    "mm_aspect_bucket" ->
+      """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+        |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |cs AS (SELECT doc_id, n,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST((strpos('0123456789abcdef', h[2*i-1:2*i-1]) - 1) * 16
+        |           + (strpos('0123456789abcdef', h[2*i:2*i]) - 1) AS BIGINT)
+        |       FOR i IN generate_series(1, CAST(n AS INTEGER))]),
+        |    (a, b) -> (a * 31 + b) & 2147483647) AS checksum
+        |  FROM p),
+        |f AS (SELECT doc_id, 16 + checksum % 64 AS width,
+        |             16 + (checksum // 64) % 64 AS height FROM cs),
+        |r AS (SELECT doc_id, CAST((width * 10000) // height AS BIGINT) AS ratio_bp FROM f),
+        |lad AS (SELECT CAST(unnest([2500, 5000, 7500, 10000, 13333, 20000, 40000]) AS BIGINT) AS b),
+        |a AS (SELECT doc_id, ratio_bp, b,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY abs(ratio_bp - b), b) AS rn
+        |      FROM r, lad),
+        |g AS (SELECT b AS bucket_bp, CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |        CAST(MIN(ratio_bp) AS BIGINT) AS lo_ratio_bp,
+        |        CAST(MAX(ratio_bp) AS BIGINT) AS hi_ratio_bp
+        |      FROM a WHERE rn = 1 GROUP BY 1)
+        |SELECT bucket_bp, n_assets, CAST(n_assets // 32 AS BIGINT) AS n_batches,
+        |  CAST(n_assets % 32 AS BIGINT) AS n_dropped, lo_ratio_bp, hi_ratio_bp FROM g""".stripMargin,
     "mm_decode_index" ->
       """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
@@ -3421,6 +3509,54 @@ object SparkEntry {
   }
 
   /** DuckDB oracle SQL for the time-series queries (§2 rows 1-14). */
+  /** ts_cusum oracle — the gp'/gn' candidates repeat inside the
+    * alarm test, the reset, and the running max, so they're built
+    * once here and interpolated (the lambda-can't-let-bind problem,
+    * mirrored on the oracle side)
+    */
+  private val cusumOracleSql: String = {
+    val gp1 = "greatest(0, r.gp + (o.m - p.med) - p.kk)"
+    val gn1 = "greatest(0, r.gn - (o.m - p.med) - p.kk)"
+    val alarm = s"($gp1 > p.hh OR $gn1 > p.hh)"
+    s"""WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+       |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+       |h AS (SELECT user_id, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+       |      FROM ev GROUP BY 1, 2),
+       |o AS (SELECT user_id, hour_id, m,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS BIGINT) AS rn
+       |      FROM h),
+       |mx AS (SELECT user_id, MAX(rn) AS n_hours FROM o GROUP BY 1),
+       |vs AS (SELECT user_id, m, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY m) AS vr FROM o),
+       |md AS (SELECT v.user_id, v.m AS med FROM vs v JOIN mx ON mx.user_id = v.user_id
+       |       WHERE v.vr = (mx.n_hours + 1) // 2),
+       |ds AS (SELECT o.user_id, abs(o.m - md.med) AS a,
+       |        ROW_NUMBER() OVER (PARTITION BY o.user_id ORDER BY abs(o.m - md.med)) AS ar
+       |      FROM o JOIN md ON md.user_id = o.user_id),
+       |mq AS (SELECT d.user_id, d.a AS mad FROM ds d JOIN mx ON mx.user_id = d.user_id
+       |        WHERE d.ar = (mx.n_hours + 1) // 2),
+       |p0 AS (SELECT md.user_id, CAST(md.med AS BIGINT) AS med, CAST(mq.mad AS BIGINT) AS mad,
+       |         CAST(greatest(1, mq.mad // 2) AS BIGINT) AS kk,
+       |         CAST(5 * greatest(1, mq.mad) AS BIGINT) AS hh
+       |       FROM md JOIN mq ON mq.user_id = md.user_id),
+       |rec AS (
+       |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS gp, CAST(0 AS BIGINT) AS gn,
+       |         CAST(0 AS BIGINT) AS al, CAST(0 AS BIGINT) AS mxs
+       |  FROM mx
+       |  UNION ALL
+       |  SELECT o.user_id, o.rn,
+       |    CAST(CASE WHEN $alarm THEN 0 ELSE $gp1 END AS BIGINT),
+       |    CAST(CASE WHEN $alarm THEN 0 ELSE $gn1 END AS BIGINT),
+       |    CAST(r.al + CASE WHEN $alarm THEN 1 ELSE 0 END AS BIGINT),
+       |    CAST(greatest(r.mxs, $gp1, $gn1) AS BIGINT)
+       |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+       |  JOIN p0 p ON p.user_id = r.user_id
+       |)
+       |SELECT r.user_id, mx.n_hours, p.med AS med_c, p.mad AS mad_c,
+       |  r.al AS n_alarms, r.mxs AS max_stat, r.gp AS gp_final, r.gn AS gn_final
+       |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours
+       |JOIN p0 p ON p.user_id = r.user_id""".stripMargin
+  }
+
   private val tsOracles: Map[String, String] = Map(
     // Benford first-digit audit: strictly-positive cents, leading
     // decimal digit from the string head, bp share over the ≤9-row
@@ -3480,6 +3616,11 @@ object SparkEntry {
     // truncating integer recursion on both engines (Spark DIV and
     // DuckDB // truncate toward zero; z - x goes negative); p is
     // self-bounding below R so no intermediate nears 2^63
+    // Page's two-sided CUSUM: med/MAD are the lower-median convention
+    // (value at rank (n+1)//2 — a ROW_NUMBER pick here, an array index
+    // on the Spark side; equal values make the tiebreak irrelevant),
+    // and the alarm-reset recursion replays Spark's aggregate() fold
+    "ts_cusum" -> cusumOracleSql,
     "ts_kalman" ->
       """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
         |                  CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -2216,16 +2216,35 @@ object Dedup {
       .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
     val evalSrc = docs.agg(min(col("source"))).head().getString(0)
     require(evalSrc != null, "dedup_bloom_prefilter: empty corpus")
-    val evalSh = shinglesOf(docs.filter(col("source") === evalSrc).select(col("doc_id"), col("norm")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    evalSh.count()
     val trainBits = shinglesOf(docs.filter(col("source") =!= evalSrc).select(col("doc_id"), col("norm")))
       .select(col("shingle"))
       .distinct()
       .withColumn("hm", BloomFilter.baseHash(col("shingle")))
       .select(explode(BloomFilter.positions(col("hm"), m, kProbes)).as("pos"))
       .distinct() // <= m rows, structurally
+    bloomProbe(spark, docs, evalSrc, trainBits, m, kProbes, candMicro)
+  }
+
+  /** probe tier of the bloom funnel against an already-built bit-set
+    * table (`trainBits`: one `pos` column, ≤ m rows) — shared by the
+    * batch operator (which derives the bits inline) and the streaming
+    * dual (whose bits are drained state; the set-of-positions is
+    * identical by idempotence, so the outputs match row for row)
+    */
+  private[graft] def bloomProbe(
+      spark: SparkSession,
+      docs: DataFrame,
+      evalSrc: String,
+      trainBits: DataFrame,
+      m: Int,
+      kProbes: Int,
+      candMicro: Long
+  ): DataFrame = {
+    import graft.functions.BloomFilter
+    val evalSh = shinglesOf(docs.filter(col("source") === evalSrc).select(col("doc_id"), col("norm")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    evalSh.count()
     val evalHits = evalSh
       .select(col("shingle"))
       .distinct()

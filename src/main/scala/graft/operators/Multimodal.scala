@@ -497,4 +497,49 @@ object Multimodal {
       .withColumn("keep_bp", expr("min_n * 10000 DIV n_docs"))
       .select(col("modality"), col("n_docs"), col("n_bytes"), col("share_bp"), col("keep_bp"))
   }
+
+  // -------------------------------------------------------------------
+  // 33m. mm_aspect_bucket — ASPECT-RATIO BUCKETING, the batch planner
+  // every image-training pipeline runs before batching: images in one
+  // batch must share an output shape, so each asset is assigned to the
+  // NEAREST of a fixed aspect-ratio ladder (portrait 1:4 … landscape
+  // 4:1, in exact bp = w·10000 DIV h; tie → the smaller/portrait
+  // bucket) and per-bucket batch books are derived (full batches of
+  // `batch`, the remainder reported as dropped — the padding-vs-drop
+  // decision needs the number either way). Assignment is ROW-LOCAL
+  // (array_min over a 7-struct literal ladder — no join), the only
+  // shuffle is the partial-aggregable groupBy onto the ≤7-bucket enum;
+  // at 100 TB this is one scan + a 7-row report. Dimensions come from
+  // the stub decode (deterministic, oracle-reproducible); a real
+  // decoder changes the numbers, never the plan.
+  // -------------------------------------------------------------------
+  def aspectBucket(spark: SparkSession, dir: String, batch: Int = 32): DataFrame = {
+    val ladder = Seq(2500L, 5000L, 7500L, 10000L, 13333L, 20000L, 40000L)
+    val payloads = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val nearest =
+      s"""array_min(transform(array(${ladder.map(_ + "L").mkString(", ")}),
+         |  b -> named_struct('d', abs(ratio_bp - b), 'b', b))).b""".stripMargin
+    decodeAll(spark, payloads)
+      .select(col("doc_id"), col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+      .withColumn("ratio_bp", expr("(width * 10000) DIV height"))
+      .withColumn("bucket_bp", expr(nearest))
+      .groupBy(col("bucket_bp"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        min(col("ratio_bp")).as("lo_ratio_bp"),
+        max(col("ratio_bp")).as("hi_ratio_bp")
+      )
+      .withColumn("n_batches", expr(s"n_assets DIV ${batch}L"))
+      .withColumn("n_dropped", expr(s"n_assets % ${batch}L"))
+      .select(
+        col("bucket_bp"),
+        col("n_assets"),
+        col("n_batches"),
+        col("n_dropped"),
+        col("lo_ratio_bp"),
+        col("hi_ratio_bp")
+      )
+  }
 }

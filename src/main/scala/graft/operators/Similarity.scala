@@ -1481,4 +1481,53 @@ object Similarity {
         max(col("cos_micro")).as("hi_micro")
       )
   }
+
+  /** sign-binarize a quantized vector column `q` into two packed
+    * 32-bit words (`lo` = dims 1–32, `hi` = dims 33–64) carried as
+    * non-negative BIGINTs — the multi-word layout that generalizes to
+    * d > 64 and keeps every shift inside signed-64 range (a single
+    * 64-bit word would need bit 63, whose 1L<<63 is the sign bit and
+    * whose DuckDB `<<` overflows). Shared by the Hamming search and
+    * any future binary-code op.
+    */
+  private[graft] def signPack(lo: Int, hi: Int): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence($lo, $hi),
+         |            j -> IF(element_at(q, j) > 0, shiftleft(CAST(1 AS BIGINT), j - $lo), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
+    )
+
+  // -------------------------------------------------------------------
+  // 27q. ann_hamming_search — BINARY-CODE similarity search: each
+  // vector collapses to its 64-bit sign pattern (1 bit per dimension,
+  // packed into two 32-bit words), and search ranks by Hamming
+  // distance bit_count(xor) — the 32×-compression tier below int8 in
+  // the quantization ladder (float32 256 B → int8 64 B → binary 8 B
+  // per vector). Sign-of-micro-quantized is exact and engine-portable
+  // (ties at 0 map to bit 0 on both sides), xor+bit_count are integer
+  // ops, so ranks are deterministic. The probe side is a ≤nProbes-row
+  // broadcast (the house ANN pattern); the corpus streams map-side,
+  // codes are built row-locally, and the only wide step is the
+  // per-probe top-k that AQE keeps to one small exchange. At 100 TB
+  // the binary code table is what you'd actually scan — 8 bytes/vector
+  // against 256 — with exact rerank on the shortlist (ann_refine
+  // pattern); here the Hamming tier itself is the measured object.
+  // -------------------------------------------------------------------
+  def annHammingSearch(spark: SparkSession, dir: String, nProbes: Int = 5, k: Int = 10): DataFrame = {
+    val codes = quantized(spark, dir)
+      .select(col("vec_id"), signPack(1, 32).as("lo"), signPack(33, 64).as("hi"))
+    val probes = codes
+      .filter(col("vec_id") < nProbes)
+      .toDF("probe_id", "plo", "phi")
+    val ham = (expr("bit_count(lo ^ plo)") + expr("bit_count(hi ^ phi)")).cast("long")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("ham").asc, col("neighbor_id").asc)
+    codes
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), ham.as("ham"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("ham"))
+  }
 }

@@ -2241,4 +2241,64 @@ object TextAnalysis {
         expr("n_both * 10000 * n_docs DIV greatest(n_s1 * n_s2, 1L)").as("overlap_vs_exp_bp")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 31zp. sample_perplexity_filter — the CCNet selection rule: bucket
+  // every document into head/middle/tail by PER-LANGUAGE perplexity
+  // terciles and keep head+middle (the tail is the gibberish/leakage
+  // band a model-based filter would drop). Perplexity proxy is the
+  // integer unigram surprisal (bit-length of N/freq — text_surprisal's
+  // machinery, no float log). The terciles are NOT a doc-grain global
+  // sort: per-doc means land in 1/40-bit HISTOGRAM bins (bounded
+  // domain — mean bits ≤ 63 so ≤ 2520 bins), the cumulative window runs
+  // over the per-lang BIN table, and the tercile threshold bins come
+  // off that ≤|langs|·252-row aggregate — the two-pass histogram-
+  // quantile shape that survives 100 TB where a global NTILE dies on
+  // one reducer. Thresholds re-join the corpus as a per-lang tiny
+  // broadcast; bucketing is then row-local.
+  // -------------------------------------------------------------------
+  def perplexityFilter(spark: SparkSession, dir: String, binMicro: Long = 25000L): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(normText(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val n = toks.agg(count(lit(1)).as("nt"))
+    val perDoc = toks
+      .join(freq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("sbits", expr("CAST(length(bin(nt DIV f)) AS BIGINT)"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("sbits")).as("sum_bits"))
+      .withColumn("mean_micro", expr("sum_bits * 1000000 DIV n_toks"))
+      .withColumn("bin", expr(s"mean_micro DIV ${binMicro}L"))
+    val wl = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val th = perDoc
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("cum", sum(col("nb")).over(wl))
+      .withColumn("total", sum(col("nb")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") * 3 >= col("total"), col("bin"))).as("t1"),
+        min(when(col("cum") * 3 >= col("total") * 2, col("bin"))).as("t2")
+      )
+    perDoc
+      .join(broadcast(th), Seq("lang"))
+      .withColumn(
+        "bucket",
+        when(col("bin") <= col("t1"), lit("head"))
+          .when(col("bin") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail"))
+      )
+      .withColumn("keep", when(col("bin") > col("t2"), lit(0L)).otherwise(lit(1L)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        min(col("keep")).as("keep"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks"),
+        min(col("mean_micro")).as("lo_micro"),
+        max(col("mean_micro")).as("hi_micro")
+      )
+  }
 }

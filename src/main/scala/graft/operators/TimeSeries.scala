@@ -2221,4 +2221,66 @@ object TimeSeries {
         col("st.e").as("sae_c")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 11z4. ts_cusum — two-sided CUSUM drift detector per series over
+  // the hourly means, the retrospective mean-shift audit next to
+  // ts_changepoint's single split: the classic Page recursion
+  //   gp' = max(0, gp + (z − med) − k);  gn' = max(0, gn − (z − med) − k)
+  // with an alarm (and reset — restart-after-alarm, so repeated drifts
+  // each count) whenever either statistic exceeds h. Baseline and
+  // scale are the series' own MEDIAN and MAD of hourly means (lower-
+  // median convention, rank (n+1) DIV 2 — exact integers, no float
+  // quantile), slack k = max(1, MAD DIV 2), threshold h = 5·max(1, MAD)
+  // — self-normalizing, so one parameterization serves every series.
+  // All integer cents; the recursion is inherently sequential per
+  // series, so it runs as ONE aggregate() fold over the sorted hour
+  // array (the kalman pattern): state is four longs regardless of
+  // length, the hourly rollup is the only raw-event shuffle, and the
+  // median/MAD sorts are row-local array sorts at series grain.
+  // -------------------------------------------------------------------
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val gp1 = "greatest(CAST(0 AS BIGINT), acc.gp + (z - med_c) - kk_c)"
+    val gn1 = "greatest(CAST(0 AS BIGINT), acc.gn - (z - med_c) - kk_c)"
+    val fold =
+      s"""aggregate(
+         |  ms,
+         |  named_struct('gp', CAST(0 AS BIGINT), 'gn', CAST(0 AS BIGINT),
+         |               'al', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+         |  (acc, z) -> named_struct(
+         |    'gp', IF($gp1 > hh_c OR $gn1 > hh_c, CAST(0 AS BIGINT), $gp1),
+         |    'gn', IF($gp1 > hh_c OR $gn1 > hh_c, CAST(0 AS BIGINT), $gn1),
+         |    'al', acc.al + IF($gp1 > hh_c OR $gn1 > hh_c, 1L, 0L),
+         |    'mx', greatest(acc.mx, $gp1, $gn1)))""".stripMargin
+    eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .withColumn("mean_c", expr("s DIV n"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sort_array(collect_list(struct(col("hour_id"), col("mean_c")))).as("hm")
+      )
+      .withColumn("ms", expr("transform(hm, p -> p.mean_c)"))
+      // lower median: element at rank (n+1) DIV 2 of the value-sorted array
+      .withColumn("med_c", expr("element_at(sort_array(ms), CAST((size(ms) + 1) DIV 2 AS INT))"))
+      .withColumn(
+        "mad_c",
+        expr("element_at(sort_array(transform(ms, x -> abs(x - med_c))), CAST((size(ms) + 1) DIV 2 AS INT))")
+      )
+      .withColumn("kk_c", expr("greatest(CAST(1 AS BIGINT), mad_c DIV 2)"))
+      .withColumn("hh_c", expr("5L * greatest(CAST(1 AS BIGINT), mad_c)"))
+      .withColumn("st", expr(fold))
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("med_c"),
+        col("mad_c"),
+        col("st.al").as("n_alarms"),
+        col("st.mx").as("max_stat"),
+        col("st.gp").as("gp_final"),
+        col("st.gn").as("gn_final")
+      )
+  }
 }

@@ -1809,6 +1809,48 @@ object StreamingIngest {
     TextAnalysis.cmsProbe(spark, dir, drained, width, depth, k)
   }
 
+  /** approx_bloom_stream — the decontamination BLOOM FILTER as
+    * streaming state: train-side shingles stream in, their k probe
+    * positions fold into the ≤m-row set-bit table (a streaming groupBy
+    * in complete mode — the Bloom OR-merge is an idempotent set union,
+    * so state is bounded by m = 2²⁰ rows at ANY stream length; this is
+    * the filter a 24/7 train-ingest keeps warm so eval probes never
+    * wait for a batch build). The drained bit SET is identical to the
+    * batch build's by idempotence, and the probe tier is shared CODE
+    * ([[graft.operators.Dedup.bloomProbe]]), so the per-eval-doc
+    * output matches dedup_bloom_prefilter row for row — which is why
+    * the batch oracle verifies this stream.
+    */
+  def approxBloomStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.BloomFilter
+    val m       = BloomFilter.DefaultBits
+    val kProbes = BloomFilter.DefaultProbes
+    val docsStatic = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), Dedup.normText(col("text")).as("norm"))
+    val evalSrc = docsStatic.agg(min(col("source"))).head().getString(0)
+    require(evalSrc != null, "approx_bloom_stream: empty corpus")
+    val schema = Tables.documents(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val bits = reader
+      .parquet(s"$dir/documents.parque[t]")
+      .filter(col("source") =!= evalSrc)
+      .select(col("doc_id"), Dedup.normText(col("text")).as("norm"))
+      .transform(df => Dedup.shinglesOf(df))
+      .withColumn("hm", BloomFilter.baseHash(col("shingle")))
+      .select(explode(BloomFilter.positions(col("hm"), m, kProbes)).as("pos"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n")) // set-bit table: presence is the state, n is discarded
+    val drained = runToMemory(spark, bits, "complete").select(col("pos"))
+    Dedup.bloomProbe(spark, docsStatic, evalSrc, drained, m, kProbes, 200000L)
+  }
+
   def approxHllStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Relational
     val schema = Tables.eventsFileSchema(spark, dir)

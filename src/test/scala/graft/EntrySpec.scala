@@ -53,6 +53,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_knn_join",              // same ≤8-row centroid broadcast; the query↔corpus meet is a cell-keyed equi-join
     "ann_knn_recall",            // bounded eval-probe broadcast for the brute-force truth + the knn join's own centroid broadcast
     "ann_cell_skew",             // ≤8-row centroid broadcast for the assignment pass
+    "ann_hamming_search",        // same ≤5-row probe broadcast over the binary-code table
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
     "ann_index_delete",          // same tail over the tombstone-pruned index

@@ -132,7 +132,12 @@ class ScaleSpec extends AnyFunSuite {
     "graph_clustering_coeff",
     "graph_assortativity",
     "ann_recall_vs_nprobe",
-    "text_winnowing"
+    "text_winnowing",
+    // round-9 seventh-session additions with data-proportional work
+    "ann_hamming_search",
+    "ts_cusum",
+    "mm_aspect_bucket",
+    "sample_perplexity_filter"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

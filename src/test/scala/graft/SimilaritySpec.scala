@@ -377,4 +377,19 @@ class SimilaritySpec extends AnyFunSuite {
     val corpus = graft.sources.Tables.embeddings(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_pairs")).sum === 5L * (corpus - 1L))
   }
+
+  test("hamming search: ranks dense and ham-monotone, distances in [0,64], never self") {
+    val rows = Similarity.annHammingSearch(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((p, rs) <- byProbe) {
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to sorted.length).toSeq)
+      // ham non-decreasing in rank (the ranking key), all within the code width
+      val hams = sorted.map(_.getAs[Long]("ham")).toSeq
+      assert(hams === hams.sorted)
+      assert(hams.forall(h => h >= 0L && h <= 64L))
+      assert(sorted.forall(_.getAs[Long]("neighbor_id") != p))
+    }
+  }
 }

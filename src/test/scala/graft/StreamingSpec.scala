@@ -503,6 +503,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cms probe rows missing from stream")
   }
 
+  test("bloom stream: two-batch replay drains the identical set-bit table (OR-merge idempotence)") {
+    // Bloom set-bits are a set union across micro-batches, so the
+    // drained bit table is the batch build's bit-for-bit; the shared
+    // probe tier then makes the per-eval-doc output identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_stream").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = docs.selectExpr("approx_percentile(doc_id, 0.5)").head().getAs[Number](0).longValue()
+    val evdir = s"$dir/documents.parquet"
+    docs.filter(col("doc_id") <= cut).coalesce(1).write.mode("append").parquet(evdir)
+    Thread.sleep(1100)
+    docs.filter(col("doc_id") > cut).coalesce(1).write.mode("append").parquet(evdir)
+    val streamed = StreamingIngest.approxBloomStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.Dedup.bloomPrefilter(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed bloom rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch bloom rows missing from stream")
+  }
+
   test("cap stream: two-batch replay drains the exact batch reservoir (min-k merge algebra)") {
     // hash-order bottom-k is arrival-order-insensitive, so the
     // two-batch replay over the REAL sf corpus must drain to the

@@ -602,6 +602,59 @@ class TextSpec extends AnyFunSuite {
     assert(total === route, "the plan conserves the routed corpus")
   }
 
+  test("aspect bucket: assignment is nearest-rung, books conserve the corpus and the batch split") {
+    val ladder = Seq(2500L, 5000L, 7500L, 10000L, 13333L, 20000L, 40000L)
+    def nearest(r: Long): Long = ladder.minBy(b => (math.abs(r - b), b))
+    val rows = graft.operators.Multimodal.aspectBucket(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= ladder.length)
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === docs, "buckets conserve the corpus")
+    for (r <- rows) {
+      val b = r.getAs[Long]("bucket_bp")
+      assert(ladder.contains(b))
+      val (lo, hi) = (r.getAs[Long]("lo_ratio_bp"), r.getAs[Long]("hi_ratio_bp"))
+      assert(lo <= hi)
+      // the bucket's extreme members are themselves nearest to this rung
+      assert(nearest(lo) === b, s"lo ratio $lo not nearest to $b")
+      assert(nearest(hi) === b, s"hi ratio $hi not nearest to $b")
+      assert(r.getAs[Long]("n_batches") * 32L + r.getAs[Long]("n_dropped") === r.getAs[Long]("n_assets"))
+      assert(r.getAs[Long]("n_dropped") >= 0L && r.getAs[Long]("n_dropped") < 32L)
+    }
+  }
+
+  test("perplexity filter: buckets partition each lang, terciles balanced, bands ordered and keep marks the tail") {
+    val rows = graft.operators.TextAnalysis.perplexityFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    for ((lang, rs) <- byLang) {
+      val buckets = rs.map(_.getAs[String]("bucket")).toSet
+      assert(buckets.subsetOf(Set("head", "middle", "tail")))
+      val total = rs.map(_.getAs[Long]("n_docs")).sum
+      val head = rs.filter(_.getAs[String]("bucket") == "head").map(_.getAs[Long]("n_docs")).sum
+      assert(head * 3L >= total, s"$lang head band under a tercile: $head of $total")
+      for (r <- rs) {
+        val keep = r.getAs[Long]("keep")
+        assert(if (r.getAs[String]("bucket") == "tail") keep === 0L else keep === 1L)
+        assert(r.getAs[Long]("lo_micro") <= r.getAs[Long]("hi_micro"))
+      }
+      // band ranges are ordered: every head doc scores below every middle doc's bin etc.
+      def hiOf(b: String) = rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("hi_micro"))
+      def loOf(b: String) = rs.filter(_.getAs[String]("bucket") == b).map(_.getAs[Long]("lo_micro"))
+      for (h <- hiOf("head"); m <- loOf("middle")) assert(h / 25000L < m / 25000L)
+      for (m <- hiOf("middle"); t <- loOf("tail")) assert(m / 25000L < t / 25000L)
+    }
+    // the filter partitions the corpus: per-lang doc counts conserve
+    val docTotals = graft.sources.Tables
+      .documents(spark, sf)
+      .groupBy(col("lang"))
+      .count()
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count"))
+      .toMap
+    for ((lang, rs) <- byLang)
+      assert(rs.map(_.getAs[Long]("n_docs")).sum === docTotals(lang))
+  }
+
   test("split leakage: cells conserve the pair total, leak flag marks exactly the cross cells") {
     val cells = graft.operators.TextAnalysis.splitLeakage(spark, sf).collect()
     assert(cells.nonEmpty)

@@ -459,6 +459,51 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.values.forall { case (_, _, p, _, _) => p >= 0 && p < R })
   }
 
+  test("cusum: the fold replays Page's alarm-reset recursion exactly, med/mad are lower medians") {
+    import graft.functions.FixedPoint.cents
+    val means = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 3600000000").as("hour_id"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hour_id"))
+      .agg(expr("sum(v) DIV count(1)").as("m"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toList)
+      .toMap
+    def lowerMedian(xs: List[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2 - 1).max(0))
+    val expected = means.map { case (u, ms) =>
+      val med = lowerMedian(ms)
+      val mad = lowerMedian(ms.map(x => math.abs(x - med)))
+      val kk  = math.max(1L, mad / 2)
+      val hh  = 5L * math.max(1L, mad)
+      var gp = 0L; var gn = 0L; var al = 0L; var mx = 0L
+      for (z <- ms) {
+        val gp1 = math.max(0L, gp + (z - med) - kk)
+        val gn1 = math.max(0L, gn - (z - med) - kk)
+        mx = math.max(mx, math.max(gp1, gn1))
+        if (gp1 > hh || gn1 > hh) { gp = 0L; gn = 0L; al += 1 }
+        else { gp = gp1; gn = gn1 }
+      }
+      u -> ((ms.size.toLong, med, mad, al, mx, gp, gn))
+    }
+    val got = TimeSeries
+      .cusum(spark, sf)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))
+      )
+      .toMap
+    assert(got.keySet === expected.keySet)
+    for ((u, exp) <- expected)
+      assert(got(u) === exp, s"cusum series $u: got ${got(u)}, expected $exp")
+    // after a reset both statistics restart below the threshold
+    assert(got.values.forall { case (_, _, mad, _, _, gp, gn) =>
+      val hh = 5L * math.max(1L, mad); gp <= hh && gn <= hh
+    })
+  }
+
   test("drawdown: per-series summary replays the sequential peak walk") {
     import graft.functions.FixedPoint.cents
     val rows = TimeSeries
