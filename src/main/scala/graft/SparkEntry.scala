@@ -64,6 +64,8 @@ object SparkEntry {
     "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
+    "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
+    "rel_interval_union" -> ((s, d) => Relational.intervalUnion(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
@@ -259,6 +261,8 @@ object SparkEntry {
     "ann_recall_vs_nprobe" -> ((s, d) => Similarity.recallVsNprobe(s, d)),
     "emb_pq_distortion"   -> ((s, d) => Similarity.pqDistortion(s, d)),
     "ann_hamming_search"  -> ((s, d) => Similarity.annHammingSearch(s, d)),
+    "ann_hamming_rerank"  -> ((s, d) => Similarity.annHammingRerank(s, d)),
+    "ann_hamming_recall"  -> ((s, d) => Similarity.annHammingRecall(s, d)),
     "ann_stream_search"   -> ((s, d) => graft.sources.StreamingIngest.annStreamSearch(s, d)),
     "ann_stream_index"    -> ((s, d) => graft.sources.StreamingIngest.annStreamIndex(s, d)),
     // -- text analysis ----------------------------------------------------
@@ -1055,6 +1059,40 @@ object SparkEntry {
        |FROM (SELECT * FROM ex UNION ALL SELECT * FROM nr) GROUP BY 1, 2""".stripMargin
 
   /** DuckDB oracle SQL for dedup / similarity / text / multimodal. */
+  /** binary sign-code CTEs (two 32-bit words) + hamming top-10 —
+    * shared by the raw search, the rerank chain, and the recall eval
+    */
+  private lazy val hammingCodesCtes: String =
+    s"""$quantCtes,
+       |hb AS (SELECT vec_id,
+       |        CAST(SUM(CASE WHEN v > 0 AND i <= 32 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS lo,
+       |        CAST(SUM(CASE WHEN v > 0 AND i >= 33 THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS BIGINT) AS hi
+       |      FROM q GROUP BY 1),
+       |hp AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM hb WHERE vec_id < 5),
+       |hd AS (SELECT hp.probe_id, hb.vec_id AS neighbor_id,
+       |        CAST(bit_count(xor(hb.lo, hp.plo)) + bit_count(xor(hb.hi, hp.phi)) AS BIGINT) AS ham
+       |      FROM hb JOIN hp ON hb.vec_id != hp.probe_id)""".stripMargin
+
+  private lazy val hammingTopkOracleSql: String =
+    s"""WITH $hammingCodesCtes,
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ham ASC, neighbor_id ASC) AS rn FROM hd)
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ham FROM r WHERE rn <= 10""".stripMargin
+
+  private lazy val hammingRerankOracleSql: String =
+    s"""WITH $hammingCodesCtes,
+       |hs AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ham ASC, neighbor_id ASC) AS ham_rnk
+       |                      FROM hd) WHERE ham_rnk <= 50),
+       |hdot AS (SELECT hs.probe_id, hs.neighbor_id, CAST(hs.ham_rnk AS BIGINT) AS ham_rnk,
+       |          CAST(SUM(a.v * b.v) AS BIGINT) AS dt
+       |        FROM hs JOIN q a ON a.vec_id = hs.probe_id
+       |        JOIN q b ON b.vec_id = hs.neighbor_id AND b.i = a.i
+       |        GROUP BY 1, 2, 3),
+       |hcos AS (SELECT d.probe_id, d.neighbor_id, d.ham_rnk,
+       |          CAST(d.dt AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+       |        FROM hdot d JOIN n na ON na.vec_id = d.probe_id JOIN n nb ON nb.vec_id = d.neighbor_id),
+       |hrr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS rn FROM hcos)
+       |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ham_rnk, cos FROM hrr WHERE rn <= 10""".stripMargin
+
   /** bloom-funnel oracle, shared by the batch prefilter and its
     * streaming dual (identical drained bit set by idempotence +
     * shared probe code ⇒ identical per-doc output)
@@ -2081,18 +2119,23 @@ object SparkEntry {
     // binary sign codes packed into two 32-bit words (lo = dims 1–32,
     // hi = 33–64) so every shift stays in signed-64 range on both
     // engines; Hamming = bit_count(xor) per word, summed
-    "ann_hamming_search" ->
-      s"""WITH $quantCtes,
-         |b AS (SELECT vec_id,
-         |        CAST(SUM(CASE WHEN v > 0 AND i <= 32 THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS lo,
-         |        CAST(SUM(CASE WHEN v > 0 AND i >= 33 THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS BIGINT) AS hi
-         |      FROM q GROUP BY 1),
-         |p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi FROM b WHERE vec_id < 5),
-         |d AS (SELECT p.probe_id, b.vec_id AS neighbor_id,
-         |        CAST(bit_count(xor(b.lo, p.plo)) + bit_count(xor(b.hi, p.phi)) AS BIGINT) AS ham
-         |      FROM b JOIN p ON b.vec_id != p.probe_id),
-         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ham ASC, neighbor_id ASC) AS rn FROM d)
-         |SELECT probe_id, neighbor_id, CAST(rn AS BIGINT) AS rnk, ham FROM r WHERE rn <= 10""".stripMargin,
+    "ann_hamming_search" -> hammingTopkOracleSql,
+    // two-stage: hamming shortlist-50 group-limit, exact-cosine rerank
+    // of the shortlist only (the float cos is IEEE-identical from
+    // exact integer dot/norms — the bruteforce oracle's precedent)
+    "ann_hamming_rerank" -> hammingRerankOracleSql,
+    "ann_hamming_recall" ->
+      s"""SELECT t.probe_id,
+         |  CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_binary,
+         |  CAST(SUM(CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_rerank,
+         |  CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 10 AS BIGINT) AS recall_binary_bp,
+         |  CAST(SUM(CASE WHEN rr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 10000 // 10 AS BIGINT) AS recall_rerank_bp
+         |FROM ($bruteTopkOracleSql) t
+         |LEFT JOIN ($hammingTopkOracleSql) r
+         |  ON r.probe_id = t.probe_id AND r.neighbor_id = t.neighbor_id
+         |LEFT JOIN ($hammingRerankOracleSql) rr
+         |  ON rr.probe_id = t.probe_id AND rr.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin,
     "ann_recall_eval" ->
       s"""SELECT t.probe_id,
          |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
@@ -3616,6 +3659,55 @@ object SparkEntry {
     // truncating integer recursion on both engines (Spark DIV and
     // DuckDB // truncate toward zero; z - x goes negative); p is
     // self-bounding below R so no intermediate nears 2^63
+    // dow = (epoch_days + 4) % 7 on both engines — integer arithmetic,
+    // no locale-dependent date function
+    "ts_weekly_profile" ->
+      """WITH e AS (SELECT event_type,
+        |             (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |             (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |g AS (SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+        |        CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv
+        |      FROM e GROUP BY 1, 2, 3)
+        |SELECT event_type, dow, hod, n, CAST(sv // n AS BIGINT) AS mean_c,
+        |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_bp
+        |FROM g""".stripMargin,
+    // the +1/−1 sweep integrated: covered = Σ gap·[open>0], segments
+    // via the 0→positive transition counter — windows all per-supplier
+    "rel_interval_union" ->
+      """WITH iv AS (SELECT l_suppkey,
+        |        CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS s,
+        |        CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) + 1 AS e
+        |      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |ev AS (SELECT l_suppkey, t, CAST(SUM(d) AS BIGINT) AS d,
+        |         CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS starts
+        |       FROM (SELECT l_suppkey, s AS t, 1 AS d FROM iv
+        |             UNION ALL SELECT l_suppkey, e AS t, -1 AS d FROM iv)
+        |       GROUP BY 1, 2),
+        |op AS (SELECT l_suppkey, t, starts,
+        |         SUM(d) OVER (PARTITION BY l_suppkey ORDER BY t) AS open
+        |       FROM ev),
+        |sw AS (SELECT l_suppkey, t, starts, open,
+        |         LEAD(t) OVER (PARTITION BY l_suppkey ORDER BY t) AS next_t,
+        |         COALESCE(LAG(open) OVER (PARTITION BY l_suppkey ORDER BY t), 0) AS prev_open
+        |       FROM op),
+        |sg AS (SELECT *, CASE WHEN open > 0 THEN next_t - t ELSE 0 END AS covered,
+        |         SUM(CASE WHEN open > 0 AND prev_open = 0 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY l_suppkey ORDER BY t) AS seg_id
+        |       FROM sw),
+        |segs AS (SELECT l_suppkey, seg_id, CAST(SUM(covered) AS BIGINT) AS seg_days
+        |         FROM sg WHERE open > 0 GROUP BY 1, 2),
+        |pseg AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |           CAST(SUM(seg_days) AS BIGINT) AS covered_days,
+        |           CAST(MAX(seg_days) AS BIGINT) AS longest_days
+        |         FROM segs GROUP BY 1),
+        |piv AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |          CAST(MIN(s) AS BIGINT) AS lo, CAST(MAX(e) AS BIGINT) AS hi
+        |        FROM iv GROUP BY 1)
+        |SELECT piv.l_suppkey, piv.n_intervals, pseg.n_segments, pseg.covered_days,
+        |  pseg.longest_days, CAST(piv.hi - piv.lo AS BIGINT) AS span_days,
+        |  CAST(pseg.covered_days * 10000 // (piv.hi - piv.lo) AS BIGINT) AS util_bp
+        |FROM piv JOIN pseg ON pseg.l_suppkey = piv.l_suppkey""".stripMargin,
     // Page's two-sided CUSUM: med/MAD are the lower-median convention
     // (value at rank (n+1)//2 — a ROW_NUMBER pick here, an array index
     // on the Spark side; equal values make the tiebreak irrelevant),

@@ -2178,4 +2178,73 @@ object Relational {
       )
       .select(col("l_suppkey"), col("n_intervals"), col("max_open"), col("peak_day"))
   }
+
+  // -------------------------------------------------------------------
+  // rel_interval_union — UNION-OF-INTERVALS coverage per supplier, the
+  // companion read to rel_max_concurrency's peak: the same +1/−1 sweep
+  // line, but integrated — covered days (length of the union), merged
+  // SEGMENT count (maximal busy runs), the longest segment, and the
+  // utilization share of the active span. The classic "how busy was
+  // this resource, really" audit that naive sum-of-durations
+  // double-counts whenever intervals overlap. Plan shape: intervals
+  // collapse to per-(key, day) net-delta events BEFORE any window (one
+  // supplier-keyed shuffle serves the running sum, the lead/lag, and
+  // the segment aggregation), coverage = Σ gap·[open>0], segments via
+  // the 0→positive transition counter — all per-key windows, nothing
+  // corpus-global.
+  // -------------------------------------------------------------------
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .select(
+        col("l_suppkey"),
+        datediff(col("o_orderdate"), lit(java.sql.Date.valueOf("1992-01-01"))).cast("long").as("s"),
+        (datediff(col("l_shipdate"), lit(java.sql.Date.valueOf("1992-01-01"))).cast("long") + 1L).as("e")
+      )
+    val events = iv
+      .select(col("l_suppkey"), col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("l_suppkey"), col("e").as("t"), lit(-1L).as("delta")))
+      .groupBy(col("l_suppkey"), col("t"))
+      .agg(sum(col("delta")).as("d"), sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+    val wRun  = Window.partitionBy(col("l_suppkey")).orderBy(col("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col("l_suppkey")).orderBy(col("t"))
+    val swept = events
+      .withColumn("open", sum(col("d")).over(wRun))
+      .withColumn("next_t", lead(col("t"), 1).over(wLead))
+      .withColumn("prev_open", lag(col("open"), 1, 0L).over(wLead))
+      // every open>0 row has a successor: the final event per key
+      // closes the last interval, so its open is 0 by construction
+      .withColumn("covered", when(col("open") > 0, col("next_t") - col("t")).otherwise(lit(0L)))
+      .withColumn("seg_start", when(col("open") > 0 && col("prev_open") === 0L, 1L).otherwise(0L))
+      .withColumn("seg_id", sum(col("seg_start")).over(wRun))
+    val segs = swept
+      .filter(col("open") > 0)
+      .groupBy(col("l_suppkey"), col("seg_id"))
+      .agg(sum(col("covered")).as("seg_days"))
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("seg_days")).as("covered_days"),
+        max(col("seg_days")).as("longest_days")
+      )
+    iv.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_intervals"), min(col("s")).as("lo"), max(col("e")).as("hi"))
+      .join(segs, Seq("l_suppkey"))
+      .withColumn("span_days", expr("hi - lo"))
+      .withColumn("util_bp", expr("covered_days * 10000 DIV span_days"))
+      .select(
+        col("l_suppkey"),
+        col("n_intervals"),
+        col("n_segments"),
+        col("covered_days"),
+        col("longest_days"),
+        col("span_days"),
+        col("util_bp")
+      )
+  }
 }

@@ -1530,4 +1530,73 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("ham"))
   }
+
+  // -------------------------------------------------------------------
+  // 27r. ann_hamming_rerank — the production TWO-STAGE search: a cheap
+  // binary-code scan shortlists `shortlist` candidates per probe by
+  // Hamming distance (8 bytes/vector — what the 100 TB first pass
+  // actually reads), then the exact integer-dot cosine reranks ONLY
+  // the shortlist (exact arithmetic touches shortlist·P rows, never
+  // the corpus). Both ranks are emitted so the reorder is visible:
+  // ham_rnk is where the binary tier had the neighbor, rnk is where
+  // exact cosine puts it. Plan shape: one corpus pass builds codes
+  // row-locally, the hamming window group-limits to the shortlist
+  // BEFORE any dot product is evaluated, and the rerank window runs
+  // over ≤ shortlist rows per probe.
+  // -------------------------------------------------------------------
+  def annHammingRerank(
+      spark: SparkSession,
+      dir: String,
+      nProbes: Int = 5,
+      shortlist: Int = 50,
+      k: Int = 10
+  ): DataFrame = {
+    val base = quantized(spark, dir)
+      .withColumn("lo", signPack(1, 32))
+      .withColumn("hi", signPack(33, 64))
+    val probes = base
+      .filter(col("vec_id") < nProbes)
+      .toDF("probe_id", "pq", "pn2", "plo", "phi")
+    val ham = (expr("bit_count(lo ^ plo)") + expr("bit_count(hi ^ phi)")).cast("long")
+    val wHam = Window.partitionBy(col("probe_id")).orderBy(col("ham").asc, col("neighbor_id").asc)
+    val wCos = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    base
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), ham.as("ham"), col("q"), col("n2"), col("pq"), col("pn2"))
+      .withColumn("ham_rnk", row_number().over(wHam).cast("long"))
+      .filter(col("ham_rnk") <= shortlist)
+      .withColumn("cos", cosineQ(dotQ(col("pq"), col("q")), col("pn2"), col("n2")))
+      .withColumn("rnk", row_number().over(wCos).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rnk"), col("ham_rnk"), col("cos"))
+  }
+
+  // -------------------------------------------------------------------
+  // 27s. ann_hamming_recall — the binary tier's measured operating
+  // point (the recall-eval discipline: approximations publish their
+  // own error): per probe, recall@10 of the RAW hamming top-10 and of
+  // the RERANKED top-10 (hamming shortlist-50 → exact rerank) against
+  // the exact cosine truth. The gap between the two columns is the
+  // rerank's recovered recall — the number that justifies the
+  // two-stage design.
+  // -------------------------------------------------------------------
+  def annHammingRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val truth = annTopkBruteForce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val raw = annHammingSearch(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit_raw"))
+    val rr = annHammingRerank(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("hit_rr"))
+    truth
+      .join(raw, Seq("probe_id", "neighbor_id"), "left")
+      .join(rr, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(coalesce(col("hit_raw"), lit(0L))).as("n_hits_binary"),
+        sum(coalesce(col("hit_rr"), lit(0L))).as("n_hits_rerank")
+      )
+      .withColumn("recall_binary_bp", expr(s"n_hits_binary * 10000 DIV ${k}L"))
+      .withColumn("recall_rerank_bp", expr(s"n_hits_rerank * 10000 DIV ${k}L"))
+  }
 }

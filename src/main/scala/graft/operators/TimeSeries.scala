@@ -2223,6 +2223,34 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11z5. ts_weekly_profile — the DOW×HOD occupancy matrix per event
+  // type: the 7×24 weekly heatmap behind capacity planning and
+  // anomaly baselines (ts_seasonal_profile is the hour-of-day cut per
+  // SERIES; this is the full weekly grid per TYPE). Day-of-week is
+  // pure integer arithmetic — (epoch_days + 4) % 7, 0 = Sunday
+  // (1970-01-01 was a Thursday) — identical on both engines, no
+  // locale-dependent date function. One partial-aggregable groupBy
+  // onto the |types|·168-cell key space; the share window runs over
+  // that bounded aggregate, never raw events.
+  // -------------------------------------------------------------------
+  def weeklyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wType = Window.partitionBy(col("event_type"))
+    eventsUs(spark, dir)
+      .select(
+        col("event_type"),
+        expr(s"(ts_us DIV ${DayUs}L + 4) % 7").as("dow"),
+        expr(s"(ts_us DIV ${HourUs}L) % 24").as("hod"),
+        cents(col("value")).as("v")
+      )
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .withColumn("mean_c", expr("sv DIV n"))
+      .withColumn("total", sum(col("n")).over(wType))
+      .withColumn("share_bp", expr("n * 10000 DIV total"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n"), col("mean_c"), col("share_bp"))
+  }
+
+  // -------------------------------------------------------------------
   // 11z4. ts_cusum — two-sided CUSUM drift detector per series over
   // the hourly means, the retrospective mean-shift audit next to
   // ts_changepoint's single split: the classic Page recursion

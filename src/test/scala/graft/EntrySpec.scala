@@ -54,6 +54,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_knn_recall",            // bounded eval-probe broadcast for the brute-force truth + the knn join's own centroid broadcast
     "ann_cell_skew",             // ≤8-row centroid broadcast for the assignment pass
     "ann_hamming_search",        // same ≤5-row probe broadcast over the binary-code table
+    "ann_hamming_rerank",        // same probe broadcast; exact dot only after the shortlist group-limit
+    "ann_hamming_recall",        // composes bruteforce + hamming tiers, all already whitelisted
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
     "ann_index_delete",          // same tail over the tombstone-pruned index
@@ -82,6 +84,7 @@ class EntrySpec extends AnyFunSuite {
     "dedup_recall_eval",         // three 1-row count-aggregate broadcasts into the summary row
     "graph_triangles",           // 1-row count broadcasts into the census row
     "text_surprisal",            // 1-row corpus-token-count broadcast
+    "sample_perplexity_filter",  // the same 1-row corpus-token-count broadcast under the surprisal stage
     "dedup_lsh_tune",            // 1-row truth-count + 4-row config broadcasts
     "approx_kmv_setops",         // |types|²-bounded pair frame: self-join of the 1-row-per-type sketch summary + pair↔sketch tag join, both sides tiny broadcasts
     "dedup_source_overlap",      // same shape over sources: |sources|²-bounded pair frame of 1-row-per-source sketch summaries + pair↔sketch tag join, both sides tiny broadcasts

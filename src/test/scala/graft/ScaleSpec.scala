@@ -137,7 +137,10 @@ class ScaleSpec extends AnyFunSuite {
     "ann_hamming_search",
     "ts_cusum",
     "mm_aspect_bucket",
-    "sample_perplexity_filter"
+    "sample_perplexity_filter",
+    "ann_hamming_rerank",
+    "ts_weekly_profile",
+    "rel_interval_union"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -378,6 +378,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum === 5L * (corpus - 1L))
   }
 
+  test("hamming rerank: rerank set is inside the shortlist, cosine-monotone, recall never degrades") {
+    val rows = Similarity.annHammingRerank(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    for ((_, rs) <- byProbe) {
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to sorted.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cos")).toSeq
+      assert(cos === cos.sorted.reverse, "rerank order is not cosine-descending")
+      assert(sorted.forall(r => r.getAs[Long]("ham_rnk") >= 1L && r.getAs[Long]("ham_rnk") <= 50L))
+    }
+    // the recall eval: rerank recall >= raw binary recall on every probe
+    val rec = Similarity.annHammingRecall(spark, sf).collect()
+    assert(rec.length === 5)
+    for (r <- rec) {
+      assert(r.getAs[Long]("n_hits_rerank") >= r.getAs[Long]("n_hits_binary"),
+        s"probe ${r.getAs[Long]("probe_id")}: rerank lost recall vs the raw binary tier")
+      assert(r.getAs[Long]("recall_rerank_bp") <= 10000L)
+    }
+  }
+
   test("hamming search: ranks dense and ham-monotone, distances in [0,64], never self") {
     val rows = Similarity.annHammingSearch(spark, sf).collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))

@@ -210,4 +210,39 @@ class SkewJoinSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("l_suppkey") -> ((r.getAs[Long]("n_intervals"), r.getAs[Long]("max_open"), r.getAs[Long]("peak_day")))).toMap
     assert(out === Map(1L -> ((3L, 3L, 2L)), 2L -> ((2L, 1L, 0L))))
   }
+
+  test("interval union: hand-built overlap pattern lands coverage, segments, longest run") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_iu").toString
+    def d(day: Int) = java.sql.Timestamp.valueOf(f"1992-01-${day + 1}%02d 00:00:00")
+    // supplier 1: [0,3),[1,4),[2,3) -> union [0,4): covered 4, 1 segment
+    // supplier 2: [0,1),[2,3) -> covered 2, 2 segments, span 3
+    Seq(
+      (10L, 1L, d(2)), (11L, 1L, d(3)), (12L, 1L, d(2)),
+      (20L, 2L, d(0)), (21L, 2L, d(2))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate").write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(
+      (10L, d(0)), (11L, d(1)), (12L, d(2)),
+      (20L, d(0)), (21L, d(2))
+    ).toDF("o_orderkey", "o_orderdate").write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = graft.operators.Relational
+      .intervalUnion(spark, dir)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("l_suppkey") -> ((r.getAs[Long]("n_intervals"), r.getAs[Long]("n_segments"),
+          r.getAs[Long]("covered_days"), r.getAs[Long]("longest_days"), r.getAs[Long]("span_days"),
+          r.getAs[Long]("util_bp")))
+      )
+      .toMap
+    assert(out === Map(1L -> ((3L, 1L, 4L, 4L, 4L, 10000L)), 2L -> ((2L, 2L, 2L, 1L, 3L, 6666L))))
+    // structural invariants on the real corpus
+    val sfRows = graft.operators.Relational.intervalUnion(spark, sf).collect()
+    assert(sfRows.nonEmpty)
+    for (r <- sfRows) {
+      assert(r.getAs[Long]("covered_days") <= r.getAs[Long]("span_days"))
+      assert(r.getAs[Long]("longest_days") <= r.getAs[Long]("covered_days"))
+      assert(r.getAs[Long]("n_segments") >= 1L && r.getAs[Long]("n_segments") <= r.getAs[Long]("n_intervals"))
+      assert(r.getAs[Long]("util_bp") >= 1L && r.getAs[Long]("util_bp") <= 10000L)
+    }
+  }
 }

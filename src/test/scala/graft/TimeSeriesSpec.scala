@@ -459,6 +459,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.values.forall { case (_, _, p, _, _) => p >= 0 && p < R })
   }
 
+  test("weekly profile: cells legal, counts conserve the corpus, shares close within floor loss") {
+    val rows = TimeSeries.weeklyProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = TimeSeries.eventsUs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === total, "cells conserve the corpus")
+    for (r <- rows) {
+      assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L)
+      assert(r.getAs[Long]("hod") >= 0L && r.getAs[Long]("hod") <= 23L)
+      assert(r.getAs[Long]("share_bp") >= 0L && r.getAs[Long]("share_bp") <= 10000L)
+    }
+    for ((_, rs) <- rows.groupBy(_.getAs[String]("event_type"))) {
+      assert(rs.length <= 168)
+      val s = rs.map(_.getAs[Long]("share_bp")).sum
+      assert(s > 10000L - rs.length && s <= 10000L, s"shares sum $s out of the floor-loss band")
+    }
+    // 2024-01-01 (epoch day 19723) was a Monday: (19723 + 4) % 7 = 1
+    assert((19723L + 4L) % 7L === 1L)
+  }
+
   test("cusum: the fold replays Page's alarm-reset recursion exactly, med/mad are lower medians") {
     import graft.functions.FixedPoint.cents
     val means = TimeSeries
