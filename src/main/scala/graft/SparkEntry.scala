@@ -65,6 +65,7 @@ object SparkEntry {
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
+    "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
     "rel_interval_union" -> ((s, d) => Relational.intervalUnion(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
@@ -3600,6 +3601,42 @@ object SparkEntry {
        |JOIN p0 p ON p.user_id = r.user_id""".stripMargin
   }
 
+  /** ts_profile_cluster oracle — the unrolled integer Lloyd over
+    * mean-centered 24-slot hod profiles (pqLloydCtes discipline: the
+    * centroid average is the exact FLOOR (s − pmod)/n because centered
+    * values go negative)
+    */
+  private val profileClusterOracleSql: String = {
+    val iters = 2
+    val rounds = (0 until iters).map { t =>
+      s"""ad$t AS (SELECT q.vec_id, c.code, CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+         |        FROM q JOIN cb$t c ON c.i = q.i GROUP BY 1, 2),
+         |as$t AS (SELECT vec_id, code FROM
+         |        (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM ad$t)
+         |        WHERE rn = 1),
+         |cb${t + 1} AS (SELECT a.code, q.i,
+         |         CAST((SUM(q.v) - (((SUM(q.v) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS v
+         |       FROM as$t a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, (epoch_us(ts) // 3600000000) % 24 AS hod,
+       |            CAST(round(value*100) AS BIGINT) AS v FROM events),
+       |hm AS (SELECT user_id, hod, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m FROM e GROUP BY 1, 2),
+       |grid AS (SELECT u.user_id, h.hod FROM (SELECT DISTINCT user_id FROM e) u,
+       |         (SELECT unnest(generate_series(0, 23)) AS hod) h),
+       |p AS (SELECT g.user_id, g.hod AS i, CAST(COALESCE(hm.m, 0) AS BIGINT) AS pv
+       |      FROM grid g LEFT JOIN hm ON hm.user_id = g.user_id AND hm.hod = g.hod),
+       |mu AS (SELECT user_id, CAST(SUM(pv) // 24 AS BIGINT) AS mu FROM p GROUP BY 1),
+       |q AS (SELECT p.user_id AS vec_id, p.i, CAST(p.pv - mu.mu AS BIGINT) AS v
+       |      FROM p JOIN mu ON mu.user_id = p.user_id),
+       |cb0 AS (SELECT vec_id AS code, i, v FROM q WHERE vec_id < 4),
+       |$rounds,
+       |adF AS (SELECT q.vec_id, c.code, CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT) AS d2
+       |        FROM q JOIN cb$iters c ON c.i = q.i GROUP BY 1, 2)
+       |SELECT vec_id AS user_id, CAST(code AS BIGINT) AS cluster, d2 FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, code ASC) AS rn FROM adF)
+       |WHERE rn = 1""".stripMargin
+  }
+
   private val tsOracles: Map[String, String] = Map(
     // Benford first-digit audit: strictly-positive cents, leading
     // decimal digit from the string head, bp share over the ≤9-row
@@ -3659,6 +3696,7 @@ object SparkEntry {
     // truncating integer recursion on both engines (Spark DIV and
     // DuckDB // truncate toward zero; z - x goes negative); p is
     // self-bounding below R so no intermediate nears 2^63
+    "ts_profile_cluster" -> profileClusterOracleSql,
     // dow = (epoch_days + 4) % 7 on both engines — integer arithmetic,
     // no locale-dependent date function
     "ts_weekly_profile" ->

@@ -2223,6 +2223,71 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11z6. ts_profile_cluster — LOAD-SHAPE CLUSTERING of the series
+  // fleet: each series collapses to its 24-slot hour-of-day profile
+  // (mean cents per hod, missing slots 0), MEAN-CENTERED so clustering
+  // sees shape rather than scale, then k-means in exact integer
+  // arithmetic (the ann_ivf_kmeans Lloyd discipline: deterministic
+  // first-k seeds, argmin by (d2, code), centroid = true integer FLOOR
+  // (s − pmod(s, n)) DIV n — centered values go negative, trunc would
+  // drift). The fleet-segmentation read a capacity planner runs:
+  // "which of my million series share a daily shape". Scale shape: the
+  // profile build is ONE series-grain shuffle; every Lloyd pass is a
+  // k×24 centroid BROADCAST into a partial-aggregable groupBy — the
+  // corpus-sized table never shuffles for the clustering itself.
+  // -------------------------------------------------------------------
+  def profileCluster(spark: SparkSession, dir: String, k: Int = 4, iters: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions.{dotQ, norm2Q}
+    val prof = eventsUs(spark, dir)
+      .select(col("user_id"), expr(s"(ts_us DIV ${HourUs}L) % 24").as("hod"), cents(col("value")).as("v"))
+      .groupBy(col("user_id"), col("hod"))
+      .agg(expr("sum(v) DIV count(1)").as("m"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("hod").cast("int"), col("m")))).as("pm"))
+      .withColumn("p", expr("transform(sequence(0, 23), h -> coalesce(pm[h], 0L))"))
+      .withColumn("mu", expr("aggregate(p, 0L, (a, x) -> a + x) DIV 24"))
+      .withColumn("q", expr("transform(p, x -> x - mu)"))
+      .select(col("user_id").as("vec_id"), col("q"))
+      .withColumn("n2", norm2Q(col("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def dist(cen: DataFrame): DataFrame =
+      prof
+        .crossJoin(broadcast(cen))
+        .select(
+          col("vec_id"),
+          col("c"),
+          (col("n2") + col("c2") - lit(2L) * dotQ(col("q"), col("cq"))).as("d2")
+        )
+    var cen = prof
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("c"), col("q").as("cq"))
+      .withColumn("c2", norm2Q(col("cq")))
+    for (_ <- 0 until iters) {
+      val assigned = dist(cen)
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("cell"))
+      cen = prof
+        .join(assigned, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cell"), col("i"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("cv", expr("(sv - pmod(sv, n)) DIV n")) // floor(sv / n), any sign
+        .groupBy(col("cell").as("c"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cv")))), p => p.getField("cv")).as("cq"))
+        .withColumn("c2", norm2Q(col("cq")))
+    }
+    val out = dist(cen)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("c"), col("d2")), struct(col("d2"), col("c"))).as("best"))
+      .select(
+        col("vec_id").as("user_id"),
+        col("best.c").cast("long").as("cluster"),
+        col("best.d2").as("d2")
+      )
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(prof))
+  }
+
+  // -------------------------------------------------------------------
   // 11z5. ts_weekly_profile — the DOW×HOD occupancy matrix per event
   // type: the 7×24 weekly heatmap behind capacity planning and
   // anomaly baselines (ts_seasonal_profile is the hour-of-day cut per

@@ -49,6 +49,7 @@ class EntrySpec extends AnyFunSuite {
     "ann_recall_vs_nprobe",      // the same ≤8-row centroid + ≤5-row probe broadcasts, once per budget
     "emb_pq_distortion",         // the PQ chain's bounded codebook/sample broadcasts
     "ann_ivf_kmeans",
+    "ts_profile_cluster",        // k=4 × 24-slot centroid broadcasts, one per Lloyd pass (the ann_ivf_kmeans shape)
     "ann_ivfpq_search",          // ≤8-row centroid broadcast
     "ann_knn_join",              // same ≤8-row centroid broadcast; the query↔corpus meet is a cell-keyed equi-join
     "ann_knn_recall",            // bounded eval-probe broadcast for the brute-force truth + the knn join's own centroid broadcast

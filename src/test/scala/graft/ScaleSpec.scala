@@ -140,7 +140,8 @@ class ScaleSpec extends AnyFunSuite {
     "sample_perplexity_filter",
     "ann_hamming_rerank",
     "ts_weekly_profile",
-    "rel_interval_union"
+    "rel_interval_union",
+    "ts_profile_cluster"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -459,6 +459,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.values.forall { case (_, _, p, _, _) => p >= 0 && p < R })
   }
 
+  test("profile cluster: every series assigned once, clusters legal, deterministic, assignment optimal") {
+    val rows = TimeSeries.profileCluster(spark, sf).collect()
+    val nSeries = TimeSeries.eventsUs(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong === nSeries, "every series gets exactly one cluster")
+    assert(rows.forall(r => r.getAs[Long]("cluster") >= 0L && r.getAs[Long]("cluster") < 4L))
+    assert(rows.forall(_.getAs[Long]("d2") >= 0L))
+    // stable under re-run (no float, no randomness)
+    val again = TimeSeries.profileCluster(spark, sf).collect()
+    assert(rows.sortBy(_.getAs[Long]("user_id")).toSeq === again.sortBy(_.getAs[Long]("user_id")).toSeq)
+    // the seeds spread: more than one final cluster is populated
+    assert(rows.map(_.getAs[Long]("cluster")).distinct.length >= 2, "clustering collapsed to one cell")
+  }
+
   test("weekly profile: cells legal, counts conserve the corpus, shares close within floor loss") {
     val rows = TimeSeries.weeklyProfile(spark, sf).collect()
     assert(rows.nonEmpty)
