@@ -67,6 +67,7 @@ object SparkEntry {
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
     "rel_interval_union" -> ((s, d) => Relational.intervalUnion(s, d)),
+    "rel_unpivot"        -> ((s, d) => Relational.unpivotReturnflag(s, d)),
     "ts_motif_topk"      -> ((s, d) => TimeSeries.motifTopk(s, d)),
     "ts_forecast_eval"   -> ((s, d) => TimeSeries.forecastEval(s, d)),
     "ts_rollup_cascade"  -> ((s, d) => TimeSeries.rollupCascade(s, d)),
@@ -3102,6 +3103,14 @@ object SparkEntry {
         |  CAST(SUM(bal_c) AS BIGINT) AS sum_bal_c
         |FROM q GROUP BY 1, 2""".stripMargin,
     // pivot = declared-values conditional aggregation; empty cells 0
+    // the melt's oracle is the DIRECT long-form aggregate — the
+    // strongest statement of the unpivot(pivot(x)) round-trip law
+    "rel_unpivot" ->
+      """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ship_month,
+        |  l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM lineitem GROUP BY 1, 2
+        |HAVING SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) != 0""".stripMargin,
     "rel_pivot" ->
       """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ship_month,
         |  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'

@@ -2180,6 +2180,26 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // rel_unpivot — MELT, the inverse reshape of rel_pivot: the wide
+  // (ship_month × 3 flag columns) revenue table unpivots back to long
+  // (ship_month, flag, revenue) via `stack` — one codegen'd row-local
+  // expansion, no shuffle beyond the pivot's own aggregate. Round-trip
+  // law: unpivot(pivot(x)) equals the direct long-form aggregate
+  // wherever a cell is nonzero (pivot materializes absent cells as 0;
+  // the melt drops them so the long form is exactly recoverable — the
+  // oracle IS the direct aggregate, which is the strongest form of
+  // the round-trip claim). The reshape pair a reporting layer needs
+  // in both directions.
+  // -------------------------------------------------------------------
+  def unpivotReturnflag(spark: SparkSession, dir: String): DataFrame =
+    pivotReturnflag(spark, dir)
+      .select(
+        col("ship_month"),
+        expr("stack(3, 'A', rev_a_c, 'N', rev_n_c, 'R', rev_r_c) AS (l_returnflag, rev_c)")
+      )
+      .filter(col("rev_c") =!= 0L)
+
+  // -------------------------------------------------------------------
   // rel_interval_union — UNION-OF-INTERVALS coverage per supplier, the
   // companion read to rel_max_concurrency's peak: the same +1/−1 sweep
   // line, but integrated — covered days (length of the union), merged

@@ -130,6 +130,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(nc.getLong(3) <= nc.getLong(2), "distinct orphan keys exceed orphan rows")
   }
 
+  test("unpivot: melt(pivot(x)) recovers the direct long-form aggregate exactly") {
+    import spark.implicits._
+    val melted = graft.operators.Relational.unpivotReturnflag(spark, sf)
+    val direct = graft.sources.Tables
+      .lineitem(spark, sf)
+      .select(
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).cast("long").as("ship_month"),
+        $"l_returnflag",
+        graft.functions.FixedPoint.cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rc")
+      )
+      .groupBy($"ship_month", $"l_returnflag")
+      .agg(sum($"rc").as("rev_c"))
+      .filter($"rev_c" =!= 0L)
+    assert(melted.exceptAll(direct).count() === 0, "melted rows not in the direct aggregate")
+    assert(direct.exceptAll(melted).count() === 0, "direct rows missing from the melt")
+  }
+
   test("forecast eval: winner verdict is exactly the MAE comparison") {
     import graft.operators.TimeSeries
     val rows = TimeSeries.forecastEval(spark, sf).collect()

@@ -141,7 +141,8 @@ class ScaleSpec extends AnyFunSuite {
     "ann_hamming_rerank",
     "ts_weekly_profile",
     "rel_interval_union",
-    "ts_profile_cluster"
+    "ts_profile_cluster",
+    "rel_unpivot"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
