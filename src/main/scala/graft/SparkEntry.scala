@@ -64,6 +64,7 @@ object SparkEntry {
     "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
+    "ts_cusum_stream"    -> ((s, d) => graft.sources.StreamingIngest.cusumStream(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
     "rel_interval_union" -> ((s, d) => Relational.intervalUnion(s, d)),
@@ -3760,6 +3761,10 @@ object SparkEntry {
     // on the Spark side; equal values make the tiebreak irrelevant),
     // and the alarm-reset recursion replays Spark's aggregate() fold
     "ts_cusum" -> cusumOracleSql,
+    // the streaming dual's max-seq provisional row at drain IS the
+    // batch fold (same closed-hour means, same Page recursion, same
+    // batch-calibrated med/MAD), so the batch oracle verifies it
+    "ts_cusum_stream" -> cusumOracleSql,
     "ts_kalman" ->
       """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
         |                  CAST(round(value*100) AS BIGINT) AS v FROM events),

@@ -392,6 +392,127 @@ object StreamingIngest {
     * and divisions are exact integers, the streamed estimates equal
     * the batch operator's bit-for-bit (shared oracle).
     */
+  /** ts_cusum_stream — the OFFLINE-CALIBRATED ONLINE DRIFT MONITOR:
+    * Page's two-sided CUSUM maintained as streaming state. Baseline
+    * and scale (median/MAD ⇒ slack k, threshold h) are calibrated
+    * BATCH-side and join the stream as a static per-series parameter
+    * table (stream-static join — the production shape: you calibrate
+    * on history, then monitor 24/7 against fixed thresholds). The
+    * stream folds each CLOSED hour's mean into (gp, gn, alarms, max)
+    * exactly as the batch fold does; hours close when a later-hour
+    * point arrives. Each batch also emits a PROVISIONAL row that
+    * virtually closes the still-open hour (state itself stays
+    * unfolded), tagged with a per-series batch seq — at drain all data
+    * has arrived, so the max-seq row per series IS the batch answer,
+    * which is why ts_cusum's oracle verifies this stream. In-order
+    * delivery across micro-batches is required and enforced loudly
+    * (the ewmaStream contract).
+    */
+  def cusumStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // batch-side calibration: per-series lower-median and MAD of
+    // hourly means, k = max(1, MAD DIV 2), h = 5·max(1, MAD)
+    val params = graft.operators.TimeSeries
+      .cusum(spark, dir)
+      .select(
+        col("user_id"),
+        col("med_c"),
+        col("mad_c"),
+        expr("greatest(CAST(1 AS BIGINT), mad_c DIV 2)").as("kk"),
+        expr("5L * greatest(CAST(1 AS BIGINT), mad_c)").as("hh")
+      )
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id"),
+        expr("ts DIV 1000 DIV 3600000000").as("hour_id"),
+        cents(col("value")).as("v")
+      )
+      .join(params, Seq("user_id")) // stream-static: calibration is a dim
+      .select(
+        col("user_id").as[Long],
+        col("hour_id").as[Long],
+        col("v").as[Long],
+        col("med_c").as[Long],
+        col("mad_c").as[Long],
+        col("kk").as[Long],
+        col("hh").as[Long]
+      )
+      .as[(Long, Long, Long, Long, Long, Long, Long)]
+    // state: (curHour, sum, cnt, gp, gn, al, mx, nClosed, seq)
+    val folded = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Long, Long, Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long, Long, Long, Long, Long)
+      ](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is a fixed tuple of longs
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, Long, Long, Long, Long)],
+           state: GroupState[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]) =>
+        val pts = rows.toArray.sortBy(_._2)
+        val (med, mad, kk, hh) = (pts.head._4, pts.head._5, pts.head._6, pts.head._7)
+        var (curH, sum, cnt, gp, gn, al, mx, nClosed, seq) =
+          state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+        if (pts.head._2 < curH)
+          throw new IllegalStateException(
+            s"cusumStream: out-of-order arrival for series $uid — hour ${pts.head._2} after " +
+              s"already-open hour $curH; the source must deliver each series in event-time order"
+          )
+        def page(g1: Long, g2: Long, a: Long, m: Long, z: Long): (Long, Long, Long, Long) = {
+          val gp1 = math.max(0L, g1 + (z - med) - kk)
+          val gn1 = math.max(0L, g2 - (z - med) - kk)
+          val m2  = math.max(m, math.max(gp1, gn1))
+          if (gp1 > hh || gn1 > hh) (0L, 0L, a + 1, m2) else (gp1, gn1, a, m2)
+        }
+        pts.foreach { case (_, h, v, _, _, _, _) =>
+          if (h != curH) {
+            if (curH != Long.MinValue) {
+              // Scala /, Spark DIV, DuckDB // all truncate toward zero
+              val (a, b, c, d) = page(gp, gn, al, mx, sum / cnt)
+              gp = a; gn = b; al = c; mx = d; nClosed += 1
+            }
+            curH = h; sum = 0L; cnt = 0L
+          }
+          sum += v; cnt += 1
+        }
+        seq += 1
+        state.update((curH, sum, cnt, gp, gn, al, mx, nClosed, seq))
+        // provisional: virtually close the open hour — at drain this IS final
+        val (pg, pn, pa, pm) = page(gp, gn, al, mx, sum / cnt)
+        Iterator.single((uid, seq, nClosed + 1, med, mad, pa, pm, pg, pn))
+      }
+      .toDF("user_id", "seq", "n_hours", "med_c", "mad_c", "n_alarms", "max_stat", "gp_final", "gn_final")
+    // final view over the append log: the max-seq provisional per series
+    runToMemory(spark, folded, "append")
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(
+          struct(col("n_hours"), col("med_c"), col("mad_c"), col("n_alarms"), col("max_stat"), col("gp_final"), col("gn_final")),
+          col("seq")
+        ).as("f")
+      )
+      .select(
+        col("user_id"),
+        col("f.n_hours").as("n_hours"),
+        col("f.med_c").as("med_c"),
+        col("f.mad_c").as("mad_c"),
+        col("f.n_alarms").as("n_alarms"),
+        col("f.max_stat").as("max_stat"),
+        col("f.gp_final").as("gp_final"),
+        col("f.gn_final").as("gn_final")
+      )
+  }
+
   def ewmaStream(
       spark: SparkSession,
       dir: String,

@@ -503,6 +503,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cms probe rows missing from stream")
   }
 
+  test("cusum stream: two-batch replay drains the exact batch fold (calibrate-then-monitor)") {
+    // hours close across the batch boundary and the provisional row of
+    // the final batch must equal the batch recursion over all hours
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.cusumStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.TimeSeries.cusum(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0, "streamed cusum rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch cusum rows missing from stream")
+  }
+
   test("bloom stream: two-batch replay drains the identical set-bit table (OR-merge idempotence)") {
     // Bloom set-bits are a set union across micro-batches, so the
     // drained bit table is the batch build's bit-for-bit; the shared
