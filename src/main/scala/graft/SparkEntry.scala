@@ -158,6 +158,8 @@ object SparkEntry {
     "rel_basket_pairs"   -> ((s, d) => Relational.basketPairs(s, d)),
     "graph_part_rank"    -> ((s, d) => Relational.partRank(s, d)),
     "graph_khop"         -> ((s, d) => Relational.kHop(s, d)),
+    "graph_kcore"        -> ((s, d) => Relational.kCore(s, d)),
+    "emb_outlier_topk"   -> ((s, d) => Similarity.embOutlierTopk(s, d)),
     "graph_common_neighbors" -> ((s, d) => Relational.commonNeighbors(s, d)),
     "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
     "rel_join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
@@ -1132,6 +1134,31 @@ object SparkEntry {
        |  (n_bloom_hit * 1000000 // n_sh >= 200000) AS is_candidate,
        |  (n_exact_hit * 1000000 // n_sh >= 200000) AS is_contaminated
        |FROM per""".stripMargin
+
+  /** graph_kcore oracle — the unrolled peel: each round re-derives
+    * degrees on the surviving edge set and keeps nodes with deg ≥ k
+    */
+  private val kcoreOracleSql: String = {
+    val k = 3; val rounds = 4
+    val peels = (1 to rounds).map { r =>
+      s"""k$r AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM e${r - 1} GROUP BY 1 HAVING COUNT(*) >= $k),
+         |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+         |       JOIN k$r a ON a.node = e.src JOIN k$r b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM k$r) AS n_kept,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) AS n_edges_directed,
+         |  (SELECT CAST(COALESCE(MIN(deg), 0) AS BIGINT) FROM k$r) AS min_deg,
+         |  (SELECT CAST(COALESCE(MAX(deg), 0) AS BIGINT) FROM k$r) AS max_deg""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |       FROM li a JOIN li b ON b.l_orderkey = a.l_orderkey AND b.l_partkey != a.l_partkey),
+       |$peels
+       |$rows""".stripMargin
+  }
 
   private val mlOracles: Map[String, String] = Map(
     // log2-binned degree distribution of the rep-level candidate
@@ -2139,6 +2166,17 @@ object SparkEntry {
          |LEFT JOIN ($hammingRerankOracleSql) rr
          |  ON rr.probe_id = t.probe_id AND rr.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
+    "graph_kcore" -> kcoreOracleSql,
+    // centroid is the exact FLOOR average per dim (pmod identity);
+    // d2 = Σ(v−cv)² equals the Spark side's n2 + c2 − 2·dot integer
+    "emb_outlier_topk" ->
+      s"""WITH $quantCtes,
+         |cen AS (SELECT i, CAST((SUM(v) - (((SUM(v) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*) AS BIGINT) AS cv
+         |        FROM q GROUP BY 1),
+         |d AS (SELECT q.vec_id, CAST(SUM((q.v - cen.cv) * (q.v - cen.cv)) AS BIGINT) AS d2
+         |      FROM q JOIN cen ON cen.i = q.i GROUP BY 1),
+         |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY d2 DESC, vec_id ASC) AS rn FROM d)
+         |SELECT vec_id, CAST(rn AS BIGINT) AS rnk, d2 FROM r WHERE rn <= 20""".stripMargin,
     "ann_recall_eval" ->
       s"""SELECT t.probe_id,
          |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,

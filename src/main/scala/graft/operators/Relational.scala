@@ -2180,6 +2180,60 @@ object Relational {
   }
 
   // -------------------------------------------------------------------
+  // graph_kcore — K-CORE PEELING on the part co-purchase graph (the
+  // graph_khop edge set): iteratively remove nodes with degree < k
+  // and every edge touching them, T fixed rounds, emitting the
+  // CONVERGENCE TRACE (survivors + remaining directed edges + degree
+  // extremes per round) — the dense-subgraph census behind community
+  // seeds and hub detection, and the graph analogue of the peel loops
+  // a dedup pipeline runs on its candidate graph. Each round is ONE
+  // degree aggregate + one semi-join per endpoint (all equi-joins on
+  // the node key, partial-aggregable), per-round localCheckpoint cuts
+  // the lineage exactly like the other iterative graph ops; rounds
+  // are a fixed constant, so the plan depth is bounded at any corpus
+  // size.
+  // -------------------------------------------------------------------
+  def kCore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
+    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
+    var edges = li
+      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
+      .select($"l_partkey".as("src"), $"dst")
+      .distinct()
+      .localCheckpoint()
+    val trace = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val keep = edges
+        .groupBy($"src")
+        .agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k.toLong)
+        .select($"src".as("node"), $"deg")
+        .localCheckpoint()
+      edges = edges
+        .join(keep.select($"node".as("src")), Seq("src"))
+        .join(keep.select($"node".as("dst")), Seq("dst"))
+        .select($"src", $"dst")
+        .localCheckpoint()
+      trace += keep
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min($"deg").as("min_deg"),
+          max($"deg").as("max_deg")
+        )
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges_directed")))
+        .select(
+          lit(r.toLong).as("round"),
+          col("n_kept"),
+          col("n_edges_directed"),
+          coalesce(col("min_deg"), lit(0L)).as("min_deg"),
+          coalesce(col("max_deg"), lit(0L)).as("max_deg")
+        )
+    }
+    trace.reduce(_ unionByName _)
+  }
+
+  // -------------------------------------------------------------------
   // rel_unpivot — MELT, the inverse reshape of rel_pivot: the wide
   // (ship_month × 3 flag columns) revenue table unpivots back to long
   // (ship_month, flag, revenue) via `stack` — one codegen'd row-local

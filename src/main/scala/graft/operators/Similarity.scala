@@ -1573,6 +1573,45 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // 27t. emb_outlier_topk — embedding-cloud OUTLIERS: exact integer
+  // squared L2 from the corpus centroid (true FLOOR average per dim —
+  // micro components go negative, the pmod identity again), top-20 by
+  // (d2 desc, vec_id asc). The embedding-QA read that surfaces broken
+  // encodes, wrong-modality rows, and adversarial junk before they
+  // poison a nearest-neighbor index. Scale shape: the centroid is a
+  // d-row aggregate broadcast back (1 corpus pass), d2 is row-local,
+  // and the top-20 is an orderBy+limit — TakeOrdered's bounded heap,
+  // never a global sort or an unpartitioned rank window.
+  // -------------------------------------------------------------------
+  def embOutlierTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val q = quantized(spark, dir)
+    val cen = q
+      .select(posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("cv", expr("(sv - pmod(sv, n)) DIV n")) // floor(sv / n), any sign
+      .groupBy()
+      .agg(transform(sort_array(collect_list(struct(col("i"), col("cv")))), p => p.getField("cv")).as("cq"))
+      .withColumn("c2", norm2Q(col("cq")))
+    val ranked = q
+      .crossJoin(broadcast(cen))
+      .select(
+        col("vec_id"),
+        (col("n2") + col("c2") - lit(2L) * dotQ(col("q"), col("cq"))).as("d2")
+      )
+      .orderBy(col("d2").desc, col("vec_id").asc)
+      .limit(k)
+    ranked
+      .withColumn(
+        "rnk",
+        row_number()
+          .over(Window.orderBy(col("d2").desc, col("vec_id").asc))
+          .cast("long")
+      )
+      .select(col("vec_id"), col("rnk"), col("d2"))
+  }
+
+  // -------------------------------------------------------------------
   // 27s. ann_hamming_recall — the binary tier's measured operating
   // point (the recall-eval discipline: approximations publish their
   // own error): per probe, recall@10 of the RAW hamming top-10 and of

@@ -130,6 +130,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(nc.getLong(3) <= nc.getLong(2), "distinct orphan keys exceed orphan rows")
   }
 
+  test("kcore: peel trace is monotone non-increasing and self-consistent") {
+    val rows = graft.operators.Relational.kCore(spark, sf).collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.map(_.getAs[Long]("round")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val kept  = rows.map(_.getAs[Long]("n_kept"))
+    val edges = rows.map(_.getAs[Long]("n_edges_directed"))
+    assert(kept.toSeq === kept.sorted.reverse.toSeq, "survivors grew during a peel")
+    assert(edges.toSeq === edges.sorted.reverse.toSeq, "edges grew during a peel")
+    for (r <- rows; if r.getAs[Long]("n_kept") > 0L) {
+      assert(r.getAs[Long]("min_deg") >= 3L, "a survivor had degree below k")
+      assert(r.getAs[Long]("max_deg") >= r.getAs[Long]("min_deg"))
+    }
+  }
+
   test("unpivot: melt(pivot(x)) recovers the direct long-form aggregate exactly") {
     import spark.implicits._
     val melted = graft.operators.Relational.unpivotReturnflag(spark, sf)

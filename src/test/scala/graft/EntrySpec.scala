@@ -84,6 +84,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_recall_eval",           // composes bruteforce + ivfpq, both already whitelisted
     "dedup_recall_eval",         // three 1-row count-aggregate broadcasts into the summary row
     "graph_triangles",           // 1-row count broadcasts into the census row
+    "graph_kcore",               // 1-row per-round stat aggregates crossJoined into the trace rows
+    "emb_outlier_topk",          // 1-row corpus-centroid broadcast into the d2 scan
     "text_surprisal",            // 1-row corpus-token-count broadcast
     "sample_perplexity_filter",  // the same 1-row corpus-token-count broadcast under the surprisal stage
     "dedup_lsh_tune",            // 1-row truth-count + 4-row config broadcasts

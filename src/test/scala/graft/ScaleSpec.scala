@@ -142,7 +142,9 @@ class ScaleSpec extends AnyFunSuite {
     "ts_weekly_profile",
     "rel_interval_union",
     "ts_profile_cluster",
-    "rel_unpivot"
+    "rel_unpivot",
+    "graph_kcore",
+    "emb_outlier_topk"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

