@@ -65,6 +65,8 @@ object SparkEntry {
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
     "ts_cusum_stream"    -> ((s, d) => graft.sources.StreamingIngest.cusumStream(s, d)),
+    "ts_anomaly_topk"    -> ((s, d) => TimeSeries.anomalyTopk(s, d)),
+    "dedup_winnowing"    -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
     "rel_interval_union" -> ((s, d) => Relational.intervalUnion(s, d)),
@@ -2167,6 +2169,31 @@ object SparkEntry {
          |  ON rr.probe_id = t.probe_id AND rr.neighbor_id = t.neighbor_id
          |GROUP BY 1""".stripMargin,
     "graph_kcore" -> kcoreOracleSql,
+    // the MOSS matcher: same winnowing selection CTEs as
+    // text_winnowing, DISTINCT selected fingerprints per doc, df-capped
+    // pair join (QUALIFY ≤ 64 — the dropOversizedBuckets policy),
+    // denominators from the UNCAPPED per-doc counts
+    "dedup_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |        md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS h
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+         |            FROM d WHERE len(toks) >= 4)),
+         |m AS (SELECT doc_id, pos, h,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 0 PRECEDING AND 3 FOLLOWING) AS m0,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS m1,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS m2,
+         |        MIN(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND 0 FOLLOWING) AS m3
+         |      FROM g),
+         |fp AS (SELECT DISTINCT doc_id, h FROM m WHERE h = m0 OR h = m1 OR h = m2 OR h = m3),
+         |fc AS (SELECT * FROM fp QUALIFY COUNT(*) OVER (PARTITION BY h) <= 64),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |       FROM fc a JOIN fc b ON b.h = a.h AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |       HAVING COUNT(*) >= 2)
+         |SELECT pr.doc_a, pr.doc_b, pr.n_shared, pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+         |  CAST(pr.n_shared * 10000 // least(pa.n_fp, pb.n_fp) AS BIGINT) AS overlap_bp
+         |FROM pr JOIN pd pa ON pa.doc_id = pr.doc_a JOIN pd pb ON pb.doc_id = pr.doc_b""".stripMargin,
     // centroid is the exact FLOOR average per dim (pmod identity);
     // d2 = Σ(v−cv)² equals the Spark side's n2 + c2 − 2·dot integer
     "emb_outlier_topk" ->
@@ -5296,6 +5323,16 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = tsOracles ++ mlOracles ++ Map(
+    // fleet triage over the zscore flags: the per-point oracle is
+    // reused verbatim as a subquery, then rate + top-20
+    "ts_anomaly_topk" ->
+      s"""WITH z AS (${tsOracles("ts_anomaly_zscore")}),
+         |p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |        CAST(SUM(is_anomaly) AS BIGINT) AS n_anomalies FROM z GROUP BY 1),
+         |r AS (SELECT *, CAST(n_anomalies * 1000000 // n_scored AS BIGINT) AS rate_micro FROM p)
+         |SELECT user_id, CAST(ROW_NUMBER() OVER (ORDER BY rate_micro DESC, user_id ASC) AS BIGINT) AS rnk,
+         |  n_scored, n_anomalies, rate_micro
+         |FROM r ORDER BY rate_micro DESC, user_id ASC LIMIT 20""".stripMargin,
     // portable deterministic HLL: md5-derived 32-bit hash, bucket =
     // h % 64, rho = 27 − bitlen(w), register max, harmonic sum scaled
     // by 2^27, raw estimate alpha·m²/Z in one integral division. The

@@ -2380,4 +2380,77 @@ object Dedup {
       )
     releaseAfterRun(spark, out, Seq(members, sketch))
   }
+
+  // -------------------------------------------------------------------
+  // dedup_winnowing — the MOSS MATCHER on winnowed fingerprints:
+  // text_winnowing selects ~2/(w+1) of each doc's 4-gram hashes (every
+  // rolling-window minimum — guaranteed to catch any shared run ≥ w+3
+  // tokens); this operator JOINS docs on those selected fingerprints
+  // and reports pairs sharing ≥ 2, with overlap in bp of the smaller
+  // doc's fingerprint set. The plagiarism/near-dup tier between
+  // MinHash (probabilistic, full-doc) and ExactSubstr (exact, heavy):
+  // deterministic selection, pair evidence you can point at. Scale
+  // guardrail: fingerprints at > 64 docs (boilerplate) are dropped
+  // from the PAIR JOIN — the dropOversizedBuckets policy; per-doc
+  // fingerprint counts (the denominators) stay uncapped and honest.
+  // -------------------------------------------------------------------
+  def winnowingPairs(
+      spark: SparkSession,
+      dir: String,
+      w: Int = 4,
+      dfCap: Long = 64L,
+      minShared: Long = 2L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(
+            size(col("toks")) >= 4,
+            expr(
+              "transform(sequence(0, size(toks) - 4), i -> " +
+                "md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2], toks[i + 3])))"
+            )
+          ).otherwise(array())
+        ).as(Seq("pos", "h"))
+      )
+    val sel = (0 until w)
+      .map { a =>
+        val fr = Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("pos"))
+          .rowsBetween(-a.toLong, (w - 1 - a).toLong)
+        col("h") === min(col("h")).over(fr)
+      }
+      .reduce(_ || _)
+    val fp = grams
+      .withColumn("selected", when(sel, 1L).otherwise(0L))
+      .filter(col("selected") === 1L)
+      .select(col("doc_id"), col("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count()
+    val rare = fp
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("h"))
+    val capped = fp.join(rare, Seq("h"))
+    val perDoc = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val out = capped
+      .select(col("h"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(perDoc.toDF("doc_a", "n_fp_a"), Seq("doc_a"))
+      .join(perDoc.toDF("doc_b", "n_fp_b"), Seq("doc_b"))
+      .withColumn("overlap_bp", expr("n_shared * 10000 DIV least(n_fp_a, n_fp_b)"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_fp_a"), col("n_fp_b"), col("overlap_bp"))
+    releaseAfterRun(spark, out, Seq(fp))
+  }
 }

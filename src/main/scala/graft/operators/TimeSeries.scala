@@ -2223,6 +2223,29 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // 11z7. ts_anomaly_topk — FLEET TRIAGE: rank series by trailing-
+  // window z-score anomaly RATE and keep the top-20 — the on-call
+  // dashboard's "which of my million series misbehave most" read on
+  // top of 11a's per-point flags. Rates in exact micro; the top-k is
+  // an orderBy+limit (TakeOrdered's bounded heap — never a global
+  // sort), the dense rank then a window over ONLY the k survivors.
+  // -------------------------------------------------------------------
+  def anomalyTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val ranked = anomalyZscore(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_scored"), sum(col("is_anomaly")).as("n_anomalies"))
+      .withColumn("rate_micro", expr("n_anomalies * 1000000 DIV n_scored"))
+      .orderBy(col("rate_micro").desc, col("user_id").asc)
+      .limit(k)
+    ranked
+      .withColumn(
+        "rnk",
+        row_number().over(Window.orderBy(col("rate_micro").desc, col("user_id").asc)).cast("long")
+      )
+      .select(col("user_id"), col("rnk"), col("n_scored"), col("n_anomalies"), col("rate_micro"))
+  }
+
+  // -------------------------------------------------------------------
   // 11z6. ts_profile_cluster — LOAD-SHAPE CLUSTERING of the series
   // fleet: each series collapses to its 24-slot hour-of-day profile
   // (mean cents per hod, missing slots 0), MEAN-CENTERED so clustering

@@ -509,4 +509,32 @@ class DedupSpec extends AnyFunSuite {
       assert(df.agg(sum(col("exact_inter"))).head().getLong(0) > 0, "no cross-source overlap found — vacuous")
     } finally df.unpersist()
   }
+
+  test("winnowing pairs: invariants hold and a planted verbatim copy is caught at full overlap") {
+    import spark.implicits._
+    val rows = Dedup.winnowingPairs(spark, sf).collect()
+    for (r <- rows) {
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("n_shared") >= 2L)
+      assert(
+        r.getAs[Long]("n_shared") <= math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b")),
+        "shared prints exceed a doc's own selection"
+      )
+      assert(r.getAs[Long]("overlap_bp") <= 10000L)
+    }
+    // planted copy: doc 9001 is doc 9000 verbatim — the winnowing
+    // guarantee makes the pair unmissable with identical print sets
+    val dir = java.nio.file.Files.createTempDirectory("graft_winpairs").toString
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    Seq(
+      (9000L, body, "en", "s0", body.length.toLong),
+      (9001L, body, "en", "s1", body.length.toLong),
+      (9002L, "totally different words entirely here now yes", "en", "s2", 46L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.winnowingPairs(spark, dir).collect()
+    assert(planted.length === 1)
+    assert(planted.head.getAs[Long]("doc_a") === 9000L && planted.head.getAs[Long]("doc_b") === 9001L)
+    assert(planted.head.getAs[Long]("overlap_bp") === 10000L, "verbatim copy did not score full overlap")
+  }
 }

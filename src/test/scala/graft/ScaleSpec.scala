@@ -144,7 +144,10 @@ class ScaleSpec extends AnyFunSuite {
     "ts_profile_cluster",
     "rel_unpivot",
     "graph_kcore",
-    "emb_outlier_topk"
+    "emb_outlier_topk",
+    "ts_anomaly_topk",
+    "dedup_winnowing",
+    "ts_cusum_stream"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -459,6 +459,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.values.forall { case (_, _, p, _, _) => p >= 0 && p < R })
   }
 
+  test("anomaly topk: ranks dense, rates exact and descending, books consistent with the flags") {
+    val rows = TimeSeries.anomalyTopk(spark, sf).collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length).toSeq)
+    val rates = rows.map(_.getAs[Long]("rate_micro")).toSeq
+    assert(rates === rates.sorted.reverse)
+    for (r <- rows) {
+      assert(r.getAs[Long]("rate_micro") === r.getAs[Long]("n_anomalies") * 1000000L / r.getAs[Long]("n_scored"))
+      assert(r.getAs[Long]("n_anomalies") <= r.getAs[Long]("n_scored"))
+    }
+  }
+
   test("profile cluster: every series assigned once, clusters legal, deterministic, assignment optimal") {
     val rows = TimeSeries.profileCluster(spark, sf).collect()
     val nSeries = TimeSeries.eventsUs(spark, sf).select("user_id").distinct().count()
