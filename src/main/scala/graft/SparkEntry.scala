@@ -320,6 +320,7 @@ object SparkEntry {
     "sample_epoch_schedule" -> ((s, d) => TextAnalysis.epochSchedule(s, d)),
     "sample_importance" -> ((s, d) => TextAnalysis.importanceWeights(s, d)),
     "sample_perplexity_filter" -> ((s, d) => TextAnalysis.perplexityFilter(s, d)),
+    "sample_budget_alloc" -> ((s, d) => TextAnalysis.budgetAlloc(s, d)),
     "text_boilerplate"  -> ((s, d) => TextAnalysis.boilerplate(s, d)),
     "approx_cms"        -> ((s, d) => TextAnalysis.cmsTokens(s, d)),
     "text_boilerplate_scrub" -> ((s, d) => TextAnalysis.boilerplateScrub(s, d)),
@@ -2650,6 +2651,38 @@ object SparkEntry {
     // integer-exact tf-idf: idf = N*10^6 // df, HUGEINT sum mirrors
     // the DECIMAL path
     // unigram surprisal: bit length of N/freq per token (no float log)
+    // water-filling: c0 is the equal split, each refinement pins the
+    // fully-kept sources and re-floors the level over the open ones;
+    // (budget − spent) and // truncate identically on both engines
+    "sample_budget_alloc" ->
+      s"""WITH t AS (SELECT doc_id, w AS tok FROM
+         |        (SELECT doc_id, unnest($toksSql) AS w FROM documents) WHERE w <> ''),
+         |ps AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM t JOIN documents d ON d.doc_id = t.doc_id GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS s FROM ps),
+         |c0 AS (SELECT CAST(total * 4000 // 10000 AS BIGINT) AS budget,
+         |         CAST((total * 4000 // 10000) // greatest(s, 1) AS BIGINT) AS cap FROM tot),
+         |c1 AS (SELECT budget, CAST(CASE WHEN open > 0 THEN (budget - spent) // open ELSE cap END AS BIGINT) AS cap
+         |       FROM (SELECT c0.budget, c0.cap,
+         |               CAST(COALESCE(SUM(CASE WHEN ps.n <= c0.cap THEN ps.n END), 0) AS BIGINT) AS spent,
+         |               CAST(SUM(CASE WHEN ps.n > c0.cap THEN 1 ELSE 0 END) AS BIGINT) AS open
+         |             FROM ps, c0 GROUP BY 1, 2)),
+         |c2 AS (SELECT budget, CAST(CASE WHEN open > 0 THEN (budget - spent) // open ELSE cap END AS BIGINT) AS cap
+         |       FROM (SELECT c1.budget, c1.cap,
+         |               CAST(COALESCE(SUM(CASE WHEN ps.n <= c1.cap THEN ps.n END), 0) AS BIGINT) AS spent,
+         |               CAST(SUM(CASE WHEN ps.n > c1.cap THEN 1 ELSE 0 END) AS BIGINT) AS open
+         |             FROM ps, c1 GROUP BY 1, 2)),
+         |c3 AS (SELECT budget, CAST(CASE WHEN open > 0 THEN (budget - spent) // open ELSE cap END AS BIGINT) AS cap
+         |       FROM (SELECT c2.budget, c2.cap,
+         |               CAST(COALESCE(SUM(CASE WHEN ps.n <= c2.cap THEN ps.n END), 0) AS BIGINT) AS spent,
+         |               CAST(SUM(CASE WHEN ps.n > c2.cap THEN 1 ELSE 0 END) AS BIGINT) AS open
+         |             FROM ps, c2 GROUP BY 1, 2))
+         |SELECT ps.source, ps.n AS n_tokens,
+         |  CAST(least(ps.n, c3.cap) AS BIGINT) AS alloc_tokens,
+         |  CAST(least(ps.n, c3.cap) * 10000 // ps.n AS BIGINT) AS kept_bp,
+         |  (ps.n > c3.cap) AS is_capped,
+         |  c3.cap AS cap_tokens
+         |FROM ps, c3""".stripMargin,
     // CCNet tercile selection off the 1/40-bit surprisal histogram:
     // threshold bins are the smallest bins whose per-lang cumulative
     // count clears 1/3 and 2/3 — integer cross-multiplication, no

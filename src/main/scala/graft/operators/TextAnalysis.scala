@@ -2243,6 +2243,53 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31zq. sample_budget_alloc — WATER-FILLING a token budget across
+  // sources: given budget B (a fixed share of the corpus so the drill
+  // scales), allocate aₛ = min(nₛ, cap) with cap the water level that
+  // spends the budget — small sources keep everything, the surplus
+  // redistributes to large ones. The classic budgeted-mixing planner
+  // (pipeline_mix_plan rebalances to uniform; this one spends an
+  // explicit budget). The level is found by T=4 exact integer rounds:
+  // each round pins sources below the current level as fully-kept,
+  // then re-floors the level over the rest — each round's level is a
+  // 1-row scalar aggregate (the evalSrc/bpe-argmax precedent), so the
+  // only corpus-sized pass is the per-source token count; everything
+  // after runs on the ≤|sources|-row table.
+  // -------------------------------------------------------------------
+  def budgetAlloc(spark: SparkSession, dir: String, budgetBp: Long = 4000L, rounds: Int = 4): DataFrame = {
+    val perSource = docsToks(spark, dir)
+      .select(col("doc_id"), col("toks"))
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total  = perSource.agg(sum(col("n_tokens"))).head().getLong(0)
+    val budget = total * budgetBp / 10000L
+    var cap    = budget / math.max(perSource.count(), 1L) // level 0: equal split
+    for (_ <- 1 until rounds) {
+      // pin fully-kept sources at the current level, re-floor over the rest
+      val row = perSource
+        .agg(
+          sum(when(col("n_tokens") <= cap, col("n_tokens"))).as("spent"),
+          sum(when(col("n_tokens") > cap, 1L).otherwise(0L)).as("open")
+        )
+        .head()
+      val spent = Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val open  = row.getLong(1)
+      if (open > 0L) cap = (budget - spent) / open
+    }
+    val out = perSource
+      .withColumn("alloc_tokens", least(col("n_tokens"), lit(cap)))
+      .withColumn("kept_bp", expr("alloc_tokens * 10000 DIV n_tokens"))
+      .withColumn("is_capped", col("n_tokens") > cap)
+      .withColumn("cap_tokens", lit(cap))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"), col("kept_bp"), col("is_capped"), col("cap_tokens"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(perSource))
+  }
+
+  // -------------------------------------------------------------------
   // 31zp. sample_perplexity_filter — the CCNet selection rule: bucket
   // every document into head/middle/tail by PER-LANGUAGE perplexity
   // terciles and keep head+middle (the tail is the gibberish/leakage

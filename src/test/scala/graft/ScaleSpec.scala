@@ -147,7 +147,8 @@ class ScaleSpec extends AnyFunSuite {
     "emb_outlier_topk",
     "ts_anomaly_topk",
     "dedup_winnowing",
-    "ts_cusum_stream"
+    "ts_cusum_stream",
+    "sample_budget_alloc"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

@@ -602,6 +602,28 @@ class TextSpec extends AnyFunSuite {
     assert(total === route, "the plan conserves the routed corpus")
   }
 
+  test("budget alloc: water level spends the budget, uncapped sources keep all, books exact") {
+    val rows = graft.operators.TextAnalysis.budgetAlloc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cap = rows.head.getAs[Long]("cap_tokens")
+    assert(rows.forall(_.getAs[Long]("cap_tokens") === cap), "level must be global")
+    val total  = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total * 4000L / 10000L
+    val spent  = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    for (r <- rows) {
+      val (n, a) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"))
+      assert(a === math.min(n, cap))
+      assert(r.getAs[Boolean]("is_capped") === (n > cap))
+      assert(r.getAs[Long]("kept_bp") === a * 10000L / n)
+    }
+    // the level spends the budget up to floor dust: never over, and
+    // within |sources|·1 token per refinement of the target when any
+    // source is capped (all-uncapped corpora legitimately underspend)
+    assert(spent <= budget, s"allocation $spent exceeds the budget $budget")
+    if (rows.exists(_.getAs[Boolean]("is_capped")))
+      assert(budget - spent <= rows.length.toLong * 4L, s"water level left ${budget - spent} tokens unspent")
+  }
+
   test("aspect bucket: assignment is nearest-rung, books conserve the corpus and the batch split") {
     val ladder = Seq(2500L, 5000L, 7500L, 10000L, 13333L, 20000L, 40000L)
     def nearest(r: Long): Long = ladder.minBy(b => (math.abs(r - b), b))
