@@ -66,6 +66,16 @@ object SparkEntry {
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
     "ts_cusum_stream"    -> ((s, d) => graft.sources.StreamingIngest.cusumStream(s, d)),
     "ts_anomaly_topk"    -> ((s, d) => TimeSeries.anomalyTopk(s, d)),
+    "ts_mix_diversity"   -> ((s, d) => TimeSeries.mixDiversity(s, d)),
+    "ts_drift_tv"        -> ((s, d) => TimeSeries.driftTv(s, d)),
+    "approx_hdr_latency" -> ((s, d) => Relational.hdrLatency(s, d)),
+    "approx_hdr_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxHdrStream(s, d)),
+    "emb_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
+    "text_zipf_slope"    -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "rel_gap_islands"    -> ((s, d) => Relational.gapIslands(s, d)),
+    "rel_concentration"  -> ((s, d) => Relational.concentration(s, d)),
+    "ts_backtest_horizon" -> ((s, d) => TimeSeries.backtestHorizon(s, d)),
+    "dedup_minhash_k_curve" -> ((s, d) => Dedup.minhashKCurve(s, d)),
     "dedup_winnowing"    -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
@@ -730,6 +740,50 @@ object SparkEntry {
   }
 
   /** quantized-embedding CTEs reused by the similarity oracles */
+  /** HDR latency sketch oracle — shared by the batch operator and its
+    * streaming dual (HDR counters are additive, so the drained stream
+    * state equals the batch sketch by algebra; the probe tier is the
+    * same code on the Spark side). Codes: exact below 16, then log₂
+    * octaves × 8 linear sub-buckets via the length(bin(·)) msb trick;
+    * estimates are bucket midpoints; the exact tier is the
+    * rel_latency_percentiles rank select.
+    */
+  private val hdrOracleSql =
+    """WITH lat AS (SELECT o_orderpriority,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS BIGINT) AS days
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |sk AS (SELECT o_orderpriority,
+      |         CASE WHEN days < 16 THEN days
+      |              ELSE (length(bin(days)) - 4) * 8 + 8 + ((days >> (length(bin(days)) - 4)) & 7) END AS code,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM lat GROUP BY 1, 2),
+      |cum AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY code) AS BIGINT) AS cum,
+      |               CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      |        FROM sk),
+      |mids AS (SELECT *, CASE WHEN code < 16 THEN code
+      |           ELSE ((8 + (code - 8) % 8) << ((code - 8) // 8))
+      |                + ((CAST(1 AS BIGINT) << ((code - 8) // 8)) - 1) // 2 END AS mid
+      |         FROM cum),
+      |est AS (SELECT o_orderpriority, MAX(n) AS n,
+      |          MAX(CASE WHEN ceil(0.5 * n) > cum - cnt AND ceil(0.5 * n) <= cum THEN mid END) AS p50_est,
+      |          MAX(CASE WHEN ceil(0.9 * n) > cum - cnt AND ceil(0.9 * n) <= cum THEN mid END) AS p90_est,
+      |          MAX(CASE WHEN ceil(0.99 * n) > cum - cnt AND ceil(0.99 * n) <= cum THEN mid END) AS p99_est
+      |        FROM mids GROUP BY 1),
+      |r AS (SELECT o_orderpriority, days,
+      |        ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY days) AS rnk,
+      |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS nn
+      |      FROM lat),
+      |ex AS (SELECT o_orderpriority,
+      |         MAX(CASE WHEN rnk = CAST(ceil(0.5 * nn) AS BIGINT) THEN days END) AS p50_exact,
+      |         MAX(CASE WHEN rnk = CAST(ceil(0.9 * nn) AS BIGINT) THEN days END) AS p90_exact,
+      |         MAX(CASE WHEN rnk = CAST(ceil(0.99 * nn) AS BIGINT) THEN days END) AS p99_exact
+      |       FROM r GROUP BY 1)
+      |SELECT o_orderpriority, n,
+      |  p50_est, p50_exact, abs(p50_est - p50_exact) * 10000 // greatest(p50_exact, 1) AS p50_err_bp,
+      |  p90_est, p90_exact, abs(p90_est - p90_exact) * 10000 // greatest(p90_exact, 1) AS p90_err_bp,
+      |  p99_est, p99_exact, abs(p99_est - p99_exact) * 10000 // greatest(p99_exact, 1) AS p99_err_bp
+      |FROM est JOIN ex USING (o_orderpriority)""".stripMargin
+
   private val quantCtes =
     """q AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
       |      FROM (SELECT vec_id, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
@@ -1333,6 +1387,27 @@ object SparkEntry {
          |FROM t JOIN c ON c.bucket = t.bucket, m
          |WHERE t.source != m.ts
          |GROUP BY 1""".stripMargin,
+    // centroid drift between the vec_id-parity snapshot halves: milli
+    // centroids by truncating integer division per half, drift² summed
+    // per label, worst dim ties to the smallest dim
+    "emb_centroid_drift" ->
+      """WITH qm AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i - 1 AS i,
+        |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qi
+        |       FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+        |g AS (SELECT label, i,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN qi ELSE 0 END) AS BIGINT) AS sa,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE qi END) AS BIGINT) AS sb,
+        |        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |      FROM qm GROUP BY 1, 2),
+        |c AS (SELECT label, i, na, nb,
+        |        sa // greatest(na, 1) AS ca, sb // greatest(nb, 1) AS cb FROM g),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY label ORDER BY abs(ca - cb) DESC, i ASC) AS rk FROM c)
+        |SELECT label, MAX(na) AS n_a, MAX(nb) AS n_b,
+        |  CAST(SUM((ca - cb) * (ca - cb)) AS BIGINT) AS drift2_milli2,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN i END) AS BIGINT) AS worst_dim,
+        |  CAST(MAX(CASE WHEN rk = 1 THEN abs(ca - cb) END) AS BIGINT) AS worst_delta_milli
+        |FROM w GROUP BY 1""".stripMargin,
     // label-centroid separation: milli centroids by integer DIV,
     // squared distances, nearest-other-label by (d2, label) tiebreak
     "emb_label_centroids" ->
@@ -1744,6 +1819,53 @@ object SparkEntry {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin,
+    // the signature-budget curve: K-prefix estimates vs the exact
+    // hash-join Jaccard over the same LSH candidate pairs; truncating
+    // integer mean, the same universal-hash slots as the estimator
+    "dedup_minhash_k_curve" ->
+      s"""WITH $shingleCtes,
+         |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |uh AS (SELECT doc_id, CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS hsh FROM u),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY 1),
+         |i AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter_n
+         |      FROM pairs p JOIN uh x ON x.doc_id = p.doc_a
+         |      JOIN uh y ON y.doc_id = p.doc_b AND y.hsh = x.hsh
+         |      GROUP BY 1, 2),
+         |ex AS (SELECT p.doc_a, p.doc_b,
+         |         CAST(COALESCE(i.inter_n, 0) * 1000000
+         |              // (ca.n_sh + cb.n_sh - COALESCE(i.inter_n, 0)) AS BIGINT) AS exact_micro
+         |       FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |       JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b),
+         |ag AS (SELECT p.doc_a, p.doc_b,
+         |         (CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END) AS g0,
+         |         (CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END) AS g1,
+         |         (CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END) AS g2,
+         |         (CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) AS g3,
+         |         (CASE WHEN a.mh4 = b.mh4 THEN 1 ELSE 0 END) AS g4,
+         |         (CASE WHEN a.mh5 = b.mh5 THEN 1 ELSE 0 END) AS g5,
+         |         (CASE WHEN a.mh6 = b.mh6 THEN 1 ELSE 0 END) AS g6,
+         |         (CASE WHEN a.mh7 = b.mh7 THEN 1 ELSE 0 END) AS g7,
+         |         (CASE WHEN a.mh8 = b.mh8 THEN 1 ELSE 0 END) AS g8,
+         |         (CASE WHEN a.mh9 = b.mh9 THEN 1 ELSE 0 END) AS g9,
+         |         (CASE WHEN a.mh10 = b.mh10 THEN 1 ELSE 0 END) AS g10,
+         |         (CASE WHEN a.mh11 = b.mh11 THEN 1 ELSE 0 END) AS g11
+         |       FROM pairs p JOIN m a ON a.doc_id = p.doc_a JOIN m b ON b.doc_id = p.doc_b),
+         |er AS (
+         |  SELECT CAST(4 AS BIGINT) AS k,
+         |    abs((g0+g1+g2+g3) * 1000000 // 4 - exact_micro) AS err
+         |  FROM ex JOIN ag ON ag.doc_a = ex.doc_a AND ag.doc_b = ex.doc_b
+         |  UNION ALL
+         |  SELECT CAST(8 AS BIGINT) AS k,
+         |    abs((g0+g1+g2+g3+g4+g5+g6+g7) * 1000000 // 8 - exact_micro) AS err
+         |  FROM ex JOIN ag ON ag.doc_a = ex.doc_a AND ag.doc_b = ex.doc_b
+         |  UNION ALL
+         |  SELECT CAST(12 AS BIGINT) AS k,
+         |    abs((g0+g1+g2+g3+g4+g5+g6+g7+g8+g9+g10+g11) * 1000000 // 12 - exact_micro) AS err
+         |  FROM ex JOIN ag ON ag.doc_a = ex.doc_a AND ag.doc_b = ex.doc_b)
+         |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(err) // COUNT(*) AS BIGINT) AS mean_abs_err_micro,
+         |  CAST(MAX(err) AS BIGINT) AS max_abs_err_micro
+         |FROM er GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |t AS (SELECT doc_id, tok, COUNT(*) AS c
@@ -2953,6 +3075,27 @@ object SparkEntry {
     "text_vocab_stream" -> vocabGrowthOracle,
     // smallest top-k vocabulary covering each occurrence-mass
     // threshold; coverage compared cross-multiplied in integers
+    // Zipf slope over the top-256 vocabulary in floor-log₂ space: both
+    // engines derive msb via length(bin(·)), regression is the exact
+    // five-sum formula, milli division truncates toward zero
+    "text_zipf_slope" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM (SELECT unnest(toks) AS tok FROM d) WHERE length(tok) > 0 GROUP BY 1),
+         |r AS (SELECT tok, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rnk
+         |      FROM c QUALIFY rnk <= 256),
+         |p AS (SELECT rnk, n, CAST(length(bin(rnk)) - 1 AS BIGINT) AS lx,
+         |             CAST(length(bin(n)) - 1 AS BIGINT) AS ly FROM r),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+         |        CAST(MAX(CASE WHEN rnk = 1 THEN n END) AS BIGINT) AS top_freq,
+         |        CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+         |        CAST(SUM(lx * ly) AS BIGINT) AS sxy, CAST(SUM(lx * lx) AS BIGINT) AS sxx FROM p)
+         |SELECT n_points, top_freq,
+         |  n_points * sxy - sx * sy AS slope_num,
+         |  n_points * sxx - sx * sx AS slope_den,
+         |  CAST(CASE WHEN n_points * sxx - sx * sx = 0 THEN 0
+         |       ELSE ((n_points * sxy - sx * sy) * 1000) // (n_points * sxx - sx * sx) END AS BIGINT) AS slope_milli
+         |FROM a""".stripMargin,
     "text_coverage_topk" ->
       s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
@@ -4692,6 +4835,58 @@ object SparkEntry {
         |SELECT event_type, v // 500 AS bucket, COUNT(*) AS n,
         |  MIN(v) AS min_c, MAX(v) AS max_c
         |FROM e GROUP BY 1, 2""".stripMargin,
+    // value-distribution drift: TV distance between the time-half
+    // histograms, cross-multiplied (|c1·n2 − c2·n1| over 2·n1·n2) so
+    // no float ever appears; worst bucket ties to the smallest bucket
+    "ts_drift_tv" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+        |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |m AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM e),
+        |h AS (SELECT event_type, v // 500 AS bucket,
+        |        CAST(SUM(CASE WHEN ts_us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |        CAST(SUM(CASE WHEN ts_us <= mid_us THEN 0 ELSE 1 END) AS BIGINT) AS c2
+        |      FROM e, m GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+        |             CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2 FROM h),
+        |d AS (SELECT event_type, bucket, n1, n2,
+        |        abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1) AS term FROM t),
+        |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY term DESC, bucket ASC) AS rk FROM d)
+        |SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(CAST(10000 AS HUGEINT) * SUM(term)
+        |       // (CAST(2 AS HUGEINT) * greatest(MAX(n1), 1) * greatest(MAX(n2), 1)) AS BIGINT) AS tv_bp,
+        |  MAX(CASE WHEN rk = 1 THEN bucket END) AS worst_bucket
+        |FROM w GROUP BY 1""".stripMargin,
+    // persistence-forecast error vs horizon: TIME-lag alignment (the
+    // hour_id + h equi-join), truncating milli MAE
+    "ts_backtest_horizon" ->
+      """WITH hh AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, hour_id, s // n AS mean_c FROM hh),
+        |p AS (SELECT user_id, hour_id + h AS hour_id, CAST(h AS BIGINT) AS h, mean_c AS pred_c
+        |      FROM b, (SELECT unnest(generate_series(1, 6)) AS h)),
+        |j AS (SELECT p.h, abs(b.mean_c - p.pred_c) AS ae FROM p JOIN b USING (user_id, hour_id))
+        |SELECT h, CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(SUM(ae) AS BIGINT) AS sae_c,
+        |  CAST(CAST(SUM(ae) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT) AS mae_milli_c
+        |FROM j GROUP BY 1""".stripMargin,
+    // event-type mix diversity: Gini-Simpson (n²−Σc²)/n² and the
+    // order-2 Hill number n²/Σc², both exact rationals in the counts;
+    // top type ties break to the lexically larger type (struct max)
+    "ts_mix_diversity" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY c DESC, event_type DESC) AS rk FROM c),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_types, CAST(SUM(c) AS BIGINT) AS n_events,
+        |        CAST(SUM(c * c) AS BIGINT) AS ssq,
+        |        MAX(CASE WHEN rk = 1 THEN event_type END) AS top_type,
+        |        MAX(CASE WHEN rk = 1 THEN c END) AS top_c
+        |      FROM r GROUP BY 1)
+        |SELECT user_id, n_types, n_events,
+        |  CAST(CAST(10000 AS HUGEINT) * (CAST(n_events AS HUGEINT) * n_events - ssq)
+        |       // (CAST(n_events AS HUGEINT) * n_events) AS BIGINT) AS gini_simpson_bp,
+        |  CAST(CAST(100 AS HUGEINT) * n_events * n_events // CAST(ssq AS HUGEINT) AS BIGINT) AS eff_types_centi,
+        |  top_type,
+        |  CAST(top_c * 10000 // n_events AS BIGINT) AS top_share_bp
+        |FROM a""".stripMargin,
     // PromQL histogram_quantile: walk cumulative bucket counts to the
     // ceil(q·total) rank, interpolate linearly inside the landing
     // bucket. The streaming variant aggregates the same histogram as
@@ -4885,6 +5080,40 @@ object SparkEntry {
         |  MAX(CASE WHEN rnk = CAST(ceil(0.9 * n) AS BIGINT) THEN days END) AS p90_days,
         |  MAX(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT) THEN days END) AS p99_days
         |FROM r GROUP BY o_orderpriority""".stripMargin,
+    // the HDR sketch tier next to the exact tier above — shared by the
+    // batch sketch and its streaming dual (additive counters + shared
+    // probe code)
+    "approx_hdr_latency" -> hdrOracleSql,
+    "approx_hdr_stream" -> hdrOracleSql,
+    // gaps-and-islands: island id = month_id − row_number, longest
+    // streak ties to the earliest start
+    "rel_gap_islands" ->
+      """WITH m AS (SELECT DISTINCT o_custkey,
+        |        CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS month_id FROM orders),
+        |i AS (SELECT o_custkey, month_id,
+        |        month_id - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY month_id) AS island FROM m),
+        |s AS (SELECT o_custkey, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |             MIN(month_id) AS start_month FROM i GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY len DESC, start_month ASC) AS rk FROM s)
+        |SELECT o_custkey, CAST(SUM(len) AS BIGINT) AS n_active_months, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  MAX(CASE WHEN rk = 1 THEN len END) AS longest_months,
+        |  MAX(CASE WHEN rk = 1 THEN start_month END) AS longest_start_month
+        |FROM r GROUP BY 1""".stripMargin,
+    // revenue concentration per nation: HHI cross-multiplied to
+    // 10⁴·Σrev²/total² on HUGEINT, CR-k shares off the rank window
+    "rel_concentration" ->
+      """WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |             FROM orders GROUP BY 1),
+        |bc AS (SELECT n.n_name, rev.o_custkey, rev.rev_c
+        |       FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey
+        |       JOIN nation n ON n.n_nationkey = c.c_nationkey),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY rev_c DESC, o_custkey ASC) AS rk FROM bc)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers, CAST(SUM(rev_c) AS BIGINT) AS total_c,
+        |  CAST(CAST(SUM(CASE WHEN rk <= 1 THEN rev_c ELSE 0 END) AS HUGEINT) * 10000 // SUM(rev_c) AS BIGINT) AS cr1_bp,
+        |  CAST(CAST(SUM(CASE WHEN rk <= 3 THEN rev_c ELSE 0 END) AS HUGEINT) * 10000 // SUM(rev_c) AS BIGINT) AS cr3_bp,
+        |  CAST(CAST(10000 AS HUGEINT) * SUM(CAST(rev_c AS HUGEINT) * rev_c)
+        |       // (CAST(SUM(rev_c) AS HUGEINT) * SUM(rev_c)) AS BIGINT) AS hhi_bp
+        |FROM rk GROUP BY 1""".stripMargin,
     "ts_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,

@@ -2453,4 +2453,82 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_fp_a"), col("n_fp_b"), col("overlap_bp"))
     releaseAfterRun(spark, out, Seq(fp))
   }
+
+  // -------------------------------------------------------------------
+  // dedup_minhash_k_curve — the SIGNATURE-BUDGET operating curve: how
+  // much Jaccard-estimate accuracy does each MinHash slot buy? For
+  // K = 4/8/12 (prefixes of the SAME K=12 signature, so the curve is
+  // the budget decision a store admin actually faces — truncate or
+  // keep), the candidate pairs' |estimate − exact| error is aggregated
+  // fleet-wide: mean and max absolute error in micro. This is the
+  // measured answer to "are 12 universal-hash slots enough", the
+  // estimator-variance ledger next to dedup_lsh_tune's recall ledger
+  // and ann_recall_vs_nprobe's probe curve. Plan: the skew-safe
+  // rep-level core (exact-dup collapse → capped banded LSH pairs),
+  // ONE exact-Jaccard hash join + one signature join per pair, a
+  // row-local 3-way k-prefix stack, then a 3-row partial-aggregable
+  // aggregate; within-group member pairs carry zero error (identical
+  // shingle sets estimate exactly at every K) — they enter the books
+  // as the oracle sees them but cannot distort max.
+  // -------------------------------------------------------------------
+  def minhashKCurve(spark: SparkSession, dir: String, ks: Seq[Int] = Seq(4, 8, 12)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= K))
+    val c = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniq = shinglesOf(c.reps).distinct().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignatures(uniq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val lsh = lshRepPairsFrom(uniq)
+    val cand = lsh.pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    // exact tier: the ngramJaccard 60-bit hash intersection
+    val uniqH = uniq.select(
+      col("doc_id"),
+      expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("hsh")
+    )
+    val counts = uniq.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(uniqH.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(uniqH.as("y"), col("y.doc_id") === col("doc_b") && col("y.hsh") === col("x.hsh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    val sigA = sigs.toDF("doc_a" +: (0 until K).map(j => s"a$j"): _*)
+    val sigB = sigs.toDF("doc_b" +: (0 until K).map(j => s"b$j"): _*)
+    val errCols = ks.map { k =>
+      val agreeSql = (0 until k).map(j => s"(CASE WHEN a$j = b$j THEN 1L ELSE 0L END)").mkString(" + ")
+      expr(s"abs(($agreeSql) * 1000000 DIV $k - exact_micro)").as(s"err$k")
+    }
+    val repScored = cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), Seq("doc_b"))
+      .withColumn("exact_micro", expr("inter_n * 1000000 DIV (na + nb - inter_n)"))
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b"))
+      .select(col("doc_a") +: col("doc_b") +: errCols: _*)
+    val expanded = expandMemberPairs(
+      repScored,
+      groups,
+      lsh.banded,
+      carried = ks.map(k => s"err$k"),
+      withinValues = ks.map(_ => lit(0L))
+    )
+    val stacked = expanded.select(
+      expr(
+        "stack(" + ks.size + ", " +
+          ks.map(k => s"CAST($k AS BIGINT), err$k").mkString(", ") + ") AS (k, err)"
+      )
+    )
+    val out = stacked
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err")).as("serr"), max(col("err")).as("max_abs_err_micro"))
+      .select(
+        col("k"),
+        col("n_pairs"),
+        expr("serr DIV n_pairs").as("mean_abs_err_micro"),
+        col("max_abs_err_micro")
+      )
+    releaseAfterRun(spark, out, Seq(uniq, sigs, cand, lsh.bands, groups))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.FixedPoint._
@@ -2319,6 +2319,185 @@ object Relational {
         col("longest_days"),
         col("span_days"),
         col("util_bp")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // approx_hdr_latency — the HDR-HISTOGRAM quantile sketch (the
+  // production latency sketch: hdrhistogram.org / DDSketch's bounded-
+  // relative-error idea) next to rel_latency_percentiles' exact tier,
+  // with the accuracy ledger that justifies it. Values bucket into
+  // log₂ octaves with 8 linear sub-buckets each, all in integer bit
+  // arithmetic (msb via length(bin(v)) — the portable-HLL trick):
+  // codes 0..15 are exact, code(v≥16) = 8·(msb−3) + 8 + top-3-bits,
+  // so the bucket midpoint is within 1/16 relative error of any member.
+  // The sketch is a (group, code) counter table — ADDITIVE, so partial
+  // aggregation IS sketch merging and a 24/7 stream can keep it warm
+  // (approx_hdr_stream drains the identical table). Per group the
+  // sketch is ≤ ~8·64 longs at ANY value range; quantile probes walk
+  // the cumulative codes (a window over the tiny sketch), and the
+  // ledger publishes est vs exact vs err_bp for p50/p90/p99.
+  // -------------------------------------------------------------------
+
+  /** HDR code of a non-negative long column (see approx_hdr_latency). */
+  def hdrCode(v: String): Column =
+    expr(
+      s"CASE WHEN $v < 16 THEN $v ELSE " +
+        s"(length(bin($v)) - 4) * 8 + 8 + (shiftright($v, CAST(length(bin($v)) - 4 AS INT)) & 7) END"
+    )
+
+  /** Midpoint estimate of an HDR code's bucket: codes <16 are exact,
+    * otherwise [lb, lb + 2^(m-3)) with lb = (8 + s) << (m-3).
+    */
+  private def hdrMid(c: String): Column =
+    expr(
+      s"CASE WHEN $c < 16 THEN $c ELSE " +
+        s"shiftleft(8 + ($c - 8) % 8, CAST(($c - 8) DIV 8 AS INT)) + " +
+        s"(shiftleft(1L, CAST(($c - 8) DIV 8 AS INT)) - 1) DIV 2 END"
+    )
+
+  /** ship-latency days per order priority (shared with the exact tier). */
+  private[graft] def shipLatencyDays(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("o_orderkey") === col("l_orderkey")
+      )
+      .select(col("o_orderpriority"), datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+
+  /** Finish an HDR sketch table (o_orderpriority, code, cnt) into the
+    * p50/p90/p99 est-vs-exact ledger. Shared verbatim by the batch and
+    * streaming variants — the reason one oracle verifies both.
+    */
+  private[graft] def hdrProbe(spark: SparkSession, dir: String, sketch: DataFrame): DataFrame = {
+    val wCum = Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("code"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("o_orderpriority")))
+      .withColumn("mid", hdrMid("code"))
+    val estPicks = Seq(0.5, 0.9, 0.99).map { p =>
+      val k = ceil(lit(p) * col("n"))
+      max(when(k > col("cum") - col("cnt") && k <= col("cum"), col("mid")))
+        .as(s"p${(p * 100).toInt}_est")
+    }
+    val est = cum.groupBy(col("o_orderpriority")).agg(max(col("n")).as("n"), estPicks: _*)
+    val exact = latencyPercentiles(spark, dir)
+      .select(
+        col("o_orderpriority"),
+        col("p50_days").as("p50_exact"),
+        col("p90_days").as("p90_exact"),
+        col("p99_days").as("p99_exact")
+      )
+    est
+      .join(exact, Seq("o_orderpriority"))
+      .select(
+        col("o_orderpriority") +: col("n") +: Seq(50, 90, 99).flatMap { p =>
+          Seq(
+            col(s"p${p}_est"),
+            col(s"p${p}_exact"),
+            expr(s"abs(p${p}_est - p${p}_exact) * 10000 DIV greatest(p${p}_exact, 1L)")
+              .as(s"p${p}_err_bp")
+          )
+        }: _*
+      )
+  }
+
+  def hdrLatency(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = shipLatencyDays(spark, dir)
+      .groupBy(col("o_orderpriority"), hdrCode("days").as("code"))
+      .agg(count(lit(1)).as("cnt"))
+    hdrProbe(spark, dir, sketch)
+  }
+
+  // -------------------------------------------------------------------
+  // rel_gap_islands — the GAPS-AND-ISLANDS pattern (the classic
+  // streak analysis every warehouse interview and every retention
+  // report runs): per customer, maximal runs of CONSECUTIVE active
+  // months. The island id is the classic month_id − row_number()
+  // constant — one window over the customer's (bounded, calendar-
+  // scaled) distinct-month list, never over raw orders. Plan: the
+  // corpus-scaled work is ONE partial-aggregable distinct at
+  // (customer, month) grain; the window + both aggregates share the
+  // customer shuffle. Longest streak ties break to the earliest start.
+  // -------------------------------------------------------------------
+  def gapIslands(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("month_id")
+      )
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("month_id")
+    months
+      .withColumn("island", col("month_id") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("month_id")).as("start_month"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(col("len")).as("n_active_months"),
+        count(lit(1)).as("n_islands"),
+        max(struct(col("len"), (-col("start_month")).as("ns"))).as("b")
+      )
+      .select(
+        col("o_custkey"),
+        col("n_active_months"),
+        col("n_islands"),
+        col("b.len").as("longest_months"),
+        (-col("b.ns")).as("longest_start_month")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // rel_concentration — REVENUE CONCENTRATION per market (nation):
+  // the Herfindahl–Hirschman index and CR-1/CR-3 shares of customer
+  // revenue — the dependency-risk read procurement and finance run
+  // ("is this market three whales or a long tail"), and the
+  // revenue-weighted dual of ts_mix_diversity's count-based index.
+  // HHI = Σ shareᵢ² is rational in the raw cents: cross-multiplied to
+  // 10⁴·Σrevᵢ²/total², computed on DECIMAL(38,0) so billion-customer
+  // markets stay exact. Plan: per-customer revenue is ONE
+  // partial-aggregable groupBy on the fact; nation rides a broadcast
+  // dim; the rank window and both aggregates share the nation shuffle
+  // over the customer-grain rollup (never raw orders).
+  // -------------------------------------------------------------------
+  def concentration(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val byCust = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .join(
+        Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey") === col("o_custkey")
+      )
+      .join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"), col("o_custkey"), col("rev_c"))
+    val w = Window.partitionBy("n_name").orderBy(col("rev_c").desc, col("o_custkey").asc)
+    byCust
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("rev_c")).as("total_c"),
+        sum(when(col("rk") <= 1, col("rev_c")).otherwise(0L)).as("top1_c"),
+        sum(when(col("rk") <= 3, col("rev_c")).otherwise(0L)).as("top3_c"),
+        sum(expr("CAST(rev_c AS DECIMAL(38,0)) * rev_c")).as("ssq")
+      )
+      .select(
+        col("n_name"),
+        col("n_customers"),
+        col("total_c"),
+        expr("CAST((CAST(top1_c AS DECIMAL(38,0)) * 10000) DIV total_c AS BIGINT)").as("cr1_bp"),
+        expr("CAST((CAST(top3_c AS DECIMAL(38,0)) * 10000) DIV total_c AS BIGINT)").as("cr3_bp"),
+        expr(
+          "CAST((CAST(10000 AS DECIMAL(38,0)) * ssq) DIV (CAST(total_c AS DECIMAL(38,0)) * total_c) AS BIGINT)"
+        ).as("hhi_bp")
       )
   }
 }

@@ -1638,4 +1638,61 @@ object Similarity {
       .withColumn("recall_binary_bp", expr(s"n_hits_binary * 10000 DIV ${k}L"))
       .withColumn("recall_rerank_bp", expr(s"n_hits_rerank * 10000 DIV ${k}L"))
   }
+
+  // -------------------------------------------------------------------
+  // emb_centroid_drift — EMBEDDING-DISTRIBUTION DRIFT between two
+  // snapshots: per label, how far did the class centroid move? The
+  // monitor run when an embedding model is re-versioned or a feed
+  // shifts — centroid movement is the cheap first-order alarm before
+  // anyone re-runs a full eval. Snapshots are the deterministic vec_id
+  // parity halves (standing in for "last week's index vs this week's");
+  // vectors quantize to milli units and each half's centroid is the
+  // per-dim integer floor mean (the emb_label_centroids discipline),
+  // so drift² = Σ_d (cA_d − cB_d)² is exact cross-engine. Also pins
+  // the WORST-moving dimension per label — the "which feature drifted"
+  // pointer. Plan: one partial-aggregable groupBy onto the
+  // (|labels| × 64-dim) key space with conditional half sums (the
+  // halves never shuffle separately), then a per-label fold over that
+  // bounded table. The corpus is scanned once; nothing pairs.
+  // -------------------------------------------------------------------
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("label").cast("long").as("label"),
+        (col("vec_id") % 2L === 0L).as("in_a"),
+        posexplode(expr("transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT))")).as(Seq("i", "qi"))
+      )
+      .groupBy(col("label"), col("i"))
+      .agg(
+        sum(when(col("in_a"), col("qi")).otherwise(0L)).as("sa"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), 0L).otherwise(col("qi"))).as("sb"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("nb")
+      )
+      .select(
+        col("label"),
+        col("i"),
+        col("na"),
+        col("nb"),
+        expr("sa DIV greatest(na, 1L)").as("ca"),
+        expr("sb DIV greatest(nb, 1L)").as("cb")
+      )
+    dims
+      .groupBy(col("label"))
+      .agg(
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"),
+        sum(expr("(ca - cb) * (ca - cb)")).as("drift2_milli2"),
+        max(struct(expr("abs(ca - cb)").as("d"), (-col("i").cast("long")).as("ni"))).as("w")
+      )
+      .select(
+        col("label"),
+        col("n_a"),
+        col("n_b"),
+        col("drift2_milli2"),
+        (-col("w.ni")).as("worst_dim"),
+        col("w.d").as("worst_delta_milli")
+      )
+  }
 }

@@ -2348,4 +2348,56 @@ object TextAnalysis {
         max(col("mean_micro")).as("hi_micro")
       )
   }
+
+  // -------------------------------------------------------------------
+  // text_zipf_slope — the ZIPF-LAW slope of the corpus vocabulary,
+  // the single-number "does this feed look like natural language"
+  // screen (clean text fits freq ∝ rank^(−s) with s ≈ 1; machine spam
+  // and template farms bend it). Fit entirely in integer bit
+  // arithmetic so both engines agree bit-for-bit: the top-256 tokens
+  // by frequency (TakeOrdered's bounded heap over the Heaps-bounded
+  // vocab — never a global sort of the corpus) map to log-log points
+  // (⌊log₂ rank⌋, ⌊log₂ freq⌋) via length(bin(·)) (the portable-HLL
+  // msb trick), and the least-squares slope is the classic five-sum
+  // formula published as an exact num/den pair + one truncating
+  // milli-unit division. The only corpus-scaled work is the token
+  // count groupBy (partial-aggregable); everything after runs on ≤256
+  // rows.
+  // -------------------------------------------------------------------
+  def zipfSlope(spark: SparkSession, dir: String, topK: Int = 256): DataFrame = {
+    val vocab = docsToks(spark, dir)
+      .select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    vocab
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(
+        expr("length(bin(rnk)) - 1").as("lx"),
+        expr("length(bin(n)) - 1").as("ly"),
+        col("rnk"),
+        col("n")
+      )
+      .agg(
+        count(lit(1)).as("n_points"),
+        max(when(col("rnk") === 1L, col("n"))).as("top_freq"),
+        sum(col("lx")).as("sx"),
+        sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx")
+      )
+      .select(
+        col("n_points"),
+        col("top_freq"),
+        (col("n_points") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_points") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        expr(
+          "CASE WHEN n_points * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE ((n_points * sxy - sx * sy) * 1000) DIV (n_points * sxx - sx * sx) END"
+        ).as("slope_milli")
+      )
+  }
 }

@@ -2399,4 +2399,147 @@ object TimeSeries {
         col("st.gn").as("gn_final")
       )
   }
+
+  // -------------------------------------------------------------------
+  // ts_mix_diversity — event-type MIX DIVERSITY per series: the
+  // Gini-Simpson index 1 − Σpᵢ² and its "effective number of types"
+  // inverse (Hill number of order 2) — the fleet read that separates
+  // "this series is all heartbeats" from "this series does real work"
+  // before anyone prices per-type storage or routing. Both are RATIONAL
+  // in the raw counts (1 − Σcᵢ²/n² = (n² − Σcᵢ²)/n²; n²/Σcᵢ²), so no
+  // float entropy is needed: bp/centi outputs are exact truncating
+  // divisions, bit-identical cross-engine. Plan: one partial-aggregable
+  // groupBy onto the (series × |types|)-key space, then a per-series
+  // agg — both shuffles carry aggregates, never raw events twice. The
+  // n² cross products ride DECIMAL(38,0) (the ts_linear_trend overflow
+  // discipline) so per-series counts in the billions stay exact.
+  // -------------------------------------------------------------------
+  def mixDiversity(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("ssq"),
+        max(struct(col("c"), col("event_type"))).as("top")
+      )
+      .select(
+        col("user_id"),
+        col("n_types"),
+        col("n_events"),
+        expr(
+          "CAST((CAST(10000 AS DECIMAL(38,0)) * (CAST(n_events AS DECIMAL(38,0)) * n_events - ssq)) " +
+            "DIV (CAST(n_events AS DECIMAL(38,0)) * n_events) AS BIGINT)"
+        ).as("gini_simpson_bp"),
+        expr(
+          "CAST((CAST(100 AS DECIMAL(38,0)) * CAST(n_events AS DECIMAL(38,0)) * n_events) " +
+            "DIV CAST(ssq AS DECIMAL(38,0)) AS BIGINT)"
+        ).as("eff_types_centi"),
+        col("top.event_type").as("top_type"),
+        expr("(top.c * 10000) DIV n_events").as("top_share_bp")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // ts_backtest_horizon — FORECAST-ERROR vs HORIZON for the
+  // persistence (random-walk) baseline: fleet MAE of "the value at t
+  // predicts t+h" for h = 1..6 hours — the curve that tells a planner
+  // how far ahead ANY model must beat doing nothing (error growth in h
+  // is also the fingerprint of mean-reversion vs drift). TIME lags,
+  // not row lags: predictions meet outcomes in ONE (series, hour)
+  // equi-join (the ts_period_detect discipline), so missing hours
+  // shrink the support instead of mis-aligning it. Plan: one hourly
+  // rollup shuffle off raw events, a 6-way row-local horizon explode
+  // on the prediction side, the self-equi-join (Spark reuses the
+  // rollup exchange), and a 6-row partial-aggregable final aggregate.
+  // -------------------------------------------------------------------
+  def backtestHorizon(spark: SparkSession, dir: String, maxH: Int = 6): DataFrame = {
+    val base = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("s"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("hour_id"), expr("s DIV n").as("mean_c"))
+    val preds = base
+      .select(
+        col("user_id"),
+        col("hour_id").as("src_hour"),
+        col("mean_c").as("pred_c"),
+        explode(expr(s"sequence(1, $maxH)")).as("h")
+      )
+      .select(col("user_id"), (col("src_hour") + col("h")).as("hour_id"), col("h").cast("long").as("h"), col("pred_c"))
+    preds
+      .join(base, Seq("user_id", "hour_id"))
+      .groupBy(col("h"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(abs(col("mean_c") - col("pred_c"))).as("sae_c")
+      )
+      .select(
+        col("h"),
+        col("n_pairs"),
+        col("sae_c"),
+        expr("CAST((CAST(sae_c AS DECIMAL(38,0)) * 1000) DIV n_pairs AS BIGINT)").as("mae_milli_c")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // ts_drift_tv — VALUE-DISTRIBUTION DRIFT per event type between the
+  // first and second halves of the retention window: total-variation
+  // distance ½·Σ|p₁(b) − p₂(b)| over the fixed-width value histogram
+  // (the ts_value_histogram buckets) — the data-drift monitor run
+  // before anyone trusts a model trained on last month's feed. TV is
+  // rational where PSI/KL need logs: cross-multiplied to
+  // Σ|c₁·n₂ − c₂·n₁| over 2·n₁·n₂ and published in bp via one exact
+  // truncating DECIMAL division — bit-identical cross-engine, no float.
+  // The split point is the global time midpoint (a 1-row broadcast
+  // aggregate); histogramming is ONE partial-aggregable groupBy onto
+  // the bounded (type × bucket × half) space, drift aggregation runs
+  // over that tiny table. Also pins the single worst-drifting bucket
+  // per type (max_by with bucket tiebreak) — the "where did it move"
+  // pointer an on-call actually clicks.
+  // -------------------------------------------------------------------
+  def driftTv(spark: SparkSession, dir: String, bucketC: Long = 500L): DataFrame = {
+    val ev = eventsUs(spark, dir).select(
+      col("event_type"),
+      col("ts_us"),
+      cents(col("value")).as("v")
+    )
+    val mid = ev.agg(expr("(min(ts_us) + max(ts_us)) DIV 2").as("mid_us"))
+    val hist = ev
+      .crossJoin(broadcast(mid)) // 1-row global-midpoint broadcast
+      .select(
+        col("event_type"),
+        expr(s"(v - pmod(v, ${bucketC}L)) DIV ${bucketC}L").as("bucket"),
+        when(col("ts_us") <= col("mid_us"), 1L).otherwise(0L).as("h1")
+      )
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("h1")).as("c1"), sum(lit(1L) - col("h1")).as("c2"))
+    val wTot = Window.partitionBy("event_type")
+    hist
+      .withColumn("n1", sum(col("c1")).over(wTot))
+      .withColumn("n2", sum(col("c2")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"),
+        count(lit(1)).as("n_buckets"),
+        sum(expr("abs(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1)")).as("l1"),
+        max_by(
+          col("bucket"),
+          struct(expr("abs(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1)"), (-col("bucket")).as("nb"))
+        ).as("worst_bucket")
+      )
+      .select(
+        col("event_type"),
+        col("n1"),
+        col("n2"),
+        col("n_buckets"),
+        expr(
+          "CAST((CAST(10000 AS DECIMAL(38,0)) * l1) " +
+            "DIV (CAST(2 AS DECIMAL(38,0)) * greatest(n1, 1L) * greatest(n2, 1L)) AS BIGINT)"
+        ).as("tv_bp"),
+        col("worst_bucket")
+      )
+  }
 }

@@ -2050,6 +2050,45 @@ object StreamingIngest {
     runToMemory(spark, books, "complete")
   }
 
+  /** approx_hdr_stream — the HDR latency sketch as STREAMING STATE:
+    * lineitem rows stream in, pick up their order's date/priority
+    * through a stream-static join (the dimension is a static broadcast
+    * — no state store, no watermark needed for the join), and fold
+    * into the (priority, hdr-code) counter table as a streaming groupBy
+    * in complete mode. HDR counters are ADDITIVE, so the drained table
+    * equals the batch sketch by algebra at any batch split, and state
+    * is bounded by the code space (≤ ~8·64 rows per priority) at ANY
+    * stream length — the always-warm latency dashboard shape. The
+    * probe/ledger tier is shared CODE with approx_hdr_latency
+    * ([[graft.operators.Relational.hdrProbe]]), which is why the batch
+    * oracle verifies the stream bit-for-bit.
+    */
+  def approxHdrStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.operators.Relational
+    val schema = Tables.lineitem(spark, dir).schema
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val orders = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val sketch = reader
+      .parquet(s"$dir/lineitem.parque[t]")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(broadcast(orders), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days")
+      )
+      .groupBy(col("o_orderpriority"), Relational.hdrCode("days").as("code"))
+      .agg(count(lit(1)).as("cnt"))
+    val drained = runToMemory(spark, sketch, "complete")
+    Relational.hdrProbe(spark, dir, drained)
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

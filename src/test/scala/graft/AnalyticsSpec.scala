@@ -169,4 +169,76 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(winner === (if (holt < snaive) "holt" else "snaive"), s"series ${r.getLong(0)}")
     }
   }
+
+  test("gap islands: books reconcile per customer, one replayed streak matches") {
+    import graft.operators.Relational
+    val rows = Relational.gapIslands(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (act, isl, long) =
+        (r.getAs[Long]("n_active_months"), r.getAs[Long]("n_islands"), r.getAs[Long]("longest_months"))
+      assert(isl >= 1L && isl <= act, "island count must partition the active months")
+      assert(long >= 1L && long <= act)
+      // islands partition the months: at least ceil(act / islands) in the longest
+      assert(long * isl >= act, "longest streak below the pigeonhole floor")
+    }
+    // independent replay for the smallest customer key
+    val ck = rows.map(_.getAs[Long]("o_custkey")).min
+    val months = graft.sources.Tables
+      .orders(spark, sf)
+      .filter(col("o_custkey") === ck)
+      .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).cast("long").as("m"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    val streaks = months
+      .foldLeft(List.empty[(Long, Long)]) { // (start, len) runs
+        case (Nil, m)                                   => List((m, 1L))
+        case ((s, l) :: t, m) if m == s + l             => (s, l + 1L) :: t
+        case (acc, m)                                   => (m, 1L) :: acc
+      }
+    val got = rows.find(_.getAs[Long]("o_custkey") == ck).get
+    assert(got.getAs[Long]("n_active_months") === months.length.toLong)
+    assert(got.getAs[Long]("n_islands") === streaks.length.toLong)
+    val best = streaks.sortBy { case (s, l) => (-l, s) }.head
+    assert(got.getAs[Long]("longest_months") === best._2)
+    assert(got.getAs[Long]("longest_start_month") === best._1)
+  }
+
+  test("concentration: shares nested and lawful, HHI between uniform floor and monopoly") {
+    import graft.operators.Relational
+    val rows = Relational.concentration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, cr1, cr3, hhi) =
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("cr1_bp"), r.getAs[Long]("cr3_bp"), r.getAs[Long]("hhi_bp"))
+      assert(n >= 1L && r.getAs[Long]("total_c") > 0L)
+      assert(cr1 >= 1L && cr1 <= cr3 && cr3 <= 10000L, "CR shares must nest")
+      // top share at least 1/n; HHI in [uniform 1/n, monopoly 1]
+      assert(cr1 * n >= 10000L - n)
+      assert(hhi * n >= 10000L - n, s"HHI $hhi below the uniform floor at n=$n")
+      assert(hhi <= 10000L)
+      // Σshare² dominates the top share squared (integer slack for the
+      // two truncations)
+      assert(hhi + 2L >= cr1 * cr1 / 10000L, s"HHI $hhi vs CR1 $cr1 inconsistent")
+      if (n === 1L) assert(cr1 === 10000L && hhi === 10000L)
+    }
+  }
+
+  test("backtest horizon: all horizons present, MAE books exact, support bounded by h=0 grid") {
+    val rows = TimeSeries.backtestHorizon(spark, sf).collect().sortBy(_.getAs[Long]("h"))
+    assert(rows.map(_.getAs[Long]("h")).toSeq === (1L to 6L))
+    val nHours = TimeSeries
+      .eventsUs(spark, sf)
+      .select(col("user_id"), expr("ts_us DIV 3600000000L").as("hh"))
+      .distinct()
+      .count()
+    for (r <- rows) {
+      val (n, sae, mae) = (r.getAs[Long]("n_pairs"), r.getAs[Long]("sae_c"), r.getAs[Long]("mae_milli_c"))
+      assert(n > 0L && n < nHours, "every horizon must lose at least one pair per series")
+      assert(sae >= 0L)
+      assert(mae === sae * 1000L / n)
+    }
+  }
 }

@@ -116,4 +116,50 @@ class ApproxSpec extends AnyFunSuite {
         "an existing edge leaked into the prediction list")
     } finally df.unpersist()
   }
+
+  test("hdr code: monotone in the value, bucket midpoint within the 1/8 relative bound") {
+    // pin the bit arithmetic on a dense value sweep: codes must be
+    // monotone non-decreasing and every bucket's midpoint within
+    // ceil(lb/8) of any member (codes < 16 are exact)
+    val vals = spark.range(0L, 5000L).toDF("days")
+    val coded = vals
+      .select(col("days"), Relational.hdrCode("days").as("code"))
+      .collect()
+      .sortBy(_.getAs[Long]("days"))
+    val codes = coded.map(_.getAs[Long]("code"))
+    assert(codes.zip(codes.tail).forall { case (a, b) => a <= b }, "hdr code not monotone")
+    for (r <- coded) {
+      val (v, c) = (r.getAs[Long]("days"), r.getAs[Long]("code"))
+      if (v < 16) assert(c === v)
+      else {
+        val m = 63 - java.lang.Long.numberOfLeadingZeros(v)
+        assert(c === (m - 3).toLong * 8 + 8 + ((v >> (m - 3)) & 7))
+        val lb = (8 + (c - 8) % 8) << ((c - 8) / 8).toInt
+        val width = 1L << ((c - 8) / 8).toInt
+        assert(v >= lb && v < lb + width, s"value $v outside bucket [$lb, ${lb + width})")
+      }
+    }
+  }
+
+  test("hdr latency: estimates within the sketch's relative-error bound of the exact tier") {
+    val rows = Relational.hdrLatency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; p <- Seq(50, 90, 99)) {
+      val est = r.getAs[Long](s"p${p}_est")
+      val exact = r.getAs[Long](s"p${p}_exact")
+      val err = r.getAs[Long](s"p${p}_err_bp")
+      // the ledger IS the |est−exact| ratio
+      assert(err === math.abs(est - exact) * 10000L / math.max(exact, 1L))
+      // midpoint of a 1/8-relative bucket: ≤ 1/16 of the lower bound
+      // plus integer rounding — 1300 bp is the structural ceiling
+      assert(err <= 1300L, s"p$p est $est vs exact $exact: $err bp blows the HDR bound")
+    }
+    // quantiles monotone within each tier
+    for (r <- rows) {
+      assert(r.getAs[Long]("p50_est") <= r.getAs[Long]("p90_est"))
+      assert(r.getAs[Long]("p90_est") <= r.getAs[Long]("p99_est"))
+      assert(r.getAs[Long]("p50_exact") <= r.getAs[Long]("p90_exact"))
+      assert(r.getAs[Long]("p90_exact") <= r.getAs[Long]("p99_exact"))
+    }
+  }
 }

@@ -537,4 +537,24 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.head.getAs[Long]("doc_a") === 9000L && planted.head.getAs[Long]("doc_b") === 9001L)
     assert(planted.head.getAs[Long]("overlap_bp") === 10000L, "verbatim copy did not score full overlap")
   }
+
+  test("minhash k curve: three budgets on one pair frame, error shrinking with slots") {
+    val rows = Dedup.minhashKCurve(spark, sf).collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(4L, 8L, 12L))
+    // one pair frame: every budget scores the same candidate pairs
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length === 1)
+    assert(rows.head.getAs[Long]("n_pairs") > 0L)
+    for (r <- rows) {
+      val (mean, mx) = (r.getAs[Long]("mean_abs_err_micro"), r.getAs[Long]("max_abs_err_micro"))
+      assert(mean >= 0L && mean <= mx && mx <= 1000000L)
+      // a K-slot estimate moves in 10⁶/K steps, so its error can never
+      // resolve finer than half a step on average... but it CAN be 0;
+      // only the upper law is structural: max ≤ 1e6 (both sides in
+      // [0, 1e6]).
+    }
+    // more slots buy accuracy on this fixed corpus (deterministic
+    // data, so this pins the measured curve, not a probabilistic law)
+    val m = rows.map(r => r.getAs[Long]("k") -> r.getAs[Long]("mean_abs_err_micro")).toMap
+    assert(m(12L) <= m(4L), s"12-slot mean error ${m(12L)} above the 4-slot ${m(4L)}")
+  }
 }

@@ -95,7 +95,8 @@ class EntrySpec extends AnyFunSuite {
     "text_span_df_profile",      // 1-row total-occurrence broadcast into the band table
     "rel_key_skew_profile",      // 1-row totals+hottest-key broadcast into the band table
     "rel_salt_plan",             // 1-row totals broadcast into the key-frequency table
-    "rel_zorder_layout"          // 1-row bucket-bounds + 3-row query-box broadcasts into the zone-map audit
+    "rel_zorder_layout",         // 1-row bucket-bounds + 3-row query-box broadcasts into the zone-map audit
+    "ts_drift_tv"                // 1-row global-time-midpoint broadcast into the histogram scan
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably

@@ -425,4 +425,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sorted.forall(_.getAs[Long]("neighbor_id") != p))
     }
   }
+
+  test("centroid drift: labels complete, halves reconcile, worst dim consistent with drift2") {
+    val rows = Similarity.centroidDrift(spark, sf).collect()
+    val counts = graft.sources.Tables
+      .embeddings(spark, sf)
+      .groupBy(col("label").cast("long").as("label"))
+      .count()
+      .collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Long]("count"))
+      .toMap
+    assert(rows.map(_.getAs[Long]("label")).toSet === counts.keySet)
+    for (r <- rows) {
+      val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+      assert(na + nb === counts(r.getAs[Long]("label")), "parity halves must partition the label")
+      val d2 = r.getAs[Long]("drift2_milli2")
+      val wd = r.getAs[Long]("worst_delta_milli")
+      assert(d2 >= 0L && wd >= 0L)
+      // the worst dim's squared move is part of (and bounded by) drift²
+      assert(wd * wd <= d2)
+      assert(r.getAs[Long]("worst_dim") >= 0L && r.getAs[Long]("worst_dim") < 64L)
+      // IID parity halves of the same cloud: centroids agree to noise
+      // scale, nowhere near the inter-label distances
+      assert(d2 < 64L * 500L * 500L, s"drift2 $d2 reads like a different distribution per half")
+    }
+  }
 }

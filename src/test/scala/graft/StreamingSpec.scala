@@ -503,6 +503,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0, "batch cms probe rows missing from stream")
   }
 
+  test("hdr stream: two-batch replay drains the exact batch sketch (counter additivity)") {
+    // HDR counters are additive across micro-batches; the static orders
+    // dim joins each batch, so the drained (priority, code) table — and
+    // therefore the shared probe tier — equals the batch sketch exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdr_stream").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cut = li.selectExpr("approx_percentile(l_orderkey, 0.5)").head().getAs[Number](0).longValue()
+    val lidir = s"$dir/lineitem.parquet"
+    li.filter(col("l_orderkey") <= cut).coalesce(1).write.mode("append").parquet(lidir)
+    Thread.sleep(1100)
+    li.filter(col("l_orderkey") > cut).coalesce(1).write.mode("append").parquet(lidir)
+    spark.read.parquet(s"$sf/orders.parquet").coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val streamed = StreamingIngest.approxHdrStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.Relational.hdrLatency(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0, "streamed hdr rows not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch hdr rows missing from stream")
+  }
+
   test("cusum stream: two-batch replay drains the exact batch fold (calibrate-then-monitor)") {
     // hours close across the batch boundary and the provisional row of
     // the final batch must equal the batch recursion over all hours

@@ -756,4 +756,22 @@ class TextSpec extends AnyFunSuite {
       assert(ov < 30000L, s"overlap $ov bp reads like correlated epochs")
     }
   }
+
+  test("zipf slope: one row, negative natural-language slope, regression books consistent") {
+    val r = TextAnalysis.zipfSlope(spark, sf).collect() match {
+      case Array(row) => row
+      case other      => fail(s"expected exactly one summary row, got ${other.length}")
+    }
+    val n = r.getAs[Long]("n_points")
+    assert(n > 0L && n <= 256L)
+    assert(r.getAs[Long]("top_freq") > 0L)
+    val (num, den, milli) =
+      (r.getAs[Long]("slope_num"), r.getAs[Long]("slope_den"), r.getAs[Long]("slope_milli"))
+    assert(den > 0L, "rank spread must give a positive regression denominator")
+    assert(milli === num * 1000L / den)
+    // Zipfian text: log-log slope strictly negative, and not absurdly
+    // steep (s ≈ 1 for natural language; band kept generous)
+    assert(milli < 0L, s"slope $milli: token frequencies don't decay with rank?")
+    assert(milli > -4000L, s"slope $milli reads steeper than any natural corpus")
+  }
 }

@@ -664,4 +664,60 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(got === expected, s"series $uid: strength $got != Scala replay $expected")
     } finally df.unpersist()
   }
+
+  test("mix diversity: rationals lawful, degenerate and uniform bounds, books reconcile") {
+    val rows = TimeSeries.mixDiversity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = TimeSeries.eventsUs(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === totalEvents)
+    for (r <- rows) {
+      val (nt, ne) = (r.getAs[Long]("n_types"), r.getAs[Long]("n_events"))
+      val (gini, eff, share) =
+        (r.getAs[Long]("gini_simpson_bp"), r.getAs[Long]("eff_types_centi"), r.getAs[Long]("top_share_bp"))
+      assert(gini >= 0L && gini < 10000L)
+      // one type ⇒ zero diversity, and the index is capped by the
+      // uniform mix over n_types
+      if (nt === 1L) assert(gini === 0L && eff === 100L)
+      assert(gini <= (nt - 1L) * 10000L / nt)
+      // Hill(2) lives in [1, n_types] (centi), top share at least 1/n_types
+      assert(eff >= 100L - 1L && eff <= nt * 100L)
+      assert(share * nt >= 10000L - nt && share <= 10000L)
+      assert(ne >= nt)
+    }
+    // independent replay for one series
+    val uid = rows.minBy(_.getAs[Long]("user_id")).getAs[Long]("user_id")
+    val cs = TimeSeries
+      .eventsUs(spark, sf)
+      .filter(col("user_id") === uid)
+      .groupBy(col("event_type"))
+      .count()
+      .collect()
+      .map(_.getAs[Long]("count"))
+    val n = cs.sum
+    val ssq = cs.map(c => BigInt(c) * c).sum
+    val expGini = ((BigInt(10000) * (BigInt(n) * n - ssq)) / (BigInt(n) * n)).toLong
+    assert(rows.find(_.getAs[Long]("user_id") == uid).get.getAs[Long]("gini_simpson_bp") === expGini)
+  }
+
+  test("drift tv: distance lawful, half books reconcile, worst bucket is a real bucket") {
+    val rows = TimeSeries.driftTv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perType = TimeSeries
+      .eventsUs(spark, sf)
+      .groupBy(col("event_type"))
+      .count()
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count"))
+      .toMap
+    assert(rows.map(_.getAs[String]("event_type")).toSet === perType.keySet)
+    for (r <- rows) {
+      val (n1, n2, tv) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("tv_bp"))
+      assert(n1 + n2 === perType(r.getAs[String]("event_type")), "halves must partition the type")
+      assert(tv >= 0L && tv <= 10000L)
+      assert(r.getAs[Long]("n_buckets") >= 1L)
+      // synthetic halves draw from the same generator: drift should be
+      // noise-scale, nowhere near a full distribution swap
+      assert(tv < 5000L, s"TV $tv bp reads like a distribution swap on IID halves")
+    }
+  }
 }
