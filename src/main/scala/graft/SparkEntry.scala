@@ -72,6 +72,8 @@ object SparkEntry {
     "approx_hdr_stream"  -> ((s, d) => graft.sources.StreamingIngest.approxHdrStream(s, d)),
     "emb_centroid_drift" -> ((s, d) => Similarity.centroidDrift(s, d)),
     "text_zipf_slope"    -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    "ts_exceedance_runs" -> ((s, d) => TimeSeries.exceedanceRuns(s, d)),
+    "ts_error_spikes"    -> ((s, d) => TimeSeries.errorSpikes(s, d)),
     "rel_gap_islands"    -> ((s, d) => Relational.gapIslands(s, d)),
     "rel_concentration"  -> ((s, d) => Relational.concentration(s, d)),
     "ts_backtest_horizon" -> ((s, d) => TimeSeries.backtestHorizon(s, d)),
@@ -4856,6 +4858,48 @@ object SparkEntry {
         |       // (CAST(2 AS HUGEINT) * greatest(MAX(n1), 1) * greatest(MAX(n2), 1)) AS BIGINT) AS tv_bp,
         |  MAX(CASE WHEN rk = 1 THEN bucket END) AS worst_bucket
         |FROM w GROUP BY 1""".stripMargin,
+    // exceedance episodes: exact rank-selected p75 threshold, islands
+    // over the exceedance HOURS (gaps break runs), zero books kept
+    "ts_exceedance_runs" ->
+      """WITH hh AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, hour_id, s // n AS mean_c FROM hh),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY mean_c ASC, hour_id ASC) AS rnk,
+        |        COUNT(*) OVER (PARTITION BY user_id) AS nh FROM b),
+        |t AS (SELECT user_id, CAST(MAX(nh) AS BIGINT) AS n_hours,
+        |        MAX(CASE WHEN rnk = (3 * nh + 3) // 4 THEN mean_c END) AS thr_c FROM r GROUP BY 1),
+        |ab AS (SELECT b.user_id, b.hour_id FROM b JOIN t USING (user_id) WHERE b.mean_c > t.thr_c),
+        |isl AS (SELECT user_id, hour_id - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS island FROM ab),
+        |ep AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_episodes, MAX(len) AS longest_run,
+        |          CAST(SUM(len) AS BIGINT) AS exceed_hours FROM ep GROUP BY 1)
+        |SELECT t.user_id, t.n_hours, t.thr_c,
+        |  CAST(COALESCE(agg.n_episodes, 0) AS BIGINT) AS n_episodes,
+        |  CAST(COALESCE(agg.longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(COALESCE(agg.exceed_hours, 0) AS BIGINT) AS exceed_hours
+        |FROM t LEFT JOIN agg USING (user_id)""".stripMargin,
+    // significant error spikes: the z=2 test cross-multiplied to
+    // (e·N − n·E)²·n > 4·e·(n−e)·N² — rational, no sqrt, no float
+    "ts_error_spikes" ->
+      """WITH hh AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |base AS (SELECT CAST(SUM(e) AS BIGINT) AS be, CAST(SUM(n) AS BIGINT) AS bn FROM hh),
+        |s AS (SELECT hh.*, base.be, base.bn,
+        |        CASE WHEN CAST(e AS HUGEINT) * bn - CAST(n AS HUGEINT) * be > 0
+        |              AND (CAST(e AS HUGEINT) * bn - CAST(n AS HUGEINT) * be)
+        |                * (CAST(e AS HUGEINT) * bn - CAST(n AS HUGEINT) * be) * n
+        |                > CAST(4 AS HUGEINT) * e * (n - e) * bn * bn
+        |             THEN 1 ELSE 0 END AS sig,
+        |        (e * 10000) // n - (be * 10000) // bn AS excess_bp
+        |      FROM hh, base)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS err_hours,
+        |  CAST(SUM(sig) AS BIGINT) AS n_sig_hours,
+        |  CAST(COALESCE(MAX(CASE WHEN sig = 1 THEN excess_bp END), 0) AS BIGINT) AS max_sig_excess_bp,
+        |  CAST(MAX(bn) AS BIGINT) AS fleet_n
+        |FROM s GROUP BY 1""".stripMargin,
     // persistence-forecast error vs horizon: TIME-lag alignment (the
     // hour_id + h equi-join), truncating milli MAE
     "ts_backtest_horizon" ->

@@ -2443,6 +2443,119 @@ object TimeSeries {
   }
 
   // -------------------------------------------------------------------
+  // ts_exceedance_runs — EXCEEDANCE EPISODES per series: maximal runs
+  // of CONSECUTIVE hours whose hourly mean sits above the series' own
+  // upper quartile — the "sustained high load" read (heatwave /
+  // saturation episodes) that point-anomaly flags can't express: ten
+  // scattered hot hours and one ten-hour episode alarm differently.
+  // The threshold is the exact rank-selected p75 of the series' hourly
+  // means (rank ceil(3n/4), no float quantile); runs use the
+  // gaps-and-islands constant (hour_id − row_number over exceedance
+  // hours), so an hour GAP breaks an episode — calendar runs, not
+  // row runs. Plan: one hourly rollup off raw events, then every
+  // window and aggregate shares the series shuffle (the rank/threshold
+  // windows, the island window, both episode aggregates); series with
+  // no exceedance (constant series: p75 = max) keep zero books via the
+  // left join.
+  // -------------------------------------------------------------------
+  def exceedanceRuns(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("s"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("hour_id"), expr("s DIV n").as("mean_c"))
+    val wRank = Window.partitionBy("user_id").orderBy(col("mean_c").asc, col("hour_id").asc)
+    val wAll  = Window.partitionBy("user_id")
+    val ranked = hourly
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("nh", count(lit(1)).over(wAll))
+    val books = ranked
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("nh")).as("n_hours"),
+        max(when(col("rnk") === expr("(3 * nh + 3) DIV 4"), col("mean_c"))).as("thr_c")
+      )
+    val wIsl = Window.partitionBy("user_id").orderBy("hour_id")
+    val episodes = hourly
+      .join(books.select(col("user_id"), col("thr_c")), Seq("user_id"))
+      .filter(col("mean_c") > col("thr_c"))
+      .withColumn("island", col("hour_id") - row_number().over(wIsl))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_episodes"),
+        max(col("len")).as("longest_run"),
+        sum(col("len")).as("exceed_hours")
+      )
+    books
+      .join(episodes, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("thr_c"),
+        coalesce(col("n_episodes"), lit(0L)).as("n_episodes"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("exceed_hours"), lit(0L)).as("exceed_hours")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // ts_error_spikes — STATISTICALLY SIGNIFICANT error-rate spikes: per
+  // series-hour, is the error share above the fleet baseline by more
+  // than sampling noise explains? The z-test (p̂ − p₀)² > z²·p̂(1−p̂)/n
+  // at z = 2 — cross-multiplied to (e·N − n·E)²·n > 4·e·(n−e)·N² with
+  // p̂ > p₀ as the sign guard — is fully RATIONAL, so the verdict is
+  // bit-identical cross-engine with no sqrt and no float: the
+  // hypothesis-testing tier the raw-threshold alerts
+  // (ts_anomaly_zscore, ts_burn_rate) don't give, and the reason a
+  // 3-event hour with 2 errors doesn't page anyone. Per series the
+  // output is the alarm book: scored hours, error hours, significant
+  // hours, worst excess over baseline in bp. Plan: one
+  // partial-aggregable (series, hour) groupBy, the fleet baseline is a
+  // 1-row broadcast, verdicts row-local on DECIMAL(38,0) cross
+  // products (N up to 10¹² stays exact), final per-series aggregate on
+  // the same series key.
+  // -------------------------------------------------------------------
+  def errorSpikes(spark: SparkSession, dir: String, errType: String = "error"): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(
+        sum(when(col("event_type") === errType, 1L).otherwise(0L)).as("e"),
+        count(lit(1)).as("n")
+      )
+    val base = hourly.agg(sum(col("e")).as("be"), sum(col("n")).as("bn"))
+    hourly
+      .crossJoin(broadcast(base)) // 1-row fleet-baseline broadcast
+      .withColumn(
+        "sig",
+        expr(
+          "CASE WHEN CAST(e AS DECIMAL(38,0)) * bn - CAST(n AS DECIMAL(38,0)) * be > 0 AND " +
+            "(CAST(e AS DECIMAL(38,0)) * bn - CAST(n AS DECIMAL(38,0)) * be) * " +
+            "(CAST(e AS DECIMAL(38,0)) * bn - CAST(n AS DECIMAL(38,0)) * be) * n > " +
+            "CAST(4 AS DECIMAL(38,0)) * e * (n - e) * bn * bn " +
+            "THEN 1L ELSE 0L END"
+        )
+      )
+      .withColumn("excess_bp", expr("(e * 10000) DIV n - (be * 10000) DIV bn"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(when(col("e") > 0L, 1L).otherwise(0L)).as("err_hours"),
+        sum(col("sig")).as("n_sig_hours"),
+        max(when(col("sig") === 1L, col("excess_bp"))).as("max_sig_excess_bp"),
+        max(col("bn")).as("fleet_n")
+      )
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("err_hours"),
+        col("n_sig_hours"),
+        coalesce(col("max_sig_excess_bp"), lit(0L)).as("max_sig_excess_bp"),
+        col("fleet_n")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // ts_backtest_horizon — FORECAST-ERROR vs HORIZON for the
   // persistence (random-walk) baseline: fleet MAE of "the value at t
   // predicts t+h" for h = 1..6 hours — the curve that tells a planner

@@ -96,7 +96,8 @@ class EntrySpec extends AnyFunSuite {
     "rel_key_skew_profile",      // 1-row totals+hottest-key broadcast into the band table
     "rel_salt_plan",             // 1-row totals broadcast into the key-frequency table
     "rel_zorder_layout",         // 1-row bucket-bounds + 3-row query-box broadcasts into the zone-map audit
-    "ts_drift_tv"                // 1-row global-time-midpoint broadcast into the histogram scan
+    "ts_drift_tv",               // 1-row global-time-midpoint broadcast into the histogram scan
+    "ts_error_spikes"            // 1-row fleet-baseline broadcast into the hourly verdicts
   )
 
   // unpartitioned windows whose INPUT is an aggregate with a provably

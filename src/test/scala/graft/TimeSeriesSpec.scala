@@ -699,6 +699,69 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(rows.find(_.getAs[Long]("user_id") == uid).get.getAs[Long]("gini_simpson_bp") === expGini)
   }
 
+  test("exceedance runs: quartile law caps exceedance mass, episode books consistent") {
+    val rows = TimeSeries.exceedanceRuns(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nh, nEp, longest, hours) = (
+        r.getAs[Long]("n_hours"),
+        r.getAs[Long]("n_episodes"),
+        r.getAs[Long]("longest_run"),
+        r.getAs[Long]("exceed_hours")
+      )
+      // strictly above the rank-ceil(3n/4) element: at most n − ceil(3n/4) hours qualify
+      assert(hours <= nh - (3 * nh + 3) / 4, s"exceedance mass $hours above the quartile cap at n=$nh")
+      assert(nEp <= hours && longest <= hours)
+      if (nEp > 0L) assert(longest >= 1L && longest * nEp >= hours, "episodes must partition the exceedance hours")
+      else assert(longest === 0L && hours === 0L)
+    }
+    // an episode replay for one series with episodes
+    rows.find(_.getAs[Long]("n_episodes") > 0L).foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val hourly = TimeSeries
+        .eventsUs(spark, sf)
+        .filter(col("user_id") === uid)
+        .groupBy(expr("ts_us DIV 3600000000L").as("h"))
+        .agg(expr("sum(CAST(round(value*100) AS BIGINT)) DIV count(1)").as("m"))
+        .collect()
+        .map(x => x.getLong(0) -> x.getLong(1))
+        .sortBy(_._1)
+      val thr = r.getAs[Long]("thr_c")
+      val above = hourly.filter(_._2 > thr).map(_._1)
+      val eps = above.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, h)                       => List((h, 1L))
+        case ((s0, l) :: t, h) if h == s0 + l => (s0, l + 1L) :: t
+        case (acc, h)                       => (h, 1L) :: acc
+      }
+      assert(r.getAs[Long]("n_episodes") === eps.length.toLong)
+      assert(r.getAs[Long]("exceed_hours") === above.length.toLong)
+      assert(r.getAs[Long]("longest_run") === eps.map(_._2).max)
+    }
+  }
+
+  test("error spikes: significance is one-sided and stricter than the raw excess flag") {
+    val rows = TimeSeries.errorSpikes(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val fleetN = rows.head.getAs[Long]("fleet_n")
+    assert(rows.forall(_.getAs[Long]("fleet_n") === fleetN))
+    for (r <- rows) {
+      val (nh, errH, sig) =
+        (r.getAs[Long]("n_hours"), r.getAs[Long]("err_hours"), r.getAs[Long]("n_sig_hours"))
+      // a significant hour needs at least one error (p̂ > p₀ ≥ 0)
+      assert(sig <= errH && errH <= nh)
+      // a flagged hour's excess is strictly positive
+      if (sig > 0L) assert(r.getAs[Long]("max_sig_excess_bp") > 0L)
+      else assert(r.getAs[Long]("max_sig_excess_bp") === 0L)
+    }
+    // the test must be non-vacuous in both directions on this corpus:
+    // some error hours exist fleet-wide, and not all of them are
+    // significant (the z-guard actually suppresses noise hours)
+    val totErr = rows.map(_.getAs[Long]("err_hours")).sum
+    val totSig = rows.map(_.getAs[Long]("n_sig_hours")).sum
+    assert(totErr > 0L)
+    assert(totSig < totErr, "every error hour flagged — the significance guard is vacuous")
+  }
+
   test("drift tv: distance lawful, half books reconcile, worst bucket is a real bucket") {
     val rows = TimeSeries.driftTv(spark, sf).collect()
     assert(rows.nonEmpty)
