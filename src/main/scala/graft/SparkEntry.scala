@@ -345,6 +345,7 @@ object SparkEntry {
     "mm_asset_dedup"  -> ((s, d) => Multimodal.assetDedup(s, d)),
     "mm_decode_index" -> ((s, d) => Multimodal.decodeIndex(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSamplePlan(s, d)),
+    "mm_frame_dedup"  -> ((s, d) => Multimodal.frameDedup(s, d)),
     "mm_resize_plan"  -> ((s, d) => Multimodal.resizePlan(s, d)),
     "mm_modality_route" -> ((s, d) => Multimodal.modalityRoute(s, d)),
     "mm_modal_mix_plan" -> ((s, d) => Multimodal.modalMixPlan(s, d)),
@@ -3673,6 +3674,22 @@ object SparkEntry {
     // frame-sample plan: clip length from the same deterministic byte
     // fold ((checksum mod 4096) mod 120), uniform indices and byte seek
     // ranges in exact integers
+    // cross-asset shared frames: content-hash the deterministic frame
+    // grid, df ≥ 2 means chrome; trailing remainder bytes dropped
+    // identically on both engines
+    "mm_frame_dedup" ->
+      """WITH f AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+        |             CAST(1 + length(text) % 24 AS BIGINT) AS vf
+        |           FROM documents WHERE length(text) >= 24),
+        |fr AS (SELECT doc_id,
+        |         md5(substr(text, CAST(i * (len // vf) + 1 AS INTEGER), CAST(len // vf AS INTEGER))) AS h
+        |       FROM (SELECT doc_id, text, len, vf,
+        |               unnest(generate_series(0, CAST(vf AS INTEGER) - 1)) AS i FROM f)),
+        |df AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM fr GROUP BY 1)
+        |SELECT fr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS shared_bp
+        |FROM fr JOIN df USING (h) GROUP BY 1""".stripMargin,
     "mm_frame_sample" ->
       """WITH p AS (SELECT doc_id, lower(hex(encode(text))) AS h,
         |                  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),

@@ -542,4 +542,51 @@ object Multimodal {
         col("hi_ratio_bp")
       )
   }
+
+  // -------------------------------------------------------------------
+  // mm_frame_dedup — SHARED-SEGMENT detection across video assets: the
+  // "same intro/outro/channel-chrome in a thousand uploads" audit a
+  // video pipeline runs before paying for per-frame embeddings. Each
+  // payload slices into its frame grid (vframes = 1 + len % 24 — the
+  // stub's deterministic frame count; a real demuxer changes the
+  // numbers, never the plan), frames fingerprint by md5 OF THE ACTUAL
+  // BYTES (content addressing, the mm_asset_dedup discipline one level
+  // down), and a frame shared by ≥2 assets is chrome. Per asset: frame
+  // count, shared-frame count, shared share in bp. Plan: the slicing
+  // explode is row-local (≤24 frames/asset, bounded); the only
+  // shuffles are the frame-hash document-frequency groupBy and the
+  // per-asset rollup — both partial-aggregable; trailing remainder
+  // bytes (len − vframes·frame_len < vframes) are dropped from every
+  // asset identically, so the fingerprint domain is well-defined.
+  // -------------------------------------------------------------------
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      .filter(col("len") >= 24L)
+      .withColumn("vf", expr("1L + len % 24"))
+      .withColumn("flen", expr("len DIV vf"))
+      .select(
+        col("doc_id"),
+        col("vf"),
+        explode(expr("sequence(0L, vf - 1)")).as("i"),
+        expr("md5(substring(text, CAST(i * flen + 1 AS INT), CAST(flen AS INT)))").as("h")
+      )
+    val df = frames
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    frames
+      .join(df, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_shared")
+      )
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        col("n_shared"),
+        expr("(n_shared * 10000) DIV n_frames").as("shared_bp")
+      )
+  }
 }

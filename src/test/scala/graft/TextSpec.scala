@@ -757,6 +757,24 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("frame dedup: grids lawful, sharing symmetric (no frame shared by only one asset)") {
+    val rows = Multimodal.frameDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nf, ns, bp) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_shared"), r.getAs[Long]("shared_bp"))
+      assert(nf >= 1L && nf <= 24L, s"frame grid $nf outside the 1..24 stub contract")
+      assert(ns >= 0L && ns <= nf)
+      assert(bp === ns * 10000L / nf)
+    }
+    // cross-asset sharing is symmetric mass: it cannot be exactly one
+    // frame corpus-wide (a shared hash contributes ≥2 frame rows)
+    val total = rows.map(_.getAs[Long]("n_shared")).sum
+    assert(total != 1L)
+    // non-vacuous on this corpus: the near-dup clone structure must
+    // surface as shared frames somewhere
+    assert(total >= 2L, "no shared frames found — the chrome detector is vacuous here")
+  }
+
   test("zipf slope: one row, negative natural-language slope, regression books consistent") {
     val r = TextAnalysis.zipfSlope(spark, sf).collect() match {
       case Array(row) => row
