@@ -112,6 +112,7 @@ object SparkEntry {
     "ts_interp_linear"   -> ((s, d) => TimeSeries.interpLinear(s, d)),
     "ts_ingest_stream"   -> ((s, d) => graft.sources.StreamingIngest.ingestHourly(s, d)),
     "ts_store_roundtrip"  -> ((s, d) => graft.sources.TimeboxStore.roundtripSummary(s, d)),
+    "ts_ingest_csv"       -> ((s, d) => graft.sources.TimeboxStore.ingestCsv(s, d)),
     "ts_store_compact"    -> ((s, d) => graft.sources.TimeboxStore.compactSummary(s, d)),
     "ts_store_multitag"   -> ((s, d) => graft.sources.TimeboxStore.multitagRoundtrip(s, d)),
     "ts_store_value_read" -> ((s, d) => graft.sources.TimeboxStore.valueReadSummary(s, d)),
@@ -786,6 +787,17 @@ object SparkEntry {
       |  p90_est, p90_exact, abs(p90_est - p90_exact) * 10000 // greatest(p90_exact, 1) AS p90_err_bp,
       |  p99_est, p99_exact, abs(p99_est - p99_exact) * 10000 // greatest(p99_exact, 1) AS p99_err_bp
       |FROM est JOIN ex USING (o_orderpriority)""".stripMargin
+
+  /** per-series lossless-roundtrip summary over raw events — shared by
+    * the parquet store roundtrip and the CSV ingest path (the CSV feed
+    * must reproduce it bit-for-bit)
+    */
+  private val storeRoundtripOracleSql =
+    """SELECT user_id, COUNT(*) AS n_points,
+      |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+      |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+      |FROM events GROUP BY user_id""".stripMargin
 
   private val quantCtes =
     """q AS (SELECT vec_id, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
@@ -5243,12 +5255,10 @@ object SparkEntry {
         |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
         |FROM events GROUP BY user_id""".stripMargin,
-    "ts_store_roundtrip" ->
-      """SELECT user_id, COUNT(*) AS n_points,
-        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us,
-        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
-        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id
-        |FROM events GROUP BY user_id""".stripMargin,
+    "ts_store_roundtrip" -> storeRoundtripOracleSql,
+    // the CSV front door must land on the identical per-series summary
+    // as the parquet ingest — hence the shared oracle
+    "ts_ingest_csv" -> storeRoundtripOracleSql,
     // the zone-map read: the oracle filters the RAW events with the
     // same time range + value band the store read prunes blocks for
     "ts_store_value_read" ->

@@ -1363,6 +1363,60 @@ object TimeboxStore {
       )
   }
 
+  /** ts_ingest_csv — the reference's FRONT DOOR, Spark-first: its own
+    * performance drill reads a CSV feed and saves the store
+    * (performance_tests.py:20-45, `TimeBox.save_pandas`). Here the
+    * feed lands as a headered CSV scratch written once from the events
+    * slice (ISO microsecond timestamps), parses back with an EXPLICIT
+    * schema + timestampFormat — never inferSchema, which is a second
+    * full scan of a 100 TB feed — encodes through the block codec, and
+    * decodes to the per-series summary, which must equal the summary
+    * over the ORIGINAL parquet rows (shared oracle with
+    * ts_store_roundtrip). One mis-parsed timestamp, locale-bent
+    * double, or dropped row breaks the hash; the CSV parser runs
+    * PERMISSIVE by default, so the count aggregate doubles as the
+    * no-row-lost check.
+    */
+  def ingestCsv(spark: SparkSession, dir: String): DataFrame = {
+    val feed  = scratchPath("graft_csv_feed", dir)
+    val store = scratchPath("graft_csv_store", dir)
+    TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        col("value")
+      )
+      .write
+      .mode("overwrite")
+      .option("header", "true")
+      .csv(feed)
+    val parsed = spark.read
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .schema("ts TIMESTAMP, event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .csv(feed)
+    encode(
+      parsed.select(
+        col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        cents(col("value")).as("value_c")
+      )
+    ).write.mode("overwrite").parquet(store)
+    read(spark, store)
+      .groupBy(col("series_id").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(col("seq")).as("sum_event_id")
+      )
+  }
+
   /** Range + tag-subset read FROM THE ENCODED STORE — the reference's
     * roadmap read path (timebox.py:102-106) against our block layout:
     * the day-partition predicate prunes whole directories before any

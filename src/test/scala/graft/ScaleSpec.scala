@@ -148,7 +148,20 @@ class ScaleSpec extends AnyFunSuite {
     "ts_anomaly_topk",
     "dedup_winnowing",
     "ts_cusum_stream",
-    "sample_budget_alloc"
+    "sample_budget_alloc",
+    // round-9 eighth-session additions with data-proportional work
+    "approx_hdr_latency",
+    "ts_mix_diversity",
+    "ts_drift_tv",
+    "ts_backtest_horizon",
+    "ts_exceedance_runs",
+    "ts_error_spikes",
+    "emb_centroid_drift",
+    "text_zipf_slope",
+    "rel_gap_islands",
+    "rel_concentration",
+    "dedup_minhash_k_curve",
+    "mm_frame_dedup"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =

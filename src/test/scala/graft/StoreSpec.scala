@@ -131,6 +131,17 @@ class StoreSpec extends AnyFunSuite {
     assert(orig.exceptAll(decoded).count() === 0)
   }
 
+  test("csv ingest lands on the identical per-series summary as the parquet ingest") {
+    // the whole CSV leg (write → explicit-schema parse → encode →
+    // decode) must be invisible in the books: row-for-row equal to the
+    // summary the parquet store roundtrip produces
+    val viaCsv     = TimeboxStore.ingestCsv(spark, sf)
+    val viaParquet = TimeboxStore.roundtripSummary(spark, sf)
+    assert(viaCsv.count() === viaParquet.count())
+    assert(viaCsv.exceptAll(viaParquet).count() === 0)
+    assert(viaParquet.exceptAll(viaCsv).count() === 0)
+  }
+
   test("multi-tag roundtrip is exactly lossless (3 tags over lineitem)") {
     val tags = Seq("qty_c", "price_c", "disc_c")
     val pts = TimeboxStore.lineitemPoints(spark, sf)
