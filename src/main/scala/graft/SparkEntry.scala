@@ -78,6 +78,7 @@ object SparkEntry {
     "rel_concentration"  -> ((s, d) => Relational.concentration(s, d)),
     "ts_backtest_horizon" -> ((s, d) => TimeSeries.backtestHorizon(s, d)),
     "dedup_minhash_k_curve" -> ((s, d) => Dedup.minhashKCurve(s, d)),
+    "dedup_norm_ablation" -> ((s, d) => Dedup.normAblation(s, d)),
     "dedup_winnowing"    -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
@@ -1834,6 +1835,22 @@ object SparkEntry {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin,
+    // normalization ablation: exact-dup books under raw / casefold /
+    // full-norm keys; DuckDB regexp_replace needs 'g' to match Spark
+    "dedup_norm_ablation" ->
+      """WITH t AS (
+        |  SELECT 'raw' AS tier, md5(text) AS h FROM documents
+        |  UNION ALL
+        |  SELECT 'casefold' AS tier, md5(lower(text)) AS h FROM documents
+        |  UNION ALL
+        |  SELECT 'norm' AS tier,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM documents),
+        |g AS (SELECT tier, h, CAST(COUNT(*) AS BIGINT) AS sz FROM t GROUP BY 1, 2)
+        |SELECT tier, CAST(SUM(sz) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(SUM(CASE WHEN sz >= 2 THEN sz ELSE 0 END) * 10000 // SUM(sz) AS BIGINT) AS dup_bp
+        |FROM g GROUP BY 1""".stripMargin,
     // the signature-budget curve: K-prefix estimates vs the exact
     // hash-join Jaccard over the same LSH candidate pairs; truncating
     // integer mean, the same universal-hash slots as the estimator

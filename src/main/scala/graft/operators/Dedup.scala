@@ -2455,6 +2455,48 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // dedup_norm_ablation — how much duplicate mass does each
+  // NORMALIZATION tier buy? Exact-dup rates under three canonical
+  // forms — raw bytes, casefold, and the full normText (casefold +
+  // punctuation→space + whitespace squeeze) — the ablation every
+  // dedup paper tables (C4/RefinedWeb report exactly this) and the
+  // number that decides whether a pipeline can afford the cheapest
+  // tier. Monotone by construction (each tier's key is a function of
+  // the previous tier's), which the spec pins. Plan: ONE corpus scan,
+  // a row-local 3-way (tier, md5) stack, then two partial-aggregable
+  // groupBys ((tier, hash) sizes → per-tier books); no joins, no
+  // windows.
+  // -------------------------------------------------------------------
+  def normAblation(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        expr(
+          "stack(3, " +
+            "'raw', md5(text), " +
+            "'casefold', md5(lower(text)), " +
+            "'norm', md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')))" +
+            ") AS (tier, h)"
+        )
+      )
+      .groupBy(col("tier"), col("h"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("tier"))
+      .agg(
+        sum(col("sz")).as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(when(col("sz") >= 2L, col("sz")).otherwise(0L)).as("n_dup_docs")
+      )
+      .select(
+        col("tier"),
+        col("n_docs"),
+        col("n_groups"),
+        col("n_dup_docs"),
+        expr("(n_dup_docs * 10000) DIV n_docs").as("dup_bp")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // dedup_minhash_k_curve — the SIGNATURE-BUDGET operating curve: how
   // much Jaccard-estimate accuracy does each MinHash slot buy? For
   // K = 4/8/12 (prefixes of the SAME K=12 signature, so the curve is

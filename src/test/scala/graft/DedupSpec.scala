@@ -538,6 +538,38 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.head.getAs[Long]("overlap_bp") === 10000L, "verbatim copy did not score full overlap")
   }
 
+  test("norm ablation: tiers monotone (coarser keys, fewer groups, more dup mass)") {
+    val rows = Dedup
+      .normAblation(spark, sf)
+      .collect()
+      .map(r => r.getAs[String]("tier") -> r)
+      .toMap
+    assert(rows.keySet === Set("raw", "casefold", "norm"))
+    val n = rows("raw").getAs[Long]("n_docs")
+    assert(rows.values.forall(_.getAs[Long]("n_docs") === n), "every tier sees the whole corpus")
+    // each tier's key is a function of the previous one: groups can
+    // only merge, never split, so dup mass is monotone non-decreasing
+    def g(t: String) = rows(t).getAs[Long]("n_groups")
+    def d(t: String) = rows(t).getAs[Long]("n_dup_docs")
+    assert(g("raw") >= g("casefold") && g("casefold") >= g("norm"))
+    assert(d("raw") <= d("casefold") && d("casefold") <= d("norm"))
+    for (r <- rows.values) {
+      assert(r.getAs[Long]("n_groups") <= n)
+      assert(r.getAs[Long]("dup_bp") === r.getAs[Long]("n_dup_docs") * 10000L / n)
+      // dup docs live in groups of >= 2, so they can't exceed
+      // n − (groups that are singletons)… the cheap law: dup ≤ n
+      assert(r.getAs[Long]("n_dup_docs") <= n)
+    }
+    // the full-norm tier must agree with dedup_exact's group books
+    val exactDup = Dedup
+      .exact(spark, sf)
+      .filter(col("n_docs") >= 2)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)))
+      .head()
+      .getLong(0)
+    assert(d("norm") === exactDup, "norm tier disagrees with dedup_exact on the same corpus")
+  }
+
   test("minhash k curve: three budgets on one pair frame, error shrinking with slots") {
     val rows = Dedup.minhashKCurve(spark, sf).collect().sortBy(_.getAs[Long]("k"))
     assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(4L, 8L, 12L))

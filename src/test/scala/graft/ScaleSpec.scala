@@ -161,7 +161,9 @@ class ScaleSpec extends AnyFunSuite {
     "rel_gap_islands",
     "rel_concentration",
     "dedup_minhash_k_curve",
-    "mm_frame_dedup"
+    "mm_frame_dedup",
+    "dedup_norm_ablation",
+    "ts_ingest_csv"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
