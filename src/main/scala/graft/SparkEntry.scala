@@ -79,6 +79,7 @@ object SparkEntry {
     "ts_backtest_horizon" -> ((s, d) => TimeSeries.backtestHorizon(s, d)),
     "dedup_minhash_k_curve" -> ((s, d) => Dedup.minhashKCurve(s, d)),
     "dedup_norm_ablation" -> ((s, d) => Dedup.normAblation(s, d)),
+    "graph_modularity"   -> ((s, d) => Dedup.modularity(s, d)),
     "dedup_winnowing"    -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
@@ -445,6 +446,39 @@ object SparkEntry {
   /** synchronous label propagation, unrolled: plurality label with
     * (count desc, label asc) tiebreak each round
     */
+  /** Newman modularity of the LPA communities over the candidate
+    * graph: Q = (4m·I − Σ_c deg_c²) / 4m² — exact rationals, one
+    * truncating bp division; the LPA CTE chain is labelPropOracle's.
+    */
+  private def modularityOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""g$r AS (SELECT e.src AS node, l.lab, COUNT(*) AS cnt
+         |  FROM ed e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+         |l$r AS (SELECT node, lab FROM (SELECT node, lab,
+         |    ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lab ASC) AS rn FROM g$r)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH $shingleCtes,
+       |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |       UNION SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lab FROM ed),
+       |${perRound.mkString(",\n")},
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l$rounds),
+       |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra FROM pairs p
+       |       JOIN l$rounds a ON a.node = p.doc_a
+       |       JOIN l$rounds b ON b.node = p.doc_b AND b.lab = a.lab),
+       |dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       |dc AS (SELECT l.lab, CAST(SUM(dg.deg) AS BIGINT) AS dc
+       |       FROM dg JOIN l$rounds l ON l.node = dg.node GROUP BY 1),
+       |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+       |              SUM(CAST(dc AS HUGEINT) * dc) AS sdc2 FROM dc)
+       |SELECT nn.n_nodes, mm.m AS n_edges, sm.n_comm AS n_communities, ia.intra AS intra_edges,
+       |  CAST((CAST(10000 AS HUGEINT) * (CAST(4 AS HUGEINT) * mm.m * ia.intra - sm.sdc2))
+       |       // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS modularity_bp
+       |FROM nn, mm, ia, sm""".stripMargin
+  }
+
   private def labelPropOracle(rounds: Int): String = {
     val perRound = (1 to rounds).map { r =>
       s"""g$r AS (SELECT e.src AS node, l.lab, COUNT(*) AS cnt
@@ -3599,6 +3633,7 @@ object SparkEntry {
         |       // GREATEST(SUM(CASE WHEN scanned THEN f_rows ELSE 0 END), 1) AS BIGINT) AS waste_bp
         |FROM au GROUP BY 1, 2""".stripMargin,
     "dedup_label_prop" -> labelPropOracle(3),
+    "graph_modularity" -> modularityOracle(3),
     // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
     // SCD2: consecutive duplicate states collapse; valid_to = next
     // version's valid_from, -1 + is_current on the head version

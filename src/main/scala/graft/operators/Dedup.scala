@@ -875,11 +875,22 @@ object Dedup {
     */
   def labelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val pairs = minhashLsh(spark, dir)
-    val edges = pairs
+    val edges = symEdges(pairs)
+    labelPropFrom(edges, rounds).select(col("node").as("doc_id"), col("lab").as("label"))
+  }
+
+  /** symmetric, deduplicated edge list of an (doc_a, doc_b) pair frame */
+  private def symEdges(pairs: DataFrame): DataFrame =
+    pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
+
+  /** the synchronous LPA recursion over a symmetric edge list (shared
+    * by labelProp and the modularity scorer — identical tiebreak)
+    */
+  private def labelPropFrom(edges: DataFrame, rounds: Int): DataFrame = {
     var labels = edges.select(col("src").as("node")).distinct().withColumn("lab", col("node"))
     val wArg = Window.partitionBy(col("node")).orderBy(col("cnt").desc, col("lab").asc)
     for (_ <- 1 to rounds) {
@@ -892,7 +903,60 @@ object Dedup {
         .select(col("node"), col("lab"))
         .localCheckpoint()
     }
-    labels.select(col("node").as("doc_id"), col("lab").as("label"))
+    labels
+  }
+
+  // -------------------------------------------------------------------
+  // graph_modularity — CLUSTERING-QUALITY ledger: Newman modularity of
+  // the label-propagation communities over the near-dup candidate
+  // graph, in EXACT rationals (Q = (4m·I − Σ_c deg_c²) / 4m², where I
+  // = intra-community edges — no float ever appears, bp by one
+  // truncating division). This is the number that says whether LPA's
+  // fixed round budget actually found community structure or just
+  // relabeled noise — the acceptance gate before anyone swaps CC for
+  // LPA to save rounds at 100 TB. Plan: the LSH pair frame and the LPA
+  // loop are the machinery the pipeline already runs; the scoring adds
+  // one label join per edge side (intra count), one degree groupBy,
+  // and 1-row scalar aggregates — the final five numbers assemble
+  // driver-side (bounded model-object pulls, the recall_eval
+  // precedent) into a single summary row.
+  // -------------------------------------------------------------------
+  def modularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pairs.count()
+    val edges = symEdges(pairs)
+    val labels = labelPropFrom(edges, rounds).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNodes = labels.count()
+    val intra = pairs
+      .join(labels.select(col("node").as("doc_a"), col("lab").as("la")), Seq("doc_a"))
+      .join(labels.select(col("node").as("doc_b"), col("lab").as("lb")), Seq("doc_b"))
+      .filter(col("la") === col("lb"))
+      .count()
+    val degc = edges
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .join(labels, Seq("node"))
+      .groupBy(col("lab"))
+      .agg(sum(col("deg")).as("dc"))
+    val row = degc
+      .agg(count(lit(1)).as("n_comm"), sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sdc2"))
+      .head()
+    val (nComm, sdc2) = (row.getAs[Long]("n_comm"), BigInt(row.getAs[java.math.BigDecimal]("sdc2").toBigInteger))
+    val qBp = ((BigInt(10000) * (BigInt(4) * m * intra - sdc2)) / (BigInt(4) * m * m)).toLong
+    val spark2 = pairs.sparkSession
+    pairs.unpersist()
+    labels.unpersist()
+    spark2
+      .range(1)
+      .select(
+        lit(nNodes).as("n_nodes"),
+        lit(m).as("n_edges"),
+        lit(nComm).as("n_communities"),
+        lit(intra).as("intra_edges"),
+        lit(qBp).as("modularity_bp")
+      )
   }
 
   /** dedup_near_rate_by_source — the near-dup DASHBOARD per ingest

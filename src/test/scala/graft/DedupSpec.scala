@@ -538,6 +538,29 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.head.getAs[Long]("overlap_bp") === 10000L, "verbatim copy did not score full overlap")
   }
 
+  test("modularity: books lawful, Q in range, LPA communities refine the CC components") {
+    val r = Dedup.modularity(spark, sf).head()
+    val (n, m, comm, intra, q) = (
+      r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_communities"),
+      r.getAs[Long]("intra_edges"),
+      r.getAs[Long]("modularity_bp")
+    )
+    assert(n > 0L && m > 0L)
+    assert(comm >= 1L && comm <= n)
+    assert(intra <= m)
+    // Q ∈ (−1, 1) structurally; near-dup candidate graphs are
+    // community-shaped by construction, so Q must be positive here
+    assert(q > -10000L && q < 10000L)
+    assert(q > 0L, s"modularity $q bp: LPA found no structure on a clustered-by-construction graph")
+    // LPA communities can only REFINE connected components (labels
+    // never cross an edgeless gap), so there are at least as many
+    // communities as components
+    val nCc = Dedup.clusters(spark, sf).select(col("cluster_id")).distinct().count()
+    assert(comm >= nCc)
+  }
+
   test("norm ablation: tiers monotone (coarser keys, fewer groups, more dup mass)") {
     val rows = Dedup
       .normAblation(spark, sf)
