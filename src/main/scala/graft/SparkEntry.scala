@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_minhash_k_curve" -> ((s, d) => Dedup.minhashKCurve(s, d)),
     "dedup_norm_ablation" -> ((s, d) => Dedup.normAblation(s, d)),
     "graph_modularity"   -> ((s, d) => Dedup.modularity(s, d)),
+    "contamination_ngram_curve" -> ((s, d) => Dedup.contaminationNgramCurve(s, d)),
     "dedup_winnowing"    -> ((s, d) => Dedup.winnowingPairs(s, d)),
     "ts_weekly_profile"  -> ((s, d) => TimeSeries.weeklyProfile(s, d)),
     "ts_profile_cluster" -> ((s, d) => TimeSeries.profileCluster(s, d)),
@@ -446,6 +447,32 @@ object SparkEntry {
   /** synchronous label propagation, unrolled: plurality label with
     * (count desc, label asc) tiebreak each round
     */
+  /** cross-source shared-n-gram curve at the given n values — mirrors
+    * Dedup.contaminationNgramCurve's 60-bit hashed-shingle tier;
+    * pairs with zero sharing drop from a leg (inner-join semantics)
+    */
+  private def contaminationCurveOracle(ns: Seq[Int]): String = {
+    val ctes = ns.map { n =>
+      val cat = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""sh$n AS (SELECT DISTINCT source,
+         |    CAST('0x' || substr(md5($cat), 1, 15) AS BIGINT) AS hsh
+         |  FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - ${n - 1})) AS i
+         |        FROM d WHERE len(toks) >= $n)),
+         |sz$n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh$n GROUP BY 1),
+         |sp$n AS (SELECT x.source AS source_a, y.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sh$n x JOIN sh$n y ON y.hsh = x.hsh AND x.source < y.source GROUP BY 1, 2)""".stripMargin
+    }
+    val legs = ns.map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS n, sp.source_a, sp.source_b, sp.n_shared,
+         |  a.n_sh AS n_a, b.n_sh AS n_b,
+         |  CAST((sp.n_shared * 1000000) // least(a.n_sh, b.n_sh) AS BIGINT) AS contain_small_micro
+         |FROM sp$n sp JOIN sz$n a ON a.source = sp.source_a JOIN sz$n b ON b.source = sp.source_b""".stripMargin
+    }
+    s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+       |${ctes.mkString(",\n")}
+       |${legs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Newman modularity of the LPA communities over the candidate
     * graph: Q = (4m·I − Σ_c deg_c²) / 4m² — exact rationals, one
     * truncating bp division; the LPA CTE chain is labelPropOracle's.
@@ -3634,6 +3661,7 @@ object SparkEntry {
         |FROM au GROUP BY 1, 2""".stripMargin,
     "dedup_label_prop" -> labelPropOracle(3),
     "graph_modularity" -> modularityOracle(3),
+    "contamination_ngram_curve" -> contaminationCurveOracle(Seq(3, 5, 8)),
     // per-segment RFM quartiles with full NTILE tiebreaks; recency vs
     // SCD2: consecutive duplicate states collapse; valid_to = next
     // version's valid_from, -1 + is_current on the head version

@@ -2519,6 +2519,56 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // contamination_ngram_curve — the DECONTAMINATION KNOB swept: cross-
+  // source shared-n-gram mass at n = 3/5/8, the curve that prices the
+  // n-gram size every decontamination rule hard-codes (WMDP-style
+  // 13-grams vs C4's shorter spans: small n over-matches boilerplate,
+  // large n misses paraphrase — this is the measured middle). Per
+  // (n, source pair): shared DISTINCT n-grams + containment of the
+  // smaller set in micro. Joins carry the 60-bit shingle HASH (the
+  // ngramJaccard tier — collisions can only read HIGH, bound n_a·n_b/2⁶⁰
+  // per pair); each leg is a source-grain distinct + a hash self-join,
+  // pairs with zero sharing drop from that leg (inner-join semantics,
+  // mirrored by the oracle). All legs over one normalized corpus scan
+  // per n; output is |n-values| × source-pairs rows.
+  // -------------------------------------------------------------------
+  def contaminationNgramCurve(spark: SparkSession, dir: String, ns: Seq[Int] = Seq(3, 5, 8)): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("source"), normText(col("text")).as("norm"))
+    val cached = ns.map { n =>
+      docs
+        .select(col("source").as("doc_id"), col("norm"))
+        .transform(shinglesOf(_, n))
+        .select(
+          col("doc_id").as("source"),
+          expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT)").as("hsh")
+        )
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val legs = ns.zip(cached).map { case (n, sh) =>
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      sh.as("x")
+        .join(sh.as("y"), col("y.hsh") === col("x.hsh") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(sizes.toDF("source_a", "n_a"), Seq("source_a"))
+        .join(sizes.toDF("source_b", "n_b"), Seq("source_b"))
+        .select(
+          lit(n.toLong).as("n"),
+          col("source_a"),
+          col("source_b"),
+          col("n_shared"),
+          col("n_a"),
+          col("n_b"),
+          expr("(n_shared * 1000000) DIV least(n_a, n_b)").as("contain_small_micro")
+        )
+    }
+    releaseAfterRun(spark, legs.reduce(_ unionByName _), cached)
+  }
+
+  // -------------------------------------------------------------------
   // dedup_norm_ablation — how much duplicate mass does each
   // NORMALIZATION tier buy? Exact-dup rates under three canonical
   // forms — raw bytes, casefold, and the full normText (casefold +

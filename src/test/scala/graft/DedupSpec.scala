@@ -538,6 +538,43 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.head.getAs[Long]("overlap_bp") === 10000L, "verbatim copy did not score full overlap")
   }
 
+  test("ngram curve: sharing shrinks as n grows, containments lawful, n=3 leg agrees with contamination_ngram") {
+    val rows = Dedup.contaminationNgramCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (sh, na, nb, c) = (
+        r.getAs[Long]("n_shared"),
+        r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"),
+        r.getAs[Long]("contain_small_micro")
+      )
+      assert(sh >= 1L && sh <= math.min(na, nb))
+      assert(c === sh * 1000000L / math.min(na, nb) && c <= 1000000L)
+    }
+    // longer shingles only match inside runs whose shorter sub-shingles
+    // matched, and each shared run contributes fewer n-grams as n grows;
+    // distinct-count monotonicity is not a theorem (repetitive text can
+    // invert it) but holds on this fixed corpus — pinned as measured
+    // behavior, verified at both local SFs
+    val byPair = rows.groupBy(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")))
+    for ((_, rs) <- byPair) {
+      val byN = rs.map(r => r.getAs[Long]("n") -> r.getAs[Long]("n_shared")).toMap
+      for (Seq(a, b) <- Seq(3L, 5L, 8L).filter(byN.contains).sliding(2) if byN.contains(a) && byN.contains(b))
+        assert(byN(a) >= byN(b), s"shared mass grew from n=$a to n=$b")
+    }
+    // the n=3 leg must reproduce contamination_ngram's shared counts
+    val leg3 = rows
+      .filter(_.getAs[Long]("n") === 3L)
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    val base = Dedup
+      .contaminationNgram(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) -> r.getAs[Long]("n_shared"))
+      .toMap
+    for ((k, v) <- base if v > 0) assert(leg3.get(k).contains(v), s"pair $k: curve ${leg3.get(k)} != base $v")
+  }
+
   test("modularity: books lawful, Q in range, LPA communities refine the CC components") {
     val r = Dedup.modularity(spark, sf).head()
     val (n, m, comm, intra, q) = (

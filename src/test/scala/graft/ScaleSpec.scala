@@ -163,7 +163,8 @@ class ScaleSpec extends AnyFunSuite {
     "dedup_minhash_k_curve",
     "mm_frame_dedup",
     "dedup_norm_ablation",
-    "ts_ingest_csv"
+    "ts_ingest_csv",
+    "contamination_ngram_curve"
   )
 
   private def profile(plan: SparkPlan): Map[String, Int] =
