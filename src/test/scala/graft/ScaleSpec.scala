@@ -261,7 +261,16 @@ class ScaleSpec extends AnyFunSuite {
     "ann_topk_bruteforce",
     "ann_label_knn",
     "approx_hll_users",
-    "graph_degree_dist"
+    "graph_degree_dist",
+    // round-9 eighth-session additions cheap enough for the climb
+    "approx_hdr_latency",
+    "ts_mix_diversity",
+    "ts_drift_tv",
+    "ts_exceedance_runs",
+    "rel_gap_islands",
+    "rel_concentration",
+    "dedup_norm_ablation",
+    "mm_frame_dedup"
   )
 
   test("one more scale step: profile and cost hold from sf0.1 to derived sf1.0") {
