@@ -282,6 +282,7 @@ object SparkEntry {
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_recall_vs_nprobe" -> ((s, d) => Similarity.recallVsNprobe(s, d)),
+    "ann_recall_vs_nplanes" -> ((s, d) => Similarity.recallVsNplanes(s, d)),
     "emb_pq_distortion"   -> ((s, d) => Similarity.pqDistortion(s, d)),
     "ann_hamming_search"  -> ((s, d) => Similarity.annHammingSearch(s, d)),
     "ann_hamming_rerank"  -> ((s, d) => Similarity.annHammingRerank(s, d)),
@@ -1019,6 +1020,63 @@ object SparkEntry {
        |            neighbor_id ASC) AS rnk
        |        FROM td JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
        |      WHERE rnk <= 10),
+       |$perBudget
+       |$selects""".stripMargin
+  }
+
+  /** hyperplane-budget recall curve: per plane count P, the
+    * single-bucket LSH top-10 (the ann_lsh_bucketed plane/bucket
+    * formulas over planes 0..P−1) scored against the brute-force truth
+    */
+  private lazy val recallVsNplanesOracleSql: String = {
+    val budgets = Seq(2, 4, 6)
+    val perBudget = budgets
+      .map { p =>
+        s"""pl$p AS (SELECT p, i,
+           |         2 * (instr('0123456789abcdef',
+           |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+           |       FROM (SELECT unnest(generate_series(0, ${p - 1})) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+           |db$p AS (SELECT q.vec_id, pl.p, CAST(SUM(q.v * pl.w) AS BIGINT) AS dt
+           |       FROM q JOIN pl$p pl ON pl.i = q.i GROUP BY 1, 2),
+           |bk$p AS (SELECT vec_id,
+           |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+           |       FROM db$p GROUP BY 1),
+           |cd$p AS (SELECT pr.vec_id AS probe_id, bk.vec_id AS neighbor_id
+           |       FROM (SELECT * FROM bk$p WHERE vec_id < 5) pr
+           |       JOIN bk$p bk ON bk.bucket = pr.bucket AND bk.vec_id != pr.vec_id),
+           |dt$p AS (SELECT c.probe_id, c.neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+           |       FROM cd$p c JOIN q a ON a.vec_id = c.probe_id
+           |       JOIN q b ON b.vec_id = c.neighbor_id AND b.i = a.i GROUP BY 1, 2),
+           |tk$p AS (SELECT probe_id, neighbor_id FROM (
+           |          SELECT probe_id, neighbor_id,
+           |            ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+           |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+           |              neighbor_id ASC) AS rnk
+           |          FROM dt$p JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+           |        WHERE rnk <= 10)""".stripMargin
+      }
+      .mkString(",\n")
+    val selects = budgets
+      .map { p =>
+        s"""SELECT t.probe_id, CAST($p AS BIGINT) AS nplanes,
+           |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           |  CAST(COUNT(a.neighbor_id) * 10000 // 10 AS BIGINT) AS recall_bp
+           |FROM tr t LEFT JOIN tk$p a
+           |  ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $quantCtes,
+       |td AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |       FROM (SELECT * FROM q WHERE vec_id < 5) a
+       |       JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+       |tr AS (SELECT probe_id, neighbor_id FROM (
+       |         SELECT probe_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+       |             CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+       |             neighbor_id ASC) AS rnk
+       |         FROM td JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+       |       WHERE rnk <= 10),
        |$perBudget
        |$selects""".stripMargin
   }
@@ -2342,6 +2400,7 @@ object SparkEntry {
     // tables (DuckDB allows WITH inside a FROM subquery)
     "emb_matryoshka_eval" -> matryoshkaOracleSql,
     "ann_recall_vs_nprobe" -> recallVsNprobeOracleSql,
+    "ann_recall_vs_nplanes" -> recallVsNplanesOracleSql,
     // truncated-mean variance (E[x²]−E[x]² in micro², toward-zero //
     // both engines); DuckDB's i is 1-based, Spark's posexplode 0-based
     "emb_dim_variance" ->

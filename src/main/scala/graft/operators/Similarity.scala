@@ -1640,6 +1640,48 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // ann_recall_vs_nplanes — the HYPERPLANE-BUDGET operating curve, the
+  // LSH-rung sibling of ann_recall_vs_nprobe's IVF curve: recall@10 of
+  // the single-bucket hyperplane search at 2/4/6 planes. More planes =
+  // smaller buckets = cheaper scans but lower recall — this is the
+  // measured trade behind the nPlanes every deployment hard-codes, and
+  // together with the multiprobe variant it prices "fewer planes vs
+  // more probes". One brute-force truth pass (bounded probe set),
+  // one bucketed search per budget (probe side explodes, corpus-side
+  // layout identical per leg), left-semi hit counting.
+  // -------------------------------------------------------------------
+  def recallVsNplanes(
+      spark: SparkSession,
+      dir: String,
+      budgets: Seq[Int] = Seq(2, 4, 6),
+      k: Int = 10
+  ): DataFrame = {
+    val truth = annTopkBruteForce(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perBudget = budgets
+      .map(p =>
+        annLshBucketed(spark, dir, nPlanes = p)
+          .select(col("probe_id"), col("neighbor_id"))
+          .withColumn("nplanes", lit(p.toLong))
+      )
+      .reduce(_.unionByName(_))
+    val hits = perBudget
+      .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id"), col("nplanes"))
+      .agg(count(lit(1)).as("hits"))
+    val base = truth
+      .select(col("probe_id"))
+      .distinct()
+      .withColumn("nplanes", explode(typedlit(budgets.map(_.toLong))))
+    val out = base
+      .join(hits, Seq("probe_id", "nplanes"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(col("probe_id"), col("nplanes"), col("n_hits"), expr(s"n_hits * 10000 DIV $k").as("recall_bp"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(truth))
+  }
+
+  // -------------------------------------------------------------------
   // emb_centroid_drift — EMBEDDING-DISTRIBUTION DRIFT between two
   // snapshots: per label, how far did the class centroid move? The
   // monitor run when an embedding model is re-versioned or a feed

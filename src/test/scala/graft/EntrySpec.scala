@@ -47,6 +47,7 @@ class EntrySpec extends AnyFunSuite {
     "emb_cosine_histogram",      // same ≤5-row probe broadcast over the corpus
     "ann_ivf_bucketed",
     "ann_recall_vs_nprobe",      // the same ≤8-row centroid + ≤5-row probe broadcasts, once per budget
+    "ann_recall_vs_nplanes",     // the brute-force truth leg's ≤5-row probe broadcast
     "emb_pq_distortion",         // the PQ chain's bounded codebook/sample broadcasts
     "ann_ivf_kmeans",
     "ts_profile_cluster",        // k=4 × 24-slot centroid broadcasts, one per Lloyd pass (the ann_ivf_kmeans shape)

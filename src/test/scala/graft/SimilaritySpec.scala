@@ -426,6 +426,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recall vs nplanes: full grid, books lawful, recall shrinks as planes grow") {
+    val rows = Similarity.recallVsNplanes(spark, sf).collect()
+    assert(rows.length === 5 * 3, "5 probes x 3 plane budgets")
+    for (r <- rows) {
+      val (h, bp) = (r.getAs[Long]("n_hits"), r.getAs[Long]("recall_bp"))
+      assert(h >= 0L && h <= 10L && bp === h * 1000L)
+    }
+    // smaller buckets can't see more of the truth on average; pinned
+    // as measured behavior of the fixed corpus (per-probe it can tie)
+    val mean = rows
+      .groupBy(_.getAs[Long]("nplanes"))
+      .view
+      .mapValues(rs => rs.map(_.getAs[Long]("n_hits")).sum)
+      .toMap
+    assert(mean(2L) >= mean(6L), s"2-plane recall ${mean(2L)} below 6-plane ${mean(6L)}")
+  }
+
   test("centroid drift: labels complete, halves reconcile, worst dim consistent with drift2") {
     val rows = Similarity.centroidDrift(spark, sf).collect()
     val counts = graft.sources.Tables
