@@ -502,8 +502,9 @@ object SparkEntry {
        |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
        |              SUM(CAST(dc AS HUGEINT) * dc) AS sdc2 FROM dc)
        |SELECT nn.n_nodes, mm.m AS n_edges, sm.n_comm AS n_communities, ia.intra AS intra_edges,
-       |  CAST((CAST(10000 AS HUGEINT) * (CAST(4 AS HUGEINT) * mm.m * ia.intra - sm.sdc2))
-       |       // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) AS modularity_bp
+       |  CASE WHEN mm.m = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST((CAST(10000 AS HUGEINT) * (CAST(4 AS HUGEINT) * mm.m * ia.intra - COALESCE(sm.sdc2, 0)))
+       |            // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) END AS modularity_bp
        |FROM nn, mm, ia, sm""".stripMargin
   }
 
@@ -2223,7 +2224,8 @@ object SparkEntry {
          |rr AS (SELECT rep_id, h FROM gg WHERE doc_id = rep_id),
          |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
          |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dd) AS n_docs FROM rr),
-         |ll AS (SELECT CASE WHEN 4 * n_reps / 16.0 <= 8388608.0 THEN 1
+         |ll AS (SELECT CASE WHEN 4 * n_reps <= 4 * 8388608 THEN 0
+         |                   WHEN 4 * n_reps / 16.0 <= 8388608.0 THEN 1
          |                   WHEN 4 * n_reps / 256.0 <= 8388608.0 THEN 2
          |                   WHEN 4 * n_reps / 4096.0 <= 8388608.0 THEN 3
          |                   ELSE 4 END AS l, n_reps, n_docs FROM nn),
@@ -5000,9 +5002,12 @@ object SparkEntry {
         |m AS (SELECT user_id, MAX(dev) AS max_dev FROM d GROUP BY 1)
         |SELECT r.user_id, r.n, m.max_dev, r.k AS cp_k, r.ts_us AS cp_ts_us
         |FROM r JOIN m ON m.user_id = r.user_id WHERE r.rn = 1""".stripMargin,
+    // bucket = FLOOR division (DuckDB's bare `//` truncates toward
+    // zero, Spark's plan floors via pmod — subtract the non-negative
+    // mod first so `//` divides an exact multiple on both engines)
     "ts_value_histogram" ->
       """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events)
-        |SELECT event_type, v // 500 AS bucket, COUNT(*) AS n,
+        |SELECT event_type, (v - ((v % 500) + 500) % 500) // 500 AS bucket, COUNT(*) AS n,
         |  MIN(v) AS min_c, MAX(v) AS max_c
         |FROM e GROUP BY 1, 2""".stripMargin,
     // value-distribution drift: TV distance between the time-half
@@ -5012,7 +5017,7 @@ object SparkEntry {
       """WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
         |             CAST(round(value*100) AS BIGINT) AS v FROM events),
         |m AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM e),
-        |h AS (SELECT event_type, v // 500 AS bucket,
+        |h AS (SELECT event_type, (v - ((v % 500) + 500) % 500) // 500 AS bucket,
         |        CAST(SUM(CASE WHEN ts_us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS c1,
         |        CAST(SUM(CASE WHEN ts_us <= mid_us THEN 0 ELSE 1 END) AS BIGINT) AS c2
         |      FROM e, m GROUP BY 1, 2),

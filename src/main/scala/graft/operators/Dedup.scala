@@ -735,14 +735,20 @@ object Dedup {
     */
   def storeStats(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.SignatureStore.scratchPath(dir) + "_stats"
+    // default dirRows: at test SF chooseL goes FLAT (l=0, one dir per
+    // tier) because the store sits far below the prune threshold —
+    // the report states that honestly (n_dirs=1). The leveled branch
+    // of the same report is exercised by SignatureStoreSpec's 10x
+    // drill, where dirRows is forced tiny.
     graft.sources.SignatureStore.write(spark, Tables.documents(spark, dir), path)
     val lay = graft.sources.SignatureStore.readLayoutInfo(spark, path)
     val tables = Seq("groups" -> "gp", "reps" -> "tp", "bands" -> "sp", "bbits" -> "bp")
     tables
       .map { case (t, p) =>
+        val nDirs = if (lay.l == 0) max(lit(1L)) else countDistinct(col(p))
         spark.read
           .parquet(s"$path/$t")
-          .agg(count(lit(1)).as("n_rows"), countDistinct(col(p)).as("n_dirs"))
+          .agg(count(lit(1)).as("n_rows"), nDirs.as("n_dirs"))
           .select(lit(t).as("tier"), col("n_rows"), col("n_dirs"))
       }
       .reduce(_.unionByName(_))
@@ -943,8 +949,16 @@ object Dedup {
     val row = degc
       .agg(count(lit(1)).as("n_comm"), sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sdc2"))
       .head()
-    val (nComm, sdc2) = (row.getAs[Long]("n_comm"), BigInt(row.getAs[java.math.BigDecimal]("sdc2").toBigInteger))
-    val qBp = ((BigInt(10000) * (BigInt(4) * m * intra - sdc2)) / (BigInt(4) * m * m)).toLong
+    val (nComm, sdc2) = (
+      row.getAs[Long]("n_comm"),
+      Option(row.getAs[java.math.BigDecimal]("sdc2")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+    )
+    // m == 0 (no candidate pairs at all): modularity is undefined —
+    // report the conventional 0 instead of dividing by zero (the
+    // oracle guards the same branch)
+    val qBp =
+      if (m == 0L) 0L
+      else ((BigInt(10000) * (BigInt(4) * m * intra - sdc2)) / (BigInt(4) * m * m)).toLong
     val spark2 = pairs.sparkSession
     pairs.unpersist()
     labels.unpersist()

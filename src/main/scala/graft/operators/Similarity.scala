@@ -1656,12 +1656,16 @@ object Similarity {
       budgets: Seq[Int] = Seq(2, 4, 6),
       k: Int = 10
   ): DataFrame = {
-    val truth = annTopkBruteForce(spark, dir)
+    // k threads through BOTH legs — truth depth and per-budget search
+    // depth — so the recall_bp denominator below always matches the
+    // numerator's top-k (a k != 10 caller gets real recall, not a
+    // silently-mislabeled one)
+    val truth = annTopkBruteForce(spark, dir, k = k)
       .select(col("probe_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perBudget = budgets
       .map(p =>
-        annLshBucketed(spark, dir, nPlanes = p)
+        annLshBucketed(spark, dir, nPlanes = p, k = k)
           .select(col("probe_id"), col("neighbor_id"))
           .withColumn("nplanes", lit(p.toLong))
       )

@@ -2422,7 +2422,9 @@ object TimeSeries {
       .agg(
         count(lit(1)).as("n_types"),
         sum(col("c")).as("n_events"),
-        sum(col("c") * col("c")).as("ssq"),
+        // square in DECIMAL(38,0): per-type counts above ~3e9 would
+        // silently overflow a LONG c*c in non-ANSI mode
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ssq"),
         max(struct(col("c"), col("event_type"))).as("top")
       )
       .select(

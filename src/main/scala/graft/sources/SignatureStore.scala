@@ -93,11 +93,23 @@ object SignatureStore {
     */
   private[graft] val DefaultDirRows = 8L * 1024 * 1024
 
-  /** Smallest prefix length l (1..4) with rows/16^l <= dirRows. */
+  /** Smallest prefix length l (1..4) with rows/16^l <= dirRows — or 0
+    * (FLAT layout) when the store is too small for pruning to ever
+    * engage ([[Layout.prune]] needs rows > 4·dirRows): below that,
+    * partitioned writes pay 16^l-dir fan-out on every append/overwrite
+    * and the reads never prune, which is pure overhead (the r9
+    * write-family regression — dedup_store_delete 2.3x — was exactly
+    * this: l=1 stores whose prune flag was false). A flat store that
+    * grows past the threshold re-levels at compaction, the LSM moment
+    * ([[compactTombstones]] re-chooses l).
+    */
   private[graft] def chooseL(rows: Long, dirRows: Long): Int = {
-    var l = 1
-    while (l < 4 && rows / math.pow(16.0, l.toDouble) > dirRows.toDouble) l += 1
-    l
+    if (rows <= 4 * dirRows) 0
+    else {
+      var l = 1
+      while (l < 4 && rows / math.pow(16.0, l.toDouble) > dirRows.toDouble) l += 1
+      l
+    }
   }
 
   private def layoutMarkerPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_layout")
@@ -209,6 +221,17 @@ object SignatureStore {
         .repartition(col(partCol))
         .write.partitionBy(partCol).mode("append").parquet(s"$path/$table")
 
+  /** Overwrite-mode twin of [[appendTable]] for the initial build and
+    * compaction rewrites: flat single write at l=0, prefix-partitioned
+    * (one file per dir — repartition on the partition value) above.
+    */
+  private def writeTable(df: DataFrame, path: String, table: String, l: Int, partCol: String, pcol: Column): Unit =
+    if (l == 0) df.write.mode("overwrite").parquet(s"$path/$table")
+    else
+      df.withColumn(partCol, pcol)
+        .repartition(col(partCol))
+        .write.partitionBy(partCol).mode("overwrite").parquet(s"$path/$table")
+
   /** Deterministic scratch root for oracle queries (overwrite-mode,
     * keyed by input dir — reused, not leaked, across runs).
     */
@@ -242,28 +265,16 @@ object SignatureStore {
     val nBandRows = 4L * reps.count()
     val l = chooseL(nBandRows, dirRows)
     stampLayout(spark, path, l, nBandRows, dirRows)
-    c.groups
-      .withColumn("gp", idPrefix(col("rep_id"), l))
-      .repartition(col("gp"))
-      .write.partitionBy("gp").mode("overwrite").parquet(s"$path/groups")
-    reps
-      .select(col("doc_id").as("rep_id"), md5(col("norm")).as("th"))
-      .withColumn("tp", hexPrefix(col("th"), l))
-      .repartition(col("tp"))
-      .write.partitionBy("tp").mode("overwrite").parquet(s"$path/reps")
+    writeTable(c.groups, path, "groups", l, "gp", idPrefix(col("rep_id"), l))
+    writeTable(
+      reps.select(col("doc_id").as("rep_id"), md5(col("norm")).as("th")),
+      path, "reps", l, "tp", hexPrefix(col("th"), l)
+    )
     val sigs = Dedup
       .minhashSignaturesOf(reps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Dedup
-      .bandSignaturesFromSigs(sigs)
-      .withColumn("sp", hexPrefix(col("sig"), l))
-      .repartition(col("sp"))
-      .write.partitionBy("sp").mode("overwrite").parquet(s"$path/bands")
-    Dedup
-      .bbitsFromSigs(sigs)
-      .withColumn("bp", idPrefix(col("doc_id"), l))
-      .repartition(col("bp"))
-      .write.partitionBy("bp").mode("overwrite").parquet(s"$path/bbits")
+    writeTable(Dedup.bandSignaturesFromSigs(sigs), path, "bands", l, "sp", hexPrefix(col("sig"), l))
+    writeTable(Dedup.bbitsFromSigs(sigs), path, "bbits", l, "bp", idPrefix(col("doc_id"), l))
     sigs.unpersist()
     reps.unpersist(): Unit
   }
@@ -578,10 +589,7 @@ object SignatureStore {
     )
     staged.foreach { case (t, _) =>
       val (pc, pe) = partCols(t)
-      spark.read.parquet(s"$path/${t}_next")
-        .withColumn(pc, pe)
-        .repartition(col(pc))
-        .write.partitionBy(pc).mode("overwrite").parquet(s"$path/$t")
+      writeTable(spark.read.parquet(s"$path/${t}_next"), path, t, l, pc, pe)
     }
     stampLayout(spark, path, l, nBandRows, DefaultDirRows)
     val dels = new java.io.File(s"$path/deletes")

@@ -117,6 +117,61 @@ class SignatureStoreSpec extends AnyFunSuite {
       s"per-batch band I/O grew with the store: touched $touchedA -> $touchedB (total $totalA -> $totalB)")
   }
 
+  test("write side: flat below the prune threshold, and per-batch APPEND I/O flat across a 10x leveled store") {
+    import graft.operators.Dedup
+    // 1) the r9 regression pin: a store too small for pruning to ever
+    // engage (rows <= 4*dirRows) must be written FLAT — the leveled
+    // fan-out write was pure cost there (dedup_store_delete 2.3x)
+    assert(SignatureStore.chooseL(100, 100) === 0, "tiny store must stay flat")
+    assert(SignatureStore.chooseL(400, 100) === 0, "at the prune threshold: still flat")
+    assert(SignatureStore.chooseL(401, 100) === 1, "past the threshold: leveled")
+    val flat = java.nio.file.Files.createTempDirectory("graft_flatwrite").toString + "/s"
+    SignatureStore.write(spark, docs.filter(col("doc_id") < 50), flat)
+    assert(SignatureStore.readLayout(spark, flat) === 0)
+    assert(!new java.io.File(s"$flat/bands").listFiles().exists(_.getName.startsWith("sp=")),
+      "flat store must not carry partition dirs")
+    // 2) write-side twin of the leveled READ drill: appending the same
+    // batch to a store and to its ~10x sibling must cost ~the same
+    // NEW bytes and files (touched dirs are batch-keyed, not
+    // store-sized). Stores reuse the read drill's construction.
+    val base = docs.filter(col("doc_id") < 300).localCheckpoint()
+    val variants = base
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0), lit(8))).as("j"))
+      .select(
+        (lit(20000) + col("doc_id") * 10 + col("j")).as("doc_id"),
+        concat(col("text"), lit(" wsalt "), (lit(20000) + col("doc_id") * 10 + col("j")).cast("string")).as("text")
+      )
+    val root = java.nio.file.Files.createTempDirectory("graft_levelwrite").toString
+    val (pa, pb) = (s"$root/a", s"$root/b")
+    SignatureStore.write(spark, base, pa, dirRows = 5)
+    SignatureStore.write(spark, base.unionByName(variants), pb, dirRows = 5)
+    def snapshot(path: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+      walk(new java.io.File(path)).map(f => f.getPath -> f.length).toMap
+    }
+    val batch = docs
+      .filter(col("doc_id") >= 300 && col("doc_id") < 330)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    def appendCost(path: String): (Long, Long) = {
+      val before = snapshot(path)
+      SignatureStore.append(spark, batch, path)
+      val added = snapshot(path).filterNot { case (p, _) => before.contains(p) }
+        .filter { case (p, _) => p.endsWith(".parquet") }
+      (added.size.toLong, added.values.sum)
+    }
+    val (filesA, bytesA) = appendCost(pa)
+    val (filesB, bytesB) = appendCost(pb)
+    assert(filesA > 0 && bytesA > 0, "append wrote nothing?")
+    // dir fan-out is keyed by the BATCH's prefixes on both stores;
+    // level depth differs by one (l=2 vs l=3) so allow 2x slack, but
+    // a store-sized write would blow straight past it
+    assert(filesB <= 2 * filesA + 8, s"append file fan-out grew with the store: $filesA -> $filesB")
+    assert(bytesB <= 2 * bytesA + 65536, s"append bytes grew with the store: $bytesA -> $bytesB")
+  }
+
   test("append equals rebuild: groups/reps/bands are set-identical for id-ordered batches") {
     for (t <- Seq("groups", "reps", "bands", "bbits")) {
       val x = spark.read.parquet(s"$incPath/$t")
