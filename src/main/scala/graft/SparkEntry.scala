@@ -137,6 +137,7 @@ object SparkEntry {
     "ts_store_stats"     -> ((s, d) => graft.sources.TimeboxStore.storeStats(s, d)),
     "ts_store_catalog"   -> ((s, d) => graft.sources.TimeboxStore.catalogMaintenanceSummary(s, d)),
     "ts_store_timetravel" -> ((s, d) => graft.sources.TimeboxStore.timeTravelSummary(s, d)),
+    "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
@@ -478,6 +479,20 @@ object SparkEntry {
     * graph: Q = (4m·I − Σ_c deg_c²) / 4m² — exact rationals, one
     * truncating bp division; the LPA CTE chain is labelPropOracle's.
     */
+  /** Shared by ts_store_timetravel (library resolve) and
+    * ts_store_timetravel_api (format door with option("asOf", 7)).
+    */
+  private val timeTravelOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) // 86400000000 AS day_id,
+      |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+      |d0 AS (SELECT MIN(day_id) AS d0 FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+      |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+      |FROM e, d0 WHERE day_id < d0.d0 + 7
+      |GROUP BY 1""".stripMargin
+
   private def modularityOracle(rounds: Int): String = {
     val perRound = (1 to rounds).map { r =>
       s"""g$r AS (SELECT e.src AS node, l.lab, COUNT(*) AS cnt
@@ -5611,17 +5626,11 @@ object SparkEntry {
         |FROM per, d0 WHERE day_id - d0 + 1 BETWEEN 8 AND 12""".stripMargin,
     // time travel: state(v=7) = deltas of days d0..d0+6; the oracle
     // restates that slice straight from raw events — a leak from any
-    // later-committed day fails the hash
-    "ts_store_timetravel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
-        |    epoch_us(ts) // 86400000000 AS day_id,
-        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
-        |d0 AS (SELECT MIN(day_id) AS d0 FROM e)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
-        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
-        |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
-        |FROM e, d0 WHERE day_id < d0.d0 + 7
-        |GROUP BY 1""".stripMargin,
+    // later-committed day fails the hash. The _api twin reads the same
+    // catalog through spark.read.format("timebox").option("asOf", 7),
+    // so the shared oracle also gates the public versioned-read door.
+    "ts_store_timetravel" -> timeTravelOracleSql,
+    "ts_store_timetravel_api" -> timeTravelOracleSql,
     "ts_store_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
         |b AS (SELECT user_id, day_id, COUNT(*) AS np FROM e GROUP BY 1, 2)

@@ -52,8 +52,20 @@ class TimeboxDataSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("timebox: a store path is required — spark.read.format(\"timebox\").load(path)")
     )
 
+  private def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("asOf")).map { v =>
+      try v.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"timebox: option asOf must be a version number, got '$v'")
+      }
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TimeboxFormat.pointSchema(SparkSession.active, pathOf(options))
+    TimeboxFormat.pointSchema(
+      SparkSession.active,
+      TimeboxFormat.resolveDataPaths(pathOf(options), asOfOf(options))
+    )
 
   // writes carry the query's own (point-schema) columns — Spark hands
   // them to getTable directly instead of inferring from a store that
@@ -64,11 +76,13 @@ class TimeboxDataSource extends TableProvider with DataSourceRegister {
       schema: StructType,
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]
-  ): Table =
-    new TimeboxTable(pathOf(new CaseInsensitiveStringMap(properties)), schema)
+  ): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new TimeboxTable(pathOf(opts), TimeboxFormat.resolveDataPaths(pathOf(opts), asOfOf(opts)), schema)
+  }
 }
 
-private[sources] class TimeboxTable(path: String, schema0: StructType)
+private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema0: StructType)
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -86,9 +100,17 @@ private[sources] class TimeboxTable(path: String, schema0: StructType)
       TableCapability.TRUNCATE
     )
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TimeboxScanBuilder(path, schema0)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TimeboxScanBuilder(dataPaths, schema0)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // writes land on the RAW path only: a versioned root's write door
+    // is SnapshotCatalog.commit (immutable snapshots + CAS), never an
+    // in-place file write that would mutate a committed version
+    require(
+      dataPaths == Seq(path),
+      s"timebox: cannot write through a snapshot-catalog root ($path) — commit a new version via SnapshotCatalog"
+    )
     new TimeboxWriteBuilder(path, info)
+  }
 }
 
 /** `df.write.format("timebox").save(path)` — the write half of the
@@ -134,7 +156,7 @@ private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
-private[sources] class TimeboxScanBuilder(path: String, full: StructType)
+private[sources] class TimeboxScanBuilder(paths: Seq[String], full: StructType)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -173,23 +195,23 @@ private[sources] class TimeboxScanBuilder(path: String, full: StructType)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (pushedAgg.isEmpty) required = requiredSchema
-  override def build(): Scan = new TimeboxV1Scan(path, required, pushed, pushedAgg)
+  override def build(): Scan = new TimeboxV1Scan(paths, required, pushed, pushedAgg)
 }
 
 private[sources] class TimeboxV1Scan(
-    path: String,
+    paths: Seq[String],
     required: StructType,
     filters: Array[Filter],
     agg: Option[TimeboxFormat.PushedAgg]
 ) extends V1Scan {
   override def readSchema(): StructType = required
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
-    new TimeboxRelation(context, path, required, filters, agg).asInstanceOf[T]
+    new TimeboxRelation(context, paths, required, filters, agg).asInstanceOf[T]
 }
 
 private[sources] class TimeboxRelation(
     ctx: SQLContext,
-    path: String,
+    paths: Seq[String],
     required: StructType,
     filters: Array[Filter],
     agg: Option[TimeboxFormat.PushedAgg]
@@ -198,12 +220,46 @@ private[sources] class TimeboxRelation(
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = required
   override def buildScan(): RDD[Row] = agg match {
-    case Some(pa) => TimeboxFormat.aggScanDataFrame(ctx.sparkSession, path, pa).rdd
-    case None     => TimeboxFormat.scanDataFrame(ctx.sparkSession, path, required, filters).rdd
+    case Some(pa) => TimeboxFormat.aggScanDataFrame(ctx.sparkSession, paths, pa).rdd
+    case None     => TimeboxFormat.scanDataFrame(ctx.sparkSession, paths, required, filters).rdd
   }
 }
 
 object TimeboxFormat {
+
+  /** Resolve a `.load(path)` + optional `asOf` version to the concrete
+    * block-store directories the scan reads — the TIME-TRAVEL door on
+    * the public format (the reference's read surface is "open the
+    * store, get the data", timebox.py:102-123; versioned reads ride
+    * the same call with one option):
+    *
+    *   - `path` is a [[SnapshotCatalog]] root (has `commits/`):
+    *     state(v) = the UNION of committed delta snapshots with
+    *     version ≤ v (the log-structured add-files composition the
+    *     catalog commits). `asOf` absent = the current head. Cost is
+    *     one manifest resolution — O(1) metadata in store size.
+    *   - `path` is a raw block store: `asOf` is an error (nothing is
+    *     versioned there), the path itself is the data.
+    */
+  private[graft] def resolveDataPaths(path: String, asOf: Option[Long]): Seq[String] = {
+    val isCatalog = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits"))
+    (isCatalog, asOf) match {
+      case (false, None) => Seq(path)
+      case (false, Some(v)) =>
+        throw new IllegalArgumentException(
+          s"timebox: option asOf=$v given but $path has no snapshot catalog (commits/) — only versioned roots time-travel"
+        )
+      case (true, _) =>
+        val all = SnapshotCatalog.manifests(path)
+        val upTo = asOf.fold(all)(v => all.filter(_.version <= v))
+        require(
+          upTo.nonEmpty,
+          s"timebox: no committed snapshot${asOf.fold("")(v => s" at or below version $v")} under $path" +
+            asOf.fold("")(_ => " (expired by retention, or never committed)")
+        )
+        upTo.map(_.path)
+    }
+  }
 
   /** A translated aggregate-pushdown request: optional series group,
     * then one block-computable aggregate per output position.
@@ -273,8 +329,11 @@ object TimeboxFormat {
     * = start_us and start_us + Σdeltas·unit) folded into one block-row
     * aggregation — no posexplode, no window, no point materialization.
     */
-  private[graft] def aggScanDataFrame(spark: SparkSession, path: String, pa: PushedAgg): DataFrame = {
-    val store = spark.read.parquet(path)
+  private[graft] def aggScanDataFrame(spark: SparkSession, path: String, pa: PushedAgg): DataFrame =
+    aggScanDataFrame(spark, Seq(path), pa)
+
+  private[graft] def aggScanDataFrame(spark: SparkSession, paths: Seq[String], pa: PushedAgg): DataFrame = {
+    val store = spark.read.parquet(paths: _*)
     def blockExpr(c: AggCol): org.apache.spark.sql.Column = c match {
       case CountAll  => col("n_points")
       case SumTag(t) => TimeboxStore.blockSumExpr(t)
@@ -309,13 +368,15 @@ object TimeboxFormat {
     * one LONG column per tag, derived from the block layout's own
     * column names (one driver-side schema read, no data scan).
     */
-  def pointSchema(spark: SparkSession, path: String): StructType =
+  def pointSchema(spark: SparkSession, path: String): StructType = pointSchema(spark, Seq(path))
+
+  def pointSchema(spark: SparkSession, paths: Seq[String]): StructType =
     StructType(
       Seq(
         StructField("series_id", LongType),
         StructField("ts_us", LongType),
         StructField("seq", LongType)
-      ) ++ tagsOf(spark.read.parquet(path).schema).map(t => StructField(t, LongType))
+      ) ++ tagsOf(spark.read.parquet(paths: _*).schema).map(t => StructField(t, LongType))
     )
 
   private def longOf(v: Any): Option[Long] = v match {
@@ -389,8 +450,15 @@ object TimeboxFormat {
       path: String,
       required: StructType,
       filters: Array[Filter]
+  ): DataFrame = scanDataFrame(spark, Seq(path), required, filters)
+
+  private[graft] def scanDataFrame(
+      spark: SparkSession,
+      paths: Seq[String],
+      required: StructType,
+      filters: Array[Filter]
   ): DataFrame = {
-    val store = spark.read.parquet(path)
+    val store = spark.read.parquet(paths: _*)
     val allTags = tagsOf(store.schema)
     val tagSet = allTags.toSet
     val blockUs = TimeboxStore.storedBlockUs(store)

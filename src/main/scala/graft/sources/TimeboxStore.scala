@@ -1106,6 +1106,59 @@ object TimeboxStore {
       )
   }
 
+  /** ts_store_timetravel_api — [[timeTravelSummary]]'s exact semantics
+    * re-expressed through the PUBLIC read door:
+    * `spark.read.format("timebox").option("asOf", v).load(root)` — the
+    * one-option versioned read the reference's API shape implies
+    * (timebox.py:102-123 is "open the store, get the data"; here the
+    * version rides the same call). Resolution is
+    * [[TimeboxFormat.resolveDataPaths]]: one manifest read, then the
+    * ≤v delta union scans like any store read — so the COMPLETE
+    * aggregate pushdown fires on this exact query (count/sum/min/max
+    * by series answered from block metadata of only the visible
+    * versions; FormatSpec pins the plan has no aggregate above the
+    * scan AND that versions > v contribute no path). Shares
+    * ts_store_timetravel's oracle: any leak from a later version, or a
+    * miss of a visible one, fails the hash.
+    */
+  def timeTravelFormatRead(
+      spark: SparkSession,
+      dir: String,
+      nDays: Int = 10,
+      compactAfter: Int = 6,
+      asOfVersion: Long = 7
+  ): DataFrame = {
+    val root = scratchPath("graft_store_ttapi", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+    (0 until nDays).foreach { i =>
+      val (lo, hi) = ((d0 + i) * DayUs, (d0 + i + 1) * DayUs)
+      SnapshotCatalog.commit(
+        spark,
+        root,
+        p => encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+      )
+      if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
+    }
+    spark.read
+      .format("timebox")
+      .option("asOf", asOfVersion)
+      .load(root)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+      .select(
+        col("series_id").as("user_id"),
+        col("n_points"), col("sum_value_c"), col("min_ts_us"), col("max_ts_us")
+      )
+  }
+
   /** POINT-EXACT retention expiry (TTL) — vacuum's exact sibling.
     * [[vacuum]] drops aged blocks at block granularity and keeps a
     * boundary block whole; production retention ("keep 90 days,
