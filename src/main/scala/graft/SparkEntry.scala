@@ -138,6 +138,7 @@ object SparkEntry {
     "ts_store_catalog"   -> ((s, d) => graft.sources.TimeboxStore.catalogMaintenanceSummary(s, d)),
     "ts_store_timetravel" -> ((s, d) => graft.sources.TimeboxStore.timeTravelSummary(s, d)),
     "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
+    "ts_store_sql" -> ((s, d) => graft.sources.TimeboxStore.sqlSurfaceSummary(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
@@ -5631,6 +5632,15 @@ object SparkEntry {
     // so the shared oracle also gates the public versioned-read door.
     "ts_store_timetravel" -> timeTravelOracleSql,
     "ts_store_timetravel_api" -> timeTravelOracleSql,
+    // the SQL-DDL door: CREATE TABLE USING timebox, then one pure-SQL
+    // per-series aggregate — the oracle restates it from raw events
+    "ts_store_sql" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+        |FROM e GROUP BY 1""".stripMargin,
     "ts_store_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_id FROM events),
         |b AS (SELECT user_id, day_id, COUNT(*) AS np FROM e GROUP BY 1, 2)

@@ -1794,6 +1794,43 @@ object TimeboxStore {
         ascii(substring(col("event_type"), 1, 1)).cast("long").as("etype_c")
       )
 
+  /** ts_store_sql — the pure-SQL catalog surface: `CREATE TABLE ...
+    * USING timebox LOCATION ...` registers the store in the session
+    * catalog, and from that point a SQL-only user (the most common
+    * kind at 100 TB) reaches the store, its pushdowns, and its pruning
+    * with nothing but `spark.sql` — no DataFrame code, no library
+    * import. This query IS that user: DDL, then one SQL aggregate per
+    * series — the shape the COMPLETE aggregate pushdown answers from
+    * block metadata without decoding a point (FormatSpec pins the
+    * SQL-path plan has no aggregate exec and that SQL WHERE clauses
+    * land as PushedFilters). The table name is keyed by the store path
+    * so per-call scratch isolation extends to the catalog namespace.
+    * Reference surface: timebox.py:102-123 (read) lifted to the one
+    * public door Spark gives every BI tool.
+    */
+  def sqlSurfaceSummary(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("graft_store_sql", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    encode(pts).write.mode("overwrite").parquet(path)
+    val tbl = "tb_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$path'")
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(value_c) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
   /** Oracle-gated DICTIONARY equality read (ts_store_dict_read): encode
     * events with a low-cardinality event-type tag, probe one type code
     * over a week — per-block dictionaries skip every block that doesn't

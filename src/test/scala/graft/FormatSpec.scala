@@ -226,6 +226,35 @@ class FormatSpec extends AnyFunSuite {
     )
   }
 
+  test("SQL DDL surface: CREATE TABLE USING timebox reaches pushdowns from pure SQL") {
+    spark.sql("DROP TABLE IF EXISTS tb_ddl_spec")
+    spark.sql(s"CREATE TABLE tb_ddl_spec USING timebox LOCATION '$storePath'")
+    try {
+      // filters written in SQL land as pushed filters on the scan
+      val filtered = spark.sql(
+        s"SELECT series_id, ts_us, value_c FROM tb_ddl_spec WHERE ts_us >= $lo AND ts_us < $hi AND value_c >= 0"
+      )
+      val ex = filtered.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(ex.contains("PushedFilters") && ex.contains("GreaterThanOrEqual(ts_us"),
+        s"SQL WHERE did not reach PushedFilters:\n$ex")
+      val expect = TimeboxStore.read(spark, storePath)
+        .filter(col("ts_us") >= lo && col("ts_us") < hi && col("value_c") >= 0)
+        .select(col("series_id"), col("ts_us"), col("value_c"))
+      assert(filtered.count() > 0)
+      assert(filtered.except(expect).count() === 0 && expect.except(filtered).count() === 0)
+      // a pure-SQL aggregate completely pushes down (no aggregate exec)
+      val agg = spark.sql(
+        "SELECT series_id, COUNT(value_c) AS n, SUM(value_c) AS s FROM tb_ddl_spec GROUP BY series_id"
+      )
+      val plan = agg.queryExecution.executedPlan.toString
+      for (bad <- Seq("HashAggregate", "SortAggregate", "ObjectHashAggregate"))
+        assert(!plan.contains(bad), s"SQL aggregate not completely pushed:\n$plan")
+      val aggExpect = TimeboxStore.read(spark, storePath)
+        .groupBy(col("series_id")).agg(count(col("value_c")).as("n"), sum(col("value_c")).as("s"))
+      assert(agg.except(aggExpect).count() === 0 && aggExpect.except(agg).count() === 0)
+    } finally spark.sql("DROP TABLE IF EXISTS tb_ddl_spec"): Unit
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
