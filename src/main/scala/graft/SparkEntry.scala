@@ -139,6 +139,7 @@ object SparkEntry {
     "ts_store_timetravel" -> ((s, d) => graft.sources.TimeboxStore.timeTravelSummary(s, d)),
     "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
     "ts_store_sql" -> ((s, d) => graft.sources.TimeboxStore.sqlSurfaceSummary(s, d)),
+    "ts_store_stream_read" -> ((s, d) => graft.sources.StreamingIngest.storeStreamRead(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
@@ -5632,6 +5633,21 @@ object SparkEntry {
     // so the shared oracle also gates the public versioned-read door.
     "ts_store_timetravel" -> timeTravelOracleSql,
     "ts_store_timetravel_api" -> timeTravelOracleSql,
+    // streaming read of the store: each committed daily delta snapshot
+    // is served as a micro-batch stamped with its commit_version; the
+    // oracle restates each day slice from raw events (version i = day
+    // d0+i-1) — double-serves, skips, and cross-version bleed all fail
+    "ts_store_stream_read" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day_id,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |d0 AS (SELECT MIN(day_id) AS d0 FROM e)
+        |SELECT CAST(day_id - d0 + 1 AS BIGINT) AS commit_version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+        |FROM e, d0 WHERE day_id - d0 < 8
+        |GROUP BY 1""".stripMargin,
     // the SQL-DDL door: CREATE TABLE USING timebox, then one pure-SQL
     // per-series aggregate — the oracle restates it from raw events
     "ts_store_sql" ->

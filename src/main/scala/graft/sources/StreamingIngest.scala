@@ -2089,6 +2089,47 @@ object StreamingIngest {
     Relational.hdrProbe(spark, dir, drained)
   }
 
+  /** ts_store_stream_read — STREAMING READ OF THE TIMEBOX STORE, the
+    * 24/7 face of the batch CDC diff (ts_store_cdc): 8 daily delta
+    * snapshots commit to a [[SnapshotCatalog]] root, then
+    * `spark.readStream.format("timebox").load(root)` serves each
+    * committed version as a micro-batch of decoded points stamped with
+    * `commit_version` ([[TimeboxStreamSource]] — offsets ARE catalog
+    * versions). The drill aggregates per version under an AvailableNow
+    * drain; the oracle restates each day-slice straight from raw
+    * events, so a version served twice, skipped, or bleeding rows
+    * across commit boundaries all fail the hash. Scale shape: a
+    * micro-batch costs one manifest read + the DELTA snapshots' blocks
+    * — never the catalog's history.
+    */
+  def storeStreamRead(spark: SparkSession, dir: String, nDays: Int = 8): DataFrame = {
+    val dayUs = 86400000000L
+    val root = TimeboxStore.scratchPath("graft_store_streamread", dir)
+    val pts = graft.operators.TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    val d0 = pts.agg(min(expr(s"ts_us DIV ${dayUs}L"))).head().getLong(0)
+    (0 until nDays).foreach { i =>
+      val (lo, hi) = ((d0 + i) * dayUs, (d0 + i + 1) * dayUs)
+      SnapshotCatalog.commit(
+        spark,
+        root,
+        p => TimeboxStore.encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+      ): Unit
+    }
+    val agg = spark.readStream
+      .format("timebox")
+      .load(root)
+      .groupBy(col("commit_version"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+    runToMemory(spark, agg, "complete")
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

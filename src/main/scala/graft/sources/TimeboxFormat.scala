@@ -44,8 +44,45 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hand-rolled row reader — and `explain` shows the scan with its
   * PushedFilters like any file source.
   */
-class TimeboxDataSource extends TableProvider with DataSourceRegister {
+class TimeboxDataSource
+    extends TableProvider
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   override def shortName(): String = "timebox"
+
+  // ---- streaming READ of a versioned store ---------------------------
+  // `spark.readStream.format("timebox").load(root)` serves each
+  // committed snapshot version as it appears in the catalog's commit
+  // log — the 24/7 face of the batch CDC diff (ts_store_cdc): offsets
+  // ARE catalog versions, a micro-batch decodes exactly the delta
+  // snapshots in (start, end], and every row carries its
+  // commit_version. Implemented as a V1 streaming Source (the
+  // getBatch-returns-a-DataFrame API) so the per-batch pipeline IS the
+  // existing Catalyst decode — no hand-rolled row reader, same reason
+  // the batch scan rides V1Scan. Spark routes readStream here because
+  // the V2 table does not advertise MICRO_BATCH_READ.
+
+  private def pathFromParams(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }.getOrElse(
+      throw new IllegalArgumentException("timebox: a catalog root is required — spark.readStream.format(\"timebox\").load(root)")
+    )
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]
+  ): (String, StructType) =
+    (shortName(), TimeboxStreamSource.streamSchema(sqlContext.sparkSession, pathFromParams(parameters)))
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]
+  ): org.apache.spark.sql.execution.streaming.Source =
+    new TimeboxStreamSource(sqlContext.sparkSession, pathFromParams(parameters))
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
@@ -223,6 +260,82 @@ private[sources] class TimeboxRelation(
     case Some(pa) => TimeboxFormat.aggScanDataFrame(ctx.sparkSession, paths, pa).rdd
     case None     => TimeboxFormat.scanDataFrame(ctx.sparkSession, paths, required, filters).rdd
   }
+}
+
+/** The V1 streaming Source over a [[SnapshotCatalog]] root: offsets are
+  * catalog versions (a LongOffset of the committed head), and
+  * `getBatch(lo, hi)` decodes the UNION of delta snapshots with
+  * version in (lo, hi] — each row stamped with its `commit_version`.
+  * Per-batch cost is the DELTA only (one manifest read + the new
+  * snapshots' blocks); the catalog's immutable-commit protocol means a
+  * version listed is fully written, so a micro-batch can never observe
+  * a half-committed snapshot. Restart replays from the checkpointed
+  * version offset — exactly-once delivery of every committed version.
+  */
+private[sources] class TimeboxStreamSource(spark: SparkSession, root: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  // tag layout is fixed at stream start from the first committed
+  // snapshot (schema evolution mid-stream = restart the query, the
+  // file-stream convention)
+  private val tagCols: Seq[String] = TimeboxStreamSource.tagColsOf(spark, root)
+
+  override val schema: StructType = TimeboxStreamSource.streamSchema(spark, root)
+
+  override def getOffset: Option[V1Offset] = {
+    val v = SnapshotCatalog.currentVersion(root)
+    if (v <= 0L) None else Some(LongOffset(v))
+  }
+
+  private def ver(o: V1Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other               => other.json.trim.toLong
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val (lo, hi) = (start.map(ver).getOrElse(0L), ver(end))
+    val ms = SnapshotCatalog.manifests(root).filter(m => m.version > lo && m.version <= hi)
+    val ordered = schema.fieldNames.toIndexedSeq.map(col)
+    val out = ms
+      .map(m =>
+        TimeboxStore
+          .decode(spark.read.parquet(m.path), tagCols)
+          .withColumn("commit_version", lit(m.version))
+          .select(ordered: _*)
+      )
+      .reduceOption(_ unionByName _)
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      )
+    org.apache.spark.sql.graftshim.GraftShims.streamingFrame(out)
+  }
+
+  override def stop(): Unit = ()
+}
+
+private[sources] object TimeboxStreamSource {
+  private def tagColsOf(spark: SparkSession, root: String): Seq[String] = {
+    val ms = SnapshotCatalog.manifests(root)
+    require(
+      ms.nonEmpty,
+      s"timebox streaming read: no committed snapshot under $root — commit version 1 before starting the stream"
+    )
+    TimeboxFormat.tagsOf(spark.read.parquet(ms.head.path).schema)
+  }
+
+  /** Point schema + the provenance column every served row carries. */
+  def streamSchema(spark: SparkSession, root: String): StructType =
+    StructType(
+      Seq(
+        StructField("series_id", LongType),
+        StructField("ts_us", LongType),
+        StructField("seq", LongType)
+      ) ++ tagColsOf(spark, root).map(t => StructField(t, LongType))
+        :+ StructField("commit_version", LongType)
+    )
 }
 
 object TimeboxFormat {

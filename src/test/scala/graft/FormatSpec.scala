@@ -255,6 +255,50 @@ class FormatSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS tb_ddl_spec"): Unit
   }
 
+  test("streaming read: versions arrive as micro-batches, resume serves only post-drain commits") {
+    import graft.sources.SnapshotCatalog
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_streamread_spec").toString + "/cat"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamread_ckpt").toString
+    val pts = TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 10)
+    def commitSlice(i: Int): Unit =
+      SnapshotCatalog.commit(
+        spark, root,
+        p => TimeboxStore.encode(pts.filter(col("event_id") % 4 === i.toLong), tagCols = Seq("value_c", "etype_c"))
+          .write.parquet(p)
+      ): Unit
+    (0 to 2).foreach(commitSlice)
+    // file sink (memory sink refuses checkpoint recovery): one output
+    // path, two drains over one checkpoint — resume appends ONLY what
+    // committed in between
+    val out = java.nio.file.Files.createTempDirectory("graft_streamread_out").toString + "/rows"
+    def drain(): Unit = {
+      val q = spark.readStream.format("timebox").load(root)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val a = spark.read.parquet(out)
+    assert(a.select(col("commit_version")).distinct().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // served rows == the decoded union of the three snapshots
+    val ms = SnapshotCatalog.manifests(root)
+    val direct = TimeboxStore.decode(spark.read.parquet(ms.map(_.path): _*), Seq("value_c", "etype_c"))
+    val n1 = a.count()
+    assert(n1 === direct.count())
+    // a commit AFTER the drain arrives as its own incremental batch on
+    // resume — the checkpointed version offset is the resume point
+    commitSlice(3)
+    drain()
+    val b = spark.read.parquet(out)
+    assert(b.select(col("commit_version")).distinct().collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L))
+    val sliceN = pts.filter(col("event_id") % 4 === 3L).count()
+    assert(b.count() === n1 + sliceN, "resume must append ONLY the post-drain commit")
+    assert(b.filter(col("commit_version") === 4L).count() === sliceN)
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
