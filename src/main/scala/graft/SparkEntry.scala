@@ -715,28 +715,37 @@ object SparkEntry {
     .map(j => s"(CASE WHEN (a.mh$j % 2) = (b.mh$j % 2) THEN 1 ELSE 0 END)")
     .mkString(" + ")
 
+  /** The K min-slot SELECT list, generated from Dedup.MhA/MhB so the
+    * oracle replays the ENGINE's exact 61-bit-prime split multiply
+    * (Dedup.mhSlotSql): slot = (th + tl*2^30 + a*xl + b) mod 2^61-1
+    * with t = a*xh. All operands non-negative, every intermediate
+    * < 2^63 - DuckDB BIGINT arithmetic is exact and `//`/`%` agree
+    * with Spark's DIV/% on negative-free inputs.
+    */
+  private val mhSlotMins: String = (0 until 12).map { j =>
+    val (a, b) = (graft.operators.Dedup.MhA(j), graft.operators.Dedup.MhB(j))
+    s"MIN((($a*xh) // 2147483648 + (($a*xh) % 2147483648) * 1073741824 + $a*xl + $b) % 2305843009213693951) AS mh$j"
+  }.mkString(",\n        ")
+
+  /** hi + m CTEs off a `sh(doc_id, shingle)` relation: 60-bit digest
+    * prefix split (xh, xl), then the K generated min slots. Embedded
+    * into already-stripped oracle strings, so no margin chars here.
+    */
+  private val mhSlotCtes: String =
+    s"""hi AS (SELECT doc_id, h60 // 1073741824 AS xh, h60 % 1073741824 AS xl
+       |       FROM (SELECT doc_id,
+       |               CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h60 FROM sh)),
+       |m AS (SELECT doc_id,
+       |        $mhSlotMins
+       |      FROM hi GROUP BY doc_id)""".stripMargin
+
   /** shingle + minhash-band CTE chain reused by the LSH oracles */
   private val shingleCtes =
     s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
        |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
        |             FROM d WHERE len(toks) >= 3)),
-       |hi AS (SELECT doc_id,
-       |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS hm FROM sh),
-       |m AS (SELECT doc_id,
-       |        MIN((894684356*hm + 1573429661) % 2147483647) AS mh0,
-       |        MIN((21838115*hm + 1761311798) % 2147483647) AS mh1,
-       |        MIN((1772117479*hm + 1724103795) % 2147483647) AS mh2,
-       |        MIN((641324194*hm + 1836395613) % 2147483647) AS mh3,
-       |        MIN((791158068*hm + 2000992392) % 2147483647) AS mh4,
-       |        MIN((415884587*hm + 580346373) % 2147483647) AS mh5,
-       |        MIN((1215493283*hm + 936793384) % 2147483647) AS mh6,
-       |        MIN((347221958*hm + 801148508) % 2147483647) AS mh7,
-       |        MIN((266861099*hm + 1877275096) % 2147483647) AS mh8,
-       |        MIN((929723558*hm + 560686510) % 2147483647) AS mh9,
-       |        MIN((1207054355*hm + 1346933383) % 2147483647) AS mh10,
-       |        MIN((374399941*hm + 1313764614) % 2147483647) AS mh11
-       |      FROM hi GROUP BY doc_id),
+       |$mhSlotCtes,
        |bs AS (SELECT doc_id, band,
        |         CASE band
        |           WHEN 0 THEN md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) || ':' || CAST(mh2 AS VARCHAR))
@@ -2125,22 +2134,7 @@ object SparkEntry {
          |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
          |       FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
          |             FROM reps WHERE len(toks) >= 3)),
-         |hi AS (SELECT doc_id,
-         |         CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % 2147483647 AS hm FROM sh),
-         |m AS (SELECT doc_id,
-         |        MIN((894684356*hm + 1573429661) % 2147483647) AS mh0,
-         |        MIN((21838115*hm + 1761311798) % 2147483647) AS mh1,
-         |        MIN((1772117479*hm + 1724103795) % 2147483647) AS mh2,
-         |        MIN((641324194*hm + 1836395613) % 2147483647) AS mh3,
-         |        MIN((791158068*hm + 2000992392) % 2147483647) AS mh4,
-         |        MIN((415884587*hm + 580346373) % 2147483647) AS mh5,
-         |        MIN((1215493283*hm + 936793384) % 2147483647) AS mh6,
-         |        MIN((347221958*hm + 801148508) % 2147483647) AS mh7,
-         |        MIN((266861099*hm + 1877275096) % 2147483647) AS mh8,
-         |        MIN((929723558*hm + 560686510) % 2147483647) AS mh9,
-         |        MIN((1207054355*hm + 1346933383) % 2147483647) AS mh10,
-         |        MIN((374399941*hm + 1313764614) % 2147483647) AS mh11
-         |      FROM hi GROUP BY doc_id),
+         |$mhSlotCtes,
          |bs AS (SELECT doc_id, band,
          |         CASE band
          |           WHEN 0 THEN md5(CAST(mh0 AS VARCHAR) || ':' || CAST(mh1 AS VARCHAR) || ':' || CAST(mh2 AS VARCHAR))

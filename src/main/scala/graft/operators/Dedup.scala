@@ -305,42 +305,62 @@ object Dedup {
 
   /** Fixed universal-hash constants for the K min-wise slots:
     * slot_j(x) = (A_j·x + B_j) mod p over the Mersenne prime
-    * p = 2³¹−1. Each slot's element ORDER is scrambled independently
-    * (the property a naive h1 + j·h2 double-hash lacks — there one
-    * low-hash shingle wins many slots, slots correlate, and banded
-    * candidate sets explode; measured as a 10× CC blow-up before this
-    * form).
+    * p = 2⁶¹−1, with the 60-bit digest prefix as x. Each slot's
+    * element ORDER is scrambled independently (the property a naive
+    * h1 + j·h2 double-hash lacks — there one low-hash shingle wins
+    * many slots, slots correlate, and banded candidate sets explode;
+    * measured as a 10× CC blow-up before this form). A_j < 2³¹ keeps
+    * the split multiply in exact LONG arithmetic AND makes every slot
+    * INJECTIVE on the 60-bit domain: p is prime and both a and (x−y)
+    * are nonzero below p, so a·(x−y) ≢ 0 (mod p) — two distinct
+    * digest prefixes can never collide within a slot.
     */
-  private val MhP               = 2147483647L
+  private[graft] val MhP61: Long = 2305843009213693951L // 2^61 - 1
   private[graft] val MhA: Seq[Long] = Seq(894684356L, 21838115L, 1772117479L, 641324194L,
     791158068L, 415884587L, 1215493283L, 347221958L, 266861099L, 929723558L, 1207054355L, 374399941L)
   private[graft] val MhB: Seq[Long] = Seq(1573429661L, 1761311798L, 1724103795L, 1836395613L,
     2000992392L, 580346373L, 936793384L, 801148508L, 1877275096L, 560686510L, 1346933383L, 1313764614L)
 
+  /** One slot's SQL over the split base hash (xh, xl) = (hm ÷ 2³⁰,
+    * hm mod 2³⁰) — shared verbatim with the DuckDB oracles
+    * (SparkEntry generates their CTEs from the same constants):
+    *
+    *   a·hm = (a·xh)·2³⁰ + a·xl,  and with t = a·xh = th·2³¹ + tl:
+    *   t·2³⁰ = th·2⁶¹ + tl·2³⁰ ≡ th + tl·2³⁰  (mod 2⁶¹−1)
+    *
+    * so slot = (th + tl·2³⁰ + a·xl + b) mod p. Magnitudes: t < 2⁶¹,
+    * th < 2³⁰, tl·2³⁰ < 2⁶¹, a·xl < 2⁶¹ — the sum < 3·2⁶¹ < 2⁶³,
+    * every intermediate exact in signed 64-bit on both engines, and
+    * all operands non-negative so truncating division == floor.
+    */
+  private[graft] def mhSlotSql(j: Int): String = {
+    val (a, b) = (MhA(j), MhB(j))
+    s"((${a}L * xh) DIV 2147483648L + ((${a}L * xh) % 2147483648L) * 1073741824L + ${a}L * xl + ${b}L) % ${MhP61}L"
+  }
+
   /** per-doc MinHash signature row: doc_id, mh0..mh{K-1} (K integer
     * mins in ONE groupBy pass) — ONE md5 per shingle (the dedup
     * family's dominant cost, K-fold cheaper than K seeded md5s), with
-    * the K slots drawn from the standard (a·x + b) mod p universal
-    * family over the digest's top 60 bits reduced mod p = 2³¹−1. All
-    * intermediates < 2⁶², so ANSI arithmetic is exact and the DuckDB
-    * oracle replays the identical integers.
+    * the K slots drawn from the (a·x + b) mod p family over the FULL
+    * 60-bit digest prefix, p = 2⁶¹−1 via split multiply ([[mhSlotSql]]).
+    * All intermediates < 2⁶³, so ANSI arithmetic is exact and the
+    * DuckDB oracle replays the identical integers.
     *
-    * Accuracy trade, eyes open: all K slots are affine maps of ONE
-    * 31-bit base hash hm, so two shingles colliding in hm collide in
-    * every slot at once — slot independence is weaker than K seeded
-    * md5s, and a doc with ~10⁵ distinct shingles expects a within-doc
-    * hm collision around the 2³¹ birthday bound. The visible cost is
-    * estimator variance, not candidate quality (DedupSpec's per-pair
-    * containment-estimate floor was loosened 800000→550000 micro when
-    * this landed). If tighter per-pair bounds are ever needed, derive
-    * hm from the full 60 digest bits with a 61-bit-prime family via
-    * split multiply instead of truncating to 31 bits.
+    * This is the r9 verdict's named upgrade from the 31-bit family:
+    * there all K slots were affine maps of ONE 31-bit base hash, so a
+    * ~10⁵-shingle doc expected a within-doc base collision near the
+    * 2³¹ birthday bound (every slot colliding at once). Over 60 bits
+    * the birthday bound moves to ~2³⁰ shingles — beyond any real
+    * document — and each slot is injective on the domain, so the only
+    * residual collision source is the 60-bit digest prefix itself.
     */
   private[graft] def minhashSignatures(uniq: DataFrame): DataFrame = {
     val withH = uniq
       .withColumn("g", md5(col("shingle")))
-      .withColumn("hm", expr(s"CAST(conv(substring(g, 1, 15), 16, 10) AS BIGINT) % ${MhP}L"))
-    val mins = (0 until K).map(j => min(expr(s"(${MhA(j)}L * hm + ${MhB(j)}L) % ${MhP}L")).as(s"mh$j"))
+      .withColumn("h60", expr("CAST(conv(substring(g, 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("xh", expr("h60 DIV 1073741824L"))
+      .withColumn("xl", expr("h60 % 1073741824L"))
+    val mins = (0 until K).map(j => min(expr(mhSlotSql(j))).as(s"mh$j"))
     withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 

@@ -41,7 +41,7 @@ object SignatureStore {
     * before this marker existed must be rebuilt with [[write]]).
     */
   private[graft] val FormatId: String =
-    s"graft-sig-v2 minhash=uhash31-from-md5 K=${Dedup.K} bands=4x3-md5 bbits=packed-low-bits"
+    s"graft-sig-v3 minhash=uhash61-mersenne-split-from-md5 K=${Dedup.K} bands=4x3-md5 bbits=packed-low-bits"
 
   private def formatMarkerPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_format")
 

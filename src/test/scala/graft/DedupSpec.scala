@@ -179,12 +179,15 @@ class DedupSpec extends AnyFunSuite {
     // (containment = 1) on the same pairs — deterministic on fixed
     // data, but a K=12 sketch carries per-pair variance (agreement ~
     // Binomial(K, J)), so the pin is mean-accuracy plus a per-pair
-    // floor rather than a tight bound on every single pair
+    // floor rather than a tight bound on every single pair. The floor
+    // is back at 800000 micro: the r9 31-bit base hash forced it down
+    // to 550000 (within-doc base collisions bled into the estimate);
+    // the 61-bit-prime family removes that collision source
     val est = Dedup.containmentEstimate(spark, dir).collect()
       .filter(r => planted.contains((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
     assert(est.nonEmpty)
     val vals = est.map(_.getAs[Long]("est_containment_micro"))
-    assert(vals.forall(_ >= 550000L), s"a signature estimate collapsed: ${vals.mkString(",")}")
+    assert(vals.forall(_ >= 800000L), s"a signature estimate collapsed: ${vals.mkString(",")}")
     assert(vals.sum / vals.length >= 800000L,
       s"mean signature estimate far below the exact containment of 1: ${vals.mkString(",")}")
   }
@@ -441,8 +444,12 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.storeStats(spark, sf).collect()
     assert(rows.map(_.getAs[String]("tier")).toSet === Set("groups", "reps", "bands", "bbits"))
     val byTier = rows.map(r => r.getAs[String]("tier") -> r).toMap
+    // at test SF the store sits below the prune threshold, so the
+    // health report honestly states the FLAT layout (l=0, one dir per
+    // tier); the leveled branch is pinned by SignatureStoreSpec's
+    // forced-tiny-dirRows drills
     val l = rows.head.getAs[Long]("layout_l")
-    assert(l >= 1L && l <= 4L)
+    assert(l >= 0L && l <= 4L)
     val nDocs = graft.sources.Tables.documents(spark, sf).count()
     assert(byTier("groups").getAs[Long]("n_rows") === nDocs)
     val nReps = byTier("reps").getAs[Long]("n_rows")

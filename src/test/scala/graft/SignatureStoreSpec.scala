@@ -235,12 +235,13 @@ class SignatureStoreSpec extends AnyFunSuite {
     import spark.implicits._
     // two disjoint near-dup components in the corpus (1≈2, 10≈11).
     // Texts are PRE-SEARCHED against the engine's exact banding (K=12
-    // universal-hash min slots (A_j·h + B_j) mod 2³¹−1, 4 bands × 3)
-    // so that, deterministically: each pair shares ≥1 band, the pairs
+    // min slots over the 61-bit Mersenne family — tools/BandSearch
+    // re-finds a fixture whenever the signature family changes) so
+    // that, deterministically: each pair shares ≥1 band, the pairs
     // share none across, and the concatenated bridge shares ≥1 band
     // with BOTH components.
-    val baseA = "eta eta sigma gamma xi gamma xi eta tau delta delta sigma beta tau epsilon"
-    val baseB = "one seven twelve five nine five two nine seven ten nine eight"
+    val baseA = "beta epsilon alpha gamma kappa delta delta gamma epsilon kappa eta tau delta tau beta"
+    val baseB = "twelve two five seven three eight nine three two two ten six"
     val corpus = Seq(
       (1L, s"$baseA tail"),
       (2L, s"$baseA tails"),
