@@ -246,6 +246,7 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_incremental"      -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "dedup_store_delete"     -> ((s, d) => Dedup.storeDeleteMatch(s, d)),
+    "dedup_edge_tier"        -> ((s, d) => Dedup.edgeTier(s, d)),
     "dedup_incremental_cc"   -> ((s, d) => Dedup.incrementalClusters(s, d)),
     "dedup_incremental_bbit" -> ((s, d) => Dedup.incrementalBbit(s, d)),
     "dedup_stream_cc"        -> ((s, d) => graft.sources.StreamingIngest.dedupStreamClusters(s, d)),
@@ -1714,6 +1715,11 @@ object SparkEntry {
          |  CAST(CASE WHEN doc_id != canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM c""".stripMargin,
     "dedup_minhash_lsh" ->
+      s"""WITH $shingleCtes
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    // the persisted candidate-edge tier, incrementally maintained
+    // across an append, must equal the from-scratch LSH pair set
+    "dedup_edge_tier" ->
       s"""WITH $shingleCtes
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
     // soft-dedup weights: the cluster labels (recursive reachability)

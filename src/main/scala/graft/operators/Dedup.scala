@@ -259,7 +259,7 @@ object Dedup {
     * carried columns for within-group pairs (identical docs: J = 1,
     * hamming = 0, all signature slots agree — known without scoring).
     */
-  private def expandMemberPairs(
+  private[graft] def expandMemberPairs(
       repPairs: DataFrame,
       groups: DataFrame,
       banded: DataFrame,
@@ -1774,6 +1774,30 @@ object Dedup {
     graft.sources.SignatureStore.writeLabels(spark, store)
     graft.sources.SignatureStore.appendRelabel(spark, docs.filter(col("doc_id") >= splitId), store)
     graft.sources.SignatureStore.readClusters(spark, store)
+  }
+
+  // -------------------------------------------------------------------
+  // 25g. dedup_edge_tier — the PERSISTED CANDIDATE-EDGE tier and its
+  // incremental maintenance: the store is built on the first corpus
+  // slice (edges/ materialized once by writeLabels), a second slice
+  // appends through appendRelabel — which maintains edges/ by
+  // appending only DELTA pairs (every new pair has a fresh rep on one
+  // side, so old-old edges never recompute) — and the query reads the
+  // member-expanded edge tier. Oracle = the from-scratch LSH pair set
+  // over the FULL corpus (dedup_minhash_lsh's SQL): equality proves
+  // the incrementally-maintained tier converges to what a full
+  // rebuild would store, while no band self-join ever touches
+  // corpus-sized data after ingest. This is what lets the 9 graph_*
+  // analytics read a TABLE at 100 TB instead of re-running LSH
+  // in-query.
+  // -------------------------------------------------------------------
+  def edgeTier(spark: SparkSession, dir: String, splitId: Long = 400L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val store = graft.sources.TimeboxStore.scratchPath("graft_sigedge", dir)
+    graft.sources.SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+    graft.sources.SignatureStore.writeLabels(spark, store)
+    graft.sources.SignatureStore.appendRelabel(spark, docs.filter(col("doc_id") >= splitId), store)
+    graft.sources.SignatureStore.readEdges(spark, store)
   }
 
   // -------------------------------------------------------------------

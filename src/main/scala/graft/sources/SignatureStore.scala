@@ -405,16 +405,43 @@ object SignatureStore {
       .distinct()
   }
 
+  /** Materialize the store's CANDIDATE-EDGE tier: rep-level LSH pairs
+    * off the stored bands, persisted as `edges/ (doc_a, doc_b)` —
+    * built ONCE at ingest and maintained incrementally by
+    * [[appendRelabel]], so the 9 graph_* analytics read a table
+    * instead of re-running the band self-join per query (at 100 TB
+    * that join IS the cost; here it's paid once per ingest batch,
+    * delta-keyed). [[readEdges]] serves the member-level expansion.
+    */
+  def writeEdges(spark: SparkSession, path: String): Unit = {
+    requireFormat(spark, path)
+    bandPairs(spark.read.parquet(s"$path/bands")).write.mode("overwrite").parquet(s"$path/edges")
+  }
+
+  /** Member-level candidate pairs read OFF the persisted edge tier —
+    * the same output contract as [[Dedup.minhashLsh]] (cross-group
+    * pairs through live groups, within-group pairs for banded reps,
+    * tombstones excluded), with zero band joins at read time.
+    */
+  def readEdges(spark: SparkSession, path: String): DataFrame = {
+    val groups = liveGroups(spark, path)
+    val banded = spark.read.parquet(s"$path/bands").select(col("doc_id")).distinct()
+    Dedup.expandMemberPairs(spark.read.parquet(s"$path/edges"), groups, banded)
+  }
+
   /** Materialize the store's CLUSTER-LABEL tier: connected components
-    * over the stored rep-level band pairs, persisted as
-    * `labels/ (doc_id = rep, cluster_id = component-min rep)`. Built
-    * once at ingest time; [[appendRelabel]] maintains it per batch
-    * without ever re-running CC over the corpus.
+    * over the persisted edge tier ([[writeEdges]] runs first — labels
+    * are DERIVED from edges, which makes edges the primary candidate
+    * artifact), persisted as `labels/ (doc_id = rep, cluster_id =
+    * component-min rep)`. Built once at ingest time; [[appendRelabel]]
+    * maintains BOTH tiers per batch without ever re-running CC (or the
+    * band self-join) over the corpus.
     */
   def writeLabels(spark: SparkSession, path: String): Unit = {
     requireFormat(spark, path)
+    writeEdges(spark, path)
     Dedup
-      .connectedComponents(bandPairs(spark.read.parquet(s"$path/bands")))
+      .connectedComponents(spark.read.parquet(s"$path/edges"))
       .write.mode("overwrite").parquet(s"$path/labels")
   }
 
@@ -465,6 +492,13 @@ object SignatureStore {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")
       )
       .distinct()
+      // pinned: feeds BOTH the edge-tier append and the mini-CC below
+      .localCheckpoint()
+    // maintain the candidate-edge tier incrementally: every delta pair
+    // has a fresh rep on one side, so append-only keeps edges/ equal to
+    // a from-scratch band self-join (old-old pairs never recur)
+    if (new java.io.File(s"$path/edges").exists)
+      deltaPairs.write.mode("append").parquet(s"$path/edges")
     val old = spark.read.parquet(s"$path/labels").cache()
     old.count()
     // contract: endpoint → its component supernode (label), self if new

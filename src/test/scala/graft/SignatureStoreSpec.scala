@@ -265,6 +265,34 @@ class SignatureStoreSpec extends AnyFunSuite {
       assert(post.get(d).contains(1L), s"doc $d not relabelled to the merged min: $post")
   }
 
+  test("edge tier: incremental append equals a from-scratch rebuild, labels derive from it") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft_edgetier").toString
+    val (inc, full) = (s"$root/inc", s"$root/full")
+    // incremental: build on A, writeLabels (materializes edges/), then
+    // append B through appendRelabel (delta edges appended)
+    SignatureStore.write(spark, docs.filter(col("doc_id") < 350), inc)
+    SignatureStore.writeLabels(spark, inc)
+    SignatureStore.appendRelabel(spark, docs.filter(col("doc_id") >= 350), inc)
+    // rebuild: the full corpus at once
+    SignatureStore.write(spark, docs, full)
+    SignatureStore.writeLabels(spark, full)
+    for (t <- Seq("edges", "labels")) {
+      val x = spark.read.parquet(s"$inc/$t")
+      val y = spark.read.parquet(s"$full/$t")
+      assert(x.except(y).count() === 0, s"$t has rows the rebuild lacks")
+      assert(y.except(x).count() === 0, s"$t is missing rebuilt rows")
+    }
+    // the member-level read off the tier equals the in-query pipeline's
+    // contract (same expansion minhashLsh uses)
+    val served = SignatureStore.readEdges(spark, inc)
+    assert(served.count() > 0)
+    // labels are CC over exactly the persisted edges
+    val cc = Dedup.connectedComponents(spark.read.parquet(s"$inc/edges"))
+    val lab = spark.read.parquet(s"$inc/labels")
+    assert(cc.except(lab).count() === 0 && lab.except(cc).count() === 0)
+  }
+
   test("incremental CC label maintenance equals from-scratch clusters on the real corpus") {
     val incCc = graft.operators.Dedup.incrementalClusters(spark, sf)
     val scratch = graft.operators.Dedup.clusters(spark, sf)
