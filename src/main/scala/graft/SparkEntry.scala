@@ -140,6 +140,11 @@ object SparkEntry {
     "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
     "ts_store_sql" -> ((s, d) => graft.sources.TimeboxStore.sqlSurfaceSummary(s, d)),
     "ts_store_stream_read" -> ((s, d) => graft.sources.StreamingIngest.storeStreamRead(s, d)),
+    "ts_outage_mttr" -> ((s, d) => TimeSeries.outageMttr(s, d)),
+    "ts_dedup_stream_events" -> ((s, d) => graft.sources.StreamingIngest.dedupStreamEvents(s, d)),
+    "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
+    "rel_bucketed_join" -> ((s, d) => Relational.bucketedJoin(s, d)),
+    "text_rank_fusion" -> ((s, d) => TextAnalysis.rankFusion(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
     "ts_sessionize_stream" -> ((s, d) => graft.sources.StreamingIngest.sessionizeStream(s, d)),
     "ts_anomaly_stream"  -> ((s, d) => graft.sources.StreamingIngest.anomalyStream(s, d)),
@@ -5633,6 +5638,71 @@ object SparkEntry {
     // so the shared oracle also gates the public versioned-read door.
     "ts_store_timetravel" -> timeTravelOracleSql,
     "ts_store_timetravel_api" -> timeTravelOracleSql,
+    // reliability ledger off the gap incidents: outage = silence > 2h,
+    // MTTR/MTBF/availability as exact rationals off one lag window
+    "ts_outage_mttr" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |g AS (SELECT user_id, ts_us,
+        |        ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS d
+        |      FROM e),
+        |a AS (SELECT user_id,
+        |        CAST(SUM(CASE WHEN d > 7200000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_outages,
+        |        CAST(SUM(CASE WHEN d > 7200000000 THEN d ELSE 0 END) AS BIGINT) AS downtime_us,
+        |        MAX(ts_us) - MIN(ts_us) AS span_us
+        |      FROM g GROUP BY 1)
+        |SELECT user_id, n_outages, downtime_us, span_us,
+        |  CAST(downtime_us // GREATEST(n_outages, 1) AS BIGINT) AS mttr_us,
+        |  CAST((span_us - downtime_us) // GREATEST(n_outages, 1) AS BIGINT) AS mtbf_us,
+        |  CAST((span_us - downtime_us) * 10000 // GREATEST(span_us, 1) AS BIGINT) AS availability_bp
+        |FROM a""".stripMargin,
+    // streaming exactly-once event dedup: the doubled stream collapses
+    // back to the raw table's per-type counts; n_events == n_distinct
+    // proves no duplicate survived AND no event was lost to eviction
+    "ts_dedup_stream_events" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY 1""".stripMargin,
+    // offset-based shard packing: pure window math both engines replay
+    "mm_shard_plan" ->
+      """WITH a AS (SELECT source, doc_id,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT source, doc_id, n_bytes,
+        |        CAST(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - n_bytes AS BIGINT) AS cum_before FROM a)
+        |SELECT source, cum_before // 16384 AS shard_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+        |  MIN(doc_id) AS first_doc_id, MAX(doc_id) AS last_doc_id
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    // layout must never change answers: the co-located bucketed join
+    // equals the plain join restated from the raw tables
+    "rel_bucketed_join" ->
+      """SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+        |FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |GROUP BY 1""".stripMargin,
+    // RRF fusion of the TF-IDF leg (text_search_topk's scoring, depth
+    // 20) and the length-prior leg; missing legs contribute 0
+    "text_rank_fusion" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |q AS (SELECT tok FROM (VALUES ('fast'), ('key'), ('sort')) v(tok)),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM t JOIN q USING (tok) GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+         |       FROM t JOIN q USING (tok) GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+         |sc AS (SELECT doc_id, CAST(SUM(tf * (nd * 1000000 // df)) AS BIGINT) AS score
+         |       FROM tf JOIN df USING (tok), n GROUP BY 1),
+         |rel AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rel_rank
+         |        FROM sc QUALIFY rel_rank <= 20),
+         |ln AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY len($toksSql) DESC, doc_id ASC) AS BIGINT) AS len_rank
+         |       FROM documents QUALIFY len_rank <= 20),
+         |f AS (SELECT COALESCE(rel.doc_id, ln.doc_id) AS doc_id, rel.rel_rank, ln.len_rank,
+         |        COALESCE(1000000 // (60 + rel.rel_rank), 0) + COALESCE(1000000 // (60 + ln.len_rank), 0) AS rrf_micro
+         |      FROM rel FULL OUTER JOIN ln ON ln.doc_id = rel.doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rnk,
+         |  doc_id, rel_rank, len_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+         |FROM f QUALIFY rnk <= 10""".stripMargin,
     // streaming read of the store: each committed daily delta snapshot
     // is served as a micro-batch stamped with its commit_version; the
     // oracle restates each day slice from raw events (version i = day

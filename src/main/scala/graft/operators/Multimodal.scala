@@ -35,6 +35,41 @@ object Multimodal {
       )
 
   // -------------------------------------------------------------------
+  // 33n. mm_shard_plan — WEBDATASET-STYLE SHARD PACKING: assign each
+  // asset to a training shard by greedy sequential fill per source
+  // (deterministic ingest order = doc_id), targeting `shardBytes` per
+  // shard — the layout step between a curated corpus and a dataloader
+  // that streams whole shards. OFFSET-based assignment: shard_seq =
+  // (bytes before me) DIV target, so an asset STRADDLING a boundary
+  // stays in the shard it started in (a shard may overshoot by its
+  // last asset, the overshoot eating the next shard's budget — unlike
+  // the stateful reset-per-shard greedy, this is a pure window
+  // expression, embarrassingly parallel, and resumable from byte
+  // offsets alone; nothing splits). Report per shard: asset
+  // count, bytes, the id range a resumable writer needs. Plan: one
+  // running-sum window per source + one (source, shard) aggregate —
+  // row-local packing, no pair work, the same shape at 100 TB where
+  // this table IS the shard manifest.
+  // -------------------------------------------------------------------
+  def shardPlan(spark: SparkSession, dir: String, shardBytes: Long = 16384L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), expr("octet_length(text)").cast("long").as("n_bytes"))
+      .withColumn("cum_before", sum(col("n_bytes")).over(w) - col("n_bytes"))
+      .withColumn("shard_seq", expr(s"cum_before DIV ${shardBytes}L"))
+      .groupBy(col("source"), col("shard_seq"))
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id")
+      )
+  }
+
+  // -------------------------------------------------------------------
   // 33j. mm_asset_dedup — ASSET-level content-addressed dedup
   // accounting, the storage-planning view above chunk-level dedup
   // (33c): per ingest source, how many whole payloads are distinct,

@@ -1955,6 +1955,41 @@ object Relational {
     * size; the box replay runs on the 192-row zone-map table. All
     * integer (datediff days, DIV buckets, Morton arithmetic).
     */
+  // -------------------------------------------------------------------
+  // rel_bucketed_join — CO-LOCATED JOIN off bucketed metastore tables:
+  // both fact sides are written bucketBy/sortBy on their join keys
+  // (same bucket count), so the per-supplier revenue join plans with
+  // ZERO exchange below it — the scan IS the shuffle, paid once at
+  // write time instead of per query. This is THE layout answer to
+  // "we join these two 30 TB tables every hour": at 100 TB the write
+  // is amortized over every downstream join, and the only exchange
+  // left in this plan is the final nation-grain aggregate.
+  // BucketingSpec pins the no-exchange join plan; the oracle is the
+  // plain join restated from the raw tables (layout must never change
+  // answers). Table names key on the per-call scratch path so
+  // concurrent query runs never collide in the catalog.
+  // -------------------------------------------------------------------
+  def bucketedJoin(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val tag = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(graft.sources.TimeboxStore.scratchPath("rbj", dir).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(10)
+    val (liTbl, supTbl) = (s"rbj_li_$tag", s"rbj_sup_$tag")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(spark, dir).select(col("l_suppkey"), cents(col("l_extendedprice")).as("price_c")),
+      liTbl, "l_suppkey", buckets
+    )
+    graft.sources.Bucketing.writeBucketed(
+      Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+      supTbl, "s_suppkey", buckets
+    )
+    spark
+      .table(liTbl)
+      .join(spark.table(supTbl), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price_c")).as("sum_price_c"))
+  }
+
   def zorderLayout(spark: SparkSession, dir: String, files: Int = 64, bits: Int = 8): DataFrame = {
     import spark.implicits._
     val side = 1L << bits // buckets per dimension

@@ -1124,6 +1124,70 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // 31y. text_rank_fusion — RECIPROCAL RANK FUSION of two retrieval
+  // legs, the standard hybrid-search combiner (RRF: score = Σ 1/(k+r)
+  // — rank-only, so incomparable score scales fuse without
+  // calibration; here in exact micro units, 1000000 DIV (60+r)).
+  // Leg 1 = the TF-IDF relevance ranking (text_search_topk's exact
+  // integer scoring); leg 2 = a deterministic document-length prior
+  // (longest docs first — standing in for any second scorer: BM25,
+  // embeddings, recency). A doc missing from a leg contributes 0 from
+  // it (the RRF convention). Plan: each leg is its own bounded top-N
+  // (the candidate budget), the fusion is an outer join of two ≤N-row
+  // frames + one ordered limit — at 100 TB the legs do the retrieval
+  // work and fusion stays driver-trivial.
+  // -------------------------------------------------------------------
+  def rankFusion(
+      spark: SparkSession,
+      dir: String,
+      query: Seq[String] = Seq("fast", "key", "sort"),
+      k: Int = 10,
+      kRrf: Int = 60,
+      cand: Int = 20
+  ): DataFrame = {
+    // leg 1: TF-IDF top-`cand` (searchTopk's construction, deeper list)
+    val t = docsToks(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(query: _*))
+    val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("nd"))
+    val wRel = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id").asc)
+    val rel = tf
+      .join(df, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_micro", expr("nd * 1000000 DIV df"))
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("CAST(SUM(CAST(tf AS DECIMAL(19,0)) * CAST(idf_micro AS DECIMAL(19,0))) AS BIGINT)").as("score")
+      )
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(cand)
+      .withColumn("rel_rank", row_number().over(wRel).cast("long"))
+      .select(col("doc_id"), col("rel_rank"))
+    // leg 2: document-length prior, top-`cand` by token count
+    val wLen = org.apache.spark.sql.expressions.Window.orderBy(col("n_toks").desc, col("doc_id").asc)
+    val len = docsToks(spark, dir)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .orderBy(col("n_toks").desc, col("doc_id").asc)
+      .limit(cand)
+      .withColumn("len_rank", row_number().over(wLen).cast("long"))
+      .select(col("doc_id"), col("len_rank"))
+    val wOut = org.apache.spark.sql.expressions.Window.orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    rel
+      .join(len, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf_micro",
+        coalesce(expr(s"1000000 DIV ($kRrf + rel_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($kRrf + len_rank)"), lit(0L))
+      )
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(wOut).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("rel_rank"), col("len_rank"), col("rrf_micro"))
+  }
+
+  // -------------------------------------------------------------------
   // 31u. text_surprisal — integer UNIGRAM SURPRISAL scoring, the
   // perplexity-shaped quality signal without a float log: each
   // token's surprisal proxy is the BIT LENGTH of N/freq (length(bin(·))

@@ -1200,6 +1200,42 @@ object TimeSeries {
         (col("ts_us") - col("prev_ts")).as("gap_us")
       )
 
+  /** ts_outage_mttr — the RELIABILITY LEDGER off the gap incidents
+    * ([[gapIntervals]]'s aggregate face): per series, outage count,
+    * total downtime, MTTR (mean outage duration), MTBF (mean uptime
+    * between outages), and availability in basis points — the four
+    * numbers every SLO review starts from, all exact rationals in the
+    * epoch-us gaps (truncating DIV, no float). An outage is a
+    * silence longer than `minGapUs` (the gap-intervals convention).
+    * Plan: ONE lag window per series + one partial-aggregable
+    * per-series aggregate — nothing beyond the series key ever
+    * shuffles, the same shape at 100 TB.
+    */
+  def outageMttr(spark: SparkSession, dir: String, minGapUs: Long = 2L * HourUs): DataFrame =
+    eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(seriesW))
+      .withColumn(
+        "gap",
+        when(col("prev_ts").isNotNull && col("ts_us") - col("prev_ts") > minGapUs, col("ts_us") - col("prev_ts"))
+          .otherwise(0L)
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("gap") > 0L, 1L).otherwise(0L)).as("n_outages"),
+        sum(col("gap")).as("downtime_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us")
+      )
+      .select(
+        col("user_id"),
+        col("n_outages"),
+        col("downtime_us"),
+        col("span_us"),
+        expr("downtime_us DIV greatest(n_outages, 1L)").as("mttr_us"),
+        expr("(span_us - downtime_us) DIV greatest(n_outages, 1L)").as("mtbf_us"),
+        expr("(span_us - downtime_us) * 10000 DIV greatest(span_us, 1L)").as("availability_bp")
+      )
+
   /** ts_period_detect — DOMINANT SEASONALITY detection: per series,
     * the time-lag L ∈ [2, 25] hours maximizing the autocorrelation of
     * the hourly sums (the argmax of the ACF — the period every

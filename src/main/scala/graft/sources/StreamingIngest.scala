@@ -2089,6 +2089,47 @@ object StreamingIngest {
     Relational.hdrProbe(spark, dir, drained)
   }
 
+  /** ts_dedup_stream_events — EXACTLY-ONCE EVENT DEDUP as streaming
+    * state (the at-least-once-transport reality every ingest pipeline
+    * lives with: retries and replays re-deliver events, and the
+    * pipeline must collapse them by id before anything counts). The
+    * drill doubles the event stream (two readers of the same files —
+    * a deterministic 2x re-delivery), dedups on event_id with
+    * `dropDuplicatesWithinWatermark` (bounded state: ids older than
+    * the watermark horizon evict; the horizon here is generous so the
+    * whole test window dedups — production tunes it to the
+    * re-delivery SLA), lands the deduped stream in a file sink, and
+    * reports per-type totals. Oracle = the plain per-type counts off
+    * the raw table: n_events == n_distinct proves both directions —
+    * no duplicate survived AND no event was lost to eviction.
+    */
+  def dedupStreamEvents(spark: SparkSession, dir: String): DataFrame = {
+    val out = TimeboxStore.scratchPath("graft_dedupstream_events", dir)
+    val schema = Tables.eventsFileSchema(spark, dir)
+    def one = spark.readStream
+      .schema(schema)
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(col("event_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
+    val q = one
+      .unionByName(one)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read
+      .parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("event_id")).as("n_distinct"))
+  }
+
   /** ts_store_stream_read — STREAMING READ OF THE TIMEBOX STORE, the
     * 24/7 face of the batch CDC diff (ts_store_cdc): 8 daily delta
     * snapshots commit to a [[SnapshotCatalog]] root, then

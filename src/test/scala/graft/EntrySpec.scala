@@ -74,6 +74,7 @@ class EntrySpec extends AnyFunSuite {
     "text_bpe_batch",            // ≤C-row candidate disjointness anti-join + 1-row merge-list broadcast
     "rel_basket_pairs",          // 1-row order-count broadcast
     "text_search_topk",          // 1-row corpus-size broadcast
+    "text_rank_fusion",          // the same 1-row corpus-size broadcast in its TF-IDF leg
     "text_search_index",         // the same 1-row corpus-size broadcast off the stats file
     "rel_rfm_segments",          // 1-row max-order-date broadcast
     "q2_min_cost_supplier",      // 1-row |supplier| broadcast (partsupp bridge)

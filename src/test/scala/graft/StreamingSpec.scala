@@ -453,11 +453,12 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     // corpus: two disjoint near-dup components (pre-searched texts —
     // same deterministic banding as the SignatureStoreSpec merge
-    // drill). Stream: batch 1 extends component A; batch 2 delivers
-    // the BRIDGE that merges A and B — the merge must happen through
-    // the per-batch incremental relabel, across micro-batches.
-    val baseA = "eta eta sigma gamma xi gamma xi eta tau delta delta sigma beta tau epsilon"
-    val baseB = "one seven twelve five nine five two nine seven ten nine eight"
+    // drill; tools/BandSearch re-finds a fixture when the signature
+    // family changes). Stream: batch 1 extends component A; batch 2
+    // delivers the BRIDGE that merges A and B — the merge must happen
+    // through the per-batch incremental relabel, across micro-batches.
+    val baseA = "beta epsilon alpha gamma kappa delta delta gamma epsilon kappa eta tau delta tau beta"
+    val baseB = "twelve two five seven three eight nine three two two ten six"
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_cc").toString
     def docsDf(rows: Seq[(Long, String)]) =
       rows
