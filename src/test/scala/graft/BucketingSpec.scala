@@ -31,6 +31,23 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("rel_bucketed_join query: the only exchange is the final nation-grain aggregate") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force non-broadcast so bucket co-location carries the join
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Relational.bucketedJoin(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, s"expected exactly the aggregate's exchange, got $exchanges:\n$plan")
+      assert(
+        plan.split("SortMergeJoin").last.indexOf("Exchange hashpartitioning") < 0,
+        s"exchange below the co-located join:\n$plan"
+      )
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold): Unit
+  }
+
   test("bucketed signature stores cross-match with NO shuffle exchange") {
     import graft.sources.SignatureStore
     val docs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
