@@ -62,6 +62,8 @@ object SparkEntry {
     "ts_drawdown"        -> ((s, d) => TimeSeries.drawdown(s, d)),
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
+    "ts_theta_forecast"  -> ((s, d) => TimeSeries.thetaForecast(s, d)),
+    "ts_peak_detect"     -> ((s, d) => TimeSeries.peakDetect(s, d)),
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
     "ts_cusum_stream"    -> ((s, d) => graft.sources.StreamingIngest.cusumStream(s, d)),
@@ -76,6 +78,9 @@ object SparkEntry {
     "ts_error_spikes"    -> ((s, d) => TimeSeries.errorSpikes(s, d)),
     "rel_gap_islands"    -> ((s, d) => Relational.gapIslands(s, d)),
     "rel_concentration"  -> ((s, d) => Relational.concentration(s, d)),
+    "rel_decile_lift"    -> ((s, d) => Relational.decileLift(s, d)),
+    "rel_attribution"    -> ((s, d) => Relational.attribution(s, d)),
+    "rel_attribution_stream" -> ((s, d) => graft.sources.StreamingIngest.attributionStream(s, d)),
     "ts_backtest_horizon" -> ((s, d) => TimeSeries.backtestHorizon(s, d)),
     "dedup_minhash_k_curve" -> ((s, d) => Dedup.minhashKCurve(s, d)),
     "dedup_norm_ablation" -> ((s, d) => Dedup.normAblation(s, d)),
@@ -95,6 +100,7 @@ object SparkEntry {
     "ts_value_histogram" -> ((s, d) => TimeSeries.valueHistogram(s, d)),
     "ts_json_props"      -> ((s, d) => TimeSeries.jsonProps(s, d)),
     "ts_changepoint"     -> ((s, d) => TimeSeries.changepoint(s, d)),
+    "ts_intervention_eval" -> ((s, d) => TimeSeries.interventionEval(s, d)),
     "ts_histogram_quantile" -> ((s, d) => TimeSeries.histogramQuantile(s, d)),
     "ts_topk_per_window" -> ((s, d) => TimeSeries.topkPerWindow(s, d)),
     "ts_topk_stream"     -> ((s, d) => graft.sources.StreamingIngest.topkStream(s, d)),
@@ -143,6 +149,7 @@ object SparkEntry {
     "ts_outage_mttr" -> ((s, d) => TimeSeries.outageMttr(s, d)),
     "ts_dedup_stream_events" -> ((s, d) => graft.sources.StreamingIngest.dedupStreamEvents(s, d)),
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
+    "mm_ahash_neardup"   -> ((s, d) => Multimodal.ahashNearDup(s, d)),
     "rel_bucketed_join" -> ((s, d) => Relational.bucketedJoin(s, d)),
     "text_rank_fusion" -> ((s, d) => TextAnalysis.rankFusion(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
@@ -245,6 +252,7 @@ object SparkEntry {
     "text_ngram_novelty"        -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "dedup_store_stats"         -> ((s, d) => Dedup.storeStats(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_prefix_filter"    -> ((s, d) => Dedup.prefixFilterPairs(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.containmentPairs(s, d)),
     "dedup_keep_best"        -> ((s, d) => Dedup.keepBest(s, d)),
     "dedup_containment_estimate" -> ((s, d) => Dedup.containmentEstimate(s, d)),
@@ -273,6 +281,7 @@ object SparkEntry {
     "ann_ivf_bucketed"    -> ((s, d) => Similarity.annIvfBucketed(s, d)),
     "ann_ivf_kmeans"      -> ((s, d) => Similarity.annIvfKmeans(s, d)),
     "ann_pq_search"       -> ((s, d) => Similarity.annPqSearch(s, d)),
+    "ann_sq_search"       -> ((s, d) => Similarity.annSqSearch(s, d)),
     "ann_ivfpq_search"    -> ((s, d) => Similarity.annIvfPqSearch(s, d)),
     "ann_label_knn"       -> ((s, d) => Similarity.annLabelKnn(s, d)),
     "ann_index_search"    -> ((s, d) => Similarity.annIndexSearch(s, d)),
@@ -291,6 +300,7 @@ object SparkEntry {
     "ann_index_append"    -> ((s, d) => Similarity.annIndexAppend(s, d)),
     "ann_recall_eval"     -> ((s, d) => Similarity.annRecallEval(s, d)),
     "ann_recall_vs_nprobe" -> ((s, d) => Similarity.recallVsNprobe(s, d)),
+    "ann_recall_vs_shortlist" -> ((s, d) => Similarity.recallVsShortlist(s, d)),
     "ann_recall_vs_nplanes" -> ((s, d) => Similarity.recallVsNplanes(s, d)),
     "emb_pq_distortion"   -> ((s, d) => Similarity.pqDistortion(s, d)),
     "ann_hamming_search"  -> ((s, d) => Similarity.annHammingSearch(s, d)),
@@ -324,6 +334,7 @@ object SparkEntry {
     "text_source_terms" -> ((s, d) => TextAnalysis.sourceTerms(s, d)),
     "text_domain_mix"   -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
+    "text_encoding_audit"   -> ((s, d) => TextAnalysis.encodingAudit(s, d)),
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_fertility_by_lang" -> ((s, d) => TextAnalysis.fertilityByLang(s, d)),
@@ -372,6 +383,22 @@ object SparkEntry {
   /** DuckDB fragments shared by the text/dedup oracles — must mirror
     * Dedup.normText exactly (note DuckDB regexp_replace needs 'g').
     */
+  private lazy val attributionOracleSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |             CAST(round(value*100) AS BIGINT) AS v_c FROM events),
+        |t AS (SELECT *,
+        |        LAST_VALUE(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM e),
+        |g AS (SELECT COALESCE(touch, 'direct') AS channel,
+        |        CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |        CAST(SUM(v_c) AS BIGINT) AS credited_c
+        |      FROM t WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT channel, n_purchases, credited_c,
+        |  CAST((CAST(credited_c AS HUGEINT) * 10000) // GREATEST(SUM(credited_c) OVER (), 1) AS BIGINT) AS share_bp
+        |FROM g""".stripMargin
+
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
@@ -1001,6 +1028,64 @@ object SparkEntry {
     * prefix of the shared ranked probe cells), each scored against
     * the brute-force truth tier
     */
+  /** SQ8 shortlist-depth recall curve: the ann_sq_search CTE chain
+    * (per-dim grid, dequantize, ADC ranking) shared across depths; per
+    * depth d, exact-cosine rerank among sq_rnk <= d, scored against
+    * the brute-force truth
+    */
+  private lazy val recallVsShortlistOracleSql: String = {
+    val depths = Seq(10, 30, 50)
+    val perDepth = depths
+      .map { d =>
+        s"""tk$d AS (SELECT probe_id, neighbor_id FROM (
+           |          SELECT s.probe_id, s.neighbor_id,
+           |            ROW_NUMBER() OVER (PARTITION BY s.probe_id ORDER BY
+           |              CAST(t.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+           |              s.neighbor_id ASC) AS rnk
+           |          FROM sl s JOIN td t ON t.probe_id = s.probe_id AND t.neighbor_id = s.neighbor_id
+           |          JOIN n na ON na.vec_id = s.probe_id JOIN n nb ON nb.vec_id = s.neighbor_id
+           |          WHERE s.sq_rnk <= $d) WHERE rnk <= 10)""".stripMargin
+      }
+      .mkString(",\n")
+    val selects = depths
+      .map { d =>
+        s"""SELECT t.probe_id, CAST($d AS BIGINT) AS depth,
+           |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           |  CAST(COUNT(a.neighbor_id) * 10000 // 10 AS BIGINT) AS recall_bp
+           |FROM tr t LEFT JOIN tk$d a
+           |  ON a.probe_id = t.probe_id AND a.neighbor_id = t.neighbor_id
+           |GROUP BY 1, 2""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $quantCtes,
+       |rng AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi, GREATEST(MAX(v) - MIN(v), 1) AS span
+       |        FROM q GROUP BY 1),
+       |dqv AS (SELECT q.vec_id, q.i,
+       |          CAST(r.lo + ((((q.v - r.lo) * 255) // r.span) * r.span) // 255 AS BIGINT) AS dq
+       |        FROM q JOIN rng r ON r.i = q.i),
+       |dn AS (SELECT vec_id, GREATEST(CAST(SUM(dq * dq) AS BIGINT), 1) AS dn2 FROM dqv GROUP BY 1),
+       |ad AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.dq) AS BIGINT) AS adot
+       |       FROM (SELECT * FROM q WHERE vec_id < 5) a
+       |       JOIN dqv b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+       |sl AS (SELECT probe_id, neighbor_id,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+       |           CAST(adot AS DOUBLE) / sqrt(CAST(pa.n2 AS DOUBLE) * CAST(d.dn2 AS DOUBLE)) DESC,
+       |           neighbor_id ASC) AS BIGINT) AS sq_rnk
+       |       FROM ad JOIN n pa ON pa.vec_id = probe_id JOIN dn d ON d.vec_id = neighbor_id),
+       |td AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+       |       FROM (SELECT * FROM q WHERE vec_id < 5) a
+       |       JOIN q b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+       |tr AS (SELECT probe_id, neighbor_id FROM (
+       |        SELECT probe_id, neighbor_id,
+       |          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+       |            CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) DESC,
+       |            neighbor_id ASC) AS rnk
+       |        FROM td JOIN n na ON na.vec_id = probe_id JOIN n nb ON nb.vec_id = neighbor_id)
+       |      WHERE rnk <= 10),
+       |$perDepth
+       |$selects""".stripMargin
+  }
+
   private lazy val recallVsNprobeOracleSql: String = {
     val budgets = Seq(1, 2, 3, 4)
     val perBudget = budgets
@@ -1977,6 +2062,35 @@ object SparkEntry {
          |       THEN 1 ELSE 0 END AS BIGINT) AS is_contained
          |FROM pairs p LEFT JOIN i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN cnt ca ON ca.doc_id = p.doc_a JOIN cnt cb ON cb.doc_id = p.doc_b""".stripMargin,
+    // AllPairs/PPJoin prefix filtering over 3-gram shingle sets:
+    // rarest-(df, shingle) prefixes, p = n - ceil(tau*n) + 1 with
+    // ceil(8n/10) = (8n+9)//10, exact Jaccard cross-multiplied
+    "dedup_prefix_filter" ->
+      s"""WITH d0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |s0 AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tok
+         |       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 2)) AS i
+         |             FROM d0 WHERE len(tk) >= 3)),
+         |toks AS (SELECT DISTINCT doc_id, tok FROM s0),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+         |ranked AS (SELECT t.doc_id, t.tok,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.tok ASC) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY t.doc_id) AS BIGINT) AS n
+         |  FROM toks t JOIN df d ON d.tok = t.tok),
+         |pref AS (SELECT doc_id, tok FROM ranked WHERE rn <= n - (8 * n + 9) // 10 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM pref a JOIN pref b ON b.tok = a.tok AND a.doc_id < b.doc_id),
+         |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+         |i AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
+         |      FROM cand c JOIN toks x ON x.doc_id = c.doc_a
+         |      JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok GROUP BY 1, 2),
+         |sc AS (SELECT c.doc_a, c.doc_b, ca.n_tok AS na, cb.n_tok AS nb,
+         |         CAST(COALESCE(i.inter_n, 0) AS BIGINT) AS inter_n,
+         |         CAST(ca.n_tok + cb.n_tok - COALESCE(i.inter_n, 0) AS BIGINT) AS union_n
+         |       FROM cand c LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |       JOIN cnts ca ON ca.doc_id = c.doc_a JOIN cnts cb ON cb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, na, nb, inter_n, union_n,
+         |  CAST(inter_n * 10000 // union_n AS BIGINT) AS jac_bp
+         |FROM sc WHERE inter_n * 10 >= union_n * 8""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCtes,
          |u AS (SELECT DISTINCT doc_id, shingle FROM sh),
@@ -2424,6 +2538,7 @@ object SparkEntry {
     // tables (DuckDB allows WITH inside a FROM subquery)
     "emb_matryoshka_eval" -> matryoshkaOracleSql,
     "ann_recall_vs_nprobe" -> recallVsNprobeOracleSql,
+    "ann_recall_vs_shortlist" -> recallVsShortlistOracleSql,
     "ann_recall_vs_nplanes" -> recallVsNplanesOracleSql,
     // truncated-mean variance (E[x²]−E[x]² in micro², toward-zero //
     // both engines); DuckDB's i is 1-based, Spark's posexplode 0-based
@@ -2658,6 +2773,37 @@ object SparkEntry {
          |  CAST(SUM(d2) AS BIGINT) AS sum_d2, CAST(MAX(d2) AS BIGINT) AS max_d2,
          |  CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2
          |FROM codes GROUP BY 1""".stripMargin,
+    // SQ8: per-dim [lo, hi] grid, truncating quantize/dequantize on
+    // non-negative operands, asymmetric-distance shortlist (30), exact
+    // rerank — both cosines IEEE off exact integer inputs
+    "ann_sq_search" ->
+      s"""WITH $quantCtes,
+         |rng AS (SELECT i, MIN(v) AS lo, MAX(v) AS hi, GREATEST(MAX(v) - MIN(v), 1) AS span
+         |        FROM q GROUP BY 1),
+         |dqv AS (SELECT q.vec_id, q.i,
+         |          CAST(r.lo + ((((q.v - r.lo) * 255) // r.span) * r.span) // 255 AS BIGINT) AS dq
+         |        FROM q JOIN rng r ON r.i = q.i),
+         |dn AS (SELECT vec_id, GREATEST(CAST(SUM(dq * dq) AS BIGINT), 1) AS dn2 FROM dqv GROUP BY 1),
+         |ad AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.dq) AS BIGINT) AS adot
+         |       FROM (SELECT * FROM q WHERE vec_id < 5) a
+         |       JOIN dqv b ON b.i = a.i AND b.vec_id != a.vec_id GROUP BY 1, 2),
+         |sl AS (SELECT probe_id, neighbor_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+         |           CAST(adot AS DOUBLE) / sqrt(CAST(pa.n2 AS DOUBLE) * CAST(d.dn2 AS DOUBLE)) DESC,
+         |           neighbor_id ASC) AS BIGINT) AS sq_rnk
+         |       FROM ad JOIN n pa ON pa.vec_id = probe_id JOIN dn d ON d.vec_id = neighbor_id),
+         |sh AS (SELECT * FROM sl WHERE sq_rnk <= 30),
+         |ex AS (SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM (SELECT * FROM q WHERE vec_id < 5) a
+         |       JOIN q b ON b.i = a.i GROUP BY 1, 2),
+         |sc AS (SELECT sh.probe_id, sh.neighbor_id, sh.sq_rnk,
+         |         CAST(ex.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM sh JOIN ex ON ex.probe_id = sh.probe_id AND ex.neighbor_id = sh.neighbor_id
+         |       JOIN n na ON na.vec_id = sh.probe_id JOIN n nb ON nb.vec_id = sh.neighbor_id)
+         |SELECT probe_id, neighbor_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk,
+         |  sq_rnk, CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
+         |FROM sc QUALIFY rnk <= 10""".stripMargin,
     "ann_pq_search" ->
       s"""WITH $quantCtes,
          |qn AS (SELECT q.vec_id, q.i,
@@ -3079,6 +3225,27 @@ object SparkEntry {
         |  CAST(length(scrubbed) AS BIGINT) AS scrub_len,
         |  md5(scrubbed) AS scrub_md5
         |FROM m""".stripMargin,
+    // character-class census + the non-ASCII / C0-control hygiene
+    // gates: length-minus-stripped counts, punctuation as the residual
+    "text_encoding_audit" ->
+      """WITH per AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS letters,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+        |  CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS spaces,
+        |  CAST(length(text) - length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS nonascii,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x00-\x1F]', '', 'g')) AS BIGINT) AS ctrl
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(letters) * 10000 // GREATEST(SUM(nc), 1) AS BIGINT) AS letters_bp,
+        |  CAST(SUM(digits) * 10000 // GREATEST(SUM(nc), 1) AS BIGINT) AS digits_bp,
+        |  CAST(SUM(spaces) * 10000 // GREATEST(SUM(nc), 1) AS BIGINT) AS space_bp,
+        |  CAST((SUM(nc) - SUM(letters) - SUM(digits) - SUM(spaces) - SUM(nonascii) - SUM(ctrl)) * 10000
+        |    // GREATEST(SUM(nc), 1) AS BIGINT) AS punct_bp,
+        |  CAST(SUM(nonascii) AS BIGINT) AS nonascii_chars,
+        |  CAST(SUM(ctrl) AS BIGINT) AS control_chars,
+        |  CAST(SUM(CASE WHEN nonascii + ctrl = 0 THEN 1 ELSE 0 END) * 10000
+        |    // GREATEST(COUNT(*), 1) AS BIGINT) AS clean_bp
+        |FROM per GROUP BY 1""".stripMargin,
     // log2 length buckets: bucket = length(bin(n_chars)) both engines
     "text_length_histogram" ->
       """SELECT source, CAST(length(bin(CAST(length(text) AS BIGINT))) AS BIGINT) AS bucket,
@@ -3852,6 +4019,32 @@ object SparkEntry {
     // cross-asset shared frames: content-hash the deterministic frame
     // grid, df ≥ 2 means chrome; trailing remainder bytes dropped
     // identically on both engines
+    // aHash ledger: 64 byte-sample "pixels", mean-threshold bits into
+    // two 32-bit words, 4x16-bit banded candidates, Hamming radius 6
+    "mm_ahash_neardup" ->
+      """WITH px AS (SELECT doc_id, i, ascii(substring(text, CAST(1 + (i * length(text)) // 64 AS BIGINT), 1)) AS p
+        |            FROM documents, (SELECT unnest(generate_series(0, 63)) AS i)),
+        |mn AS (SELECT doc_id, SUM(p) // 64 AS mean_p FROM px GROUP BY 1),
+        |code AS (SELECT px.doc_id,
+        |           CAST(SUM(CASE WHEN px.i < 32 AND px.p > mn.mean_p THEN CAST(1 AS BIGINT) << px.i ELSE 0 END) AS BIGINT) AS lo,
+        |           CAST(SUM(CASE WHEN px.i >= 32 AND px.p > mn.mean_p THEN CAST(1 AS BIGINT) << (px.i - 32) ELSE 0 END) AS BIGINT) AS hi
+        |         FROM px JOIN mn ON mn.doc_id = px.doc_id GROUP BY 1),
+        |bands AS (SELECT doc_id, b,
+        |            CASE WHEN b < 2 THEN (lo >> (b * 16)) & 65535 ELSE (hi >> ((b - 2) * 16)) & 65535 END AS sig,
+        |            lo, hi
+        |          FROM code, (SELECT unnest([0, 1, 2, 3]) AS b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |           a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |cl AS (SELECT doc_a, doc_b,
+        |         CASE WHEN bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 6 THEN 1 ELSE 0 END AS close
+        |       FROM cand),
+        |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS cand, CAST(SUM(close) AS BIGINT) AS nc
+        |        FROM (SELECT doc_a AS doc_id, close FROM cl UNION ALL SELECT doc_b, close FROM cl)
+        |        GROUP BY 1)
+        |SELECT c.doc_id, c.lo, c.hi,
+        |  COALESCE(p.cand, 0) AS n_cand, COALESCE(p.nc, 0) AS n_close
+        |FROM code c LEFT JOIN per p ON p.doc_id = c.doc_id""".stripMargin,
     "mm_frame_dedup" ->
       """WITH f AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
         |             CAST(1 + length(text) % 24 AS BIGINT) AS vf
@@ -4223,6 +4416,67 @@ object SparkEntry {
         |  CAST((r.p + 25) * 1000000 // (r.p + 25 + 400) AS BIGINT) AS gain_ppm,
         |  r.er AS sae_c
         |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
+    // theta method: the OLS fit in closed-form integer identities
+    // (Σrn, Σrn², n²(n²−1)/12 all exact), the θ=2-line SES recursion
+    // replayed step for step — // and DIV both truncate toward zero,
+    // HUGEINT carries the 10⁶-scaled fit numerators like Spark's
+    // DECIMAL(38,0) does
+    "ts_theta_forecast" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+        |      FROM ev GROUP BY 1, 2),
+        |o AS (SELECT user_id, hour_id, m,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hour_id) AS BIGINT) AS rn
+        |      FROM h),
+        |fit AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(m) AS BIGINT) AS sm,
+        |          CAST(SUM(rn * m) AS BIGINT) AS sxm FROM o GROUP BY 1),
+        |co AS (SELECT user_id, n, (n * (n + 1)) // 2 AS srn,
+        |         CAST((CAST(1000000 AS HUGEINT) * (n * sxm - ((n * (n + 1)) // 2) * sm))
+        |           // GREATEST((n * n * (n * n - 1)) // 12, 1) AS BIGINT) AS sl,
+        |         sm FROM fit),
+        |co2 AS (SELECT user_id, n, srn, sl,
+        |          CAST((CAST(1000000 AS HUGEINT) * sm - CAST(sl AS HUGEINT) * srn) // n AS BIGINT) AS ic
+        |        FROM co),
+        |rec AS (
+        |  SELECT o.user_id, o.rn, CAST(2000000 * o.m - (c.ic + c.sl) AS BIGINT) AS s,
+        |         CAST(0 AS BIGINT) AS e
+        |  FROM o JOIN co2 c ON c.user_id = o.user_id WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.rn,
+        |    CAST((2000000 * o.m - (c.ic + c.sl * o.rn) + r.s) // 2 AS BIGINT),
+        |    CAST(r.e + abs((r.s + c.ic + c.sl * o.rn) // 2 - 1000000 * o.m) AS BIGINT)
+        |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        |  JOIN co2 c ON c.user_id = o.user_id
+        |)
+        |SELECT r.user_id, c.n AS n_hours, c.sl AS slope_micro, r.s AS ses_micro,
+        |  CAST((r.s + c.ic + c.sl * (c.n + 1)) // 2 AS BIGINT) AS forecast_micro,
+        |  r.e AS sae_micro
+        |FROM rec r JOIN co2 c ON c.user_id = r.user_id AND r.rn = c.n""".stripMargin,
+    // prominence-gated local maxima: full two-sided 3-hour flanks
+    // only, every comparison in integer cents
+    "ts_peak_detect" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+        |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT event_type, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+        |      FROM e GROUP BY 1, 2),
+        |o AS (SELECT event_type, hour_id, m,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour_id) AS BIGINT) AS rn,
+        |  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nh,
+        |  LAG(m, 1) OVER (PARTITION BY event_type ORDER BY hour_id) AS prev_m,
+        |  LEAD(m, 1) OVER (PARTITION BY event_type ORDER BY hour_id) AS next_m,
+        |  MAX(m) OVER (PARTITION BY event_type ORDER BY hour_id
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_max,
+        |  MIN(m) OVER (PARTITION BY event_type ORDER BY hour_id
+        |               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS lmin,
+        |  MIN(m) OVER (PARTITION BY event_type ORDER BY hour_id
+        |               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS rmin
+        |  FROM h)
+        |SELECT event_type, hour_id, m AS peak_c,
+        |  CAST(m - GREATEST(lmin, rmin) AS BIGINT) AS prom_c
+        |FROM o WHERE rn > 3 AND rn <= nh - 3
+        |  AND m > prev_m AND m >= next_m AND m = win_max
+        |  AND m - GREATEST(lmin, rmin) >= 50""".stripMargin,
     // additive Holt-Winters: the same truncating-halving recursion
     // with a 24-slot calendar-aligned seasonal LIST carried through
     // the recursive CTE; slot update mirrors the Spark fold exactly
@@ -5008,6 +5262,31 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
         |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY 1""".stripMargin,
+    // split at ts_changepoint's own CUSUM argmax (same deviation,
+    // same tiebreak), before/after truncating-cents means, the sign
+    // test counted against the before-mean
+    "ts_intervention_eval" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |                  CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |p AS (SELECT user_id, ts_us, event_id, v,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS k,
+        |        CAST(SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix,
+        |        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |        CAST(SUM(v) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        |      FROM e),
+        |cp AS (SELECT user_id, n, k AS cp_k,
+        |         CAST(prefix // k AS BIGINT) AS before_mean_c,
+        |         CAST(CASE WHEN n > k THEN (total - prefix) // (n - k) ELSE 0 END AS BIGINT) AS after_mean_c
+        |       FROM p QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+        |             ORDER BY abs(n * prefix - k * total) DESC, k ASC) = 1)
+        |SELECT p.user_id, cp.n, cp.cp_k, cp.n - cp.cp_k AS n_after,
+        |  cp.before_mean_c, cp.after_mean_c,
+        |  CAST(cp.after_mean_c - cp.before_mean_c AS BIGINT) AS delta_c,
+        |  CAST((cp.after_mean_c - cp.before_mean_c) * 10000 // GREATEST(abs(cp.before_mean_c), 1) AS BIGINT) AS rel_bp,
+        |  CAST(SUM(CASE WHEN p.k > cp.cp_k AND p.v > cp.before_mean_c THEN 1 ELSE 0 END) AS BIGINT) AS n_after_above
+        |FROM p JOIN cp ON cp.user_id = p.user_id
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8""".stripMargin,
     "ts_changepoint" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |                  CAST(round(value*100) AS BIGINT) AS value_c FROM events),
@@ -5340,6 +5619,46 @@ object SparkEntry {
         |FROM r GROUP BY 1""".stripMargin,
     // revenue concentration per nation: HHI cross-multiplied to
     // 10⁴·Σrev²/total² on HUGEINT, CR-k shares off the rank window
+    // decile gains/lift: NTILE(10) with the (spend desc, custkey)
+    // total order, the ratios cross-multiplied in HUGEINT exactly as
+    // the Spark side rides DECIMAL(38,0)
+    "rel_decile_lift" ->
+      """WITH spend AS (SELECT o_custkey,
+        |         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
+        |       FROM orders GROUP BY 1),
+        |ret AS (SELECT o_custkey,
+        |          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ret_c
+        |        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |        WHERE l_returnflag = 'R' GROUP BY 1),
+        |base AS (SELECT c_mktsegment, c_custkey,
+        |           COALESCE(s.spend_c, 0) AS spend_c, COALESCE(r.ret_c, 0) AS ret_c
+        |         FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+        |         LEFT JOIN ret r ON r.o_custkey = c.c_custkey),
+        |dec AS (SELECT c_mktsegment,
+        |          CAST(NTILE(10) OVER (PARTITION BY c_mktsegment
+        |                               ORDER BY spend_c DESC, c_custkey ASC) AS BIGINT) AS decile,
+        |          spend_c, ret_c FROM base),
+        |g AS (SELECT c_mktsegment, decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |        CAST(SUM(spend_c) AS BIGINT) AS spend_c, CAST(SUM(ret_c) AS BIGINT) AS ret_c
+        |      FROM dec GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(SUM(n_cust) OVER (PARTITION BY c_mktsegment ORDER BY decile
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cust,
+        |        CAST(SUM(ret_c) OVER (PARTITION BY c_mktsegment ORDER BY decile
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_ret,
+        |        CAST(SUM(n_cust) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_cust,
+        |        CAST(SUM(ret_c) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_ret
+        |      FROM g)
+        |SELECT c_mktsegment, decile, n_cust, spend_c, ret_c,
+        |  CAST((CAST(cum_ret AS HUGEINT) * 10000) // GREATEST(seg_ret, 1) AS BIGINT) AS capture_bp,
+        |  CAST((CAST(cum_ret AS HUGEINT) * seg_cust * 100)
+        |    // GREATEST(CAST(seg_ret AS HUGEINT) * cum_cust, 1) AS BIGINT) AS lift_centi
+        |FROM w""".stripMargin,
+    // last-touch attribution: LAST_VALUE IGNORE NULLS over the
+    // strictly-preceding frame, 'direct' when no touch exists; the
+    // streaming dual drains to the identical per-channel rollup
+    "rel_attribution" -> attributionOracleSql,
+    "rel_attribution_stream" -> attributionOracleSql,
     "rel_concentration" ->
       """WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
         |             FROM orders GROUP BY 1),

@@ -2745,4 +2745,76 @@ object Dedup {
       )
     releaseAfterRun(spark, out, Seq(uniq, sigs, cand, lsh.bands, groups))
   }
+
+  // -------------------------------------------------------------------
+  // 39x. dedup_prefix_filter — the AllPairs/PPJoin PREFIX-FILTERING
+  // set-similarity join (Bayardo et al. WWW'07; Xiao et al. WWW'08):
+  // the EXACT-recall alternative to MinHash-LSH, over the same word
+  // 3-gram shingle sets the LSH family bands (single-word token sets
+  // are degenerate on a bounded vocabulary — every doc shares the hot
+  // words — while shingles keep similarity sparse). Each document
+  // keeps only its p = n − ⌈τ·n⌉ + 1 RAREST shingles (global
+  // (df, shingle) order — no global rank materialized, the pair IS
+  // the sort key), and the prefix theorem guarantees any pair with
+  // Jaccard ≥ τ shares a prefix shingle, so candidate generation is a
+  // self-equi-join on prefix shingles only. Verification is the exact
+  // integer Jaccard over the full distinct-shingle sets, the
+  // threshold cross-multiplied (den·inter ≥ num·union — no division).
+  // Scale shape: the join fans out per SHINGLE with df bounded by
+  // rarity (a doc's prefix holds its rarest shingles; boilerplate
+  // stays out of prefixes), work scales with Σ_prefix df², never
+  // corpus²; recall is 100% by theorem — the trade against LSH this
+  // row exists to publish (compare dedup_recall_eval's measured LSH
+  // recall at the same τ).
+  // -------------------------------------------------------------------
+  def prefixFilterPairs(
+      spark: SparkSession,
+      dir: String,
+      tauNum: Int = 8,
+      tauDen: Int = 10
+  ): DataFrame = {
+    val toks = shingles(spark, dir)
+      .withColumnRenamed("shingle", "tok")
+      .distinct()
+    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks
+      .join(df, Seq("tok"))
+      .withColumn(
+        "rn",
+        row_number()
+          .over(Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("tok").asc))
+          .cast("long")
+      )
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // p = n − ⌈τn⌉ + 1 with ⌈τn⌉ = (num·n + den − 1) DIV den
+      .withColumn("p", expr(s"n - ($tauNum * n + $tauDen - 1) DIV $tauDen + 1"))
+    val prefix = ranked.filter(col("rn") <= col("p")).select(col("doc_id"), col("tok"))
+    val cand = prefix
+      .as("a")
+      .join(prefix.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val counts = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val inter = cand
+      .join(toks.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(toks.as("y"), col("y.doc_id") === col("doc_b") && col("y.tok") === col("x.tok"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter_n"))
+    cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), Seq("doc_b"))
+      .withColumn("union_n", col("na") + col("nb") - col("inter_n"))
+      .filter(col("inter_n") * tauDen >= col("union_n") * tauNum)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("na"),
+        col("nb"),
+        col("inter_n"),
+        col("union_n"),
+        expr("inter_n * 10000 DIV union_n").as("jac_bp")
+      )
+  }
 }

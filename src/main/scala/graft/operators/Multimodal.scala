@@ -624,4 +624,85 @@ object Multimodal {
         expr("(n_shared * 10000) DIV n_frames").as("shared_bp")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 33p. mm_ahash_neardup — PERCEPTUAL near-duplicate detection by
+  // AVERAGE HASH (the aHash of the pHash/aHash/dHash family): each
+  // asset downsamples to 64 deterministic "pixels" (byte samples at
+  // positions 1 + ⌊i·n/64⌋ — the stand-in for the real 8×8 grayscale
+  // resize, which plugs in where a codec exists), the 64-bit code sets
+  // bit i when pixel_i exceeds the asset's own pixel mean, and the
+  // report is the per-asset NEAR-DUP LEDGER: code words + banded
+  // candidate count + neighbors within Hamming radius 6. The code
+  // rides TWO 32-bit words (the ann_hamming sign-pack discipline — no
+  // 1<<63 signed-overflow edge on any engine); candidates come from 4
+  // × 16-bit bands (the LSH OR-construction — pigeonhole makes band
+  // recall EXACT for radius ≤ 3 and probabilistic above it, the same
+  // documented trade as every banded matcher here). Hash + code are
+  // row-local (zero shuffle until banding); the band join fans out
+  // per band bucket, never corpus²; production reuses the LSH
+  // family's capped-bucket discipline when a degenerate
+  // (constant-pixel) corpus makes a band hot.
+  // -------------------------------------------------------------------
+  def ahashNearDup(spark: SparkSession, dir: String, maxHam: Int = 6): DataFrame = {
+    val codes = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("n"))
+      .withColumn(
+        "pxs",
+        expr(
+          "transform(sequence(0, 63), i -> CAST(ascii(substring(text, CAST(1 + (i * n) DIV 64 AS INT), 1)) AS BIGINT))"
+        )
+      )
+      .withColumn("mean_p", expr("aggregate(pxs, CAST(0 AS BIGINT), (a, x) -> a + x) DIV 64"))
+      .withColumn(
+        "lo",
+        expr(
+          "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, i) -> a + IF(pxs[i] > mean_p, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        )
+      )
+      .withColumn(
+        "hi",
+        expr(
+          "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, i) -> a + IF(pxs[i + 32] > mean_p, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+        )
+      )
+      .select(col("doc_id"), col("lo"), col("hi"))
+    val bands = codes
+      .withColumn("b", explode(typedlit(Seq(0L, 1L, 2L, 3L))))
+      .withColumn(
+        "sig",
+        expr("CASE WHEN b < 2 THEN shiftright(lo, CAST(b * 16 AS INT)) & 65535 ELSE shiftright(hi, CAST((b - 2) * 16 AS INT)) & 65535 END")
+      )
+    val pairs = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.b") === col("b.b") && col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.lo").as("la"),
+        col("a.hi").as("ha"),
+        col("b.lo").as("lb"),
+        col("b.hi").as("hb")
+      )
+      .distinct()
+      .withColumn("close", expr(s"IF(bit_count(la ^ lb) + bit_count(ha ^ hb) <= $maxHam, 1L, 0L)"))
+    val perDoc = pairs
+      .select(col("doc_a").as("doc_id"), col("close"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"), col("close")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("cand"), sum(col("close")).as("nc"))
+    codes
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("lo"),
+        col("hi"),
+        coalesce(col("cand"), lit(0L)).as("n_cand"),
+        coalesce(col("nc"), lit(0L)).as("n_close")
+      )
+  }
 }

@@ -2544,4 +2544,111 @@ object Relational {
         ).as("hhi_bp")
       )
   }
+
+  /** rel_decile_lift — the DECILE GAINS/LIFT table (the classic
+    * campaign-targeting read): per market segment, customers ranked
+    * into spend deciles (NTILE 10 with fully deterministic tiebreaks,
+    * zero-spend customers in scope — the bottom deciles ARE the
+    * point), then each decile's capture of returned-item revenue and
+    * its cumulative lift vs random targeting. Capture answers "what
+    * share of returns do my top-k deciles reach"; lift is that share
+    * over the customer share (100 = random). The windows are all
+    * per-segment (the RFM discipline), the lift ratios
+    * cross-multiplied in DECIMAL(38,0) so 100 TB cumulative cents
+    * never overflow. Scale: two fact aggregates to customer grain, one
+    * segment-partitioned rank, then a 10-row-per-segment table.
+    */
+  def decileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("spend_c"))
+    val ret = Tables
+      .lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"l_extendedprice")).as("ret_c"))
+      .withColumnRenamed("o_custkey", "r_custkey")
+    val base = Tables
+      .customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .join(spend, $"c_custkey" === $"o_custkey", "left")
+      .join(ret, $"c_custkey" === $"r_custkey", "left")
+      .select(
+        $"c_mktsegment",
+        $"c_custkey",
+        coalesce($"spend_c", lit(0L)).as("spend_c"),
+        coalesce($"ret_c", lit(0L)).as("ret_c")
+      )
+    val wRank = Window.partitionBy($"c_mktsegment").orderBy($"spend_c".desc, $"c_custkey".asc)
+    val byDecile = base
+      .withColumn("decile", ntile(10).over(wRank).cast("long"))
+      .groupBy($"c_mktsegment", $"decile")
+      .agg(count(lit(1)).as("n_cust"), sum($"spend_c").as("spend_c"), sum($"ret_c").as("ret_c"))
+    val wCum = Window.partitionBy($"c_mktsegment").orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)
+    val wSeg = Window.partitionBy($"c_mktsegment")
+    byDecile
+      .withColumn("cum_cust", sum($"n_cust").over(wCum))
+      .withColumn("cum_ret", sum($"ret_c").over(wCum))
+      .withColumn("seg_cust", sum($"n_cust").over(wSeg))
+      .withColumn("seg_ret", sum($"ret_c").over(wSeg))
+      .select(
+        $"c_mktsegment",
+        $"decile",
+        $"n_cust",
+        $"spend_c",
+        $"ret_c",
+        expr("CAST((CAST(cum_ret AS DECIMAL(38,0)) * 10000) DIV greatest(seg_ret, 1L) AS BIGINT)")
+          .as("capture_bp"),
+        expr(
+          "CAST((CAST(cum_ret AS DECIMAL(38,0)) * seg_cust * 100) DIV greatest(CAST(seg_ret AS DECIMAL(38,0)) * cum_cust, 1) AS BIGINT)"
+        ).as("lift_centi")
+      )
+  }
+
+  /** rel_attribution — LAST-TOUCH marketing attribution over the
+    * event stream: each purchase credits its full value to the
+    * nearest PRECEDING non-purchase touchpoint of the same user
+    * (strictly before — the purchase row itself never self-credits),
+    * `direct` when no touch exists. The per-user scan is one
+    * window pass (last-ignoring-nulls over an unbounded-preceding
+    * frame, the standard sessionless attribution shape); the report
+    * is a bounded-key groupBy over the event-type enum with shares in
+    * basis points off the ≤5-row aggregate (the one unpartitioned
+    * window, a bounded domain). Scale: attribution work partitions by
+    * user — the axis that grows at 100 TB — and nothing downstream
+    * sees raw-event grain.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables
+      .events(spark, dir)
+      .select(
+        $"user_id",
+        expr("ts DIV 1000").as("ts_us"),
+        $"event_id",
+        $"event_type",
+        cents($"value").as("v_c")
+      )
+    val wPrev = Window
+      .partitionBy($"user_id")
+      .orderBy($"ts_us".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = e
+      .withColumn(
+        "touch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true).over(wPrev)
+      )
+      .filter($"event_type" === "purchase")
+      .select(coalesce($"touch", lit("direct")).as("channel"), $"v_c")
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"), sum($"v_c").as("credited_c"))
+    credited
+      .withColumn(
+        "share_bp",
+        expr("CAST((CAST(credited_c AS DECIMAL(38,0)) * 10000) DIV greatest(SUM(credited_c) OVER (), 1L) AS BIGINT)")
+      )
+  }
 }

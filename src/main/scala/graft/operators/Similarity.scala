@@ -1741,4 +1741,113 @@ object Similarity {
         col("w.d").as("worst_delta_milli")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 27u. ann_sq_search — SCALAR-QUANTIZED (SQ8) two-stage search, the
+  // FAISS IndexScalarQuantizer ladder rung between binary codes
+  // (ann_hamming_*) and PQ (ann_pq_search): each dimension maps to an
+  // 8-bit code on its own corpus [min, max] range (code = trained
+  // per-dim affine grid — 4x memory cut at far higher fidelity than
+  // 1-bit signs), the shortlist ranks by ASYMMETRIC distance (exact
+  // probe against dequantized codes — the ADC trick: the query side
+  // never quantizes), and the exact rerank recovers true cosine order
+  // on the survivors. Every quantize/dequantize is truncating integer
+  // arithmetic on non-negative operands, so codes and dequantized
+  // values are bit-identical cross-engine; the two float cosines ride
+  // the house IEEE-deterministic exact-integer-input discipline.
+  // Scale: the per-dim range table is 64 rows broadcast; code
+  // assignment is one row-local map over the corpus; at 100 TB the
+  // shortlist pass reads 1/4 the bytes of the exact index and the
+  // exact tier touches only shortlist·probes rows.
+  // -------------------------------------------------------------------
+  def annSqSearch(
+      spark: SparkSession,
+      dir: String,
+      nProbes: Int = 5,
+      shortlist: Int = 30,
+      k: Int = 10
+  ): DataFrame = {
+    val q    = quantized(spark, dir)
+    val dims = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
+    val rng = dims
+      .groupBy(col("i"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .withColumn("span", expr("greatest(hi - lo, 1L)"))
+    val rebuilt = dims
+      .join(broadcast(rng), Seq("i"))
+      .withColumn("dq", expr("lo + ((((v - lo) * 255) DIV span) * span) DIV 255"))
+      .groupBy(col("vec_id"))
+      .agg(
+        sort_array(collect_list(struct(col("i"), col("dq")))).as("p"),
+        greatest(sum(col("dq") * col("dq")), lit(1L)).as("dn2")
+      )
+      .select(col("vec_id"), expr("transform(p, x -> x.dq)").as("dqv"), col("dn2"))
+    val probes = q.filter(col("vec_id") < nProbes).toDF("probe_id", "pq", "pn2")
+    val wSq    = Window.partitionBy(col("probe_id")).orderBy(col("acos").desc, col("neighbor_id").asc)
+    val wCos   = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    rebuilt
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(
+        col("probe_id"),
+        col("vec_id").as("neighbor_id"),
+        cosineQ(dotQ(col("pq"), col("dqv")), col("pn2"), col("dn2")).as("acos"),
+        col("pq"),
+        col("pn2")
+      )
+      .withColumn("sq_rnk", row_number().over(wSq).cast("long"))
+      .filter(col("sq_rnk") <= shortlist)
+      .join(q.toDF("neighbor_id", "nq", "nn2"), Seq("neighbor_id"))
+      .withColumn("cos", cosineQ(dotQ(col("pq"), col("nq")), col("pn2"), col("nn2")))
+      .withColumn("rnk", row_number().over(wCos).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        col("sq_rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 27v. ann_recall_vs_shortlist — the SHORTLIST-DEPTH operating curve
+  // for the SQ8 two-stage search (the ann_recall_vs_nprobe /
+  // ann_recall_vs_nplanes discipline applied to the reranker's one
+  // tunable): per probe and depth ∈ {10, 30, 50}, the recall of the
+  // exact top-10 recovered after ADC-shortlist→exact-rerank. This is
+  // the measured depth-vs-recall trade a deployment prices (depth
+  // IS the exact-tier cost multiplier); the curve flattening at the
+  // corpus' own noise floor is the signal to stop paying.
+  // -------------------------------------------------------------------
+  def recallVsShortlist(
+      spark: SparkSession,
+      dir: String,
+      depths: Seq[Int] = Seq(10, 30, 50),
+      k: Int = 10
+  ): DataFrame = {
+    val truth = annTopkBruteForce(spark, dir, k = k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDepth = depths
+      .map(d =>
+        annSqSearch(spark, dir, shortlist = d, k = k)
+          .select(col("probe_id"), col("neighbor_id"))
+          .withColumn("depth", lit(d.toLong))
+      )
+      .reduce(_.unionByName(_))
+    val hits = perDepth
+      .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id"), col("depth"))
+      .agg(count(lit(1)).as("hits"))
+    val base = truth
+      .select(col("probe_id"))
+      .distinct()
+      .withColumn("depth", explode(typedlit(depths.map(_.toLong))))
+    val out = base
+      .join(hits, Seq("probe_id", "depth"), "left")
+      .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
+      .select(col("probe_id"), col("depth"), col("n_hits"), expr(s"n_hits * 10000 DIV $k").as("recall_bp"))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(truth))
+  }
 }

@@ -2464,4 +2464,61 @@ object TextAnalysis {
         ).as("slope_milli")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 31z. text_encoding_audit — the ENCODING-HYGIENE screen a corpus
+  // passes before tokenization: per source, the character-class
+  // census (letters / digits / spaces / punctuation-residual) plus
+  // the two contamination gates — non-ASCII bytes (mojibake,
+  // double-encoded UTF-8, copy-paste smart quotes) and C0 control
+  // characters (binary spill, NUL-padded extractions) — with the
+  // share of fully-clean documents. On a healthy corpus the gate
+  // columns are exactly zero and the census still validates the
+  // counting machinery; on a real crawl the nonzero gates name which
+  // source needs re-extraction. Counts are length-minus-stripped
+  // (one regexp_replace per class, row-local, codegen'd), the report
+  // ONE partial-aggregable groupBy onto the source enum. Both engines
+  // count code points (the corpus contract is ASCII-clean; the gates
+  // EXIST to prove it, so the count basis agrees exactly where it
+  // matters and the gate fires on any non-ASCII byte either way).
+  // -------------------------------------------------------------------
+  def encodingAudit(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(pat: String) =
+      (length(col("text")) - length(regexp_replace(col("text"), pat, ""))).cast("long")
+    val per = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("nc"),
+        cnt("[A-Za-z]").as("letters"),
+        cnt("[0-9]").as("digits"),
+        cnt(" ").as("spaces"),
+        cnt("[^\\x00-\\x7F]").as("nonascii"),
+        cnt("[\\x00-\\x1F]").as("control")
+      )
+    per
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("letters")).as("sl"),
+        sum(col("digits")).as("sd"),
+        sum(col("spaces")).as("ss"),
+        sum(col("nonascii")).as("sna"),
+        sum(col("control")).as("sct"),
+        sum(when(col("nonascii") + col("control") === 0L, 1L).otherwise(0L)).as("clean_docs")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_chars"),
+        expr("sl * 10000 DIV greatest(n_chars, 1L)").as("letters_bp"),
+        expr("sd * 10000 DIV greatest(n_chars, 1L)").as("digits_bp"),
+        expr("ss * 10000 DIV greatest(n_chars, 1L)").as("space_bp"),
+        expr("(n_chars - sl - sd - ss - sna - sct) * 10000 DIV greatest(n_chars, 1L)").as("punct_bp"),
+        col("sna").as("nonascii_chars"),
+        col("sct").as("control_chars"),
+        expr("clean_docs * 10000 DIV greatest(n_docs, 1L)").as("clean_bp")
+      )
+  }
 }

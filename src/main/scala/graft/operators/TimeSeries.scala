@@ -2693,4 +2693,176 @@ object TimeSeries {
         col("worst_bucket")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 11z9. ts_peak_detect — PROMINENCE-gated local maxima per series
+  // (the scipy find_peaks contract, distributed): on the per-type
+  // hourly mean series, a peak is an hour strictly above its left
+  // neighbor, at-or-above its right (ties resolve to the leftmost of a
+  // plateau edge), equal to the ±w window max, with prominence =
+  // peak − max(left-flank min, right-flank min) over the same w-hour
+  // flanks. Edge hours without full two-sided flanks are out of scope
+  // (no one-sided fabrications). One window pass over the hourly
+  // rollup sharing a single per-type shuffle; every comparison is in
+  // integer cents so the peak set is bit-identical cross-engine. At
+  // 100 TB this scales on the series axis — windows stay per-type and
+  // the hourly grain bounds rows per series at hours-in-retention.
+  // -------------------------------------------------------------------
+  def peakDetect(spark: SparkSession, dir: String, w: Int = 3, minPromC: Long = 50L): DataFrame = {
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("s DIV n"))
+    val ord   = Window.partitionBy("event_type").orderBy(col("hour_id"))
+    val whole = Window.partitionBy("event_type")
+    hourly
+      .select(
+        col("event_type"),
+        col("hour_id"),
+        col("m"),
+        row_number().over(ord).cast("long").as("rn"),
+        count(lit(1)).over(whole).as("nh"),
+        lag(col("m"), 1).over(ord).as("prev_m"),
+        lead(col("m"), 1).over(ord).as("next_m"),
+        max(col("m")).over(ord.rowsBetween(-w, w)).as("win_max"),
+        min(col("m")).over(ord.rowsBetween(-w, -1)).as("lmin"),
+        min(col("m")).over(ord.rowsBetween(1, w)).as("rmin")
+      )
+      .filter(col("rn") > w && col("rn") <= col("nh") - w)
+      .filter(col("m") > col("prev_m") && col("m") >= col("next_m") && col("m") === col("win_max"))
+      .withColumn("prom_c", col("m") - greatest(col("lmin"), col("rmin")))
+      .filter(col("prom_c") >= minPromC)
+      .select(col("event_type"), col("hour_id"), col("m").as("peak_c"), col("prom_c"))
+  }
+
+  // -------------------------------------------------------------------
+  // 11z10. ts_theta_forecast — the THETA method (M3 competition
+  // winner, Assimakopoulos & Nikolopoulos 2000) per series in exact
+  // micro fixed-point: decompose the hourly mean series into the θ=0
+  // line (the OLS linear trend, computed in closed form — Σrn and Σrn²
+  // are polynomial identities, so the fit is two aggregates) and the
+  // θ=2 line z_t = 2·10⁶·m_t − trend_t (double curvature), smooth the
+  // θ=2 line with SES α=1/2 (the same truncating integer halving as
+  // ts_holt_linear), and forecast the average of the two legs. The
+  // one-step-ahead SAE accumulates inside the same fold so the θ
+  // combination must EARN its keep against ts_holt_linear /
+  // ts_forecast_snaive in the ts_forecast_eval sense. The inherently
+  // sequential SES chain runs as ONE aggregate() fold per series over
+  // the already-aggregated hourly array — state is (s, e, t), never
+  // corpus-scaled; the only raw-event shuffle is the hourly rollup.
+  // Both engines truncate integer division toward zero (Spark DIV ≡
+  // DuckDB //), so the recursion is bit-identical cross-engine.
+  // -------------------------------------------------------------------
+  def thetaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("hour_id"))
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("s DIV n"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+    val fitted = hourly
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("m")).as("sm"),
+        sum(col("rn") * col("m")).as("sxm"),
+        sort_array(collect_list(struct(col("hour_id"), col("m")))).as("hm")
+      )
+      // Σrn = n(n+1)/2 and Σrn² = n(n+1)(2n+1)/6 are exact integer
+      // identities, so denom = n²(n²−1)/12 divides exactly; the
+      // greatest(…,1) guards the n=1 series (slope 0 by convention)
+      .withColumn("srn", expr("(n_hours * (n_hours + 1)) DIV 2"))
+      .withColumn("denom", expr("greatest((n_hours * n_hours * (n_hours * n_hours - 1)) DIV 12, 1L)"))
+      // the fit numerators ride DECIMAL(38,0): at a year of hourly
+      // grain n·Σ(rn·m)·10⁶ clears the long range
+      .withColumn(
+        "sl",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_hours * sxm - srn * sm)) DIV denom AS BIGINT)")
+      )
+      .withColumn(
+        "ic",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sm - CAST(sl AS DECIMAL(38,0)) * srn) DIV n_hours AS BIGINT)")
+      )
+      .withColumn("ms", expr("transform(hm, p -> p.m)"))
+    // fold state: s = SES level of the θ=2 line (micro), e = Σ|one-step
+    // θ-forecast − 10⁶·actual|, t = index of the last consumed hour
+    val fold =
+      """aggregate(
+        |  slice(ms, 2, greatest(size(ms) - 1, 0)),
+        |  named_struct('s', 2000000L * ms[0] - (ic + sl), 'e', CAST(0 AS BIGINT), 't', CAST(1 AS BIGINT)),
+        |  (acc, x) -> named_struct(
+        |    's', (2000000L * x - (ic + sl * (acc.t + 1)) + acc.s) DIV 2,
+        |    'e', acc.e + abs((acc.s + ic + sl * (acc.t + 1)) DIV 2 - 1000000L * x),
+        |    't', acc.t + 1))""".stripMargin
+    fitted
+      .withColumn("st", expr(fold))
+      .select(
+        col("user_id"),
+        col("n_hours"),
+        col("sl").as("slope_micro"),
+        col("st.s").as("ses_micro"),
+        expr("(st.s + ic + sl * (n_hours + 1)) DIV 2").as("forecast_micro"),
+        col("st.e").as("sae_micro")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11z11. ts_intervention_eval — IMPACT QUANTIFICATION at the
+  // detected changepoint (the causal-impact-lite read a deploy/price
+  // change review runs): the series splits at ts_changepoint's own
+  // CUSUM argmax (same prefix-deviation convention, same tiebreak),
+  // then publishes the before/after level means, the absolute and
+  // relative shift, and a distribution-free SIGN TEST count (after
+  // points strictly above the before-mean — n_after_above ≈ n_after/2
+  // means no shift, ≈ n_after means a genuine level change). Two
+  // window passes and one join back to the series, all sharing the
+  // one per-series shuffle; means are truncating cents divisions
+  // identical on both engines.
+  // -------------------------------------------------------------------
+  def interventionEval(spark: SparkSession, dir: String): DataFrame = {
+    val cum   = seriesW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy("user_id")
+    val pts = eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("v"))
+      .withColumn("k", row_number().over(seriesW).cast("long"))
+    val cp = pts
+      .withColumn("prefix", sum(col("v")).over(cum))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum(col("v")).over(whole))
+      .withColumn("dev", abs(col("n") * col("prefix") - col("k") * col("total")))
+      .groupBy(col("user_id"))
+      .agg(
+        first(col("n")).as("n"),
+        min_by(col("k"), struct(-col("dev"), col("k"))).as("cp_k"),
+        min_by(col("prefix"), struct(-col("dev"), col("k"))).as("cp_prefix"),
+        first(col("total")).as("total")
+      )
+      .withColumn("before_mean_c", expr("cp_prefix DIV cp_k"))
+      .withColumn("after_mean_c", expr("CASE WHEN n > cp_k THEN (total - cp_prefix) DIV (n - cp_k) ELSE 0L END"))
+    pts
+      .join(cp, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("cp_k")).as("cp_k"),
+        first(col("before_mean_c")).as("before_mean_c"),
+        first(col("after_mean_c")).as("after_mean_c"),
+        sum(when(col("k") > col("cp_k") && col("v") > col("before_mean_c"), 1L).otherwise(0L))
+          .as("n_after_above")
+      )
+      .withColumn("n_after", col("n") - col("cp_k"))
+      .withColumn("delta_c", col("after_mean_c") - col("before_mean_c"))
+      .withColumn("rel_bp", expr("delta_c * 10000 DIV greatest(abs(before_mean_c), 1L)"))
+      .select(
+        col("user_id"),
+        col("n"),
+        col("cp_k"),
+        col("n_after"),
+        col("before_mean_c"),
+        col("after_mean_c"),
+        col("delta_c"),
+        col("rel_bp"),
+        col("n_after_above")
+      )
+  }
 }

@@ -2171,6 +2171,85 @@ object StreamingIngest {
     runToMemory(spark, agg, "complete")
   }
 
+  /** LAST-TOUCH ATTRIBUTION as CUSTOM STREAMING STATE: the batch
+    * [[graft.operators.Relational.attribution]] computed incrementally
+    * — per-user state is ONE (last-touch type, ts, seq) triple, so a
+    * purchase credits its channel the moment it arrives (the
+    * marketing-pipeline shape at 100 TB, where replaying full history
+    * per report is not an option). State is bounded by live users,
+    * never stream length.
+    *
+    * Same cross-batch in-order PRECONDITION (and the same fail-loud
+    * enforcement) as [[anomalyStream]]: attribution is order-sensitive
+    * — a touch arriving after the purchase it should have credited
+    * cannot be repaired retroactively. Within a batch rows sort by
+    * (ts, seq) exactly like the batch window's ORDER BY.
+    *
+    * Each purchase is emitted exactly once (file-source exactly-once ×
+    * one emission per purchase row), so the post-drain per-channel
+    * rollup equals the batch operator bit-for-bit — the shared oracle
+    * checks exactly that. The share window runs over the ≤5-row
+    * channel-enum aggregate.
+    */
+  def attributionStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = Tables.eventsFileSchema(spark, dir)
+    val reader = spark.readStream.schema(schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id").as[Long],
+        expr("ts DIV 1000").as("ts_us").as[Long],
+        col("event_id").as[Long],
+        col("event_type").as[String],
+        cents(col("value")).as("v_c").as[Long]
+      )
+      .as[(Long, Long, Long, String, Long)]
+    // state = (last non-purchase touch or "" for none, last ts, last seq)
+    val credited = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Long), (String, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout // state is one small triple per live user
+      ) { (uid: Long, rows: Iterator[(Long, Long, Long, String, Long)], state: GroupState[(String, Long, Long)]) =>
+        val pts = rows.toArray.sortBy(r => (r._2, r._3))
+        var (touch, lastTs, lastSeq) =
+          state.getOption.getOrElse(("", Long.MinValue, Long.MinValue))
+        pts.headOption.foreach { case (_, ts, eid, _, _) =>
+          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+            throw new IllegalStateException(
+              s"attributionStream: out-of-order arrival for user $uid — event (ts=$ts, seq=$eid) " +
+                s"after already-processed (ts=$lastTs, seq=$lastSeq); the source must deliver each " +
+                "user in event-time order across micro-batches"
+            )
+        }
+        val out = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
+        pts.foreach { case (_, ts, eid, tpe, vc) =>
+          if (tpe == "purchase") out += ((if (touch.isEmpty) "direct" else touch, vc, eid))
+          else touch = tpe
+          lastTs = ts
+          lastSeq = eid
+        }
+        state.update((touch, lastTs, lastSeq))
+        out.iterator
+      }
+      .toDF("channel", "v_c", "event_id")
+    runToMemory(spark, credited, "append")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v_c")).as("credited_c"))
+      .withColumn(
+        "share_bp",
+        expr("CAST((CAST(credited_c AS DECIMAL(38,0)) * 10000) DIV greatest(SUM(credited_c) OVER (), 1L) AS BIGINT)")
+      )
+  }
+
   private def runToMemory(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = df.writeStream

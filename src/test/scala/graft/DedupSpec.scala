@@ -656,4 +656,24 @@ class DedupSpec extends AnyFunSuite {
     val m = rows.map(r => r.getAs[Long]("k") -> r.getAs[Long]("mean_abs_err_micro")).toMap
     assert(m(12L) <= m(4L), s"12-slot mean error ${m(12L)} above the 4-slot ${m(4L)}")
   }
+
+  test("prefix filter is exact-recall at tau: every LSH-verified jac>=0.8 pair is in the prefix-filter result") {
+    // the prefix theorem guarantees 100% recall at the threshold; the
+    // banded LSH matcher can only MISS pairs — so the LSH-verified set
+    // (same 3-gram shingle unit, same exact-Jaccard verification) must
+    // embed in the prefix-filter result. The reverse direction is the
+    // LSH recall gap dedup_recall_eval measures.
+    val exact = Dedup
+      .prefixFilterPairs(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
+    val lsh = Dedup
+      .ngramJaccard(spark, sf)
+      .filter(col("is_dup") === 1L && col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    try {
+      val missed = lsh.exceptAll(exact).count()
+      assert(missed === 0L, s"$missed LSH-verified pairs missing from the exact-recall prefix filter")
+    } finally exact.unpersist()
+  }
 }

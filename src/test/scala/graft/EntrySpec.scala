@@ -57,6 +57,8 @@ class EntrySpec extends AnyFunSuite {
     "ann_cell_skew",             // ≤8-row centroid broadcast for the assignment pass
     "ann_hamming_search",        // same ≤5-row probe broadcast over the binary-code table
     "ann_hamming_rerank",        // same probe broadcast; exact dot only after the shortlist group-limit
+    "ann_sq_search",             // same ≤5-row probe broadcast over the dequantized-code table; exact dot only after the SQ shortlist
+    "ann_recall_vs_shortlist",   // the SQ-search legs + brute-force truth, each the same ≤5-row probe broadcast
     "ann_hamming_recall",        // composes bruteforce + hamming tiers, all already whitelisted
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
@@ -114,7 +116,9 @@ class EntrySpec extends AnyFunSuite {
     "rel_compaction_plan", // band-offset window over the 256-file band table — the same two-level prefix sum's bounded upper level (file-METADATA grain, ~nFiles/256 rows)
     "ann_cell_skew", // total-occupancy window over the nCells-row cell aggregate — the report's whole domain is the cell table
     "emb_dim_variance", // total-variance window over the d-row (=64) per-dimension aggregate
-    "mm_modal_mix_plan" // share/min windows over the ≤5-row modality-enum aggregate
+    "mm_modal_mix_plan", // share/min windows over the ≤5-row modality-enum aggregate
+    "rel_attribution", // share window over the ≤5-row channel-enum aggregate (the event-type domain)
+    "rel_attribution_stream" // same ≤5-row channel-enum share window over the drained rollup
   )
 
   // one pass over the whole inventory: runs + rows>0 + plan hygiene —

@@ -686,4 +686,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("streaming attribution: two-batch replay equals the batch last-touch rollup exactly") {
+    val dir = twoBatchDir()
+    val streamed = StreamingIngest.attributionStream(spark, dir, filesPerTrigger = Some(1))
+    val batch = graft.operators.Relational.attribution(spark, dir)
+    assert(streamed.exceptAll(batch).count() === 0, "streamed channels not in batch answer")
+    assert(batch.exceptAll(streamed).count() === 0, "batch channels missing from stream")
+  }
 }
