@@ -63,6 +63,8 @@ object SparkEntry {
     "ts_holt_linear"     -> ((s, d) => TimeSeries.holtLinear(s, d)),
     "ts_holt_winters"    -> ((s, d) => TimeSeries.holtWinters(s, d)),
     "ts_theta_forecast"  -> ((s, d) => TimeSeries.thetaForecast(s, d)),
+    "ts_capacity_forecast" -> ((s, d) => TimeSeries.capacityForecast(s, d)),
+    "ts_alert_fatigue"   -> ((s, d) => TimeSeries.alertFatigue(s, d)),
     "ts_peak_detect"     -> ((s, d) => TimeSeries.peakDetect(s, d)),
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
@@ -150,6 +152,7 @@ object SparkEntry {
     "ts_dedup_stream_events" -> ((s, d) => graft.sources.StreamingIngest.dedupStreamEvents(s, d)),
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
     "mm_ahash_neardup"   -> ((s, d) => Multimodal.ahashNearDup(s, d)),
+    "mm_scene_split"     -> ((s, d) => Multimodal.sceneSplit(s, d)),
     "rel_bucketed_join" -> ((s, d) => Relational.bucketedJoin(s, d)),
     "text_rank_fusion" -> ((s, d) => TextAnalysis.rankFusion(s, d)),
     "ts_store_asof"      -> ((s, d) => graft.sources.TimeboxStore.asofReadSummary(s, d)),
@@ -273,6 +276,7 @@ object SparkEntry {
     // keeps the semantics (default threshold is 0.95) with a non-empty
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, threshold = 0.4)),
+    "emb_threshold_curve" -> ((s, d) => Dedup.embThresholdCurve(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
@@ -335,6 +339,7 @@ object SparkEntry {
     "text_domain_mix"   -> ((s, d) => TextAnalysis.domainMix(s, d)),
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "text_encoding_audit"   -> ((s, d) => TextAnalysis.encodingAudit(s, d)),
+    "text_bm25_topk"        -> ((s, d) => TextAnalysis.bm25Topk(s, d)),
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_fertility_by_lang" -> ((s, d) => TextAnalysis.fertilityByLang(s, d)),
@@ -2083,12 +2088,12 @@ object SparkEntry {
          |i AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter_n
          |      FROM cand c JOIN toks x ON x.doc_id = c.doc_a
          |      JOIN toks y ON y.doc_id = c.doc_b AND y.tok = x.tok GROUP BY 1, 2),
-         |sc AS (SELECT c.doc_a, c.doc_b, ca.n_tok AS na, cb.n_tok AS nb,
+         |sc AS (SELECT c.doc_a, c.doc_b,
          |         CAST(COALESCE(i.inter_n, 0) AS BIGINT) AS inter_n,
          |         CAST(ca.n_tok + cb.n_tok - COALESCE(i.inter_n, 0) AS BIGINT) AS union_n
          |       FROM cand c LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          |       JOIN cnts ca ON ca.doc_id = c.doc_a JOIN cnts cb ON cb.doc_id = c.doc_b)
-         |SELECT doc_a, doc_b, na, nb, inter_n, union_n,
+         |SELECT doc_a, doc_b, inter_n, union_n,
          |  CAST(inter_n * 10000 // union_n AS BIGINT) AS jac_bp
          |FROM sc WHERE inter_n * 10 >= union_n * 8""".stripMargin,
     "dedup_ngram_jaccard" ->
@@ -2488,6 +2493,44 @@ object SparkEntry {
          |       CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM cc JOIN embeddings e ON e.vec_id = cc.vec_a
          |WHERE cos >= 0.4""".stripMargin,
+    // threshold operating curve: the dedup_embedding candidate+verify
+    // chain, rolled up per cosine tier
+    "emb_threshold_curve" ->
+      s"""WITH qe AS (SELECT vec_id, label, i, CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |            FROM (SELECT vec_id, label, embedding, unnest(generate_series(1, 64)) AS i FROM embeddings)),
+         |nn AS (SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM qe GROUP BY 1),
+         |pl AS (SELECT p, i,
+         |         2 * (instr('0123456789abcdef',
+         |                    substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) - 15 AS w
+         |       FROM (SELECT unnest(generate_series(0, 31)) AS p), (SELECT unnest(generate_series(1, 64)) AS i)),
+         |db AS (SELECT qe.vec_id, pl.p, CAST(SUM(qe.v * pl.w) AS BIGINT) AS dt
+         |       FROM qe JOIN pl ON pl.i = qe.i GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, p // 4 AS tbl,
+         |         CAST(SUM(CASE WHEN dt > 0 THEN (1 << CAST(p % 4 AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM db GROUP BY 1, 2),
+         |cd AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |       FROM bk x JOIN bk y ON y.tbl = x.tbl AND y.bucket = x.bucket AND x.vec_id < y.vec_id),
+         |dt AS (SELECT cd.vec_a, cd.vec_b, CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+         |       FROM cd JOIN qe a ON a.vec_id = cd.vec_a
+         |       JOIN qe b ON b.vec_id = cd.vec_b AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |cc AS (SELECT vec_a, vec_b,
+         |              CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+         |       FROM dt JOIN nn na ON na.vec_id = vec_a JOIN nn nb ON nb.vec_id = vec_b),
+         |sc AS (SELECT vec_a, vec_b, CAST(round(cos * 1000000) AS BIGINT) AS cm FROM cc WHERE cos >= 0.4),
+         |tiers AS (SELECT CAST(unnest([400000, 600000, 800000, 950000]) AS BIGINT) AS thr_micro),
+         |tp AS (SELECT t.thr_micro, s.vec_a, s.vec_b FROM tiers t JOIN sc s ON s.cm >= t.thr_micro),
+         |np AS (SELECT thr_micro, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM tp GROUP BY 1),
+         |nd AS (SELECT thr_micro, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_dup_docs
+         |       FROM (SELECT thr_micro, vec_a AS v FROM tp UNION ALL SELECT thr_micro, vec_b FROM tp)
+         |       GROUP BY 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+         |SELECT t.thr_micro, COALESCE(np.n_pairs, 0) AS n_pairs,
+         |  COALESCE(nd.n_dup_docs, 0) AS n_dup_docs,
+         |  CAST(COALESCE(nd.n_dup_docs, 0) * 10000 // tot.n_vecs AS BIGINT) AS dup_mass_bp
+         |FROM tiers t CROSS JOIN tot
+         |LEFT JOIN np ON np.thr_micro = t.thr_micro
+         |LEFT JOIN nd ON nd.thr_micro = t.thr_micro""".stripMargin,
     // semantic clusters: reachability over the member-level verified
     // cosine pair set — rep-level CC + star expansion must reproduce it
     "dedup_embedding_clusters" ->
@@ -4019,6 +4062,47 @@ object SparkEntry {
     // cross-asset shared frames: content-hash the deterministic frame
     // grid, df ≥ 2 means chrome; trailing remainder bytes dropped
     // identically on both engines
+    // BM25 with cleared denominators: k1=6/5, b=3/4 multiplied
+    // through by 20*avgdl, per-term floor division THEN sum
+    "text_bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+         |         GREATEST(CAST(SUM(dl) AS BIGINT) // COUNT(*), 1) AS a FROM dl),
+         |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |qq AS (SELECT * FROM t WHERE tok IN ('fast', 'key', 'sort')),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM qq GROUP BY 1, 2),
+         |dfq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM qq GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |         CAST(SUM(CAST(st.nd * 1000000 // dfq.df AS HUGEINT) * (44 * st.a * tf.tf)
+         |           // (20 * st.a * tf.tf + 6 * st.a + 18 * dl.dl)) AS BIGINT) AS score_micro
+         |       FROM tf JOIN dfq ON dfq.tok = tf.tok JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+         |       GROUP BY 1)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk,
+         |       doc_id, score_micro
+         |FROM sc ORDER BY score_micro DESC, doc_id ASC LIMIT 10""".stripMargin,
+    // histogram-difference scene detection in 1-D: 32-byte frames,
+    // 8-sample stride-4 byte means, boundary when the mean jumps > 2
+    "mm_scene_split" ->
+      """WITH f AS (SELECT doc_id, length(text) // 32 AS nf, text FROM documents
+        |           WHERE length(text) // 32 >= 1),
+        |fr AS (SELECT doc_id, i,
+        |         (ascii(substring(text, i * 32 + 1, 1)) + ascii(substring(text, i * 32 + 5, 1))
+        |          + ascii(substring(text, i * 32 + 9, 1)) + ascii(substring(text, i * 32 + 13, 1))
+        |          + ascii(substring(text, i * 32 + 17, 1)) + ascii(substring(text, i * 32 + 21, 1))
+        |          + ascii(substring(text, i * 32 + 25, 1)) + ascii(substring(text, i * 32 + 29, 1))) // 8 AS mean_b
+        |       FROM (SELECT doc_id, text, unnest(generate_series(0, nf - 1)) AS i FROM f)),
+        |b AS (SELECT doc_id, i,
+        |        CASE WHEN lag(mean_b) OVER w IS NULL
+        |             OR abs(mean_b - lag(mean_b) OVER w) > 2 THEN 1 ELSE 0 END AS brk
+        |      FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |g AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM b),
+        |ep AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS sc_n FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(sc_n) AS BIGINT) AS n_frames, CAST(COUNT(*) AS BIGINT) AS n_scenes,
+        |  CAST(MAX(sc_n) AS BIGINT) AS longest_scene,
+        |  CAST(SUM(sc_n) * 100 // COUNT(*) AS BIGINT) AS scene_len_centi
+        |FROM ep GROUP BY 1""".stripMargin,
     // aHash ledger: 64 byte-sample "pixels", mean-threshold bits into
     // two 32-bit words, 4x16-bit banded candidates, Hamming radius 6
     "mm_ahash_neardup" ->
@@ -4951,6 +5035,60 @@ object SparkEntry {
         |  CAST(MAX(med2) AS BIGINT) AS med2_c, CAST(MAX(mad2) AS BIGINT) AS mad2_c,
         |  CAST(SUM(CASE WHEN dev * 20000 > mad2 * 44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM m2 GROUP BY 1""".stripMargin,
+    // capacity extrapolation: cumulative daily totals fit by the same
+    // closed-form integer OLS identities as ts_theta_forecast, crossing
+    // solved by ceiling division on a positive slope (both engines
+    // truncate toward zero, so the +slope-1 trick agrees at any sign)
+    "ts_capacity_forecast" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+        |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |d AS (SELECT event_type, day_id, CAST(SUM(v) AS BIGINT) AS d_c FROM e GROUP BY 1, 2),
+        |o AS (SELECT event_type, day_id, d_c,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_id) AS BIGINT) AS rn,
+        |        CAST(SUM(d_c) OVER (PARTITION BY event_type ORDER BY day_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+        |      FROM d),
+        |f AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, CAST(MAX(cum_c) AS BIGINT) AS total_c,
+        |        CAST(SUM(cum_c) AS BIGINT) AS sm, CAST(SUM(rn * cum_c) AS BIGINT) AS sxm FROM o GROUP BY 1),
+        |c AS (SELECT event_type, n_days, total_c, (n_days * (n_days + 1)) // 2 AS srn,
+        |        GREATEST((n_days * n_days * (n_days * n_days - 1)) // 12, 1) AS denom, sm, sxm FROM f),
+        |s AS (SELECT event_type, n_days, total_c,
+        |        CAST((CAST(1000000 AS HUGEINT) * (n_days * sxm - srn * sm)) // denom AS BIGINT) AS slope_micro,
+        |        srn, sm FROM c),
+        |i AS (SELECT *, CAST((CAST(1000000 AS HUGEINT) * sm - CAST(slope_micro AS HUGEINT) * srn) // n_days AS BIGINT) AS ic,
+        |        (total_c * 12 + 9) // 10 AS thr_c FROM s)
+        |SELECT event_type, n_days, total_c, slope_micro, CAST(thr_c AS BIGINT) AS thr_c,
+        |  CAST(CASE WHEN slope_micro <= 0 THEN -1
+        |  ELSE GREATEST(CAST((CAST(thr_c AS HUGEINT) * 1000000 - ic - slope_micro * n_days
+        |    + slope_micro - 1) // slope_micro AS BIGINT), 0) END AS BIGINT) AS days_to_thr
+        |FROM i""".stripMargin,
+    // alert fatigue over the z-score verdicts: alerts within 2h merge
+    // into episodes via the lag-gap segment counter
+    "ts_alert_fatigue" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |                  CAST(round(value*100) AS BIGINT) AS x FROM events),
+        |v AS (SELECT event_id, user_id, ts_us, x,
+        |        COUNT(*) OVER w AS n,
+        |        CAST(SUM(x) OVER w AS BIGINT) AS s,
+        |        CAST(SUM(x * x) OVER w AS BIGINT) AS q
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |a AS (SELECT user_id, ts_us, event_id FROM v
+        |      WHERE n >= 20 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)),
+        |b AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN lag(ts_us) OVER w2 IS NULL
+        |             OR ts_us - lag(ts_us) OVER w2 > 7200000000 THEN 1 ELSE 0 END AS brk
+        |      FROM a WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (SELECT user_id, ts_us, event_id,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |      FROM b),
+        |ep AS (SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS ep_n FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(ep_n) AS BIGINT) AS n_alerts,
+        |  CAST(COUNT(*) AS BIGINT) AS n_episodes,
+        |  CAST(MAX(ep_n) AS BIGINT) AS max_episode,
+        |  CAST(SUM(ep_n) * 100 // COUNT(*) AS BIGINT) AS per_episode_centi
+        |FROM ep GROUP BY 1""".stripMargin,
     "ts_anomaly_zscore" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |                  CAST(round(value*100) AS BIGINT) AS x FROM events),

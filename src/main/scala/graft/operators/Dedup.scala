@@ -2773,10 +2773,15 @@ object Dedup {
       tauNum: Int = 8,
       tauDen: Int = 10
   ): DataFrame = {
-    val toks = shingles(spark, dir)
-      .withColumnRenamed("shingle", "tok")
-      .distinct()
-    val df = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // exact-dup collapse FIRST (the house LSH discipline): a 10^5-copy
+    // boilerplate family would otherwise put every copy's prefix in
+    // the same buckets — quadratic pair melt on one reducer; reps pay
+    // the prefix join once, members re-expand after with the J=1
+    // within-group contract
+    val c      = collapseExact(docsNorm(spark, dir))
+    val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks   = shinglesOf(c.reps).withColumnRenamed("shingle", "tok").distinct()
+    val df     = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks
       .join(df, Seq("tok"))
       .withColumn(
@@ -2800,7 +2805,7 @@ object Dedup {
       .join(toks.as("y"), col("y.doc_id") === col("doc_b") && col("y.tok") === col("x.tok"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter_n"))
-    cand
+    val repScores = cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
       .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), Seq("doc_a"))
@@ -2810,11 +2815,67 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
-        col("na"),
-        col("nb"),
         col("inter_n"),
         col("union_n"),
         expr("inter_n * 10000 DIV union_n").as("jac_bp")
       )
+    // within-group member pairs are identical texts: inter = union =
+    // |rep's shingle set|, J exactly 1
+    val out = expandMemberPairs(
+      repScores,
+      groups,
+      counts,
+      carried = Seq("inter_n", "union_n", "jac_bp"),
+      withinValues = Seq(col("n_tok"), col("n_tok"), lit(10000L))
+    )
+    releaseAfterRun(spark, out, Seq(groups))
+  }
+
+  // -------------------------------------------------------------------
+  // 39y. emb_threshold_curve — the COSINE-THRESHOLD operating curve
+  // for embedding dedup (the number a pipeline owner reads before
+  // picking dedup_embedding's τ): over the SAME hyperplane-LSH
+  // candidate set and exact-cosine verification as dedup_embedding
+  // (threshold 0.4 — the registered operating point's own base), the
+  // pair count, distinct-document count, and corpus dup-mass (bp) at
+  // each tighter tier ∈ {0.4, 0.6, 0.8, 0.95}·10⁶. Candidates come
+  // from the banded matcher, so tiers read "what the deployed
+  // pipeline would remove at τ" — the LSH recall gap below the
+  // operating band is dedup_recall_eval's number, not this one. One
+  // LSH pass + one scoring, then a 4-row rollup; the corpus size is a
+  // 1-row broadcast.
+  // -------------------------------------------------------------------
+  def embThresholdCurve(
+      spark: SparkSession,
+      dir: String,
+      tiers: Seq[Long] = Seq(400000L, 600000L, 800000L, 950000L)
+  ): DataFrame = {
+    val pairs = embeddingNearDup(spark, dir, threshold = 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tiered = pairs
+      .withColumn("thr_micro", explode(typedlit(tiers)))
+      .filter(col("cos_micro") >= col("thr_micro"))
+    val np = tiered.groupBy(col("thr_micro")).agg(count(lit(1)).as("np"))
+    val nd = tiered
+      .select(col("thr_micro"), col("vec_a").as("v"))
+      .unionByName(tiered.select(col("thr_micro"), col("vec_b").as("v")))
+      .distinct()
+      .groupBy(col("thr_micro"))
+      .agg(count(lit(1)).as("nd"))
+    val tot = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n_vecs"))
+    val out = spark
+      .range(1)
+      .select(explode(typedlit(tiers)).as("thr_micro"))
+      .join(np, Seq("thr_micro"), "left")
+      .join(nd, Seq("thr_micro"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("thr_micro"),
+        coalesce(col("np"), lit(0L)).as("n_pairs"),
+        coalesce(col("nd"), lit(0L)).as("n_dup_docs"),
+        expr("coalesce(nd, 0L) * 10000 DIV n_vecs").as("dup_mass_bp")
+      )
+    releaseAfterRun(spark, out, Seq(pairs))
   }
 }

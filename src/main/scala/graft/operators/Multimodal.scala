@@ -705,4 +705,53 @@ object Multimodal {
         coalesce(col("nc"), lit(0L)).as("n_close")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 33q. mm_scene_split — SCENE-BOUNDARY detection over a video
+  // asset's frame run (the shot-change pass a video curation pipeline
+  // runs before sampling training frames): the payload splits into
+  // fixed 32-byte frames (mm_frame_dedup's frame convention), each
+  // frame summarizes to a mean "brightness" (8 sampled bytes, stride
+  // 4 — the 1-D stand-in for the histogram a real decoder feeds), and
+  // a scene boundary fires where consecutive frame means jump by more
+  // than the threshold — exactly the histogram-difference scene
+  // detector, in integers. Report per asset: frames, scenes, the
+  // longest scene, mean scene length (centi-frames). Frame expansion
+  // is row-local; the lag + segment windows partition per asset.
+  // -------------------------------------------------------------------
+  def sceneSplit(spark: SparkSession, dir: String, flen: Int = 32, thr: Long = 2L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy(col("i"))
+    val frames = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), expr(s"length(text) DIV $flen").cast("long").as("nf"))
+      .filter(col("nf") >= 1L)
+      .select(col("doc_id"), col("text"), posexplode(expr("sequence(0L, nf - 1)")).as(Seq("i", "fi")))
+      .withColumn(
+        "mean_b",
+        expr(
+          (0 until 8)
+            .map(j => s"ascii(substring(text, CAST(fi * $flen + 1 + $j * 4 AS INT), 1))")
+            .mkString("(", " + ", s") DIV 8")
+        ).cast("long")
+      )
+      .select(col("doc_id"), col("fi").as("i"), col("mean_b"))
+    val seg = frames
+      .withColumn("prev", lag(col("mean_b"), 1).over(w))
+      .withColumn(
+        "brk",
+        when(col("prev").isNull || abs(col("mean_b") - col("prev")) > thr, 1L).otherwise(0L)
+      )
+      .withColumn(
+        "seg",
+        sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        )
+      )
+    seg
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("sc_n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc_n")).as("n_frames"), count(lit(1)).as("n_scenes"), max(col("sc_n")).as("longest_scene"))
+      .withColumn("scene_len_centi", expr("n_frames * 100 DIV n_scenes"))
+  }
 }

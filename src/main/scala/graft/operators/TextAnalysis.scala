@@ -2521,4 +2521,54 @@ object TextAnalysis {
         expr("clean_docs * 10000 DIV greatest(n_docs, 1L)").as("clean_bp")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 31z2. text_bm25_topk — BM25 ranking (the Robertson/Spärck Jones
+  // scorer every production search engine defaults to) next to
+  // text_search_topk's plain TF-IDF: same query terms, same
+  // scan-stage term filter, but the term weight saturates in tf and
+  // normalizes by document length. Exactness: k1 = 6/5 and b = 3/4
+  // clear denominators when the term fraction is multiplied through
+  // by 20·avgdl — term = idf · 44·A·tf / (20·A·tf + 6·A + 18·dl),
+  // every factor an integer (A = floor avg doc length), the product
+  // riding DECIMAL(38,0) so a 10⁹-doc idf cannot overflow, floor-div
+  // per term THEN summed (the same order both engines replay). The
+  // corpus stats are a 1-row broadcast; tf/df partial-aggregable;
+  // top-10 an ordered limit.
+  // -------------------------------------------------------------------
+  def bm25Topk(
+      spark: SparkSession,
+      dir: String,
+      query: Seq[String] = Seq("fast", "key", "sort"),
+      k: Int = 10
+  ): DataFrame = {
+    val toks = docsToks(spark, dir)
+    val dl   = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+      .withColumn("a", expr("greatest(tl DIV nd, 1L)"))
+      .select(col("nd"), col("a"))
+    val t = toks
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(query: _*))
+    val tf = t.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val w  = org.apache.spark.sql.expressions.Window.orderBy(col("score_micro").desc, col("doc_id").asc)
+    tf.join(df, Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_micro", expr("nd * 1000000 DIV df"))
+      .withColumn(
+        "term_micro",
+        expr(
+          "CAST(CAST(idf_micro AS DECIMAL(38,0)) * (44 * a * tf) DIV (20 * a * tf + 6 * a + 18 * dl) AS BIGINT)"
+        )
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score_micro"))
+  }
 }

@@ -2865,4 +2865,97 @@ object TimeSeries {
         col("n_after_above")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 11z12. ts_capacity_forecast — the "DISK FULL IN N DAYS" read (the
+  // capacity-planning extrapolation every SRE dashboard carries): per
+  // event type, the cumulative value total over OBSERVED days is fit
+  // with the closed-form integer OLS (same exact Σrn/Σrn² identities
+  // as ts_theta_forecast) and extrapolated to the crossing of a
+  // 120%-of-current headroom threshold. days_to_thr is a ceiling
+  // division on non-negative operands (slope ≤ 0 reports -1 — no
+  // crossing on current trend); the 10⁶-scaled numerators ride
+  // DECIMAL(38,0) so a 100 TB cumulative total cannot overflow the
+  // fit. One day rollup + one cumulative window + one per-type
+  // aggregate, all on the type shuffle.
+  // -------------------------------------------------------------------
+  def capacityForecast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy(col("day_id"))
+    val daily = eventsUs(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us DIV ${DayUs}L").as("day_id"))
+      .agg(sum(cents(col("value"))).as("d_c"))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .withColumn("cum_c", sum(col("d_c")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max(col("cum_c")).as("total_c"),
+        sum(col("cum_c")).as("sm"),
+        sum(col("rn") * col("cum_c")).as("sxm")
+      )
+      .withColumn("srn", expr("(n_days * (n_days + 1)) DIV 2"))
+      .withColumn("denom", expr("greatest((n_days * n_days * (n_days * n_days - 1)) DIV 12, 1L)"))
+      .withColumn(
+        "slope_micro",
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (n_days * sxm - srn * sm)) DIV denom AS BIGINT)")
+      )
+      .withColumn(
+        "ic",
+        expr(
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * sm - CAST(slope_micro AS DECIMAL(38,0)) * srn) DIV n_days AS BIGINT)"
+        )
+      )
+      .withColumn("thr_c", expr("(total_c * 12 + 9) DIV 10"))
+      .withColumn(
+        "days_to_thr",
+        expr(
+          """CASE WHEN slope_micro <= 0 THEN -1L
+            |ELSE greatest(CAST((CAST(thr_c AS DECIMAL(38,0)) * 1000000 - ic - slope_micro * n_days
+            |  + slope_micro - 1) DIV slope_micro AS BIGINT), 0L) END""".stripMargin
+        )
+      )
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("total_c"),
+        col("slope_micro"),
+        col("thr_c"),
+        col("days_to_thr")
+      )
+  }
+
+  // -------------------------------------------------------------------
+  // 11z13. ts_alert_fatigue — the ALERT-STORM ledger over the z-score
+  // detector's own verdicts (the on-call hygiene read: an alerting
+  // rule firing 50 times inside one incident is one page and 49
+  // fatigue units): per series, anomalies within 2 h of the previous
+  // one merge into an EPISODE (the lag-gap convention ts_gap_intervals
+  // uses), and the report is alerts vs episodes — n_alerts,
+  // n_episodes, alerts-per-episode in centi (100 = perfectly
+  // deduplicated paging), and the largest single episode. One lag
+  // window + one segment groupBy over ALERT rows only (the detector's
+  // output is the input — the fatigue pass never rescans raw events).
+  // -------------------------------------------------------------------
+  def alertFatigue(spark: SparkSession, dir: String, mergeUs: Long = 2L * HourUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val alerts = anomalyZscore(spark, dir)
+      .filter(col("is_anomaly") === 1L)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn(
+        "brk",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > mergeUs, 1L).otherwise(0L)
+      )
+      .withColumn("seg", sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    alerts
+      .groupBy(col("user_id"), col("seg"))
+      .agg(count(lit(1)).as("ep_n"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("ep_n")).as("n_alerts"),
+        count(lit(1)).as("n_episodes"),
+        max(col("ep_n")).as("max_episode")
+      )
+      .withColumn("per_episode_centi", expr("n_alerts * 100 DIV n_episodes"))
+  }
 }
