@@ -65,6 +65,7 @@ object SparkEntry {
     "ts_theta_forecast"  -> ((s, d) => TimeSeries.thetaForecast(s, d)),
     "ts_capacity_forecast" -> ((s, d) => TimeSeries.capacityForecast(s, d)),
     "ts_alert_fatigue"   -> ((s, d) => TimeSeries.alertFatigue(s, d)),
+    "ts_residual_acf"    -> ((s, d) => TimeSeries.residualAcf(s, d)),
     "ts_peak_detect"     -> ((s, d) => TimeSeries.peakDetect(s, d)),
     "ts_kalman"          -> ((s, d) => TimeSeries.kalman(s, d)),
     "ts_cusum"           -> ((s, d) => TimeSeries.cusum(s, d)),
@@ -277,6 +278,7 @@ object SparkEntry {
     // verification set. Bucketing is hyperplane LSH (8 tables x 4 bits).
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, threshold = 0.4)),
     "emb_threshold_curve" -> ((s, d) => Dedup.embThresholdCurve(s, d)),
+    "graph_louvain_gain"  -> ((s, d) => Dedup.louvainGain(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
@@ -2493,6 +2495,21 @@ object SparkEntry {
          |       CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM cc JOIN embeddings e ON e.vec_id = cc.vec_a
          |WHERE cos >= 0.4""".stripMargin,
+    // one Louvain gain round from singletons: numerator 2m - ki*kj per
+    // edge, per-node argmax (gain desc, neighbor asc), positive only
+    "graph_louvain_gain" ->
+      s"""WITH $shingleCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM ed GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+         |g AS (SELECT e.src AS node, e.dst AS merges_into, di.k AS k_node, dj.k AS k_best,
+         |        CAST(2 * mm.m - di.k * dj.k AS BIGINT) AS gain_num
+         |      FROM ed e JOIN dg di ON di.node = e.src JOIN dg dj ON dj.node = e.dst CROSS JOIN mm),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY gain_num DESC, merges_into ASC) AS rnk FROM g)
+         |SELECT node, merges_into, k_node, k_best, gain_num
+         |FROM r WHERE rnk = 1 AND gain_num > 0""".stripMargin,
     // threshold operating curve: the dedup_embedding candidate+verify
     // chain, rolled up per cosine tier
     "emb_threshold_curve" ->
@@ -5062,6 +5079,35 @@ object SparkEntry {
         |  ELSE GREATEST(CAST((CAST(thr_c AS HUGEINT) * 1000000 - ic - slope_micro * n_days
         |    + slope_micro - 1) // slope_micro AS BIGINT), 0) END AS BIGINT) AS days_to_thr
         |FROM i""".stripMargin,
+    // residual lag-1 ACF after snaive: calendar-aligned RANGE lag-24
+    // residuals, exact Pearson numerators, the 1.96/sqrt(n) whiteness
+    // band cross-multiplied in HUGEINT
+    "ts_residual_acf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+        |             CAST(round(value*100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT user_id, hour_id, CAST(SUM(v) // COUNT(*) AS BIGINT) AS m
+        |      FROM e GROUP BY 1, 2),
+        |rr AS (SELECT user_id, hour_id, m,
+        |         MAX(m) OVER (PARTITION BY user_id ORDER BY hour_id
+        |              RANGE BETWEEN 24 PRECEDING AND 24 PRECEDING) AS m24
+        |       FROM h),
+        |rs AS (SELECT user_id, hour_id, m - m24 AS r FROM rr WHERE m24 IS NOT NULL),
+        |lg AS (SELECT user_id, r,
+        |         LAG(r) OVER (PARTITION BY user_id ORDER BY hour_id) AS x
+        |       FROM rs),
+        |ag AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(r) AS BIGINT) AS sy,
+        |         CAST(SUM(x * r) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |         CAST(SUM(r * r) AS BIGINT) AS syy
+        |       FROM lg WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n_pairs * sxx - sx * sx AS BIGINT) AS varx_num,
+        |  CAST(n_pairs * syy - sy * sy AS BIGINT) AS vary_num,
+        |  CAST(CASE WHEN CAST(n_pairs * sxy - sx * sy AS HUGEINT) * (n_pairs * sxy - sx * sy) * n_pairs * 10000
+        |    <= CAST(38416 AS HUGEINT) * (n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS white_lag1
+        |FROM ag""".stripMargin,
     // alert fatigue over the z-score verdicts: alerts within 2h merge
     // into episodes via the lag-gap segment counter
     "ts_alert_fatigue" ->

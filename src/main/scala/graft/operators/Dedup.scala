@@ -2878,4 +2878,44 @@ object Dedup {
       )
     releaseAfterRun(spark, out, Seq(pairs))
   }
+
+  // -------------------------------------------------------------------
+  // 39z. graph_louvain_gain — ONE Louvain modularity-gain round from
+  // singleton communities in exact integers (the greedy move step the
+  // Louvain method iterates; LPA + the modularity score already exist
+  // — this is the gain-DRIVEN move rule those methods lack): for node
+  // i and neighbor j, merging i into j's singleton community changes
+  // Q by (2m·w_ij − k_i·k_j)/(2m²) — with unit edge weights the
+  // numerator 2m − k_i·k_j is a pure integer, so the per-node argmax
+  // (gain desc, neighbor asc) is bit-identical cross-engine and only
+  // POSITIVE-gain moves emit (the Louvain acceptance rule). One edge
+  // pass + two degree joins + a per-node rank window; m is a 1-row
+  // broadcast. At 100 TB this is the shape each Louvain level runs
+  // per sweep — nothing is corpus-pairwise beyond the edge table the
+  // LSH tier already maintains.
+  // -------------------------------------------------------------------
+  def louvainGain(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = symEdges(pairs)
+    val deg   = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("k"))
+    val m1    = pairs.agg(count(lit(1)).as("mm"))
+    val w     = Window.partitionBy(col("node")).orderBy(col("gain_num").desc, col("merges_into").asc)
+    val out = edges
+      .join(deg.select(col("node").as("src"), col("k").as("k_node")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("k").as("k_best")), Seq("dst"))
+      .crossJoin(broadcast(m1))
+      .select(
+        col("src").as("node"),
+        col("dst").as("merges_into"),
+        col("k_node"),
+        col("k_best"),
+        expr("2 * mm - k_node * k_best").as("gain_num")
+      )
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1 && col("gain_num") > 0L)
+      .select(col("node"), col("merges_into"), col("k_node"), col("k_best"), col("gain_num"))
+    releaseAfterRun(spark, out, Seq(pairs))
+  }
 }

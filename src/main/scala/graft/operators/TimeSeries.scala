@@ -2958,4 +2958,57 @@ object TimeSeries {
       )
       .withColumn("per_episode_centi", expr("n_alerts * 100 DIV n_episodes"))
   }
+
+  // -------------------------------------------------------------------
+  // 11z14. ts_residual_acf — MODEL-ADEQUACY check on the snaive
+  // forecast (the Ljung-Box idea at lag 1, exact): residuals
+  // r_t = m_t − m_{t−24h} (the seasonal-naive error, calendar-aligned
+  // via a RANGE window — gaps skip, never smear), then the lag-1
+  // autocorrelation of the residual sequence as exact Pearson
+  // NUMERATORS (n·Σxy − ΣxΣy — no division, no sqrt) plus the
+  // whiteness verdict with the 1.96/√n band CROSS-MULTIPLIED:
+  // white ⇔ cov²·n·10⁴ ≤ 38416·varx·vary, every product riding
+  // DECIMAL(38,0). Residual autocorrelation surviving the band means
+  // snaive left structure on the table (reach for ts_holt_winters /
+  // ts_theta_forecast); whiteness means the eval ledger's SAE is all
+  // noise. One hourly rollup + two window passes + one per-series
+  // aggregate, all on the series shuffle.
+  // -------------------------------------------------------------------
+  def residualAcf(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy(col("hour_id"))
+    val hourly = eventsUs(spark, dir)
+      .groupBy(col("user_id"), expr(s"ts_us DIV ${HourUs}L").as("hour_id"))
+      .agg(sum(cents(col("value"))).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("s DIV n"))
+    val resid = hourly
+      .withColumn("m24", max(col("m")).over(ord.rangeBetween(-24, -24)))
+      .filter(col("m24").isNotNull)
+      .withColumn("r", col("m") - col("m24"))
+      .withColumn("x", lag(col("r"), 1).over(ord))
+      .filter(col("x").isNotNull)
+    resid
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"),
+        sum(col("r")).as("sy"),
+        sum(col("x") * col("r")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("r") * col("r")).as("syy")
+      )
+      .select(
+        col("user_id"),
+        col("n_pairs"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n_pairs") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("n_pairs") * col("syy") - col("sy") * col("sy")).as("vary_num")
+      )
+      .withColumn(
+        "white_lag1",
+        expr(
+          """CASE WHEN CAST(cov_num AS DECIMAL(38,0)) * cov_num * n_pairs * 10000
+            |  <= CAST(38416 AS DECIMAL(38,0)) * varx_num * vary_num THEN 1L ELSE 0L END""".stripMargin
+        )
+      )
+  }
 }
