@@ -149,6 +149,7 @@ object SparkEntry {
     "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
     "ts_store_sql" -> ((s, d) => graft.sources.TimeboxStore.sqlSurfaceSummary(s, d)),
     "ts_store_stream_read" -> ((s, d) => graft.sources.StreamingIngest.storeStreamRead(s, d)),
+    "ts_store_stream_read_from" -> ((s, d) => graft.sources.StreamingIngest.storeStreamReadFrom(s, d)),
     "ts_outage_mttr" -> ((s, d) => TimeSeries.outageMttr(s, d)),
     "ts_dedup_stream_events" -> ((s, d) => graft.sources.StreamingIngest.dedupStreamEvents(s, d)),
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(s, d)),
@@ -6210,6 +6211,18 @@ object SparkEntry {
     // is served as a micro-batch stamped with its commit_version; the
     // oracle restates each day slice from raw events (version i = day
     // d0+i-1) — double-serves, skips, and cross-version bleed all fail
+    // the startingVersion door: the same day-sliced stream, suffix >= 5
+    "ts_store_stream_read_from" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(ts) // 86400000000 AS day_id,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c FROM events),
+        |d0 AS (SELECT MIN(day_id) AS d0 FROM e)
+        |SELECT CAST(day_id - d0 + 1 AS BIGINT) AS commit_version,
+        |  CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+        |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us
+        |FROM e, d0 WHERE day_id - d0 < 8 AND day_id - d0 + 1 >= 5
+        |GROUP BY 1""".stripMargin,
     "ts_store_stream_read" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
         |    epoch_us(ts) // 86400000000 AS day_id,

@@ -2171,6 +2171,51 @@ object StreamingIngest {
     runToMemory(spark, agg, "complete")
   }
 
+  /** `ts_store_stream_read_from` — the startingVersion door on the
+    * streaming read: a consumer that already holds versions 1..k−1
+    * (a bootstrapped replica, a checkpointed downstream) subscribes
+    * from version k instead of replaying the whole commit log —
+    * `spark.readStream.format("timebox").option("startingVersion", k)`.
+    * Same day-sliced commit fixture as [[storeStreamRead]]; the
+    * drained result must be exactly that stream's ≥ k suffix, which
+    * is what the shared-shape oracle pins (versions below k never
+    * appear — at 100 TB the skipped history is the point: O(delta)
+    * subscription, not O(store)).
+    */
+  def storeStreamReadFrom(
+      spark: SparkSession,
+      dir: String,
+      nDays: Int = 8,
+      fromVersion: Int = 5
+  ): DataFrame = {
+    val dayUs = 86400000000L
+    val root  = TimeboxStore.scratchPath("graft_store_streamread_from", dir)
+    val pts = graft.operators.TimeSeries
+      .eventsUs(spark, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    val d0 = pts.agg(min(expr(s"ts_us DIV ${dayUs}L"))).head().getLong(0)
+    (0 until nDays).foreach { i =>
+      val (lo, hi) = ((d0 + i) * dayUs, (d0 + i + 1) * dayUs)
+      SnapshotCatalog.commit(
+        spark,
+        root,
+        p => TimeboxStore.encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+      ): Unit
+    }
+    val agg = spark.readStream
+      .format("timebox")
+      .option("startingVersion", fromVersion.toString)
+      .load(root)
+      .groupBy(col("commit_version"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+    runToMemory(spark, agg, "complete")
+  }
+
   /** LAST-TOUCH ATTRIBUTION as CUSTOM STREAMING STATE: the batch
     * [[graft.operators.Relational.attribution]] computed incrementally
     * — per-user state is ONE (last-touch type, ts, seq) triple, so a

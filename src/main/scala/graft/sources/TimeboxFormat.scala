@@ -67,6 +67,27 @@ class TimeboxDataSource
       throw new IllegalArgumentException("timebox: a catalog root is required — spark.readStream.format(\"timebox\").load(root)")
     )
 
+  // `option("startingVersion", v)`: the stream's first micro-batch
+  // begins at catalog version v instead of 1 — the CDC-consumer door
+  // for readers that already hold a snapshot through v−1 (the same
+  // contract the asOf option gives the batch read door, aimed
+  // forward). Only the FIRST offset is affected; a checkpointed
+  // restart resumes from the checkpoint as always.
+  private def startingVersionOf(parameters: Map[String, String]): Option[Long] =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("startingVersion") => v }.map { v =>
+      val n =
+        try v.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"timebox: option startingVersion must be a version number, got '$v'"
+            )
+        }
+      if (n < 1)
+        throw new IllegalArgumentException(s"timebox: startingVersion must be >= 1, got $n")
+      n
+    }
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
@@ -82,7 +103,11 @@ class TimeboxDataSource
       providerName: String,
       parameters: Map[String, String]
   ): org.apache.spark.sql.execution.streaming.Source =
-    new TimeboxStreamSource(sqlContext.sparkSession, pathFromParams(parameters))
+    new TimeboxStreamSource(
+      sqlContext.sparkSession,
+      pathFromParams(parameters),
+      startingVersionOf(parameters).map(_ - 1L).getOrElse(0L)
+    )
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
@@ -272,7 +297,7 @@ private[sources] class TimeboxRelation(
   * a half-committed snapshot. Restart replays from the checkpointed
   * version offset — exactly-once delivery of every committed version.
   */
-private[sources] class TimeboxStreamSource(spark: SparkSession, root: String)
+private[sources] class TimeboxStreamSource(spark: SparkSession, root: String, floorVersion: Long = 0L)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
@@ -296,7 +321,9 @@ private[sources] class TimeboxStreamSource(spark: SparkSession, root: String)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val (lo, hi) = (start.map(ver).getOrElse(0L), ver(end))
+    // no prior offset = first batch: begin after the startingVersion
+    // floor (0 = serve from version 1, the default)
+    val (lo, hi) = (start.map(ver).getOrElse(floorVersion), ver(end))
     val ms = SnapshotCatalog.manifests(root).filter(m => m.version > lo && m.version <= hi)
     val ordered = schema.fieldNames.toIndexedSeq.map(col)
     val out = ms

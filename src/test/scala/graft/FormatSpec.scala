@@ -299,6 +299,38 @@ class FormatSpec extends AnyFunSuite {
     assert(b.filter(col("commit_version") === 4L).count() === sliceN)
   }
 
+  test("streaming read honors startingVersion: first batch begins at k, earlier versions never served") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_streamfrom_spec").toString + "/cat"
+    val pts  = TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 10)
+    (0 to 3).foreach { i =>
+      SnapshotCatalog.commit(
+        spark, root,
+        p => TimeboxStore.encode(pts.filter(col("event_id") % 4 === i.toLong), tagCols = Seq("value_c", "etype_c"))
+          .write.parquet(p)
+      ): Unit
+    }
+    val out  = java.nio.file.Files.createTempDirectory("graft_streamfrom_out").toString + "/rows"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamfrom_ckpt").toString
+    val q = spark.readStream.format("timebox").option("startingVersion", "3").load(root)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val served = spark.read.parquet(out)
+    assert(served.select(col("commit_version")).distinct().collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    val expect = pts.filter(col("event_id") % 4 === 2L || col("event_id") % 4 === 3L).count()
+    assert(served.count() === expect, "startingVersion=3 must serve exactly the version 3..4 suffix")
+    // a bad startingVersion fails loudly at source construction
+    val e = intercept[Throwable] {
+      spark.readStream.format("timebox").option("startingVersion", "0").load(root)
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("startingVersion"), s"expected a startingVersion error, got: $chain")
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
