@@ -280,6 +280,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d, threshold = 0.4)),
     "emb_threshold_curve" -> ((s, d) => Dedup.embThresholdCurve(s, d)),
     "graph_louvain_gain"  -> ((s, d) => Dedup.louvainGain(s, d)),
+    "graph_louvain_apply" -> ((s, d) => Dedup.louvainApply(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
@@ -343,6 +344,7 @@ object SparkEntry {
     "text_length_histogram" -> ((s, d) => TextAnalysis.lengthHistogram(s, d)),
     "text_encoding_audit"   -> ((s, d) => TextAnalysis.encodingAudit(s, d)),
     "text_bm25_topk"        -> ((s, d) => TextAnalysis.bm25Topk(s, d)),
+    "sample_interleave"     -> ((s, d) => TextAnalysis.sampleInterleave(s, d)),
     "text_bpe_train"    -> ((s, d) => TextAnalysis.bpeTrain(s, d)),
     "text_bpe_apply"    -> ((s, d) => TextAnalysis.bpeApply(s, d)),
     "text_fertility_by_lang" -> ((s, d) => TextAnalysis.fertilityByLang(s, d)),
@@ -2496,6 +2498,48 @@ object SparkEntry {
          |       CAST(round(cos * 1000000) AS BIGINT) AS cos_micro
          |FROM cc JOIN embeddings e ON e.vec_id = cc.vec_a
          |WHERE cos >= 0.4""".stripMargin,
+    // apply the gain round: CC over the move edges (simultaneous
+    // apply), Newman Q before (singletons) and after in exact bp —
+    // BigInt / and DuckDB // both truncate toward zero on the
+    // negative singleton Q
+    "graph_louvain_apply" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM ed GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+         |g AS (SELECT e.src AS node, e.dst AS mi,
+         |        CAST(2 * mm.m - di.k * dj.k AS BIGINT) AS gain_num
+         |      FROM ed e JOIN dg di ON di.node = e.src JOIN dg dj ON dj.node = e.dst CROSS JOIN mm),
+         |mv AS (SELECT node, mi FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+         |         ORDER BY gain_num DESC, mi ASC) AS rnk FROM g)
+         |       WHERE rnk = 1 AND gain_num > 0),
+         |me AS (SELECT node AS src, mi AS dst FROM mv UNION ALL SELECT mi, node FROM mv),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM me
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN me e ON e.src = r.dst),
+         |ccl AS (SELECT src AS node, LEAST(src, MIN(dst)) AS lab FROM reach GROUP BY src),
+         |lab AS (SELECT dg.node, COALESCE(ccl.lab, dg.node) AS lab
+         |        FROM dg LEFT JOIN ccl ON ccl.node = dg.node),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM dg),
+         |nmv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_moves FROM mv),
+         |ia AS (SELECT CAST(COUNT(*) AS BIGINT) AS intra FROM pairs p
+         |       JOIN lab a ON a.node = p.doc_a
+         |       JOIN lab b ON b.node = p.doc_b AND b.lab = a.lab),
+         |dc AS (SELECT l.lab, CAST(SUM(dg.k) AS BIGINT) AS dc
+         |       FROM dg JOIN lab l ON l.node = dg.node GROUP BY 1),
+         |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comm, SUM(CAST(dc AS HUGEINT) * dc) AS sdc2 FROM dc),
+         |sk AS (SELECT SUM(CAST(k AS HUGEINT) * k) AS sk2 FROM dg)
+         |SELECT nn.n_nodes, mm.m AS n_edges, nmv.n_moves, sm.n_comm AS n_communities,
+         |  ia.intra AS intra_edges,
+         |  CASE WHEN mm.m = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(-10000 AS HUGEINT) * sk.sk2)
+         |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) END AS q_before_bp,
+         |  CASE WHEN mm.m = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST((CAST(10000 AS HUGEINT) * (CAST(4 AS HUGEINT) * mm.m * ia.intra - COALESCE(sm.sdc2, 0)))
+         |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) END AS q_after_bp
+         |FROM nn, mm, nmv, ia, sm, sk""".stripMargin,
     // one Louvain gain round from singletons: numerator 2m - ki*kj per
     // edge, per-node argmax (gain desc, neighbor asc), positive only
     "graph_louvain_gain" ->
@@ -4080,6 +4124,26 @@ object SparkEntry {
     // cross-asset shared frames: content-hash the deterministic frame
     // grid, df ≥ 2 means chrome; trailing remainder bytes dropped
     // identically on both engines
+    // deterministic proportional interleave: w = floor(1000*sqrt(n)),
+    // vt = rn*10^6 // w, first-500 window by (vt, source, rn)
+    "sample_interleave" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(floor(1000.0 * sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS w FROM c),
+        |r AS (SELECT d.source, d.doc_id,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS BIGINT) AS rn
+        |      FROM documents d),
+        |v AS (SELECT r.source, r.rn, (r.rn * 1000000) // w.w AS vt
+        |      FROM r JOIN w ON w.source = r.source),
+        |sel AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel FROM (
+        |          SELECT * FROM v ORDER BY vt ASC, source ASC, rn ASC LIMIT 500)
+        |        GROUP BY 1),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w)
+        |SELECT w.source, w.n_docs, w.w,
+        |  COALESCE(sel.n_sel, 0) AS n_sel,
+        |  CAST(COALESCE(sel.n_sel, 0) * 10000 // 500 AS BIGINT) AS sel_share_bp,
+        |  CAST(w.w * 10000 // tw.tw AS BIGINT) AS weight_share_bp
+        |FROM w CROSS JOIN tw LEFT JOIN sel ON sel.source = w.source""".stripMargin,
     // BM25 with cleared denominators: k1=6/5, b=3/4 multiplied
     // through by 20*avgdl, per-term floor division THEN sum
     "text_bm25_topk" ->

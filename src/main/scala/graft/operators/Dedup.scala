@@ -2918,4 +2918,85 @@ object Dedup {
       .select(col("node"), col("merges_into"), col("k_node"), col("k_best"), col("gain_num"))
     releaseAfterRun(spark, out, Seq(pairs))
   }
+
+  // -------------------------------------------------------------------
+  // 39z2. graph_louvain_apply — APPLY the gain round and MEASURE the
+  // modularity it buys: the positive-gain moves of [[louvainGain]]
+  // merge via connected components (the distributed SIMULTANEOUS
+  // apply — chained moves a→b→c collapse to one community, the
+  // standard parallel-Louvain relaxation), and the report publishes
+  // Newman Q before (singletons: intra = 0, Q = −Σk²/4m²) and after
+  // in exact basis points. A positive q_after − q_before is the
+  // measured proof the move rule does its job (simultaneous apply is
+  // a relaxation, so the gate is the measurement, not a theorem —
+  // which is exactly why the number is published). Costs: the gain
+  // round + a CC over ONLY the move edges (≤ one edge per node) +
+  // the modularity joins — nothing corpus-pairwise.
+  // -------------------------------------------------------------------
+  def louvainApply(spark: SparkSession, dir: String): DataFrame = {
+    val mem   = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist(mem)
+    val m     = pairs.count()
+    val edges = symEdges(pairs)
+    val deg   = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")).persist(mem)
+    val m1    = pairs.agg(count(lit(1)).as("mm"))
+    val wRnk  = Window.partitionBy(col("node")).orderBy(col("gain_num").desc, col("merges_into").asc)
+    val moves = edges
+      .join(deg.select(col("node").as("src"), col("k").as("k_node")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("k").as("k_best")), Seq("dst"))
+      .crossJoin(broadcast(m1))
+      .select(col("src").as("node"), col("dst").as("merges_into"), expr("2 * mm - k_node * k_best").as("gain_num"))
+      .withColumn("rnk", row_number().over(wRnk))
+      .filter(col("rnk") === 1 && col("gain_num") > 0L)
+      .select(col("node").as("doc_a"), col("merges_into").as("doc_b"))
+    val cc = connectedComponents(moves).persist(mem) // (doc_id, cluster_id) over move participants
+    cc.count()
+    // every node gets a community: movers their component, the rest themselves
+    val labels = deg
+      .select(col("node"))
+      .join(cc.withColumnRenamed("doc_id", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("lab"))
+      .persist(mem)
+    val nNodes = labels.count()
+    val nMoves = moves.count()
+    val intra = pairs
+      .join(labels.select(col("node").as("doc_a"), col("lab").as("la")), Seq("doc_a"))
+      .join(labels.select(col("node").as("doc_b"), col("lab").as("lb")), Seq("doc_b"))
+      .filter(col("la") === col("lb"))
+      .count()
+    val degc = deg
+      .join(labels, Seq("node"))
+      .groupBy(col("lab"))
+      .agg(sum(col("k")).as("dc"))
+    val row = degc
+      .agg(count(lit(1)).as("n_comm"), sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sdc2"))
+      .head()
+    val (nComm, sdc2) = (
+      row.getAs[Long]("n_comm"),
+      Option(row.getAs[java.math.BigDecimal]("sdc2")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+    )
+    // singleton Q: intra = 0, Σ(dc²) = Σk² — compute from deg directly
+    val sk2 = deg
+      .agg(sum(expr("CAST(k AS DECIMAL(38,0)) * k")).as("sk2"))
+      .head()
+      .getAs[java.math.BigDecimal]("sk2")
+    val sk2B     = Option(sk2).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+    val qBefore  = if (m == 0L) 0L else ((BigInt(-10000) * sk2B) / (BigInt(4) * m * m)).toLong
+    val qAfter =
+      if (m == 0L) 0L
+      else ((BigInt(10000) * (BigInt(4) * m * intra - sdc2)) / (BigInt(4) * m * m)).toLong
+    val spark2 = pairs.sparkSession
+    Seq(pairs, deg, cc, labels).foreach(_.unpersist())
+    spark2
+      .range(1)
+      .select(
+        lit(nNodes).as("n_nodes"),
+        lit(m).as("n_edges"),
+        lit(nMoves).as("n_moves"),
+        lit(nComm).as("n_communities"),
+        lit(intra).as("intra_edges"),
+        lit(qBefore).as("q_before_bp"),
+        lit(qAfter).as("q_after_bp")
+      )
+  }
 }

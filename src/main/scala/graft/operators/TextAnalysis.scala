@@ -2571,4 +2571,48 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("rnk"), col("doc_id"), col("score_micro"))
   }
+
+  // -------------------------------------------------------------------
+  // 31z3. sample_interleave — the DETERMINISTIC PROPORTIONAL
+  // INTERLEAVE a shard-sequential dataloader consumes (stride
+  // scheduling / virtual time, the WFQ idea): each source gets weight
+  // w = ⌊1000·√n⌋ (temperature-0.5, sample_temperature's convention —
+  // IEEE sqrt + floor is bit-stable on exact integer input), each
+  // doc's virtual position is vt = rank_in_source·10⁶ DIV w, and the
+  // global order by (vt, source, rank) interleaves sources
+  // proportionally to weight WITHOUT any randomness — resumable from
+  // a (source, rank) cursor, the property batch dataloaders need.
+  // Report: per source, its docs inside the first-500 window vs its
+  // weight share — the interleave is correct when the two agree to
+  // quantization. Per-source rank windows partition by source; the
+  // window selection is an ordered limit (TakeOrdered, never a global
+  // sort); the weight table is a 1-row-per-source broadcast.
+  // -------------------------------------------------------------------
+  def sampleInterleave(spark: SparkSession, dir: String, window: Int = 500): DataFrame = {
+    val docs   = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val wts = counts
+      .withColumn("w", floor(lit(1000.0) * sqrt(col("n_docs").cast("double"))).cast("long"))
+    val rnW = org.apache.spark.sql.expressions.Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val sel = docs
+      .withColumn("rn", row_number().over(rnW).cast("long"))
+      .join(broadcast(wts), Seq("source"))
+      .withColumn("vt", expr("rn * 1000000 DIV w"))
+      .orderBy(col("vt").asc, col("source").asc, col("rn").asc)
+      .limit(window)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sel"))
+    val totW = wts.agg(sum(col("w")).as("tw"))
+    wts
+      .join(sel, Seq("source"), "left")
+      .crossJoin(broadcast(totW))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("w"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        expr(s"coalesce(n_sel, 0L) * 10000 DIV $window").as("sel_share_bp"),
+        expr("w * 10000 DIV tw").as("weight_share_bp")
+      )
+  }
 }

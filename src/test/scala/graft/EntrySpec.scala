@@ -62,6 +62,8 @@ class EntrySpec extends AnyFunSuite {
     "emb_threshold_curve",       // 1-row corpus-count broadcast under the 4-row tier table
     "text_bm25_topk",            // 1-row (N, avgdl) corpus-stats broadcast, the text_search_topk shape
     "graph_louvain_gain",        // 1-row edge-count broadcast over the per-edge gain table
+    "graph_louvain_apply",       // the same 1-row edge-count broadcast under the move-selection rank
+    "sample_interleave",         // 1-row total-weight broadcast over the ≤20-row source table
     "ann_hamming_recall",        // composes bruteforce + hamming tiers, all already whitelisted
     "ann_index_search",          // same tail over the persisted index
     "ann_index_append",          // same tail over the appended index
