@@ -123,6 +123,10 @@ class ScaleSpec extends AnyFunSuite {
     "ts_capacity_forecast",
     "rel_decile_lift",
     "mm_ahash_neardup",
+    "ts_residual_acf",
+    "ts_alert_fatigue",
+    "mm_scene_split",
+    "sample_interleave",
     // round-9 sixth-session later additions with data-proportional work
     "ts_asof_nearest",
     "ts_anomaly_snaive",
