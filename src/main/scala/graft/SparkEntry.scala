@@ -393,6 +393,12 @@ object SparkEntry {
   /** DuckDB fragments shared by the text/dedup oracles — must mirror
     * Dedup.normText exactly (note DuckDB regexp_replace needs 'g').
     */
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** last-touch attribution oracle: the carried-forward non-purchase
+    * channel credits each purchase (ties to ts_attribution's window).
+    */
   private lazy val attributionOracleSql: String =
     """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
         |             CAST(round(value*100) AS BIGINT) AS v_c FROM events),
@@ -408,9 +414,6 @@ object SparkEntry {
         |SELECT channel, n_purchases, credited_c,
         |  CAST((CAST(credited_c AS HUGEINT) * 10000) // GREATEST(SUM(credited_c) OVER (), 1) AS BIGINT) AS share_bp
         |FROM g""".stripMargin
-
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** BPE training oracle: 5 unrolled merge rounds over the distinct-
     * word frequency table; each round counts '<'-delimited adjacent
@@ -4306,9 +4309,13 @@ object SparkEntry {
         |FROM q JOIN b USING (doc_id)""".stripMargin
   )
 
+  // bucket = FLOOR division like the ts_value_histogram oracle (DuckDB's
+  // bare `//` truncates toward zero, Spark's plan floors via pmod —
+  // subtract the non-negative mod first so `//` divides an exact
+  // multiple on both engines; diverges on negative v otherwise)
   private val histQuantOracleSql: String =
     """WITH e AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
-      |h AS (SELECT event_type, v // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+      |h AS (SELECT event_type, (v - ((v % 500) + 500) % 500) // 500 AS bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
       |c AS (SELECT event_type, bucket, n,
       |        CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
       |        CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total_n

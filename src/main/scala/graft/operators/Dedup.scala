@@ -2780,7 +2780,13 @@ object Dedup {
     // within-group contract
     val c      = collapseExact(docsNorm(spark, dir))
     val groups = c.groups.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val toks   = shinglesOf(c.reps).withColumnRenamed("shingle", "tok").distinct()
+    // toks (normalize + shingle + distinct over the rep corpus) feeds
+    // FOUR downstream branches (df, ranked/prefix, counts, both inter
+    // sides) — persist it or the shingle pipeline recomputes per branch
+    val toks = shinglesOf(c.reps)
+      .withColumnRenamed("shingle", "tok")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df     = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = toks
       .join(df, Seq("tok"))
@@ -2828,7 +2834,7 @@ object Dedup {
       carried = Seq("inter_n", "union_n", "jac_bp"),
       withinValues = Seq(col("n_tok"), col("n_tok"), lit(10000L))
     )
-    releaseAfterRun(spark, out, Seq(groups))
+    releaseAfterRun(spark, out, Seq(groups, toks))
   }
 
   // -------------------------------------------------------------------
@@ -2939,16 +2945,19 @@ object Dedup {
     val m     = pairs.count()
     val edges = symEdges(pairs)
     val deg   = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")).persist(mem)
-    val m1    = pairs.agg(count(lit(1)).as("mm"))
     val wRnk  = Window.partitionBy(col("node")).orderBy(col("gain_num").desc, col("merges_into").asc)
+    // m is already on the driver (the pairs.count above) — reuse it as
+    // a literal instead of a second edge-count aggregate in the plan;
+    // moves is pinned because BOTH the CC loop and nMoves consume it
+    // (unpinned, the gain join + rank window re-executes per consumer)
     val moves = edges
       .join(deg.select(col("node").as("src"), col("k").as("k_node")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("k").as("k_best")), Seq("dst"))
-      .crossJoin(broadcast(m1))
-      .select(col("src").as("node"), col("dst").as("merges_into"), expr("2 * mm - k_node * k_best").as("gain_num"))
+      .select(col("src").as("node"), col("dst").as("merges_into"), (lit(2L * m) - col("k_node") * col("k_best")).as("gain_num"))
       .withColumn("rnk", row_number().over(wRnk))
       .filter(col("rnk") === 1 && col("gain_num") > 0L)
       .select(col("node").as("doc_a"), col("merges_into").as("doc_b"))
+      .localCheckpoint()
     val cc = connectedComponents(moves).persist(mem) // (doc_id, cluster_id) over move participants
     cc.count()
     // every node gets a community: movers their component, the rest themselves

@@ -1767,6 +1767,33 @@ object Similarity {
       shortlist: Int = 30,
       k: Int = 10
   ): DataFrame = {
+    val wCos = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    sqShortlistScored(spark, dir, nProbes, shortlist)
+      .withColumn("rnk", row_number().over(wCos).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("probe_id"),
+        col("neighbor_id"),
+        col("rnk"),
+        col("sq_rnk"),
+        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
+      )
+  }
+
+  /** The SQ8 two-stage pipeline up to the exact-scored shortlist:
+    * (probe_id, neighbor_id, sq_rnk, cos) for every shortlist member —
+    * the prefix property (a depth-d shortlist is exactly the sq_rnk <=
+    * d slice of a deeper run, the ranking being deterministic) is what
+    * lets [[recallVsShortlist]] build the whole depth curve from ONE
+    * run at max(depths) instead of re-running the ADC crossJoin and
+    * the dequantized corpus per depth.
+    */
+  private def sqShortlistScored(
+      spark: SparkSession,
+      dir: String,
+      nProbes: Int,
+      shortlist: Int
+  ): DataFrame = {
     val q    = quantized(spark, dir)
     val dims = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "v")))
     val rng = dims
@@ -1784,7 +1811,6 @@ object Similarity {
       .select(col("vec_id"), expr("transform(p, x -> x.dq)").as("dqv"), col("dn2"))
     val probes = q.filter(col("vec_id") < nProbes).toDF("probe_id", "pq", "pn2")
     val wSq    = Window.partitionBy(col("probe_id")).orderBy(col("acos").desc, col("neighbor_id").asc)
-    val wCos   = Window.partitionBy(col("probe_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
     rebuilt
       .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -1799,15 +1825,7 @@ object Similarity {
       .filter(col("sq_rnk") <= shortlist)
       .join(q.toDF("neighbor_id", "nq", "nn2"), Seq("neighbor_id"))
       .withColumn("cos", cosineQ(dotQ(col("pq"), col("nq")), col("pn2"), col("nn2")))
-      .withColumn("rnk", row_number().over(wCos).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(
-        col("probe_id"),
-        col("neighbor_id"),
-        col("rnk"),
-        col("sq_rnk"),
-        round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
-      )
+      .select(col("probe_id"), col("neighbor_id"), col("sq_rnk"), col("cos"))
   }
 
   // -------------------------------------------------------------------
@@ -1829,13 +1847,22 @@ object Similarity {
     val truth = annTopkBruteForce(spark, dir, k = k)
       .select(col("probe_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perDepth = depths
-      .map(d =>
-        annSqSearch(spark, dir, shortlist = d, k = k)
-          .select(col("probe_id"), col("neighbor_id"))
-          .withColumn("depth", lit(d.toLong))
-      )
-      .reduce(_.unionByName(_))
+    // ONE shortlist run at max(depths): a depth-d shortlist is exactly
+    // the sq_rnk <= d prefix of the deeper run (deterministic ADC
+    // ranking), so each depth's rerank is a filter + rank over the
+    // shared scored frame — the per-dim range table, dequantized
+    // corpus, and crossJoin ADC pass are built once, not per depth
+    val scored = sqShortlistScored(spark, dir, nProbes = 5, shortlist = depths.max)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wD = Window
+      .partitionBy(col("probe_id"), col("depth"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val perDepth = scored
+      .withColumn("depth", explode(typedlit(depths.map(_.toLong))))
+      .filter(col("sq_rnk") <= col("depth"))
+      .withColumn("rnk", row_number().over(wD))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("depth"))
     val hits = perDepth
       .join(truth, Seq("probe_id", "neighbor_id"), "left_semi")
       .groupBy(col("probe_id"), col("depth"))
@@ -1848,6 +1875,6 @@ object Similarity {
       .join(hits, Seq("probe_id", "depth"), "left")
       .withColumn("n_hits", coalesce(col("hits"), lit(0L)))
       .select(col("probe_id"), col("depth"), col("n_hits"), expr(s"n_hits * 10000 DIV $k").as("recall_bp"))
-    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(truth))
+    graft.operators.Dedup.releaseAfterRun(spark, out, Seq(truth, scored))
   }
 }

@@ -161,8 +161,19 @@ private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE
     )
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // startingVersion is a STREAMING-only option (consumed by
+    // createSource; the streaming reader passes through getTable too,
+    // so the guard lives here on the batch-scan path only): a batch
+    // relation would otherwise silently ignore it and serve the full
+    // store — fail loudly like every other invalid option
+    if (options.containsKey("startingVersion"))
+      throw new IllegalArgumentException(
+        "timebox: startingVersion is a streaming read option (spark.readStream) — a batch " +
+          "read always serves a full snapshot; use option(\"asOf\", v) to read an older version"
+      )
     new TimeboxScanBuilder(dataPaths, schema0)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // writes land on the RAW path only: a versioned root's write door
     // is SnapshotCatalog.commit (immutable snapshots + CAS), never an

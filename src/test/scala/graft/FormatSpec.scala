@@ -224,6 +224,12 @@ class FormatSpec extends AnyFunSuite {
       spark.range(1).selectExpr("id AS series_id", "id AS ts_us", "id AS seq", "id AS value_c")
         .write.format("timebox").mode("append").save(root)
     )
+    // startingVersion is streaming-only: a BATCH read carrying it must
+    // refuse loudly, not silently serve the full store from version 1
+    val e = intercept[IllegalArgumentException](
+      spark.read.format("timebox").option("startingVersion", 2).load(root).count()
+    )
+    assert(e.getMessage.contains("streaming"), s"wrong refusal: ${e.getMessage}")
   }
 
   test("SQL DDL surface: CREATE TABLE USING timebox reaches pushdowns from pure SQL") {
