@@ -616,9 +616,9 @@ object Dedup {
   // -------------------------------------------------------------------
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val c = collapseExact(docsNorm(spark, dir))
-    val lsh = lshRepPairsFromNormed(c.reps)
-    val edges = lsh.pairs.persist(mem) // doc_a < doc_b, distinct, rep-level
+    // edges come off the PERSISTED candidate tier (GraphTier) — a
+    // dashboard query reads a table; the LSH pipeline ran at ingest
+    val edges = graft.sources.GraphTier.repEdges(spark, dir).persist(mem) // doc_a < doc_b, distinct, rep-level
     edges.count()
     val deg = edges
       .select(col("doc_a").as("node"))
@@ -668,7 +668,7 @@ object Dedup {
           .otherwise(0L)
           .as("transitivity_bp")
       )
-    releaseAfterRun(spark, out, Seq(lsh.bands, edges, deg, oriented))
+    releaseAfterRun(spark, out, Seq(edges, deg, oriented))
   }
 
   // -------------------------------------------------------------------
@@ -687,9 +687,7 @@ object Dedup {
   // -------------------------------------------------------------------
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val c = collapseExact(docsNorm(spark, dir))
-    val lsh = lshRepPairsFromNormed(c.reps)
-    val edges = lsh.pairs.persist(mem)
+    val edges = graft.sources.GraphTier.repEdges(spark, dir).persist(mem)
     edges.count()
     val deg = edges
       .select(col("doc_a").as("node"))
@@ -735,7 +733,7 @@ object Dedup {
         "coeff_bp",
         when(col("n_wedges") > 0, expr("n_tri * 10000 DIV n_wedges")).otherwise(0L)
       )
-    releaseAfterRun(spark, out, Seq(lsh.bands, edges, deg, oriented))
+    releaseAfterRun(spark, out, Seq(edges, deg, oriented))
   }
 
   /** dedup_store_stats — SIGNATURE-STORE health report (the
@@ -827,9 +825,7 @@ object Dedup {
   // -------------------------------------------------------------------
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val c = collapseExact(docsNorm(spark, dir))
-    val lsh = lshRepPairsFromNormed(c.reps)
-    val edges = lsh.pairs.persist(mem)
+    val edges = graft.sources.GraphTier.repEdges(spark, dir).persist(mem)
     edges.count()
     val deg = edges
       .select(col("doc_a").as("node"))
@@ -861,7 +857,7 @@ object Dedup {
           "CASE WHEN varx = 0 THEN CAST(0 AS BIGINT) ELSE CAST((cov * 10000) DIV varx AS BIGINT) END"
         ).as("assort_bp")
       )
-    releaseAfterRun(spark, out, Seq(lsh.bands, edges))
+    releaseAfterRun(spark, out, Seq(edges))
   }
 
   // -------------------------------------------------------------------
@@ -900,7 +896,7 @@ object Dedup {
     * loop, per-round localCheckpoint, never a driver collect.
     */
   def labelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
+    val pairs = graft.sources.GraphTier.memberEdges(spark, dir)
     val edges = symEdges(pairs)
     labelPropFrom(edges, rounds).select(col("node").as("doc_id"), col("lab").as("label"))
   }
@@ -948,7 +944,7 @@ object Dedup {
   // precedent) into a single summary row.
   // -------------------------------------------------------------------
   def modularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
+    val pairs = graft.sources.GraphTier.memberEdges(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = pairs.count()
@@ -2285,14 +2281,13 @@ object Dedup {
   // (power-law tail ⇒ boilerplate hubs ⇒ the bucket caps and salting
   // earn their keep; flat ⇒ they don't). deg_bin = ⌊log₂ deg⌋ + 1
   // computed as length(bin(deg)) — pure integer, engine-portable, no
-  // float log. Both endpoints explode ROW-LOCALLY from each edge (one
-  // pass — the edge pipeline is never evaluated twice), then two
-  // partial-aggregable groupBys, the second over ≤ 64 bins.
+  // float log. Edges come off the persisted GraphTier (a table scan,
+  // no in-query LSH); both endpoints explode ROW-LOCALLY from each
+  // edge, then two partial-aggregable groupBys, the second ≤ 64 bins.
   // -------------------------------------------------------------------
   def graphDegreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val c   = collapseExact(docsNorm(spark, dir))
-    val lsh = lshRepPairsFromNormed(c.reps)
-    val out = lsh.pairs
+    val out = graft.sources.GraphTier
+      .repEdges(spark, dir)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("deg"))
@@ -2304,7 +2299,7 @@ object Dedup {
         max(col("deg")).as("max_deg"),
         sum(col("deg")).as("sum_deg")
       )
-    releaseAfterRun(spark, out, Seq(lsh.bands))
+    out
   }
 
   // -------------------------------------------------------------------
@@ -2901,7 +2896,7 @@ object Dedup {
   // LSH tier already maintains.
   // -------------------------------------------------------------------
   def louvainGain(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
+    val pairs = graft.sources.GraphTier.memberEdges(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = symEdges(pairs)
@@ -2941,7 +2936,7 @@ object Dedup {
   // -------------------------------------------------------------------
   def louvainApply(spark: SparkSession, dir: String): DataFrame = {
     val mem   = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).persist(mem)
+    val pairs = graft.sources.GraphTier.memberEdges(spark, dir).select(col("doc_a"), col("doc_b")).persist(mem)
     val m     = pairs.count()
     val edges = symEdges(pairs)
     val deg   = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("k")).persist(mem)

@@ -983,13 +983,9 @@ object Relational {
     */
   def partRank(spark: SparkSession, dir: String, iters: Int = 3, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
-    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
-    val edges = li
-      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
-      .select($"l_partkey".as("src"), $"dst")
-      .distinct()
-      .localCheckpoint()
+    // the co-purchase edge list is a PERSISTED tier (GraphTier) — the
+    // order-key self-join ran once at build; this query reads a table
+    val edges = graft.sources.GraphTier.coPurchaseEdges(spark, dir)
     val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint()
     var ranks = outdeg.select($"src".as("node"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
@@ -1723,13 +1719,9 @@ object Relational {
     */
   def kHop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
-    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
-    val edges = li
-      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
-      .select($"l_partkey".as("src"), $"dst")
-      .distinct()
-      .localCheckpoint()
+    // the co-purchase edge list is a PERSISTED tier (GraphTier) — the
+    // order-key self-join ran once at build; this query reads a table
+    val edges = graft.sources.GraphTier.coPurchaseEdges(spark, dir)
     val deg  = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     val root = deg.orderBy($"deg".desc, $"src".asc).limit(1).head().getLong(0)
     var visited  = Seq((root, 0L)).toDF("node", "depth").localCheckpoint()
@@ -1774,13 +1766,9 @@ object Relational {
     */
   def commonNeighbors(spark: SparkSession, dir: String, cap: Long = 128L, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
-    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
-    val edges = li
-      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
-      .select($"l_partkey".as("src"), $"dst")
-      .distinct()
-      .localCheckpoint()
+    // the co-purchase edge list is a PERSISTED tier (GraphTier) — the
+    // order-key self-join ran once at build; this query reads a table
+    val edges = graft.sources.GraphTier.coPurchaseEdges(spark, dir)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val informative = deg.filter($"deg" <= cap).select($"src".as("mid"))
     val half = edges
@@ -2239,13 +2227,9 @@ object Relational {
   // -------------------------------------------------------------------
   def kCore(spark: SparkSession, dir: String, k: Int = 3, rounds: Int = 4): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey").distinct()
-    val b  = li.select($"l_orderkey".as("ok"), $"l_partkey".as("dst"))
-    var edges = li
-      .join(b, $"ok" === $"l_orderkey" && $"l_partkey" =!= $"dst")
-      .select($"l_partkey".as("src"), $"dst")
-      .distinct()
-      .localCheckpoint()
+    // persisted co-purchase tier (GraphTier); the peel loop below
+    // re-assigns edges per round, so the seed is the tier read
+    var edges = graft.sources.GraphTier.coPurchaseEdges(spark, dir)
     val trace = scala.collection.mutable.ListBuffer.empty[DataFrame]
     for (r <- 1 to rounds) {
       val keep = edges

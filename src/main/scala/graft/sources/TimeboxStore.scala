@@ -2061,6 +2061,18 @@ object TimeboxStore {
     else s"$scratchRoot/${prefix}_$key"
   }
 
+  /** Like [[scratchPath]] but ALWAYS stable within the process,
+    * ignoring `graft.scratch.percall`: the location for shared INPUT
+    * tiers ([[GraphTier]]) that queries read but do not own — percall
+    * exists to isolate per-query fixture builds from each other, and a
+    * tier that every graph query reads is the opposite of a per-query
+    * fixture (rebuilding it per call is exactly the per-dashboard-query
+    * LSH recompute the tier eliminates). Still under the per-process
+    * root, so cross-JVM isolation and shutdown cleanup hold.
+    */
+  private[graft] def sharedScratchPath(prefix: String, dir: String): String =
+    s"$scratchRoot/${prefix}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
   private val LineitemTags = Seq("qty_c", "price_c", "disc_c")
 
   /** Multi-tag points frame from lineitem: series = supplier, time =
