@@ -31,8 +31,15 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     // best-of-2: a query's time is min over two isolated passes, so a
-    // transient host-contention window doesn't distort one number
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // transient host-contention window doesn't distort one number. The
+    // second pass runs in REVERSE order: whatever ran first in pass 1
+    // (absorbing residual JIT, or paying a shared input tier's
+    // one-time build) runs last in pass 2 fully warm, so min() strips
+    // position-dependent cost from EVERY query — the cross-round
+    // tables stop needing the "first query" footnote, deterministically
+    // (no RNG, same coverage both passes).
+    def pass(order: Seq[String]): Map[String, Double] = order.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -40,8 +47,9 @@ object Bench {
       // timed against another query's leftover cache (or its GC bill)
       spark.catalog.clearCache()
       name -> dt
-    }
-    val (p1, p2) = (pass(), pass())
+    }.toMap
+    val order = SparkEntry.queries.keys.toSeq
+    val (p1, p2) = (pass(order), pass(order.reverse))
     val results = p1.map { case (name, t) => name -> math.min(t, p2(name)) }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.values.sum else 0.0
