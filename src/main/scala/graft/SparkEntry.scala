@@ -4692,7 +4692,7 @@ object SparkEntry {
         |h1 AS (SELECT user_id, day_id, hour_of_day,
         |        CAST(SUM(v_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
         |      FROM e GROUP BY 1, 2, 3),
-        |m1 AS (SELECT user_id, day_id, hour_of_day, CAST(s // n AS BIGINT) AS mean_c FROM h1),
+        |m1 AS (SELECT user_id, day_id, hour_of_day, CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS mean_c FROM h1),
         |l1 AS (SELECT user_id, day_id, mean_c,
         |        lag(mean_c) OVER wd AS prev_mean_c, lag(day_id) OVER wd AS prev_day
         |      FROM m1 WINDOW wd AS (PARTITION BY user_id, hour_of_day ORDER BY day_id)),
@@ -5289,7 +5289,7 @@ object SparkEntry {
         |    (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
         |    CAST(round(value*100) AS BIGINT) AS v_c FROM events),
         |p AS (SELECT event_type, day_of_week, hour_of_day,
-        |    CAST(SUM(v_c) // COUNT(*) AS BIGINT) AS base_mean_c
+        |    CAST((SUM(v_c) - ((SUM(v_c) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*) AS BIGINT) AS base_mean_c
         |  FROM e GROUP BY 1, 2, 3)
         |SELECT event_id, user_id, ts_us, e.event_type, v_c, base_mean_c,
         |  v_c - base_mean_c AS resid_c
@@ -5352,7 +5352,7 @@ object SparkEntry {
         |h AS (SELECT user_id, day_id, hour_of_day,
         |        CAST(SUM(v_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
         |      FROM e GROUP BY 1, 2, 3),
-        |m AS (SELECT user_id, day_id, hour_of_day, CAST(s // n AS BIGINT) AS mean_c FROM h),
+        |m AS (SELECT user_id, day_id, hour_of_day, CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS mean_c FROM h),
         |l AS (SELECT user_id, day_id, mean_c,
         |        lag(mean_c) OVER wd AS prev_mean_c,
         |        lag(day_id) OVER wd AS prev_day
@@ -5418,7 +5418,7 @@ object SparkEntry {
         |h AS (SELECT user_id, day_id, hour_of_day,
         |        CAST(SUM(v_c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
         |      FROM e GROUP BY 1, 2, 3),
-        |m AS (SELECT user_id, day_id, hour_of_day, CAST(s // n AS BIGINT) AS mean_c FROM h),
+        |m AS (SELECT user_id, day_id, hour_of_day, CAST((s - ((s % n) + n) % n) // n AS BIGINT) AS mean_c FROM h),
         |l AS (SELECT user_id, day_id, mean_c,
         |        lag(mean_c) OVER wd AS prev_mean_c,
         |        lag(day_id) OVER wd AS prev_day
