@@ -148,6 +148,7 @@ object SparkEntry {
     "ts_store_timetravel" -> ((s, d) => graft.sources.TimeboxStore.timeTravelSummary(s, d)),
     "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
     "ts_store_sql" -> ((s, d) => graft.sources.TimeboxStore.sqlSurfaceSummary(s, d)),
+    "ts_store_sql_write" -> ((s, d) => graft.sources.TimeboxStore.sqlWriteRoundtrip(s, d)),
     "ts_store_stream_read" -> ((s, d) => graft.sources.StreamingIngest.storeStreamRead(s, d)),
     "ts_store_stream_read_from" -> ((s, d) => graft.sources.StreamingIngest.storeStreamReadFrom(s, d)),
     "ts_outage_mttr" -> ((s, d) => TimeSeries.outageMttr(s, d)),
@@ -6042,6 +6043,15 @@ object SparkEntry {
     // the write facade's roundtrip: overwrite first half, append the
     // second, read back through the format — oracle is the raw table
     "ts_store_format_write" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+    // the SQL write door (CTAS + INSERT INTO) must land the identical
+    // store the DataFrame writer lands — shared oracle by design
+    "ts_store_sql_write" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,

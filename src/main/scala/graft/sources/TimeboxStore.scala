@@ -1831,6 +1831,70 @@ object TimeboxStore {
     )
   }
 
+  /** ts_store_sql_write — the pure-SQL WRITE door, closing the
+    * SQL-only pipeline story the DDL read door (ts_store_sql) opened:
+    * `CREATE TABLE ... USING timebox LOCATION ... AS SELECT ...`
+    * (CTAS — create + first write in one statement) lays down the
+    * first half of history, `INSERT INTO ... SELECT` appends the
+    * second (new block files through the same V1Write ↔
+    * InsertableRelation bridge the DataFrame writer rides — blocks are
+    * self-contained, appends never read-modify-write), and the
+    * verification read comes back as a SQL per-series summary through
+    * the catalog table. Same output contract and oracle as
+    * ts_store_format_write, so the SQL and DataFrame write doors are
+    * pinned to byte-identical stores. A SQL-only user at 100 TB owns
+    * the full lifecycle: create, load, append, query — no library
+    * import anywhere.
+    */
+  def sqlWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("graft_store_sqlw", dir)
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val (tbl, v) = (s"tbw_$key", s"pts_$key") // path-keyed: percall scratch
+    // isolation extends to the catalog + temp-view namespace (Verify
+    // runs queries concurrently on one session)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    pts.createOrReplaceTempView(v)
+    val mm = pts.agg(min(expr(s"ts_us DIV ${DayUs}L")), max(expr(s"ts_us DIV ${DayUs}L"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    deleteRecursively(new java.io.File(path)) // CTAS refuses a pre-existing location
+    spark.sql(
+      s"""CREATE TABLE $tbl USING timebox LOCATION '$path' AS
+         |SELECT series_id, ts_us, seq, value_c FROM $v
+         |WHERE ts_us DIV ${DayUs}L < ${splitDay}L""".stripMargin
+    )
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT series_id, ts_us, seq, value_c FROM $v
+         |WHERE ts_us DIV ${DayUs}L >= ${splitDay}L""".stripMargin
+    )
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(value_c) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  SUM(seq) AS sum_event_id,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Oracle-gated DICTIONARY equality read (ts_store_dict_read): encode
     * events with a low-cardinality event-type tag, probe one type code
     * over a week — per-block dictionaries skip every block that doesn't

@@ -261,6 +261,41 @@ class FormatSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS tb_ddl_spec"): Unit
   }
 
+  test("SQL write door: CTAS + INSERT INTO land the identical store the DataFrame writer lands") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlw_spec").toString
+    val pts = TimeboxStore.eventTypePoints(spark, sf)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+      .filter(col("series_id") < 20)
+    pts.createOrReplaceTempView("sqlw_pts")
+    spark.sql("DROP TABLE IF EXISTS tb_sqlw_spec")
+    try {
+      // CTAS creates + writes in one statement; INSERT INTO appends
+      spark.sql(
+        s"CREATE TABLE tb_sqlw_spec USING timebox LOCATION '$root/sql' AS " +
+          "SELECT * FROM sqlw_pts WHERE series_id % 2 = 0"
+      )
+      spark.sql("INSERT INTO tb_sqlw_spec SELECT * FROM sqlw_pts WHERE series_id % 2 = 1")
+      // the DataFrame door writes the same halves to a sibling store
+      pts.filter(col("series_id") % 2 === 0).write.format("timebox").mode("overwrite").save(s"$root/df")
+      pts.filter(col("series_id") % 2 === 1).write.format("timebox").mode("append").save(s"$root/df")
+      val viaSql = spark.sql("SELECT * FROM tb_sqlw_spec")
+      val viaDf  = spark.read.format("timebox").load(s"$root/df")
+      assert(viaSql.count() === pts.count(), "SQL-written store lost or duplicated rows")
+      assert(viaSql.except(viaDf).count() === 0 && viaDf.except(viaSql).count() === 0,
+        "SQL and DataFrame write doors landed different stores")
+      // INSERT OVERWRITE truncates, then lands only the new slice
+      spark.sql("INSERT OVERWRITE tb_sqlw_spec SELECT * FROM sqlw_pts WHERE series_id % 4 = 0")
+      assert(
+        spark.sql("SELECT COUNT(*) FROM tb_sqlw_spec").head().getLong(0)
+          === pts.filter(col("series_id") % 4 === 0).count(),
+        "INSERT OVERWRITE did not truncate-and-replace"
+      )
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS tb_sqlw_spec")
+      spark.catalog.dropTempView("sqlw_pts"): Unit
+    }
+  }
+
   test("streaming read: versions arrive as micro-batches, resume serves only post-drain commits") {
     import graft.sources.SnapshotCatalog
     import org.apache.spark.sql.streaming.Trigger
