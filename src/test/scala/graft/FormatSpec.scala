@@ -340,6 +340,70 @@ class FormatSpec extends AnyFunSuite {
     assert(b.filter(col("commit_version") === 4L).count() === sliceN)
   }
 
+  test("streaming read survives a CRASH mid-drain: restart serves (j, n] exactly once, partial output never surfaces") {
+    import graft.sources.SnapshotCatalog
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_streamcrash_spec").toString + "/cat"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_streamcrash_ckpt").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_streamcrash_out").toString + "/rows"
+    val pts = TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 10)
+    def commitSlice(i: Int): Unit =
+      SnapshotCatalog.commit(
+        spark, root,
+        p => TimeboxStore.encode(pts.filter(col("event_id") % 4 === i.toLong), tagCols = Seq("value_c", "etype_c"))
+          .write.parquet(p)
+      ): Unit
+    // the poison fires INSIDE batch processing — a dirty executor
+    // failure mid-write, not a clean stop (the clean-stop resume is
+    // the previous test; this is the production failure path)
+    val poison = udf { (v: Long) =>
+      if (FormatSpecCrash.armed && v >= 3L)
+        throw new RuntimeException("injected crash while processing version " + v)
+      v
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.format("timebox").load(root)
+        .withColumn("commit_version", poison(col("commit_version")))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // phase 1: two commits drain cleanly (j = 2 processed)
+    (0 to 1).foreach(commitSlice)
+    FormatSpecCrash.armed = false
+    drain()
+    assert(spark.read.parquet(out).select(col("commit_version")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // phase 2: two more commits; the drain CRASHES processing them
+    (2 to 3).foreach(commitSlice)
+    FormatSpecCrash.armed = true
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](drain())
+    // the failed batch's partial files must NOT surface through the
+    // sink manifest: the crashed run changed nothing visible
+    val afterCrash = spark.read.parquet(out)
+    assert(afterCrash.select(col("commit_version")).distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L), "crashed batch leaked rows into the visible sink")
+    val n2 = afterCrash.count()
+    // phase 3: restart from the checkpoint — versions (2, 4] arrive
+    // EXACTLY ONCE (no loss from the crash, no duplication from the
+    // failed attempt's replay)
+    FormatSpecCrash.armed = false
+    drain()
+    val b = spark.read.parquet(out)
+    assert(b.select(col("commit_version")).distinct().collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L))
+    val ms = SnapshotCatalog.manifests(root)
+    val direct = TimeboxStore.decode(spark.read.parquet(ms.map(_.path): _*), Seq("value_c", "etype_c"))
+    assert(b.count() === direct.count(), "post-recovery total diverges from the batch decode")
+    for (i <- 2 to 3) {
+      val sliceN = pts.filter(col("event_id") % 4 === i.toLong).count()
+      assert(b.filter(col("commit_version") === (i + 1).toLong).count() === sliceN,
+        s"version ${i + 1} not served exactly once after crash recovery")
+    }
+    assert(b.count() === n2 + (2 to 3).map(i => pts.filter(col("event_id") % 4 === i.toLong).count()).sum)
+  }
+
   test("streaming read honors startingVersion: first batch begins at k, earlier versions never served") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.SnapshotCatalog
@@ -386,3 +450,8 @@ class FormatSpec extends AnyFunSuite {
     assert(chain.contains("timebox write"), s"unexpected error chain: $chain")
   }
 }
+
+/** Poison switch for the crash-injection drill — top-level so the UDF
+  * closure resolves it in-process on local-mode executors.
+  */
+object FormatSpecCrash { @volatile var armed: Boolean = false }
