@@ -282,6 +282,7 @@ object SparkEntry {
     "emb_threshold_curve" -> ((s, d) => Dedup.embThresholdCurve(s, d)),
     "graph_louvain_gain"  -> ((s, d) => Dedup.louvainGain(s, d)),
     "graph_louvain_apply" -> ((s, d) => Dedup.louvainApply(s, d)),
+    "graph_louvain_levels" -> ((s, d) => Dedup.louvainLevels(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
@@ -2544,6 +2545,13 @@ object SparkEntry {
          |    ELSE CAST((CAST(10000 AS HUGEINT) * (CAST(4 AS HUGEINT) * mm.m * ia.intra - COALESCE(sm.sdc2, 0)))
          |      // (CAST(4 AS HUGEINT) * mm.m * mm.m) AS BIGINT) END AS q_after_bp
          |FROM nn, mm, nmv, ia, sm, sk""".stripMargin,
+    // the REAL Louvain loop, 3 unrolled levels: weighted gain + CC
+    // apply + Q-acceptance gate + community contraction per level.
+    // The gate compares Q NUMERATORS over the shared constant
+    // denominator 4M² (M = total weight, invariant under contraction)
+    // so no truncation enters accept/reject; bp truncation only in
+    // the published q_bp (HUGEINT // matches BigInt / toward zero)
+    "graph_louvain_levels" -> louvainLevelsOracleSql(3),
     // one Louvain gain round from singletons: numerator 2m - ki*kj per
     // edge, per-node argmax (gain desc, neighbor asc), positive only
     "graph_louvain_gain" ->
@@ -4309,6 +4317,76 @@ object SparkEntry {
         |  CAST(q.n_frames AS BIGINT) AS n_frames, b.bucket
         |FROM q JOIN b USING (doc_id)""".stripMargin
   )
+
+  /** Multi-level Louvain oracle: `levels` unrolled rounds of weighted
+    * gain → move-CC → Q-acceptance gate → contraction, mirroring
+    * [[graft.operators.Dedup.louvainLevels]] CTE-for-operator. Level
+    * tables: e{l}(a,b,w) cross-community edges, s{l}(node,s)
+    * self-loop weights, lb{l} gated labels, qp{l} the gated Q
+    * numerator (4M·ΣIN − Σdeg_c² — exact HUGEINT, compared strictly,
+    * so a no-move level whose identity labels reproduce the previous
+    * partition's Q exactly is rejected and the chain is a no-op from
+    * there on, both engines).
+    */
+  private def louvainLevelsOracleSql(levels: Int): String = {
+    val lvl = (1 to levels).map { l =>
+      val p = l - 1
+      val qp0 = if (l == 1) s",\nqp0 AS MATERIALIZED (SELECT -(SELECT SUM(k*k) FROM dg1) AS qn)" else ""
+      s"""ed$l AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM e$p UNION ALL SELECT b, a, w FROM e$p),
+         |nd$l AS MATERIALIZED (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ed$l UNION ALL SELECT node FROM s$p)),
+         |dg$l AS MATERIALIZED (SELECT n.node, CAST(COALESCE(x.kw, 0) + 2 * COALESCE(s.s, 0) AS HUGEINT) AS k
+         |  FROM nd$l n
+         |  LEFT JOIN (SELECT src AS node, SUM(w) AS kw FROM ed$l GROUP BY 1) x ON x.node = n.node
+         |  LEFT JOIN s$p s ON s.node = n.node)$qp0,
+         |g$l AS MATERIALIZED (SELECT e.src AS node, e.dst AS mi, 2 * mq.m * e.w - di.k * dj.k AS gain
+         |  FROM ed$l e JOIN dg$l di ON di.node = e.src JOIN dg$l dj ON dj.node = e.dst CROSS JOIN mq),
+         |mv$l AS MATERIALIZED (SELECT node, mi FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+         |    ORDER BY gain DESC, mi ASC) AS rnk FROM g$l) WHERE rnk = 1 AND gain > 0),
+         |me$l AS MATERIALIZED (SELECT node AS src, mi AS dst FROM mv$l UNION ALL SELECT mi, node FROM mv$l),
+         |rc$l(src, dst) AS (
+         |  SELECT src, dst FROM me$l
+         |  UNION
+         |  SELECT r.src, e.dst FROM rc$l r JOIN me$l e ON e.src = r.dst),
+         |cl$l AS MATERIALIZED (SELECT src AS node, LEAST(src, MIN(dst)) AS lab FROM rc$l GROUP BY src),
+         |lc$l AS MATERIALIZED (SELECT n.node, COALESCE(c.lab, n.node) AS lab FROM nd$l n LEFT JOIN cl$l c ON c.node = n.node),
+         |ia$l AS MATERIALIZED (SELECT CAST(COALESCE((SELECT SUM(e.w) FROM e$p e
+         |      JOIN lc$l x ON x.node = e.a JOIN lc$l y ON y.node = e.b AND y.lab = x.lab), 0)
+         |    + COALESCE((SELECT SUM(s) FROM s$p), 0) AS HUGEINT) AS sin),
+         |dc$l AS MATERIALIZED (SELECT lx.lab, CAST(SUM(d.k) AS HUGEINT) AS dcv
+         |  FROM dg$l d JOIN lc$l lx ON lx.node = d.node GROUP BY 1),
+         |qc$l AS MATERIALIZED (SELECT 4 * mq.m * ia.sin - COALESCE((SELECT SUM(dcv * dcv) FROM dc$l), 0) AS qn
+         |  FROM mq, ia$l ia),
+         |ac$l AS MATERIALIZED (SELECT (qc.qn > qp$p.qn) AS ok FROM qc$l qc, qp$p),
+         |lb$l AS MATERIALIZED (SELECT c.node, CASE WHEN a.ok THEN c.lab ELSE c.node END AS lab
+         |  FROM lc$l c CROSS JOIN ac$l a),
+         |qp$l AS MATERIALIZED (SELECT CASE WHEN a.ok THEN qc.qn ELSE qp.qn END AS qn FROM qc$l qc, qp$p qp, ac$l a),
+         |e$l AS MATERIALIZED (SELECT LEAST(x.lab, y.lab) AS a, GREATEST(x.lab, y.lab) AS b, CAST(SUM(e.w) AS HUGEINT) AS w
+         |  FROM e$p e JOIN lb$l x ON x.node = e.a JOIN lb$l y ON y.node = e.b
+         |  WHERE x.lab <> y.lab GROUP BY 1, 2),
+         |s$l AS MATERIALIZED (SELECT node, CAST(SUM(s) AS HUGEINT) AS s FROM (
+         |    SELECT x.lab AS node, e.w AS s FROM e$p e
+         |      JOIN lb$l x ON x.node = e.a JOIN lb$l y ON y.node = e.b AND y.lab = x.lab
+         |    UNION ALL SELECT lx.lab AS node, s.s FROM s$p s JOIN lb$l lx ON lx.node = s.node)
+         |  GROUP BY 1),
+         |rw$l AS MATERIALIZED (SELECT CAST($l AS BIGINT) AS level,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nd$l) AS n_nodes,
+         |    (SELECT CAST(m AS BIGINT) FROM mq) AS m_w,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mv$l) AS n_moves,
+         |    (SELECT CASE WHEN ok THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FROM ac$l) AS accepted,
+         |    (SELECT CASE WHEN a.ok THEN (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM lc$l)
+         |        ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM nd$l) END FROM ac$l a) AS n_communities,
+         |    (SELECT CASE WHEN mq.m = 0 THEN CAST(0 AS BIGINT)
+         |        ELSE CAST((CAST(10000 AS HUGEINT) * q.qn) // (CAST(4 AS HUGEINT) * mq.m * mq.m) AS BIGINT) END
+         |     FROM qp$l q, mq) AS q_bp)""".stripMargin
+    }
+    s"""WITH RECURSIVE $shingleCtes,
+       |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b, CAST(1 AS HUGEINT) AS w FROM pairs),
+       |s0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS HUGEINT) AS s WHERE 1 = 0),
+       |mq AS MATERIALIZED (SELECT CAST(COALESCE(SUM(w), 0) AS HUGEINT) AS m FROM e0),
+       |${lvl.mkString(",\n")}
+       |${(1 to levels).map(l => s"SELECT * FROM rw$l").mkString("\nUNION ALL ")}""".stripMargin
+  }
 
   // bucket = FLOOR division like the ts_value_histogram oracle (DuckDB's
   // bare `//` truncates toward zero, Spark's plan floors via pmod —

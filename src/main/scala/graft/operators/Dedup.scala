@@ -3003,4 +3003,146 @@ object Dedup {
         lit(qAfter).as("q_after_bp")
       )
   }
+
+  // -------------------------------------------------------------------
+  // 39z3. graph_louvain_levels — the REAL Louvain loop: gain + apply
+  // iterated with community CONTRACTION between levels (communities
+  // collapse to super-nodes; cross-community edge weights aggregate,
+  // intra weights become self-loops) and the Q-ACCEPTANCE gate per
+  // level — a level's simultaneous apply is kept only if it RAISES
+  // modularity, else the level is a published no-op and the partition
+  // has converged (the relaxation can in principle overshoot; the
+  // gate is what makes per-level Q monotone non-decreasing BY
+  // CONSTRUCTION, which the output row sequence proves). All exact
+  // integers: weighted gain numerator 2M·w_ij − k_i·k_j (k counts a
+  // self-loop twice; M = total weight, INVARIANT under contraction —
+  // published per level as the conservation check), and the gate
+  // compares Q NUMERATORS N = 4M·ΣIN − Σdeg_c² over the shared
+  // constant denominator 4M² — no truncation ever enters the
+  // accept/reject decision (bp truncation happens only in the
+  // published q_bp). Scale shape per level: one weighted-degree
+  // aggregate, one gain join + rank window, CC over ≤1 move edge per
+  // node, and a contraction groupBy — every input is the PERSISTED
+  // edge tier or the (monotonically shrinking) contracted graph;
+  // level count is bounded by the gate, nothing is ever
+  // corpus-pairwise. This is the quality/cost referee the modularity
+  // op was built for: LPA's fixed round budget vs gain-driven moves,
+  // measured on the same exact-Q scale.
+  // -------------------------------------------------------------------
+  def louvainLevels(spark: SparkSession, dir: String, maxLevels: Int = 3): DataFrame =
+    louvainLevelsFrom(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels)
+
+  /** The level loop over an arbitrary unit-weight (doc_a, doc_b) pair
+    * frame — DedupSpec drives it with a ring-of-cliques graph, the
+    * textbook case where level 1 finds the cliques and level 2's
+    * contracted pass merges adjacent clique supernodes (the
+    * resolution-limit merge a single gain round can never see).
+    */
+  private[graft] def louvainLevelsFrom(spark: SparkSession, pairs: DataFrame, maxLevels: Int): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("w"))
+      .localCheckpoint()
+    // self-loop weights per node (empty at level 1; contraction fills it)
+    var selfs = spark.range(0).select(col("id").as("node"), col("id").as("s"))
+    val M = edges.count() // total weight — invariant under contraction
+    val m2 = BigInt(2) * M
+    var qNumPrev: BigInt = null // set from level 1's singleton Σk²
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
+    for (level <- 1 to maxLevels) {
+      val sym = edges
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(edges.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      // nodes = edge endpoints ∪ self-loop-only supernodes (a fully
+      // collapsed component has no external edges but still a node)
+      val nodes = sym
+        .select(col("src").as("node"))
+        .unionByName(selfs.select(col("node")))
+        .distinct()
+      val deg = nodes
+        .join(sym.groupBy(col("src").as("node")).agg(sum(col("w")).as("kw")), Seq("node"), "left")
+        .join(selfs, Seq("node"), "left")
+        .select(col("node"), (coalesce(col("kw"), lit(0L)) + lit(2L) * coalesce(col("s"), lit(0L))).as("k"))
+        .persist(mem)
+      val sk2Row = deg.agg(sum(expr("CAST(k AS DECIMAL(38,0)) * k")).as("sk2")).head()
+      val sk2 = Option(sk2Row.getAs[java.math.BigDecimal]("sk2")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+      if (qNumPrev == null) qNumPrev = -sk2 // singleton partition: ΣIN = 0
+      val wRnk = Window.partitionBy(col("node")).orderBy(col("gain_num").desc, col("merges_into").asc)
+      val moves = sym
+        .join(deg.select(col("node").as("src"), col("k").as("k_node")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("k").as("k_best")), Seq("dst"))
+        .select(
+          col("src").as("node"),
+          col("dst").as("merges_into"),
+          (lit(m2.toLong) * col("w") - col("k_node") * col("k_best")).as("gain_num")
+        )
+        .withColumn("rnk", row_number().over(wRnk))
+        .filter(col("rnk") === 1 && col("gain_num") > 0L)
+        .select(col("node").as("doc_a"), col("merges_into").as("doc_b"))
+        .localCheckpoint()
+      val nMoves = moves.count()
+      val cc = connectedComponents(moves)
+      val labCand = nodes
+        .join(cc.withColumnRenamed("doc_id", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("cluster_id"), col("node")).as("lab"))
+        .localCheckpoint()
+      // candidate Q numerator: ΣIN (same-label edge weight + ALL self
+      // loops — intra by definition) and Σdeg_c² over candidate labels
+      val sIn = {
+        val cross = edges
+          .join(labCand.select(col("node").as("a"), col("lab").as("la")), Seq("a"))
+          .join(labCand.select(col("node").as("b"), col("lab").as("lb")), Seq("b"))
+          .filter(col("la") === col("lb"))
+          .agg(sum(expr("CAST(w AS DECIMAL(38,0))")).as("x"))
+          .head()
+        val selfSum = selfs.agg(sum(expr("CAST(s AS DECIMAL(38,0))")).as("x")).head()
+        def b(r: org.apache.spark.sql.Row) =
+          Option(r.getAs[java.math.BigDecimal]("x")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+        b(cross) + b(selfSum)
+      }
+      val dc = deg
+        .join(labCand, Seq("node"))
+        .groupBy(col("lab"))
+        .agg(sum(col("k")).as("dcv"))
+        .persist(mem)
+      val dcRow = dc
+        .agg(count(lit(1)).as("n_comm"), sum(expr("CAST(dcv AS DECIMAL(38,0)) * dcv")).as("sdc2"))
+        .head()
+      val sdc2 = Option(dcRow.getAs[java.math.BigDecimal]("sdc2")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+      val qNumCand = BigInt(2) * m2 * sIn - sdc2 // 4M·ΣIN − Σdc²
+      val accepted = qNumCand > qNumPrev
+      val nNodes = deg.count()
+      val nCommCand = dcRow.getAs[Long]("n_comm")
+      val (lab, nComm) =
+        if (accepted) (labCand, nCommCand)
+        else (labCand.select(col("node"), col("node").as("lab")), nNodes)
+      if (accepted) qNumPrev = qNumCand
+      val qBp = if (M == 0L) 0L else ((BigInt(10000) * qNumPrev) / (m2 * m2)).toLong
+      rows += ((level.toLong, nNodes, M, nMoves, if (accepted) 1L else 0L, nComm, qBp))
+      // contract for the next level (identity labels → graph unchanged)
+      val nextEdges = edges
+        .join(lab.select(col("node").as("a"), col("lab").as("la")), Seq("a"))
+        .join(lab.select(col("node").as("b"), col("lab").as("lb")), Seq("b"))
+        .filter(col("la") =!= col("lb"))
+        .groupBy(least(col("la"), col("lb")).as("a"), greatest(col("la"), col("lb")).as("b"))
+        .agg(sum(col("w")).as("w"))
+        .localCheckpoint()
+      val nextSelfs = edges
+        .join(lab.select(col("node").as("a"), col("lab").as("la")), Seq("a"))
+        .join(lab.select(col("node").as("b"), col("lab").as("lb")), Seq("b"))
+        .filter(col("la") === col("lb"))
+        .select(col("la").as("node"), col("w").as("s"))
+        .unionByName(selfs.join(lab, Seq("node")).select(col("lab").as("node"), col("s")))
+        .groupBy(col("node"))
+        .agg(sum(col("s")).as("s"))
+        .localCheckpoint()
+      deg.unpersist()
+      dc.unpersist()
+      edges = nextEdges
+      selfs = nextSelfs
+    }
+    import spark.implicits._
+    rows.toSeq
+      .toDF("level", "n_nodes", "m_w", "n_moves", "accepted", "n_communities", "q_bp")
+  }
 }

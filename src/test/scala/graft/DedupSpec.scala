@@ -676,4 +676,58 @@ class DedupSpec extends AnyFunSuite {
       assert(missed === 0L, s"$missed LSH-verified pairs missing from the exact-recall prefix filter")
     } finally exact.unpersist()
   }
+
+  test("louvain levels: Q-acceptance gate rejects the symmetric-ring collapse, keeps Q monotone") {
+    import spark.implicits._
+    // 16 triangles in a ring, single inter-clique links — level 1 finds
+    // the cliques; level 2's simultaneous apply chains EVERY clique
+    // into one community around the cycle (the relaxation's classic
+    // pathology), which would crater Q — the gate must reject it
+    val k = 16; val c = 3
+    val clique = for (i <- 0 until k; x <- 0 until c; y <- x + 1 until c)
+      yield ((i * c + x).toLong, (i * c + y).toLong)
+    val ring = for (i <- 0 until k) yield ((i * c + c - 1).toLong, (((i + 1) % k) * c).toLong)
+    val pairs = (clique ++ ring).map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("doc_a", "doc_b")
+    val rows = Dedup.louvainLevelsFrom(spark, pairs, 3).orderBy("level").collect()
+    assert(rows.map(_.getAs[Long]("m_w")).toSet === Set((k * 3 + k).toLong), "total weight not invariant under contraction")
+    val q = rows.map(_.getAs[Long]("q_bp"))
+    assert(q.zip(q.tail).forall { case (a, b) => b >= a }, s"Q not monotone: ${q.toSeq}")
+    val l1 = rows(0); val l2 = rows(1)
+    assert(l1.getAs[Long]("accepted") === 1L && l1.getAs[Long]("n_communities") === k.toLong,
+      "level 1 should find exactly the cliques")
+    assert(l2.getAs[Long]("n_moves") > 0L && l2.getAs[Long]("accepted") === 0L,
+      "level 2's whole-ring collapse must be gate-rejected")
+    assert(l2.getAs[Long]("q_bp") === l1.getAs[Long]("q_bp"), "a rejected level must not change Q")
+  }
+
+  test("louvain levels: contraction lets level 2 make a merge level 1 cannot, Q strictly improves") {
+    import spark.implicits._
+    // 8 dumbbells (clique pairs joined by a DOUBLE link) in a weak
+    // ring: level 1 collapses each dumbbell; level 2 runs on the
+    // CONTRACTED graph where the asymmetric weights let supernode
+    // merges clear the gate — the multi-level payoff in one number
+    val k = 8; val c = 3
+    def n(pair: Int, side: Int, x: Int): Long = ((pair * 2 + side) * c + x).toLong
+    val clique = for (p <- 0 until k; sd <- 0 to 1; x <- 0 until c; y <- x + 1 until c)
+      yield (n(p, sd, x), n(p, sd, y))
+    val pairLinks = for (p <- 0 until k; x <- 0 to 1) yield (n(p, 0, x), n(p, 1, x))
+    val ring = for (p <- 0 until k) yield (n(p, 1, 2), n((p + 1) % k, 0, 2))
+    val pairs = (clique ++ pairLinks ++ ring).map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("doc_a", "doc_b")
+    val rows = Dedup.louvainLevelsFrom(spark, pairs, 4).orderBy("level").collect()
+    val q = rows.map(_.getAs[Long]("q_bp"))
+    assert(q.zip(q.tail).forall { case (a, b) => b >= a }, s"Q not monotone: ${q.toSeq}")
+    val l2 = rows(1)
+    assert(l2.getAs[Long]("accepted") === 1L && l2.getAs[Long]("q_bp") > rows(0).getAs[Long]("q_bp"),
+      "level 2 should accept a Q-improving supernode merge")
+    assert(l2.getAs[Long]("n_communities") < rows(0).getAs[Long]("n_communities"),
+      "level 2 must coarsen the level-1 partition")
+    // convergence: once a level proposes no moves, later levels are
+    // exact no-ops (same Q, same community count)
+    val l3 = rows(2); val l4 = rows(3)
+    assert(l3.getAs[Long]("n_moves") === 0L)
+    assert(l4.getAs[Long]("q_bp") === l3.getAs[Long]("q_bp")
+      && l4.getAs[Long]("n_communities") === l3.getAs[Long]("n_communities"))
+  }
 }
