@@ -116,6 +116,11 @@ class ScaleSpec extends AnyFunSuite {
     "emb_dim_variance",
     "emb_cosine_histogram",
     "emb_matryoshka_eval",
+    // round-11 additions with data-proportional work (louvain levels
+    // rides the persisted GraphTier; the tier build is ensured before
+    // the panel times anything, so both SFs price the level loop)
+    "graph_louvain_levels",
+    "ts_store_sql_write",
     // round-10 continuation-session additions with data-proportional work
     "dedup_prefix_filter",
     "ann_sq_search",
@@ -229,6 +234,13 @@ class ScaleSpec extends AnyFunSuite {
     }
 
   test("plan profile is scale-invariant and cost stays within the 10x band") {
+    // shared input tiers build once per (process, dir) — ensure them
+    // OUTSIDE the timed sweep so no panel query's ratio charges a
+    // one-time build the production pipeline pays at ingest
+    for (d <- Seq(sfSmall, sfBig)) {
+      graft.sources.GraphTier.ensureLshTier(spark, d)
+      graft.sources.GraphTier.ensureCoPurchaseTier(spark, d)
+    }
     val failures = sweep(panel, sfSmall, sfBig)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
@@ -285,6 +297,7 @@ class ScaleSpec extends AnyFunSuite {
   )
 
   test("one more scale step: profile and cost hold from sf0.1 to derived sf1.0") {
+    for (d <- Seq(sfBig, sf1)) graft.sources.GraphTier.ensureLshTier(spark, d)
     val failures = sweep(panel1, sfBig, sf1)
     assert(failures.isEmpty, failures.mkString("\n"))
   }
