@@ -200,6 +200,7 @@ object SparkEntry {
     "graph_kcore"        -> ((s, d) => Relational.kCore(s, d)),
     "emb_outlier_topk"   -> ((s, d) => Similarity.embOutlierTopk(s, d)),
     "graph_common_neighbors" -> ((s, d) => Relational.commonNeighbors(s, d)),
+    "graph_copurchase_tier" -> ((s, d) => Relational.coPurchaseTier(s, d)),
     "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
     "rel_join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "rel_zorder_layout"  -> ((s, d) => Relational.zorderLayout(s, d)),
@@ -3885,6 +3886,12 @@ object SparkEntry {
     // link prediction: common neighbors through degree-capped middles
     // (deg <= 128 — the df-cap drop is part of the contract), Jaccard
     // from the full degree table, existing edges excluded, top-20
+    // incremental co-purchase tier == the from-scratch self-join over
+    // the full order history (split-independent by construction)
+    "graph_copurchase_tier" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
     "graph_common_neighbors" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

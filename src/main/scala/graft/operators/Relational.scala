@@ -1807,6 +1807,31 @@ object Relational {
       .select($"rnk", $"node_a", $"node_b", $"cn", $"deg_a", $"deg_b", $"jaccard_bp")
   }
 
+  /** graph_copurchase_tier — INCREMENTAL MAINTENANCE of the
+    * co-purchase edge tier (the dedup_edge_tier discipline on the
+    * relational graph): the tier is built from the first half of
+    * order history, a batch of NEW orders appends through
+    * [[graft.sources.GraphTier.appendCoPurchase]] — within-batch
+    * self-join only (an order's items ship complete; pairs never span
+    * orders) plus a delta-keyed anti-join against the stored tier for
+    * the already-co-bought pairs the LSH tier's fresh-rep argument
+    * doesn't cover — and the query reads the tier back. Oracle = the
+    * from-scratch self-join over the FULL table: equality proves
+    * incremental ≡ rebuild while no order-key self-join ever touches
+    * the old half again. This is what lets graph_part_rank & co read
+    * a TABLE at 100 TB while ingest keeps it current per batch.
+    */
+  def coPurchaseTier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val mm = li.agg(min($"l_orderkey"), max($"l_orderkey")).head()
+    val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val store = graft.sources.TimeboxStore.scratchPath("graft_coptier", dir)
+    graft.sources.GraphTier.writeCoPurchase(li.filter($"l_orderkey" < split), store)
+    graft.sources.GraphTier.appendCoPurchase(spark, li.filter($"l_orderkey" >= split), store)
+    graft.sources.GraphTier.readCoPurchase(spark, store)
+  }
+
   /** rel_mv_delta — INCREMENTAL VIEW MAINTENANCE with its own proof:
     * the revenue-per-nation materialized view is built WITHOUT the
     * late-arriving partition (o_orderkey % 10 = 0, the house

@@ -95,14 +95,50 @@ object GraphTier {
     */
   def ensureCoPurchaseTier(spark: SparkSession, dir: String): String =
     ensure(coPurchasePath(dir)) {
-      val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val b  = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
-      li.join(b, col("ok") === col("l_orderkey") && col("l_partkey") =!= col("dst"))
-        .select(col("l_partkey").as("src"), col("dst"))
-        .distinct()
-        .write.mode("overwrite").parquet(s"${coPurchasePath(dir)}/edges")
+      writeCoPurchase(Tables.lineitem(spark, dir), coPurchasePath(dir))
     }
 
   def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${ensureCoPurchaseTier(spark, dir)}/edges")
+
+  // ---- co-purchase tier: incremental maintenance --------------------
+  //
+  // The edge_tier discipline applied to the relational graph: a batch
+  // of NEW orders contributes co-purchase pairs only WITHIN its own
+  // orders (an order's item set ships complete — pairs never span
+  // orders), so the delta self-join is |batch| × per-order-fanout and
+  // old orders never recompute. Unlike the LSH tier, a delta pair can
+  // ALREADY exist (two parts co-bought in an old order and again in a
+  // new one), so the append anti-joins the delta against the stored
+  // tier — a delta-keyed probe, never tier × tier. Equality with the
+  // from-scratch self-join over the full table is the
+  // graph_copurchase_tier query's oracle.
+
+  /** Full build from a (l_orderkey, l_partkey) pair frame. */
+  def writeCoPurchase(li: DataFrame, path: String): Unit =
+    coEdgesOf(li).write.mode("overwrite").parquet(s"$path/edges")
+
+  /** Append a batch of COMPLETE new orders: within-batch pairs,
+    * deduped against the stored tier, land as new files.
+    */
+  def appendCoPurchase(spark: SparkSession, liDelta: DataFrame, path: String): Unit = {
+    val delta = coEdgesOf(liDelta).localCheckpoint() // batch-sized pin
+    delta
+      .join(spark.read.parquet(s"$path/edges"), Seq("src", "dst"), "left_anti")
+      .write.mode("append").parquet(s"$path/edges")
+  }
+
+  def readCoPurchase(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+
+  /** The directed distinct co-purchase edge list of an order-item
+    * frame — the one self-join, shuffled on the order key.
+    */
+  private def coEdgesOf(li: DataFrame): DataFrame = {
+    val d = li.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val b = d.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    d.join(b, col("ok") === col("l_orderkey") && col("l_partkey") =!= col("dst"))
+      .select(col("l_partkey").as("src"), col("dst"))
+      .distinct()
+  }
 }
