@@ -284,6 +284,7 @@ object SparkEntry {
     "graph_louvain_gain"  -> ((s, d) => Dedup.louvainGain(s, d)),
     "graph_louvain_apply" -> ((s, d) => Dedup.louvainApply(s, d)),
     "graph_louvain_levels" -> ((s, d) => Dedup.louvainLevels(s, d)),
+    "graph_louvain_labels" -> ((s, d) => Dedup.louvainLabels(s, d)),
     "dedup_embedding_clusters" -> ((s, d) => Dedup.embeddingClusters(s, d, threshold = 0.4)),
     // -- similarity search ------------------------------------------------
     "ann_topk_bruteforce" -> ((s, d) => Similarity.annTopkBruteForce(s, d)),
@@ -2553,6 +2554,8 @@ object SparkEntry {
     // so no truncation enters accept/reject; bp truncation only in
     // the published q_bp (HUGEINT // matches BigInt / toward zero)
     "graph_louvain_levels" -> louvainLevelsOracleSql(3),
+    // the composed final communities off the same 3-level chain
+    "graph_louvain_labels" -> louvainLabelsOracleSql(3),
     // one Louvain gain round from singletons: numerator 2m - ki*kj per
     // edge, per-node argmax (gain desc, neighbor asc), positive only
     "graph_louvain_gain" ->
@@ -4335,7 +4338,7 @@ object SparkEntry {
     * partition's Q exactly is rejected and the chain is a no-op from
     * there on, both engines).
     */
-  private def louvainLevelsOracleSql(levels: Int): String = {
+  private def louvainOracle(levels: Int, finalSelect: String): String = {
     val lvl = (1 to levels).map { l =>
       val p = l - 1
       val qp0 = if (l == 1) s",\nqp0 AS MATERIALIZED (SELECT -(SELECT SUM(k*k) FROM dg1) AS qn)" else ""
@@ -4392,7 +4395,18 @@ object SparkEntry {
        |s0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node, CAST(NULL AS HUGEINT) AS s WHERE 1 = 0),
        |mq AS MATERIALIZED (SELECT CAST(COALESCE(SUM(w), 0) AS HUGEINT) AS m FROM e0),
        |${lvl.mkString(",\n")}
-       |${(1 to levels).map(l => s"SELECT * FROM rw$l").mkString("\nUNION ALL ")}""".stripMargin
+       |$finalSelect""".stripMargin
+  }
+
+  private def louvainLevelsOracleSql(levels: Int): String =
+    louvainOracle(levels, (1 to levels).map(l => s"SELECT * FROM rw$l").mkString("\nUNION ALL "))
+
+  /** Final-community oracle: compose the gated label tables through
+    * the levels (a level's node IS the previous level's label).
+    */
+  private def louvainLabelsOracleSql(levels: Int): String = {
+    val joins = (2 to levels).map(l => s"JOIN lb$l l$l ON l$l.node = l${l - 1}.lab").mkString(" ")
+    louvainOracle(levels, s"SELECT l1.node AS doc_id, l$levels.lab AS community FROM lb1 l1 $joins")
   }
 
   // bucket = FLOOR division like the ts_value_histogram oracle (DuckDB's

@@ -3032,13 +3032,35 @@ object Dedup {
   def louvainLevels(spark: SparkSession, dir: String, maxLevels: Int = 3): DataFrame =
     louvainLevelsFrom(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels)
 
+  /** graph_louvain_labels — the CONSUMABLE artifact of the multi-level
+    * loop: every candidate-graph doc mapped to its FINAL community
+    * (gated labels composed through the levels — a doc's level-1
+    * community is a level-2 node, whose label is a level-3 node, …).
+    * The ledger (graph_louvain_levels) says the loop worked; this is
+    * the column a dedup/curation pipeline actually joins on — the
+    * Louvain alternative to dedup_clusters' CC labels and
+    * dedup_label_prop's LPA labels, same output grain.
+    */
+  def louvainLabels(spark: SparkSession, dir: String, maxLevels: Int = 3): DataFrame =
+    louvainCore(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels).labels
+
+  private[graft] def louvainLevelsFrom(spark: SparkSession, pairs: DataFrame, maxLevels: Int): DataFrame =
+    louvainCore(spark, pairs, maxLevels).levels
+
+  private[graft] def louvainLabelsFrom(spark: SparkSession, pairs: DataFrame, maxLevels: Int): DataFrame =
+    louvainCore(spark, pairs, maxLevels).labels
+
+  private[graft] case class LouvainRun(levels: DataFrame, labels: DataFrame)
+
   /** The level loop over an arbitrary unit-weight (doc_a, doc_b) pair
     * frame — DedupSpec drives it with a ring-of-cliques graph, the
     * textbook case where level 1 finds the cliques and level 2's
     * contracted pass merges adjacent clique supernodes (the
     * resolution-limit merge a single gain round can never see).
+    * Returns both the per-level ledger and the composed final labels
+    * (original node → community after the last accepted level).
     */
-  private[graft] def louvainLevelsFrom(spark: SparkSession, pairs: DataFrame, maxLevels: Int): DataFrame = {
+  private[graft] def louvainCore(spark: SparkSession, pairs: DataFrame, maxLevels: Int): LouvainRun = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var edges = pairs
       .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("w"))
@@ -3048,6 +3070,7 @@ object Dedup {
     val M = edges.count() // total weight — invariant under contraction
     val m2 = BigInt(2) * M
     var qNumPrev: BigInt = null // set from level 1's singleton Σk²
+    var acc: DataFrame = null   // original node → current community
     val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long, Long, Long)]
     for (level <- 1 to maxLevels) {
       val sym = edges
@@ -3119,6 +3142,15 @@ object Dedup {
       if (accepted) qNumPrev = qNumCand
       val qBp = if (M == 0L) 0L else ((BigInt(10000) * qNumPrev) / (m2 * m2)).toLong
       rows += ((level.toLong, nNodes, M, nMoves, if (accepted) 1L else 0L, nComm, qBp))
+      // compose the ORIGINAL-node → community mapping through this
+      // level (a level's node IS a previous level's label)
+      acc =
+        if (acc == null) lab.select(col("node"), col("lab").as("cur")).localCheckpoint()
+        else
+          acc
+            .join(lab.withColumnRenamed("node", "cur"), Seq("cur"))
+            .select(col("node"), col("lab").as("cur"))
+            .localCheckpoint()
       // contract for the next level (identity labels → graph unchanged)
       val nextEdges = edges
         .join(lab.select(col("node").as("a"), col("lab").as("la")), Seq("a"))
@@ -3142,7 +3174,10 @@ object Dedup {
       selfs = nextSelfs
     }
     import spark.implicits._
-    rows.toSeq
-      .toDF("level", "n_nodes", "m_w", "n_moves", "accepted", "n_communities", "q_bp")
+    LouvainRun(
+      rows.toSeq
+        .toDF("level", "n_nodes", "m_w", "n_moves", "accepted", "n_communities", "q_bp"),
+      acc.select(col("node").as("doc_id"), col("cur").as("community"))
+    )
   }
 }

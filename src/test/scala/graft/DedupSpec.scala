@@ -729,5 +729,11 @@ class DedupSpec extends AnyFunSuite {
     assert(l3.getAs[Long]("n_moves") === 0L)
     assert(l4.getAs[Long]("q_bp") === l3.getAs[Long]("q_bp")
       && l4.getAs[Long]("n_communities") === l3.getAs[Long]("n_communities"))
+    // the composed final labels expose the level-2 coarsening: as many
+    // distinct communities as the ledger's last row, every node labeled
+    val labels = Dedup.louvainLabelsFrom(spark, pairs, 4)
+    assert(labels.select("doc_id").distinct().count() === 2L * k * c, "every graph node gets a community")
+    assert(labels.select("community").distinct().count() === l4.getAs[Long]("n_communities"),
+      "final label count must equal the ledger's last level")
   }
 }
