@@ -201,6 +201,7 @@ object SparkEntry {
     "emb_outlier_topk"   -> ((s, d) => Similarity.embOutlierTopk(s, d)),
     "graph_common_neighbors" -> ((s, d) => Relational.commonNeighbors(s, d)),
     "graph_copurchase_tier" -> ((s, d) => Relational.coPurchaseTier(s, d)),
+    "graph_copurchase_stream" -> ((s, d) => graft.sources.StreamingIngest.coPurchaseStream(s, d)),
     "rel_mv_delta"       -> ((s, d) => Relational.mvDelta(s, d)),
     "rel_join_size_estimate" -> ((s, d) => Relational.joinSizeEstimate(s, d)),
     "rel_zorder_layout"  -> ((s, d) => Relational.zorderLayout(s, d)),
@@ -3892,6 +3893,11 @@ object SparkEntry {
     // incremental co-purchase tier == the from-scratch self-join over
     // the full order history (split-independent by construction)
     "graph_copurchase_tier" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
+    // the streaming maintenance must converge to the same tier
+    "graph_copurchase_stream" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,

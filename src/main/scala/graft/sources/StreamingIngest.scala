@@ -1089,6 +1089,73 @@ object StreamingIngest {
     SignatureStore.readClusters(spark, store)
   }
 
+  /** graph_copurchase_stream — STREAMING maintenance of the
+    * co-purchase edge tier (the 24/7 face of graph_copurchase_tier,
+    * the [[dedupStreamClusters]] recipe on the relational graph): new
+    * orders arrive as micro-batches, each batch appends its
+    * within-batch pairs through [[GraphTier.appendCoPurchase]] (the
+    * delta self-join + tier anti-join — old orders never recompute),
+    * and after the drain the tier equals the from-scratch self-join
+    * over everything ingested — the SAME oracle as the batch tier
+    * drill, which is the whole claim.
+    *
+    * PRECONDITION (fail-loud, like attributionStream's ordering): a
+    * micro-batch carries COMPLETE orders — co-purchase pairs never
+    * span orders, so per-batch pair generation is exact exactly when
+    * no order straddles two batches (the transactional-CDC grain a
+    * real feed ships). Enforced with a persisted order ledger: a batch
+    * whose order keys intersect the ledger means an order arrived
+    * split — the maintenance throws instead of silently dropping that
+    * order's cross-batch pairs.
+    *
+    * Same resume posture as dedupStream: an existing checkpoint means
+    * the tier + ledger already carry completed batches; only a fresh
+    * start builds the corpus side.
+    */
+  def coPurchaseStream(
+      spark: SparkSession,
+      dir: String,
+      filesPerTrigger: Option[Int] = None
+  ): DataFrame = {
+    import graft.sources.{GraphTier, Tables, TimeboxStore}
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    val mm = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    val store = TimeboxStore.scratchPath("graft_copstream", dir)
+    if (!new java.io.File(s"$store/_checkpoint").exists()) {
+      GraphTier.writeCoPurchase(li.filter(col("l_orderkey") < split), store)
+      li.filter(col("l_orderkey") < split)
+        .select(col("l_orderkey")).distinct()
+        .write.mode("overwrite").parquet(s"$store/orders")
+    }
+    val reader = spark.readStream.schema(li.schema)
+    filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader
+      .parquet(s"$dir/lineitem.parque[t]")
+      .filter(col("l_orderkey") >= split)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val orders = batch.select(col("l_orderkey")).distinct().localCheckpoint()
+        val straddlers = orders
+          .join(spark.read.parquet(s"$store/orders"), Seq("l_orderkey"), "left_semi")
+          .count()
+        if (straddlers > 0)
+          throw new IllegalStateException(
+            s"coPurchaseStream: $straddlers order(s) in this batch were already ingested — an " +
+              "order straddled two micro-batches, whose cross-batch pairs would be silently " +
+              "lost; the source must deliver complete orders per batch"
+          )
+        GraphTier.appendCoPurchase(spark, batch, store)
+        orders.write.mode("append").parquet(s"$store/orders")
+      }
+      .option("checkpointLocation", s"$store/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    GraphTier.readCoPurchase(spark, store)
+  }
+
   /** STREAMING INDEX MAINTENANCE — the [[dedupStreamClusters]] recipe
     * applied to the ANN index: NEW vectors arrive as a stream, and
     * every micro-batch is encoded against the STORED IVF-PQ model

@@ -694,4 +694,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0, "streamed channels not in batch answer")
     assert(batch.exceptAll(streamed).count() === 0, "batch channels missing from stream")
   }
+
+  /** Write `rows` as one parquet file inside `dir` with a controlled
+    * name and modification time (the file source batches by mod-time
+    * order, so the drill controls which file is which micro-batch).
+    */
+  private def writeSlice(rows: org.apache.spark.sql.DataFrame, dir: String, name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cps_slice").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(dir, name)
+    java.nio.file.Files.copy(part.toPath, dst.toPath)
+    assert(dst.setLastModified(mtime))
+  }
+
+  test("co-purchase stream: per-file micro-batches converge to the from-scratch tier") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_cps_spec").toString
+    val lidir = new java.io.File(root, "lineitem.parquet"); assert(lidir.mkdir())
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val mm = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val split = (mn + mx + 1L) / 2L
+    val q3 = (split + mx + 1L) / 2L
+    val t0 = System.currentTimeMillis() - 60000
+    // corpus file + two delta files, each holding COMPLETE orders
+    writeSlice(li.filter(col("l_orderkey") < split), lidir.getPath, "p0.parquet", t0)
+    writeSlice(li.filter(col("l_orderkey") >= split && col("l_orderkey") < q3), lidir.getPath, "p1.parquet", t0 + 2000)
+    writeSlice(li.filter(col("l_orderkey") >= q3), lidir.getPath, "p2.parquet", t0 + 4000)
+    val tier = StreamingIngest.coPurchaseStream(spark, root, filesPerTrigger = Some(1))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("dst"))
+    val expect = li
+      .join(b, col("ok") === col("l_orderkey") && col("l_partkey") =!= col("dst"))
+      .select(col("l_partkey").as("src"), col("dst"))
+      .distinct()
+    assert(tier.count() === expect.count())
+    assert(tier.except(expect).count() === 0 && expect.except(tier).count() === 0,
+      "multi-batch streamed tier diverges from the from-scratch self-join")
+  }
+
+  test("co-purchase stream: an order straddling two micro-batches fails loud, never silently drops pairs") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_cps_straddle").toString
+    val lidir = new java.io.File(root, "lineitem.parquet"); assert(lidir.mkdir())
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val mm = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    // pick a post-split order with >= 2 items and split ITS rows
+    // across the two delta files
+    val x = li.filter(col("l_orderkey") >= split)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).agg(min(col("l_orderkey"))).head().getLong(0)
+    val xRows = li.filter(col("l_orderkey") === x).collect()
+    val xSplitPart = xRows.map(_.getLong(1)).sorted.apply(xRows.length / 2)
+    val t0 = System.currentTimeMillis() - 60000
+    writeSlice(li.filter(col("l_orderkey") < split), lidir.getPath, "p0.parquet", t0)
+    writeSlice(
+      li.filter(col("l_orderkey") >= split && col("l_orderkey") =!= x)
+        .unionByName(li.filter(col("l_orderkey") === x && col("l_partkey") < xSplitPart)),
+      lidir.getPath, "p1.parquet", t0 + 2000)
+    writeSlice(li.filter(col("l_orderkey") === x && col("l_partkey") >= xSplitPart),
+      lidir.getPath, "p2.parquet", t0 + 4000)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      StreamingIngest.coPurchaseStream(spark, root, filesPerTrigger = Some(1))
+    )
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("straddled"), s"wrong failure: ${chain(e)}")
+  }
 }
