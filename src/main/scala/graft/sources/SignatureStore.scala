@@ -126,7 +126,7 @@ object SignatureStore {
     def prune: Boolean = l > 0 && rows > 4 * dirRows
   }
 
-  private def stampLayout(spark: SparkSession, path: String, l: Int, rows: Long, dirRows: Long): Unit = {
+  private[graft] def stampLayout(spark: SparkSession, path: String, l: Int, rows: Long, dirRows: Long): Unit = {
     val p = layoutMarkerPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -164,7 +164,7 @@ object SignatureStore {
     * concurrent appenders only UNDER-count, which errs toward the
     * full-scan side — never toward wrongly pruning).
     */
-  private def bumpLayoutRows(spark: SparkSession, path: String, added: Long): Unit = {
+  private[graft] def bumpLayoutRows(spark: SparkSession, path: String, added: Long): Unit = {
     val lay = readLayoutInfo(spark, path)
     if (lay.l > 0 && lay.rows != Long.MaxValue)
       stampLayout(spark, path, lay.l, lay.rows + added, lay.dirRows)
@@ -184,14 +184,21 @@ object SignatureStore {
     * which the match join already broadcasts, so the driver pull is
     * safe by the same argument.
     */
-  private def prefixesOf(df: DataFrame, pcol: Column): Seq[String] =
+  private[graft] def prefixesOf(df: DataFrame, pcol: Column): Seq[String] =
     df.select(pcol.as("p")).distinct().collect().map(_.getString(0)).toIndexedSeq
 
-  /** Partition-pruned scan of a store table: on a leveled store the
-    * isin literal filter prunes at FILE-LISTING time (no store byte
-    * outside the batch's prefixes is opened). Falls back to the full
-    * scan on legacy flat stores, or when the batch covers most of the
-    * prefix space and pruning would only add listing work.
+  /** Partition-pruned scan of a store table: on a leveled store ONLY
+    * the batch's prefix DIRS are ever listed or opened — the reader is
+    * scoped to those directories (basePath read), so per-batch metadata
+    * work is O(batch prefixes), never O(store dirs). (An earlier
+    * version read the whole table and filtered on the partition column:
+    * data bytes pruned at file-listing time, but the LISTING itself was
+    * still a full-store partition discovery — measured at ~8 s per
+    * batch on a 4096-dir tier, i.e. O(store) metadata per micro-batch.)
+    * The isin filter stays on top as a correctness guard and so the
+    * plan shows the prefix set as a PartitionFilter. Falls back to the
+    * full scan on legacy flat stores, or when the batch covers most of
+    * the prefix space and pruning would only add listing work.
     */
   private[graft] def prunedScan(
       spark: SparkSession,
@@ -201,31 +208,69 @@ object SignatureStore {
       partCol: String,
       prefixes: => Seq[String]
   ): DataFrame = {
-    val full = spark.read.parquet(s"$path/$table")
+    def full = spark.read.parquet(s"$path/$table")
     if (l == 0) full
     else {
       val ps = prefixes
       if (2 * ps.size >= (1 << (4 * l))) full
-      else full.filter(col(partCol).isin(ps: _*))
+      else {
+        val base = s"$path/$table"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dirs = ps
+          .map(p => s"$base/$partCol=$p")
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        if (dirs.isEmpty)
+          // no batch prefix has a dir yet: schema-correct empty result
+          full.filter(col(partCol).isin(ps: _*)).filter(lit(false))
+        else
+          spark.read
+            .option("basePath", base)
+            .parquet(dirs: _*)
+            .filter(col(partCol).isin(ps: _*))
+      }
     }
   }
 
   /** Append rows to a leveled table keeping its partitioning (flat
     * append on legacy stores). The pre-write repartition on the
     * partition value keeps each touched dir to one new file per batch.
+    *
+    * The batch is written partitioned into a FRESH staging dir and its
+    * files renamed into the store's prefix dirs (driver-side, one
+    * rename per touched dir's files): a direct `mode("append")` into
+    * the partitioned table re-resolves the existing relation — a
+    * full-store partition discovery per batch (measured ~8 s on a
+    * 4096-dir tier), the O(store) metadata cost the leveled layout
+    * exists to avoid. Part-file names carry a fresh UUID, so renames
+    * never collide; a crash mid-rename leaves a partial batch exactly
+    * like a crash mid-commit did before (callers' append paths are
+    * replay-idempotent or anti-join-deduped).
     */
-  private def appendTable(df: DataFrame, path: String, table: String, l: Int, partCol: String, pcol: Column): Unit =
+  private[graft] def appendTable(df: DataFrame, path: String, table: String, l: Int, partCol: String, pcol: Column): Unit =
     if (l == 0) df.write.mode("append").parquet(s"$path/$table")
-    else
+    else {
+      import org.apache.hadoop.fs.Path
+      val spark = df.sparkSession
+      val staging = s"$path/_staging_${table}_${java.util.UUID.randomUUID().toString.take(12)}"
       df.withColumn(partCol, pcol)
         .repartition(col(partCol))
-        .write.partitionBy(partCol).mode("append").parquet(s"$path/$table")
+        .write.partitionBy(partCol).mode("overwrite").parquet(staging)
+      val fs = new Path(staging).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (d <- fs.listStatus(new Path(staging)) if d.isDirectory) {
+        val dst = new Path(s"$path/$table/${d.getPath.getName}")
+        if (!fs.exists(dst)) fs.mkdirs(dst)
+        for (f <- fs.listStatus(d.getPath) if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          fs.rename(f.getPath, new Path(dst, f.getPath.getName)): Unit
+      }
+      fs.delete(new Path(staging), true): Unit
+    }
 
   /** Overwrite-mode twin of [[appendTable]] for the initial build and
     * compaction rewrites: flat single write at l=0, prefix-partitioned
     * (one file per dir — repartition on the partition value) above.
     */
-  private def writeTable(df: DataFrame, path: String, table: String, l: Int, partCol: String, pcol: Column): Unit =
+  private[graft] def writeTable(df: DataFrame, path: String, table: String, l: Int, partCol: String, pcol: Column): Unit =
     if (l == 0) df.write.mode("overwrite").parquet(s"$path/$table")
     else
       df.withColumn(partCol, pcol)

@@ -1115,7 +1115,8 @@ object StreamingIngest {
   def coPurchaseStream(
       spark: SparkSession,
       dir: String,
-      filesPerTrigger: Option[Int] = None
+      filesPerTrigger: Option[Int] = None,
+      dirRows: Long = SignatureStore.DefaultDirRows
   ): DataFrame = {
     import graft.sources.{GraphTier, Tables, TimeboxStore}
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
@@ -1123,10 +1124,8 @@ object StreamingIngest {
     val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
     val store = TimeboxStore.scratchPath("graft_copstream", dir)
     if (!new java.io.File(s"$store/_checkpoint").exists()) {
-      GraphTier.writeCoPurchase(li.filter(col("l_orderkey") < split), store)
-      li.filter(col("l_orderkey") < split)
-        .select(col("l_orderkey")).distinct()
-        .write.mode("overwrite").parquet(s"$store/orders")
+      GraphTier.writeCoPurchase(li.filter(col("l_orderkey") < split), store, dirRows)
+      writeOrderLedger(spark, store, li.filter(col("l_orderkey") < split), batchId = -1L, bootstrap = true)
     }
     val reader = spark.readStream.schema(li.schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -1135,25 +1134,119 @@ object StreamingIngest {
       .filter(col("l_orderkey") >= split)
       .select(col("l_orderkey"), col("l_partkey"))
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val orders = batch.select(col("l_orderkey")).distinct().localCheckpoint()
-        val straddlers = orders
-          .join(spark.read.parquet(s"$store/orders"), Seq("l_orderkey"), "left_semi")
-          .count()
-        if (straddlers > 0)
-          throw new IllegalStateException(
-            s"coPurchaseStream: $straddlers order(s) in this batch were already ingested — an " +
-              "order straddled two micro-batches, whose cross-batch pairs would be silently " +
-              "lost; the source must deliver complete orders per batch"
-          )
-        GraphTier.appendCoPurchase(spark, batch, store)
-        orders.write.mode("append").parquet(s"$store/orders")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        coPurchaseBatch(spark, store, batch, batchId)
       }
       .option("checkpointLocation", s"$store/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     GraphTier.readCoPurchase(spark, store)
+  }
+
+  /** One co-purchase micro-batch: straddle guard, tier append, ledger
+    * write — REPLAY-IDEMPOTENT end to end. foreachBatch is
+    * at-least-once: a crash after the ledger write but before the
+    * checkpoint commit replays this batchId, so (a) the straddle probe
+    * EXCLUDES rows this batchId itself wrote (they are the replay, not
+    * a split order), (b) the edge append is an anti-join no-op on
+    * already-landed pairs, and (c) the ledger write dynamically
+    * overwrites this batchId's own partitions instead of duplicating
+    * them. The probe is pruned to the batch's order-key prefixes (the
+    * tier's leveled layout) — O(batch) ledger bytes per batch, not
+    * O(all orders ever ingested).
+    */
+  private[graft] def coPurchaseBatch(
+      spark: SparkSession,
+      store: String,
+      batch: DataFrame,
+      batchId: Long
+  ): Unit = {
+    import graft.sources.GraphTier
+    val orders = batch.select(col("l_orderkey")).distinct().localCheckpoint()
+    val lay = SignatureStore.readLayoutInfo(spark, store)
+    val pl = if (lay.prune) lay.l else 0
+    val leveled = SignatureStore
+      .prunedScan(
+        spark, store, "orders", pl, "op",
+        SignatureStore.prefixesOf(orders, SignatureStore.idPrefix(col("l_orderkey"), pl))
+      )
+      .select(col("l_orderkey"), col("batch_id"))
+    val l0 = ledgerL0Dirs(spark, store)
+    val ledger =
+      if (l0.isEmpty) leveled
+      else leveled.unionByName(spark.read.parquet(l0: _*).select(col("l_orderkey"), col("batch_id")))
+    val straddlers = orders
+      .join(
+        ledger.filter(col("batch_id") =!= batchId).select(col("l_orderkey")),
+        Seq("l_orderkey"),
+        "left_semi"
+      )
+      .count()
+    if (straddlers > 0)
+      throw new IllegalStateException(
+        s"coPurchaseStream: $straddlers order(s) in this batch were already ingested — an " +
+          "order straddled two micro-batches, whose cross-batch pairs would be silently " +
+          "lost; the source must deliver complete orders per batch"
+      )
+    GraphTier.appendCoPurchase(spark, batch, store)
+    writeOrderLedger(spark, store, batch, batchId, bootstrap = false)
+  }
+
+  /** The co-purchase stream's order ledger write — the edge tier's L0
+    * discipline: the bootstrap corpus lands prefix-partitioned (the
+    * tier's `_layout` level, so the straddle probe prunes at
+    * file-listing time), and each micro-batch lands as ONE flat run
+    * under a batchId-named dir — a replayed batchId OVERWRITES its own
+    * run instead of duplicating it, and no per-batch write ever fans
+    * out across the prefix dirs. Runs fold into the leveled table once
+    * they pass the dir-size target; `batch_id` rides along as a DATA
+    * column so replay exclusion still works on folded rows. A crash
+    * between the fold's append and its L0 delete leaves duplicate
+    * ledger rows — harmless by construction: every ledger consumer is
+    * a left-semi probe.
+    */
+  private[graft] def writeOrderLedger(
+      spark: SparkSession,
+      store: String,
+      batch: DataFrame,
+      batchId: Long,
+      bootstrap: Boolean
+  ): Unit = {
+    val lay = SignatureStore.readLayoutInfo(spark, store)
+    val orders = batch
+      .select(col("l_orderkey")).distinct()
+      .withColumn("batch_id", lit(batchId))
+    if (bootstrap)
+      SignatureStore.writeTable(
+        orders, store, "orders", lay.l, "op",
+        SignatureStore.idPrefix(col("l_orderkey"), lay.l)
+      )
+    else {
+      orders.coalesce(1).write.mode("overwrite").parquet(s"$store/orders_l0/batch=$batchId")
+      val l0 = ledgerL0Dirs(spark, store)
+      if (l0.nonEmpty && spark.read.parquet(l0: _*).count() > lay.dirRows) {
+        SignatureStore.appendTable(
+          spark.read.parquet(l0: _*).select(col("l_orderkey"), col("batch_id")),
+          store, "orders", lay.l, "op",
+          SignatureStore.idPrefix(col("l_orderkey"), lay.l)
+        )
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$store/orders_l0"), true): Unit
+      }
+    }
+  }
+
+  /** The ledger's L0 run dirs (one per micro-batch since the last fold). */
+  private def ledgerL0Dirs(spark: SparkSession, store: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$store/orders_l0")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+      .toIndexedSeq
   }
 
   /** STREAMING INDEX MAINTENANCE — the [[dedupStreamClusters]] recipe

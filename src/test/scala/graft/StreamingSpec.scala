@@ -762,4 +762,32 @@ class StreamingSpec extends AnyFunSuite {
       if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
     assert(chain(e).contains("straddled"), s"wrong failure: ${chain(e)}")
   }
+
+  test("co-purchase stream: a replayed batchId is idempotent — no false straddle, no duplicate edges or ledger rows") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.GraphTier
+    // foreachBatch is at-least-once: a crash AFTER the ledger write but
+    // BEFORE the checkpoint commit redelivers the same batchId. Drive
+    // the per-batch body directly to simulate exactly that replay.
+    val store = java.nio.file.Files.createTempDirectory("graft_cps_replay").toString + "/s"
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_partkey"))
+    val mm = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
+    GraphTier.writeCoPurchase(li.filter(col("l_orderkey") < split), store)
+    StreamingIngest.writeOrderLedger(spark, store, li.filter(col("l_orderkey") < split), batchId = -1L, bootstrap = true)
+    val batch1 = li.filter(col("l_orderkey") >= split).localCheckpoint()
+    StreamingIngest.coPurchaseBatch(spark, store, batch1, batchId = 0L)
+    val edges1 = GraphTier.readCoPurchase(spark, store).count()
+    val ledger1 = spark.read.parquet(s"$store/orders").count()
+    // the replay: same batch, same batchId — must complete (its own
+    // ledger rows are not straddlers) and change nothing
+    StreamingIngest.coPurchaseBatch(spark, store, batch1, batchId = 0L)
+    assert(GraphTier.readCoPurchase(spark, store).count() === edges1, "replay duplicated edges")
+    assert(spark.read.parquet(s"$store/orders").count() === ledger1, "replay duplicated ledger rows")
+    // a genuinely split order (same orders under a NEW batchId) still fails loud
+    val e = intercept[IllegalStateException](
+      StreamingIngest.coPurchaseBatch(spark, store, batch1, batchId = 1L)
+    )
+    assert(e.getMessage.contains("straddled"))
+  }
 }
