@@ -4387,7 +4387,8 @@ object SparkEntry {
          |  GROUP BY 1),
          |rw$l AS MATERIALIZED (SELECT CAST($l AS BIGINT) AS level,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM nd$l) AS n_nodes,
-         |    (SELECT CAST(m AS BIGINT) FROM mq) AS m_w,
+         |    (SELECT CAST((SELECT COALESCE(SUM(w), 0) FROM e$p)
+         |        + (SELECT COALESCE(SUM(s), 0) FROM s$p) AS BIGINT)) AS m_w,
          |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mv$l) AS n_moves,
          |    (SELECT CASE WHEN ok THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END FROM ac$l) AS accepted,
          |    (SELECT CASE WHEN a.ok THEN (SELECT CAST(COUNT(DISTINCT lab) AS BIGINT) FROM lc$l)

@@ -2912,11 +2912,20 @@ object Dedup {
         col("dst").as("merges_into"),
         col("k_node"),
         col("k_best"),
-        expr("2 * mm - k_node * k_best").as("gain_num")
+        // DECIMAL selection arithmetic: 2m and k_i·k_j overflow Long at
+        // 100 TB edge counts (the published column casts back to LONG —
+        // the unit-weight singleton gain is bounded by 2m there)
+        expr("CAST(2 AS DECIMAL(38,0)) * mm - CAST(k_node AS DECIMAL(38,0)) * k_best").as("gain_num")
       )
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1 && col("gain_num") > 0L)
-      .select(col("node"), col("merges_into"), col("k_node"), col("k_best"), col("gain_num"))
+      .select(
+        col("node"),
+        col("merges_into"),
+        col("k_node"),
+        col("k_best"),
+        col("gain_num").cast("long").as("gain_num")
+      )
     releaseAfterRun(spark, out, Seq(pairs))
   }
 
@@ -2948,7 +2957,13 @@ object Dedup {
     val moves = edges
       .join(deg.select(col("node").as("src"), col("k").as("k_node")), Seq("src"))
       .join(deg.select(col("node").as("dst"), col("k").as("k_best")), Seq("dst"))
-      .select(col("src").as("node"), col("dst").as("merges_into"), (lit(2L * m) - col("k_node") * col("k_best")).as("gain_num"))
+      .select(
+        col("src").as("node"),
+        col("dst").as("merges_into"),
+        // DECIMAL, like louvainGain/louvainCore: exact at any scale
+        (lit(2L * m).cast("decimal(38,0)") -
+          col("k_node").cast("decimal(38,0)") * col("k_best")).as("gain_num")
+      )
       .withColumn("rnk", row_number().over(wRnk))
       .filter(col("rnk") === 1 && col("gain_num") > 0L)
       .select(col("node").as("doc_a"), col("merges_into").as("doc_b"))
@@ -3030,7 +3045,7 @@ object Dedup {
   // measured on the same exact-Q scale.
   // -------------------------------------------------------------------
   def louvainLevels(spark: SparkSession, dir: String, maxLevels: Int = 3): DataFrame =
-    louvainLevelsFrom(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels)
+    louvainRunFor(spark, dir, maxLevels).levels
 
   /** graph_louvain_labels — the CONSUMABLE artifact of the multi-level
     * loop: every candidate-graph doc mapped to its FINAL community
@@ -3042,7 +3057,25 @@ object Dedup {
     * dedup_label_prop's LPA labels, same output grain.
     */
   def louvainLabels(spark: SparkSession, dir: String, maxLevels: Int = 3): DataFrame =
-    louvainCore(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels).labels
+    louvainRunFor(spark, dir, maxLevels).labels
+
+  /** ONE louvainCore execution serves both graph_louvain_levels and
+    * graph_louvain_labels (they are two projections of the same run) —
+    * the [[graft.sources.GraphTier]] ensure discipline applied to the
+    * computation: memoized per (tier path, maxLevels) per process. The
+    * cached frames are driver-local rows (levels) and a
+    * localCheckpoint-pinned label table, so replay never recomputes
+    * the level loop. Keyed by the TIER path (collision-proof digest,
+    * see TimeboxStore.sharedScratchPath), not the raw dir string.
+    */
+  private val louvainCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), LouvainRun]()
+
+  private def louvainRunFor(spark: SparkSession, dir: String, maxLevels: Int): LouvainRun =
+    louvainCache.computeIfAbsent(
+      (graft.sources.GraphTier.lshTierPath(dir), maxLevels),
+      _ => louvainCore(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels)
+    )
 
   private[graft] def louvainLevelsFrom(spark: SparkSession, pairs: DataFrame, maxLevels: Int): DataFrame =
     louvainCore(spark, pairs, maxLevels).levels
@@ -3091,13 +3124,17 @@ object Dedup {
       val sk2 = Option(sk2Row.getAs[java.math.BigDecimal]("sk2")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
       if (qNumPrev == null) qNumPrev = -sk2 // singleton partition: ΣIN = 0
       val wRnk = Window.partitionBy(col("node")).orderBy(col("gain_num").desc, col("merges_into").asc)
+      // gain in DECIMAL(38,0): at 100 TB scale 2M·w and k_i·k_j overflow
+      // Long (the Q-gate side is already exact BigInt/DECIMAL; the move
+      // SELECTION must be too, or overflow silently corrupts the argmax)
       val moves = sym
         .join(deg.select(col("node").as("src"), col("k").as("k_node")), Seq("src"))
         .join(deg.select(col("node").as("dst"), col("k").as("k_best")), Seq("dst"))
         .select(
           col("src").as("node"),
           col("dst").as("merges_into"),
-          (lit(m2.toLong) * col("w") - col("k_node") * col("k_best")).as("gain_num")
+          (lit(m2.toLong).cast("decimal(38,0)") * col("w") -
+            col("k_node").cast("decimal(38,0)") * col("k_best")).as("gain_num")
         )
         .withColumn("rnk", row_number().over(wRnk))
         .filter(col("rnk") === 1 && col("gain_num") > 0L)
@@ -3109,20 +3146,25 @@ object Dedup {
         .join(cc.withColumnRenamed("doc_id", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("cluster_id"), col("node")).as("lab"))
         .localCheckpoint()
+      def bigOf(r: org.apache.spark.sql.Row): BigInt =
+        Option(r.getAs[java.math.BigDecimal]("x")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
+      val selfSumB = bigOf(selfs.agg(sum(expr("CAST(s AS DECIMAL(38,0))")).as("x")).head())
+      // the conservation check, MEASURED: total weight of THIS level's
+      // graph (cross edges + self loops), re-computed from the
+      // contracted tables — not the level-1 driver constant re-published
+      // — so a contraction that loses or duplicates weight fails the
+      // published m_w invariance row (and DedupSpec's assertion on it)
+      val mW = bigOf(edges.agg(sum(expr("CAST(w AS DECIMAL(38,0))")).as("x")).head()) + selfSumB
       // candidate Q numerator: ΣIN (same-label edge weight + ALL self
       // loops — intra by definition) and Σdeg_c² over candidate labels
-      val sIn = {
-        val cross = edges
+      val sIn = bigOf(
+        edges
           .join(labCand.select(col("node").as("a"), col("lab").as("la")), Seq("a"))
           .join(labCand.select(col("node").as("b"), col("lab").as("lb")), Seq("b"))
           .filter(col("la") === col("lb"))
           .agg(sum(expr("CAST(w AS DECIMAL(38,0))")).as("x"))
           .head()
-        val selfSum = selfs.agg(sum(expr("CAST(s AS DECIMAL(38,0))")).as("x")).head()
-        def b(r: org.apache.spark.sql.Row) =
-          Option(r.getAs[java.math.BigDecimal]("x")).map(d => BigInt(d.toBigInteger)).getOrElse(BigInt(0))
-        b(cross) + b(selfSum)
-      }
+      ) + selfSumB
       val dc = deg
         .join(labCand, Seq("node"))
         .groupBy(col("lab"))
@@ -3141,7 +3183,7 @@ object Dedup {
         else (labCand.select(col("node"), col("node").as("lab")), nNodes)
       if (accepted) qNumPrev = qNumCand
       val qBp = if (M == 0L) 0L else ((BigInt(10000) * qNumPrev) / (m2 * m2)).toLong
-      rows += ((level.toLong, nNodes, M, nMoves, if (accepted) 1L else 0L, nComm, qBp))
+      rows += ((level.toLong, nNodes, mW.toLong, nMoves, if (accepted) 1L else 0L, nComm, qBp))
       // compose the ORIGINAL-node → community mapping through this
       // level (a level's node IS a previous level's label)
       acc =

@@ -2134,8 +2134,16 @@ object TimeboxStore {
     * LSH recompute the tier eliminates). Still under the per-process
     * root, so cross-JVM isolation and shutdown cleanup hold.
     */
-  private[graft] def sharedScratchPath(prefix: String, dir: String): String =
-    s"$scratchRoot/${prefix}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  private[graft] def sharedScratchPath(prefix: String, dir: String): String = {
+    // the sanitizer is lossy (/a/b and /a_b collide) — a digest of the
+    // RAW dir string makes the key collision-proof, so two corpora can
+    // never silently share one tier within a process
+    val digest = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    s"$scratchRoot/${prefix}_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$digest"
+  }
 
   private val LineitemTags = Seq("qty_c", "price_c", "disc_c")
 
