@@ -134,6 +134,7 @@ object SparkEntry {
     "ts_store_agg_pushdown" -> ((s, d) => graft.sources.TimeboxStore.aggPushdownSummary(s, d)),
     "ts_store_format_agg" -> ((s, d) => graft.sources.TimeboxStore.formatAggSummary(s, d)),
     "ts_store_format_write" -> ((s, d) => graft.sources.TimeboxStore.formatWriteRoundtrip(s, d)),
+    "ts_store_stream_write" -> ((s, d) => graft.sources.TimeboxStore.streamWriteRoundtrip(s, d)),
     "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
     "ts_store_agg_range" -> ((s, d) => graft.sources.TimeboxStore.rangeAggSummary(s, d)),
     "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
@@ -6149,6 +6150,16 @@ object SparkEntry {
     // the write facade's roundtrip: overwrite first half, append the
     // second, read back through the format — oracle is the raw table
     "ts_store_format_write" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+    // the streaming write door (writeStream sink, exactly-once blocks)
+    // must land the identical store the batch writer lands — shared
+    // oracle by design
+    "ts_store_stream_write" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,

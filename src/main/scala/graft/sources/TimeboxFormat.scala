@@ -47,8 +47,36 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class TimeboxDataSource
     extends TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "timebox"
+
+  // ---- streaming WRITE to a raw block store --------------------------
+  // `df.writeStream.format("timebox").start(path)` — see
+  // [[TimeboxStreamSink]]. Append-only (blocks are immutable, exactly
+  // the file-sink contract); versioned roots write through
+  // SnapshotCatalog.commit, same rule as the batch write door.
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode
+  ): org.apache.spark.sql.execution.streaming.Sink = {
+    val path = pathFromParams(parameters)
+    require(
+      partitionColumns.isEmpty,
+      "timebox sink: partitionBy is not supported — blocks cluster by (series, day) internally"
+    )
+    require(
+      outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"timebox sink: only Append output mode lands immutable blocks (got $outputMode)"
+    )
+    require(
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits")),
+      s"timebox sink: cannot stream-write through a snapshot-catalog root ($path) — commit versions via SnapshotCatalog"
+    )
+    new TimeboxStreamSink(sqlContext.sparkSession, path)
+  }
 
   // ---- streaming READ of a versioned store ---------------------------
   // `spark.readStream.format("timebox").load(root)` serves each
@@ -208,17 +236,7 @@ private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-        val cols = data.schema.fields.map(f => f.name -> f.dataType).toMap
-        for (c <- Seq("series_id", "ts_us", "seq"))
-          require(
-            cols.get(c).contains(LongType),
-            s"timebox write: point schema requires LONG column '$c' (got ${cols.get(c).getOrElse("nothing")})"
-          )
-        val tagCols = data.schema.fieldNames.filterNot(Set("series_id", "ts_us", "seq")).toSeq
-        require(tagCols.nonEmpty, "timebox write: at least one tag column is required")
-        tagCols.foreach(t =>
-          require(cols(t) == LongType, s"timebox write: tag column '$t' must be LONG (got ${cols(t)})")
-        )
+        val tagCols = TimeboxFormat.validatePointSchema(data.schema)
         TimeboxStore
           .encode(data, "series_id", "ts_us", "seq", tagCols)
           .write
@@ -227,6 +245,51 @@ private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
       }
     }
   }
+}
+
+/** `df.writeStream.format("timebox").start()` — the STREAMING write
+  * half, completing batch + stream + SQL symmetry on the write door
+  * (the read door got all three in earlier rounds; the reference's
+  * write surface is timebox.py:123). Each micro-batch runs the same
+  * Catalyst encode pipeline the batch writer uses and lands as new
+  * self-contained block files — and delivery is EXACTLY-ONCE over the
+  * engine's at-least-once replays: a batch's blocks land under
+  * batchId-deterministic file names via stage-and-rename, a commit
+  * marker (`_stream_commits/<batchId>`) is written last, and a replay
+  * either skips (marker present) or clears the partial landing and
+  * re-lands it byte-identically. The drained store is therefore equal
+  * to the one-shot batch write of the same rows — the shared oracle.
+  * Fragmentation from micro-batch boundaries is the store's normal
+  * aging ([[TimeboxStore.compactFragmented]] is the counterpart).
+  */
+private[graft] class TimeboxStreamSink(spark: SparkSession, path: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.hadoop.fs.Path
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/_stream_commits/$batchId")
+    if (fs.exists(marker)) return // replayed batch, already landed
+    val tagCols = TimeboxFormat.validatePointSchema(data.schema)
+    val staging = s"$path/_staging_sink_$batchId"
+    TimeboxStore
+      .encode(org.apache.spark.sql.graftshim.GraftShims.batchFrame(data), "series_id", "ts_us", "seq", tagCols)
+      .write.mode("overwrite").parquet(staging)
+    // clear a crashed attempt's partial landing, then land this batch's
+    // blocks under deterministic names — the replay-idempotence anchor
+    for (f <- fs.globStatus(new Path(s"$path/b$batchId-*.parquet")))
+      fs.delete(f.getPath, false): Unit
+    val parts = fs.listStatus(new Path(staging))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+    for ((f, i) <- parts.zipWithIndex)
+      fs.rename(f.getPath, new Path(s"$path/b$batchId-$i.parquet")): Unit
+    fs.delete(new Path(staging), true): Unit
+    fs.mkdirs(new Path(s"$path/_stream_commits")): Unit
+    fs.create(marker, true).close()
+  }
+
+  override def toString: String = s"TimeboxStreamSink[$path]"
 }
 
 private[sources] class TimeboxScanBuilder(paths: Seq[String], full: StructType)
@@ -506,6 +569,25 @@ object TimeboxFormat {
     val aggs = pa.cols.zipWithIndex.map { case (c, i) => finalAgg(c, i) }
     if (pa.bySeries) withB.groupBy(col("series_id")).agg(aggs.head, aggs.tail: _*)
     else withB.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Point-schema contract shared by every write door (batch V1Write,
+    * SQL INSERT, streaming sink): LONG coordinates, ≥1 LONG tag.
+    * Returns the tag columns.
+    */
+  private[sources] def validatePointSchema(schema: StructType): Seq[String] = {
+    val cols = schema.fields.map(f => f.name -> f.dataType).toMap
+    for (c <- Seq("series_id", "ts_us", "seq"))
+      require(
+        cols.get(c).contains(LongType),
+        s"timebox write: point schema requires LONG column '$c' (got ${cols.get(c).getOrElse("nothing")})"
+      )
+    val tagCols = schema.fieldNames.filterNot(Set("series_id", "ts_us", "seq")).toSeq
+    require(tagCols.nonEmpty, "timebox write: at least one tag column is required")
+    tagCols.foreach(t =>
+      require(cols(t) == LongType, s"timebox write: tag column '$t' must be LONG (got ${cols(t)})")
+    )
+    tagCols
   }
 
   /** Tag names off a block schema: every stored `offs_<tag>` column. */

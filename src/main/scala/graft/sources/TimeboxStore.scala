@@ -473,6 +473,66 @@ object TimeboxStore {
       .withColumnRenamed("series_id", "user_id")
   }
 
+  /** ts_store_stream_write — the STREAMING write door on the public
+    * format, end to end: the first half of history lands through the
+    * batch writer (`df.write.format("timebox")`), the second arrives
+    * as a STREAM and lands through the sink
+    * (`df.writeStream.format("timebox")` — [[TimeboxStreamSink]]: the
+    * same encode pipeline per micro-batch, exactly-once over replays
+    * via batchId-deterministic block names + commit markers), and the
+    * verification read comes back through `spark.read.format
+    * ("timebox")`. Same output contract and ORACLE as
+    * ts_store_format_write: the drained store must summarize exactly
+    * like the one-shot batch-written store — 24/7 ingest and nightly
+    * batch loads are pinned to the same bytes-on-disk semantics.
+    */
+  def streamWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = scratchPath("graft_store_stw", dir)
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val mm = pts.agg(min(expr(s"ts_us DIV ${DayUs}L")), max(expr(s"ts_us DIV ${DayUs}L"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    pts
+      .filter(expr(s"ts_us DIV ${DayUs}L < ${splitDay}L"))
+      .write.format("timebox").mode("overwrite").save(out) // also clears old markers/checkpoint
+    val stream = spark.readStream
+      .schema(Tables.eventsFileSchema(spark, dir))
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id").as("series_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+      .filter(expr(s"ts_us DIV ${DayUs}L >= ${splitDay}L"))
+    val q = stream.writeStream
+      .format("timebox")
+      .option("checkpointLocation", s"$out/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read
+      .format("timebox")
+      .load(out)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(col("seq")).as("sum_event_id"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+      .withColumnRenamed("series_id", "user_id")
+  }
+
   def aggPushdownSummary(spark: SparkSession, dir: String): DataFrame = {
     val out = scratchPath("graft_store_aggp", dir)
     val tags = Seq("value_c", "counter_c", "trend_c")

@@ -25,4 +25,16 @@ object GraftShims {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
+
+  /** The inverse bridge, for the V1 `Sink.addBatch` contract: the
+    * micro-batch arrives as a streaming-tagged plan that batch writers
+    * refuse; re-plan it as a plain batch frame over the same physical
+    * rows (exactly ForeachBatchSink's `LogicalRDD.fromDataset(...,
+    * isStreaming = false)` move, reached through the same private[sql]
+    * converter).
+    */
+  def batchFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -436,6 +436,87 @@ class FormatSpec extends AnyFunSuite {
     assert(chain.contains("startingVersion"), s"expected a startingVersion error, got: $chain")
   }
 
+  test("streaming write sink: multi-batch drain equals the batch write, resume appends only new slices") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkspec").toString
+    val srcDir = new java.io.File(root, "pts.parquet"); assert(srcDir.mkdir())
+    val store = s"$root/store"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 10)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        col("value_c")
+      )
+    val t0 = System.currentTimeMillis() - 60000
+    def writeSlice(i: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink_slice").toString
+      pts.filter(col("seq") % 4 === i.toLong).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(srcDir, s"p$i.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(t0 + i * 2000))
+    }
+    (0 to 2).foreach(writeSlice)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.getPath)
+        .writeStream.format("timebox")
+        .option("checkpointLocation", s"$root/_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start(store)
+      q.awaitTermination()
+    }
+    drain()
+    // three micro-batches through the sink == the one-shot batch write
+    val batchStore = s"$root/batch"
+    pts.filter(col("seq") % 4 <= 2L).write.format("timebox").mode("overwrite").save(batchStore)
+    def decoded(p: String) = spark.read.format("timebox").load(p)
+    val (a, b) = (decoded(store), decoded(batchStore))
+    assert(a.count() === b.count())
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0,
+      "streamed store diverges from the batch-written store")
+    // resume over the same checkpoint: only the NEW slice lands
+    writeSlice(3)
+    drain()
+    val full = decoded(store)
+    assert(full.count() === pts.count(), "resume must append exactly the new slice")
+    assert(full.except(pts).count() === 0 && pts.except(full).count() === 0)
+  }
+
+  test("streaming write sink: a replayed batchId lands once — marker skip, and a crashed attempt re-lands byte-stably") {
+    import graft.sources.TimeboxStreamSink
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkreplay").toString
+    val store = s"$root/store"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+      .localCheckpoint()
+    val sink = new TimeboxStreamSink(spark, store)
+    sink.addBatch(0L, pts)
+    def files() = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    val once = files()
+    assert(once.nonEmpty && once.keySet.forall(_.startsWith("b0-")), s"blocks must carry batchId names: ${once.keySet}")
+    val nRows = spark.read.format("timebox").load(store).count()
+    // replay with the marker present: a no-op
+    sink.addBatch(0L, pts)
+    assert(files() === once, "replayed batchId re-landed blocks")
+    // crash simulation: marker lost AFTER a (partial) landing — the
+    // replay clears the partial files and re-lands deterministically
+    assert(new java.io.File(s"$store/_stream_commits/0").delete())
+    assert(new java.io.File(store, once.keySet.head).delete(), "could not simulate a partial landing")
+    sink.addBatch(0L, pts)
+    assert(files().keySet === once.keySet, "recovery must restore the exact block set")
+    assert(spark.read.format("timebox").load(store).count() === nRows, "recovery duplicated or lost points")
+    assert(new java.io.File(s"$store/_stream_commits/0").exists(), "recovery must re-commit the marker")
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
