@@ -175,8 +175,54 @@ class TimeboxDataSource
 private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema0: StructType)
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"timebox:$path"
+
+  // ---- SQL DML: `DELETE FROM t WHERE tag = v` -------------------------
+  // The predicate-delete operator (TimeboxStore.deleteWhereEquals —
+  // blocks whose dictionary/bloom/zone map PROVE the value absent pass
+  // through encoded and byte-identical; only candidate blocks decode,
+  // drop, re-encode) surfaced through Spark's row-level-delete door, so
+  // a SQL-only user owns the GDPR purge without a library import.
+  // Conjunctions of tag equalities compose (each filter is one
+  // deleteWhereEquals pass); anything else is declined loudly at
+  // canDeleteWhere so Spark reports "cannot delete" instead of
+  // silently over- or under-deleting.
+  private def tagEq(f: Filter): Option[(String, Long)] = f match {
+    case EqualTo(t, v: java.lang.Number) if TimeboxFormat.tagFields(schema0)(t) => Some(t -> v.longValue)
+    case _                                                                      => None
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    dataPaths == Seq(path) && filters.nonEmpty && filters.forall(tagEq(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(
+      dataPaths == Seq(path),
+      s"timebox: cannot DELETE through a snapshot-catalog root ($path) — commit a new version via SnapshotCatalog"
+    )
+    val spark = SparkSession.active
+    var blocks = spark.read.parquet(path)
+    val tagCols = TimeboxFormat.tagsOf(blocks.schema)
+    for (f <- filters) {
+      val (t, v) = tagEq(f).getOrElse(
+        throw new IllegalArgumentException(s"timebox DELETE supports tag-equality predicates only, got $f")
+      )
+      blocks = TimeboxStore.deleteWhereEquals(blocks, t, v, tagCols)
+    }
+    // the store is both source and sink of the rewrite: materialize the
+    // surviving blocks to a staging sibling, then swap the directories
+    // (a raw block store has no snapshot log to make this atomic — the
+    // versioned root is the door for stores that need one)
+    import org.apache.hadoop.fs.Path
+    val staging = new Path(s"${path}__delete_staging")
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    blocks.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(dst, true): Unit
+    require(fs.rename(staging, dst), s"timebox DELETE: could not swap $staging into place")
+  }
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the write at the DataFrameWriter.save() gate;

@@ -1950,6 +1950,38 @@ object TimeboxStore {
     )
   }
 
+  /** ts_store_sql_delete — the SQL DML door: `DELETE FROM t WHERE tag
+    * = v` on the catalog table, riding [[deleteWhereEquals]] through
+    * [[TimeboxTable]]'s SupportsDelete (skip-proven blocks pass through
+    * encoded; only candidates rewrite). Same purge and same ORACLE as
+    * ts_store_delete_value, so the SQL and library delete doors are
+    * pinned to the same survivors — a SQL-only user now owns the full
+    * lifecycle: create, load, append, query, purge.
+    */
+  def sqlDeleteSummary(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("graft_store_sqldel", dir)
+    val tags = Seq("value_c", "etype_c")
+    encode(eventTypePoints(spark, dir), tagCols = tags)
+      .write.mode("overwrite").parquet(path)
+    val tbl = "tbd_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$path'")
+    // purge 'p*' events (ascii 112) — the same code ts_store_delete_value purges
+    spark.sql(s"DELETE FROM $tbl WHERE etype_c = 112")
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(*) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

@@ -517,6 +517,37 @@ class FormatSpec extends AnyFunSuite {
     assert(new java.io.File(s"$store/_stream_commits/0").exists(), "recovery must re-commit the marker")
   }
 
+  test("SQL DELETE door: purges exactly the predicate's rows; unsupported predicates decline loudly, store untouched") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldel_spec").toString
+    val p = s"$root/store"
+    val pts = TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 20)
+    TimeboxStore.encode(pts, tagCols = Seq("value_c", "etype_c"))
+      .write.mode("overwrite").parquet(p)
+    spark.sql("DROP TABLE IF EXISTS tb_sqldel_spec")
+    spark.sql(s"CREATE TABLE tb_sqldel_spec USING timebox LOCATION '$p'")
+    val before = spark.read.format("timebox").load(p).count()
+    // a predicate the skip machinery cannot serve exactly declines at
+    // canDeleteWhere — Spark errors, nothing is deleted
+    intercept[Throwable](spark.sql("DELETE FROM tb_sqldel_spec WHERE etype_c > 100"))
+    intercept[Throwable](spark.sql("DELETE FROM tb_sqldel_spec")) // no WHERE: refuse, never silently no-op
+    assert(spark.read.format("timebox").load(p).count() === before, "declined DELETE must not change the store")
+    // the supported shape: tag equality — same survivors as the raw filter
+    spark.sql("DELETE FROM tb_sqldel_spec WHERE etype_c = 112")
+    val got = spark.read.format("timebox").load(p)
+      .select(col("series_id"), col("ts_us"), col("seq"), col("value_c"), col("etype_c"))
+    val expect = pts
+      .filter(col("etype_c") =!= 112L)
+      .select(
+        col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"),
+        col("value_c"), col("etype_c")
+      )
+    assert(got.count() === expect.count())
+    assert(got.except(expect).count() === 0 && expect.except(got).count() === 0,
+      "SQL DELETE survivors diverge from the raw filter")
+    // the SQL read door keeps working on the rewritten store
+    assert(spark.sql("SELECT COUNT(*) AS n FROM tb_sqldel_spec").head().getLong(0) === expect.count())
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
