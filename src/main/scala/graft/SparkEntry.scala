@@ -4778,17 +4778,17 @@ object SparkEntry {
         |  FROM o WHERE rn = 1
         |  UNION ALL
         |  SELECT o.user_id, o.rn, o.hour_id,
-        |    CAST((o.m - r.s[CAST(o.hour_id % 24 AS INT) + 1] + r.l + r.b) // 2 AS BIGINT) AS l,
-        |    CAST(((o.m - r.s[CAST(o.hour_id % 24 AS INT) + 1] + r.l + r.b) // 2 - r.l + r.b) // 2 AS BIGINT) AS b,
-        |    list_transform(range(24), j -> CASE WHEN j = CAST(o.hour_id % 24 AS BIGINT)
-        |      THEN CAST((o.m - ((o.m - r.s[CAST(o.hour_id % 24 AS INT) + 1] + r.l + r.b) // 2)
-        |                 + r.s[CAST(o.hour_id % 24 AS INT) + 1]) // 2 AS BIGINT)
+        |    CAST((o.m - r.s[CAST(((o.hour_id % 24) + 24) % 24 AS INT) + 1] + r.l + r.b) // 2 AS BIGINT) AS l,
+        |    CAST(((o.m - r.s[CAST(((o.hour_id % 24) + 24) % 24 AS INT) + 1] + r.l + r.b) // 2 - r.l + r.b) // 2 AS BIGINT) AS b,
+        |    list_transform(range(24), j -> CASE WHEN j = CAST(((o.hour_id % 24) + 24) % 24 AS BIGINT)
+        |      THEN CAST((o.m - ((o.m - r.s[CAST(((o.hour_id % 24) + 24) % 24 AS INT) + 1] + r.l + r.b) // 2)
+        |                 + r.s[CAST(((o.hour_id % 24) + 24) % 24 AS INT) + 1]) // 2 AS BIGINT)
         |      ELSE r.s[CAST(j AS INT) + 1] END) AS s,
-        |    CAST(r.er + abs(r.l + r.b + r.s[CAST(o.hour_id % 24 AS INT) + 1] - o.m) AS BIGINT) AS er
+        |    CAST(r.er + abs(r.l + r.b + r.s[CAST(((o.hour_id % 24) + 24) % 24 AS INT) + 1] - o.m) AS BIGINT) AS er
         |  FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
         |)
         |SELECT r.user_id, mx.n_hours, r.l AS level_c, r.b AS trend_c,
-        |  CAST(r.l + r.b + r.s[CAST((r.hour_id + 1) % 24 AS INT) + 1] AS BIGINT) AS forecast_c,
+        |  CAST(r.l + r.b + r.s[CAST((((r.hour_id + 1) % 24) + 24) % 24 AS INT) + 1] AS BIGINT) AS forecast_c,
         |  r.er AS sae_c
         |FROM rec r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.n_hours""".stripMargin,
     // model selection: snaive vs Holt one-step MAE per series — both
@@ -6325,7 +6325,8 @@ object SparkEntry {
     "ts_store_merge" ->
       """SELECT user_id, COUNT(*) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT) +
-        |           CASE WHEN epoch_us(ts) >= 1704672000000000 THEN 500 ELSE 0 END) AS BIGINT) AS sum_value_c,
+        |           CASE WHEN epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) // 86400000000 + 7) * 86400000000 FROM events)
+        |                THEN 500 ELSE 0 END) AS BIGINT) AS sum_value_c,
         |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
         |FROM events
         |GROUP BY 1""".stripMargin,
@@ -6552,8 +6553,11 @@ object SparkEntry {
         |)
         |SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, COUNT(*) AS n_events
         |FROM s GROUP BY user_id, seq""".stripMargin,
+    // window start = FLOOR hour (Spark's window() floors; a bare //
+    // truncates toward zero and merges the two hours around the epoch)
     "ts_ingest_stream" ->
-      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, event_type,
+      """SELECT epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000) % 3600000000 AS window_start_us,
+        |  event_type,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
         |FROM events GROUP BY 1, 2""".stripMargin,

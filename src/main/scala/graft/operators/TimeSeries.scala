@@ -1086,7 +1086,22 @@ object TimeSeries {
   // total, versus a range-join's quadratic blowup. Clicks sort before
   // purchases at equal timestamps, matching ASOF's >= semantics.
   // -------------------------------------------------------------------
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinRaw(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts_us"),
+        coalesce(col("click_ts_us"), lit(-1L)).as("click_ts_us")
+      )
+
+  /** The as-of pipeline with a NULLABLE no-match column — the -1
+    * sentinel is applied only at the published edge (asofJoin) or
+    * after the tolerance test (asofJoinTolerance): a `>= 0` test on
+    * the sentinel would misread every real pre-epoch (negative)
+    * timestamp as "no click".
+    */
+  private def asofJoinRaw(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
       .partitionBy("user_id")
       .orderBy(col("ts_us"), col("kind"), col("event_id"))
@@ -1101,12 +1116,7 @@ object TimeSeries {
       )
       .withColumn("click_ts_us", max(when(col("kind") === 0, col("ts_us"))).over(w))
       .filter(col("kind") === 1)
-      .select(
-        col("event_id"),
-        col("user_id"),
-        col("ts_us"),
-        coalesce(col("click_ts_us"), lit(-1L)).as("click_ts_us")
-      )
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("click_ts_us"))
   }
 
   // -------------------------------------------------------------------
@@ -1120,15 +1130,15 @@ object TimeSeries {
   // post-filter on the carried timestamp — never a range join.
   // -------------------------------------------------------------------
   def asofJoinTolerance(spark: SparkSession, dir: String, tolUs: Long = HourUs): DataFrame =
-    asofJoin(spark, dir)
+    asofJoinRaw(spark, dir)
       .select(
         col("event_id"),
         col("user_id"),
         col("ts_us"),
-        when(
-          col("click_ts_us") >= 0L && col("ts_us") - col("click_ts_us") <= tolUs,
-          col("click_ts_us")
-        ).otherwise(-1L).as("click_ts_us")
+        coalesce(
+          when(col("ts_us") - col("click_ts_us") <= tolUs, col("click_ts_us")),
+          lit(-1L)
+        ).as("click_ts_us")
       )
 
   /** ts_event_collapse — BURST COLLAPSE / idempotency-window dedup:
@@ -2120,7 +2130,10 @@ object TimeSeries {
   def holtWinters(spark: SparkSession, dir: String): DataFrame = {
     // SQL lambda bodies cannot let-bind: s[i] and the new level are
     // inlined at every use (the holtLinear discipline)
-    val sIdx = "element_at(acc.s, CAST(x.hour_id % 24 AS INT) + 1)"
+    // pmod, not %: pre-epoch hour ids are negative and a signed
+    // remainder would index element_at at <= 0 (crash at 0, from-the-end
+    // reads below) — same fix in the DuckDB oracle
+    val sIdx = "element_at(acc.s, CAST(pmod(x.hour_id, 24) AS INT) + 1)"
     val lNew = s"(x.mean_c - $sIdx + acc.l + acc.b) DIV 2"
     val fold =
       s"""aggregate(
@@ -2133,7 +2146,7 @@ object TimeSeries {
          |    'b', (($lNew) - acc.l + acc.b) DIV 2,
          |    'e', acc.e + abs(acc.l + acc.b + $sIdx - x.mean_c),
          |    's', transform(sequence(0, 23), j ->
-         |      IF(j = CAST(x.hour_id % 24 AS INT),
+         |      IF(j = CAST(pmod(x.hour_id, 24) AS INT),
          |         (x.mean_c - ($lNew) + $sIdx) DIV 2,
          |         element_at(acc.s, j + 1)))))""".stripMargin
     eventsUs(spark, dir)
@@ -2153,7 +2166,7 @@ object TimeSeries {
         col("n_hours"),
         col("st.l").as("level_c"),
         col("st.b").as("trend_c"),
-        expr("st.l + st.b + element_at(st.s, CAST((last_hour + 1) % 24 AS INT) + 1)").as("forecast_c"),
+        expr("st.l + st.b + element_at(st.s, CAST(pmod(last_hour + 1, 24) AS INT) + 1)").as("forecast_c"),
         col("st.e").as("sae_c")
       )
   }

@@ -1371,7 +1371,13 @@ object StreamingIngest {
         col("event_type").as[String]
       )
       .as[(Long, Long, Long, String)]
-    // state: (view_us, click_us, purchase_us, lastTs, lastSeq); -1 = unset
+    // state: (view_us, click_us, purchase_us, lastTs, lastSeq).
+    // Unset = Long.MinValue (no real timestamp), NOT -1: pre-epoch
+    // event times are legitimate negative longs, and a `>= 0` slot
+    // test would misread every one of them as "unset". The published
+    // rows keep the batch oracle's -1 convention via pub() at the
+    // emit edge only.
+    val Unset = Long.MinValue
     val advanced = stream
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
@@ -1380,30 +1386,31 @@ object StreamingIngest {
       ) { (uid: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[(Long, Long, Long, Long, Long)]) =>
         val pts = rows.toArray.sortBy(r => (r._2, r._3))
         var (view, click, purchase, lastTs, lastSeq) =
-          state.getOption.getOrElse((-1L, -1L, -1L, Long.MinValue, Long.MinValue))
+          state.getOption.getOrElse((Unset, Unset, Unset, Long.MinValue, Long.MinValue))
         val firstEver = state.getOption.isEmpty
         pts.headOption.foreach { case (_, ts, eid, _) =>
-          if (ts < lastTs || (ts == lastTs && eid < lastSeq))
+          if (state.getOption.isDefined && (ts < lastTs || (ts == lastTs && eid < lastSeq)))
             throw new IllegalStateException(
               s"funnelStream: out-of-order arrival for user $uid — (ts=$ts, seq=$eid) after " +
                 s"(ts=$lastTs, seq=$lastSeq); the source must deliver each user in event-time order"
             )
         }
         val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long, Long, Long)]
-        def steps = (if (view >= 0) 1L else 0L) + (if (click >= 0) 1L else 0L) + (if (purchase >= 0) 1L else 0L)
+        def pub(x: Long) = if (x == Unset) -1L else x
+        def steps = (if (view != Unset) 1L else 0L) + (if (click != Unset) 1L else 0L) + (if (purchase != Unset) 1L else 0L)
         pts.foreach { case (_, ts, eid, etype) =>
           val before = steps
           etype match {
-            case "view" if view < 0                                 => view = ts
-            case "click" if view >= 0 && view < ts && click < 0     => click = ts
-            case "purchase" if click >= 0 && click < ts && purchase < 0 => purchase = ts
-            case _                                                  => ()
+            case "view" if view == Unset                                      => view = ts
+            case "click" if view != Unset && view < ts && click == Unset      => click = ts
+            case "purchase" if click != Unset && click < ts && purchase == Unset => purchase = ts
+            case _                                                            => ()
           }
-          if (steps != before) out += ((uid, view, click, purchase, steps))
+          if (steps != before) out += ((uid, pub(view), pub(click), pub(purchase), steps))
           lastTs = ts
           lastSeq = eid
         }
-        if (firstEver && out.isEmpty && pts.nonEmpty) out += ((uid, view, click, purchase, steps))
+        if (firstEver && out.isEmpty && pts.nonEmpty) out += ((uid, pub(view), pub(click), pub(purchase), steps))
         state.update((view, click, purchase, lastTs, lastSeq))
         out.iterator
       }
@@ -2331,13 +2338,15 @@ object StreamingIngest {
         val pts = graft.operators.TimeSeries
           .eventsUs(spark, dir)
           .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+        // truncated-day EQUALITY slices (see catalogMaintenanceSummary):
+        // the range form diverges from the oracle's day grouping on
+        // pre-epoch timestamps
         val d0 = pts.agg(min(expr(s"ts_us DIV ${dayUs}L"))).head().getLong(0)
         (0 until nDays).foreach { i =>
-          val (lo, hi) = ((d0 + i) * dayUs, (d0 + i + 1) * dayUs)
           SnapshotCatalog.commit(
             spark,
             root,
-            p => TimeboxStore.encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+            p => TimeboxStore.encode(pts.filter(expr(s"ts_us DIV ${dayUs}L") === (d0 + i))).write.parquet(p)
           ): Unit
         }
         fixtureReady.add(root): Unit

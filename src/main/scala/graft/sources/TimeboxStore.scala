@@ -1102,13 +1102,17 @@ object TimeboxStore {
       .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
     // 1-value range plan (the house scalar-aggregate pattern): the
     // first day of history anchors the snapshot schedule
+    // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
+    // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
+    // pre-epoch data the range form and the day-index form disagree
+    // (and points below the truncated min-day fall out of every
+    // slice); the equality form IS the oracle's grouping on any input
     val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
     (0 until nDays).foreach { i =>
-      val (lo, hi) = ((d0 + i) * DayUs, (d0 + i + 1) * DayUs)
       SnapshotCatalog.commit(
         spark,
         root,
-        p => encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+        p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
       )
       if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
     }
@@ -1144,13 +1148,17 @@ object TimeboxStore {
     val pts = TimeSeries
       .eventsUs(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
+    // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
+    // pre-epoch data the range form and the day-index form disagree
+    // (and points below the truncated min-day fall out of every
+    // slice); the equality form IS the oracle's grouping on any input
     val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
     (0 until nDays).foreach { i =>
-      val (lo, hi) = ((d0 + i) * DayUs, (d0 + i + 1) * DayUs)
       SnapshotCatalog.commit(
         spark,
         root,
-        p => encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+        p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
       )
       if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
     }
@@ -1192,13 +1200,17 @@ object TimeboxStore {
     val pts = TimeSeries
       .eventsUs(spark, dir)
       .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+    // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
+    // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
+    // pre-epoch data the range form and the day-index form disagree
+    // (and points below the truncated min-day fall out of every
+    // slice); the equality form IS the oracle's grouping on any input
     val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
     (0 until nDays).foreach { i =>
-      val (lo, hi) = ((d0 + i) * DayUs, (d0 + i + 1) * DayUs)
       SnapshotCatalog.commit(
         spark,
         root,
-        p => encode(pts.filter(col("ts_us") >= lo && col("ts_us") < hi)).write.parquet(p)
+        p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
       )
       if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
     }
@@ -1315,8 +1327,6 @@ object TimeboxStore {
     * covers" — which the oracle recomputes directly from raw events.
     */
   def mergeSummary(spark: SparkSession, dir: String): DataFrame = {
-    val aHi = 1705881600000000L // 2024-01-22: A covers history up to here
-    val bLo = 1704672000000000L // 2024-01-08: B re-states from here on
     val pts = TimeSeries
       .eventsUs(spark, dir)
       .select(
@@ -1325,6 +1335,13 @@ object TimeboxStore {
         col("event_id").as("seq"),
         cents(col("value")).as("value_c")
       )
+    // boundaries RELATIVE to the data's first (truncated) day — an
+    // absolute epoch constant empties one side on a time-shifted slice
+    // (the pre-epoch audit) and the merge fixture crashes on it; on the
+    // standard 2024 events these resolve to the original Jan 22/Jan 8
+    val d0  = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+    val aHi = (d0 + 21) * DayUs // A covers history up to here
+    val bLo = (d0 + 7) * DayUs  // B re-states from here on
     val a = encode(pts.filter(col("ts_us") < aHi), "series_id", "ts_us", "seq", Seq("value_c"))
     val b = encode(
       pts.filter(col("ts_us") >= bLo).withColumn("value_c", col("value_c") + 500L),

@@ -13,8 +13,14 @@ import json, sys, subprocess, glob, os
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--run"]
+    args = [a for a in sys.argv[1:] if a != "--run" and not a.startswith("--exclude")]
     run = "--run" in sys.argv
+    # --exclude=a,b,c — drop queries from the sweep (the negts.py slice
+    # uses this for the watermark-bound streaming set; see tools/negts.py)
+    excl = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--exclude="):
+            excl.update(a.split("=", 1)[1].split(","))
     sfdir, outdir = args[0], args[1]
     only = set(args[2:])
     if run:
@@ -29,7 +35,7 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        if only and name not in only:
+        if (only and name not in only) or name in excl:
             continue
         res_dir = f"{outdir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
