@@ -259,6 +259,7 @@ object SparkEntry {
     "contamination_long_match"  -> ((s, d) => Dedup.contaminationLongMatch(s, d)),
     "dedup_bloom_prefilter"     -> ((s, d) => Dedup.bloomPrefilter(s, d)),
     "dedup_substring"           -> ((s, d) => Dedup.substringDedup(s, d)),
+    "dedup_paragraph"           -> ((s, d) => Dedup.dedupParagraph(s, d)),
     "text_ngram_novelty"        -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "dedup_store_stats"         -> ((s, d) => Dedup.storeStats(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -2417,6 +2418,22 @@ object SparkEntry {
          |SELECT cnt.doc_id, cnt.n_sh, COALESCE(nv.n_novel, 0) AS n_novel,
          |  CAST(COALESCE(nv.n_novel, 0) * 10000 // GREATEST(cnt.n_sh, 1) AS BIGINT) AS novelty_bp
          |FROM cnt LEFT JOIN nv USING (doc_id)""".stripMargin,
+    // segment-grain keep-first dedup: fixed 8-token windows stand in
+    // for paragraphs; an occurrence survives iff globally first by
+    // (doc_id, seg_idx). Spark seg_idx (posexplode) and DuckDB i
+    // (range) are both 0-based; list slicing clamps identically
+    "dedup_paragraph" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, i AS seg_idx,
+         |        array_to_string(toks[i*8+1 : i*8+8], ' ') AS seg
+         |      FROM (SELECT doc_id, toks, unnest(range(((len(toks) - 1) // 8) + 1)) AS i FROM d)),
+         |k AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, seg_idx) AS rnk
+         |      FROM s)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs,
+         |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS kept_bp
+         |FROM k GROUP BY 1""".stripMargin,
     // within-corpus substring dedup: same diagonal-streak machinery
     // self-joined with doc_id != t_doc; dup_tokens = per-doc interval
     // union of DISTINCT spans with run >= 16 (running-max merge);

@@ -2219,6 +2219,47 @@ object Dedup {
     releaseAfterRun(spark, out, Seq(sh, runs))
   }
 
+  // -------------------------------------------------------------------
+  // 23m. dedup_paragraph — SEGMENT-grain keep-first dedup (the CCNet
+  // discipline: dedup at paragraph grain so boilerplate paragraphs
+  // vanish corpus-wide while their host documents survive — the stage
+  // between exact doc dedup and near-dup LSH). The corpus ships
+  // without paragraph delimiters, so fixed token windows stand in for
+  // paragraphs (the delimiter is a config; the keep-first accounting
+  // is the operator): each doc's token stream splits into consecutive
+  // segTokens-word segments, a segment OCCURRENCE survives iff it is
+  // the globally FIRST occurrence of its hash (by (doc_id, seg_idx) —
+  // deterministic, ingest-order-stable), and the output is the per-doc
+  // retention ledger a curation pipeline writes back. Scale shape: one
+  // shuffle on the segment hash (the keep-first rank window partitions
+  // by hash — group size = a segment's corpus frequency, the
+  // boilerplate skew lives INSIDE one partition-key's group and a
+  // rank-1 window never materializes pairs), then a per-doc re-agg;
+  // never all-pairs, never a self-join.
+  // -------------------------------------------------------------------
+  def dedupParagraph(spark: SparkSession, dir: String, segTokens: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
+    docsNorm(spark, dir)
+      .withColumn("toks", split(col("norm"), " "))
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, CAST((size(toks) - 1) DIV $segTokens AS INT)), " +
+              s"i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))"
+          )
+        ).as(Seq("seg_idx", "seg"))
+      )
+      .withColumn("h", md5(col("seg")))
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept")
+      )
+      .withColumn("kept_bp", expr("n_kept * 10000 DIV n_segs"))
+  }
+
   /** [[shinglesOf]] with the anchor's starting TOKEN POSITION — the
     * coordinate the long-match diagonal chaining needs.
     */

@@ -966,39 +966,10 @@ object TimeboxStore {
     */
   def cdcSummary(spark: SparkSession, dir: String): DataFrame = {
     val tags = Seq("value_c", "etype_c")
-    val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L) // 2024-01-08 .. 01-15
-    val (w3lo, w3hi) = (1705276800000000L, 1705881600000000L) // 2024-01-15 .. 01-22
-    val outA = scratchPath("graft_store_cdc_a", dir)
-    val outB = scratchPath("graft_store_cdc_b", dir)
-    encode(eventTypePoints(spark, dir), tagCols = tags)
-      .write.mode("overwrite").parquet(outA)
-    val v1 = spark.read.parquet(outA)
-    val p = eventTypePoints(spark, dir)
-      .select(
-        col("user_id").as("series_id"),
-        col("ts_us"),
-        col("event_id").as("seq"),
-        col("value_c"),
-        col("etype_c")
-      )
-    val corrections = p
-      .filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
-      .withColumn("value_c", col("value_c") + 1000L)
-    // late-arrival clones: fresh point identity (seq offset clears the
-    // event_id range at any tested SF), +1us so the clone is a new
-    // instant, not a seq collision
-    val lateArrivals = p
-      .filter(col("ts_us") >= w3lo && col("ts_us") < w3hi)
-      .withColumn("seq", col("seq") + 100000000L)
-      .withColumn("ts_us", col("ts_us") + 1L)
-    val v2 = deleteWhereEquals(
-      upsertBlocks(v1, corrections.unionByName(lateArrivals), tags),
-      "etype_c",
-      112L,
-      tags
-    )
-    v2.write.mode("overwrite").parquet(outB)
-    changeFeed(v1, spark.read.parquet(outB), tags)
+    val root = cdcAsofFixture(spark, dir)
+    val v1 = spark.read.parquet(SnapshotCatalog.resolveAsOf(root, 1L).get.path)
+    val v2 = spark.read.parquet(SnapshotCatalog.resolveAsOf(root, 2L).get.path)
+    changeFeed(v1, v2, tags)
       .groupBy(col("series_id").as("user_id"))
       .agg(
         sum(when(col("change_type") === "I", 1L).otherwise(0L)).as("n_inserts"),
@@ -1008,6 +979,67 @@ object TimeboxStore {
           .as("net_delta_c")
       )
   }
+
+  private val cdcFixtureReady = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val cdcFixtureLock = new Object
+
+  /** The shared two-version catalog fixture behind ts_store_cdc and
+    * ts_store_asof (the storeStreamFixture discipline, r11): version 1
+    * is the base encode, version 2 is built THROUGH upsert + predicate
+    * delete and committed via [[SnapshotCatalog.commit]] — the exact
+    * recipe both drills previously built per call. The two queries
+    * price their READ paths (block-fingerprint diff; as-of manifest
+    * resolution + snapshot decode) against one shared input; the
+    * write/commit machinery itself is priced once here and drilled for
+    * races/crashes by StoreSpec and FormatSpec. VERSIONED snapshots are
+    * exactly what makes the share safe: v1 and v2 are immutable, so
+    * neither query can perturb the other.
+    */
+  private[graft] def cdcAsofFixture(spark: SparkSession, dir: String): String =
+    cdcFixtureLock.synchronized {
+      val root = sharedScratchPath("graft_store_cdcfix", dir)
+      if (!cdcFixtureReady.contains(root)) {
+        // a half-built root (failed earlier attempt) would hold partial
+        // commits — rebuild clean
+        deleteRecursively(new java.io.File(root))
+        val tags = Seq("value_c", "etype_c")
+        val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L) // 2024-01-08 .. 01-15
+        val (w3lo, w3hi) = (1705276800000000L, 1705881600000000L) // 2024-01-15 .. 01-22
+        val ver1 = SnapshotCatalog.commit(
+          spark,
+          root,
+          p => encode(eventTypePoints(spark, dir), tagCols = tags).write.parquet(p)
+        )
+        val v1 = spark.read.parquet(SnapshotCatalog.resolveAsOf(root, ver1).get.path)
+        val p = eventTypePoints(spark, dir)
+          .select(
+            col("user_id").as("series_id"),
+            col("ts_us"),
+            col("event_id").as("seq"),
+            col("value_c"),
+            col("etype_c")
+          )
+        val corrections = p
+          .filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
+          .withColumn("value_c", col("value_c") + 1000L)
+        // late-arrival clones: fresh point identity (seq offset clears
+        // the event_id range at any tested SF), +1us so the clone is a
+        // new instant, not a seq collision
+        val lateArrivals = p
+          .filter(col("ts_us") >= w3lo && col("ts_us") < w3hi)
+          .withColumn("seq", col("seq") + 100000000L)
+          .withColumn("ts_us", col("ts_us") + 1L)
+        SnapshotCatalog.commit(
+          spark,
+          root,
+          out =>
+            deleteWhereEquals(upsertBlocks(v1, corrections.unionByName(lateArrivals), tags), "etype_c", 112L, tags)
+              .write.parquet(out)
+        )
+        cdcFixtureReady.add(root): Unit
+      }
+      root
+    }
 
   /** ts_store_asof — snapshot CATALOG + AS-OF read (the iceberg-lite
     * time-travel story over the store's own mutation operators):
@@ -1026,40 +1058,7 @@ object TimeboxStore {
     */
   def asofReadSummary(spark: SparkSession, dir: String, asofVersion: Long = 2L): DataFrame = {
     val tags = Seq("value_c", "etype_c")
-    val (w2lo, w2hi) = (1704672000000000L, 1705276800000000L)
-    val (w3lo, w3hi) = (1705276800000000L, 1705881600000000L)
-    val root = scratchPath("graft_store_asof", dir)
-    val ver1 = SnapshotCatalog.commit(
-      spark,
-      root,
-      p => encode(eventTypePoints(spark, dir), tagCols = tags).write.parquet(p)
-    )
-    val v1 = spark.read.parquet(SnapshotCatalog.resolveAsOf(root, ver1).get.path)
-    val p = eventTypePoints(spark, dir)
-      .select(
-        col("user_id").as("series_id"),
-        col("ts_us"),
-        col("event_id").as("seq"),
-        col("value_c"),
-        col("etype_c")
-      )
-    val corrections = p
-      .filter(col("ts_us") >= w2lo && col("ts_us") < w2hi)
-      .withColumn("value_c", col("value_c") + 1000L)
-    val lateArrivals = p
-      .filter(col("ts_us") >= w3lo && col("ts_us") < w3hi)
-      .withColumn("seq", col("seq") + 100000000L)
-      .withColumn("ts_us", col("ts_us") + 1L)
-    SnapshotCatalog.commit(
-      spark,
-      root,
-      out =>
-        deleteWhereEquals(upsertBlocks(v1, corrections.unionByName(lateArrivals), tags), "etype_c", 112L, tags)
-          .write.parquet(out)
-    )
-    // percall scratch gives a fresh root (versions 1, 2); under a
-    // stable root repeated invocations append 2 more deterministic
-    // versions per call and the AS-OF still resolves the same content
+    val root = cdcAsofFixture(spark, dir)
     val chosen = SnapshotCatalog
       .resolveAsOf(root, asofVersion)
       .getOrElse(sys.error(s"no committed version <= $asofVersion under $root"))

@@ -736,4 +736,26 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.select("community").distinct().count() === l4.getAs[Long]("n_communities"),
       "final label count must equal the ledger's last level")
   }
+
+  test("paragraph dedup: keep-first accounting — corpus keeps exactly one occurrence per distinct segment") {
+    val r = Dedup.dedupParagraph(spark, sf).cache()
+    try {
+      // per-doc sanity: never keep more than you have, ledger covers every doc
+      assert(r.filter(col("n_kept") > col("n_segs")).count() === 0)
+      assert(r.count() === spark.read.parquet(s"$sf/documents.parquet").count())
+      // global keep-first property: total kept == DISTINCT segment count,
+      // recomputed independently from the raw corpus
+      val distinctSegs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(Dedup.normText(col("text")).as("norm"))
+        .withColumn("toks", split(col("norm"), " "))
+        .select(explode(expr(
+          "transform(sequence(0, CAST((size(toks) - 1) DIV 8 AS INT)), " +
+            "i -> array_join(slice(toks, i * 8 + 1, 8), ' '))")).as("seg"))
+        .agg(countDistinct(col("seg"))).head().getLong(0)
+      assert(r.agg(sum(col("n_kept"))).head().getLong(0) === distinctSegs,
+        "kept total must equal the corpus' distinct segment count (keep-first keeps exactly one each)")
+      // the corpus has real duplicate segments, so the pass must drop some
+      assert(r.filter(col("n_kept") < col("n_segs")).count() > 0, "drill corpus has no duplicate segments?")
+    } finally { r.unpersist(): Unit }
+  }
 }
