@@ -122,6 +122,9 @@ class ScaleSpec extends AnyFunSuite {
     // the panel times anything, so both SFs price the level loop)
     "graph_louvain_levels",
     "ts_store_sql_write",
+    // round-12 addition with data-proportional work (segment hash
+    // shuffle + keep-first rank window; skew lives inside hash groups)
+    "dedup_paragraph",
     // round-10 continuation-session additions with data-proportional work
     "dedup_prefix_filter",
     "ann_sq_search",
@@ -276,6 +279,7 @@ class ScaleSpec extends AnyFunSuite {
     "ts_rollup_cascade",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_paragraph",
     "text_tokens",
     "text_vocab_growth",
     "text_bigram_lm",
@@ -341,6 +345,7 @@ class ScaleSpec extends AnyFunSuite {
     "dedup_minhash_k_curve",
     "dedup_source_overlap",
     "dedup_ngram_jaccard",
+    "dedup_paragraph",
     "dedup_edge_tier",
     "graph_degree_dist",
     "sample_split_leakage"
@@ -398,6 +403,29 @@ class ScaleSpec extends AnyFunSuite {
       shapeErr.toSeq ++ costErr.toSeq
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("louvain level loop: cost and profile hold the band across two SFs (memoization bypassed)") {
+    // graph_louvain_levels/labels share one memoized louvainCore run
+    // per (tier, maxLevels) — the panel's timed lap would read the
+    // cache, so the LOOP's scale law is gated here through the
+    // uncached *From entry (the loop executes during construction:
+    // time construction + action together)
+    import graft.operators.Dedup
+    import graft.sources.GraphTier
+    def lap(d: String): Double = {
+      GraphTier.ensureLshTier(spark, d)
+      val t0 = System.nanoTime()
+      Dedup.louvainLevelsFrom(spark, GraphTier.memberEdges(spark, d), 3).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    lap(sfSmall) // warm codegen so the ratio compares steady-state laps
+    val tSmall = lap(sfSmall)
+    val tBig = lap(sfBig)
+    assert(
+      tBig <= 12.0 * math.max(tSmall, 0.4),
+      f"louvain level loop superlinear: $tSmall%.2fs -> $tBig%.2fs on 10x data"
+    )
   }
 
   test("co-purchase append: per-batch maintenance cost is ~flat from sf0.1 to derived sf1.0 (leveled tier, pruned probe)") {
