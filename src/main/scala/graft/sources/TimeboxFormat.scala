@@ -75,7 +75,19 @@ class TimeboxDataSource
       !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits")),
       s"timebox sink: cannot stream-write through a snapshot-catalog root ($path) — commit versions via SnapshotCatalog"
     )
-    new TimeboxStreamSink(sqlContext.sparkSession, path)
+    // commit markers are NAMESPACED per query: two streams into one
+    // store (or a restart under a FRESH checkpoint, whose batchIds
+    // restart at 0) must never see each other's markers and silently
+    // drop batches. The checkpoint location IS the query identity —
+    // replays of the same query resume the same namespace; without a
+    // user checkpoint there is nothing durable to resume, so a random
+    // namespace keeps the landing correct (at-least-once, like every
+    // temp-checkpoint stream).
+    val ns = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v }
+      .map(TimeboxStreamSink.namespaceOf)
+      .getOrElse(java.util.UUID.randomUUID().toString.replace("-", "").take(8))
+    new TimeboxStreamSink(sqlContext.sparkSession, path, ns)
   }
 
   // ---- streaming READ of a versioned store ---------------------------
@@ -180,15 +192,16 @@ private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema
   override def name(): String = s"timebox:$path"
 
   // ---- SQL DML: `DELETE FROM t WHERE tag = v` -------------------------
-  // The predicate-delete operator (TimeboxStore.deleteWhereEquals —
-  // blocks whose dictionary/bloom/zone map PROVE the value absent pass
-  // through encoded and byte-identical; only candidate blocks decode,
-  // drop, re-encode) surfaced through Spark's row-level-delete door, so
-  // a SQL-only user owns the GDPR purge without a library import.
-  // Conjunctions of tag equalities compose (each filter is one
-  // deleteWhereEquals pass); anything else is declined loudly at
-  // canDeleteWhere so Spark reports "cannot delete" instead of
-  // silently over- or under-deleting.
+  // The predicate-delete operator (TimeboxStore.deleteWhereEqualsAll —
+  // blocks whose dictionary/bloom/zone map PROVE the conjunction
+  // unsatisfiable pass through encoded and byte-identical; only
+  // candidate blocks decode, drop, re-encode) surfaced through Spark's
+  // row-level-delete door, so a SQL-only user owns the GDPR purge
+  // without a library import. AND-ed tag equalities run as ONE
+  // conjunction pass (a point dies iff it matches every conjunct — the
+  // SupportsDelete contract; per-filter passes would purge the UNION);
+  // anything else is declined loudly at canDeleteWhere so Spark reports
+  // "cannot delete" instead of silently over- or under-deleting.
   private def tagEq(f: Filter): Option[(String, Long)] = f match {
     case EqualTo(t, v: java.lang.Number) if TimeboxFormat.tagFields(schema0)(t) => Some(t -> v.longValue)
     case _                                                                      => None
@@ -203,25 +216,48 @@ private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema
       s"timebox: cannot DELETE through a snapshot-catalog root ($path) — commit a new version via SnapshotCatalog"
     )
     val spark = SparkSession.active
-    var blocks = spark.read.parquet(path)
-    val tagCols = TimeboxFormat.tagsOf(blocks.schema)
-    for (f <- filters) {
-      val (t, v) = tagEq(f).getOrElse(
+    val eqs = filters.toSeq.map(f =>
+      tagEq(f).getOrElse(
         throw new IllegalArgumentException(s"timebox DELETE supports tag-equality predicates only, got $f")
       )
-      blocks = TimeboxStore.deleteWhereEquals(blocks, t, v, tagCols)
-    }
-    // the store is both source and sink of the rewrite: materialize the
-    // surviving blocks to a staging sibling, then swap the directories
-    // (a raw block store has no snapshot log to make this atomic — the
-    // versioned root is the door for stores that need one)
+    )
     import org.apache.hadoop.fs.Path
-    val staging = new Path(s"${path}__delete_staging")
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TimeboxFormat.recoverSwap(fs, path) // finish any crashed predecessor first
+    // uncommitted partial landings (sink block files whose batch has no
+    // commit marker) are cleared BEFORE the rewrite: the sink re-lands
+    // them byte-identically on replay, but folding them into anonymous
+    // rewritten blocks would lose the b-names the replay-clear keys on
+    // and duplicate their points
+    TimeboxFormat.purgeUncommittedLandings(fs, path)
+    val store = spark.read.parquet(path)
+    val blocks = TimeboxStore.deleteWhereEqualsAll(store, eqs, TimeboxFormat.tagsOf(store.schema))
+    // the store is both source and sink of the rewrite: materialize the
+    // surviving blocks to a staging sibling, then swap the directories.
+    // The swap is crash-RECOVERABLE (not atomic — a raw block store has
+    // no snapshot log; the versioned root is the door for stores that
+    // need one): a `__delete_swap` marker written only after staging is
+    // fully materialized names the staging dir, and recoverSwap on the
+    // read path finishes the swap from any crash point.
+    val staging = new Path(s"${path}__delete_staging")
+    fs.delete(staging, true): Unit
     blocks.write.mode("overwrite").parquet(staging.toString)
+    // streaming sidecar state survives the purge: committed batch
+    // markers must keep suppressing replays on the rewritten store
+    val commits = new Path(dst, TimeboxStreamSink.CommitsDir)
+    if (fs.exists(commits))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, commits, fs, new Path(staging, TimeboxStreamSink.CommitsDir),
+        false, spark.sparkContext.hadoopConfiguration
+      ): Unit
+    val marker = TimeboxFormat.swapMarker(path)
+    val out = fs.create(marker, true)
+    out.write(staging.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     fs.delete(dst, true): Unit
     require(fs.rename(staging, dst), s"timebox DELETE: could not swap $staging into place")
+    fs.delete(marker, false): Unit
   }
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
@@ -308,34 +344,61 @@ private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
   * Fragmentation from micro-batch boundaries is the store's normal
   * aging ([[TimeboxStore.compactFragmented]] is the counterpart).
   */
-private[graft] class TimeboxStreamSink(spark: SparkSession, path: String)
+private[graft] class TimeboxStreamSink(spark: SparkSession, path: String, ns: String)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import org.apache.hadoop.fs.Path
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"$path/_stream_commits/$batchId")
+    val marker = new Path(s"$path/${TimeboxStreamSink.CommitsDir}/$ns-$batchId")
     if (fs.exists(marker)) return // replayed batch, already landed
     val tagCols = TimeboxFormat.validatePointSchema(data.schema)
-    val staging = s"$path/_staging_sink_$batchId"
+    val staging = s"$path/_staging_sink_$ns-$batchId"
     TimeboxStore
       .encode(org.apache.spark.sql.graftshim.GraftShims.batchFrame(data), "series_id", "ts_us", "seq", tagCols)
       .write.mode("overwrite").parquet(staging)
     // clear a crashed attempt's partial landing, then land this batch's
     // blocks under deterministic names — the replay-idempotence anchor
-    for (f <- fs.globStatus(new Path(s"$path/b$batchId-*.parquet")))
+    for (f <- fs.globStatus(new Path(s"$path/b$ns-$batchId-*.parquet")))
       fs.delete(f.getPath, false): Unit
     val parts = fs.listStatus(new Path(staging))
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
     for ((f, i) <- parts.zipWithIndex)
-      fs.rename(f.getPath, new Path(s"$path/b$batchId-$i.parquet")): Unit
+      fs.rename(f.getPath, new Path(s"$path/b$ns-$batchId-$i.parquet")): Unit
     fs.delete(new Path(staging), true): Unit
-    fs.mkdirs(new Path(s"$path/_stream_commits")): Unit
+    fs.mkdirs(new Path(s"$path/${TimeboxStreamSink.CommitsDir}")): Unit
     fs.create(marker, true).close()
   }
 
-  override def toString: String = s"TimeboxStreamSink[$path]"
+  override def toString: String = s"TimeboxStreamSink[$path:$ns]"
+}
+
+private[graft] object TimeboxStreamSink {
+  val CommitsDir = "_stream_commits"
+
+  /** Query identity → marker namespace: 8 hex chars of the checkpoint
+    * location's digest (the checkpoint is the only durable thing a
+    * restarted query shares with its past self).
+    */
+  def namespaceOf(checkpointLocation: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(checkpointLocation.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+
+  private val Landed = "^b([0-9a-f]{8})-(\\d+)-\\d+\\.parquet$".r
+  private val LandedLegacy = "^b(\\d+)-\\d+\\.parquet$".r
+
+  /** Sink-landed block file name → its commit-marker key (None for
+    * batch-written block files). Understands the pre-namespace layout
+    * so purges on stores landed by older builds stay correct.
+    */
+  def batchKeyOf(fileName: String): Option[String] = fileName match {
+    case Landed(n, b)    => Some(s"$n-$b")
+    case LandedLegacy(b) => Some(b)
+    case _               => None
+  }
 }
 
 private[sources] class TimeboxScanBuilder(paths: Seq[String], full: StructType)
@@ -503,6 +566,7 @@ object TimeboxFormat {
     */
   private[graft] def resolveDataPaths(path: String, asOf: Option[Long]): Seq[String] = {
     val isCatalog = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits"))
+    if (!isCatalog) recoverSwap(path) // heal a crashed DELETE swap before any read resolves
     (isCatalog, asOf) match {
       case (false, None) => Seq(path)
       case (false, Some(v)) =>
@@ -519,6 +583,58 @@ object TimeboxFormat {
         )
         upTo.map(_.path)
     }
+  }
+
+  /** The crash-recovery marker of a DELETE's staged swap: present means
+    * "staging is fully materialized; the swap may be anywhere between
+    * not-started and done". Written AFTER the staging write completes,
+    * removed after the rename lands — so its presence makes staging the
+    * single source of truth.
+    */
+  private[sources] def swapMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"${path}__delete_swap")
+
+  /** Finish a crashed DELETE swap. Decision table (marker present):
+    *   - staging exists  → the destination is suspect (the crash may
+    *     have landed mid-`delete(dst)` — a partially-deleted store);
+    *     clear whatever remains of dst, rename staging into place,
+    *     clear the marker. Staging is complete by the marker protocol.
+    *   - staging missing → the rename landed; only the marker-clear was
+    *     lost. Clear it.
+    * No marker → nothing to do. Idempotent; any reader may run it.
+    */
+  private[graft] def recoverSwap(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
+  }
+
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val marker = swapMarker(path)
+    if (!fs.exists(marker)) return
+    val staging = new org.apache.hadoop.fs.Path(s"${path}__delete_staging")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(staging)) {
+      fs.delete(dst, true): Unit
+      require(fs.rename(staging, dst), s"timebox DELETE recovery: could not swap $staging into place")
+    }
+    fs.delete(marker, false): Unit
+  }
+
+  /** Remove sink block files whose batch never committed (no marker
+    * under `_stream_commits`) — a crashed micro-batch's partial
+    * landing. Safe by the sink's replay contract: the batch re-lands
+    * byte-identically when the stream resumes.
+    */
+  private[sources] def purgeUncommittedLandings(fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) return
+    val landed = fs.listStatus(dir).filter(_.isFile).flatMap { f =>
+      TimeboxStreamSink.batchKeyOf(f.getPath.getName).map(f.getPath -> _)
+    }
+    for ((file, key) <- landed)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/${TimeboxStreamSink.CommitsDir}/$key")))
+        fs.delete(file, false): Unit
   }
 
   /** A translated aggregate-pushdown request: optional series group,

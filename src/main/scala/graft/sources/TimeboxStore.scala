@@ -1815,19 +1815,36 @@ object TimeboxStore {
     * 100 TB a "purge this event code" job rewrites the few blocks the
     * dictionaries admit, not the store.
     */
-  def deleteWhereEquals(store: DataFrame, tag: String, valueC: Long, tagCols: Seq[String]): DataFrame = {
+  def deleteWhereEquals(store: DataFrame, tag: String, valueC: Long, tagCols: Seq[String]): DataFrame =
+    deleteWhereEqualsAll(store, Seq(tag -> valueC), tagCols)
+
+  /** CONJUNCTION form of the predicate delete: a point is doomed iff it
+    * matches EVERY (tag, value) equality — the semantics SQL's
+    * `DELETE FROM t WHERE a = 1 AND b = 2` requires (deleting per-tag
+    * sequentially would purge the UNION of the matches). Candidate
+    * blocks are those the skip structures admit for ALL conjuncts —
+    * tighter than any single conjunct's candidate set, so a
+    * multi-predicate purge rewrites fewer blocks, not more; candidates
+    * decode ONCE, drop only rows matching the full conjunction, and
+    * re-encode.
+    */
+  def deleteWhereEqualsAll(store: DataFrame, eqs: Seq[(String, Long)], tagCols: Seq[String]): DataFrame = {
+    require(eqs.nonEmpty, "deleteWhereEqualsAll: at least one (tag, value) equality is required")
     val blockUs = storedBlockUs(store)
-    def bitSet(seed: String) = expr(
-      s"(element_at(bloom_$tag, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) DIV 64 AS INT) + 1)" +
-        s" & shiftleft(1L, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) % 64 AS INT))) != 0L"
-    )
-    val mayMatch =
+    def mayMatchOne(tag: String, valueC: Long) = {
+      def bitSet(seed: String) = expr(
+        s"(element_at(bloom_$tag, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) DIV 64 AS INT) + 1)" +
+          s" & shiftleft(1L, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) % 64 AS INT))) != 0L"
+      )
       col(s"min_$tag") <= valueC && col(s"max_$tag") >= valueC &&
         (col(s"dict_$tag").isNull || array_contains(col(s"dict_$tag"), lit(valueC))) &&
         bitSet("b1") && bitSet("b2")
+    }
+    val mayMatch = eqs.map { case (t, v) => mayMatchOne(t, v) }.reduce(_ && _)
+    val doomed = eqs.map { case (t, v) => col(t) === v }.reduce(_ && _)
     val untouched = store.filter(!mayMatch)
     val rewritten = decode(store.filter(mayMatch), tagCols)
-      .filter(col(tag) =!= valueC)
+      .filter(!doomed)
       .transform(pts => encode(pts, "series_id", "ts_us", "seq", tagCols, blockUs))
     untouched.unionByName(rewritten)
   }

@@ -497,24 +497,36 @@ class FormatSpec extends AnyFunSuite {
       .filter(col("user_id") < 5)
       .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
       .localCheckpoint()
-    val sink = new TimeboxStreamSink(spark, store)
+    val ns = "aaaa0000"
+    val sink = new TimeboxStreamSink(spark, store, ns)
     sink.addBatch(0L, pts)
     def files() = new java.io.File(store).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
     val once = files()
-    assert(once.nonEmpty && once.keySet.forall(_.startsWith("b0-")), s"blocks must carry batchId names: ${once.keySet}")
+    assert(
+      once.nonEmpty && once.keySet.forall(_.startsWith(s"b$ns-0-")),
+      s"blocks must carry namespace+batchId names: ${once.keySet}"
+    )
     val nRows = spark.read.format("timebox").load(store).count()
     // replay with the marker present: a no-op
     sink.addBatch(0L, pts)
     assert(files() === once, "replayed batchId re-landed blocks")
     // crash simulation: marker lost AFTER a (partial) landing — the
     // replay clears the partial files and re-lands deterministically
-    assert(new java.io.File(s"$store/_stream_commits/0").delete())
+    assert(new java.io.File(s"$store/_stream_commits/$ns-0").delete())
     assert(new java.io.File(store, once.keySet.head).delete(), "could not simulate a partial landing")
     sink.addBatch(0L, pts)
     assert(files().keySet === once.keySet, "recovery must restore the exact block set")
     assert(spark.read.format("timebox").load(store).count() === nRows, "recovery duplicated or lost points")
-    assert(new java.io.File(s"$store/_stream_commits/0").exists(), "recovery must re-commit the marker")
+    assert(new java.io.File(s"$store/_stream_commits/$ns-0").exists(), "recovery must re-commit the marker")
+    // a SECOND query (fresh checkpoint → fresh namespace) restarts its
+    // batchIds at 0; the first query's markers must not suppress it
+    val sink2 = new TimeboxStreamSink(spark, store, "bbbb1111")
+    sink2.addBatch(0L, pts)
+    assert(
+      spark.read.format("timebox").load(store).count() === 2 * nRows,
+      "a second query's batch 0 was dropped by the first query's commit marker"
+    )
   }
 
   test("SQL DELETE door: purges exactly the predicate's rows; unsupported predicates decline loudly, store untouched") {
@@ -546,6 +558,109 @@ class FormatSpec extends AnyFunSuite {
       "SQL DELETE survivors diverge from the raw filter")
     // the SQL read door keeps working on the rewritten store
     assert(spark.sql("SELECT COUNT(*) AS n FROM tb_sqldel_spec").head().getLong(0) === expect.count())
+  }
+
+  test("SQL DELETE conjunction: WHERE a = x AND b = y deletes the INTERSECTION, not the union") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldel_conj").toString
+    val p = s"$root/store"
+    val pts = TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 20)
+    TimeboxStore.encode(pts, tagCols = Seq("value_c", "etype_c"))
+      .write.mode("overwrite").parquet(p)
+    spark.sql("DROP TABLE IF EXISTS tb_sqldel_conj")
+    spark.sql(s"CREATE TABLE tb_sqldel_conj USING timebox LOCATION '$p'")
+    // pick a (value_c, etype_c) pair that exists, where each side alone
+    // matches strictly more rows than the conjunction
+    val probe = pts.groupBy(col("value_c"), col("etype_c")).count().orderBy(col("count").desc).head()
+    val (v, e) = (probe.getLong(0), probe.getLong(1))
+    val nBoth  = pts.filter(col("value_c") === v && col("etype_c") === e).count()
+    val nUnion = pts.filter(col("value_c") === v || col("etype_c") === e).count()
+    assert(nBoth > 0 && nUnion > nBoth, "fixture must separate conjunction from union")
+    val before = spark.read.format("timebox").load(p).count()
+    spark.sql(s"DELETE FROM tb_sqldel_conj WHERE value_c = $v AND etype_c = $e")
+    val after = spark.read.format("timebox").load(p)
+    assert(after.count() === before - nBoth, "conjunction DELETE must remove exactly the AND-matched rows")
+    assert(
+      after.filter(col("value_c") === v && col("etype_c") === e).count() === 0,
+      "AND-matched rows survived"
+    )
+    // rows matching only ONE conjunct are NOT deleted
+    assert(
+      after.filter(col("value_c") === v || col("etype_c") === e).count() === nUnion - nBoth,
+      "single-conjunct rows were over-deleted (union semantics)"
+    )
+  }
+
+  test("SQL DELETE swap: a crash between dst-delete and rename heals on the next read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldel_crash").toString
+    val p = s"$root/store"
+    val pts = TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 20)
+    TimeboxStore.encode(pts, tagCols = Seq("value_c", "etype_c"))
+      .write.mode("overwrite").parquet(p)
+    spark.sql("DROP TABLE IF EXISTS tb_sqldel_crash")
+    spark.sql(s"CREATE TABLE tb_sqldel_crash USING timebox LOCATION '$p'")
+    spark.sql("DELETE FROM tb_sqldel_crash WHERE etype_c = 112")
+    val survivors = spark.read.format("timebox").load(p).count()
+    // reconstruct the worst crash point: staging fully materialized +
+    // marker written + dst deleted, process dies before the rename
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"${p}__delete_staging")
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(p), fs, staging, false,
+      spark.sparkContext.hadoopConfiguration
+    )
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"${p}__delete_swap"), true)
+    out.write(staging.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    // the next format read heals: staging renamed into place, marker cleared
+    assert(spark.read.format("timebox").load(p).count() === survivors, "recovery lost rows")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${p}__delete_swap")), "marker must clear after recovery")
+    assert(!fs.exists(staging), "staging must be consumed by recovery")
+    // crash AFTER the rename (only the marker-clear lost): heal is a marker delete
+    fs.create(new org.apache.hadoop.fs.Path(s"${p}__delete_swap"), true).close()
+    assert(spark.read.format("timebox").load(p).count() === survivors)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${p}__delete_swap")))
+  }
+
+  test("SQL DELETE on a sink-landed store: commit markers survive, uncommitted partial landings purge") {
+    import graft.sources.TimeboxStreamSink
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldel_sidecar").toString
+    val p = s"$root/store"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"),
+        col("value_c"), col("etype_c"))
+      .localCheckpoint()
+    val ns = "cccc2222"
+    val sink = new TimeboxStreamSink(spark, p, ns)
+    sink.addBatch(0L, pts)
+    // batch 1 CRASHED mid-landing: block files on disk, no marker
+    sink.addBatch(1L, pts.filter(col("series_id") === 0L))
+    assert(new java.io.File(s"$p/_stream_commits/$ns-1").delete())
+    val committedOnly = pts.filter(col("etype_c") =!= 112L).count()
+    spark.sql("DROP TABLE IF EXISTS tb_sqldel_sidecar")
+    spark.sql(s"CREATE TABLE tb_sqldel_sidecar USING timebox LOCATION '$p'")
+    spark.sql("DELETE FROM tb_sqldel_sidecar WHERE etype_c = 112")
+    // the uncommitted landing is gone (purged, not folded into the rewrite)
+    assert(
+      spark.read.format("timebox").load(p).count() === committedOnly,
+      "uncommitted partial landing leaked into the rewritten store"
+    )
+    // the committed batch's marker survived the swap: a replay is a no-op
+    assert(new java.io.File(s"$p/_stream_commits/$ns-0").exists(), "commit marker lost in DELETE swap")
+    sink.addBatch(0L, pts)
+    assert(
+      spark.read.format("timebox").load(p).count() === committedOnly,
+      "replay after DELETE re-landed an already-committed batch"
+    )
+    // the crashed batch REPLAYS cleanly into the purged store
+    sink.addBatch(1L, pts.filter(col("series_id") === 0L))
+    assert(
+      spark.read.format("timebox").load(p).count() ===
+        committedOnly + pts.filter(col("series_id") === 0L).count(),
+      "crashed batch could not re-land after the purge"
+    )
   }
 
   test("write facade: non-point schemas are rejected loudly") {
