@@ -2230,16 +2230,22 @@ object Dedup {
   // segTokens-word segments, a segment OCCURRENCE survives iff it is
   // the globally FIRST occurrence of its hash (by (doc_id, seg_idx) —
   // deterministic, ingest-order-stable), and the output is the per-doc
-  // retention ledger a curation pipeline writes back. Scale shape: one
-  // shuffle on the segment hash (the keep-first rank window partitions
-  // by hash — group size = a segment's corpus frequency, the
-  // boilerplate skew lives INSIDE one partition-key's group and a
-  // rank-1 window never materializes pairs), then a per-doc re-agg;
-  // never all-pairs, never a self-join.
+  // retention ledger a curation pipeline writes back. Scale shape:
+  // keep-first is PARTIAL-AGGREGABLE — the winner of a hash is
+  // min(struct(doc_id, seg_idx)), so a boilerplate segment's 10^8
+  // corpus occurrences collapse MAP-SIDE to one candidate per input
+  // partition before the hash shuffle ever sees them (a rank window
+  // partitioned by the hash would funnel the whole occurrence list
+  // into ONE window group — the exact skew this operator exists to
+  // measure; DedupSpec's clone-blowup drill pins the aggregate form),
+  // then two doc-grain aggs merge-join; never all-pairs, never a
+  // self-join.
   // -------------------------------------------------------------------
-  def dedupParagraph(spark: SparkSession, dir: String, segTokens: Int = 8): DataFrame = {
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("seg_idx"))
-    docsNorm(spark, dir)
+  def dedupParagraph(spark: SparkSession, dir: String, segTokens: Int = 8): DataFrame =
+    dedupParagraphFrom(docsNorm(spark, dir), segTokens)
+
+  private[graft] def dedupParagraphFrom(normed: DataFrame, segTokens: Int): DataFrame = {
+    val segs = normed
       .withColumn("toks", split(col("norm"), " "))
       .select(
         col("doc_id"),
@@ -2251,13 +2257,23 @@ object Dedup {
         ).as(Seq("seg_idx", "seg"))
       )
       .withColumn("h", md5(col("seg")))
-      .withColumn("keep", row_number().over(w) === 1)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_segs"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept")
+    val nSegs = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    // struct ordering = (doc_id, seg_idx) lexicographic — the same
+    // ingest-order-stable identity the rank formulation ordered by
+    val winners = segs
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+    val kept = winners.groupBy(col("w.doc_id").as("doc_id")).agg(count(lit(1)).as("n_kept"))
+    // doc-grain on BOTH sides — corpus-sized at 100 TB, so pin the
+    // shuffle merge join (tiny-SF stats would flip it to a broadcast)
+    nSegs
+      .join(kept.hint("merge"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr("coalesce(n_kept, 0) * 10000 DIV n_segs").as("kept_bp")
       )
-      .withColumn("kept_bp", expr("n_kept * 10000 DIV n_segs"))
   }
 
   /** [[shinglesOf]] with the anchor's starting TOKEN POSITION — the

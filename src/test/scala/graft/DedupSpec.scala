@@ -301,6 +301,43 @@ class DedupSpec extends AnyFunSuite {
     } finally { a.unpersist(); b.unpersist() }
   }
 
+  test("paragraph keep-first: partial-aggregable (no window), stable under a segment clone blowup") {
+    import spark.implicits._
+    // hand fixture, segTokens = 2: doc 1 owns both its segments; doc 2's
+    // "y y" loses to doc 1; doc 3 repeats doc 1's "x x" twice — keeps 0
+    val base = Seq(
+      (1L, "x x y y"),
+      (2L, "y y z z"),
+      (3L, "x x x x")
+    ).toDF("doc_id", "norm")
+    def withClones(n: Int) = base.union(
+      // n clone docs, every one the boilerplate segment "x x" — the
+      // single-hash hot key a license paragraph produces corpus-wide
+      spark.range(1000L, 1000L + n).select(col("id").as("doc_id"), lit("x x").as("norm"))
+    )
+    val small = Dedup.dedupParagraphFrom(withClones(10), 2)
+    val big   = Dedup.dedupParagraphFrom(withClones(100000), 2)
+    // the keep-first winner must collapse map-side: no window exec may
+    // appear anywhere in the plan (a rank window partitioned by the
+    // segment hash funnels the whole hot hash into one task)
+    big.count() // execute so the adaptive plan is final
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keep-first regressed to a window plan:\n$plan")
+    assert(plan.contains("partial_min"), "hash winner must partial-aggregate map-side")
+    // the base docs' ledger is INVARIANT to the clone count
+    val expect = Map(1L -> (2L, 2L, 10000L), 2L -> (2L, 1L, 5000L), 3L -> (2L, 0L, 0L))
+    for (df <- Seq(small, big); r <- df.filter(col("doc_id") < 100L).collect()) {
+      val (ns, nk, bp) = expect(r.getAs[Long]("doc_id"))
+      assert(
+        r.getAs[Long]("n_segs") === ns && r.getAs[Long]("n_kept") === nk && r.getAs[Long]("kept_bp") === bp,
+        s"ledger changed for doc ${r.getAs[Long]("doc_id")}: $r"
+      )
+    }
+    // every clone loses its one segment to doc 1
+    assert(big.filter(col("doc_id") >= 1000L && col("n_kept") =!= 0L).count() === 0)
+    assert(big.count() === 3L + 100000L)
+  }
+
   test("clusters: CC eats rep-level edges — count invariant to clone count; labels star-expand") {
     // member-level expansion of a k-clone group would push ~k²/2 edges
     // through one join key; the rep-level CC input must not grow with k
