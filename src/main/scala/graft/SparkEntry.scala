@@ -136,6 +136,7 @@ object SparkEntry {
     "ts_store_format_write" -> ((s, d) => graft.sources.TimeboxStore.formatWriteRoundtrip(s, d)),
     "ts_store_stream_write" -> ((s, d) => graft.sources.TimeboxStore.streamWriteRoundtrip(s, d)),
     "ts_store_sql_delete" -> ((s, d) => graft.sources.TimeboxStore.sqlDeleteSummary(s, d)),
+    "ts_store_catalog_delete" -> ((s, d) => graft.sources.TimeboxStore.sqlCatalogDeleteSummary(s, d)),
     "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
     "ts_store_agg_range" -> ((s, d) => graft.sources.TimeboxStore.rangeAggSummary(s, d)),
     "ts_store_quantile_read" -> ((s, d) => graft.sources.TimeboxStore.quantileReadSummary(s, d)),
@@ -6285,6 +6286,16 @@ object SparkEntry {
     // the SQL DML door must purge exactly what the library operator
     // purges — shared oracle with ts_store_delete_value by design
     "ts_store_sql_delete" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events
+        |WHERE ascii(substr(event_type, 1, 1)) <> 112
+        |GROUP BY 1""".stripMargin,
+    // same purge through the versioned (catalog) root — the delete
+    // lands as a version commit, but the surviving points are pinned
+    // identical to the other two delete doors
+    "ts_store_catalog_delete" ->
       """SELECT user_id, COUNT(*) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us

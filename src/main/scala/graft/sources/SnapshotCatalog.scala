@@ -30,14 +30,22 @@ import java.nio.charset.StandardCharsets
   */
 object SnapshotCatalog {
 
-  /** One committed version's manifest row. */
+  /** One committed version's manifest row. `removed` lists block FILES
+    * from EARLIER snapshots this version supersedes (the delete/rewrite
+    * commit shape): state(v) = data files of snapshots ≤ v minus the
+    * union of `removed` over versions ≤ v — so a DELETE rewrites only
+    * its candidate files into the new snapshot, names the originals
+    * here, and every older version still time-travels to the
+    * pre-delete state.
+    */
   final case class Manifest(
       version: Long,
       path: String,
       nBlocks: Long,
       nPoints: Long,
       minDay: Long,
-      maxDay: Long
+      maxDay: Long,
+      removed: Seq[String] = Nil
   )
 
   private def commitsDir(root: String): Path = Paths.get(root, "commits")
@@ -60,8 +68,13 @@ object SnapshotCatalog {
       spark: SparkSession,
       root: String,
       write: String => Unit,
-      pointsCol: String = "n_points"
+      pointsCol: String = "n_points",
+      removed: Seq[String] = Nil
   ): Long = {
+    require(
+      removed.forall(f => !f.contains(";") && !f.contains("\n")),
+      "removed file paths must not contain ';' or newlines (manifest encoding)"
+    )
     val snapPath = s"$root/data/snap-${java.util.UUID.randomUUID().toString.take(12)}"
     write(snapPath)
     val snap = spark.read.parquet(snapPath)
@@ -84,7 +97,8 @@ object SnapshotCatalog {
            |n_points=${stats.getAs[Long]("n_points")}
            |min_day=${stats.getAs[Long]("min_day")}
            |max_day=${stats.getAs[Long]("max_day")}
-           |""".stripMargin
+           |""".stripMargin +
+          (if (removed.isEmpty) "" else s"removed=${removed.mkString(";")}\n")
       // temp write + hard-link claim: link(2) creates the marker name
       // ATOMICALLY or fails with EEXIST — a real filesystem CAS (a
       // Files.move here would be stat+rename: two racing committers
@@ -148,7 +162,8 @@ object SnapshotCatalog {
       kv("n_blocks").toLong,
       kv("n_points").toLong,
       kv("min_day").toLong,
-      kv("max_day").toLong
+      kv("max_day").toLong,
+      kv.get("removed").map(_.split(';').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     )
   }
 
@@ -207,7 +222,10 @@ object SnapshotCatalog {
     if (all.isEmpty) return 0L
     val head = all.last.version
     val body = all
-      .map(m => s"${m.version}|${m.path}|${m.nBlocks}|${m.nPoints}|${m.minDay}|${m.maxDay}")
+      .map(m =>
+        s"${m.version}|${m.path}|${m.nBlocks}|${m.nPoints}|${m.minDay}|${m.maxDay}" +
+          (if (m.removed.isEmpty) "" else s"|${m.removed.mkString(";")}")
+      )
       .mkString("", "\n", "\n")
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -277,9 +295,33 @@ object SnapshotCatalog {
       .filter(_.nonEmpty)
       .map { l =>
         val f = l.split('|')
-        Manifest(f(0).toLong, f(1), f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong)
+        Manifest(
+          f(0).toLong, f(1), f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong,
+          if (f.length > 6) f(6).split(';').toSeq.filter(_.nonEmpty) else Nil
+        )
       }
       .toSeq
+
+  /** A committed snapshot directory's data files (part files only —
+    * metadata/_SUCCESS skipped). The file-granular unit the `removed`
+    * composition subtracts at.
+    */
+  private[sources] def dataFilesOf(dir: String): Seq[String] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    val s = Files.list(d)
+    try
+      s.iterator()
+        .asScala
+        .filter(Files.isRegularFile(_))
+        .map(_.toString)
+        .filter { p =>
+          val n = p.substring(p.lastIndexOf('/') + 1)
+          !n.startsWith("_") && !n.startsWith(".") && n.endsWith(".parquet")
+        }
+        .toVector
+    finally s.close()
+  }
 
   /** Greatest committed version ≤ `asofVersion` — the time-travel
     * resolve. Reads only immutable marker files: concurrent commits

@@ -180,12 +180,16 @@ class TimeboxDataSource
       properties: java.util.Map[String, String]
   ): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new TimeboxTable(pathOf(opts), TimeboxFormat.resolveDataPaths(pathOf(opts), asOfOf(opts)), schema)
+    new TimeboxTable(pathOf(opts), TimeboxFormat.resolveDataPaths(pathOf(opts), asOfOf(opts)), schema, asOfOf(opts))
   }
 }
 
-private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema0: StructType)
-    extends Table
+private[sources] class TimeboxTable(
+    path: String,
+    dataPaths: Seq[String],
+    schema0: StructType,
+    asOf: Option[Long] = None
+) extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -208,19 +212,19 @@ private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    dataPaths == Seq(path) && filters.nonEmpty && filters.forall(tagEq(_).isDefined)
+    // DML mutates the PRESENT: a time-travel relation (asOf) is a
+    // read-only view of history and declines
+    asOf.isEmpty && filters.nonEmpty && filters.forall(tagEq(_).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    require(
-      dataPaths == Seq(path),
-      s"timebox: cannot DELETE through a snapshot-catalog root ($path) — commit a new version via SnapshotCatalog"
-    )
+    require(asOf.isEmpty, s"timebox: cannot DELETE through a time-travel (asOf) read of $path")
     val spark = SparkSession.active
     val eqs = filters.toSeq.map(f =>
       tagEq(f).getOrElse(
         throw new IllegalArgumentException(s"timebox DELETE supports tag-equality predicates only, got $f")
       )
     )
+    if (dataPaths != Seq(path)) { deleteWhereVersioned(spark, eqs); return }
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -259,6 +263,40 @@ private[sources] class TimeboxTable(path: String, dataPaths: Seq[String], schema
     require(fs.rename(staging, dst), s"timebox DELETE: could not swap $staging into place")
     fs.delete(marker, false): Unit
   }
+
+  /** DELETE on a snapshot-catalog root = a VERSION COMMIT, the store's
+    * own atomicity machinery doing what the raw path's staged swap only
+    * approximates: the skip structures pick the candidate FILES (any
+    * block the dictionaries/blooms/zone maps cannot clear), ONLY those
+    * files' blocks decode-drop-re-encode into the new snapshot, and the
+    * commit names the originals in its `removed` list. Cost is O(delta)
+    * — untouched files are never read past their block metadata, never
+    * rewritten; readers race-free resolve v_n or v_n+1 (the hard-link
+    * CAS); and every older version still time-travels to the
+    * pre-delete state (`option("asOf", v)`).
+    */
+  private def deleteWhereVersioned(spark: SparkSession, eqs: Seq[(String, Long)]): Unit = {
+    val head = spark.read.parquet(dataPaths: _*)
+    val tagCols = TimeboxFormat.tagsOf(head.schema)
+    val candFiles = head
+      .filter(TimeboxStore.mayMatchExpr(eqs))
+      .select(input_file_name().as("f"))
+      .distinct()
+      .collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath)
+      .toSeq
+      .sorted
+    if (candFiles.isEmpty) return // skip-proven no-op: nothing to commit
+    val survivors = TimeboxStore.deleteWhereEqualsAll(
+      spark.read.parquet(candFiles: _*), eqs, tagCols
+    )
+    SnapshotCatalog.commit(
+      spark, TimeboxFormat.osPath(path),
+      p => survivors.write.parquet(p),
+      removed = candFiles
+    ): Unit
+  }
+
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     // BATCH_WRITE admits the write at the DataFrameWriter.save() gate;
@@ -564,8 +602,16 @@ object TimeboxFormat {
     *   - `path` is a raw block store: `asOf` is an error (nothing is
     *     versioned there), the path itself is the data.
     */
+  /** `CREATE TABLE ... LOCATION` hands the provider a `file:` URI where
+    * `.load(path)` hands a plain path — normalize before any java.nio
+    * catalog-structure check (Paths.get on a URI string never matches).
+    */
+  private[sources] def osPath(p: String): String =
+    if (p.startsWith("file:")) new java.net.URI(p).getPath else p
+
   private[graft] def resolveDataPaths(path: String, asOf: Option[Long]): Seq[String] = {
-    val isCatalog = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits"))
+    val root = osPath(path)
+    val isCatalog = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "commits"))
     if (!isCatalog) recoverSwap(path) // heal a crashed DELETE swap before any read resolves
     (isCatalog, asOf) match {
       case (false, None) => Seq(path)
@@ -574,14 +620,26 @@ object TimeboxFormat {
           s"timebox: option asOf=$v given but $path has no snapshot catalog (commits/) — only versioned roots time-travel"
         )
       case (true, _) =>
-        val all = SnapshotCatalog.manifests(path)
+        val all = SnapshotCatalog.manifests(root)
         val upTo = asOf.fold(all)(v => all.filter(_.version <= v))
         require(
           upTo.nonEmpty,
           s"timebox: no committed snapshot${asOf.fold("")(v => s" at or below version $v")} under $path" +
             asOf.fold("")(_ => " (expired by retention, or never committed)")
         )
-        upTo.map(_.path)
+        // append-only history: the snapshot DIRS compose by union (one
+        // resolution, no file listing). Any delete/rewrite commit in
+        // range forces the FILE-granular composition: every data file
+        // of every snapshot ≤ v, minus the files removed by ≤ v —
+        // older versions' untouched files keep serving newer states,
+        // and an asOf below the delete never sees its removals.
+        val removed = upTo.flatMap(_.removed).toSet
+        if (removed.isEmpty) upTo.map(_.path)
+        else {
+          val files = upTo.flatMap(m => SnapshotCatalog.dataFilesOf(m.path)).filterNot(removed)
+          require(files.nonEmpty, s"timebox: state at ${asOf.getOrElse("head")} has no data files under $path")
+          files
+        }
     }
   }
 

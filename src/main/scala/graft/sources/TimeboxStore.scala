@@ -1828,9 +1828,13 @@ object TimeboxStore {
     * decode ONCE, drop only rows matching the full conjunction, and
     * re-encode.
     */
-  def deleteWhereEqualsAll(store: DataFrame, eqs: Seq[(String, Long)], tagCols: Seq[String]): DataFrame = {
-    require(eqs.nonEmpty, "deleteWhereEqualsAll: at least one (tag, value) equality is required")
-    val blockUs = storedBlockUs(store)
+  /** Block-level candidate predicate of a conjunction delete: true on
+    * blocks the skip structures cannot prove free of a point matching
+    * EVERY (tag, value) equality. Shared by the in-place delete and the
+    * catalog delete-commit (which needs it standalone to pick the files
+    * to rewrite).
+    */
+  private[graft] def mayMatchExpr(eqs: Seq[(String, Long)]): Column = {
     def mayMatchOne(tag: String, valueC: Long) = {
       def bitSet(seed: String) = expr(
         s"(element_at(bloom_$tag, CAST(pmod(xxhash64('$seed', ${valueC}L), 256) DIV 64 AS INT) + 1)" +
@@ -1840,7 +1844,13 @@ object TimeboxStore {
         (col(s"dict_$tag").isNull || array_contains(col(s"dict_$tag"), lit(valueC))) &&
         bitSet("b1") && bitSet("b2")
     }
-    val mayMatch = eqs.map { case (t, v) => mayMatchOne(t, v) }.reduce(_ && _)
+    eqs.map { case (t, v) => mayMatchOne(t, v) }.reduce(_ && _)
+  }
+
+  def deleteWhereEqualsAll(store: DataFrame, eqs: Seq[(String, Long)], tagCols: Seq[String]): DataFrame = {
+    require(eqs.nonEmpty, "deleteWhereEqualsAll: at least one (tag, value) equality is required")
+    val blockUs = storedBlockUs(store)
+    val mayMatch = mayMatchExpr(eqs)
     val doomed = eqs.map { case (t, v) => col(t) === v }.reduce(_ && _)
     val untouched = store.filter(!mayMatch)
     val rewritten = decode(store.filter(mayMatch), tagCols)
@@ -2004,6 +2014,55 @@ object TimeboxStore {
     spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$path'")
     // purge 'p*' events (ascii 112) — the same code ts_store_delete_value purges
     spark.sql(s"DELETE FROM $tbl WHERE etype_c = 112")
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(*) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
+  /** ts_store_catalog_delete — SQL DELETE as a VERSION COMMIT on the
+    * snapshot-catalog root, closing the DML/atomicity asymmetry the raw
+    * path's staged swap carries (its crash window is a marker-recovery,
+    * not a transaction): the same `DELETE FROM t WHERE tag = v` lands
+    * as a new catalog version holding ONLY the rewritten candidate
+    * files (skip-proven files pass untouched and unread past block
+    * metadata — cost O(delta)), the superseded originals named in the
+    * manifest's removed list, and every prior version still
+    * time-travelable (`option("asOf", v)` — FormatSpec pins v1 still
+    * reads the pre-delete state). SAME purge and SAME oracle as
+    * ts_store_delete_value / ts_store_sql_delete, pinning all three
+    * delete doors to identical survivors. Reference surface:
+    * timebox.py:57-88 update path composed with the catalog's own
+    * snapshot discipline (timebox.py:405-455 locking, re-expressed as
+    * immutable commits).
+    */
+  def sqlCatalogDeleteSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchPath("graft_store_catdel", dir)
+    val tags = Seq("value_c", "etype_c")
+    // versions are absolute: a stale root from a previous non-percall
+    // run would stack a fresh base on deleted history — rebuild clean
+    deleteRecursively(new java.io.File(root))
+    SnapshotCatalog.commit(
+      spark,
+      root,
+      p => encode(eventTypePoints(spark, dir), tagCols = tags).write.parquet(p)
+    )
+    val tbl = "tbcd_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$root'")
+    // purge 'p*' events (ascii 112) — the code every delete door purges
+    spark.sql(s"DELETE FROM $tbl WHERE etype_c = 112")
+    // the relation's file set changed UNDER the table identifier (new
+    // version) — drop any cached resolution before the verification read
+    spark.sql(s"REFRESH TABLE $tbl")
     spark.sql(
       s"""SELECT series_id AS user_id,
          |  COUNT(*) AS n_points,

@@ -663,6 +663,52 @@ class FormatSpec extends AnyFunSuite {
     )
   }
 
+  test("SQL DELETE on a catalog root: version commit, time travel intact, skip-proven no-op") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catdel_spec").toString + "/root"
+    val pts = graft.sources.TimeboxStore.eventTypePoints(spark, sf).filter(col("user_id") < 20)
+    SnapshotCatalog.commit(
+      spark, root,
+      p => graft.sources.TimeboxStore
+        .encode(pts, tagCols = Seq("value_c", "etype_c")).write.parquet(p)
+    )
+    val v1Files = SnapshotCatalog.manifests(root).flatMap(m => new java.io.File(m.path)
+      .listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getPath)).toSet
+    spark.sql("DROP TABLE IF EXISTS tb_catdel_spec")
+    spark.sql(s"CREATE TABLE tb_catdel_spec USING timebox LOCATION '$root'")
+    spark.sql("DELETE FROM tb_catdel_spec WHERE etype_c = 112")
+    spark.sql("REFRESH TABLE tb_catdel_spec")
+    // the DELETE is a catalog version, not a rewrite-in-place
+    assert(SnapshotCatalog.currentVersion(root) === 2L, "catalog DELETE must land as a version commit")
+    val m2 = SnapshotCatalog.manifests(root).last
+    assert(m2.removed.nonEmpty, "the delete version must name the superseded files")
+    assert(m2.removed.forall(v1Files.contains), "removed entries must be v1 data files")
+    // head state = the purge; the survivors match the raw filter
+    val head = spark.read.format("timebox").load(root)
+    val expect = pts.filter(col("etype_c") =!= 112L)
+    assert(head.count() === expect.count())
+    assert(
+      head.select("series_id", "ts_us", "seq", "value_c", "etype_c")
+        .except(expect.select(
+          col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"),
+          col("value_c"), col("etype_c"))).count() === 0,
+      "catalog DELETE survivors diverge from the raw filter"
+    )
+    // TIME TRAVEL: version 1 still reads the PRE-delete state — the
+    // removed files were superseded, never destroyed
+    assert(m2.removed.forall(f => new java.io.File(f).exists()), "superseded files must survive on disk")
+    assert(
+      spark.read.format("timebox").option("asOf", 1).load(root).count() === pts.count(),
+      "asOf=1 must read the pre-delete state"
+    )
+    // a skip-proven DELETE (value outside every zone map) commits NOTHING
+    spark.sql("DELETE FROM tb_catdel_spec WHERE etype_c = 99999999")
+    assert(SnapshotCatalog.currentVersion(root) === 2L, "a skip-proven no-op DELETE must not commit a version")
+    // the SQL read door serves the new head through the catalog table
+    spark.sql("REFRESH TABLE tb_catdel_spec")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM tb_catdel_spec").head().getLong(0) === expect.count())
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
