@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // SQL MERGE door: rewrite a resolved MergeIntoTable over a timebox
+    // relation into the library upsert (see graft.sources.TimeboxMerge)
+    ext.injectPostHocResolutionRule(session => graft.sources.TimeboxMergeRule(session))
     ext.injectFunction(
       (
         FunctionIdentifier("long_dot"),

@@ -195,6 +195,11 @@ private[sources] class TimeboxTable(
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"timebox:$path"
 
+  /** (store path, resolved data paths, asOf) — what the MERGE command
+    * needs to route DML the same way the DELETE door does.
+    */
+  private[sources] def dmlInfo: (String, Seq[String], Option[Long]) = (path, dataPaths, asOf)
+
   // ---- SQL DML: `DELETE FROM t WHERE tag = v` -------------------------
   // The predicate-delete operator (TimeboxStore.deleteWhereEqualsAll —
   // blocks whose dictionary/bloom/zone map PROVE the conjunction
@@ -225,43 +230,9 @@ private[sources] class TimeboxTable(
       )
     )
     if (dataPaths != Seq(path)) { deleteWhereVersioned(spark, eqs); return }
-    import org.apache.hadoop.fs.Path
-    val dst = new Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    TimeboxFormat.recoverSwap(fs, path) // finish any crashed predecessor first
-    // uncommitted partial landings (sink block files whose batch has no
-    // commit marker) are cleared BEFORE the rewrite: the sink re-lands
-    // them byte-identically on replay, but folding them into anonymous
-    // rewritten blocks would lose the b-names the replay-clear keys on
-    // and duplicate their points
-    TimeboxFormat.purgeUncommittedLandings(fs, path)
-    val store = spark.read.parquet(path)
-    val blocks = TimeboxStore.deleteWhereEqualsAll(store, eqs, TimeboxFormat.tagsOf(store.schema))
-    // the store is both source and sink of the rewrite: materialize the
-    // surviving blocks to a staging sibling, then swap the directories.
-    // The swap is crash-RECOVERABLE (not atomic — a raw block store has
-    // no snapshot log; the versioned root is the door for stores that
-    // need one): a `__delete_swap` marker written only after staging is
-    // fully materialized names the staging dir, and recoverSwap on the
-    // read path finishes the swap from any crash point.
-    val staging = new Path(s"${path}__delete_staging")
-    fs.delete(staging, true): Unit
-    blocks.write.mode("overwrite").parquet(staging.toString)
-    // streaming sidecar state survives the purge: committed batch
-    // markers must keep suppressing replays on the rewritten store
-    val commits = new Path(dst, TimeboxStreamSink.CommitsDir)
-    if (fs.exists(commits))
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, commits, fs, new Path(staging, TimeboxStreamSink.CommitsDir),
-        false, spark.sparkContext.hadoopConfiguration
-      ): Unit
-    val marker = TimeboxFormat.swapMarker(path)
-    val out = fs.create(marker, true)
-    out.write(staging.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    fs.delete(dst, true): Unit
-    require(fs.rename(staging, dst), s"timebox DELETE: could not swap $staging into place")
-    fs.delete(marker, false): Unit
+    TimeboxFormat.rewriteRawStore(spark, path)(store =>
+      TimeboxStore.deleteWhereEqualsAll(store, eqs, TimeboxFormat.tagsOf(store.schema))
+    )
   }
 
   /** DELETE on a snapshot-catalog root = a VERSION COMMIT, the store's
@@ -676,6 +647,48 @@ object TimeboxFormat {
       fs.delete(dst, true): Unit
       require(fs.rename(staging, dst), s"timebox DELETE recovery: could not swap $staging into place")
     }
+    fs.delete(marker, false): Unit
+  }
+
+  /** Whole-store rewrite of a RAW block store (the DML shape shared by
+    * SQL DELETE and SQL MERGE): the store is both source and sink, so
+    * the rewritten blocks materialize to a staging sibling and the
+    * directories swap. The swap is crash-RECOVERABLE (not atomic — a
+    * raw store has no snapshot log; the versioned root is the door for
+    * stores that need one): a `__delete_swap` marker written only after
+    * staging is fully materialized names the staging dir, and
+    * [[recoverSwap]] on the read path finishes the swap from any crash
+    * point. Streaming sidecar state survives (committed batch markers
+    * must keep suppressing replays), and uncommitted partial landings
+    * are purged BEFORE the rewrite — the sink re-lands them
+    * byte-identically on replay, but folding them into anonymous
+    * rewritten blocks would lose the b-names the replay-clear keys on
+    * and duplicate their points.
+    */
+  private[sources] def rewriteRawStore(spark: SparkSession, path: String)(
+      rewrite: DataFrame => DataFrame
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path) // finish any crashed predecessor first
+    purgeUncommittedLandings(fs, path)
+    val blocks = rewrite(spark.read.parquet(path))
+    val staging = new Path(s"${path}__delete_staging")
+    fs.delete(staging, true): Unit
+    blocks.write.mode("overwrite").parquet(staging.toString)
+    val commits = new Path(dst, TimeboxStreamSink.CommitsDir)
+    if (fs.exists(commits))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, commits, fs, new Path(staging, TimeboxStreamSink.CommitsDir),
+        false, spark.sparkContext.hadoopConfiguration
+      ): Unit
+    val marker = swapMarker(path)
+    val out = fs.create(marker, true)
+    out.write(staging.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(dst, true): Unit
+    require(fs.rename(staging, dst), s"timebox DML rewrite: could not swap $staging into place")
     fs.delete(marker, false): Unit
   }
 

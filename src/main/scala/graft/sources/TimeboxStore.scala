@@ -2025,6 +2025,65 @@ object TimeboxStore {
     )
   }
 
+  /** ts_store_sql_merge — the SQL MERGE door: `MERGE INTO t USING s ON
+    * (point identity) WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+    * THEN INSERT *` on the catalog table, rewritten by
+    * [[TimeboxMergeRule]] into the library upsert
+    * ([[upsertBlocks]] — untouched blocks pass through encoded via the
+    * block-key anti join; only touched blocks decode/merge/re-encode)
+    * and landed through the crash-recoverable staged swap DML shares.
+    * The drill is ts_store_merge's EXACT backfill: history < day 21
+    * through the batch writer, the +500 re-statement from day 7 onward
+    * as the MERGE source — SAME oracle, so the SQL and library merge
+    * doors are pinned to identical stores. A SQL-only user now owns
+    * backfill, completing the lifecycle (create, load, append, query,
+    * purge, merge). Reference: timebox.py:57-88 update path as SQL.
+    */
+  def sqlMergeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("graft_store_sqlm", dir)
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val (tbl, v) = (s"tbm_$key", s"ptsm_$key")
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    // same relative boundaries as the library merge drill (mergeSummary)
+    val d0  = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+    val aHi = (d0 + 21) * DayUs
+    val bLo = (d0 + 7) * DayUs
+    encode(pts.filter(col("ts_us") < aHi), "series_id", "ts_us", "seq", Seq("value_c"))
+      .write.mode("overwrite").parquet(path)
+    pts
+      .filter(col("ts_us") >= bLo)
+      .withColumn("value_c", col("value_c") + 500L)
+      .createOrReplaceTempView(v)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$path'")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING $v s
+         |ON t.series_id = s.series_id AND t.seq = s.seq
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    )
+    spark.sql(s"REFRESH TABLE $tbl")
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(*) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
   /** ts_store_catalog_delete — SQL DELETE as a VERSION COMMIT on the
     * snapshot-catalog root, closing the DML/atomicity asymmetry the raw
     * path's staged swap carries (its crash window is a marker-recovery,

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -37,4 +37,14 @@ object GraftShims {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
     ds.sparkSession.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
   }
+
+  /** A DataFrame over an already-analyzed logical plan — the
+    * `private[sql] Dataset.ofRows` door a RunnableCommand needs to
+    * execute the plan a resolution rule captured (the MERGE source).
+    */
+  def frameOf(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan
+    )
 }

@@ -709,6 +709,72 @@ class FormatSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) AS n FROM tb_catdel_spec").head().getLong(0) === expect.count())
   }
 
+  test("SQL MERGE door: upsert semantics on raw and catalog roots; non-upsert shapes decline, store untouched") {
+    import graft.sources.SnapshotCatalog
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"),
+        col("value_c"), col("etype_c"))
+      .localCheckpoint()
+    // corrections for half the identities + brand-new identities
+    val srcUpd = pts.filter(col("seq") % 2 === 0).withColumn("value_c", col("value_c") + 7L)
+    val srcNew = pts.filter(col("seq") % 2 === 1)
+      .withColumn("seq", col("seq") + 900000000L).withColumn("value_c", lit(5L))
+    srcUpd.unionByName(srcNew).createOrReplaceTempView("merge_spec_src")
+    val expect = pts.filter(col("seq") % 2 === 1).unionByName(srcUpd).unionByName(srcNew)
+    val mergeSql = (t: String) =>
+      s"""MERGE INTO $t t USING merge_spec_src s
+         |ON t.series_id = s.series_id AND t.seq = s.seq
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    // raw root: staged-swap rewrite
+    val p = java.nio.file.Files.createTempDirectory("graft_sqlmerge_spec").toString + "/store"
+    TimeboxStore.encode(pts, "series_id", "ts_us", "seq", Seq("value_c", "etype_c")).write.parquet(p)
+    spark.sql("DROP TABLE IF EXISTS tb_merge_spec")
+    spark.sql(s"CREATE TABLE tb_merge_spec USING timebox LOCATION '$p'")
+    spark.sql(mergeSql("tb_merge_spec"))
+    spark.sql("REFRESH TABLE tb_merge_spec")
+    val got = spark.read.format("timebox").load(p)
+    assert(got.count() === expect.count())
+    assert(got.except(expect).count() === 0 && expect.except(got).count() === 0,
+      "SQL MERGE survivors diverge from the upsert model")
+    // catalog root: version commit, v1 time-travels to the pre-merge state
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlmerge_cat").toString + "/root"
+    SnapshotCatalog.commit(spark, root,
+      q => TimeboxStore.encode(pts, "series_id", "ts_us", "seq", Seq("value_c", "etype_c")).write.parquet(q))
+    spark.sql("DROP TABLE IF EXISTS tb_merge_cat")
+    spark.sql(s"CREATE TABLE tb_merge_cat USING timebox LOCATION '$root'")
+    spark.sql(mergeSql("tb_merge_cat"))
+    assert(SnapshotCatalog.currentVersion(root) === 2L, "catalog MERGE must land as a version commit")
+    val gotC = spark.read.format("timebox").load(root)
+    assert(gotC.count() === expect.count())
+    assert(gotC.except(expect).count() === 0 && expect.except(gotC).count() === 0)
+    assert(
+      spark.read.format("timebox").option("asOf", 1).load(root).count() === pts.count(),
+      "asOf=1 must read the pre-merge state"
+    )
+    // non-upsert shapes decline LOUDLY at analysis, store untouched
+    val before = spark.read.format("timebox").load(p).count()
+    for (bad <- Seq(
+        // ON must be the full point identity
+        s"""MERGE INTO tb_merge_spec t USING merge_spec_src s ON t.series_id = s.series_id
+           |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        // DELETE / conditional clauses are not the upsert shape
+        s"""MERGE INTO tb_merge_spec t USING merge_spec_src s
+           |ON t.series_id = s.series_id AND t.seq = s.seq
+           |WHEN MATCHED THEN DELETE""".stripMargin,
+        s"""MERGE INTO tb_merge_spec t USING merge_spec_src s
+           |ON t.series_id = s.series_id AND t.seq = s.seq
+           |WHEN MATCHED AND s.value_c > 0 THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      )) {
+      val e = intercept[Throwable](spark.sql(bad))
+      assert(String.valueOf(e.getMessage).contains("timebox MERGE"), s"unexpected error: ${e.getMessage}")
+    }
+    assert(spark.read.format("timebox").load(p).count() === before, "declined MERGE must not change the store")
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
