@@ -135,6 +135,7 @@ object SparkEntry {
     "ts_store_format_agg" -> ((s, d) => graft.sources.TimeboxStore.formatAggSummary(s, d)),
     "ts_store_format_write" -> ((s, d) => graft.sources.TimeboxStore.formatWriteRoundtrip(s, d)),
     "ts_store_stream_write" -> ((s, d) => graft.sources.TimeboxStore.streamWriteRoundtrip(s, d)),
+    "ts_store_stream_commit" -> ((s, d) => graft.sources.TimeboxStore.streamCommitRoundtrip(s, d)),
     "ts_store_sql_delete" -> ((s, d) => graft.sources.TimeboxStore.sqlDeleteSummary(s, d)),
     "ts_store_catalog_delete" -> ((s, d) => graft.sources.TimeboxStore.sqlCatalogDeleteSummary(s, d)),
     "ts_store_upsert"    -> ((s, d) => graft.sources.TimeboxStore.upsertSummary(s, d)),
@@ -6180,6 +6181,15 @@ object SparkEntry {
     // must land the identical store the batch writer lands — shared
     // oracle by design
     "ts_store_stream_write" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+    // stream -> catalog composition: same rows, landed as one snapshot
+    // commit per micro-batch — shared oracle with the other write doors
+    "ts_store_stream_commit" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,

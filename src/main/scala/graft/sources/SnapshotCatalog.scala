@@ -69,13 +69,18 @@ object SnapshotCatalog {
       root: String,
       write: String => Unit,
       pointsCol: String = "n_points",
-      removed: Seq[String] = Nil
+      removed: Seq[String] = Nil,
+      snapName: Option[String] = None
   ): Long = {
     require(
       removed.forall(f => !f.contains(";") && !f.contains("\n")),
       "removed file paths must not contain ';' or newlines (manifest encoding)"
     )
-    val snapPath = s"$root/data/snap-${java.util.UUID.randomUUID().toString.take(12)}"
+    // snapName: a DETERMINISTIC snapshot directory (the streaming sink's
+    // replay-identity door — the name encodes the batch, so a replayed
+    // commit is detectable from the manifest before any work). Default
+    // is a fresh uuid dir, never reused.
+    val snapPath = s"$root/data/${snapName.getOrElse(s"snap-${java.util.UUID.randomUUID().toString.take(12)}")}"
     write(snapPath)
     val snap = spark.read.parquet(snapPath)
     val stats = snap

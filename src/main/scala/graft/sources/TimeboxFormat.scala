@@ -71,10 +71,6 @@ class TimeboxDataSource
       outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"timebox sink: only Append output mode lands immutable blocks (got $outputMode)"
     )
-    require(
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits")),
-      s"timebox sink: cannot stream-write through a snapshot-catalog root ($path) — commit versions via SnapshotCatalog"
-    )
     // commit markers are NAMESPACED per query: two streams into one
     // store (or a restart under a FRESH checkpoint, whose batchIds
     // restart at 0) must never see each other's markers and silently
@@ -87,7 +83,17 @@ class TimeboxDataSource
       .collectFirst { case (k, v) if k.equalsIgnoreCase("checkpointLocation") => v }
       .map(TimeboxStreamSink.namespaceOf)
       .getOrElse(java.util.UUID.randomUUID().toString.replace("-", "").take(8))
-    new TimeboxStreamSink(sqlContext.sparkSession, path, ns)
+    // a snapshot-catalog root streams through VERSION COMMITS (one per
+    // micro-batch — what makes a stream-written store stream-READABLE,
+    // since the streaming source tails the commit log); a raw root
+    // lands plain block files unless option("commitVersions", "true")
+    // asks for a catalog from the first batch
+    val isCatalog = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "commits"))
+    val wantCommits = parameters
+      .collectFirst { case (k, v) if k.equalsIgnoreCase("commitVersions") => v.toBoolean }
+      .getOrElse(false)
+    if (isCatalog || wantCommits) new TimeboxCatalogStreamSink(sqlContext.sparkSession, path, ns)
+    else new TimeboxStreamSink(sqlContext.sparkSession, path, ns)
   }
 
   // ---- streaming READ of a versioned store ---------------------------
@@ -381,6 +387,37 @@ private[graft] class TimeboxStreamSink(spark: SparkSession, path: String, ns: St
   }
 
   override def toString: String = s"TimeboxStreamSink[$path:$ns]"
+}
+
+/** The VERSION-COMMITTING streaming sink: each micro-batch encodes
+  * through the same Catalyst pipeline and lands as one
+  * [[SnapshotCatalog]] commit — so a stream-written store is
+  * immediately stream-READABLE (the streaming source tails the commit
+  * log) and time-travelable, closing the last store-to-store streaming
+  * gap. Exactly-once over replays WITHOUT side markers: the snapshot
+  * directory name is batch-deterministic (`stream-<ns>-<batchId>`), so
+  * a replayed batch is recognized from the manifest itself before any
+  * work, and a crashed attempt (dir written, commit marker never
+  * claimed) is simply overwritten by the replay — the hard-link CAS
+  * means a version listed is a version fully committed.
+  */
+private[graft] class TimeboxCatalogStreamSink(spark: SparkSession, root: String, ns: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val tag = s"stream-$ns-$batchId"
+    if (SnapshotCatalog.manifests(root).exists(_.path.endsWith(s"/data/$tag"))) return // replayed
+    val tagCols = TimeboxFormat.validatePointSchema(data.schema)
+    val batch = org.apache.spark.sql.graftshim.GraftShims.batchFrame(data)
+    SnapshotCatalog.commit(
+      spark,
+      root,
+      p => TimeboxStore.encode(batch, "series_id", "ts_us", "seq", tagCols).write.mode("overwrite").parquet(p),
+      snapName = Some(tag)
+    ): Unit
+  }
+
+  override def toString: String = s"TimeboxCatalogStreamSink[$root:$ns]"
 }
 
 private[graft] object TimeboxStreamSink {

@@ -533,6 +533,74 @@ object TimeboxStore {
       .withColumnRenamed("series_id", "user_id")
   }
 
+  /** ts_store_stream_commit — the STREAM → CATALOG composition closing
+    * read/write streaming symmetry: the raw-sink door
+    * (ts_store_stream_write) lands block files a streaming READER
+    * cannot tail; this drill streams through the VERSION-COMMITTING
+    * sink ([[TimeboxCatalogStreamSink]] — one snapshot commit per
+    * micro-batch, exactly-once over replays via batch-deterministic
+    * snapshot names + the hard-link CAS), so the drained store is
+    * simultaneously batch-readable, time-travelable, and
+    * stream-tailable by the catalog streaming source. First half of
+    * history commits as version 1 through the batch path, the second
+    * half drains as a stream into the same root, and the verification
+    * read comes back through the format door over the composed
+    * versions. SAME oracle as ts_store_format_write /
+    * ts_store_stream_write — all three write doors pinned to the same
+    * decoded rows. Reference: timebox.py:102-123 read/write symmetry.
+    */
+  def streamCommitRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = scratchPath("graft_store_stc", dir)
+    deleteRecursively(new java.io.File(root)) // versions are absolute
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val mm = pts.agg(min(expr(s"ts_us DIV ${DayUs}L")), max(expr(s"ts_us DIV ${DayUs}L"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    SnapshotCatalog.commit(
+      spark,
+      root,
+      p =>
+        encode(pts.filter(expr(s"ts_us DIV ${DayUs}L < ${splitDay}L")), "series_id", "ts_us", "seq", Seq("value_c"))
+          .write.parquet(p)
+    )
+    val stream = spark.readStream
+      .schema(Tables.eventsFileSchema(spark, dir))
+      .parquet(s"$dir/events.parque[t]")
+      .transform(Tables.normalizeEventsTs)
+      .select(
+        col("user_id").as("series_id"),
+        expr("ts DIV 1000").as("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+      .filter(expr(s"ts_us DIV ${DayUs}L >= ${splitDay}L"))
+    val q = stream.writeStream
+      .format("timebox")
+      .option("checkpointLocation", s"$root/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start(root) // commits/ exists → the version-committing sink
+    q.awaitTermination()
+    spark.read
+      .format("timebox")
+      .load(root)
+      .groupBy(col("series_id"))
+      .agg(
+        count(col("value_c")).as("n_points"),
+        sum(col("value_c")).as("sum_value_c"),
+        sum(col("seq")).as("sum_event_id"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us")
+      )
+      .withColumnRenamed("series_id", "user_id")
+  }
+
   def aggPushdownSummary(spark: SparkSession, dir: String): DataFrame = {
     val out = scratchPath("graft_store_aggp", dir)
     val tags = Seq("value_c", "counter_c", "trend_c")

@@ -775,6 +775,54 @@ class FormatSpec extends AnyFunSuite {
     assert(spark.read.format("timebox").load(p).count() === before, "declined MERGE must not change the store")
   }
 
+  test("catalog streaming sink: one version per batch, replay commits once, stream-write then stream-read round-trips") {
+    import graft.sources.{SnapshotCatalog, TimeboxCatalogStreamSink}
+    val root = java.nio.file.Files.createTempDirectory("graft_catsink_spec").toString + "/root"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+      .localCheckpoint()
+    val b0 = pts.filter(col("seq") % 2 === 0)
+    val b1 = pts.filter(col("seq") % 2 === 1)
+    val sink = new TimeboxCatalogStreamSink(spark, root, "dddd3333")
+    sink.addBatch(0L, b0)
+    sink.addBatch(1L, b1)
+    assert(SnapshotCatalog.currentVersion(root) === 2L, "each micro-batch must land as one version")
+    // a replayed batchId commits EXACTLY once — recognized from the
+    // manifest's deterministic snapshot name, no side markers
+    sink.addBatch(1L, b1)
+    assert(SnapshotCatalog.currentVersion(root) === 2L, "replayed batch committed a duplicate version")
+    // the drained store equals the one-shot batch write (shared oracle)
+    val got = spark.read.format("timebox").load(root)
+    assert(got.count() === pts.count())
+    assert(got.except(pts).count() === 0 && pts.except(got).count() === 0,
+      "stream-committed store diverges from its input")
+    // and it is STREAM-READABLE: the catalog streaming source tails the
+    // commit log the sink wrote — the store-to-store streaming loop
+    val q = spark.readStream
+      .format("timebox")
+      .load(root)
+      .writeStream
+      .format("memory")
+      .queryName("catsink_tail")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val tail = spark.table("catsink_tail")
+    assert(tail.count() === pts.count(), "stream-read tail lost or duplicated rows")
+    assert(
+      tail.select("commit_version").distinct().collect().map(_.getLong(0)).toSet === Set(1L, 2L),
+      "every committed version must arrive with its provenance"
+    )
+    // time travel composes: version 1 is exactly batch 0
+    assert(
+      spark.read.format("timebox").option("asOf", 1).load(root).count() === b0.count(),
+      "asOf=1 must read batch 0 alone"
+    )
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
