@@ -151,6 +151,7 @@ object StreamingIngest {
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -367,6 +368,7 @@ object StreamingIngest {
     val counts = reader
       .parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .groupBy(window(col("ts_t"), "1 hour"), col("user_id"))
@@ -668,6 +670,7 @@ object StreamingIngest {
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -742,6 +745,7 @@ object StreamingIngest {
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -816,6 +820,7 @@ object StreamingIngest {
     val stream = reader
       .parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
       .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_t", "30 minutes")
       .select(
@@ -886,6 +891,7 @@ object StreamingIngest {
       filesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
       r.parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
     }
     val purchases = src
       .filter(col("event_type") === "purchase")
@@ -2277,6 +2283,7 @@ object StreamingIngest {
       .schema(schema)
       .parquet(s"$dir/events.parque[t]")
       .transform(Tables.normalizeEventsTs)
+      .transform(Tables.requirePostEpochTs) // watermark-bound stream: see Tables scaladoc
       .select(col("event_id"), col("event_type"), expr("ts DIV 1000").as("ts_us"))
     val q = one
       .unionByName(one)

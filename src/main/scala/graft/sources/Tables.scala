@@ -29,6 +29,30 @@ object Tables {
       df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     else df
 
+  /** Fail-loud pre-epoch guard for WATERMARK-filtered streams. Spark's
+    * global watermark initializes at epoch 0 ms and only ratchets
+    * upward (WatermarkTracker), so a stateful stream with
+    * watermark-based late-row filtering DROPS every pre-1970 event as
+    * late — silently. That is a platform bound, not a query bug
+    * (tools/negts.py WATERMARK_BOUND; SURVEY §3): the guard turns the
+    * silent data loss into an error at the row that would vanish. A
+    * codegen'd per-row branch on the already-normalized epoch-nanos
+    * column — no extra pass, no action.
+    */
+  def requirePostEpochTs(df: DataFrame): DataFrame =
+    df.withColumn(
+      "ts",
+      when(
+        col("ts") < 0L,
+        raise_error(concat(
+          lit("timebox streaming: pre-epoch event time (ts="),
+          col("ts").cast("string"),
+          lit(" ns) — Spark's watermark floors at epoch 0 and would silently drop this row as late; " +
+            "filter pre-1970 events upstream or use a non-watermarked operator")
+        )).cast(LongType)
+      ).otherwise(col("ts"))
+    )
+
   /** The events file's ON-DISK schema — what a readStream needs
     * (passing the normalized schema would mis-declare the ts type).
     */

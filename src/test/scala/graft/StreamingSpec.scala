@@ -790,4 +790,29 @@ class StreamingSpec extends AnyFunSuite {
     )
     assert(e.getMessage.contains("straddled"))
   }
+
+  test("watermark-bound streams fail loudly on a pre-epoch event instead of silently dropping it") {
+    import spark.implicits._
+    // Spark's global watermark floors at epoch 0 and only ratchets up,
+    // so a watermark-filtered stream would DROP every pre-1970 row as
+    // late — the guard turns that silent loss into an error naming the
+    // row (tools/negts.py WATERMARK_BOUND; SURVEY §3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_preepoch").toString
+    Seq(
+      (1L, -3600L * 1000000000L), // one hour before epoch, nanos
+      (1L, 7200L * 1000000000L)
+    ).toDF("user_id", "ts").coalesce(1).write.parquet(s"$dir/events.parquet")
+    val e = intercept[Throwable](StreamingIngest.sessionizeStream(spark, dir))
+    val chain = Iterator
+      .iterate(e)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage))
+      .mkString(" | ")
+    assert(chain.contains("pre-epoch event time"), s"expected the loud guard, got: $chain")
+    // post-epoch rows pass the guard untouched on the same stream shape
+    val ok = java.nio.file.Files.createTempDirectory("graft_postepoch").toString
+    Seq((1L, 3600L * 1000000000L), (1L, 7200L * 1000000000L))
+      .toDF("user_id", "ts").coalesce(1).write.parquet(s"$ok/events.parquet")
+    assert(StreamingIngest.sessionizeStream(spark, ok).count() === 2L) // 1h apart > 30min gap: two sessions
+  }
 }

@@ -25,7 +25,10 @@ Structured Streaming's global watermark initializes at epoch 0 ms and
 only ratchets upward (WatermarkTracker), so stateful operators with
 watermark-based late-row filtering drop EVERY pre-epoch event as
 late — a platform bound, not a query bug. These queries are excluded
-from the slice's green gate and documented in SURVEY §6.
+from the slice's green gate and documented in SURVEY §3. Since r13 the
+bound is FAIL-LOUD in the engine (Tables.requirePostEpochTs raises on
+any pre-epoch row in these streams), so running them on this slice
+errors by design instead of silently dropping rows.
 """
 import os, sys
 import pyarrow as pa
