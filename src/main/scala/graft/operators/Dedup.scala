@@ -3123,16 +3123,29 @@ object Dedup {
     * cached frames are driver-local rows (levels) and a
     * localCheckpoint-pinned label table, so replay never recomputes
     * the level loop. Keyed by the TIER path (collision-proof digest,
-    * see TimeboxStore.sharedScratchPath), not the raw dir string.
+    * see TimeboxStore.sharedScratchPath) PLUS the tier's content
+    * fingerprint and the owning SparkContext's applicationId —
+    * rebuilding the tier or restarting the session in-process makes a
+    * fresh key instead of serving stale rows / checkpoint frames bound
+    * to a dead context — and BOUNDED (LRU cap 8): a long-lived service
+    * over many corpora caps its pinned checkpoint frames instead of
+    * accumulating one per corpus-ever-seen.
     */
   private val louvainCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), LouvainRun]()
+    new graft.sources.ProcessMemo[(String, Int, Long, String), LouvainRun](8)
 
-  private def louvainRunFor(spark: SparkSession, dir: String, maxLevels: Int): LouvainRun =
-    louvainCache.computeIfAbsent(
-      (graft.sources.GraphTier.lshTierPath(dir), maxLevels),
-      _ => louvainCore(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels)
+  private def louvainRunFor(spark: SparkSession, dir: String, maxLevels: Int): LouvainRun = {
+    val tier = graft.sources.GraphTier.ensureLshTier(spark, dir)
+    val key = (
+      tier,
+      maxLevels,
+      graft.sources.GraphTier.tierFingerprint(tier),
+      spark.sparkContext.applicationId
     )
+    louvainCache.getOrElseUpdate(key) {
+      louvainCore(spark, graft.sources.GraphTier.memberEdges(spark, dir), maxLevels)
+    }
+  }
 
   private[graft] def louvainLevelsFrom(spark: SparkSession, pairs: DataFrame, maxLevels: Int): DataFrame =
     louvainCore(spark, pairs, maxLevels).levels

@@ -34,18 +34,42 @@ import org.apache.spark.sql.functions._
   */
 object GraphTier {
 
-  private val ready = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val lock  = new Object
+  // bounded + validated (ProcessMemo): a long-lived service pointing at
+  // many corpus dirs caps at 64 remembered tiers, and a tier whose
+  // directory vanished (external cleanup, corpus swap) is REBUILT on
+  // the next call, never served as a dangling path
+  private val ready = new ProcessMemo[String, String](64)
 
-  /** Build-at-most-once gate. The global lock serializes builds (a
-    * concurrent second caller waits, then reads) — builds are rare,
-    * per-process, and the waiters would otherwise race the same
-    * overwrite. Marked ready only after `build` returns, so a failed
-    * build retries on the next call (writes are overwrite-mode).
+  /** Build-at-most-once gate. ProcessMemo holds its lock across the
+    * build (a concurrent second caller waits, then reads) — builds are
+    * rare, per-process, and the waiters would otherwise race the same
+    * overwrite. Cached only after `build` returns, so a failed build
+    * retries on the next call (writes are overwrite-mode).
     */
-  private def ensure(path: String)(build: => Unit): String = lock.synchronized {
-    if (!ready.contains(path)) { build; ready.add(path): Unit }
-    path
+  private def ensure(path: String)(build: => Unit): String =
+    ready.getOrElseUpdate(path, p => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(p))) {
+      build
+      path
+    }
+
+  /** Content fingerprint of a built tier: the max mtime over its
+    * top-level entries (stamp files included — every rebuild/append
+    * re-stamps). One directory listing; used to key derived memos
+    * (the louvain run) so a rebuilt tier invalidates them.
+    */
+  private[graft] def tierFingerprint(path: String): Long = {
+    val d = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(d)) return -1L
+    val s = java.nio.file.Files.list(d)
+    try {
+      var m = java.nio.file.Files.getLastModifiedTime(d).toMillis
+      val it = s.iterator()
+      while (it.hasNext) {
+        val t = java.nio.file.Files.getLastModifiedTime(it.next()).toMillis
+        if (t > m) m = t
+      }
+      m
+    } finally s.close()
   }
 
   // ---- near-dup candidate graph (documents corpus) -------------------

@@ -2331,35 +2331,37 @@ object StreamingIngest {
     * Ignores percall scratch for the same reason [[GraphTier]] does:
     * the store is a shared INPUT, not a per-query fixture under test.
     */
-  private val fixtureReady = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val fixtureLock  = new Object
-  private[graft] def storeStreamFixture(spark: SparkSession, dir: String, nDays: Int): String =
-    fixtureLock.synchronized {
-      val dayUs = 86400000000L
-      val root  = TimeboxStore.sharedScratchPath(s"graft_store_streamfix_d$nDays", dir)
-      if (!fixtureReady.contains(root)) {
-        // a half-built root (failed earlier attempt) would otherwise
-        // accumulate appended versions beyond nDays — rebuild clean
-        val f = new java.io.File(root)
-        if (f.exists()) { def rm(x: java.io.File): Unit = { if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(): Unit }; rm(f) }
-        val pts = graft.operators.TimeSeries
-          .eventsUs(spark, dir)
-          .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
-        // truncated-day EQUALITY slices (see catalogMaintenanceSummary):
-        // the range form diverges from the oracle's day grouping on
-        // pre-epoch timestamps
-        val d0 = pts.agg(min(expr(s"ts_us DIV ${dayUs}L"))).head().getLong(0)
-        (0 until nDays).foreach { i =>
-          SnapshotCatalog.commit(
-            spark,
-            root,
-            p => TimeboxStore.encode(pts.filter(expr(s"ts_us DIV ${dayUs}L") === (d0 + i))).write.parquet(p)
-          ): Unit
-        }
-        fixtureReady.add(root): Unit
+  // bounded + validated (ProcessMemo policy, SURVEY §4): capped
+  // remembered roots; a root whose commit log vanished is rebuilt
+  private val fixtureReady = new ProcessMemo[String, String](16)
+  private[graft] def storeStreamFixture(spark: SparkSession, dir: String, nDays: Int): String = {
+    val dayUs = 86400000000L
+    val root  = TimeboxStore.sharedScratchPath(s"graft_store_streamfix_d$nDays", dir)
+    fixtureReady.getOrElseUpdate(
+      root,
+      r => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r, "commits"))
+    ) {
+      // a half-built root (failed earlier attempt) would otherwise
+      // accumulate appended versions beyond nDays — rebuild clean
+      val f = new java.io.File(root)
+      if (f.exists()) { def rm(x: java.io.File): Unit = { if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(): Unit }; rm(f) }
+      val pts = graft.operators.TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      // truncated-day EQUALITY slices (see catalogMaintenanceSummary):
+      // the range form diverges from the oracle's day grouping on
+      // pre-epoch timestamps
+      val d0 = pts.agg(min(expr(s"ts_us DIV ${dayUs}L"))).head().getLong(0)
+      (0 until nDays).foreach { i =>
+        SnapshotCatalog.commit(
+          spark,
+          root,
+          p => TimeboxStore.encode(pts.filter(expr(s"ts_us DIV ${dayUs}L") === (d0 + i))).write.parquet(p)
+        ): Unit
       }
       root
     }
+  }
 
   def storeStreamRead(spark: SparkSession, dir: String, nDays: Int = 8): DataFrame = {
     val root = storeStreamFixture(spark, dir, nDays)

@@ -1048,8 +1048,10 @@ object TimeboxStore {
       )
   }
 
-  private val cdcFixtureReady = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private val cdcFixtureLock = new Object
+  // bounded + validated (ProcessMemo policy, SURVEY §4): capped at 16
+  // remembered fixture roots; a root whose commit log vanished is
+  // rebuilt, never served dangling
+  private val cdcFixture = new ProcessMemo[String, String](16)
 
   /** The shared two-version catalog fixture behind ts_store_cdc and
     * ts_store_asof (the storeStreamFixture discipline, r11): version 1
@@ -1063,10 +1065,14 @@ object TimeboxStore {
     * exactly what makes the share safe: v1 and v2 are immutable, so
     * neither query can perturb the other.
     */
-  private[graft] def cdcAsofFixture(spark: SparkSession, dir: String): String =
-    cdcFixtureLock.synchronized {
-      val root = sharedScratchPath("graft_store_cdcfix", dir)
-      if (!cdcFixtureReady.contains(root)) {
+  private[graft] def cdcAsofFixture(spark: SparkSession, dir: String): String = {
+    val root0 = sharedScratchPath("graft_store_cdcfix", dir)
+    cdcFixture.getOrElseUpdate(
+      root0,
+      r => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r, "commits"))
+    ) {
+      val root = root0
+      locally {
         // a half-built root (failed earlier attempt) would hold partial
         // commits — rebuild clean
         deleteRecursively(new java.io.File(root))
@@ -1104,10 +1110,10 @@ object TimeboxStore {
             deleteWhereEquals(upsertBlocks(v1, corrections.unionByName(lateArrivals), tags), "etype_c", 112L, tags)
               .write.parquet(out)
         )
-        cdcFixtureReady.add(root): Unit
       }
       root
     }
+  }
 
   /** ts_store_asof — snapshot CATALOG + AS-OF read (the iceberg-lite
     * time-travel story over the store's own mutation operators):
