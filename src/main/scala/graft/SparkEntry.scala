@@ -154,6 +154,7 @@ object SparkEntry {
     "ts_store_timetravel_api" -> ((s, d) => graft.sources.TimeboxStore.timeTravelFormatRead(s, d)),
     "ts_store_sql" -> ((s, d) => graft.sources.TimeboxStore.sqlSurfaceSummary(s, d)),
     "ts_store_sql_write" -> ((s, d) => graft.sources.TimeboxStore.sqlWriteRoundtrip(s, d)),
+    "ts_store_catalog_write" -> ((s, d) => graft.sources.TimeboxStore.sqlCatalogWriteRoundtrip(s, d)),
     "ts_store_stream_read" -> ((s, d) => graft.sources.StreamingIngest.storeStreamRead(s, d)),
     "ts_store_stream_read_from" -> ((s, d) => graft.sources.StreamingIngest.storeStreamReadFrom(s, d)),
     "ts_outage_mttr" -> ((s, d) => TimeSeries.outageMttr(s, d)),
@@ -6199,6 +6200,15 @@ object SparkEntry {
     // the SQL write door (CTAS + INSERT INTO) must land the identical
     // store the DataFrame writer lands — shared oracle by design
     "ts_store_sql_write" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+        |  CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+        |  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        |FROM events GROUP BY user_id""".stripMargin,
+    // SQL INSERT on the VERSIONED root — same rows, landed as a delta
+    // version commit; shared oracle with the other write doors
+    "ts_store_catalog_write" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
         |  CAST(SUM(event_id) AS BIGINT) AS sum_event_id,

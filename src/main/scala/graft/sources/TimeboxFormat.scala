@@ -300,14 +300,13 @@ private[sources] class TimeboxTable(
     new TimeboxScanBuilder(dataPaths, schema0)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    // writes land on the RAW path only: a versioned root's write door
-    // is SnapshotCatalog.commit (immutable snapshots + CAS), never an
-    // in-place file write that would mutate a committed version
-    require(
-      dataPaths == Seq(path),
-      s"timebox: cannot write through a snapshot-catalog root ($path) — commit a new version via SnapshotCatalog"
-    )
-    new TimeboxWriteBuilder(path, info)
+    // a versioned root's write door IS SnapshotCatalog.commit: INSERT
+    // INTO lands as a delta version, INSERT OVERWRITE as a version
+    // whose removed list supersedes every current file — never an
+    // in-place write that would mutate a committed snapshot. DML on a
+    // time-travel (asOf) relation declines: history is read-only.
+    require(asOf.isEmpty, s"timebox: cannot write through a time-travel (asOf) read of $path")
+    new TimeboxWriteBuilder(path, isCatalog = dataPaths != Seq(path), info)
   }
 }
 
@@ -325,7 +324,7 @@ private[sources] class TimeboxTable(
   * self-contained; readers union them), `mode("overwrite")` truncates
   * the store directory first.
   */
-private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
+private[sources] class TimeboxWriteBuilder(path: String, isCatalog: Boolean, info: LogicalWriteInfo)
     extends WriteBuilder
     with SupportsTruncate {
   private var truncateFirst = false
@@ -334,11 +333,23 @@ private[sources] class TimeboxWriteBuilder(path: String, info: LogicalWriteInfo)
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: DataFrame, overwrite: Boolean): Unit = {
         val tagCols = TimeboxFormat.validatePointSchema(data.schema)
-        TimeboxStore
-          .encode(data, "series_id", "ts_us", "seq", tagCols)
-          .write
-          .mode(if (truncateFirst || overwrite) "overwrite" else "append")
-          .parquet(path)
+        val blocks = TimeboxStore.encode(data, "series_id", "ts_us", "seq", tagCols)
+        val wipe = truncateFirst || overwrite
+        if (isCatalog) {
+          // append = a delta version; overwrite = a version superseding
+          // every currently-live file (still time-travelable below it)
+          val root = TimeboxFormat.osPath(path)
+          val removed =
+            if (!wipe) Nil
+            else SnapshotCatalog.manifests(root).flatMap(m => SnapshotCatalog.dataFilesOf(m.path))
+          SnapshotCatalog.commit(
+            data.sparkSession, root,
+            p => blocks.write.parquet(p),
+            removed = removed
+          ): Unit
+        } else {
+          blocks.write.mode(if (wipe) "overwrite" else "append").parquet(path)
+        }
       }
     }
   }

@@ -2099,6 +2099,66 @@ object TimeboxStore {
     )
   }
 
+  /** ts_store_catalog_write — SQL INSERT as a VERSION COMMIT on the
+    * snapshot-catalog root (the write half of the catalog DML
+    * symmetry; the read/delete/merge halves are ts_store_timetravel_api
+    * / ts_store_catalog_delete / ts_store_sql_merge): version 1 lands
+    * the first half of history through [[SnapshotCatalog.commit]], the
+    * catalog table's `INSERT INTO ... SELECT` lands the second as a
+    * DELTA version through the same V1Write bridge the raw door rides
+    * (INSERT OVERWRITE would commit a version superseding every live
+    * file — FormatSpec drills both), and the verification read is the
+    * SQL per-series summary over the composed versions. SAME oracle as
+    * ts_store_sql_write / ts_store_format_write: all write doors land
+    * identical stores, and on the versioned root every INSERT is
+    * atomic (readers resolve v_n or v_n+1) and time-travelable.
+    */
+  def sqlCatalogWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchPath("graft_store_catw", dir)
+    deleteRecursively(new java.io.File(root)) // versions are absolute
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val (tbl, v) = (s"tbcw_$key", s"ptscw_$key")
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    pts.createOrReplaceTempView(v)
+    val mm = pts.agg(min(expr(s"ts_us DIV ${DayUs}L")), max(expr(s"ts_us DIV ${DayUs}L"))).head()
+    val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
+    SnapshotCatalog.commit(
+      spark,
+      root,
+      p =>
+        encode(pts.filter(expr(s"ts_us DIV ${DayUs}L < ${splitDay}L")), "series_id", "ts_us", "seq", Seq("value_c"))
+          .write.parquet(p)
+    )
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$root'")
+    spark.sql(
+      s"""INSERT INTO $tbl
+         |SELECT series_id, ts_us, seq, value_c FROM $v
+         |WHERE ts_us DIV ${DayUs}L >= ${splitDay}L""".stripMargin
+    )
+    spark.sql(s"REFRESH TABLE $tbl")
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(value_c) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  SUM(seq) AS sum_event_id,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
   /** ts_store_sql_merge — the SQL MERGE door: `MERGE INTO t USING s ON
     * (point identity) WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
     * THEN INSERT *` on the catalog table, rewritten by

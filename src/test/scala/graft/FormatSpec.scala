@@ -823,6 +823,45 @@ class FormatSpec extends AnyFunSuite {
     )
   }
 
+  test("SQL INSERT on a catalog root: append = delta version, overwrite supersedes, history time-travels") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catins_spec").toString + "/root"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"), col("value_c"))
+      .localCheckpoint()
+    val first = pts.filter(col("seq") % 2 === 0)
+    val second = pts.filter(col("seq") % 2 === 1)
+    SnapshotCatalog.commit(spark, root,
+      q => TimeboxStore.encode(first, "series_id", "ts_us", "seq", Seq("value_c")).write.parquet(q))
+    second.createOrReplaceTempView("catins_second")
+    spark.sql("DROP TABLE IF EXISTS tb_catins_spec")
+    spark.sql(s"CREATE TABLE tb_catins_spec USING timebox LOCATION '$root'")
+    spark.sql("INSERT INTO tb_catins_spec SELECT series_id, ts_us, seq, value_c FROM catins_second")
+    spark.sql("REFRESH TABLE tb_catins_spec")
+    assert(SnapshotCatalog.currentVersion(root) === 2L, "INSERT INTO must land as one delta version")
+    val head = spark.read.format("timebox").load(root)
+    assert(head.count() === pts.count())
+    assert(head.except(pts).count() === 0 && pts.except(head).count() === 0)
+    assert(
+      spark.read.format("timebox").option("asOf", 1).load(root).count() === first.count(),
+      "asOf=1 must read the pre-insert state"
+    )
+    // INSERT OVERWRITE: a version superseding every live file — the
+    // head is the new rows alone, and version 2 still composes fully
+    val tiny = pts.filter(col("series_id") === 0L)
+    tiny.createOrReplaceTempView("catins_tiny")
+    spark.sql("INSERT OVERWRITE tb_catins_spec SELECT series_id, ts_us, seq, value_c FROM catins_tiny")
+    spark.sql("REFRESH TABLE tb_catins_spec")
+    assert(SnapshotCatalog.currentVersion(root) === 3L)
+    assert(spark.read.format("timebox").load(root).count() === tiny.count(), "overwrite head must be the new rows alone")
+    assert(
+      spark.read.format("timebox").option("asOf", 2).load(root).count() === pts.count(),
+      "the pre-overwrite state must still time-travel"
+    )
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
