@@ -147,6 +147,7 @@ object SparkEntry {
     "ts_store_ttl"       -> ((s, d) => graft.sources.TimeboxStore.ttlSummary(s, d)),
     "ts_store_merge"     -> ((s, d) => graft.sources.TimeboxStore.mergeSummary(s, d)),
     "ts_store_sql_merge" -> ((s, d) => graft.sources.TimeboxStore.sqlMergeSummary(s, d)),
+    "ts_store_catalog_merge" -> ((s, d) => graft.sources.TimeboxStore.sqlCatalogMergeSummary(s, d)),
     "ts_store_schema_evolve" -> ((s, d) => graft.sources.TimeboxStore.schemaEvolveRoundtrip(s, d)),
     "ts_store_stats"     -> ((s, d) => graft.sources.TimeboxStore.storeStats(s, d)),
     "ts_store_catalog"   -> ((s, d) => graft.sources.TimeboxStore.catalogMaintenanceSummary(s, d)),
@@ -6372,6 +6373,16 @@ object SparkEntry {
     // backfill merge: B (the re-statement, +500 from its start) wins
     // wherever it covers; A supplies the older history
     "ts_store_merge" ->
+      """SELECT user_id, COUNT(*) AS n_points,
+        |  CAST(SUM(CAST(round(value*100) AS BIGINT) +
+        |           CASE WHEN epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) // 86400000000 + 7) * 86400000000 FROM events)
+        |                THEN 500 ELSE 0 END) AS BIGINT) AS sum_value_c,
+        |  MIN(epoch_us(ts)) AS min_ts_us, MAX(epoch_us(ts)) AS max_ts_us
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    // SAME backfill, landed as an O(delta) version commit on the
+    // catalog root — third merge door, same oracle
+    "ts_store_catalog_merge" ->
       """SELECT user_id, COUNT(*) AS n_points,
         |  CAST(SUM(CAST(round(value*100) AS BIGINT) +
         |           CASE WHEN epoch_us(ts) >= (SELECT (MIN(epoch_us(ts)) // 86400000000 + 7) * 86400000000 FROM events)

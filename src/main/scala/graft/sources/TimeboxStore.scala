@@ -2218,6 +2218,67 @@ object TimeboxStore {
     )
   }
 
+  /** ts_store_catalog_merge — the MERGE door on the VERSIONED root
+    * (completing catalog DML symmetry's last face: read, insert,
+    * delete, merge — each an atomic version commit): same backfill and
+    * SAME oracle as ts_store_merge / ts_store_sql_merge, but the
+    * target is a snapshot-catalog root, so [[TimeboxMergeCommand]]
+    * lands only the files holding a touched (series, day) block into
+    * the new version (removed list supersedes the originals; cost
+    * O(delta)) and the pre-merge store stays time-travelable —
+    * readers race-free resolve v_n or v_n+1 via the hard-link CAS,
+    * which the raw root's staged swap can only approximate.
+    */
+  def sqlCatalogMergeSummary(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchPath("graft_store_catm", dir)
+    deleteRecursively(new java.io.File(root)) // versions are absolute
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val (tbl, v) = (s"tbcm_$key", s"ptscm_$key")
+    val pts = TimeSeries
+      .eventsUs(spark, dir)
+      .select(
+        col("user_id").as("series_id"),
+        col("ts_us"),
+        col("event_id").as("seq"),
+        cents(col("value")).as("value_c")
+      )
+    val d0  = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+    val aHi = (d0 + 21) * DayUs
+    val bLo = (d0 + 7) * DayUs
+    SnapshotCatalog.commit(
+      spark,
+      root,
+      p =>
+        encode(pts.filter(col("ts_us") < aHi), "series_id", "ts_us", "seq", Seq("value_c"))
+          .write.parquet(p)
+    )
+    pts
+      .filter(col("ts_us") >= bLo)
+      .withColumn("value_c", col("value_c") + 500L)
+      .createOrReplaceTempView(v)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$root'")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING $v s
+         |ON t.series_id = s.series_id AND t.seq = s.seq
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    )
+    spark.sql(s"REFRESH TABLE $tbl")
+    spark.sql(
+      s"""SELECT series_id AS user_id,
+         |  COUNT(*) AS n_points,
+         |  SUM(value_c) AS sum_value_c,
+         |  MIN(ts_us) AS min_ts_us,
+         |  MAX(ts_us) AS max_ts_us
+         |FROM $tbl
+         |GROUP BY series_id""".stripMargin
+    )
+  }
+
   /** ts_store_catalog_delete — SQL DELETE as a VERSION COMMIT on the
     * snapshot-catalog root, closing the DML/atomicity asymmetry the raw
     * path's staged swap carries (its crash window is a marker-recovery,

@@ -862,6 +862,56 @@ class FormatSpec extends AnyFunSuite {
     )
   }
 
+  test("catalog DML is O(delta): DELETE and MERGE rewrite only skip-admitted files, untouched versions' files never move") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_catdelta_spec").toString + "/root"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 5)
+      .select(col("user_id").as("series_id"), col("ts_us"), col("event_id").as("seq"),
+        col("value_c"), col("etype_c"))
+      .localCheckpoint()
+    // v1 = series 0-2 (etype codes are ascii letters, all < 150);
+    // v2 = series 3-4 with a tag value (200) NO v1 block can hold —
+    // zone maps prove v1's files clean, so the delta is exactly v2
+    val v1Pts = pts.filter(col("series_id") < 3)
+    val v2Pts = pts.filter(col("series_id") >= 3).withColumn("etype_c", lit(200L))
+    def commitOf(d: org.apache.spark.sql.DataFrame) = SnapshotCatalog.commit(spark, root,
+      q => TimeboxStore.encode(d, "series_id", "ts_us", "seq", Seq("value_c", "etype_c")).write.parquet(q))
+    commitOf(v1Pts); commitOf(v2Pts)
+    def filesOf(version: Long) = SnapshotCatalog.manifests(root).filter(_.version === version)
+      .flatMap(m => new java.io.File(m.path).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getPath)).toSet
+    val (v1Files, v2Files) = (filesOf(1L), filesOf(2L))
+    spark.sql("DROP TABLE IF EXISTS tb_catdelta_spec")
+    spark.sql(s"CREATE TABLE tb_catdelta_spec USING timebox LOCATION '$root'")
+    // DELETE of the v2-only value: the rewrite set must be ⊆ v2's files
+    spark.sql("DELETE FROM tb_catdelta_spec WHERE etype_c = 200")
+    val delRemoved = SnapshotCatalog.manifests(root).last.removed.toSet
+    assert(delRemoved.nonEmpty && delRemoved.subsetOf(v2Files),
+      s"DELETE rewrote beyond its delta: ${delRemoved -- v2Files}")
+    assert((delRemoved & v1Files).isEmpty && v1Files.forall(f => new java.io.File(f).exists()),
+      "untouched version's files must neither be removed nor moved")
+    assert(spark.read.format("timebox").load(root).count() === v1Pts.count(),
+      "head after the v2-only purge must be exactly v1")
+    // MERGE touching only series 0: candidates are v1 files alone
+    v1Pts.filter(col("series_id") === 0L).withColumn("value_c", col("value_c") + 9L)
+      .createOrReplaceTempView("catdelta_src")
+    spark.sql(
+      """MERGE INTO tb_catdelta_spec t USING catdelta_src s
+        |ON t.series_id = s.series_id AND t.seq = s.seq
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val mergeRemoved = SnapshotCatalog.manifests(root).last.removed.toSet
+    assert(mergeRemoved.nonEmpty && mergeRemoved.subsetOf(v1Files),
+      s"MERGE rewrote beyond its touched blocks: ${mergeRemoved -- v1Files}")
+    val got = spark.read.format("timebox").load(root)
+    val expect = v1Pts.filter(col("series_id") =!= 0L)
+      .unionByName(v1Pts.filter(col("series_id") === 0L).withColumn("value_c", col("value_c") + 9L))
+    assert(got.count() === expect.count())
+    assert(got.except(expect).count() === 0 && expect.except(got).count() === 0)
+  }
+
   test("write facade: non-point schemas are rejected loudly") {
     val p = java.nio.file.Files.createTempDirectory("graft_format_bad").toString + "/store"
     val bad = spark.range(3).select(col("id").as("series_id"), col("id").as("ts_us"))
