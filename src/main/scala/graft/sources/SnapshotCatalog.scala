@@ -289,6 +289,49 @@ object SnapshotCatalog {
     expired.map(_.version)
   }
 
+  /** Delete snapshot data directories no retained manifest references —
+    * the residue of (a) a commit that crashed between writing its data
+    * dir and claiming a version (the uuid/deterministic dir is never
+    * listed, so it is invisible to readers but holds disk forever) and
+    * (b) an expireSnapshots that crashed mid-delete. The grace period
+    * protects the race with an IN-FLIGHT commit whose dir is written
+    * but whose marker is not yet claimed: only dirs untouched for
+    * `graceMs` are candidates. Safe to run any time, from any process —
+    * referenced dirs are never touched, and a dir the vacuum deletes
+    * could never again become referenced (versions only append, and a
+    * crashed commit's writer retries into a FRESH uuid dir / rewrites
+    * its deterministic dir, refreshing its mtime past the grace).
+    * Returns the deleted directories.
+    */
+  def vacuumOrphans(root: String, graceMs: Long = 3600000L): Seq[String] = {
+    val data = Paths.get(root, "data")
+    if (!Files.isDirectory(data)) return Seq.empty
+    val referenced = manifests(root).map(m => Paths.get(m.path).normalize.toString).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val children = {
+      val s = Files.list(data)
+      try s.iterator().asScala.toVector
+      finally s.close()
+    }
+    val deleted = Seq.newBuilder[String]
+    for (d <- children if Files.isDirectory(d) && !referenced.contains(d.normalize.toString)) {
+      val newest = {
+        val w = Files.walk(d)
+        try w.iterator().asScala.map(p => Files.getLastModifiedTime(p).toMillis).foldLeft(0L)(math.max)
+        finally w.close()
+      }
+      if (newest < cutoff) {
+        val w = Files.walk(d)
+        try
+          w.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(f => Files.deleteIfExists(f): Unit)
+        finally w.close()
+        deleted += d.toString
+      }
+    }
+    deleted.result()
+  }
+
   private def retentionFloor(root: String): Long = {
     val p = Paths.get(root, "retention")
     if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong

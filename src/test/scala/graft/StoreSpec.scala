@@ -1137,4 +1137,30 @@ class StoreSpec extends AnyFunSuite {
     assert(atEnd.exceptAll(truth).isEmpty && truth.exceptAll(atEnd).isEmpty,
       "head-version time travel disagrees with the raw 10-day aggregate")
   }
+
+  test("catalog vacuum: orphan snapshot dirs delete after grace; referenced and fresh dirs survive") {
+    import graft.sources.SnapshotCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft_vacuum_spec").toString + "/root"
+    val pts = TimeboxStore
+      .eventTypePoints(spark, sf)
+      .filter(col("user_id") < 3)
+    SnapshotCatalog.commit(spark, root,
+      p => TimeboxStore.encode(pts, tagCols = Seq("value_c", "etype_c")).write.parquet(p))
+    val live = spark.read.format("timebox").load(root).count()
+    // a crashed commit's residue: data dir written, version never claimed
+    val orphan = java.nio.file.Paths.get(root, "data", "snap-deadbeef0000")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    // fresh orphan is INSIDE the grace window: an in-flight commit must not be vacuumed
+    assert(SnapshotCatalog.vacuumOrphans(root).isEmpty, "grace window must protect a fresh dir")
+    assert(java.nio.file.Files.isDirectory(orphan))
+    // past the grace: the orphan goes, every referenced dir stays
+    val deleted = SnapshotCatalog.vacuumOrphans(root, graceMs = -1L)
+    assert(deleted === Seq(orphan.toString), s"expected exactly the orphan, got $deleted")
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(spark.read.format("timebox").load(root).count() === live,
+      "vacuum must never touch a referenced snapshot")
+    // idempotent on a clean root
+    assert(SnapshotCatalog.vacuumOrphans(root, graceMs = -1L).isEmpty)
+  }
 }
