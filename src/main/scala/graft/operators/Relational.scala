@@ -1826,8 +1826,13 @@ object Relational {
     val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
     val mm = li.agg(min($"l_orderkey"), max($"l_orderkey")).head()
     val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
-    val store = graft.sources.TimeboxStore.scratchPath("graft_coptier", dir)
-    graft.sources.GraphTier.writeCoPurchase(li.filter($"l_orderkey" < split), store)
+    // the first-half tier is a shared template (built once per
+    // process); appendCoPurchase MUTATES, so the drill clones it and
+    // prices its subject — the delta append + read-back
+    val tmpl = graft.sources.TimeboxStore.sharedFixture("graft_coptier_tmpl", dir) { p =>
+      graft.sources.GraphTier.writeCoPurchase(li.filter($"l_orderkey" < split), p)
+    }
+    val store = graft.sources.TimeboxStore.fixtureClone(tmpl, "graft_coptier", dir)
     graft.sources.GraphTier.appendCoPurchase(spark, li.filter($"l_orderkey" >= split), store)
     graft.sources.GraphTier.readCoPurchase(spark, store)
   }

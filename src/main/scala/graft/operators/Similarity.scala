@@ -750,8 +750,10 @@ object Similarity {
       nProbes: Int = 5,
       k: Int = 10
   ): DataFrame = {
-    val out = graft.sources.TimeboxStore.scratchPath("graft_vecidx", dir)
-    buildVectorIndex(spark, dir, out)
+    // the production build/search split made literal: the index is a
+    // SHARED template (built at most once per process — at 100 TB it
+    // was built at ingest); the search is read-only, so no clone
+    val out = vectorIndexTemplate(spark, dir)
     val mdl = IvfPqModel(
       spark.read.parquet(s"$out/centroids"),
       spark.read.parquet(s"$out/codebook"),
@@ -759,6 +761,23 @@ object Similarity {
     )
     ivfPqSearchTail(spark, dir, mdl, probeCells, m, shortlist, nProbes, k)
   }
+
+  /** Shared persisted-index template ([[buildVectorIndex]] with its
+    * defaults) — the read-only base for the index search drill and the
+    * clone source for the mutating delete drill.
+    */
+  private[graft] def vectorIndexTemplate(spark: SparkSession, dir: String): String =
+    graft.sources.TimeboxStore.sharedFixture("graft_vecidx", dir, "d") { p =>
+      buildVectorIndex(spark, dir, p)
+    }
+
+  /** Shared appendable-base template ([[buildAppendBase]]) — the clone
+    * source for the batch append drill and the streaming maintainer.
+    */
+  private[graft] def appendBaseTemplate(spark: SparkSession, dir: String, splitId: Long, m: Int = 8): String =
+    graft.sources.TimeboxStore.sharedFixture("graft_vecidx_base", dir, s"s${splitId}_m$m") { p =>
+      buildAppendBase(spark, dir, p, splitId, m)
+    }
 
   // -------------------------------------------------------------------
   // 28g. ann_label_knn — FILTERED vector search: each probe's top-k
@@ -824,8 +843,10 @@ object Similarity {
       nProbes: Int = 5,
       k: Int = 10
   ): DataFrame = {
-    val out = graft.sources.TimeboxStore.scratchPath("graft_vecidx_app", dir)
-    buildAppendBase(spark, dir, out, splitId, m)
+    // the append MUTATES the codes layout — clone the shared old-half
+    // base so the drill prices its subject (encode + append + search)
+    val out = graft.sources.TimeboxStore.fixtureClone(
+      appendBaseTemplate(spark, dir, splitId, m), "graft_vecidx_app", dir)
     appendToStoredIndex(spark, Tables.embeddings(spark, dir).filter(col("vec_id") >= splitId), out, m)
     searchStoredIndex(spark, dir, out, probeCells, m, shortlist, nProbes, k)
   }
@@ -854,8 +875,10 @@ object Similarity {
       nProbes: Int = 5,
       k: Int = 10
   ): DataFrame = {
-    val out = graft.sources.TimeboxStore.scratchPath("graft_vecidx_del", dir)
-    buildVectorIndex(spark, dir, out)
+    // the delete rewrites affected cell partitions — clone the shared
+    // index template so the drill prices the tombstone rewrite + search
+    val out = graft.sources.TimeboxStore.fixtureClone(
+      vectorIndexTemplate(spark, dir), "graft_vecidx_del", dir)
     deleteFromStoredIndex(spark, out, col("vec_id") % 7 === 6)
     searchStoredIndex(spark, dir, out, probeCells, m, shortlist, nProbes, k)
   }

@@ -282,6 +282,27 @@ object SignatureStore {
     */
   def scratchPath(dir: String): String = TimeboxStore.scratchPath("graft_sigstore", dir)
 
+  /** Shared BASE-STORE template for the incremental/streaming dedup
+    * drills: the corpus-side store ([[write]] over docs < splitId)
+    * plus its label tier ([[writeLabels]] — ignored by drills that
+    * only probe reps/bands/groups), built at most once per process
+    * (the cdcAsofFixture discipline). Seven queries previously each
+    * re-encoded this exact store per call; each drill's SUBJECT — the
+    * per-batch match / append / relabel / takedown path — is what it
+    * still computes from scratch. Read-only consumers (matchDelta,
+    * matchDeltaScored) take the template path directly; mutating
+    * consumers clone it first ([[TimeboxStore.fixtureClone]]).
+    */
+  private[graft] def baseStoreTemplate(spark: SparkSession, dir: String, splitId: Long): String =
+    TimeboxStore.sharedFixture("graft_sigtmpl", dir, s"s$splitId") { path =>
+      val docs = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < splitId)
+      write(spark, docs, path)
+      writeLabels(spark, path)
+    }
+
   /** Separate scratch root for the incremental-CC drill, so it never
     * collides with [[scratchPath]]'s store when both queries run.
     */

@@ -289,6 +289,32 @@ object SnapshotCatalog {
     expired.map(_.version)
   }
 
+  /** Clone a catalog root for a PRIVATE mutation (the fixture-template
+    * discipline): copy the tree, then rewrite the absolute snapshot
+    * paths inside every commit marker / consolidated manifest from
+    * `srcRoot` to `dstRoot`. Manifest paths are absolute by design
+    * ("$root/data/snap-..."), so a byte-copy would leave the clone's
+    * manifests pointing INTO the template — and retention on the clone
+    * would delete the template's data. Rewriting the root prefix
+    * retargets exactly those references (path= fields, removed= lists,
+    * consolidated rows) and nothing else.
+    */
+  private[graft] def cloneRoot(srcRoot: String, dstRoot: String): String = {
+    TimeboxStore.fixtureCloneTo(srcRoot, dstRoot)
+    val dir = commitsDir(dstRoot)
+    if (Files.isDirectory(dir)) {
+      val s = Files.list(dir)
+      try
+        s.iterator().asScala.filter(Files.isRegularFile(_)).foreach { f =>
+          val body = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+          val next = body.replace(srcRoot, dstRoot)
+          if (next != body) Files.write(f, next.getBytes(StandardCharsets.UTF_8)): Unit
+        }
+      finally s.close()
+    }
+    dstRoot
+  }
+
   /** Delete snapshot data directories no retained manifest references —
     * the residue of (a) a commit that crashed between writing its data
     * dir and claiming a version (the uuid/deterministic dir is never

@@ -1027,9 +1027,12 @@ object StreamingIngest {
     // a kill — the store already holds the corpus PLUS every signature
     // appended by completed batches, and rebuilding it would silently
     // erase those appends (later batches would stop matching earlier
-    // ones). Build from scratch only on a fresh start.
+    // ones). A fresh start CLONES the shared corpus-side template
+    // (built at most once per process) instead of re-encoding it —
+    // the stream's subject, the per-batch match+append, still runs
+    // from scratch against the private clone it mutates.
     if (!new java.io.File(s"$store/_checkpoint").exists())
-      SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
+      TimeboxStore.fixtureCloneTo(SignatureStore.baseStoreTemplate(spark, dir, splitId), store): Unit
     val matchesPath = s"$store/matches"
     val schema = Tables.documents(spark, dir).schema
     val reader = spark.readStream.schema(schema)
@@ -1073,10 +1076,11 @@ object StreamingIngest {
   ): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val store = TimeboxStore.scratchPath("graft_sigstrcc", dir)
-    if (!new java.io.File(s"$store/_checkpoint").exists()) {
-      SignatureStore.write(spark, docs.filter(col("doc_id") < splitId), store)
-      SignatureStore.writeLabels(spark, store)
-    }
+    // fresh start clones the shared corpus-side template (labels
+    // included); the stream's subject — per-batch append + incremental
+    // relabel — mutates the private clone (resume posture unchanged)
+    if (!new java.io.File(s"$store/_checkpoint").exists())
+      TimeboxStore.fixtureCloneTo(SignatureStore.baseStoreTemplate(spark, dir, splitId), store): Unit
     val schema = Tables.documents(spark, dir).schema
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -1129,9 +1133,15 @@ object StreamingIngest {
     val mm = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
     val split = (mm.getLong(0) + mm.getLong(1) + 1L) / 2L
     val store = TimeboxStore.scratchPath("graft_copstream", dir)
+    // fresh start clones the shared bootstrap (tier + order ledger —
+    // built once per process); the stream's subject, the per-batch
+    // straddle probe + tier append + ledger write, mutates the clone
     if (!new java.io.File(s"$store/_checkpoint").exists()) {
-      GraphTier.writeCoPurchase(li.filter(col("l_orderkey") < split), store, dirRows)
-      writeOrderLedger(spark, store, li.filter(col("l_orderkey") < split), batchId = -1L, bootstrap = true)
+      val tmpl = TimeboxStore.sharedFixture("graft_copstream_tmpl", dir, s"r$dirRows") { p =>
+        GraphTier.writeCoPurchase(li.filter(col("l_orderkey") < split), p, dirRows)
+        writeOrderLedger(spark, p, li.filter(col("l_orderkey") < split), batchId = -1L, bootstrap = true)
+      }
+      TimeboxStore.fixtureCloneTo(tmpl, store): Unit
     }
     val reader = spark.readStream.schema(li.schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -1280,8 +1290,11 @@ object StreamingIngest {
   ): DataFrame = {
     import graft.operators.Similarity
     val store = TimeboxStore.scratchPath("graft_vecidx_stream", dir)
+    // fresh start clones the shared old-half base (the model + old
+    // codes — built at ingest at scale); the stream's subject, the
+    // per-batch encode+append, mutates the private clone
     if (!new java.io.File(s"$store/_checkpoint").exists())
-      Similarity.buildAppendBase(spark, dir, store, splitId)
+      TimeboxStore.fixtureCloneTo(Similarity.appendBaseTemplate(spark, dir, splitId), store): Unit
     val schema = Tables.embeddings(spark, dir).schema
     val reader = spark.readStream.schema(schema)
     filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))

@@ -1169,32 +1169,57 @@ object TimeboxStore {
       keepLast: Int = 5
   ): DataFrame = {
     import spark.implicits._
-    val root = scratchPath("graft_store_catalog", dir)
-    val pts = TimeSeries
-      .eventsUs(spark, dir)
-      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
-    // 1-value range plan (the house scalar-aggregate pattern): the
-    // first day of history anchors the snapshot schedule
-    // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
-    // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
-    // pre-epoch data the range form and the day-index form disagree
-    // (and points below the truncated min-day fall out of every
-    // slice); the equality form IS the oracle's grouping on any input
-    val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
-    (0 until nDays).foreach { i =>
-      SnapshotCatalog.commit(
-        spark,
-        root,
-        p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
-      )
-      if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
-    }
+    // retention MUTATES the catalog (deletes expired snapshot dirs) —
+    // clone the shared daily-commit template (manifest paths rewritten
+    // to the clone, [[SnapshotCatalog.cloneRoot]]) so the drill prices
+    // its subject: the expire + the manifest read
+    val root = SnapshotCatalog.cloneRoot(
+      dailyCatalogFixture(spark, dir, nDays, compactAfter),
+      scratchPath("graft_store_catalog", dir)
+    )
     SnapshotCatalog.expireSnapshots(root, keepLast)
     SnapshotCatalog
       .manifests(root)
       .map(m => (m.version, m.nBlocks, m.nPoints, m.minDay, m.maxDay))
       .toDF("version", "n_blocks", "n_points", "min_day", "max_day")
   }
+
+  /** Shared DAILY-COMMIT catalog fixture: nDays delta snapshots (one
+    * truncated-day slice each), manifests compacted after
+    * `compactAfter` — the build ts_store_catalog / ts_store_timetravel
+    * / ts_store_timetravel_api each re-ran per call. Built at most
+    * once per process per (nDays, compactAfter); read-only consumers
+    * use the path directly, the retention drill clones it
+    * ([[SnapshotCatalog.cloneRoot]]). Versions stay absolute because
+    * the template is built fresh in an empty dir.
+    */
+  private[graft] def dailyCatalogFixture(
+      spark: SparkSession,
+      dir: String,
+      nDays: Int,
+      compactAfter: Int
+  ): String =
+    sharedFixture("graft_store_dailycat", dir, s"n${nDays}_c$compactAfter") { root =>
+      val pts = TimeSeries
+        .eventsUs(spark, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
+      // 1-value range plan (the house scalar-aggregate pattern): the
+      // first day of history anchors the snapshot schedule.
+      // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
+      // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
+      // pre-epoch data the range form and the day-index form disagree
+      // (and points below the truncated min-day fall out of every
+      // slice); the equality form IS the oracle's grouping on any input
+      val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
+      (0 until nDays).foreach { i =>
+        SnapshotCatalog.commit(
+          spark,
+          root,
+          p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
+        )
+        if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
+      }
+    }
 
   /** ts_store_timetravel — TIME TRAVEL over the snapshot catalog, the
     * read-side face of [[catalogMaintenanceSummary]]'s lifecycle: 10
@@ -1217,24 +1242,9 @@ object TimeboxStore {
       compactAfter: Int = 6,
       asOfVersion: Long = 7
   ): DataFrame = {
-    val root = scratchPath("graft_store_timetravel", dir)
-    val pts = TimeSeries
-      .eventsUs(spark, dir)
-      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
-    // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
-    // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
-    // pre-epoch data the range form and the day-index form disagree
-    // (and points below the truncated min-day fall out of every
-    // slice); the equality form IS the oracle's grouping on any input
-    val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
-    (0 until nDays).foreach { i =>
-      SnapshotCatalog.commit(
-        spark,
-        root,
-        p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
-      )
-      if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
-    }
+    // as-of reads are read-only — the shared daily-commit fixture IS
+    // the catalog this drill resolves against (built once per process)
+    val root = dailyCatalogFixture(spark, dir, nDays, compactAfter)
     val asOf = SnapshotCatalog.manifests(root).filter(_.version <= asOfVersion)
     require(asOf.nonEmpty, s"no committed version <= $asOfVersion")
     decode(spark.read.parquet(asOf.map(_.path): _*))
@@ -1269,24 +1279,9 @@ object TimeboxStore {
       compactAfter: Int = 6,
       asOfVersion: Long = 7
   ): DataFrame = {
-    val root = scratchPath("graft_store_ttapi", dir)
-    val pts = TimeSeries
-      .eventsUs(spark, dir)
-      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
-    // day slices by TRUNCATED-day EQUALITY, not [d*Day, (d+1)*Day)
-    // ranges: Spark DIV and DuckDB // both truncate toward zero, so on
-    // pre-epoch data the range form and the day-index form disagree
-    // (and points below the truncated min-day fall out of every
-    // slice); the equality form IS the oracle's grouping on any input
-    val d0 = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
-    (0 until nDays).foreach { i =>
-      SnapshotCatalog.commit(
-        spark,
-        root,
-        p => encode(pts.filter(expr(s"ts_us DIV ${DayUs}L") === (d0 + i))).write.parquet(p)
-      )
-      if (i + 1 == compactAfter) SnapshotCatalog.compactManifests(root): Unit
-    }
+    // the format-door as-of read is read-only — same shared fixture as
+    // ts_store_timetravel (they share an oracle; now also an input)
+    val root = dailyCatalogFixture(spark, dir, nDays, compactAfter)
     spark.read
       .format("timebox")
       .option("asOf", asOfVersion)
@@ -2410,19 +2405,23 @@ object TimeboxStore {
     * hash), and the point summary proves the decode lost nothing.
     */
   def compactSummary(spark: SparkSession, dir: String): DataFrame = {
-    val frag = scratchPath("graft_store_frag", dir)
-    val pts = TimeSeries
-      .eventsUs(spark, dir)
-      .select(
-        col("user_id").as("series_id"),
-        col("ts_us"),
-        col("event_id").as("seq"),
-        cents(col("value")).as("value_c")
-      )
-    encode(pts.filter(col("seq") % 2 === 0), "series_id", "ts_us", "seq")
-      .write.mode("overwrite").partitionBy("day_id").parquet(frag)
-    encode(pts.filter(col("seq") % 2 === 1), "series_id", "ts_us", "seq")
-      .write.mode("append").partitionBy("day_id").parquet(frag)
+    // the deliberately-fragmented input store is a shared READ-ONLY
+    // fixture (compactFragmented only reads it); the drill prices the
+    // compaction rewrite + read-back
+    val frag = sharedFixture("graft_store_frag", dir) { p =>
+      val pts = TimeSeries
+        .eventsUs(spark, dir)
+        .select(
+          col("user_id").as("series_id"),
+          col("ts_us"),
+          col("event_id").as("seq"),
+          cents(col("value")).as("value_c")
+        )
+      encode(pts.filter(col("seq") % 2 === 0), "series_id", "ts_us", "seq")
+        .write.mode("overwrite").partitionBy("day_id").parquet(p)
+      encode(pts.filter(col("seq") % 2 === 1), "series_id", "ts_us", "seq")
+        .write.mode("append").partitionBy("day_id").parquet(p)
+    }
     val out = scratchPath("graft_store_compact", dir)
     compactFragmented(spark, frag, out)
     val store = spark.read.parquet(out)
@@ -2555,6 +2554,79 @@ object TimeboxStore {
   }
 
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // bounded + validated (ProcessMemo policy, SURVEY §4): capped at 32
+  // remembered fixture templates; a template whose ready marker (or
+  // directory) vanished is rebuilt, never served dangling
+  private val fixtureTemplates = new ProcessMemo[String, String](32)
+
+  /** Build-at-most-once INPUT fixture — the cdcAsofFixture /
+    * storeStreamFixture discipline generalized: `build` materializes
+    * the fixture at a process-shared path the first time a
+    * (prefix, params, dir) key is seen; later calls reuse it. The
+    * ready marker lives NEXT TO the directory (never inside it), so
+    * the fixture's own contents stay byte-identical to a per-call
+    * build. Read-only consumers use the returned path directly;
+    * consumers that MUTATE the fixture take a private per-call clone
+    * via [[fixtureClone]]. ProcessMemo holds its lock across the
+    * build, so concurrent callers (Verify's 4-way pool) build once.
+    */
+  private[graft] def sharedFixture(prefix: String, dir: String, params: String = "")(
+      build: String => Unit
+  ): String = {
+    val root = sharedScratchPath(if (params.isEmpty) prefix else s"${prefix}_$params", dir)
+    val ready = java.nio.file.Paths.get(root + "__ready")
+    fixtureTemplates.getOrElseUpdate(
+      root,
+      r => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r)) && java.nio.file.Files.exists(ready)
+    ) {
+      // a half-built template (failed earlier attempt) has no marker —
+      // rebuild clean
+      java.nio.file.Files.deleteIfExists(ready): Unit
+      deleteRecursively(new java.io.File(root))
+      build(root)
+      java.nio.file.Files.createFile(ready): Unit
+      root
+    }
+  }
+
+  /** Per-call private clone of a [[sharedFixture]] template for
+    * queries that MUTATE their fixture (appends, deletes, streaming
+    * sinks): a local-fs file copy of the already-encoded template is
+    * O(fixture bytes) with zero recompute — the query then pays only
+    * its own subject (the mutation + read path). The destination is
+    * cleared first so a stable-scratch (non-percall) second call can
+    * never see the previous call's mutations.
+    */
+  private[graft] def fixtureClone(templatePath: String, dstPrefix: String, dir: String): String =
+    fixtureCloneTo(templatePath, scratchPath(dstPrefix, dir))
+
+  /** [[fixtureClone]] into a caller-chosen destination (streaming
+    * queries pin their store path before the resume-or-build check).
+    */
+  private[graft] def fixtureCloneTo(templatePath: String, dst: String): String = {
+    deleteRecursively(new java.io.File(dst))
+    copyTree(templatePath, dst)
+    dst
+  }
+
+  private[graft] def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = d.resolve(s.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t): Unit
+        else {
+          java.nio.file.Files.createDirectories(t.getParent): Unit
+          java.nio.file.Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      }
+    } finally walk.close()
+  }
 
   private[graft] def scratchPath(prefix: String, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
