@@ -414,8 +414,8 @@ object TimeboxStore {
     * no explode). Oracle = the same aggregate over raw events.
     */
   def formatAggSummary(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratchPath("graft_store_fmtagg", dir)
-    write(spark, dir, out)
+    // read-only pushdown drill over the shared encoded events store
+    val out = eventsStoreFixture(spark, dir)
     spark.read.format("timebox").load(out)
       .groupBy(col("series_id"))
       .agg(
@@ -602,10 +602,12 @@ object TimeboxStore {
   }
 
   def aggPushdownSummary(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratchPath("graft_store_aggp", dir)
     val tags = Seq("value_c", "counter_c", "trend_c")
-    encode(counterPoints(spark, dir), tagCols = tags, blockUs = 32 * DayUs)
-      .write.mode("overwrite").parquet(out)
+    // read-only closed-form aggregate over a shared encoded store
+    val out = sharedFixture("graft_store_aggp", dir) { p =>
+      encode(counterPoints(spark, dir), tagCols = tags, blockUs = 32 * DayUs)
+        .write.mode("overwrite").parquet(p)
+    }
     val blocks = spark.read.parquet(out)
     // all three encoding modes feed the same closed-form sum: value_c
     // stays min-ref, counter_c picks zigzag-delta, trend_c picks
@@ -683,17 +685,19 @@ object TimeboxStore {
     * events.
     */
   def rangeAggSummary(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratchPath("graft_store_rng", dir)
-    val pts = TimeSeries
-      .eventsUs(spark, dir)
-      .select(
-        col("user_id").as("series_id"),
-        col("ts_us"),
-        col("event_id").as("seq"),
-        cents(col("value")).as("value_c")
-      )
-    encode(pts, "series_id", "ts_us", "seq", Seq("value_c"))
-      .write.mode("overwrite").parquet(out)
+    // read-only range-pushdown drill over a shared encoded store
+    val out = sharedFixture("graft_store_rng", dir) { p =>
+      val pts = TimeSeries
+        .eventsUs(spark, dir)
+        .select(
+          col("user_id").as("series_id"),
+          col("ts_us"),
+          col("event_id").as("seq"),
+          cents(col("value")).as("value_c")
+        )
+      encode(pts, "series_id", "ts_us", "seq", Seq("value_c"))
+        .write.mode("overwrite").parquet(p)
+    }
     // 2024-01-08 12:00 .. 2024-01-21 12:00 — half-day offsets on both ends
     val (startUs, endUs) = (1704715200000000L, 1705838400000000L)
     aggregateEncodedRange(spark.read.parquet(out), startUs, endUs, Seq("value_c"))
@@ -717,19 +721,34 @@ object TimeboxStore {
     * partition-pruned scan on the same plan.
     */
   def hybridAggSummary(spark: SparkSession, dir: String): DataFrame = {
-    // a prior SESSION's run leaves the managed location behind with no
-    // entry in this session's in-memory catalog — drop both, or
-    // saveAsTable refuses with LOCATION_ALREADY_EXISTS
-    spark.sql("DROP TABLE IF EXISTS graft_hybrid_agg")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + "/graft_hybrid_agg"
-    )
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    writeHybridStore(spark, dir, "graft_hybrid_agg")
+    // the bucketed table is a shared READ-ONLY fixture (the aggregate
+    // below never mutates it) — built once per (process, dir); the
+    // name carries a digest of the input dir so two corpora can never
+    // share one table, and validity is checked against the live
+    // session's catalog
+    val tbl = "graft_hybrid_agg_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+    hybridTableReady.getOrElseUpdate(
+      tbl,
+      t => scala.util.Try(spark.catalog.tableExists(t)).getOrElse(false)
+    ) {
+      // a prior SESSION's run leaves the managed location behind with
+      // no entry in this session's in-memory catalog — drop both, or
+      // saveAsTable refuses with LOCATION_ALREADY_EXISTS
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl"
+      )
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      writeHybridStore(spark, dir, tbl)
+      tbl
+    }
     // 2024-01-08 .. 2024-01-22, both edges day-aligned
     val (startUs, endUs) = (1704672000000000L, 1705881600000000L)
-    aggregateEncodedRange(spark.table("graft_hybrid_agg"), startUs, endUs, Seq("value_c"))
+    aggregateEncodedRange(spark.table(tbl), startUs, endUs, Seq("value_c"))
       .select(
         col("series_id").as("user_id"),
         col("n_points"),
@@ -862,18 +881,20 @@ object TimeboxStore {
     * events; StoreSpec pins the straddler-set sizes.
     */
   def quantileReadSummary(spark: SparkSession, dir: String): DataFrame = {
-    val out = scratchPath("graft_store_qnt", dir)
     val tags = Seq("value_c", "counter_c")
-    val pts = counterPoints(spark, dir)
-      .select(
-        col("user_id").as("series_id"),
-        col("ts_us"),
-        col("event_id").as("seq"),
-        col("value_c"),
-        col("counter_c")
-      )
-    encode(pts, "series_id", "ts_us", "seq", tags, histBins = 16)
-      .write.mode("overwrite").parquet(out)
+    // read-only histogram-quantile drill over a shared encoded store
+    val out = sharedFixture("graft_store_qnt", dir) { p =>
+      val pts = counterPoints(spark, dir)
+        .select(
+          col("user_id").as("series_id"),
+          col("ts_us"),
+          col("event_id").as("seq"),
+          col("value_c"),
+          col("counter_c")
+        )
+      encode(pts, "series_id", "ts_us", "seq", tags, histBins = 16)
+        .write.mode("overwrite").parquet(p)
+    }
     val store = spark.read.parquet(out)
     val lowerMedian: Column => Column = n => shiftright(n + 1, 1)
     kthSmallestEncoded(store, "value_c", lowerMedian)
@@ -1052,6 +1073,10 @@ object TimeboxStore {
   // remembered fixture roots; a root whose commit log vanished is
   // rebuilt, never served dangling
   private val cdcFixture = new ProcessMemo[String, String](16)
+
+  // bounded + validated (ProcessMemo policy, SURVEY §4): the bucketed
+  // hybrid-agg table fixture, one entry per corpus dir
+  private val hybridTableReady = new ProcessMemo[String, String](8)
 
   /** The shared two-version catalog fixture behind ts_store_cdc and
     * ts_store_asof (the storeStreamFixture discipline, r11): version 1
@@ -1436,6 +1461,14 @@ object TimeboxStore {
         .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
     ).write.mode("overwrite").parquet(outPath)
 
+  /** Shared encoded events store ([[write]]'s exact content), built at
+    * most once per process — the read-only base for the pushdown /
+    * zone-map / SQL-surface read drills. Write-subject drills
+    * (roundtrip, format_write, ...) keep building their own stores.
+    */
+  private[graft] def eventsStoreFixture(spark: SparkSession, dir: String): String =
+    sharedFixture("graft_store_events", dir)(p => write(spark, dir, p))
+
   def read(spark: SparkSession, path: String): DataFrame =
     decode(spark.read.parquet(path))
 
@@ -1688,8 +1721,8 @@ object TimeboxStore {
       loC: Long = 9000L,
       hiC: Long = 12000L
   ): DataFrame = {
-    val out = scratchPath("graft_store", dir) // same content as roundtripSummary — reuse
-    write(spark, dir, out)
+    // read-only zone-map drill over the shared encoded events store
+    val out = eventsStoreFixture(spark, dir)
     spark.read.format("timebox").load(out)
       .filter(
         col("ts_us") >= startUs && col("ts_us") < endUs &&
@@ -1744,9 +1777,11 @@ object TimeboxStore {
       qtyLoC: Long = 1000L,
       qtyHiC: Long = 4000L
   ): DataFrame = {
-    val out = scratchPath("graft_store_mt", dir) // same content as multitagRoundtrip — reuse
-    encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags, blockUs = 32 * DayUs)
-      .write.mode("overwrite").parquet(out)
+    // read-only conjunctive zone-map drill over a shared encoded store
+    val out = sharedFixture("graft_store_mt", dir) { p =>
+      encode(lineitemPoints(spark, dir), "series_id", "ts_us", "seq", LineitemTags, blockUs = 32 * DayUs)
+        .write.mode("overwrite").parquet(p)
+    }
     // facade read: the two value bands + time range push down as
     // conjunctive zone-map skips; disc_c is never requested, so its
     // offset arrays are column-pruned out of the decode
@@ -1981,11 +2016,9 @@ object TimeboxStore {
     * public door Spark gives every BI tool.
     */
   def sqlSurfaceSummary(spark: SparkSession, dir: String): DataFrame = {
-    val path = scratchPath("graft_store_sql", dir)
-    val pts = TimeSeries
-      .eventsUs(spark, dir)
-      .select(col("user_id"), col("ts_us"), col("event_id"), cents(col("value")).as("value_c"))
-    encode(pts).write.mode("overwrite").parquet(path)
+    // read-only SQL-door drill over the shared encoded events store
+    // (the DDL below registers, never mutates, the location)
+    val path = eventsStoreFixture(spark, dir)
     val tbl = "tb_" + java.security.MessageDigest
       .getInstance("MD5")
       .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2109,13 +2142,6 @@ object TimeboxStore {
     * atomic (readers resolve v_n or v_n+1) and time-travelable.
     */
   def sqlCatalogWriteRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratchPath("graft_store_catw", dir)
-    deleteRecursively(new java.io.File(root)) // versions are absolute
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
-    val (tbl, v) = (s"tbcw_$key", s"ptscw_$key")
     val pts = TimeSeries
       .eventsUs(spark, dir)
       .select(
@@ -2124,16 +2150,27 @@ object TimeboxStore {
         col("event_id").as("seq"),
         cents(col("value")).as("value_c")
       )
-    pts.createOrReplaceTempView(v)
     val mm = pts.agg(min(expr(s"ts_us DIV ${DayUs}L")), max(expr(s"ts_us DIV ${DayUs}L"))).head()
     val splitDay = (mm.getLong(0) + mm.getLong(1) + 1) / 2
-    SnapshotCatalog.commit(
-      spark,
-      root,
-      p =>
-        encode(pts.filter(expr(s"ts_us DIV ${DayUs}L < ${splitDay}L")), "series_id", "ts_us", "seq", Seq("value_c"))
-          .write.parquet(p)
-    )
+    // the v1 base commit is a shared template; INSERT INTO commits a
+    // NEW version on the clone (cloneRoot rewrites manifest paths), so
+    // the drill prices its subject — the SQL write + read-back
+    val tmpl = sharedFixture("graft_store_catw_tmpl", dir) { p =>
+      SnapshotCatalog.commit(
+        spark,
+        p,
+        q =>
+          encode(pts.filter(expr(s"ts_us DIV ${DayUs}L < ${splitDay}L")), "series_id", "ts_us", "seq", Seq("value_c"))
+            .write.parquet(q)
+      ): Unit
+    }
+    val root = SnapshotCatalog.cloneRoot(tmpl, scratchPath("graft_store_catw", dir))
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val (tbl, v) = (s"tbcw_$key", s"ptscw_$key")
+    pts.createOrReplaceTempView(v)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     spark.sql(s"CREATE TABLE $tbl USING timebox LOCATION '$root'")
     spark.sql(
@@ -2225,13 +2262,6 @@ object TimeboxStore {
     * which the raw root's staged swap can only approximate.
     */
   def sqlCatalogMergeSummary(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratchPath("graft_store_catm", dir)
-    deleteRecursively(new java.io.File(root)) // versions are absolute
-    val key = java.security.MessageDigest
-      .getInstance("MD5")
-      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(12)
-    val (tbl, v) = (s"tbcm_$key", s"ptscm_$key")
     val pts = TimeSeries
       .eventsUs(spark, dir)
       .select(
@@ -2243,13 +2273,23 @@ object TimeboxStore {
     val d0  = pts.agg(min(expr(s"ts_us DIV ${DayUs}L"))).head().getLong(0)
     val aHi = (d0 + 21) * DayUs
     val bLo = (d0 + 7) * DayUs
-    SnapshotCatalog.commit(
-      spark,
-      root,
-      p =>
-        encode(pts.filter(col("ts_us") < aHi), "series_id", "ts_us", "seq", Seq("value_c"))
-          .write.parquet(p)
-    )
+    // the v1 history commit is a shared template; MERGE commits a NEW
+    // version on the clone — the drill prices the merge + read-back
+    val tmpl = sharedFixture("graft_store_catm_tmpl", dir) { p =>
+      SnapshotCatalog.commit(
+        spark,
+        p,
+        q =>
+          encode(pts.filter(col("ts_us") < aHi), "series_id", "ts_us", "seq", Seq("value_c"))
+            .write.parquet(q)
+      ): Unit
+    }
+    val root = SnapshotCatalog.cloneRoot(tmpl, scratchPath("graft_store_catm", dir))
+    val key = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    val (tbl, v) = (s"tbcm_$key", s"ptscm_$key")
     pts
       .filter(col("ts_us") >= bLo)
       .withColumn("value_c", col("value_c") + 500L)
@@ -2291,16 +2331,19 @@ object TimeboxStore {
     * immutable commits).
     */
   def sqlCatalogDeleteSummary(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratchPath("graft_store_catdel", dir)
     val tags = Seq("value_c", "etype_c")
-    // versions are absolute: a stale root from a previous non-percall
-    // run would stack a fresh base on deleted history — rebuild clean
-    deleteRecursively(new java.io.File(root))
-    SnapshotCatalog.commit(
-      spark,
-      root,
-      p => encode(eventTypePoints(spark, dir), tagCols = tags).write.parquet(p)
-    )
+    // the v1 base commit is a shared template; DELETE commits a NEW
+    // version on the clone — the drill prices the candidate-file
+    // rewrite commit + read-back (cloneRoot clears the destination, so
+    // a stale non-percall root can never stack a base on old history)
+    val tmpl = sharedFixture("graft_store_catdel_tmpl", dir) { p =>
+      SnapshotCatalog.commit(
+        spark,
+        p,
+        q => encode(eventTypePoints(spark, dir), tagCols = tags).write.parquet(q)
+      ): Unit
+    }
+    val root = SnapshotCatalog.cloneRoot(tmpl, scratchPath("graft_store_catdel", dir))
     val tbl = "tbcd_" + java.security.MessageDigest
       .getInstance("MD5")
       .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -2343,9 +2386,11 @@ object TimeboxStore {
       endUs: Long = 1705276800000000L,   // 2024-01-15
       typeCode: Long = 112L              // 'p' — purchase
   ): DataFrame = {
-    val out = scratchPath("graft_store_dict", dir)
-    encode(eventTypePoints(spark, dir), tagCols = Seq("value_c", "etype_c"))
-      .write.mode("overwrite").parquet(out)
+    // read-only dictionary-skip drill over a shared encoded store
+    val out = sharedFixture("graft_store_dict", dir) { p =>
+      encode(eventTypePoints(spark, dir), tagCols = Seq("value_c", "etype_c"))
+        .write.mode("overwrite").parquet(p)
+    }
     // facade read: the equality predicate pushes down as dictionary
     // membership + bloom bit tests + the zone-map envelope, composing
     // with the day-range prune — rangeReadValueEquals' skip chain,
