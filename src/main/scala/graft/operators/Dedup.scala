@@ -1858,6 +1858,69 @@ object Dedup {
   // planted near-duplicates. Dot products are exact integer
   // micro-units; the cosine is IEEE-deterministic from those integers.
   // -------------------------------------------------------------------
+  /** Shared HYPERPLANE-LSH candidate core over the embeddings corpus —
+    * the embedding twin of the text corpus' persisted LSH tier
+    * ([[graft.sources.GraphTier.ensureLshTier]]): the exact-identity
+    * collapse (groups/) and the bucket self-join's DISTINCT rep-level
+    * candidate pairs (cand/), persisted once per process per
+    * (nTables, nPlanes). Candidates are threshold-FREE by construction
+    * (they depend only on bucket membership), so every consumer —
+    * the 0.95 near-dup report, the 0.4 cluster graph, the threshold
+    * curve — verifies the same pair set with exact integer cosines
+    * against its own τ. At 100 TB this tier is built at ingest;
+    * re-running the window collapse + 32 hyperplane dots + bucket
+    * self-join per dashboard query is the recompute it kills.
+    */
+  private[graft] def embCandidateCore(
+      spark: SparkSession,
+      dir: String,
+      nTables: Int = 8,
+      nPlanes: Int = 4
+  ): String =
+    graft.sources.TimeboxStore.sharedFixture("graft_embcand", dir, s"t${nTables}_p$nPlanes") { p =>
+      val allPlanes = graft.functions.PortableHash.planeWeights(nTables * nPlanes, 64)
+      val q = Tables
+        .embeddings(spark, dir)
+        .select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
+      // skew-safe collapse: byte-identical quantized vectors (the
+      // embedding analogue of exact text dups — re-crawled pages embed
+      // identically) share every bucket in every table, so only their
+      // canonical rep is bucketed; groups re-expand candidates after.
+      val grp = q.withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("q"))))
+      val groups = grp.select(col("vec_id").as("doc_id"), col("rep_id"))
+      groups.write.parquet(s"$p/groups")
+      val reps = spark.read
+        .parquet(s"$p/groups")
+        .filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id").as("vec_id"))
+        .join(q, Seq("vec_id"))
+      // per-table bucket: sign pattern of that table's planes (plane
+      // index p = tbl*nPlanes + bit, matching the oracle's p//4 / p%4)
+      val tableStructs = (0 until nTables).map { t =>
+        val b = (0 until nPlanes)
+          .map(j => when(dotQ(col("q"), typedlit(allPlanes(t * nPlanes + j))) > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        struct(lit(t).as("tbl"), b.as("bucket"))
+      }
+      val bk = reps
+        .select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bk.count()
+      val safeBk = dropOversizedBuckets(bk, Seq("tbl", "bucket"), DefaultBucketCap, "embedding-lsh")
+      safeBk
+        .as("x")
+        .join(
+          safeBk.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id")
+        )
+        .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
+        .distinct()
+        .write.parquet(s"$p/cand")
+      bk.unpersist(): Unit
+    }
+
   def embeddingNearDup(
       spark: SparkSession,
       dir: String,
@@ -1865,7 +1928,9 @@ object Dedup {
       nTables: Int = 8,
       nPlanes: Int = 4
   ): DataFrame = {
-    val allPlanes = graft.functions.PortableHash.planeWeights(nTables * nPlanes, 64)
+    val core = embCandidateCore(spark, dir, nTables, nPlanes)
+    val groups = spark.read.parquet(s"$core/groups")
+    val repCand = spark.read.parquet(s"$core/cand")
     val q = Tables
       .embeddings(spark, dir)
       .select(
@@ -1874,47 +1939,12 @@ object Dedup {
         quantizeMicro(col("embedding")).as("q")
       )
       .withColumn("n2", norm2Q(col("q")))
-    // skew-safe collapse: byte-identical quantized vectors (the
-    // embedding analogue of exact text dups — re-crawled pages embed
-    // identically) share every bucket in every table, so only their
-    // canonical rep is bucketed; groups re-expand candidates after.
-    val grp = q.withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("q"))))
-    val groups = grp
-      .select(col("vec_id").as("doc_id"), col("rep_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = grp.filter(col("vec_id") === col("rep_id"))
-    // per-table bucket: sign pattern of that table's planes (plane
-    // index p = tbl*nPlanes + bit, matching the oracle's p//4 / p%4)
-    val tableStructs = (0 until nTables).map { t =>
-      val b = (0 until nPlanes)
-        .map(j => when(dotQ(col("q"), typedlit(allPlanes(t * nPlanes + j))) > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      struct(lit(t).as("tbl"), b.as("bucket"))
-    }
-    // bucket table (REPS ONLY) feeds both sides of the pairing
-    // self-join — materialize once (see the caching contract in the
-    // header)
-    val bk = reps
-      .select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bk.count()
-    val safeBk = dropOversizedBuckets(bk, Seq("tbl", "bucket"), DefaultBucketCap, "embedding-lsh")
-    val repCand = safeBk
-      .as("x")
-      .join(
-        safeBk.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id")
-      )
-      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"))
-      .distinct()
+    val reps = groups.filter(col("doc_id") === col("rep_id")).select(col("doc_id"))
     // expand to member candidates, then score member-level exactly as
     // before (labels are per-member, so scoring cannot stay rep-level)
-    val cand = expandMemberPairs(repCand, groups, reps.select(col("vec_id").as("doc_id")))
-      .toDF("vec_a", "vec_b")
+    val cand = expandMemberPairs(repCand, groups, reps).toDF("vec_a", "vec_b")
     val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
-    val out = cand
+    cand
       .join(q.as("a"), col("a.vec_id") === col("vec_a"))
       .join(q.as("b"), col("b.vec_id") === col("vec_b"))
       .select(col("vec_a"), col("vec_b"), col("a.label").as("label"), cos.as("cos"))
@@ -1925,7 +1955,6 @@ object Dedup {
         col("label"),
         round(col("cos") * lit(1000000)).cast("long").as("cos_micro")
       )
-    releaseAfterRun(spark, out, Seq(bk, groups))
   }
 
   // -------------------------------------------------------------------
@@ -1949,37 +1978,18 @@ object Dedup {
       nPlanes: Int = 4,
       maxIters: Int = 20
   ): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val allPlanes = graft.functions.PortableHash.planeWeights(nTables * nPlanes, 64)
+    // candidates come off the shared persisted core (threshold-free by
+    // construction); this query's subject — exact-cosine verification
+    // at its τ, the CC loop, and the star expansion — runs from there
+    val core = embCandidateCore(spark, dir, nTables, nPlanes)
+    val groups = spark.read.parquet(s"$core/groups")
+    val repCand = spark.read
+      .parquet(s"$core/cand")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
     val q = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), quantizeMicro(col("embedding")).as("q"))
       .withColumn("n2", norm2Q(col("q")))
-    val grp = q.withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("q"))))
-    val groups = grp.select(col("vec_id").as("doc_id"), col("rep_id")).persist(mem)
-    groups.count()
-    val reps = grp.filter(col("vec_id") === col("rep_id")).select(col("vec_id"), col("q"), col("n2"))
-    val tableStructs = (0 until nTables).map { t =>
-      val b = (0 until nPlanes)
-        .map(j => when(dotQ(col("q"), typedlit(allPlanes(t * nPlanes + j))) > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      struct(lit(t).as("tbl"), b.as("bucket"))
-    }
-    val bk = reps
-      .select(col("vec_id"), explode(array(tableStructs: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-      .persist(mem)
-    bk.count()
-    val safeBk = dropOversizedBuckets(bk, Seq("tbl", "bucket"), DefaultBucketCap, "embedding-cc")
-    val repCand = safeBk
-      .as("x")
-      .join(
-        safeBk.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id")
-      )
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
     val cos = cosineQ(dotQ(col("a.q"), col("b.q")), col("a.n2"), col("b.n2"))
     val repPairs = repCand
       .join(q.as("a"), col("a.vec_id") === col("vec_a"))
@@ -1993,10 +2003,9 @@ object Dedup {
       .filter(col("n") >= 2)
       .join(repLabels.withColumnRenamed("doc_id", "rep_id"), Seq("rep_id"), "left_anti")
       .select(col("rep_id"), col("rep_id").as("cluster_id"))
-    val out = groups
+    groups
       .join(repLabels.withColumnRenamed("doc_id", "rep_id").unionByName(lone), Seq("rep_id"))
       .select(col("doc_id").as("vec_id"), col("cluster_id"))
-    releaseAfterRun(spark, out, Seq(bk, groups))
   }
 
   // -------------------------------------------------------------------

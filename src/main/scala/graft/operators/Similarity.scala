@@ -1271,16 +1271,24 @@ object Similarity {
     val q = Tables
       .embeddings(spark, dir)
       .select(expr("transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT))").as("q"))
+    // flat-long cell stream: the d² expansion emits ONE long per cell
+    // (the flattened position IS the (i, j) key: pos = i·d + j) instead
+    // of a 3-field struct per cell — no per-cell struct allocation, a
+    // single-column int key through the exchange, same exact sums.
+    // Grouping carries d so a mixed-dimension corpus can never alias
+    // two different (i, j) cells onto one pos.
     val pair = q
       .select(
-        explode(
-          expr(
-            "flatten(transform(q, (xi, i) -> transform(q, (xj, j) -> named_struct('i', i, 'j', j, 'xx', xi * xj))))"
-          )
-        ).as("t")
+        size(col("q")).as("d"),
+        posexplode(expr("flatten(transform(q, xi -> transform(q, xj -> xi * xj)))")).as(Seq("pos", "xx"))
       )
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.xx")).as("p"))
+      .groupBy(col("pos"), col("d"))
+      .agg(sum(col("xx")).as("p"))
+      .select(
+        (col("pos") / col("d")).cast("int").as("i"),
+        (col("pos") % col("d")).cast("int").as("j"),
+        col("p")
+      )
     val s = q
       .select(posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy(col("i"))
